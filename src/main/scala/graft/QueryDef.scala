@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One judged query: a Spark implementation plus (usually) a DuckDB
+  * oracle SQL over the same parquet fixture tables.
+  *
+  * Determinism contract (the driver hash-compares values):
+  *   - every query ends in a total ORDER BY, identical on both sides;
+  *   - float aggregates are made exact by casting per-row doubles to
+  *     fixed-scale DECIMAL before SUM (per-row IEEE ops are bit-identical
+  *     across engines; only accumulation order varies), then casting the
+  *     final value back to DOUBLE;
+  *   - column names are aliased identically on both sides.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def apply(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(oracle))
+
+  /** Non-SQL-expressible op: driver records a weaker rows-only check. */
+  def rowsOnly(name: String)(
+      run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, None)
+}

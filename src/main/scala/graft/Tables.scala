@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table access for the driver-generated parquet at
+  * `/root/testdata/sf*` (see TESTDATA.md / FIXTURES.md).
+  *
+  * The reference registers lake tables over parquet URLs and lets its
+  * engine scan them (pg_lake_table/src/ddl/create_table.c); our
+  * equivalent at test scope is a plain parquet read registered as a
+  * temp view. Production-shaped tables go through [[graft.lake.LakeTable]].
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Small dimension tables that should always be broadcast in joins. */
+  val dims: Set[String] = Set("region", "nation", "customer", "supplier", "part")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(path(sfDir, name))
+
+  /** Register every fixture table as a temp view named after the table. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => df(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.2–§2.6): scans, filters,
+  * joins of every shape, aggregations, grouping sets, windows, sorts,
+  * limits, set ops, CTEs. Execution is Catalyst's — these queries declare
+  * logical plans with the DataFrame API and rely on built-in pushdown /
+  * pruning / join selection, mirroring how the reference delegates all
+  * relational execution to its vectorized engine
+  * (pg_lake_table/src/planner/query_pushdown.c:256-331).
+  */
+object Relational {
+
+  /** Exact distributed sum of a per-row double expression: cast each row
+    * to fixed-scale decimal (bit-identical across engines), sum exactly,
+    * return as double. Avoids accumulation-order FP drift vs the oracle.
+    */
+  private def dsum(e: Column, scale: Int = 4): Column =
+    sum(e.cast(s"decimal(28,$scale)")).cast("double")
+
+  /** Fixture measures carry exactly 2 decimals; casting the COLUMN (not a
+    * derived product) to decimal is lossless, and all downstream decimal
+    * arithmetic is exact — so sums are bit-identical to the oracle.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private def li(s: SparkSession, dir: String) = Tables.df(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.df(s, dir, "orders")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- scan + projection + filter pushdown (§2.1, §2.2) ----
+    QueryDef(
+      "q_scan_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01'
+        |  AND l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A','R')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1997-02-01").cast("timestamp_ntz")
+          && col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- TPC-H Q1-shaped aggregation (SURVEY §7 M1 flagship) ----
+    QueryDef(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      li(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+            * (lit(1) + col("l_tax").cast("decimal(4,2)"))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).cast("double").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- multi-way join: lineitem⋈orders⋈customer⋈nation⋈region with
+    //      broadcast dims (revenue by nation, TPC-H Q5 shaped) ----
+    QueryDef(
+      "q_join_star",
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('AMERICA','ASIA')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      val l = li(s, dir)
+      val o = ord(s, dir)
+      val c = broadcast(Tables.df(s, dir, "customer"))
+      val n = broadcast(Tables.df(s, dir, "nation"))
+      val r = broadcast(Tables.df(s, dir, "region"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("n_name")
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    },
+
+    // ---- outer joins ----
+    QueryDef(
+      "q_join_left",
+      """SELECT o_orderkey, o_orderstatus, COUNT(l_orderkey) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS total_qty
+        |FROM orders
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_quantity > 45
+        |GROUP BY o_orderkey, o_orderstatus
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val l = li(s, dir)
+      ord(s, dir)
+        .join(l, col("o_orderkey") === col("l_orderkey") && col("l_quantity") > 45, "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(col("l_orderkey")).as("n_lines"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef(
+      "q_join_full",
+      """SELECT COALESCE(a.k, b.k) AS k, a.n_ord, b.n_li
+        |FROM (SELECT o_custkey % 97 AS k, COUNT(*) AS n_ord FROM orders GROUP BY 1) a
+        |FULL JOIN (SELECT l_partkey % 89 AS k, COUNT(*) AS n_li FROM lineitem GROUP BY 1) b
+        |  ON a.k = b.k
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val a = ord(s, dir).groupBy((col("o_custkey") % 97).as("k"))
+        .agg(count(lit(1)).as("n_ord"))
+      val b = li(s, dir).groupBy((col("l_partkey") % 89).as("k"))
+        .agg(count(lit(1)).as("n_li"))
+      a.join(b, Seq("k"), "full")
+        .select(col("k"), col("n_ord"), col("n_li"))
+        .orderBy("k")
+    },
+
+    // ---- semi / anti (EXISTS / NOT EXISTS) ----
+    QueryDef(
+      "q_join_semi",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val l = li(s, dir).filter(col("l_quantity") > 49)
+      ord(s, dir)
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    QueryDef(
+      "q_join_anti",
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      ord(s, dir)
+        .join(li(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- cross join ----
+    QueryDef(
+      "q_join_cross",
+      """SELECT r.r_name, n.n_name
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+      Tables.df(s, dir, "region").select("r_name")
+        .crossJoin(Tables.df(s, dir, "nation").select("n_name"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ---- set operations (§2.6) ----
+    QueryDef(
+      "q_setops",
+      """(SELECT c_nationkey AS k FROM customer
+        | UNION
+        | SELECT s_nationkey AS k FROM supplier)
+        |INTERSECT
+        |(SELECT n_nationkey AS k FROM nation
+        | EXCEPT
+        | SELECT r_regionkey AS k FROM region)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val c = Tables.df(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = Tables.df(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      val n = Tables.df(s, dir, "nation").select(col("n_nationkey").as("k"))
+      val r = Tables.df(s, dir, "region").select(col("r_regionkey").as("k"))
+      c.union(sup).distinct()
+        .intersect(n.except(r))
+        .orderBy("k")
+    },
+
+    QueryDef(
+      "q_union_all",
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT o_orderstatus AS k FROM orders
+        |  UNION ALL
+        |  SELECT l_returnflag AS k FROM lineitem) t
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      ord(s, dir).select(col("o_orderstatus").as("k"))
+        .unionAll(li(s, dir).select(col("l_returnflag").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    // ---- sort / limit / offset / top-k (§2.6) ----
+    QueryDef(
+      "q_sort_limit",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 10""".stripMargin) { (s, dir) =>
+      ord(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(50)
+    },
+
+    // ---- CTE + subquery (§2.6) ----
+    QueryDef(
+      "q_cte",
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |), top_cust AS (
+        |  SELECT o_custkey, COUNT(*) AS n
+        |  FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |  WHERE big.qty > 150 GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, n FROM top_cust WHERE n >= 2 ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val big = li(s, dir).groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 150)
+      ord(s, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select("o_custkey", "n")
+        .orderBy("o_custkey")
+    },
+
+    // ---- scalar subquery ----
+    QueryDef(
+      "q_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = ord(s, dir)
+      // scalar aggregate joined as a broadcast single-row relation —
+      // the distributed equivalent of a scalar subquery
+      val avgP = o.agg(avg(col("o_totalprice")).as("avg_price"))
+      o.crossJoin(broadcast(avgP))
+        .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    })
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Every declared query must run end-to-end on the smoke fixture and the
+  * flagship entry must return rows (mirrors the driver's t1 smoke).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("query names are unique") {
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  for (d <- SparkEntry.allDefs) {
+    test(s"${d.name} runs on sf0.001") {
+      val df = d.run(spark, sf)
+      assert(df.columns.nonEmpty)
+      df.count() // force full execution
+    }
+  }
+}
