@@ -27,4 +27,17 @@ object QueryDef {
   def rowsOnly(name: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
+
+  /** Query expressed as SQL text run through `spark.sql` over the fixture
+    * views. When the Spark and DuckDB dialects agree the same text is the
+    * oracle; pass `oracle` where they diverge.
+    */
+  def sql(name: String, sparkSql: String, oracle: String = null): QueryDef =
+    QueryDef(
+      name,
+      (s: SparkSession, dir: String) => {
+        Tables.registerAll(s, dir)
+        s.sql(sparkSql)
+      },
+      Some(Option(oracle).getOrElse(sparkSql)))
 }

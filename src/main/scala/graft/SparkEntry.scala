@@ -15,7 +15,9 @@ object SparkEntry {
 
   /** All judged queries, grouped by SURVEY.md §2 area. */
   def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Aggregates.defs ++
+      _root_.graft.queries.Windows.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

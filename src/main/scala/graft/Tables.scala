@@ -21,7 +21,16 @@ object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(path(sfDir, name))
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read the raw int64 nanos and floor-convert to
+      // microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(sfDir, name))
+        .withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")
+            .cast("timestamp_ntz"))
+    } else spark.read.parquet(path(sfDir, name))
 
   /** Register every fixture table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

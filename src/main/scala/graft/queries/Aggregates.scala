@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.4): distinct/FILTER aggregates,
+  * statistical aggregates, ordered-set percentiles, string/array agg,
+  * grouping sets / rollup / cube, DISTINCT ON. All map-side-combinable
+  * built-ins — partial aggregation happens before the shuffle, so these
+  * scale linearly with executor count at 100 TB.
+  */
+object Aggregates {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // count(*) / count(x) / count(DISTINCT x) / FILTER (§2.4)
+    QueryDef.sql(
+      "q_agg_distinct_filter",
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS n_all,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // min/max over numerics, text, timestamps; any_value on a
+    // functionally-dependent column (deterministic); bool_and/bool_or
+    QueryDef.sql(
+      "q_agg_minmax_bool",
+      """SELECT n_nationkey,
+        |  ANY_VALUE(n_name) AS nation_name,
+        |  MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        |  MIN(c_name) AS first_name, MAX(c_name) AS last_name,
+        |  BOOL_AND(c_acctbal > -1000) AS all_above,
+        |  BOOL_OR(c_acctbal > 9000) AS any_rich
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // statistical aggregates (float-tolerant in the reference's own
+    // tests, shippability.md:35 — we round to 6dp on both sides)
+    QueryDef.sql(
+      "q_agg_stats",
+      """SELECT l_returnflag,
+        |  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+        |  ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+        |  ROUND(STDDEV_POP(l_discount), 6) AS sdp_disc,
+        |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covp_qp,
+        |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covs_qp,
+        |  ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope,
+        |  ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ordered-set aggregates: percentile_cont / percentile_disc
+    QueryDef.sql(
+      "q_agg_percentile",
+      """SELECT l_linestatus,
+        |  ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 6) AS median_qty,
+        |  ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 6) AS p90_price,
+        |  PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_qty
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin),
+
+    // string_agg with deterministic order + array_agg with order
+    QueryDef(
+      "q_agg_string_array",
+      """SELECT r_regionkey,
+        |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+        |  ARRAY_AGG(n_nationkey ORDER BY n_nationkey) AS nation_keys
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_regionkey
+        |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val n = Tables.df(s, dir, "nation")
+      val r = Tables.df(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_regionkey")
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
+          sort_array(collect_list(col("n_nationkey"))).as("nation_keys"))
+        .orderBy("r_regionkey")
+    },
+
+    // mode() — single clear winner per group in the fixture
+    QueryDef.sql(
+      "q_agg_mode",
+      """SELECT l_returnflag, MODE(l_linestatus) AS top_status
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      oracle =
+        """SELECT l_returnflag, MODE(l_linestatus) AS top_status
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin),
+
+    // GROUPING SETS + GROUPING() (§2.4; reference
+    // test_grouping_set_pushdown.py)
+    QueryDef.sql(
+      "q_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  GROUPING(o_orderstatus) AS g_status,
+        |  GROUPING(o_orderpriority) AS g_prio,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    QueryDef.sql(
+      "q_rollup",
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin),
+
+    QueryDef(
+      "q_cube",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+      Tables.df(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // DISTINCT ON equivalent: row_number()=1 per key (§2.4)
+    QueryDef.sql(
+      "q_distinct_on",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin),
+
+    // DISTINCT over multiple columns
+    QueryDef(
+      "q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // HAVING (pushed with the aggregate in the reference,
+    // pg_lake_table.c:4805-5040)
+    QueryDef(
+      "q_having",
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING COUNT(*) > 550 AND SUM(CAST(l_quantity AS DECIMAL(18,2))) > 14000
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      Tables.df(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qty_dec"))
+        .filter(col("n") > 550 && col("qty_dec") > 14000)
+        .select(col("l_suppkey"), col("n"), col("qty_dec").cast("double").as("qty"))
+        .orderBy("l_suppkey")
+    })
+}

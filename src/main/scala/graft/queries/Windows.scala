@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.5; reference shippable window
+  * list shippable_builtin_functions.c:388-401 and frame tests
+  * test_window_function_pushdown.py). Window ORDER BY keys are unique
+  * within each partition wherever ties would make results
+  * nondeterministic (row_number, ntile, lag/lead).
+  */
+object Windows {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ranking family over a partition
+    QueryDef(
+      "q_window_rank",
+      """SELECT o_custkey, o_orderkey,
+        |  RANK()         OVER w AS rnk,
+        |  DENSE_RANK()   OVER w AS drnk,
+        |  ROW_NUMBER()   OVER w AS rn,
+        |  ROUND(PERCENT_RANK() OVER w, 8) AS prnk,
+        |  ROUND(CUME_DIST()    OVER w, 8) AS cd,
+        |  NTILE(4)       OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.df(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(w).as("rn"),
+          round(percent_rank().over(w), 8).as("prnk"),
+          round(cume_dist().over(w), 8).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // lag / lead (1- and 3-arg), first_value / last_value / nth_value
+    QueryDef(
+      "q_window_offset",
+      """SELECT user_id, event_id,
+        |  LAG(event_type) OVER w AS prev_type,
+        |  LEAD(event_type) OVER w AS next_type,
+        |  LAG(value, 2, -1.0) OVER w AS lag2,
+        |  FIRST_VALUE(event_id) OVER w AS first_ev,
+        |  LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev,
+        |  NTH_VALUE(event_id, 3) OVER w AS third_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.df(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          lag(col("value"), 2, -1.0).over(w).as("lag2"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(wFull).as("last_ev"),
+          nth_value(col("event_id"), 3).over(w).as("third_ev"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ROWS frame: running + sliding aggregates (exact decimal sums)
+    QueryDef(
+      "q_window_rows_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS sliding_qty,
+        |  COUNT(*) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS sliding_n
+        |FROM lineitem
+        |WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_qty"),
+          sum(dec(col("l_quantity")))
+            .over(w.rowsBetween(-2, 1)).cast("double").as("sliding_qty"),
+          count(lit(1)).over(w.rowsBetween(-2, 1)).as("sliding_n"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // RANGE frame over a numeric key
+    QueryDef(
+      "q_window_range_frame",
+      """SELECT o_orderkey, o_totalprice,
+        |  COUNT(*) OVER
+        |    (ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_near
+        |FROM orders
+        |WHERE o_custkey <= 30
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice"))
+      Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 30)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w.rangeBetween(-1000, 1000)).as("n_near"),
+          sum(dec(col("o_totalprice")))
+            .over(w.rangeBetween(-1000, Window.currentRow))
+            .cast("double").as("cum_near"))
+        .orderBy("o_orderkey")
+    },
+
+    // aggregate-as-window + FILTER-equivalent (sum(CASE WHEN)) + window
+    // over the result of a group-by (window-over-agg composition)
+    QueryDef(
+      "q_window_over_agg",
+      """SELECT l_suppkey, n_lines,
+        |  CAST(SUM(CAST(qty AS DECIMAL(28,2))) OVER
+        |    (ORDER BY l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_qty,
+        |  CAST(SUM(CASE WHEN n_lines > 550 THEN CAST(qty AS DECIMAL(28,2)) END) OVER
+        |    (ORDER BY l_suppkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_big_qty
+        |FROM (
+        |  SELECT l_suppkey, COUNT(*) AS n_lines,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY l_suppkey) t
+        |ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      val agg = Tables.df(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      val w = Window.orderBy(col("l_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg.select(col("l_suppkey"), col("n_lines"),
+          sum(col("qty").cast("decimal(28,2)")).over(w).cast("double").as("cum_qty"),
+          sum(when(col("n_lines") > 550, col("qty").cast("decimal(28,2)")))
+            .over(w).cast("double").as("cum_big_qty"))
+        .orderBy("l_suppkey")
+    })
+}
