@@ -36,6 +36,7 @@ object QueryDef {
     QueryDef(
       name,
       (s: SparkSession, dir: String) => {
+        graft.functions.PgFunctions.register(s)
         Tables.registerAll(s, dir)
         s.sql(sparkSql)
       },

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** PostgreSQL-flavored function layer (SURVEY.md §2.7, M3).
+  *
+  * The reference ships PG-semantics shims into its execution engine as
+  * rewrite rules + SQL trampolines (pg_lake_engine/src/pgduck/
+  * rewrite_query.c:148-198, duckdb_pglake extension shims). Our
+  * equivalent: register the functions PG has and Spark lacks as
+  * compositions of existing Catalyst expressions — they inherit
+  * whole-stage codegen, null handling, and constant folding for free;
+  * no UDF boundary anywhere.
+  *
+  * Everything else on the §2.7 contract (div, cot, split_part,
+  * width_bucket, string_agg, percentile_cont/disc, btrim, initcap, …)
+  * already exists in Spark 4 with matching semantics.
+  */
+object PgFunctions {
+
+  private def d(e: Expression): Expression = Cast(e, DoubleType)
+
+  /** PG `to_char` timestamp patterns → Java DateTimeFormatter patterns
+    * (the translation the reference implements in
+    * pg_lake_engine/src/pgduck/to_char.c:1-1378, re-derived for Java
+    * patterns rather than strftime). Longest match first; `"…"` spans
+    * are literals.
+    */
+  private val toCharTable: Seq[(String, String)] = Seq(
+    "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh",
+    "MI" -> "mm", "SSSS" -> "", // seconds-past-midnight unsupported
+    "SS" -> "ss", "MS" -> "SSS", "US" -> "SSSSSS",
+    "YYYY" -> "yyyy", "YYY" -> "yyy", "YY" -> "yy", "Y" -> "y",
+    "IYYY" -> "YYYY", "IW" -> "ww",
+    "MONTH" -> "MMMM", "Month" -> "MMMM", "month" -> "MMMM",
+    "MON" -> "MMM", "Mon" -> "MMM", "mon" -> "MMM",
+    "MM" -> "MM",
+    "DAY" -> "EEEE", "Day" -> "EEEE", "day" -> "EEEE",
+    "DY" -> "EEE", "Dy" -> "EEE", "dy" -> "EEE",
+    "DDD" -> "DDD", "DD" -> "dd", "ID" -> "e", "D" -> "F",
+    "WW" -> "ww", "W" -> "W",
+    "Q" -> "Q",
+    "AM" -> "a", "PM" -> "a", "A.M." -> "a", "P.M." -> "a",
+    "am" -> "a", "pm" -> "a",
+    "TZ" -> "zz", "OF" -> "x")
+
+  def translateToChar(pgFmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pgFmt.length) {
+      val c = pgFmt.charAt(i)
+      if (c == '"') { // quoted literal span
+        val end = pgFmt.indexOf('"', i + 1)
+        val lit = if (end < 0) pgFmt.substring(i + 1)
+          else pgFmt.substring(i + 1, end)
+        if (lit.nonEmpty) sb.append('\'').append(lit.replace("'", "''")).append('\'')
+        i = if (end < 0) pgFmt.length else end + 1
+      } else if (pgFmt.startsWith("FM", i)) {
+        i += 2 // fill-mode modifier: Java patterns don't pad text anyway
+      } else {
+        toCharTable.find { case (pg, _) => pgFmt.startsWith(pg, i) } match {
+          case Some((pg, java)) => sb.append(java); i += pg.length
+          case None =>
+            // non-pattern chars pass through; quote letters so Java
+            // doesn't interpret them
+            if (c.isLetter) sb.append('\'').append(c).append('\'')
+            else sb.append(c)
+            i += 1
+        }
+      }
+    }
+    sb.toString
+  }
+
+  /** Register the compat functions into the session's FunctionRegistry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def f(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+
+    // --- degree-variant trigonometry (PG sind/cosd/…; reference shims
+    //     RewriteFuncExprTrigonometry, rewrite_query.c:165-167) ---
+    f("sind") { case Seq(x) => Sin(ToRadians(d(x))) }
+    f("cosd") { case Seq(x) => Cos(ToRadians(d(x))) }
+    f("tand") { case Seq(x) => Tan(ToRadians(d(x))) }
+    f("cotd") { case Seq(x) => Divide(Cos(ToRadians(d(x))), Sin(ToRadians(d(x)))) }
+    f("asind") { case Seq(x) => ToDegrees(Asin(d(x))) }
+    f("acosd") { case Seq(x) => ToDegrees(Acos(d(x))) }
+    f("atand") { case Seq(x) => ToDegrees(Atan(d(x))) }
+    f("atan2d") { case Seq(y, x) => ToDegrees(Atan2(d(y), d(x))) }
+
+    // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
+    f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
+
+    // --- starts_with (PG ^@ / starts_with) ---
+    f("starts_with") { case Seq(s, p) => StartsWith(s, p) }
+
+    // --- array_cat (PG || on arrays) ---
+    f("array_cat") { case args => Concat(args) }
+
+    // --- array_prepend: PG argument order is (element, array);
+    //     Spark's builtin is (array, element) ---
+    f("array_prepend") { case Seq(e, arr) => ArrayPrepend(arr, e) }
+
+    // --- ltrim/rtrim/btrim with a trim-set: PG order is (str, chars);
+    //     Spark's 2-arg builtins take (trimStr, srcStr) ---
+    f("ltrim") {
+      case Seq(s) => StringTrimLeft(s)
+      case Seq(s, chars) => StringTrimLeft(s, chars)
+    }
+    f("rtrim") {
+      case Seq(s) => StringTrimRight(s)
+      case Seq(s, chars) => StringTrimRight(s, chars)
+    }
+    f("btrim") {
+      case Seq(s) => StringTrim(s)
+      case Seq(s, chars) => StringTrim(s, chars)
+    }
+
+    // --- to_hex ---
+    f("to_hex") { case Seq(x) => Lower(Hex(x)) }
+
+    // --- generate_series: inclusive sequence, ints or timestamps
+    //     (reference shim RewriteFuncExprGenerateSeries,
+    //     rewrite_query.c:157; used with explode() in FROM position) ---
+    f("generate_series") {
+      case Seq(a, b) => new Sequence(a, b)
+      case Seq(a, b, step) => new Sequence(a, b, step)
+    }
+
+    // --- date_bin(stride, ts, origin): PG/DuckDB temporal binning.
+    //     bin = ts - positive_mod(ts - origin, stride), all in epoch
+    //     micros — floors toward -infinity like PG for any ts/origin. ---
+    f("date_bin") { case Seq(stride, ts, origin) =>
+      val tsUs = UnixMicros(Cast(ts, TimestampType))
+      val originUs = UnixMicros(Cast(origin, TimestampType))
+      // a day-time interval literal's underlying Long IS micros; casting
+      // the expression to LongType would instead return whole end-field
+      // units (e.g. days), so unwrap literals and only fall back to a
+      // seconds cast for non-literal strides
+      val strideUs: Expression = stride match {
+        case Literal(v: Long, _: DayTimeIntervalType) => Literal(v)
+        case e => Multiply(
+          Cast(Cast(e, DayTimeIntervalType(0, 3)), LongType),
+          Literal(1000000L))
+      }
+      val binned = Subtract(tsUs, Pmod(Subtract(tsUs, originUs), strideUs))
+      Cast(MicrosToTimestamp(binned), TimestampNTZType)
+    }
+
+    // --- to_char(timestamp, 'PG pattern') → formatted string.
+    //     Literal formats translate at plan time into a codegen'd
+    //     DateFormatClass; non-literal formats are out of scope (the
+    //     reference likewise gates on convertibility,
+    //     IsConvertibleToChar, to_char.c:262). ---
+    f("to_char") {
+      case Seq(ts, Literal(fmt, StringType)) =>
+        DateFormatClass(Cast(ts, TimestampType),
+          Literal(translateToChar(fmt.toString)))
+      case args =>
+        throw new IllegalArgumentException(
+          "to_char requires (timestamp, literal format string), got: " + args)
+    }
+  }
+}

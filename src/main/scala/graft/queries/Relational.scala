@@ -41,14 +41,14 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-02-01'
         |  AND l_quantity BETWEEN 10 AND 20
         |  AND l_returnflag IN ('A','R')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin) { (s, dir) =>
       li(s, dir)
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
           && col("l_shipdate") < lit("1997-02-01").cast("timestamp_ntz")
           && col("l_quantity").between(10, 20)
           && col("l_returnflag").isin("A", "R"))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
 
     // ---- TPC-H Q1-shaped aggregation (SURVEY §7 M1 flagship) ----

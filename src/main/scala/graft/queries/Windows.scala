@@ -78,16 +78,16 @@ object Windows {
         |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
-        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS sliding_qty,
         |  COUNT(*) OVER
-        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |     ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS sliding_n
         |FROM lineitem
         |WHERE l_suppkey <= 20
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       Tables.df(s, dir, "lineitem")
         .filter(col("l_suppkey") <= 20)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -97,7 +97,7 @@ object Windows {
           sum(dec(col("l_quantity")))
             .over(w.rowsBetween(-2, 1)).cast("double").as("sliding_qty"),
           count(lit(1)).over(w.rowsBetween(-2, 1)).as("sliding_n"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
     },
 
     // RANGE frame over a numeric key
