@@ -1,0 +1,168 @@
+package graft
+
+import graft.lake.LakeTable
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.collection.concurrent.TrieMap
+
+/** The public facade (SURVEY.md §7): one SparkSession-hosted library
+  * giving pg_lake's capability surface — managed transactional tables
+  * ([[graft.lake.LakeTable]]), lake "foreign tables" over raw
+  * Parquet/CSV/JSON files with schema inference, COPY-style
+  * import/export, file listing, and the PG function layer — with
+  * Catalyst doing all relational execution.
+  */
+final class LakeEngine(val spark: SparkSession) {
+
+  functions.PgFunctions.register(spark)
+
+  private val tables = TrieMap.empty[String, LakeTable]
+
+  // ------------------------------------------------------ managed tables
+
+  def createTable(name: String, location: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): LakeTable =
+    register(name, LakeTable.create(spark, location, name, schema, partitionBy))
+
+  def createTableAsSelect(name: String, location: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): LakeTable =
+    register(name, LakeTable.createAsSelect(spark, location, name, df, partitionBy))
+
+  def loadTable(name: String, location: String): LakeTable =
+    register(name, LakeTable.load(spark, location))
+
+  def table(name: String): LakeTable = tables.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown lake table $name"))
+
+  private def register(name: String, t: LakeTable): LakeTable = {
+    tables.put(name, t)
+    t.read().createOrReplaceTempView(name)
+    t
+  }
+
+  /** Refresh the temp view after DML (snapshot pointer moved). */
+  def refresh(name: String): Unit =
+    tables.get(name).foreach(_.read().createOrReplaceTempView(name))
+
+  /** `iceberg_tables`-style catalog view (docs/iceberg-tables.md:545). */
+  def tablesDf: DataFrame = {
+    import spark.implicits._
+    tables.toSeq.map { case (n, t) =>
+      val m = t.meta
+      (n, t.location, m.currentSnapshotId, m.snapshots.size,
+        m.partitionSpec.mkString(", "))
+    }.toDF("table_name", "location", "current_snapshot", "n_snapshots",
+      "partition_spec")
+  }
+
+  // ------------------------------------------- lake foreign tables (M2)
+
+  /** Register a read-only "foreign table" over files: format inferred
+    * from the extension unless given; empty schema = inference
+    * (reference `CREATE FOREIGN TABLE () SERVER pg_lake`,
+    * pg_lake_table/src/describe/describe.c — DESCRIBE-driven inference;
+    * Spark's readers infer natively). Wildcards work via Hadoop globs;
+    * `filename=true` adds the source-file column
+    * (docs/query-data-lake-files.md:84-95).
+    */
+  def createLakeTable(name: String, path: String,
+      format: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None,
+      filenameColumn: Boolean = false): DataFrame = {
+    val fmt = format.getOrElse(inferFormat(path))
+    var reader = spark.read.options(options)
+    schema.foreach(s => reader = reader.schema(s))
+    val base = fmt match {
+      case "parquet" => reader.parquet(path)
+      case "csv" =>
+        reader.option("header",
+          options.getOrElse("header", "true")) // sniffed default: headered
+          .option("inferSchema", options.getOrElse("inferSchema",
+            schema.isEmpty.toString))
+          .csv(path)
+      case "json" => reader.json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format $other")
+    }
+    val df = if (filenameColumn) base.withColumn("filename", input_file_name())
+    else base
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** `lake_file.list('glob')` equivalent via the Hadoop filesystem —
+    * works for any FS Spark can reach (local, S3A, ...).
+    */
+  def listFiles(glob: String): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(glob)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+    statuses.map(st => (st.getPath.toString, st.getLen,
+      st.getModificationTime)).toSeq
+      .toDF("path", "size_bytes", "modified_ms")
+  }
+
+  private def inferFormat(path: String): String = {
+    val p = path.toLowerCase.stripSuffix(".gz").stripSuffix(".zst")
+      .stripSuffix(".gzip").stripSuffix(".snappy")
+    if (p.endsWith(".parquet") || p.endsWith(".pq")) "parquet"
+    else if (p.endsWith(".csv") || p.endsWith(".tsv")) "csv"
+    else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+      p.endsWith(".ndjson")) "json"
+    else "parquet" // directories of data files default to parquet
+  }
+
+  // --------------------------------------------------- COPY surface (M5)
+
+  /** `COPY (query) TO 'url'` (pg_lake_copy/src/copy/copy.c):
+    * format + compression inferred from the target name.
+    */
+  def copyTo(df: DataFrame, url: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val fmt = inferFormat(url)
+    val codec = compressionOf(url)
+    var w = df.write.mode(options.getOrElse("mode", "overwrite"))
+      .options(options - "mode")
+    codec.foreach(c => w = w.option("compression", c))
+    fmt match {
+      case "parquet" => w.parquet(url)
+      case "csv" => w.option("header",
+        options.getOrElse("header", "true")).csv(url)
+      case "json" => w.json(url)
+    }
+  }
+
+  /** `COPY table FROM 'url'` — append files into a managed table. */
+  def copyFrom(tableName: String, url: String,
+      options: Map[String, String] = Map.empty): Long = {
+    val t = table(tableName)
+    val src = createLakeTable(s"__copy_src_$tableName", url,
+      schema = Some(t.meta.sparkSchema), options = options)
+    val n = src.count()
+    t.append(src)
+    refresh(tableName)
+    n
+  }
+
+  private def compressionOf(url: String): Option[String] = {
+    val u = url.toLowerCase
+    if (u.endsWith(".gz") || u.endsWith(".gzip")) Some("gzip")
+    else if (u.endsWith(".zst")) Some("zstd")
+    else if (u.endsWith(".snappy")) Some("snappy")
+    else None
+  }
+
+  def sql(q: String): DataFrame = spark.sql(q)
+}
+
+object LakeEngine {
+  def apply(spark: SparkSession): LakeEngine = new LakeEngine(spark)
+
+  /** Fresh working directory for ephemeral tables (tests / queries). */
+  def tempLocation(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+}

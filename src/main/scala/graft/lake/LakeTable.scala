@@ -1,0 +1,512 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** A managed transactional lake table ("iceberg-lite", SURVEY.md §7 M4):
+  * a directory of immutable Parquet data files plus versioned JSON
+  * metadata (snapshots, per-file column stats, hidden partition spec,
+  * field-id schema evolution). All data movement is Spark jobs; all
+  * bookkeeping is O(metadata).
+  *
+  * Layout:
+  * {{{
+  *   <location>/_meta/v1.json, v2.json, ..., current
+  *   <location>/data/<commit-uuid>/part-*.parquet
+  * }}}
+  *
+  * Write path (reference: engineering-notes/writes.md, writable_table.c):
+  * rows are clustered by the partition transforms (range repartition →
+  * tight per-file transform-value ranges), written as immutable parquet,
+  * footer-free stats collected in one distributed aggregation, then a
+  * new snapshot commits via the optimistic metadata CAS. Readers resolve
+  * `current` once per scan — snapshot isolation, writers never block
+  * readers.
+  */
+final class LakeTable(val spark: SparkSession, val location: String) {
+
+  def meta: TableMetadata = TableMetadata.load(location)
+
+  // ---------------------------------------------------------------- read
+
+  /** Scan the current snapshot; `filter` enables file pruning BEFORE the
+    * Spark plan is built (what `spark.read.parquet` alone cannot do: its
+    * file list is fixed; parquet row-group skipping still applies on top).
+    */
+  def scan(filter: Option[Column] = None): DataFrame = {
+    val m = meta
+    scanSnapshot(m, m.currentSnapshot.map(_.files).getOrElse(Nil), filter)
+  }
+
+  def read(): DataFrame = scan(None)
+
+  /** Time travel (docs/iceberg-tables.md:836-863). */
+  def readAsOf(snapshotId: Long): DataFrame = {
+    val m = meta
+    val snap = m.snapshot(snapshotId).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $snapshotId"))
+    scanSnapshot(m, snap.files, None)
+  }
+
+  /** Files kept / total for a predicate — pruning observability, the
+    * equivalent of the reference's EXPLAIN `Data Files Scanned/Skipped`.
+    */
+  def pruneStats(filter: Column): (Int, Int) = {
+    val m = meta
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val kept = Pruning.keep(m, resolvePredicate(m, filter), files)
+    (kept.size, files.size)
+  }
+
+  private def resolvePredicate(m: TableMetadata, filter: Column) = {
+    // resolve attribute names/types against the current schema by
+    // planning a trivial filter over an empty frame; then constant-fold
+    // (the analyzer leaves `cast('2024-01-20' as timestamp)` unfolded,
+    // and the pruning walker only understands Literal leaves)
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    val empty = emptyFrame(m.sparkSchema)
+    val cond = empty.filter(filter).queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition }
+      .getOrElse(org.apache.spark.sql.GraftBridge.expression(lit(true)))
+    cond.transformUp {
+      case e if e.foldable && !e.isInstanceOf[CLit] =>
+        CLit.create(e.eval(null), e.dataType)
+    }
+  }
+
+  private def scanSnapshot(m: TableMetadata, files: Seq[FileEntry],
+      filter: Option[Column]): DataFrame = {
+    val pruned = filter match {
+      case Some(f) => Pruning.keep(m, resolvePredicate(m, f), files)
+      case None => files
+    }
+    val frame = readFiles(m, pruned)
+    filter.map(frame.filter).getOrElse(frame)
+  }
+
+  /** Read a file list, grouping by schema version and projecting every
+    * group to the current schema BY FIELD ID (renames are metadata-only;
+    * columns added later read as NULL from older files).
+    */
+  private def readFiles(m: TableMetadata, files: Seq[FileEntry]): DataFrame = {
+    val cur = m.currentSchema
+    if (files.isEmpty) return emptyFrame(m.sparkSchema)
+    files.groupBy(_.schemaVersion).map { case (v, group) =>
+      val sv = m.schemaAt(v)
+      val physical = TableMetadata.toStruct(sv)
+      val byId = sv.fields.map(f => f.id -> f).toMap
+      val projection = cur.fields.map { cf =>
+        byId.get(cf.id) match {
+          case Some(pf) => col(pf.name)
+            .cast(DataType.fromDDL(cf.dataType)).as(cf.name)
+          case None => lit(null).cast(DataType.fromDDL(cf.dataType)).as(cf.name)
+        }
+      }
+      spark.read.schema(physical).parquet(group.map(_.path): _*)
+        .select(projection: _*)
+    }.reduce(_ unionAll _)
+  }
+
+  private def emptyFrame(schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  // --------------------------------------------------------------- write
+
+  /** Append `df` as a new snapshot. Partitioned tables range-cluster on
+    * the transform values so each file covers a tight value range (what
+    * makes the pruning in [[scan]] effective); `targetFiles` overrides
+    * the cluster width when the caller knows the data volume.
+    */
+  def append(df: DataFrame, targetFiles: Option[Int] = None): LakeTable = {
+    val m = meta
+    val entries = writeData(m, df, targetFiles)
+    commitOp("append") { cur =>
+      cur.currentSnapshot.map(_.files).getOrElse(Nil) ++ entries
+    }
+    this
+  }
+
+  /** Copy-on-write DELETE (writes.md:15-44): files whose stats prove
+    * every row matches are dropped metadata-only (full-partition fast
+    * path, docs/iceberg-tables.md:221-224); files that may contain
+    * matches are rewritten without the matching rows; untouched files
+    * carry over. Returns the number of rows deleted.
+    */
+  def delete(pred: Column): Long = {
+    val m = meta
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val resolved = resolvePredicate(m, pred)
+    val classified = Pruning.classify(m, resolved, files)
+    val untouched = classified.collect { case (f, Pruning.Skip) => f }
+    val dropped = classified.collect { case (f, Pruning.Full) => f }
+    val rewrite = classified.collect { case (f, Pruning.Partial) => f }
+
+    var deletedRows = dropped.map(_.rows).sum
+    val rewritten: Seq[FileEntry] = if (rewrite.nonEmpty) {
+      val before = rewrite.map(_.rows).sum
+      val keepDf = readFiles(m, rewrite)
+        .filter(!coalesce(pred, lit(false))) // DELETE removes pred IS TRUE
+      val entries = writeData(m, keepDf, None)
+      deletedRows += before - entries.map(_.rows).sum
+      entries
+    } else Nil
+
+    if (deletedRows > 0 || dropped.nonEmpty)
+      commitOp("delete")(_ => untouched ++ rewritten)
+    deletedRows
+  }
+
+  /** Copy-on-write UPDATE: candidate files are rewritten with
+    * `CASE WHEN pred THEN assignment ELSE old END`; non-candidates carry
+    * over untouched. Returns the number of rows updated.
+    */
+  def update(pred: Column, assignments: Map[String, Column]): Long = {
+    val m = meta
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val resolved = resolvePredicate(m, pred)
+    val classified = Pruning.classify(m, resolved, files)
+    val untouched = classified.collect { case (f, Pruning.Skip) => f }
+    val candidates = classified.collect { case (f, d) if d != Pruning.Skip => f }
+    if (candidates.isEmpty) return 0L
+
+    val src = readFiles(m, candidates)
+    val updatedCount = src.filter(coalesce(pred, lit(false))).count()
+    val updatedDf = assignments.foldLeft(src) { case (acc, (name, value)) =>
+      acc.withColumn(name,
+        when(coalesce(pred, lit(false)), value).otherwise(col(name)))
+    }
+    val entries = writeData(m, updatedDf, None)
+    commitOp("update")(_ => untouched ++ entries)
+    updatedCount
+  }
+
+  /** Metadata-only truncate (postgresExecForeignTruncate equivalent). */
+  def truncate(): LakeTable = { commitOp("truncate")(_ => Nil); this }
+
+  // ----------------------------------------------------------- maintenance
+
+  /** Compact files smaller than `smallBytes` into ~`targetBytes` files
+    * (VACUUM's rewrite half — pg_lake_table/src/ddl/vacuum.c).
+    */
+  def compact(smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20): LakeTable = {
+    val m = meta
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val small = files.filter(_.bytes < smallBytes)
+    if (small.size < 2) return this
+    val big = files.filterNot(_.bytes < smallBytes)
+    val total = small.map(_.bytes).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val entries = writeData(m, readFiles(m, small).repartition(n), None)
+    commitOp("compact")(_ => big ++ entries)
+    this
+  }
+
+  /** Expire snapshots beyond the latest `keepLast`, then delete data
+    * files no retained snapshot references (deletion-queue equivalent,
+    * pg_lake_engine/src/cleanup/deletion_queue.c).
+    */
+  def expireSnapshots(keepLast: Int = 3): LakeTable = {
+    val committed = TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.get
+      val keepIds = cur.snapshots.sortBy(-_.id).take(keepLast).map(_.id).toSet +
+        cur.currentSnapshotId
+      cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id)))
+    }
+    val referenced = committed.snapshots.flatMap(_.files).map(_.path).toSet
+    val dataDir = Paths.get(location, "data")
+    if (Files.exists(dataDir)) {
+      Files.walk(dataDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => referenced.contains(p.toString))
+        .foreach(Files.delete)
+    }
+    this
+  }
+
+  def vacuum(smallBytes: Long = 32L << 20, keepLast: Int = 3): LakeTable = {
+    compact(smallBytes)
+    expireSnapshots(keepLast)
+  }
+
+  /** Snapshot catalog as a DataFrame (iceberg_tables-view equivalent). */
+  def snapshots: DataFrame = {
+    val m = meta
+    import spark.implicits._
+    m.snapshots.map(s =>
+      (s.id, s.timestampMs, s.operation, s.files.size, s.files.map(_.rows).sum))
+      .toDF("snapshot_id", "timestamp_ms", "operation", "n_files", "n_rows")
+  }
+
+  /** File catalog (lake_iceberg.files() equivalent). */
+  def files: DataFrame = {
+    val m = meta
+    import spark.implicits._
+    m.currentSnapshot.map(_.files).getOrElse(Nil)
+      .map(f => (f.path, f.rows, f.bytes, f.schemaVersion))
+      .toDF("path", "rows", "bytes", "schema_version")
+  }
+
+  // -------------------------------------------------------- schema change
+
+  /** Metadata-only column add (docs/iceberg-tables.md:643-700). */
+  def addColumn(name: String, ddlType: String): LakeTable = {
+    TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.get
+      val sv = cur.currentSchema
+      val next = SchemaVersion(sv.version + 1,
+        sv.fields :+ FieldDef(cur.nextFieldId, name, ddlType))
+      cur.copy(schemas = cur.schemas :+ next,
+        currentSchemaVersion = next.version, nextFieldId = cur.nextFieldId + 1)
+    }
+    this
+  }
+
+  /** Metadata-only rename — field ids keep old files readable. */
+  def renameColumn(from: String, to: String): LakeTable = {
+    TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.get
+      val sv = cur.currentSchema
+      val next = SchemaVersion(sv.version + 1,
+        sv.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+      cur.copy(schemas = cur.schemas :+ next,
+        currentSchemaVersion = next.version)
+    }
+    this
+  }
+
+  /** Metadata-only drop. */
+  def dropColumn(name: String): LakeTable = {
+    TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.get
+      val sv = cur.currentSchema
+      val next = SchemaVersion(sv.version + 1,
+        sv.fields.filterNot(_.name == name))
+      cur.copy(schemas = cur.schemas :+ next,
+        currentSchemaVersion = next.version)
+    }
+    this
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private def commitOp(op: String)(
+      nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata =
+    TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"table vanished at $location"))
+      val snapId = cur.snapshots.map(_.id).max + 1
+      cur.copy(
+        snapshots = cur.snapshots :+
+          Snapshot(snapId, System.currentTimeMillis(), op, nextFiles(cur)),
+        currentSnapshotId = snapId)
+    }
+
+  /** Write `df` (current-schema rows) as parquet + collect per-file
+    * stats in ONE distributed aggregation over the fresh files (the
+    * reference gathers the same stats during its convert step,
+    * data_file_stats.c). Returns the new [[FileEntry]]s.
+    *
+    * Partitioned tables: the distinct partition-value tuples are
+    * computed first (map-side-combined agg — tiny vs the write itself),
+    * the driver greedily groups CONTIGUOUS values into ≤targetFiles
+    * buckets balanced by row count, and the write fans out with
+    * `partitionBy(bucket)`. Unlike sampling-based repartitionByRange
+    * this is deterministic: a data file never straddles a bucket
+    * boundary, so partition-aligned predicates classify files exactly
+    * (Skip/Full), which is what makes metadata-only partition DELETE
+    * and tight pruning reliable (the reference fans out per partition
+    * tuple the same way — partitioned_dest_receiver.c).
+    */
+  private def writeData(m: TableMetadata, df: DataFrame,
+      targetFiles: Option[Int]): Seq[FileEntry] = {
+    val cur = m.currentSchema
+    val schema = m.sparkSchema
+    val aligned = df.select(cur.fields.map(f =>
+      col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
+      .toDF(cur.fields.map(_.name): _*)
+
+    val transforms = m.transforms
+    val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)
+
+    if (transforms.nonEmpty) {
+      if (!writePartitioned(m, aligned, targetFiles, commitDir)) return Nil
+    } else {
+      // coalesce (not round-robin repartition) preserves any clustering
+      // the caller established — e.g. an orderBy upstream yields files
+      // with tight, disjoint key ranges that stats pruning can use.
+      // Physical planning only; no job is triggered by getNumPartitions
+      // beyond AQE stage materialization.
+      val parts = aligned.rdd.getNumPartitions
+      val clustered = targetFiles match {
+        case Some(n) if parts >= n => aligned.coalesce(n)
+        case _ => aligned
+      }
+      var w = clustered.write.mode("errorifexists")
+      targetFiles.filter(_ > parts).foreach { n =>
+        // fewer partitions than requested files: split each task's
+        // (order-preserving) output stream by row count instead
+        val rows = aligned.count()
+        w = w.option("maxRecordsPerFile", math.max(1L, (rows + n - 1) / n))
+      }
+      w.parquet(commitDir.toString)
+    }
+
+    val written = {
+      val s = Files.walk(commitDir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
+    if (written.isEmpty) return Nil
+
+    collectStats(m, written)
+  }
+
+  /** Fan-out write for partitioned tables; false when `df` is empty. */
+  private def writePartitioned(m: TableMetadata, aligned: DataFrame,
+      targetFiles: Option[Int], commitDir: Path): Boolean = {
+    val schema = m.sparkSchema
+    val transforms = m.transforms
+    val valueNames = transforms.map(_.valueName)
+    val withVals = transforms.foldLeft(aligned)((acc, t) =>
+      acc.withColumn(t.valueName, t.expr(col(t.column), schema(t.column).dataType)))
+
+    val counts = withVals.groupBy(valueNames.map(col): _*).count().collect()
+    if (counts.isEmpty) return false
+
+    // sort distinct tuples; nulls first, then natural per-column order
+    val anyOrd: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+      case _ => 0
+    }
+    val k = valueNames.size
+    val sorted = counts.sortBy(r => (0 until k).map(r.get).toIndexedSeq)(
+      Ordering.Implicits.seqOrdering(anyOrd))
+
+    val total = sorted.map(_.getLong(k)).sum
+    val nBuckets = math.max(1, math.min(targetFiles.getOrElse(sorted.length),
+      sorted.length))
+    val targetRows = math.ceil(total.toDouble / nBuckets)
+    var b = 0; var acc = 0L
+    val assignment = sorted.map { r =>
+      val c = r.getLong(k)
+      if (acc > 0 && acc + c > targetRows && b < nBuckets - 1) { b += 1; acc = 0L }
+      acc += c
+      Row.fromSeq((0 until k).map(r.get) :+ b)
+    }
+
+    val mapSchema = StructType(
+      valueNames.map(n => withVals.schema(n).copy(name = s"__v_$n")) :+
+        StructField("__bucket", org.apache.spark.sql.types.IntegerType, false))
+    val mapDf = spark.createDataFrame(assignment.toList.asJava, mapSchema)
+    val joinCond = valueNames.map(n => withVals(n) <=> mapDf(s"__v_$n"))
+      .reduce(_ && _)
+    val out = withVals.join(broadcast(mapDf), joinCond, "left")
+      .select((schema.fieldNames.map(col) :+ col("__bucket")).toIndexedSeq: _*)
+
+    // cluster each bucket into one task; partitionBy then guarantees
+    // exactly one file per bucket (collisions just co-locate buckets)
+    out.repartition(nBuckets, col("__bucket"))
+      .write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(commitDir.toString)
+    true
+  }
+
+  /** One groupBy(file) pass over freshly written files computing rows,
+    * per-field min/max/nullCount, and partition-transform value ranges.
+    * Stats serialize as Spark-cast strings; pruning re-types them
+    * through the same Cast, so the round trip is exact.
+    */
+  private def collectStats(m: TableMetadata,
+      paths: Seq[String]): Seq[FileEntry] = {
+    val cur = m.currentSchema
+    val schema = m.sparkSchema
+    val transforms = m.transforms
+
+    def statable(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+      case _ => true
+    }
+
+    val fieldAggs = cur.fields.flatMap { f =>
+      val dt = DataType.fromDDL(f.dataType)
+      val base = Seq(
+        sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"nulls_${f.id}"))
+      if (statable(dt)) base ++ Seq(
+        min(col(f.name)).cast("string").as(s"min_${f.id}"),
+        max(col(f.name)).cast("string").as(s"max_${f.id}"))
+      else base
+    }
+    val partAggs = transforms.flatMap { t =>
+      val e = t.expr(col(t.column), schema(t.column).dataType)
+      Seq(min(e).cast("string").as(s"pmin_${t.valueName}"),
+        max(e).cast("string").as(s"pmax_${t.valueName}"))
+    }
+    val aggs = (Seq(count(lit(1L)).as("__rows")) ++ fieldAggs ++ partAggs)
+
+    val statRows = spark.read.schema(schema).parquet(paths: _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+
+    // key by full path: partitionBy writes can reuse a basename across
+    // __bucket=N subdirectories within one task
+    val byPath = statRows.map(r =>
+      Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
+        .toString -> r).toMap
+
+    paths.map { p =>
+      val r = byPath.getOrElse(Paths.get(p).toString,
+        throw new IllegalStateException(s"no stats row for $p"))
+      def s(col: String): Option[String] =
+        if (r.schema.fieldNames.contains(col)) Option(r.getAs[String](col))
+        else None
+      val fieldStats = cur.fields.map { f =>
+        f.id.toString -> ColStats(s(s"min_${f.id}"), s(s"max_${f.id}"),
+          r.getAs[Long](s"nulls_${f.id}"))
+      }.toMap
+      val partStats = transforms.map { t =>
+        t.valueName -> ColStats(s(s"pmin_${t.valueName}"),
+          s(s"pmax_${t.valueName}"), 0L)
+      }.toMap
+      FileEntry(p, r.getAs[Long]("__rows"), Files.size(Paths.get(p)),
+        cur.version, fieldStats, partStats)
+    }
+  }
+}
+
+object LakeTable {
+  /** Create an empty managed table. */
+  def create(spark: SparkSession, location: String, name: String,
+      schema: StructType, partitionSpec: Seq[String] = Nil): LakeTable = {
+    require(TableMetadata.currentVersion(location).isEmpty,
+      s"table already exists at $location")
+    TableMetadata.commit(location, create = true)(_ =>
+      TableMetadata.fromStruct(name, schema, partitionSpec))
+    new LakeTable(spark, location)
+  }
+
+  /** CTAS (create_table_as_select.c equivalent). */
+  def createAsSelect(spark: SparkSession, location: String, name: String,
+      df: DataFrame, partitionSpec: Seq[String] = Nil,
+      targetFiles: Option[Int] = None): LakeTable = {
+    val t = create(spark, location, name, df.schema, partitionSpec)
+    t.append(df, targetFiles)
+    t
+  }
+
+  def load(spark: SparkSession, location: String): LakeTable = {
+    TableMetadata.load(location) // validates existence
+    new LakeTable(spark, location)
+  }
+}

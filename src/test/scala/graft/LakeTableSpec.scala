@@ -1,0 +1,192 @@
+package graft
+
+import graft.lake._
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LakeTableSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def freshLoc() = LakeEngine.tempLocation("laketest")
+
+  test("ctas roundtrip preserves rows and schema") {
+    val src = Tables.df(spark, sf, "orders")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "orders_t", src)
+    assert(t.read().count() == src.count())
+    assert(t.read().schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    // content equality
+    assert(t.read().exceptAll(src).isEmpty && src.exceptAll(t.read()).isEmpty)
+  }
+
+  test("append accumulates snapshots") {
+    val src = Tables.df(spark, sf, "region")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "r", src)
+    t.append(src)
+    assert(t.read().count() == 2 * src.count())
+    assert(t.meta.snapshots.map(_.operation) ==
+      Seq("create", "append", "append"))
+  }
+
+  test("partition pruning: day transform skips files, results intact") {
+    val src = Tables.df(spark, sf, "events")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "ev", src,
+      partitionSpec = Seq("day(ts)"), targetFiles = Some(8))
+    val pred = col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val (kept, total) = t.pruneStats(pred)
+    assert(total == 8, s"expected 8 files, got $total")
+    assert(kept < total, s"pruning skipped nothing ($kept/$total)")
+    // soundness: pruned scan == unpruned filter
+    val expected = src.filter(pred).count()
+    assert(t.scan(Some(pred)).count() == expected)
+  }
+
+  test("bucket transform: equality pruning + iceberg hash stability") {
+    val src = Tables.df(spark, sf, "events")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "evb", src,
+      partitionSpec = Seq("bucket(8, user_id)"), targetFiles = Some(8))
+    val (kept, total) = t.pruneStats(col("user_id") === 42L)
+    assert(kept < total, s"bucket pruning skipped nothing ($kept/$total)")
+    assert(t.scan(Some(col("user_id") === 42L)).count() ==
+      src.filter(col("user_id") === 42L).count())
+    // murmur3 spec vector: iceberg's documented bucket hash of int 34
+    // (little-endian long bytes) is 2017239379
+    assert(Murmur3X86_32.hash(
+      Array[Byte](34, 0, 0, 0, 0, 0, 0, 0), 0) == 2017239379)
+  }
+
+  test("stats pruning without partition spec") {
+    val src = Tables.df(spark, sf, "lineitem").orderBy("l_orderkey")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "li", src,
+      targetFiles = Some(6))
+    // orderkey-sorted files => tight ranges => selective predicate prunes
+    val (kept, total) = t.pruneStats(col("l_orderkey") === 17L)
+    assert(total == 6 && kept <= 2, s"$kept/$total")
+  }
+
+  test("delete: copy-on-write + full-file fast path") {
+    val src = Tables.df(spark, sf, "events")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "evd", src,
+      partitionSpec = Seq("day(ts)"), targetFiles = Some(8))
+    val pred = col("event_type") === "error"
+    val expect = src.filter(pred).count()
+    val deleted = t.delete(pred)
+    assert(deleted == expect, s"deleted $deleted expected $expect")
+    assert(t.read().filter(pred).count() == 0)
+    assert(t.read().count() == src.count() - expect)
+  }
+
+  test("delete whole partition is metadata-only (no rewrite)") {
+    val src = Tables.df(spark, sf, "events")
+      .filter(col("ts") < lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "evp", src,
+      partitionSpec = Seq("day(ts)"), targetFiles = Some(2))
+    val filesBefore = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    val pred = col("ts") < lit("2024-01-02 00:00:00").cast("timestamp_ntz")
+    t.delete(pred)
+    val filesAfter = t.meta.currentSnapshot.get.files.map(_.path).toSet
+    assert(filesAfter.subsetOf(filesBefore),
+      "metadata-only delete must not write new files")
+    assert(t.read().filter(pred).count() == 0)
+  }
+
+  test("update rewrites matching rows") {
+    val src = Tables.df(spark, sf, "region")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "ru", src)
+    val n = t.update(col("r_name") === "ASIA",
+      Map("r_name" -> lit("ASIA_UPDATED")))
+    assert(n == 1)
+    assert(t.read().filter(col("r_name") === "ASIA_UPDATED").count() == 1)
+    assert(t.read().count() == src.count())
+  }
+
+  test("time travel reads old snapshots; truncate is metadata-only") {
+    val src = Tables.df(spark, sf, "nation")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "tt", src)
+    val v1 = t.meta.currentSnapshotId
+    t.delete(col("n_nationkey") < 10)
+    assert(t.read().count() == src.filter(col("n_nationkey") >= 10).count())
+    assert(t.readAsOf(v1).count() == src.count())
+    t.truncate()
+    assert(t.read().count() == 0)
+    assert(t.readAsOf(v1).count() == src.count())
+  }
+
+  test("schema evolution: rename + add + drop via field ids") {
+    val src = Tables.df(spark, sf, "region")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "se", src)
+    t.renameColumn("r_name", "region_name")
+    assert(t.read().columns.toSeq == Seq("r_regionkey", "region_name"))
+    assert(t.read().filter(col("region_name") === "ASIA").count() == 1)
+    t.addColumn("score", "DOUBLE")
+    assert(t.read().filter(col("score").isNull).count() == src.count())
+    // new writes carry the new column; old files read NULL for it
+    t.append(t.read().withColumn("score", lit(1.5)))
+    assert(t.read().filter(col("score") === 1.5).count() == src.count())
+    t.dropColumn("score")
+    assert(t.read().columns.toSeq == Seq("r_regionkey", "region_name"))
+  }
+
+  test("compact merges small files, content unchanged") {
+    val src = Tables.df(spark, sf, "customer")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "cc", src,
+      targetFiles = Some(6))
+    val before = t.read().count()
+    t.compact(smallBytes = 1L << 30, targetBytes = 1L << 30) // force all
+    assert(t.meta.currentSnapshot.get.files.size == 1)
+    assert(t.read().count() == before)
+  }
+
+  test("expire snapshots deletes orphan files") {
+    val src = Tables.df(spark, sf, "region")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "gc", src)
+    t.delete(col("r_regionkey") === 0) // rewrite -> old file orphaned later
+    t.expireSnapshots(keepLast = 1)
+    val referenced = t.meta.snapshots.flatMap(_.files).map(_.path).toSet
+    val onDisk = {
+      val dir = java.nio.file.Paths.get(t.location, "data")
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).map(_.toString).toSet
+      finally s.close()
+    }
+    assert(onDisk == referenced,
+      s"orphans left: ${onDisk -- referenced}")
+    assert(t.read().count() == src.count() - 1)
+  }
+
+  test("concurrent appends both land (optimistic retry)") {
+    val src = Tables.df(spark, sf, "region")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "conc", src)
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = (1 to 4).map(_ => Future(t.append(src)))
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.read().count() == 5 * src.count())
+    assert(t.meta.snapshots.count(_.operation == "append") == 5)
+  }
+
+  test("engine facade: foreign tables, COPY, listFiles") {
+    val e = LakeEngine(spark)
+    // foreign table over parquet with filename column
+    val ft = e.createLakeTable("li_ft", s"$sf/lineitem.parquet",
+      filenameColumn = true)
+    assert(ft.filter(col("filename").contains("lineitem")).count() == ft.count())
+    // COPY TO csv.gz, foreign table over it, counts match
+    val out = LakeEngine.tempLocation("copy") + ".csv.gz"
+    e.copyTo(Tables.df(spark, sf, "region"), out)
+    val back = e.createLakeTable("region_csv", out, format = Some("csv"))
+    assert(back.count() == 5)
+    // listFiles glob
+    assert(e.listFiles(s"$sf/*.parquet").count() == 10)
+    // COPY FROM into managed table
+    val loc = LakeEngine.tempLocation("copyfrom")
+    e.createTableAsSelect("r2", loc, Tables.df(spark, sf, "region"))
+    val n = e.copyFrom("r2", out, options = Map("header" -> "true"))
+    assert(n == 5)
+    assert(e.table("r2").read().count() == 10)
+  }
+
+}
