@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (SURVEY.md §7 M6): exact, MinHash+LSH,
+  * SimHash, and n-gram-Jaccard near-dup detection — the core of a
+  * training-data pipeline at 100 TB.
+  *
+  * Scale posture shared by all of them: candidate generation is a
+  * shuffle-join on compact keys (band hashes / shingles), never an
+  * all-pairs product; verification runs only on candidate pairs; there
+  * is no driver-side materialization anywhere. The expensive per-doc
+  * features (signatures) are computed in one projection pass.
+  */
+object Dedup {
+  import PipelineParams._
+
+  /** Exact duplicates by normalized-text fingerprint. Returns
+    * (id, fingerprint, group_size, representative) — representative is
+    * the smallest id in the group; rows with group_size = 1 are unique.
+    * One hash-shuffle on the 32-char fingerprint, map-side combined.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("group_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fingerprint")))
+      .withColumn("representative",
+        min("id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fingerprint")))
+
+  /** Per-doc distinct word-shingle sets (id, shingles). */
+  private def shingleSets(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.withColumn("__ws", TextOps.words(col(textCol)))
+      .select(col(idCol).as("id"), TextOps.shingles("__ws").as("shingles"))
+
+  /** Exact jaccard between two shingle-set columns — used as the
+    * verification step after candidate generation.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash + LSH near-duplicate PAIRS with exact-jaccard verification:
+    * shingle → 60-bit hash → k-permutation signature → banded keys →
+    * bucket self-join → verify jaccard ≥ `minJaccard`.
+    * Output: (a_id, b_id, jaccard) with a_id < b_id.
+    *
+    * The banding parameters ([[PipelineParams]]) make a false negative
+    * at the default threshold ~4e-10 per pair, so results match a
+    * brute-force jaccard oracle; candidate volume stays proportional to
+    * actually-similar pairs, not n².
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = MinhashJaccard): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol)
+    val sig = sets
+      .withColumn("__hs", TextOps.hashAll("shingles"))
+      .withColumn("sig", TextOps.minhashSig("__hs"))
+
+    // band key = the R signature values of the band packed into one long
+    val bands = sig.select(col("id"), posexplode(
+      expr(s"""transform(sequence(0, ${MinhashBands - 1}), j ->
+               |  element_at(sig, ${MinhashR}*j + 1) * $P +
+               |  element_at(sig, ${MinhashR}*j + 2))""".stripMargin)))
+      .toDF("id", "band", "key")
+      .filter(col("key").isNotNull)
+
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+
+    candidates
+      .join(sets.select(col("id"), col("shingles").as("sa")), col("a_id") === col("id"))
+      .drop("id")
+      .join(sets.select(col("id"), col("shingles").as("sb")), col("b_id") === col("id"))
+      .drop("id")
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa"), col("sb")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-duplicate pairs at hamming distance ≤ `maxHamming`
+    * (default 3). Candidates come from a [[PipelineParams.SimhashBands]]-band
+    * equality join; by pigeonhole, any pair within distance 3 shares at
+    * least one of the 4 bands — the band join is EXACTLY equivalent to
+    * the brute-force O(n²) scan, at shuffle-join cost.
+    * Output: (a_id, b_id, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val sim = df.withColumn("__ws", TextOps.words(col(textCol)))
+      .withColumn("__whs", TextOps.hashAll("__ws"))
+      .select(col(idCol).as("id"), TextOps.simhash60("__whs").as("simhash"))
+
+    val bands = sim.select(col("id"), col("simhash"), posexplode(
+        expr(s"""transform(sequence(0, ${SimhashBands - 1}), j ->
+                 |  (shiftright(simhash, ${SimhashBandBits}*j) &
+                 |   ${(1L << SimhashBandBits) - 1}))""".stripMargin)))
+      .toDF("id", "simhash", "band", "key")
+
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(expr("x.simhash ^ y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram-Jaccard near-dup pairs via an exact inverted index: explode
+    * distinct shingles, self-join on the shingle (this is the candidate
+    * generator — only docs sharing ≥1 shingle ever meet), count shared
+    * shingles per pair, compute jaccard from set sizes.
+    * Output: (a_id, b_id, jaccard ≥ minJaccard).
+    *
+    * At 100 TB add a document-frequency cap on hot shingles (drop
+    * shingles with df > threshold before the join) — they only connect
+    * pairs whose jaccard is necessarily tiny.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol)
+    val sized = sets.withColumn("size", size(col("shingles")))
+    val index = sized.select(col("id"), col("size"),
+      explode(col("shingles")).as("sh"))
+
+    index.as("x").join(index.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.size").as("sa"), col("y.size").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+/** Shared constants for the training-data pipeline operators
+  * (SURVEY.md §7 M6). Everything here is used by BOTH the Spark
+  * implementation and the DuckDB oracle SQL, so the two sides stay in
+  * lock-step: hashes are derived from md5 (available and identical in
+  * both engines), permutations are affine maps modulo a Mersenne prime
+  * (pure 64-bit integer arithmetic — no engine-specific hash).
+  */
+object PipelineParams {
+
+  /** 2^31-1; (a*(h%P)+b)%P never overflows a signed 64-bit long. */
+  val P: Long = 2147483647L
+
+  /** MinHash signature length / banding (b*r = k). r=2 keeps candidate
+    * volume subquadratic at scale; with b=32 the probability of missing
+    * a pair at jaccard 0.7 is (1-0.49)^32 ≈ 4e-10 — effectively exact,
+    * which is what lets the DuckDB oracle be brute-force jaccard.
+    */
+  val MinhashK = 64
+  val MinhashR = 2
+  val MinhashBands = 32
+  val MinhashJaccard = 0.7
+
+  /** Deterministic affine permutation parameters in [1, P-1]. */
+  val (hashA, hashB): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    def gen() = Seq.fill(MinhashK)(1L + (rnd.nextLong().abs % (P - 1)))
+    (gen(), gen())
+  }
+
+  /** Word-shingle width for jaccard/minhash. */
+  val ShingleN = 3
+
+  /** SimHash width: 60 bits = the 15-hex-char md5 prefix that fits a
+    * signed long exactly in both engines. 4 bands of 15 bits: by
+    * pigeonhole, hamming ≤ 3 GUARANTEES at least one identical band,
+    * so the band-join candidate set provably contains every true pair
+    * (no LSH false negatives — the oracle can brute-force).
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits = 15
+  val SimhashMaxHamming = 3
+
+  /** Embedding near-dup / ANN parameters. */
+  val CosineNearDup = 0.45
+  val TopK = 5
+  val NumQueryVectors = 20
+
+  /** Cosine-LSH: hyperplane signatures, `LshBands` bands of `LshRowsPerBand`
+    * bits each; deterministic planes from a fixed seed.
+    */
+  val LshPlanes = 16
+  val LshBands = 4
+  val LshRowsPerBand = 4
+  val EmbeddingDim = 64
+
+  lazy val hyperplanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(LshPlanes)(Seq.fill(EmbeddingDim)(rnd.nextDouble() * 2 - 1))
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic; CJK is detected by codepoint-class ratio.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "una", "en", "que", "por"))
+
+  val CjkRatio = 0.3
+
+  // ---- SQL literal rendering (shared by both dialects) -----------------
+
+  def sparkLongArray(xs: Seq[Long]): String =
+    xs.mkString("array(", "L,", "L)")
+
+  def duckLongList(xs: Seq[Long]): String = xs.mkString("[", ",", "]")
+
+  def sparkStringArray(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("array(", ",", ")")
+
+  def duckStringList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  def sparkDoubleArray(xs: Seq[Double]): String =
+    xs.map(d => s"${d}D").mkString("array(", ",", ")")
+}

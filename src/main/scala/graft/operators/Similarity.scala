@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §7 M6): exact cosine (the
+  * correctness baseline) and hyperplane-LSH bucketing (the scale path).
+  *
+  * Vectors are `array<float>` columns; arithmetic is element-cast to
+  * double and folded LEFT-TO-RIGHT (`aggregate` over `zip_with`), so
+  * the result is bit-reproducible across engines for the differential
+  * oracle — and deterministic across partitionings, which matters for
+  * repeatable pipeline runs.
+  */
+object Similarity {
+  import PipelineParams._
+
+  /** Sequential-fold dot product; `x`/`y` are SQL fragments naming
+    * float-array values (materialized column names).
+    */
+  def dot(x: String, y: String): Column =
+    expr(
+      s"""aggregate(zip_with($x, $y,
+         |  (p, q) -> cast(p as double) * cast(q as double)),
+         |  0D, (acc, v) -> acc + v)""".stripMargin)
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+
+  def cosine(a: String, b: String): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query set against the (large) corpus — one corpus scan, no corpus
+    * shuffle — then per-query top-k via window. Ranking key is cosine
+    * rounded to 6 decimals with id tie-break, which makes ranks stable
+    * under FP noise. Output: (query_id, neighbor_id, rank, cos).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = TopK): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine("qv", "cv"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** All pairs with cosine ≥ `minCos` (embedding near-dup dedup). The
+    * fixture-scale implementation is the exact broadcast product; at
+    * corpus scale, generate candidates with [[signature]] buckets first
+    * and verify only within buckets.
+    */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = CosineNearDup): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosine("va", "vb"), 6))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes
+    * are deterministic ([[PipelineParams.hyperplanes]]).
+    */
+  def signature(v: String): Column = {
+    val planes = hyperplanes.map(p => sparkDoubleArray(p))
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"""CASE WHEN aggregate(zip_with($v, $p,
+         |  (x, y) -> cast(x as double) * y), 0D, (a, b) -> a + b) >= 0
+         |  THEN ${1L << i} ELSE 0L END""".stripMargin
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are corpus vectors
+    * sharing at least one signature BAND with the query (union over
+    * [[PipelineParams.LshBands]] bands), re-ranked by exact cosine
+    * within the candidate set. Shuffle-join on small band keys; the
+    * corpus product never materializes. Recall vs. the exact baseline
+    * is asserted in SimilaritySpec.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = TopK): DataFrame = {
+    val bandKeys = (0 until LshBands).map(j =>
+      s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
+    def withBands(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .withColumn("sig", signature(vec))
+        .select(col(id), col(vec), posexplode(
+          expr(bandKeys.mkString("array(", ",", ")")))
+          .as(Seq("band", "key")))
+
+    val qb = withBands(queries, "query_id", "qv")
+    val cb = withBands(corpus, "neighbor_id", "cv")
+    val candidates = qb.join(cb,
+        qb("band") === cb("band") && qb("key") === cb("key") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(cosine("qv", "cv"), 6).desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(cosine("qv", "cv"), 6).as("cos"))
+  }
+}

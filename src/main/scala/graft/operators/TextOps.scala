@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for large-scale corpus
+  * pipelines: tokenization, shingling, portable 60-bit hashing,
+  * MinHash signatures, SimHash, language ID, quality stats, and
+  * document fingerprints.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` /
+  * higher-order SQL functions — no UDFs — so expressions stay inside
+  * Catalyst, get optimized (pushdown/pruning around them), and run on
+  * executors with no driver involvement. Hashes derive from md5 so the
+  * DuckDB differential oracle can reproduce them bit-for-bit
+  * (graft.queries.Pipeline).
+  */
+object TextOps {
+  import PipelineParams._
+
+  /** Lower-cased whitespace tokens. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Distinct `n`-word shingles ("a b c" style). `ws` is a SQL
+    * fragment (usually a materialized column name) naming a
+    * string-array value — splice-by-text because Spark 4 no longer
+    * exposes Column→SQL for unresolved columns.
+    */
+  def shingles(w: String, n: Int = ShingleN): Column = {
+    expr(
+      s"""array_distinct(CASE WHEN size($w) >= $n
+         |  THEN transform(sequence(0, size($w) - $n),
+         |         i -> array_join(slice($w, i + 1, $n), ' '))
+         |  ELSE array() END)""".stripMargin)
+  }
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a long.
+    * Fits a signed 64-bit integer exactly; identical in DuckDB as
+    * `('0x' || substring(md5(x),1,15))::BIGINT`.
+    */
+  def hash60(e: Column): Column =
+    conv(substring(md5(e.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Hash every element of a string array (for shingle/word sets). */
+  def hashAll(a: String): Column = {
+    expr(s"transform($a, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint))")
+  }
+
+  /** MinHash signature (length [[PipelineParams.MinhashK]]) over a
+    * hashed-shingle array: sig[i] = min over shingles of the i-th
+    * affine permutation `(a_i*(h%P)+b_i) % P`. One pass per doc, all
+    * in codegen-able builtin expressions.
+    */
+  def minhashSig(hs: String): Column = {
+    val a = sparkLongArray(hashA)
+    val b = sparkLongArray(hashB)
+    expr(
+      s"""transform(sequence(0, ${MinhashK - 1}), i ->
+         |  array_min(transform($hs, h ->
+         |    (element_at($a, i + 1) * (h % $P) + element_at($b, i + 1)) % $P)))""".stripMargin)
+  }
+
+  /** 60-bit SimHash over hashed words: bit b of the result is set when
+    * the signed count of words having bit b set is non-negative.
+    * Single pass over the word list (array-state fold), pure integer
+    * arithmetic — reproducible in the oracle.
+    */
+  def simhash60(ws: String): Column = {
+    val counts =
+      s"""aggregate($ws, array_repeat(0L, $SimhashBits), (acc, h) ->
+         |  zip_with(acc, sequence(0, ${SimhashBits - 1}), (c, b) ->
+         |    c + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END))""".stripMargin
+    expr(
+      s"""aggregate(
+         |  zip_with($counts, sequence(0, ${SimhashBits - 1}), (c, b) ->
+         |    CASE WHEN c >= 0 THEN shiftleft(1L, b) ELSE 0L END),
+         |  0L, (x, y) -> x + y)""".stripMargin)
+  }
+
+  /** Whole-document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text (exact-dup detection key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  // ---- quality / stats --------------------------------------------------
+
+  def nChars(text: Column): Column = length(text)
+
+  def nWords(ws: Column): Column = size(ws)
+
+  /** Fraction of words found in `list`. */
+  def wordRatio(w: String, list: Seq[String]): Column = {
+    val arr = sparkStringArray(list)
+    expr(s"size(filter($w, x -> array_contains($arr, x)))").cast("double") /
+      expr(s"size($w)")
+  }
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  /** BPE-ish token count: letter runs, single digits, other symbols. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+
+  def avgWordLen(w: String): Column =
+    expr(s"aggregate(transform($w, x -> length(x)), 0L, (a, b) -> a + b)")
+      .cast("double") / expr(s"size($w)")
+
+  /** Language ID: CJK by codepoint ratio, else argmax of per-language
+    * stopword hit ratio with a fixed tie-break order; "und" when no
+    * profile scores above zero.
+    */
+  def langId(text: Column, ws: String): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+      .cast("double") / length(text)
+    val scores = stopwords.map { case (l, list) => l -> wordRatio(ws, list) }
+    val best = scores.foldRight(lit("und")) { case ((l, s), els) =>
+      val beatsAll = scores.filter(_._1 != l)
+        .map { case (_, o) => s >= o }.reduce(_ && _)
+      when(s > 0 && beatsAll, lit(l)).otherwise(els)
+    }
+    when(cjk >= CjkRatio, lit("zh")).otherwise(best)
+  }
+}

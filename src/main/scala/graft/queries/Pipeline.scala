@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators._
+import graft.operators.PipelineParams._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline query surface (SURVEY.md §7 M6): text
+  * analysis, exact/MinHash/SimHash/n-gram dedup, embedding similarity,
+  * multimodal plumbing — each implemented Spark-first in
+  * [[graft.operators]] and differentially verified against a DuckDB
+  * oracle wherever the computation is portable.
+  *
+  * Portability contract: hashes are md5-derived 60-bit longs,
+  * permutations are integer affine maps, and float folds run
+  * left-to-right in both engines (`aggregate` ↔ `list_reduce`), so
+  * oracle results are bit-identical — the differential is exact, not
+  * tolerance-based. For the LSH operators the oracle is the BRUTE-FORCE
+  * pair scan: the comparison therefore also proves candidate-generation
+  * recall, not just the verification arithmetic.
+  */
+object Pipeline {
+
+  // ---- DuckDB oracle snippet builders (dialect twins of TextOps) ----
+
+  private val W = "string_split(lower(text), ' ')"
+
+  private def duckShingles(ws: String): String =
+    s"""list_distinct(CASE WHEN len($ws) >= $ShingleN
+       |  THEN list_transform(range(0, len($ws) - ${ShingleN - 1}),
+       |         i -> array_to_string(($ws)[i+1:i+$ShingleN], ' '))
+       |  ELSE []::VARCHAR[] END)""".stripMargin
+
+  private def duckHash(e: String): String =
+    s"('0x' || substring(md5($e), 1, 15))::BIGINT"
+
+  private def duckHashAll(arr: String): String =
+    s"list_transform($arr, s -> ${duckHash("s")})"
+
+  /** Sequential left-fold dot product — order-identical to Spark's
+    * `aggregate`, so the doubles match bit-for-bit.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, $EmbeddingDim + 1),
+       |  i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE), (x, y) -> x + y)""".stripMargin
+
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  private def duckSimhash(whs: String): String =
+    (0 until SimhashBits).map { b =>
+      s"""(CASE WHEN list_sum(list_transform($whs,
+         |  h -> CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+         |  THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def duckStopRatio(ws: String, list: Seq[String]): String =
+    s"len(list_filter($ws, w -> list_contains(${duckStringList(list)}, w)))::DOUBLE / len($ws)"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.df(s, dir, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text quality / stats ----------------------------------------
+    QueryDef(
+      "q_text_stats",
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_m,
+         |  len($W) AS n_words,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  ${duckStopRatio(W, stopwords.head._2)} AS stop_ratio,
+         |  list_reduce(list_transform($W, x -> length(x)), (a, b) -> a + b)::DOUBLE
+         |    / len($W) AS avg_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"),
+          TextOps.nChars(col("text")).as("n_chars_m"),
+          size(col("ws")).as("n_words"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.wordRatio("ws", stopwords.head._2).as("stop_ratio"),
+          TextOps.avgWordLen("ws").as("avg_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language ID -------------------------------------------------
+    QueryDef(
+      "q_lang_id", {
+        val scores = stopwords.map { case (l, list) =>
+          l -> duckStopRatio(W, list)
+        }
+        val chain = scores.map { case (l, s) =>
+          val beats = scores.filter(_._1 != l)
+            .map { case (_, o) => s"($s) >= ($o)" }.mkString(" AND ")
+          s"WHEN ($s) > 0 AND $beats THEN '$l'"
+        }.mkString("\n    ")
+        s"""SELECT doc_id, lang,
+           |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))::DOUBLE
+           |            / length(text) >= $CjkRatio THEN 'zh'
+           |    $chain
+           |    ELSE 'und' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text"), "ws").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint + exact dedup --------------------------
+    QueryDef(
+      "q_dedup_exact",
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))) AS representative
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .toDF("doc_id", "fingerprint", "group_size", "representative")
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash+LSH near-dup vs brute-force jaccard oracle ----------
+    QueryDef(
+      "q_dedup_minhash",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $MinhashJaccard
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- SimHash near-dup vs brute-force hamming oracle --------------
+    QueryDef(
+      "q_dedup_simhash",
+      s"""WITH sim AS (
+         |  SELECT doc_id, ${duckSimhash(duckHashAll(W))} AS simhash
+         |  FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text")
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- n-gram jaccard via inverted index vs brute-force oracle -----
+    QueryDef(
+      "q_dedup_ngram",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) > 0
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- embedding near-dup pairs ------------------------------------
+    QueryDef(
+      "q_dedup_embedding",
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${duckCos("a.embedding", "b.embedding")} >= $CosineNearDup
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.cosinePairs(embs(s, dir), "vec_id", "embedding")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- exact cosine top-k ------------------------------------------
+    QueryDef(
+      "q_sim_topk",
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC,
+         |             c.vec_id) AS rank,
+         |  round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos
+         |FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |WHERE q.vec_id < $NumQueryVectors
+         |QUALIFY rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- LSH ANN (approximate — recall asserted in PipelineSpec) -----
+    QueryDef.rowsOnly("q_sim_lsh") { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.lshTopK(
+          e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- multimodal plumbing (stub decode — see Multimodal scaladoc) -
+    QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "img/fake")
+      Multimodal.decodeImageStub(media).orderBy("media_id")
+    },
+
+    QueryDef.rowsOnly("q_multimodal_frames") { (s, dir) =>
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "vid/fake")
+      Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_no"), col("frame_bytes"))
+        .orderBy("media_id", "frame_no")
+    })
+}
