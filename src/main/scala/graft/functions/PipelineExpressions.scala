@@ -1,0 +1,194 @@
+package graft.functions
+
+import graft.operators.PipelineParams
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the pipeline hot paths. The
+  * higher-order-function formulations in [[graft.operators]] are the
+  * readable spec, but `transform`/`aggregate` lambdas evaluate
+  * interpreted per element — at millions of candidate pairs that
+  * interpreter overhead dominates. These expressions compute the SAME
+  * values (same operation order, so float results are bit-identical to
+  * the DuckDB oracle) in tight loops.
+  */
+
+/** Sequential-fold dot product over two float/double arrays:
+  * ((0 + a0*b0) + a1*b1) + ... — identical accumulation order to
+  * `aggregate(zip_with(...))` and the oracle's `list_reduce`, so the
+  * double result is bit-exact. Whole-stage-codegen'd.
+  */
+case class ArrayDotD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ArrayDotD = copy(left = l, right = r)
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (fx, fy) = (isFloat(left), isFloat(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val getX = if (isFloat(left)) "getFloat" else "getDouble"
+    val getY = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  acc += (double) $x.$getX($i) * (double) $y.$getY($i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+  }
+}
+
+/** MinHash signature over an array of 60-bit hashes: one pass applying
+  * all K affine permutations `(a_k*(h%P)+b_k) % P` and keeping the
+  * minima. Values identical to the `transform(sequence(...))`
+  * formulation in TextOps (same params from [[PipelineParams]]).
+  * Null/empty input → null (no signature).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  import PipelineParams.{hashA, hashB, MinhashK, P}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+
+  private val as = hashA.toArray
+  private val bs = hashB.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(MinhashK)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hm = hs.getLong(i) % P
+      var k = 0
+      while (k < MinhashK) {
+        val x = (as(k) * hm + bs(k)) % P
+        if (x < mins(k)) mins(k) = x
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val hs = ctx.freshName("hs")
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = true;
+        |ArrayData ${ev.value} = null;
+        |if (!${childGen.isNull}) {
+        |  ArrayData $hs = ${childGen.value};
+        |  int n = $hs.numElements();
+        |  if (n > 0) {
+        |    long[] mins = new long[$MinhashK];
+        |    java.util.Arrays.fill(mins, Long.MAX_VALUE);
+        |    for (int i = 0; i < n; i++) {
+        |      long hm = $hs.getLong(i) % ${P}L;
+        |      for (int k = 0; k < $MinhashK; k++) {
+        |        long x = ($aRef[k] * hm + $bRef[k]) % ${P}L;
+        |        if (x < mins[k]) mins[k] = x;
+        |      }
+        |    }
+        |    ${ev.isNull} = false;
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        |  }
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+}
+
+/** 60-bit SimHash over an array of 60-bit word hashes: single pass,
+  * bit b set iff the signed count of words with bit b set is ≥ 0.
+  * Identical to TextOps.simhash60.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  import PipelineParams.SimhashBits
+
+  override def dataType: DataType = LongType
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](SimhashBits)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < SimhashBits) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < SimhashBits) {
+      if (counts(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      s"""
+         |int[] counts = new int[$SimhashBits];
+         |int n = $hs.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $hs.getLong(i);
+         |  for (int b = 0; b < $SimhashBits; b++) {
+         |    if (((h >> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |  }
+         |}
+         |long out = 0L;
+         |for (int b = 0; b < $SimhashBits; b++) {
+         |  if (counts[b] >= 0) out |= (1L << b);
+         |}
+         |${ev.value} = out;
+       """.stripMargin
+    })
+}
