@@ -93,6 +93,40 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** Log-format scan (`format 'log', log_format 's3'` in the reference,
+    * docs/file-formats-reference.md:141-150): templated regex parse of
+    * S3 access logs over a distributed text scan. Unparseable lines
+    * surface with NULL fields rather than failing the scan.
+    */
+  def createLogTable(name: String, path: String,
+      logFormat: String = "s3"): DataFrame = {
+    require(logFormat == "s3", s"unsupported log_format $logFormat")
+    // bucket_owner bucket [time] remote_ip requester request_id operation
+    // key "request_uri" http_status error_code bytes_sent object_size
+    // total_time turn_around_time "referrer" "user_agent"
+    val pat =
+      """^(\S+) (\S+) \[([^\]]+)\] (\S+) (\S+) (\S+) (\S+) (\S+) "([^"]*)" (\S+) (\S+) (\S+) (\S+) (\S+) (\S+) "([^"]*)" "([^"]*)"""
+    val fields = Seq("bucket_owner", "bucket", "time", "remote_ip",
+      "requester", "request_id", "operation", "key", "request_uri",
+      "http_status", "error_code", "bytes_sent", "object_size",
+      "total_time", "turn_around_time", "referrer", "user_agent")
+    val raw = spark.read.text(path)
+    val parsed = fields.zipWithIndex.foldLeft(raw) { case (df, (f, i)) =>
+      df.withColumn(f,
+        when(regexp_extract(col("value"), pat, i + 1) === "", lit(null))
+          .otherwise(regexp_extract(col("value"), pat, i + 1)))
+    }.drop("value")
+      .withColumn("http_status", col("http_status").cast("int"))
+      .withColumn("bytes_sent",
+        when(col("bytes_sent") === "-", lit(null))
+          .otherwise(col("bytes_sent")).cast("long"))
+      .withColumn("object_size",
+        when(col("object_size") === "-", lit(null))
+          .otherwise(col("object_size")).cast("long"))
+    parsed.createOrReplaceTempView(name)
+    parsed
+  }
+
   /** `lake_file.list('glob')` equivalent via the Hadoop filesystem —
     * works for any FS Spark can reach (local, S3A, ...).
     */

@@ -327,9 +327,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       targetFiles: Option[Int]): Seq[FileEntry] = {
     val cur = m.currentSchema
     val schema = m.sparkSchema
-    val aligned = df.select(cur.fields.map(f =>
-      col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
-      .toDF(cur.fields.map(_.name): _*)
+    val aligned = applyRangePolicy(m,
+      df.select(cur.fields.map(f =>
+        col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
+        .toDF(cur.fields.map(_.name): _*))
 
     val transforms = m.transforms
     val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)
@@ -367,6 +368,48 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     if (written.isEmpty) return Nil
 
     collectStats(m, written)
+  }
+
+  /** Storage-format bounds enforcement (docs/iceberg-tables.md:124-170;
+    * reference iceberg_datum_validation.c): dates and timestamps outside
+    * the Iceberg-representable range either fail the write (table
+    * property `out_of_range_values = error`, the default) or clamp to
+    * the boundary (`= clamp`). Applied per-column as plain CASE
+    * expressions inside the write projection — no extra pass.
+    */
+  private def applyRangePolicy(m: TableMetadata, df: DataFrame): DataFrame = {
+    import java.time.{LocalDate, LocalDateTime}
+    val mode = m.properties.getOrElse("out_of_range_values", "error")
+
+    def bounds(dt: DataType): Option[(Column, Column)] = dt match {
+      case DateType => Some((
+        lit(LocalDate.of(-4712, 1, 1)), lit(LocalDate.of(9999, 12, 31))))
+      case TimestampNTZType => Some((
+        lit(LocalDateTime.of(1, 1, 1, 0, 0, 0)),
+        lit(LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999000))))
+      case TimestampType => Some((
+        lit(LocalDateTime.of(1, 1, 1, 0, 0, 0)).cast(TimestampType),
+        lit(LocalDateTime.of(9999, 12, 31, 23, 59, 59, 999999000))
+          .cast(TimestampType)))
+      case _ => None
+    }
+
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      bounds(f.dataType) match {
+        case Some((lo, hi)) =>
+          val c = col(f.name)
+          val replaced = mode match {
+            case "clamp" =>
+              when(c < lo, lo).when(c > hi, hi).otherwise(c)
+            case _ =>
+              when(c.isNull || (c >= lo && c <= hi), c).otherwise(raise_error(
+                concat(lit(s"value out of range for ${f.name} (set " +
+                  "out_of_range_values=clamp to truncate): "), c.cast("string"))))
+          }
+          acc.withColumn(f.name, replaced.cast(f.dataType))
+        case None => acc
+      }
+    }
   }
 
   /** Fan-out write for partitioned tables; false when `df` is empty. */
@@ -465,9 +508,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
         .toString -> r).toMap
 
-    paths.map { p =>
-      val r = byPath.getOrElse(Paths.get(p).toString,
-        throw new IllegalStateException(s"no stats row for $p"))
+    // a path with no stats row is a zero-row file (e.g. Spark writes one
+    // empty part file for an empty frame) — skip it, never commit it
+    paths.flatMap { p =>
+      byPath.get(Paths.get(p).toString).map { r =>
       def s(col: String): Option[String] =
         if (r.schema.fieldNames.contains(col)) Option(r.getAs[String](col))
         else None
@@ -481,6 +525,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       }.toMap
       FileEntry(p, r.getAs[Long]("__rows"), Files.size(Paths.get(p)),
         cur.version, fieldStats, partStats)
+      }
     }
   }
 }
@@ -488,19 +533,22 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 object LakeTable {
   /** Create an empty managed table. */
   def create(spark: SparkSession, location: String, name: String,
-      schema: StructType, partitionSpec: Seq[String] = Nil): LakeTable = {
+      schema: StructType, partitionSpec: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): LakeTable = {
     require(TableMetadata.currentVersion(location).isEmpty,
       s"table already exists at $location")
     TableMetadata.commit(location, create = true)(_ =>
-      TableMetadata.fromStruct(name, schema, partitionSpec))
+      TableMetadata.fromStruct(name, schema, partitionSpec)
+        .copy(properties = properties))
     new LakeTable(spark, location)
   }
 
   /** CTAS (create_table_as_select.c equivalent). */
   def createAsSelect(spark: SparkSession, location: String, name: String,
       df: DataFrame, partitionSpec: Seq[String] = Nil,
-      targetFiles: Option[Int] = None): LakeTable = {
-    val t = create(spark, location, name, df.schema, partitionSpec)
+      targetFiles: Option[Int] = None,
+      properties: Map[String, String] = Map.empty): LakeTable = {
+    val t = create(spark, location, name, df.schema, partitionSpec, properties)
     t.append(df, targetFiles)
     t
   }

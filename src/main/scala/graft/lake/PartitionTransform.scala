@@ -23,9 +23,19 @@ sealed trait PartitionTransform {
   /** Name of the derived partition value, used in metadata stats. */
   def valueName: String
 
-  /** Spark expression computing the partition value for a row; `dt` is
-    * the source column's type from the table schema. */
-  def expr(c: Column, dt: DataType): Column
+  /** Catalyst expression computing the partition value. Building at
+    * the Catalyst level (not the Column DSL) means the same tree serves
+    * two masters: spliced into write/stat plans via the bridge (the
+    * analyzer resolves it there), and DIRECTLY evaluable on resolved
+    * literals for pruning's literal→transform-domain mapping — an
+    * unresolved Column-DSL tree cannot be eval'd driver-side.
+    */
+  def catalyst(child: Expression, dt: DataType): Expression
+
+  /** Column form for write-path plans. */
+  def expr(c: Column, dt: DataType): Column =
+    org.apache.spark.sql.GraftBridge.column(catalyst(
+      org.apache.spark.sql.GraftBridge.expression(c), dt))
 
   /** Map a literal comparison on the source column into the transform
     * domain, or None when the transform can't serve that operator
@@ -37,9 +47,32 @@ sealed trait PartitionTransform {
   def mapsRanges: Boolean = true
 }
 
+private object TransformExprs {
+  import org.apache.spark.sql.catalyst.expressions.{Add, Cast, Hour => CHour,
+    DayOfMonth, Literal => CLit, Month => CMonth, Multiply, Year => CYear}
+
+  val UTC: Option[String] = Some("UTC")
+
+  def toDate(child: Expression, dt: DataType): Expression = dt match {
+    case DateType => child
+    case _ => Cast(child, DateType, UTC)
+  }
+
+  def longOf(e: Expression): Expression = Cast(e, LongType, UTC)
+
+  def yearE(c: Expression, dt: DataType): Expression = CYear(toDate(c, dt))
+  def monthE(c: Expression, dt: DataType): Expression =
+    Add(Multiply(CYear(toDate(c, dt)), CLit(100)), CMonth(toDate(c, dt)))
+  def dayE(c: Expression, dt: DataType): Expression =
+    Add(Multiply(CYear(toDate(c, dt)), CLit(10000)),
+      Add(Multiply(CMonth(toDate(c, dt)), CLit(100)), DayOfMonth(toDate(c, dt))))
+  def hourE(c: Expression, dt: DataType): Expression =
+    Add(Multiply(dayE(c, dt), CLit(100)), CHour(c, UTC))
+}
+
 final case class IdentityT(column: String) extends PartitionTransform {
   def valueName = s"${column}__identity"
-  def expr(c: Column, dt: DataType): Column = c
+  def catalyst(c: Expression, dt: DataType): Expression = c
 }
 
 /** Temporal truncations encoded as order-preserving integers
@@ -47,23 +80,24 @@ final case class IdentityT(column: String) extends PartitionTransform {
   * predicates map directly onto partition-value ranges.
   */
 final case class YearT(column: String) extends PartitionTransform {
+  import TransformExprs._
   def valueName = s"${column}__year"
-  def expr(c: Column, dt: DataType): Column = year(c).cast("long")
+  def catalyst(c: Expression, dt: DataType): Expression = longOf(yearE(c, dt))
 }
 final case class MonthT(column: String) extends PartitionTransform {
+  import TransformExprs._
   def valueName = s"${column}__month"
-  def expr(c: Column, dt: DataType): Column = (year(c) * 100 + month(c)).cast("long")
+  def catalyst(c: Expression, dt: DataType): Expression = longOf(monthE(c, dt))
 }
 final case class DayT(column: String) extends PartitionTransform {
+  import TransformExprs._
   def valueName = s"${column}__day"
-  def expr(c: Column, dt: DataType): Column =
-    (year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("long")
+  def catalyst(c: Expression, dt: DataType): Expression = longOf(dayE(c, dt))
 }
 final case class HourT(column: String) extends PartitionTransform {
+  import TransformExprs._
   def valueName = s"${column}__hour"
-  def expr(c: Column, dt: DataType): Column =
-    ((year(c) * 10000 + month(c) * 100 + dayofmonth(c)).cast("long") * 100
-      + hour(c)).cast("long")
+  def catalyst(c: Expression, dt: DataType): Expression = longOf(hourE(c, dt))
 }
 
 /** `bucket(N, col)` — Iceberg-spec bucketing: murmur3_x86_32 of the
@@ -72,11 +106,10 @@ final case class HourT(column: String) extends PartitionTransform {
   * little-endian LONG bytes for schema-evolution compatibility).
   */
 final case class BucketT(n: Int, column: String) extends PartitionTransform {
+  import TransformExprs._
   def valueName = s"${column}__bucket_$n"
-  def expr(c: Column, dt: DataType): Column =
-    org.apache.spark.sql.GraftBridge.column(
-      IcebergBucketHash(org.apache.spark.sql.GraftBridge.expression(c), n))
-      .cast("long")
+  def catalyst(c: Expression, dt: DataType): Expression =
+    longOf(IcebergBucketHash(c, n))
   override def mapsRanges: Boolean = false
 }
 
@@ -85,10 +118,13 @@ final case class BucketT(n: Int, column: String) extends PartitionTransform {
   * (partition_transform.c:492-552).
   */
 final case class TruncateT(w: Int, column: String) extends PartitionTransform {
+  import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Pmod,
+    Subtract, Substring}
+  import TransformExprs._
   def valueName = s"${column}__trunc_$w"
-  def expr(c: Column, dt: DataType): Column = dt match {
-    case _: StringType => substring(c, 1, w)
-    case _ => (c.cast("long") - pmod(c.cast("long"), lit(w.toLong)))
+  def catalyst(c: Expression, dt: DataType): Expression = dt match {
+    case _: StringType => Substring(c, CLit(1), CLit(w))
+    case _ => Subtract(longOf(c), Pmod(longOf(c), CLit(w.toLong)))
   }
 }
 

@@ -158,13 +158,13 @@ object Pruning {
     }
   }
 
-  /** Evaluate the transform on a literal (foldable, so direct eval). */
+  /** Evaluate the transform on a literal — the catalyst tree is fully
+    * resolved (literal leaf), so direct eval works for every transform.
+    */
   private def mapLiteral(t: PartitionTransform, l: Literal,
       dt: DataType): Option[Literal] =
     try {
-      import org.apache.spark.sql.GraftBridge
-      val mapped = GraftBridge.expression(
-        t.expr(GraftBridge.column(l), dt))
+      val mapped = t.catalyst(l, dt)
       val value = mapped.eval(null)
       Some(Literal(value, mapped.dataType))
     } catch { case _: Throwable => None }

@@ -268,5 +268,19 @@ object Relational {
         .filter(col("o_totalprice") > lit(1.5) * col("avg_price"))
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
-    })
+    },
+
+    // ---- LATERAL join (§2.3; reference test_expression_pushdown.py
+    // JOIN LATERAL / LATERAL subquery) — correlated subquery in FROM;
+    // Catalyst decorrelates it into a join, same text runs on DuckDB
+    QueryDef.sql(
+      "q_join_lateral",
+      """SELECT c.c_custkey, o.cnt, o.max_price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT count(*) AS cnt, max(o_totalprice) AS max_price
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c.c_custkey""".stripMargin))
 }
