@@ -93,6 +93,23 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** External Iceberg snapshot as a foreign table (reference: FT over a
+    * `*.metadata.json`, docs/file-formats-reference.md:151-168).
+    */
+  def createExternalIceberg(name: String, metadataPath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val df = sources.IcebergSnapshot.read(spark, metadataPath, snapshotId)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Export a managed table's current snapshot as Iceberg v2 metadata;
+    * returns the metadata.json path (readable by external tooling and
+    * [[createExternalIceberg]]).
+    */
+  def exportIceberg(tableName: String): String =
+    graft.lake.IcebergExport.export(table(tableName))
+
   /** Log-format scan (`format 'log', log_format 's3'` in the reference,
     * docs/file-formats-reference.md:141-150): templated regex parse of
     * S3 access logs over a distributed text scan. Unparseable lines

@@ -1,0 +1,153 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.io.File
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** External Apache Iceberg snapshot scan (SURVEY.md §2.1; reference
+  * reads the same structures in C: read_table_metadata.c,
+  * read_manifest.c, avro/avro_reader.c): point at a `*.metadata.json`,
+  * walk manifest-list → manifests (Avro, via the avro-core library —
+  * metadata is tiny and driver-side), resolve the live data-file list,
+  * and scan it as ordinary Parquet. Snapshot selection gives time
+  * travel over external tables.
+  *
+  * Scale note: metadata I/O is O(#manifests) on the driver — the same
+  * place Spark's own DSv2 file listing happens; executors only ever
+  * see the resolved parquet paths.
+  */
+object IcebergSnapshot {
+
+  private val mapper = new ObjectMapper()
+
+  private def localPath(uri: String): String =
+    uri.stripPrefix("file://").stripPrefix("file:")
+
+  def metadata(metadataPath: String): JsonNode =
+    mapper.readTree(new File(localPath(metadataPath)))
+
+  // ---- schema ----------------------------------------------------------
+
+  /** Current (or `schemaId`) Iceberg schema as a Spark StructType. */
+  def schemaOf(metadataPath: String): StructType = {
+    val root = metadata(metadataPath)
+    val schemaNode =
+      if (root.has("schemas")) {
+        val cur = root.get("current-schema-id").asInt(0)
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt(-1) == cur)
+          .getOrElse(root.get("schemas").get(0))
+      } else root.get("schema") // format v1
+    structOf(schemaNode)
+  }
+
+  private def structOf(node: JsonNode): StructType =
+    StructType(node.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText(), typeOf(f.get("type")),
+        !f.get("required").asBoolean(false))
+    }.toSeq)
+
+  private def typeOf(t: JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "time" => LongType // micros-of-day convention (SURVEY §1.2)
+      case "binary" => BinaryType
+      case "uuid" => StringType
+      case s if s.startsWith("decimal") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")")
+          .split(",").map(_.trim.toInt)
+        DecimalType(p, sc)
+      case s if s.startsWith("fixed") => BinaryType
+      case other => throw new IllegalArgumentException(s"iceberg type $other")
+    } else t.get("type").asText() match {
+      case "struct" => structOf(t)
+      case "list" => ArrayType(typeOf(t.get("element")),
+        !t.get("element-required").asBoolean(false))
+      case "map" => MapType(typeOf(t.get("key")), typeOf(t.get("value")),
+        !t.get("value-required").asBoolean(false))
+      case other => throw new IllegalArgumentException(s"iceberg type $other")
+    }
+
+  // ---- snapshot / manifest walk ---------------------------------------
+
+  final case class DataFileRef(path: String, format: String, records: Long,
+      bytes: Long)
+
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val reader = DataFileReader.openReader(new File(localPath(path)),
+      new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toList finally reader.close()
+  }
+
+  /** Live data files of a snapshot (default: current). */
+  def dataFiles(metadataPath: String,
+      snapshotId: Option[Long] = None): Seq[DataFileRef] = {
+    val root = metadata(metadataPath)
+    val wanted = snapshotId.getOrElse(root.get("current-snapshot-id").asLong())
+    val snap = root.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == wanted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $wanted not in $metadataPath"))
+
+    val manifests: Seq[String] =
+      if (snap.has("manifest-list"))
+        readAvro(snap.get("manifest-list").asText())
+          .filter(m => opt(m, "content").forall(_.toString == "0")) // data
+          .map(_.get("manifest_path").toString)
+      else // v1 inline manifest array
+        snap.get("manifests").elements().asScala.map(_.asText()).toSeq
+
+    manifests.flatMap { mPath =>
+      readAvro(mPath).flatMap { entry =>
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None // DELETED
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+          if (content != 0) None // position/equality deletes unsupported
+          else Some(DataFileRef(
+            df.get("file_path").toString,
+            df.get("file_format").toString.toUpperCase,
+            df.get("record_count").toString.toLong,
+            opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L)))
+        }
+      }
+    }
+  }
+
+  /** `lake_iceberg.files(url)` equivalent. */
+  def files(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    dataFiles(metadataPath)
+      .map(f => (f.path, f.format, f.records, f.bytes))
+      .toDF("file_path", "file_format", "record_count", "file_size_in_bytes")
+  }
+
+  /** Scan an external Iceberg snapshot as a DataFrame. */
+  def read(spark: SparkSession, metadataPath: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val schema = schemaOf(metadataPath)
+    val fs = dataFiles(metadataPath, snapshotId)
+    require(fs.forall(_.format == "PARQUET"),
+      s"non-parquet data files: ${fs.filter(_.format != "PARQUET").map(_.path)}")
+    if (fs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(fs.map(f => localPath(f.path)): _*)
+  }
+}
