@@ -38,13 +38,13 @@ final class LakeEngine(val spark: SparkSession) {
 
   private def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
-    t.read().createOrReplaceTempView(name)
+    t.readIndexed().createOrReplaceTempView(name)
     t
   }
 
   /** Refresh the temp view after DML (snapshot pointer moved). */
   def refresh(name: String): Unit =
-    tables.get(name).foreach(_.read().createOrReplaceTempView(name))
+    tables.get(name).foreach(_.readIndexed().createOrReplaceTempView(name))
 
   /** `iceberg_tables`-style catalog view (docs/iceberg-tables.md:545). */
   def tablesDf: DataFrame = {

@@ -44,6 +44,20 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   def read(): DataFrame = scan(None)
 
+  /** Current snapshot behind the pruning [[LakeFileIndex]]: filters of
+    * ANY later query over this frame (spark.sql on a registered view,
+    * DataFrame .filter, joins) prune data files automatically at plan
+    * time. Falls back to the per-version projection when metadata-only
+    * schema changes left older files behind.
+    */
+  def readIndexed(): DataFrame = {
+    val m = meta
+    if (LakeFileIndex.singleSchemaVersion(m) &&
+        m.currentSnapshot.exists(_.files.nonEmpty))
+      LakeFileIndex.relation(spark, m)
+    else read()
+  }
+
   /** Time travel (docs/iceberg-tables.md:836-863). */
   def readAsOf(snapshotId: Long): DataFrame = {
     val m = meta

@@ -11,4 +11,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a logical plan (classic.Dataset.ofRows is
+    * private[sql]); needed to hang a custom FileIndex-backed relation
+    * into a session.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def classicSession(spark: SparkSession): classic.SparkSession =
+    spark.asInstanceOf[classic.SparkSession]
 }
