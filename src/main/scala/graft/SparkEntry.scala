@@ -20,7 +20,8 @@ object SparkEntry {
       _root_.graft.queries.Windows.defs ++
       _root_.graft.queries.Functions.defs ++
       _root_.graft.queries.Pipeline.defs ++
-      _root_.graft.queries.Tpch.defs
+      _root_.graft.queries.Tpch.defs ++
+      _root_.graft.queries.TypeMatrix.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

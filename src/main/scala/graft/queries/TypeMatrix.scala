@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Per-type operator matrix (SURVEY.md §2.2; the reference runs one
+  * pytest suite per column type — tests/pytests/operator_pushdown/
+  * test_{int2,int4,int8,float4,float8,bool,text,date,...}.py). Each
+  * query derives typed columns from the fixtures and exercises the
+  * comparison / arithmetic / predicate operator set for that type;
+  * single SQL text, oracle-differential in DuckDB.
+  */
+object TypeMatrix {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // integers: + - * / % comparisons, BETWEEN, IN, CASE, NULLIF/COALESCE
+    QueryDef.sql(
+      "q_ops_int",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey + l_linenumber AS add_v,
+        |  l_orderkey - l_linenumber AS sub_v,
+        |  l_orderkey * 3 AS mul_v,
+        |  CAST(l_orderkey / 7 AS DOUBLE) AS div_v,
+        |  l_orderkey % 7 AS mod_v,
+        |  -l_linenumber AS neg_v,
+        |  l_orderkey = 17 AS eq_v, l_orderkey <> 17 AS ne_v,
+        |  l_orderkey < 17 AS lt_v, l_orderkey <= 17 AS le_v,
+        |  l_orderkey > 17 AS gt_v, l_orderkey >= 17 AS ge_v,
+        |  l_orderkey BETWEEN 10 AND 30 AS btw_v,
+        |  l_linenumber IN (1, 3, 5) AS in_v,
+        |  CASE WHEN l_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS case_v,
+        |  COALESCE(NULLIF(l_linenumber, 1), -1) AS nullif_v,
+        |  GREATEST(l_orderkey, 100) AS greatest_v,
+        |  LEAST(l_linenumber, 2) AS least_v
+        |FROM lineitem WHERE l_orderkey < 60
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // floats/doubles: arithmetic, rounding boundary ops, sign/abs,
+    // null-safe comparisons
+    QueryDef.sql(
+      "q_ops_float",
+      """SELECT o_orderkey,
+        |  CAST(o_totalprice + 1.5 AS DOUBLE) AS add_v,
+        |  CAST(o_totalprice * 0.5 AS DOUBLE) AS mul_v,
+        |  CAST(-o_totalprice AS DOUBLE) AS neg_v,
+        |  abs(-o_totalprice) AS abs_v,
+        |  CAST(sign(o_totalprice - 100000) AS BIGINT) AS sign_v,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS floor_v,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS ceil_v,
+        |  o_totalprice > 100000 AS gt_v,
+        |  o_totalprice IS NULL AS isnull_v,
+        |  o_totalprice IS NOT NULL AS notnull_v,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) = CAST(o_totalprice AS DECIMAL(18,2)) AS self_eq
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // text: concat, LIKE/ILIKE shapes, case ops, trim/pad, comparisons
+    QueryDef.sql(
+      "q_ops_text",
+      """SELECT c_custkey,
+        |  c_name || '/' || c_mktsegment AS concat_v,
+        |  upper(c_mktsegment) AS upper_v, lower(c_mktsegment) AS lower_v,
+        |  length(c_name) AS len_v,
+        |  c_mktsegment LIKE 'BUILD%' AS like_v,
+        |  c_mktsegment NOT LIKE '%ING' AS notlike_v,
+        |  c_mktsegment = 'MACHINERY' AS eq_v,
+        |  c_mktsegment < 'FURNITURE' AS lt_v,
+        |  substring(c_name, 1, 8) AS substr_v,
+        |  replace(c_mktsegment, 'A', '@') AS replace_v,
+        |  trim('  x  ') AS trim_v,
+        |  lpad(c_mktsegment, 12, '.') AS lpad_v,
+        |  starts_with(c_mktsegment, 'HOUSE') AS startswith_v,
+        |  position('E' IN c_mktsegment) AS pos_v
+        |FROM customer WHERE c_custkey < 80
+        |ORDER BY c_custkey""".stripMargin),
+
+    // date/timestamp: comparisons, truncation, extraction, interval math
+    QueryDef.sql(
+      "q_ops_date",
+      """SELECT o_orderkey,
+        |  o_orderdate = TIMESTAMP '1996-06-01' AS eq_v,
+        |  o_orderdate < TIMESTAMP '1997-01-01' AS lt_v,
+        |  o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31' AS btw_v,
+        |  CAST(o_orderdate AS DATE) AS date_v,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS trunc_v,
+        |  EXTRACT(year FROM o_orderdate) AS year_v,
+        |  EXTRACT(month FROM o_orderdate) AS month_v,
+        |  EXTRACT(day FROM o_orderdate) AS day_v,
+        |  o_orderdate + INTERVAL '30' DAY AS plus30_v,
+        |  o_orderdate - INTERVAL '1' MONTH AS minus1m_v
+        |FROM orders WHERE o_orderkey < 100
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // booleans: AND/OR/NOT, IS [NOT] DISTINCT FROM, boolean aggregation
+    QueryDef.sql(
+      "q_ops_bool",
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_quantity > 25) AND (l_discount > 0.05) AS and_v,
+        |  (l_quantity > 25) OR (l_discount > 0.05) AS or_v,
+        |  NOT (l_quantity > 25) AS not_v,
+        |  (l_returnflag = 'A') IS NOT DISTINCT FROM (l_linestatus = 'F') AS nds_v,
+        |  (l_returnflag = 'A') IS DISTINCT FROM (l_linestatus = 'F') AS ds_v,
+        |  CASE WHEN l_quantity > 25 THEN NULL ELSE l_quantity > 10 END IS NULL AS null_bool_v
+        |FROM lineitem WHERE l_orderkey < 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // arrays (over embeddings fixture): subscript, size, contains, slice
+    QueryDef.sql(
+      "q_ops_array",
+      """SELECT vec_id,
+        |  CAST(element_at(embedding, 1) AS DOUBLE) AS first_v,
+        |  size(embedding) AS size_v,
+        |  CAST(element_at(embedding, 3) AS DOUBLE) AS elem3_v,
+        |  size(slice(embedding, 1, 4)) AS slice_len_v,
+        |  array_contains(array(label, 1, 2), 1) AS contains_v
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY vec_id""".stripMargin,
+      oracle =
+        """SELECT vec_id,
+          |  embedding[1]::DOUBLE AS first_v,
+          |  len(embedding) AS size_v,
+          |  embedding[3]::DOUBLE AS elem3_v,
+          |  len(embedding[1:4]) AS slice_len_v,
+          |  list_contains([label, 1, 2], 1) AS contains_v
+          |FROM embeddings WHERE vec_id < 50
+          |ORDER BY vec_id""".stripMargin))
+}
