@@ -121,6 +121,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Collapse near-dup PAIRS into groups: connected components by
+    * iterative min-label propagation over the pair graph — each round
+    * is one shuffle join, converging in O(log(diameter)) rounds (near
+    * -dup components are tiny, so the bound is loose). Returns
+    * (id, representative) for every id that appears in a pair.
+    */
+  def dedupGroups(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("rep").as("nrep"))
+      val next = labels.join(viaNeighbor, Seq("id"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .filter(col("n.rep") =!= col("o.rep")).limit(1).count()
+      labels = next.localCheckpoint(true) // truncate the iterative lineage
+      converged = changed == 0
+      round += 1
+    }
+    labels
+  }
+
   /** n-gram-Jaccard near-dup pairs via an exact inverted index: explode
     * distinct shingles, self-join on the shingle (this is the candidate
     * generator — only docs sharing ≥1 shingle ever meet), count shared

@@ -107,6 +107,17 @@ object TextOps {
     expr(s"aggregate(transform($w, x -> length(x)), 0L, (a, b) -> a + b)")
       .cast("double") / expr(s"size($w)")
 
+  /** PII scrubbing: redact email addresses and phone-number-shaped
+    * digit runs (training-corpus hygiene). Pure regexp_replace —
+    * codegen'd, reproducible in the oracle.
+    */
+  def scrubPii(text: Column): Column = {
+    val emails = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(emails,
+      "\\+?[0-9][0-9() -]{7,}[0-9]", "<PHONE>")
+  }
+
   /** Language ID: CJK by codepoint ratio, else argmax of per-language
     * stopword hit ratio with a fixed tie-break order; "und" when no
     * profile scores above zero.

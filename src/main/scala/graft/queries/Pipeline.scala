@@ -209,6 +209,61 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // ---- PII scrubbing (corpus hygiene) ------------------------------
+    QueryDef(
+      "q_text_scrub",
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    'reach u' || CAST(doc_id AS VARCHAR) || '@mail.example or +1 (555) 010-7788 re: ' || substring(text, 1, 40),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("raw", concat(lit("reach u"), col("doc_id").cast("string"),
+          lit("@mail.example or +1 (555) 010-7788 re: "),
+          substring(col("text"), 1, 40)))
+        .select(col("doc_id"), TextOps.scrubPii(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    },
+
+    // ---- TF-IDF top terms (classic corpus weighting) -----------------
+    QueryDef(
+      "q_text_tfidf",
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, w, tf, df, round(score, 9) AS score FROM (
+         |  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+         |    tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) AS score,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) DESC, tf.w) AS rk
+         |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n) ranked
+         |WHERE rk <= 3 AND doc_id < 100
+         |ORDER BY doc_id, w""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      d.sparkSession.sql("SELECT 1").count() // ensure session
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""WITH tok AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, explode(split(lower(text), ' ')) AS w
+           |    FROM documents)),
+           |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+           |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+           |n AS (SELECT count(*) AS n FROM documents)
+           |SELECT doc_id, w, tf, df, round(score, 9) AS score FROM (
+           |  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+           |    tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) AS score,
+           |    row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)) DESC, tf.w) AS rk
+           |  FROM tf JOIN dfreq ON tf.w = dfreq.w CROSS JOIN n) ranked
+           |WHERE rk <= 3 AND doc_id < 100
+           |ORDER BY doc_id, w""".stripMargin)
+    },
+
     // ---- LSH ANN (approximate — recall asserted in PipelineSpec) -----
     QueryDef.rowsOnly("q_sim_lsh") { (s, dir) =>
       val e = embs(s, dir)

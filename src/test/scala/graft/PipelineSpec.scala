@@ -66,6 +66,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.forall(_.getAs[Long]("mx") <= 64))
   }
 
+  test("dedup groups: connected components collapse transitive pairs") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val groups = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // end-to-end: groups over the fixture's minhash pairs
+    val docs = Tables.df(spark, sf, "documents")
+    val g2 = Dedup.dedupGroups(Dedup.minhashPairs(docs, "doc_id", "text"))
+    val reps = g2.select("rep").distinct().count()
+    assert(g2.count() >= reps && reps >= 1)
+  }
+
   test("minhash pairs equal exact jaccard pairs (recall proof at fixture)") {
     val docs = Tables.df(spark, sf, "documents")
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text")
