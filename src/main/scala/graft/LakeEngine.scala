@@ -93,6 +93,15 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** Delta table as a foreign table (reference `delta_scan`, opt-in —
+    * docs/file-formats-reference.md / read_data.c:297-317).
+    */
+  def createDeltaTable(name: String, tableDir: String): DataFrame = {
+    val df = sources.DeltaSnapshot.read(spark, tableDir)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** External Iceberg snapshot as a foreign table (reference: FT over a
     * `*.metadata.json`, docs/file-formats-reference.md:151-168).
     */
