@@ -216,7 +216,63 @@ final class LakeEngine(val spark: SparkSession) {
     else None
   }
 
-  def sql(q: String): DataFrame = spark.sql(q)
+  /** SQL entry point. SELECTs go straight to Spark SQL (registered
+    * lake tables resolve through their pruning FileIndex); DML
+    * statements against managed tables are routed to the
+    * transactional write path — the same split the reference makes
+    * between pushdown SELECTs and its FDW modify path. Returns the
+    * DML row count as a 1-row frame for writes.
+    */
+  def sql(q: String): DataFrame = {
+    val trimmed = q.trim
+    val insertRe = "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+)$".r
+    val deleteRe = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
+    val updateRe = "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
+    import spark.implicits._
+    trimmed match {
+      case insertRe(name, rest) if tables.contains(name) =>
+        val df = spark.sql(rest)
+        val target = table(name).meta.sparkSchema.fieldNames.toSeq
+        // VALUES lists arrive as col1..colN: align by position
+        val aligned =
+          if (df.columns.length == target.length && df.columns.toSeq != target)
+            df.toDF(target: _*)
+          else df
+        val n = aligned.count()
+        table(name).append(aligned)
+        refresh(name)
+        Seq(n).toDF("rows_inserted")
+      case deleteRe(name, whereOrNull) if tables.contains(name) =>
+        val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
+        val n = table(name).delete(pred)
+        refresh(name)
+        Seq(n).toDF("rows_deleted")
+      case updateRe(name, setList, whereOrNull) if tables.contains(name) =>
+        val assignments = splitTopLevel(setList).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim -> expr(e.trim)
+        }.toMap
+        val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
+        val n = table(name).update(pred, assignments)
+        refresh(name)
+        Seq(n).toDF("rows_updated")
+      case _ => spark.sql(q)
+    }
+  }
+
+  /** Split `a = f(x, y), b = 2` on top-level commas only. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '(' => depth += 1
+      case ')' => depth -= 1
+      case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ =>
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
 }
 
 object LakeEngine {

@@ -52,7 +52,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def readIndexed(): DataFrame = {
     val m = meta
-    if (LakeFileIndex.singleSchemaVersion(m) &&
+    val hasInterval = m.currentSchema.fields.exists(f =>
+      IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
+    if (LakeFileIndex.singleSchemaVersion(m) && !hasInterval &&
         m.currentSnapshot.exists(_.files.nonEmpty))
       LakeFileIndex.relation(spark, m)
     else read()
@@ -112,13 +114,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     if (files.isEmpty) return emptyFrame(m.sparkSchema)
     files.groupBy(_.schemaVersion).map { case (v, group) =>
       val sv = m.schemaAt(v)
-      val physical = TableMetadata.toStruct(sv)
+      val physical = TableMetadata.physicalStruct(sv)
       val byId = sv.fields.map(f => f.id -> f).toMap
       val projection = cur.fields.map { cf =>
+        val target = DataType.fromDDL(cf.dataType)
         byId.get(cf.id) match {
-          case Some(pf) => col(pf.name)
-            .cast(DataType.fromDDL(cf.dataType)).as(cf.name)
-          case None => lit(null).cast(DataType.fromDDL(cf.dataType)).as(cf.name)
+          case Some(pf) if IntervalStorage.isInterval(target) =>
+            org.apache.spark.sql.GraftBridge.column(
+              IntervalStorage.StructToInterval(
+                org.apache.spark.sql.GraftBridge.expression(col(pf.name))))
+              .as(cf.name)
+          case Some(pf) => col(pf.name).cast(target).as(cf.name)
+          case None => lit(null).cast(target).as(cf.name)
         }
       }
       spark.read.schema(physical).parquet(group.map(_.path): _*)
@@ -341,10 +348,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       targetFiles: Option[Int]): Seq[FileEntry] = {
     val cur = m.currentSchema
     val schema = m.sparkSchema
-    val aligned = applyRangePolicy(m,
+    val aligned0 = applyRangePolicy(m,
       df.select(cur.fields.map(f =>
         col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
         .toDF(cur.fields.map(_.name): _*))
+    // on-disk representation: intervals become the 3-field struct
+    val aligned = cur.fields.foldLeft(aligned0) { (acc, f) =>
+      if (IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
+        acc.withColumn(f.name, org.apache.spark.sql.GraftBridge.column(
+          IntervalStorage.IntervalToStruct(
+            org.apache.spark.sql.GraftBridge.expression(col(f.name)))))
+      else acc
+    }
 
     val transforms = m.transforms
     val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)
@@ -487,11 +502,12 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   private def collectStats(m: TableMetadata,
       paths: Seq[String]): Seq[FileEntry] = {
     val cur = m.currentSchema
-    val schema = m.sparkSchema
+    val schema = TableMetadata.physicalStruct(cur)
     val transforms = m.transforms
 
     def statable(dt: DataType): Boolean = dt match {
       case _: ArrayType | _: MapType | _: StructType | _: BinaryType => false
+      case CalendarIntervalType => false
       case _ => true
     }
 

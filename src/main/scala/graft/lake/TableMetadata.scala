@@ -94,6 +94,19 @@ object TableMetadata {
       StructField(f.name, DataType.fromDDL(f.dataType), f.nullable)))
   }
 
+  /** On-disk schema: intervals persist as the 3-field struct
+    * (IntervalStorage, SURVEY §1.2); everything else is 1:1.
+    */
+  def physicalStruct(sv: SchemaVersion): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(sv.fields.map { f =>
+      val dt = DataType.fromDDL(f.dataType)
+      val physical =
+        if (IntervalStorage.isInterval(dt)) IntervalStorage.physicalType else dt
+      StructField(f.name, physical, f.nullable)
+    })
+  }
+
   def fromStruct(name: String, schema: StructType,
       spec: Seq[String]): TableMetadata = {
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>

@@ -62,6 +62,30 @@ class EngineSurfaceSpec extends AnyFunSuite {
       s"clamped to lower bound, got ${got(1)}")
   }
 
+  test("interval columns store as struct(months,days,microseconds)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, make_interval(0, 2, 0, 3, 4, 0, 0)),
+        |  (2L, make_interval(1, 0, 2, 0, 0, 30, 1.5)),
+        |  (3L, CAST(NULL AS INTERVAL))
+        |AS t(id, dur)""".stripMargin)
+    val t = LakeTable.createAsSelect(spark, LakeEngine.tempLocation("iv"),
+      "iv", df)
+    val back = t.read().orderBy("id")
+    assert(back.schema("dur").dataType ==
+      org.apache.spark.sql.types.CalendarIntervalType)
+    assert(back.collect().map(_.toString).toSeq ==
+      df.orderBy("id").collect().map(_.toString).toSeq)
+    // physical file really holds the struct
+    val file = t.meta.currentSnapshot.get.files.head.path
+    val raw = spark.read.parquet(file)
+    assert(raw.schema("dur").dataType ==
+      graft.lake.IntervalStorage.physicalType)
+    // copy-on-write delete over interval table
+    t.delete(col("id") === 2L)
+    assert(t.read().count() == 2)
+  }
+
   test("streaming append: micro-batches become snapshots") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
