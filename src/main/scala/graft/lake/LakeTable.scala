@@ -255,6 +255,29 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     expireSnapshots(keepLast)
   }
 
+  /** Snapshot changelog (the reference's changelog test surface —
+    * pg_lake_table/tests/pytests/test_iceberg_changelog.py): row-level
+    * diff between two snapshots at copy-on-write granularity. Rows in
+    * files added between the snapshots surface as `insert`, rows in
+    * files removed as `delete`; an updated row therefore appears as a
+    * delete+insert pair, exactly like Iceberg's changelog for
+    * copy-on-write tables. Pure metadata diff + scans of only the
+    * changed files.
+    */
+  def changes(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val m = meta
+    def filesOf(id: Long): Map[String, FileEntry] =
+      m.snapshot(id).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $id")).files.map(f => f.path -> f).toMap
+    val from = filesOf(fromSnapshotId)
+    val to = filesOf(toSnapshotId)
+    val added = (to.keySet -- from.keySet).toSeq.sorted.map(to(_))
+    val removed = (from.keySet -- to.keySet).toSeq.sorted.map(from(_))
+    val ins = readFiles(m, added).withColumn("_change_type", lit("insert"))
+    val del = readFiles(m, removed).withColumn("_change_type", lit("delete"))
+    ins.unionAll(del)
+  }
+
   /** Snapshot catalog as a DataFrame (iceberg_tables-view equivalent). */
   def snapshots: DataFrame = {
     val m = meta

@@ -104,6 +104,29 @@ object TypeMatrix {
         |FROM lineitem WHERE l_orderkey < 40
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // binary/encoding: hex + base64 encode/decode, md5, length over bytes
+    // (PG encode/decode family — shippable via DuckDB to_hex/to_base64,
+    // rewrite_query.c:170-171)
+    QueryDef.sql(
+      "q_ops_encode",
+      """SELECT c_custkey,
+        |  hex(encode(c_mktsegment, 'UTF-8')) AS hex_v,
+        |  base64(encode(c_mktsegment, 'UTF-8')) AS b64_v,
+        |  decode(unbase64(base64(encode(c_mktsegment, 'UTF-8'))), 'UTF-8') AS roundtrip_v,
+        |  md5(c_mktsegment) AS md5_v,
+        |  length(encode(c_name, 'UTF-8')) AS bytelen_v
+        |FROM customer WHERE c_custkey < 60
+        |ORDER BY c_custkey""".stripMargin,
+      oracle =
+        """SELECT c_custkey,
+          |  hex(c_mktsegment::BLOB) AS hex_v,
+          |  to_base64(c_mktsegment::BLOB) AS b64_v,
+          |  from_base64(to_base64(c_mktsegment::BLOB))::VARCHAR AS roundtrip_v,
+          |  md5(c_mktsegment) AS md5_v,
+          |  octet_length(c_name::BLOB) AS bytelen_v
+          |FROM customer WHERE c_custkey < 60
+          |ORDER BY c_custkey""".stripMargin),
+
     // arrays (over embeddings fixture): subscript, size, contains, slice
     QueryDef.sql(
       "q_ops_array",

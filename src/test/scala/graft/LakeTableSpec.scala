@@ -156,6 +156,26 @@ class LakeTableSpec extends AnyFunSuite {
     assert(t.read().count() == src.count() - 1)
   }
 
+  test("changelog: snapshot diff yields insert/delete rows") {
+    val src = Tables.df(spark, sf, "nation")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "chg", src)
+    val v1 = t.meta.currentSnapshotId
+    t.delete(col("n_nationkey") === 3)
+    t.append(src.filter(col("n_nationkey") === 3)
+      .withColumn("n_name", lit("REBORN")))
+    val v2 = t.meta.currentSnapshotId
+
+    val ch = t.changes(v1, v2)
+    val inserts = ch.filter(col("_change_type") === "insert")
+    val deletes = ch.filter(col("_change_type") === "delete")
+    // copy-on-write granularity: the rewritten file's rows all cycle
+    assert(inserts.filter(col("n_name") === "REBORN").count() == 1)
+    assert(deletes.filter(col("n_nationkey") === 3).count() == 1)
+    // net effect of the diff equals the actual table delta
+    val net = inserts.count() - deletes.count()
+    assert(net == t.read().count() - src.count())
+  }
+
   test("concurrent appends both land (optimistic retry)") {
     val src = Tables.df(spark, sf, "region")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "conc", src)
