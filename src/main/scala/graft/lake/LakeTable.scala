@@ -143,10 +143,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * makes the pruning in [[scan]] effective); `targetFiles` overrides
     * the cluster width when the caller knows the data volume.
     */
-  def append(df: DataFrame, targetFiles: Option[Int] = None): LakeTable = {
+  def append(df: DataFrame, targetFiles: Option[Int] = None,
+      commitProps: Map[String, String] = Map.empty): LakeTable = {
     val m = meta
     val entries = writeData(m, df, targetFiles)
-    commitOp("append") { cur =>
+    commitOp("append", commitProps) { cur =>
       cur.currentSnapshot.map(_.files).getOrElse(Nil) ++ entries
     }
     this
@@ -339,7 +340,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   // ------------------------------------------------------------ internals
 
-  private def commitOp(op: String)(
+  private def commitOp(op: String, props: Map[String, String] = Map.empty)(
       nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata =
     TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.getOrElse(
@@ -348,7 +349,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       cur.copy(
         snapshots = cur.snapshots :+
           Snapshot(snapId, System.currentTimeMillis(), op, nextFiles(cur)),
-        currentSnapshotId = snapId)
+        currentSnapshotId = snapId,
+        properties = cur.properties ++ props)
     }
 
   /** Write `df` (current-schema rows) as parquet + collect per-file

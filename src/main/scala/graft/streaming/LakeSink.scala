@@ -16,17 +16,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object LakeSink {
 
+  /** Exactly-once batch apply: the last committed batch id is stored
+    * as a table property IN the snapshot commit itself, so a replayed
+    * micro-batch (restart before the checkpoint advanced) is detected
+    * and skipped — the idempotent-commit half of the
+    * checkpoint + idempotent-sink contract.
+    */
+  private[graft] def processBatch(table: LakeTable, streamKey: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val key = s"stream.$streamKey.last-batch"
+    val last = table.meta.properties.get(key).map(_.toLong)
+    if (last.exists(_ >= batchId) || batch.isEmpty) ()
+    else { table.append(batch, commitProps = Map(key -> batchId.toString)); () }
+  }
+
   /** Continuous append: each micro-batch commits one snapshot. */
   def append(stream: DataFrame, table: LakeTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val streamKey = Integer.toHexString(checkpoint.hashCode)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { table.append(batch); () }
-      }
+      .foreachBatch(processBatch(table, streamKey) _)
       .start()
+  }
 
   /** Windowed aggregate ingest: watermarked event-time aggregation
     * whose per-batch UPDATES are upserted into the table as

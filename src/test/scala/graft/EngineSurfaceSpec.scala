@@ -111,6 +111,24 @@ class EngineSurfaceSpec extends AnyFunSuite {
     assert(t.meta.snapshots.count(_.operation == "append") >= 2)
   }
 
+  test("streaming replayed batch is idempotent (exactly-once commit)") {
+    import spark.implicits._
+    val t = LakeTable.create(spark, LakeEngine.tempLocation("eo"),
+      "eo", StructType(Seq(StructField("id", LongType))))
+    val batch = Seq(1L, 2L, 3L).toDF("id")
+    LakeSink.processBatch(t, "s1")(batch, 0L)
+    assert(t.read().count() == 3)
+    // replay of the SAME batch id (post-crash, pre-checkpoint) is a no-op
+    LakeSink.processBatch(t, "s1")(batch, 0L)
+    assert(t.read().count() == 3)
+    // the next batch commits
+    LakeSink.processBatch(t, "s1")(Seq(4L).toDF("id"), 1L)
+    assert(t.read().count() == 4)
+    // a DIFFERENT stream into the same table is tracked independently
+    LakeSink.processBatch(t, "s2")(Seq(5L).toDF("id"), 0L)
+    assert(t.read().count() == 5)
+  }
+
   test("streaming windowed aggregate upserts window rows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
