@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.operators.PipelineParams
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -66,6 +66,42 @@ case class ArrayDotD(left: Expression, right: Expression)
          |${ev.value} = acc;
        """.stripMargin
     })
+  }
+}
+
+/** Distinct word n-gram shingles ("a b c") over a string array, in one
+  * JVM pass — value-identical to the `transform(sequence(...))` +
+  * `array_join(slice(...))` formulation in TextOps (and the oracle's
+  * list_transform + array_to_string), without per-element interpreted
+  * lambda trees. Empty output for inputs shorter than `n`.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+
+  override def nullSafeEval(v: Any): Any = {
+    val ws = v.asInstanceOf[ArrayData]
+    val count = ws.numElements()
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= count - n) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var k = 0
+      while (k < n) {
+        if (k > 0) parts(2 * k - 1) = sep
+        parts(2 * k) = ws.getUTF8String(i + k)
+        k += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 }
 

@@ -35,7 +35,10 @@ object Dedup {
   private def shingleSets(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.withColumn("__ws", TextOps.words(col(textCol)))
-      .select(col(idCol).as("id"), TextOps.shingles("__ws").as("shingles"))
+      .select(col(idCol).as("id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.GraftBridge.expression(col("__ws")),
+          PipelineParams.ShingleN)).as("shingles"))
 
   /** Exact jaccard between two shingle-set columns — used as the
     * verification step after candidate generation.

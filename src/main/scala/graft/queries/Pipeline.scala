@@ -264,6 +264,19 @@ object Pipeline {
            |ORDER BY doc_id, w""".stripMargin)
     },
 
+    // ---- deterministic stratified sampling ---------------------------
+    QueryDef(
+      "q_corpus_sample",
+      s"""SELECT lang, doc_id FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${duckHash("'s42' || doc_id::VARCHAR")}, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 20 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Sampling.stratified(docs(s, dir), "lang", "doc_id", 20, "s42")
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     // ---- LSH ANN (approximate — recall asserted in PipelineSpec) -----
     QueryDef.rowsOnly("q_sim_lsh") { (s, dir) =>
       val e = embs(s, dir)
