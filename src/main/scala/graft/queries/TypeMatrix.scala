@@ -104,6 +104,37 @@ object TypeMatrix {
         |FROM lineitem WHERE l_orderkey < 40
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // three-valued logic: fixtures carry no NULLs, so inject them with
+    // NULLIF and exercise comparison/arith/boolean/aggregate semantics
+    QueryDef.sql(
+      "q_ops_null",
+      """SELECT l_orderkey, l_linenumber,
+        |  NULLIF(l_linenumber, 2) AS maybe_null,
+        |  NULLIF(l_linenumber, 2) + 1 AS null_arith,
+        |  NULLIF(l_linenumber, 2) = 3 AS null_eq,
+        |  (NULLIF(l_linenumber, 2) = 3) IS NULL AS null_eq_isnull,
+        |  NULLIF(l_linenumber, 2) IS DISTINCT FROM 2 AS null_distinct,
+        |  (NULLIF(l_linenumber, 2) > 1) AND (l_quantity > 0) AS null_and,
+        |  (NULLIF(l_linenumber, 2) > 1) OR (l_quantity > 0) AS null_or,
+        |  COALESCE(NULLIF(l_linenumber, 2), -1) AS coalesce_v,
+        |  CASE WHEN NULLIF(l_linenumber, 2) IS NULL THEN 'n' ELSE 'v' END AS case_v
+        |FROM lineitem WHERE l_orderkey < 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // null-aware aggregates over injected nulls: count skips, sum/avg
+    // ignore, count(*) keeps
+    QueryDef.sql(
+      "q_agg_null",
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(NULLIF(l_linenumber, 2)) AS n_nonnull,
+        |  CAST(SUM(CAST(NULLIF(l_linenumber, 2) AS BIGINT)) AS BIGINT) AS sum_nn,
+        |  CAST(MIN(NULLIF(l_linenumber, 2)) AS BIGINT) AS min_nn,
+        |  count(DISTINCT NULLIF(l_linenumber, 2)) AS nd_nn
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+
     // binary/encoding: hex + base64 encode/decode, md5, length over bytes
     // (PG encode/decode family — shippable via DuckDB to_hex/to_base64,
     // rewrite_query.c:170-171)
