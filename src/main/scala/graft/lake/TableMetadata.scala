@@ -109,6 +109,18 @@ object TableMetadata {
 
   def fromStruct(name: String, schema: StructType,
       spec: Seq[String]): TableMetadata = {
+    // multidimensional arrays are not representable in the storage
+    // format (docs/iceberg-tables.md:116,139-141 — the reference
+    // rejects them at DDL time too)
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.ArrayType, _) =>
+          throw new IllegalArgumentException(
+            s"column ${f.name}: multidimensional arrays are not supported")
+        case _ =>
+      }
+    }
     val fields = schema.fields.zipWithIndex.map { case (f, i) =>
       FieldDef(i + 1, f.name, f.dataType.sql, f.nullable)
     }.toSeq
