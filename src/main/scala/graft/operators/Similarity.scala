@@ -77,6 +77,33 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** LSH-bucketed near-dup pairs — the corpus-scale path for
+    * [[cosinePairs]]: candidates share at least one signature band
+    * (shuffle-join on small keys, no n² product), verified by exact
+    * cosine. Approximate: recall vs. the exact pass is asserted in
+    * PipelineSpec; raise [[PipelineParams.LshBands]] to trade shuffle
+    * volume for recall.
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = CosineNearDup): DataFrame = {
+    val bandKeys = (0 until LshBands).map(j =>
+      s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
+    def side(id: String, vec: String, n: String): DataFrame =
+      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, n)
+        .withColumn("sig", signature(vec))
+        .select(col(id), col(vec), col(n), posexplode(
+          expr(bandKeys.mkString("array(", ",", ")"))).as(Seq("band", "key")))
+    val a = side("a_id", "va", "na")
+    val b = side("b_id", "vb", "nb")
+    a.join(b, a("band") === b("band") && a("key") === b("key") &&
+        col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "va", "na", "vb", "nb").distinct()
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= minCos)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes
     * are deterministic ([[PipelineParams.hyperplanes]]).
     */

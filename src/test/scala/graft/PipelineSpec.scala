@@ -66,6 +66,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(byDoc.forall(_.getAs[Long]("mx") <= 64))
   }
 
+  test("lsh cosine pairs: subset of exact pairs with usable recall") {
+    val e = Tables.df(spark, sf, "embeddings")
+    val exact = Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(exact), "verification must kill false positives")
+    if (exact.nonEmpty) {
+      val recall = (exact & approx).size.toDouble / exact.size
+      assert(recall >= 0.3, s"recall $recall") // 16 planes, 4 bands, cos>=0.4
+    }
+  }
+
   test("dedup groups: connected components collapse transitive pairs") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
