@@ -228,8 +228,19 @@ final class LakeEngine(val spark: SparkSession) {
     val insertRe = "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+)$".r
     val deleteRe = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
     val updateRe = "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
+    val ctasRe = ("(?is)^CREATE\\s+TABLE\\s+(\\w+)" +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "(?:\\s+LOCATION\\s+'([^']*)')?" +
+      "\\s+AS\\s+(SELECT.+)$").r
     import spark.implicits._
     trimmed match {
+      case ctasRe(name, specOrNull, locOrNull, select) =>
+        val spec = Option(specOrNull).toSeq
+          .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = createTableAsSelect(name, loc, spark.sql(select), spec)
+        Seq(t.read().count()).toDF("rows_inserted")
       case insertRe(name, rest) if tables.contains(name) =>
         val df = spark.sql(rest)
         val target = table(name).meta.sparkSchema.fieldNames.toSeq

@@ -40,6 +40,20 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.table("r_dml").meta.snapshots.length >= 5)
   }
 
+  test("create table as select via SQL text, with hidden partitioning") {
+    val e = LakeEngine(spark)
+    Tables.registerAll(spark, sf)
+    val n = e.sql("CREATE TABLE ev_ctas PARTITIONED BY (day(ts)) " +
+      "AS SELECT * FROM events").head.getLong(0)
+    assert(n == Tables.df(spark, sf, "events").count())
+    assert(e.table("ev_ctas").meta.partitionSpec == Seq("day(ts)"))
+    // registered + queryable + pruned through the FileIndex
+    assert(e.sql("SELECT count(*) FROM ev_ctas").head.getLong(0) == n)
+    val (kept, total) = e.table("ev_ctas").pruneStats(
+      col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+    assert(total >= 1 && kept <= total)
+  }
+
   test("csv option matrix: delimiter, no-header, quotes, gzip") {
     val e = LakeEngine(spark)
     val dir = java.nio.file.Files.createTempDirectory("csvopt")
