@@ -57,13 +57,14 @@ case class ArrayDotD(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += (double) $x.$getX($i) * (double) $y.$getY($i);
+         |  $acc += (double) $x.$getX($i) * (double) $y.$getY($i);
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }
@@ -146,6 +147,16 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
     val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
     val hs = ctx.freshName("hs")
+    // Every generated local must be freshName'd: two instances of this
+    // expression (or a sibling that also declares `i`/`n`) fused into one
+    // codegen context otherwise collide → janino "Redefinition of local
+    // variable" → silent interpreter fallback on the hot path.
+    val n = ctx.freshName("n")
+    val mins = ctx.freshName("mins")
+    val i = ctx.freshName("i")
+    val hm = ctx.freshName("hm")
+    val k = ctx.freshName("k")
+    val x = ctx.freshName("x")
     val childGen = child.genCode(ctx)
     val code =
       code"""
@@ -154,19 +165,19 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
         |ArrayData ${ev.value} = null;
         |if (!${childGen.isNull}) {
         |  ArrayData $hs = ${childGen.value};
-        |  int n = $hs.numElements();
-        |  if (n > 0) {
-        |    long[] mins = new long[$MinhashK];
-        |    java.util.Arrays.fill(mins, Long.MAX_VALUE);
-        |    for (int i = 0; i < n; i++) {
-        |      long hm = $hs.getLong(i) % ${P}L;
-        |      for (int k = 0; k < $MinhashK; k++) {
-        |        long x = ($aRef[k] * hm + $bRef[k]) % ${P}L;
-        |        if (x < mins[k]) mins[k] = x;
+        |  int $n = $hs.numElements();
+        |  if ($n > 0) {
+        |    long[] $mins = new long[$MinhashK];
+        |    java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      long $hm = $hs.getLong($i) % ${P}L;
+        |      for (int $k = 0; $k < $MinhashK; $k++) {
+        |        long $x = ($aRef[$k] * $hm + $bRef[$k]) % ${P}L;
+        |        if ($x < $mins[$k]) $mins[$k] = $x;
         |      }
         |    }
         |    ${ev.isNull} = false;
-        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mins);
+        |    ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
         |  }
         |}
       """.stripMargin
@@ -211,20 +222,28 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // freshName'd locals: fixed names collide when two instances are
+      // fused into one codegen context (janino redefinition error).
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val out = ctx.freshName("out")
       s"""
-         |int[] counts = new int[$SimhashBits];
-         |int n = $hs.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $hs.getLong(i);
-         |  for (int b = 0; b < $SimhashBits; b++) {
-         |    if (((h >> b) & 1L) == 1L) counts[b]++; else counts[b]--;
+         |int[] $counts = new int[$SimhashBits];
+         |int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $hs.getLong($i);
+         |  for (int $b = 0; $b < $SimhashBits; $b++) {
+         |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
          |  }
          |}
-         |long out = 0L;
-         |for (int b = 0; b < $SimhashBits; b++) {
-         |  if (counts[b] >= 0) out |= (1L << b);
+         |long $out = 0L;
+         |for (int $b = 0; $b < $SimhashBits; $b++) {
+         |  if ($counts[$b] >= 0) $out |= (1L << $b);
          |}
-         |${ev.value} = out;
+         |${ev.value} = $out;
        """.stripMargin
     })
 }

@@ -71,12 +71,17 @@ object Aggregates {
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin),
 
-    // string_agg with deterministic order + array_agg with order
+    // string_agg with deterministic order + array_agg with order.
+    // The ordered ARRAY_AGG is projected through ARRAY_TO_STRING on both
+    // sides: the driver's pandas comparator cannot sort a raw array
+    // column (unhashable ndarray), and the string rendering exercises
+    // identical ordered-aggregation semantics. The raw-array variant
+    // stays covered in AggregatesSpec.
     QueryDef(
       "q_agg_string_array",
       """SELECT r_regionkey,
         |  STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
-        |  ARRAY_AGG(n_nationkey ORDER BY n_nationkey) AS nation_keys
+        |  ARRAY_TO_STRING(ARRAY_AGG(n_nationkey ORDER BY n_nationkey), ',') AS nation_keys
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_regionkey
         |ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
@@ -86,7 +91,7 @@ object Aggregates {
         .groupBy("r_regionkey")
         .agg(
           concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"),
-          sort_array(collect_list(col("n_nationkey"))).as("nation_keys"))
+          array_join(sort_array(collect_list(col("n_nationkey"))), ",").as("nation_keys"))
         .orderBy("r_regionkey")
     },
 

@@ -285,15 +285,20 @@ object Functions {
           |ORDER BY o_orderkey""".stripMargin),
 
     // ---- casts (§2.7 cast list) ----
+    // v_f4 / v_num keep the FLOAT / DECIMAL casts under test but widen
+    // the result to DOUBLE: the driver's pandas comparator renders
+    // DECIMAL as decimal.Decimal('x.x0') on the Spark side but float64
+    // on the DuckDB side (trailing-zero hash drift), so green queries
+    // always surface money columns as DOUBLE.
     QueryDef.sql(
       "q_fn_cast",
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS SMALLINT) AS v_i2,
         |  CAST(l_quantity AS INT) AS v_i4,
         |  CAST(l_quantity AS BIGINT) AS v_i8,
-        |  CAST(l_quantity AS FLOAT) AS v_f4,
+        |  CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS v_f4,
         |  CAST(l_extendedprice AS DOUBLE) AS v_f8,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS v_num,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v_num,
         |  CAST(l_orderkey AS STRING) AS v_text,
         |  CAST(l_quantity > 25 AS BOOLEAN) AS v_bool,
         |  CAST(CAST(l_quantity AS INT) AS STRING) AS v_int_text,
@@ -307,9 +312,9 @@ object Functions {
           |  CAST(l_quantity AS SMALLINT) AS v_i2,
           |  CAST(l_quantity AS INT) AS v_i4,
           |  CAST(l_quantity AS BIGINT) AS v_i8,
-          |  CAST(l_quantity AS FLOAT) AS v_f4,
+          |  CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS v_f4,
           |  CAST(l_extendedprice AS DOUBLE) AS v_f8,
-          |  CAST(l_extendedprice AS DECIMAL(18,2)) AS v_num,
+          |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS v_num,
           |  CAST(l_orderkey AS VARCHAR) AS v_text,
           |  CAST(l_quantity > 25 AS BOOLEAN) AS v_bool,
           |  CAST(CAST(l_quantity AS INT) AS VARCHAR) AS v_int_text,
