@@ -55,6 +55,29 @@ object Pipeline {
          |  THEN ${1L << b} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
+  /** Hyperplane-LSH signature, dialect twin of [[Similarity.signature]]:
+    * bit i = sign(v · plane_i) with the planes rendered as double
+    * literals (Scala `Double.toString` is shortest-repr, so DuckDB
+    * parses the identical IEEE-754 value) and the dot folded
+    * left-to-right — the sign, hence the signature, matches bit-exactly.
+    */
+  private def duckSig(v: String): String =
+    PipelineParams.hyperplanes.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(_.toString).mkString("[", ",", "]")
+      s"(CASE WHEN ${duckDot(v, lit)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** True iff two signatures agree on at least one LSH band — the exact
+    * candidate rule of the banded join in [[Similarity.lshCosinePairs]]
+    * / [[Similarity.lshTopK]], written as a brute-force predicate.
+    */
+  private def duckBandMatch(a: String, b: String): String =
+    (0 until LshBands).map { j =>
+      val shift = j * LshRowsPerBand
+      val mask = (1L << LshRowsPerBand) - 1
+      s"((($a >> $shift) & $mask) = (($b >> $shift) & $mask))"
+    }.mkString("(", " OR ", ")")
+
   private def duckStopRatio(ws: String, list: Seq[String]): String =
     s"len(list_filter($ws, w -> list_contains(${duckStringList(list)}, w)))::DOUBLE / len($ws)"
 
@@ -191,6 +214,33 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- LSH-bucketed embedding near-dup: the corpus-scale path ------
+    // The oracle brute-forces the SAME candidate contract (share ≥1
+    // hyperplane-LSH band, then exact cosine ≥ τ), so the differential
+    // proves the banded join end-to-end: signature arithmetic, band
+    // keying, pair dedup, and verification. The contract itself is the
+    // honest one for cosine LSH at τ=0.45: hyperplane bits match with
+    // p = 1 − θ/π ≈ 0.65 at the threshold, so a minhash-style 1e-9
+    // zero-miss bound would need hundreds of low-entropy 4-bit bands —
+    // superquadratic candidate volume, worse than the exact join. Real
+    // engines ship tunable-recall LSH; recall vs. the exact pass is
+    // asserted in PipelineSpec, and q_dedup_embedding keeps the exact
+    // all-pairs semantics oracle-green for small corpora.
+    QueryDef(
+      "q_dedup_embedding_lsh",
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, ${duckSig("embedding")} AS sig
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |WHERE ${duckBandMatch("a.sig", "b.sig")}
+         |  AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= $CosineNearDup
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.lshCosinePairs(embs(s, dir), "vec_id", "embedding")
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- exact cosine top-k ------------------------------------------
     QueryDef(
       "q_sim_topk",
@@ -277,8 +327,26 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     },
 
-    // ---- LSH ANN (approximate — recall asserted in PipelineSpec) -----
-    QueryDef.rowsOnly("q_sim_lsh") { (s, dir) =>
+    // ---- LSH ANN top-k — oracle brute-forces the same band contract
+    // (see q_dedup_embedding_lsh): rank-by-cosine within the candidates
+    // that share ≥1 signature band with the query. Recall vs. the exact
+    // top-k is asserted separately in PipelineSpec.
+    QueryDef(
+      "q_sim_lsh",
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, ${duckSig("embedding")} AS sig
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${duckCos("q.embedding", "c.embedding")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6) DESC,
+         |               c.vec_id) AS rank
+         |  FROM sig q JOIN sig c
+         |    ON q.vec_id <> c.vec_id AND ${duckBandMatch("q.sig", "c.sig")}
+         |  WHERE q.vec_id < $NumQueryVectors) t
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.lshTopK(
           e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
