@@ -156,43 +156,68 @@ object Dedup {
     labels
   }
 
-  /** n-gram-Jaccard near-dup pairs via an exact inverted index: explode
-    * distinct shingles, self-join on the shingle (this is the candidate
-    * generator — only docs sharing ≥1 shingle ever meet), count shared
-    * shingles per pair, compute jaccard from set sizes.
-    * Output: (a_id, b_id, jaccard ≥ minJaccard).
+  /** n-gram-Jaccard near-dup pairs via PREFIX FILTERING (SSJoin /
+    * All-Pairs / PPJoin candidate rule) — provably exact AND
+    * hot-shingle-safe, so this IS the judged differential path.
     *
-    * `maxDocFreq` is the scale knob: shingles appearing in more than
-    * that many documents are dropped from the index BEFORE the
-    * self-join (a cheap map-side-combined count). The join cost is
-    * Σ df² per shingle, so capping df bounds it; a hot shingle only
-    * connects pairs whose jaccard is necessarily tiny, but the result
-    * is no longer bit-equal to brute force, so the judged differential
-    * query leaves it off.
+    * Candidate rule: order every document's distinct shingles by
+    * ascending global document frequency (ties by hash — any common
+    * total order works); index only each document's first
+    * `|d| − ⌈t·|d|⌉ + 1` shingles; candidates are pairs sharing ≥1
+    * INDEXED shingle.
+    *
+    * Zero-false-negative proof: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥
+    * ⌈t·max(|A|,|B|)⌉. Suppose A and B share no indexed shingle. Under
+    * the common total order, every shared shingle then lies in the
+    * unindexed suffix of A or of B. A's suffix has ⌈t·|A|⌉ − 1
+    * elements, so at most ⌈t·|A|⌉ − 1 shared shingles sit there; the
+    * remaining shared shingles sit in A's prefix, hence (by
+    * assumption) in B's suffix of ⌈t·|B|⌉ − 1 elements — but the last
+    * prefix element of A is ordered ≤ the last prefix element of B or
+    * vice versa, and counting along the order shows the two suffixes
+    * can absorb at most ⌈t·max(|A|,|B|)⌉ − 1 shared shingles in total
+    * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+    * ICDE'06, Lemma 1) — contradicting |A∩B| ≥ ⌈t·max(|A|,|B|)⌉.
+    *
+    * Scale posture: df-ascending ordering pushes stopword-like hot
+    * shingles into the unindexed suffixes, so the self-join's Σdf²
+    * cost is driven by RARE shingles; verification joins the full
+    * shingle sets only for the (subquadratic) candidate pairs.
+    * Output: (a_id, b_id, jaccard ≥ minJaccard) — bit-equal to brute
+    * force, which is what the DuckDB oracle computes.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double, maxDocFreq: Option[Int] = None): DataFrame = {
+      minJaccard: Double): DataFrame = {
     val sets = shingleSets(df, idCol, textCol)
     val sized = sets.withColumn("size", size(col("shingles")))
+      .filter(col("size") > 0)
     // join key = xxhash64(shingle): 8-byte codegen'd key instead of the
     // shingle text — same pair counts (collision odds ~2^-64 per pair),
     // much smaller shuffle
-    val raw = sized.select(col("id"), col("size"),
+    val toks = sized.select(col("id"), col("size"),
         explode(col("shingles")).as("__sh"))
       .select(col("id"), col("size"), xxhash64(col("__sh")).as("sh"))
-    val index = maxDocFreq match {
-      case Some(cap) =>
-        val hot = raw.groupBy("sh").count().filter(col("count") > cap)
-          .select(col("sh").as("hot_sh"))
-        raw.join(broadcast(hot), col("sh") === col("hot_sh"), "left_anti")
-      case None => raw
-    }
-
-    index.as("x").join(index.as("y"),
+    // global df per shingle (shingles are distinct within a doc, so
+    // count(*) = document frequency); map-side-combined aggregation
+    val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("sh"))
+    val prefix = toks.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("size") - ceil(lit(minJaccard) * col("size")) + 1)
+      .select("id", "sh")
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.size").as("sa"), col("y.size").as("sb"))
-      .agg(count(lit(1)).as("inter"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    // exact verification over the full shingle sets, candidates only
+    val a = sized.select(col("id").as("a_id"),
+      col("shingles").as("__shA"), col("size").as("sa"))
+    val b = sized.select(col("id").as("b_id"),
+      col("shingles").as("__shB"), col("size").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter",
+        size(array_intersect(col("__shA"), col("__shB"))))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter"))).as("jaccard"))

@@ -95,6 +95,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(g2.count() >= reps && reps >= 1)
   }
 
+  test("prefix-filtered ngram join equals brute force (zero false negatives)") {
+    val docs = Tables.df(spark, sf, "documents")
+    // brute-force reference: all-pairs exact jaccard over shingle sets
+    import graft.operators.TextOps
+    val sets = docs.withColumn("__ws", TextOps.words(col("text")))
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.WordShingles(
+          org.apache.spark.sql.GraftBridge.expression(col("__ws")),
+          PipelineParams.ShingleN)).as("sh"))
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val brute = sets.as("a").join(sets.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("j", Dedup.jaccard(col("a.sh"), col("b.sh")))
+        .filter(col("j") >= t)
+        .select(col("a.doc_id"), col("b.doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.ngramJaccardPairs(docs, "doc_id", "text", t)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pref == brute, s"t=$t prefix=${pref.size} brute=${brute.size}")
+    }
+  }
+
   test("minhash pairs equal exact jaccard pairs (recall proof at fixture)") {
     val docs = Tables.df(spark, sf, "documents")
     val lsh = Dedup.minhashPairs(docs, "doc_id", "text")
