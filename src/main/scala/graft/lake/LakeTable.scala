@@ -248,6 +248,16 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         .filterNot(p => referenced.contains(p.toString))
         .foreach(Files.delete)
     }
+    // manifests referenced by no surviving snapshot (expired snapshots,
+    // lost CAS races) — same sweep semantics as the data files above
+    val liveManifests = TableMetadata.referencedManifests(committed)
+    val metaDir = TableMetadata.metaDir(location)
+    if (Files.exists(metaDir)) {
+      Files.list(metaDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("manifest-"))
+        .filterNot(p => liveManifests.contains(p.getFileName.toString))
+        .foreach(Files.delete)
+    }
     this
   }
 

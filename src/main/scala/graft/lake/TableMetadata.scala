@@ -33,16 +33,27 @@ final case class FileEntry(
   * (docs/iceberg-tables.md:836-863); old snapshots serve time travel
   * until expired by vacuum.
   *
-  * Scale note: the file list is embedded, which is fine to O(100k)
-  * files per table; past that the list would move to Iceberg-style
-  * manifest files referenced here. The commit protocol is unchanged
-  * either way.
+  * Scale: the file list lives in immutable MANIFEST files
+  * (`_meta/manifest-*.json`, Iceberg-style — reference:
+  * pg_lake_iceberg metadata_operations.c manifest reuse); a snapshot
+  * stores only the manifest names. A commit therefore writes the
+  * entries it ADDED (one new manifest) plus a metadata.json that is
+  * O(#snapshots × #manifest-refs) — never the full file list again.
+  * In memory, [[TableMetadata.load]] hydrates `files` from the
+  * manifests (process-wide cache keyed by immutable manifest name) so
+  * every consumer keeps the simple `snapshot.files` view; on commit the
+  * serializer strips hydrated lists back to manifest references,
+  * reusing any existing manifest whose file set is still a subset of
+  * the snapshot (append reuses all of them; delete rewrites only the
+  * manifests it touched). `files` stays inline only for legacy
+  * metadata, migrated to manifests on the next commit.
   */
 final case class Snapshot(
     id: Long,
     timestampMs: Long,
     operation: String,
-    files: Seq[FileEntry])
+    files: Seq[FileEntry],
+    manifests: Seq[String] = Nil)
 
 /** One versioned column. Columns are tracked by integer field id, never
   * by name, so renames are metadata-only (reference:
@@ -173,8 +184,94 @@ object TableMetadata {
       throw new IllegalStateException(s"no lake table at $location")))
 
   private def loadVersion(location: String, v: Int): TableMetadata =
-    deserialize(new String(Files.readAllBytes(
-      metaDir(location).resolve(s"v$v.json"))))
+    hydrate(location, deserialize(new String(Files.readAllBytes(
+      metaDir(location).resolve(s"v$v.json")))))
+
+  // ---- manifest files ---------------------------------------------------
+  //
+  // A manifest is an immutable JSON array of FileEntry, named by UUID.
+  // Immutability is what makes the cache below safe and manifest reuse
+  // across snapshots free; orphans from lost CAS races are swept by
+  // expireSnapshots alongside unreferenced data files.
+
+  private final case class ManifestDoc(entries: Seq[FileEntry])
+
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[FileEntry]]
+
+  def readManifest(location: String, name: String): Seq[FileEntry] =
+    manifestCache.getOrElseUpdate((location, name),
+      mapper.readValue(
+        Files.readAllBytes(metaDir(location).resolve(name)),
+        classOf[ManifestDoc]).entries)
+
+  def writeManifest(location: String, entries: Seq[FileEntry]): String = {
+    val name = s"manifest-${java.util.UUID.randomUUID()}.json"
+    val dir = metaDir(location)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "manifest", ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(ManifestDoc(entries)))
+    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    manifestCache.put((location, name), entries)
+    name
+  }
+
+  /** In-memory view: every snapshot's `files` filled from its
+    * manifests. Jackson leaves absent Seq fields null on legacy JSON —
+    * normalized here.
+    */
+  private def hydrate(location: String, m: TableMetadata): TableMetadata =
+    m.copy(snapshots = m.snapshots.map { s =>
+      val inline = Option(s.files).getOrElse(Nil)
+      val refs = Option(s.manifests).getOrElse(Nil)
+      s.copy(files = inline ++ refs.flatMap(readManifest(location, _)),
+        manifests = refs)
+    })
+
+  /** Storage view: each snapshot's hydrated file list replaced by
+    * manifest references. Snapshots unchanged since `base` keep their
+    * manifest list verbatim; new (or legacy-inline) snapshots reuse any
+    * base manifest whose file set is a subset of theirs and write ONE
+    * new manifest for the remainder — so an append stores only the
+    * files it added, and a delete rewrites only the manifests it
+    * actually touched.
+    */
+  private def dehydrate(location: String, next: TableMetadata,
+      base: Option[TableMetadata]): TableMetadata = {
+    val baseById = base.map(_.snapshots.map(s => s.id -> s).toMap)
+      .getOrElse(Map.empty)
+    // candidate manifests for reuse: current snapshot's first (the
+    // common ancestor of every op), then the rest, deduped by name
+    val candidates: Seq[String] = base.toSeq.flatMap { b =>
+      (b.currentSnapshot.toSeq ++ b.snapshots).flatMap(_.manifests)
+    }.distinct
+    next.copy(snapshots = next.snapshots.map { s =>
+      baseById.get(s.id) match {
+        case Some(bs) if bs.manifests.nonEmpty =>
+          // existing snapshot: immutable, keep its references
+          s.copy(files = Nil, manifests = bs.manifests)
+        case _ if s.files.isEmpty =>
+          s.copy(manifests = Option(s.manifests).getOrElse(Nil))
+        case _ =>
+          val want = s.files.map(_.path).toSet
+          var covered = Set.empty[String]
+          val reused = candidates.filter { name =>
+            val paths = readManifest(location, name).map(_.path)
+            paths.nonEmpty && paths.forall(p =>
+              want.contains(p) && !covered.contains(p)) &&
+              { covered ++= paths; true }
+          }
+          val rest = s.files.filterNot(f => covered.contains(f.path))
+          val refs = reused ++
+            (if (rest.nonEmpty) Seq(writeManifest(location, rest)) else Nil)
+          s.copy(files = Nil, manifests = refs)
+      }
+    })
+  }
+
+  /** Manifest names referenced by any snapshot of `m` (for GC). */
+  def referencedManifests(m: TableMetadata): Set[String] =
+    m.snapshots.flatMap(s => Option(s.manifests).getOrElse(Nil)).toSet
 
   /** Publish `next` as exactly version `v` (base + 1). False when a
     * concurrent writer already owns `v` — caller must reload and retry.
@@ -204,7 +301,11 @@ object TableMetadata {
       val baseV = currentVersion(location)
       val cur = baseV.map(v => loadVersion(location, v))
       val next = apply(cur)
-      if (tryCommit(location, next, baseV.getOrElse(0) + 1)) return next
+      // store the manifest-split form; hand back the hydrated `next`
+      // (identical file lists — dehydrate∘hydrate is the identity on
+      // what consumers observe)
+      val stored = dehydrate(location, next, cur)
+      if (tryCommit(location, stored, baseV.getOrElse(0) + 1)) return next
       attempts += 1
       Thread.sleep(math.min(200L, 5L << math.min(attempts, 5)))
     }

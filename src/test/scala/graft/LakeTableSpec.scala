@@ -176,6 +176,54 @@ class LakeTableSpec extends AnyFunSuite {
     assert(net == t.read().count() - src.count())
   }
 
+  test("manifest-split metadata: commits are O(changed files), refs reused") {
+    val loc = freshLoc()
+    LakeTable.create(spark, loc, "big",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    // fabricate a 10k-file snapshot straight at the metadata layer (the
+    // data path is covered elsewhere; this tests commit scaling)
+    val entries = (1 to 10000).map(i => FileEntry(
+      s"$loc/data/f$i.parquet", 100L, 1000L, 1,
+      Map("1" -> ColStats(Some(i.toString), Some(i.toString), 0)), Map.empty))
+    TableMetadata.commit(loc) { curOpt =>
+      val cur = curOpt.get
+      cur.copy(snapshots = cur.snapshots :+
+        Snapshot(1, System.currentTimeMillis(), "append", entries),
+        currentSnapshotId = 1)
+    }
+    val metaDir = TableMetadata.metaDir(loc)
+    def vSize(v: Int) = java.nio.file.Files.size(metaDir.resolve(s"v$v.json"))
+    def manifests() = java.nio.file.Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSeq
+    val after10k = manifests().toSet
+    assert(after10k.size == 1, s"expected 1 manifest, got ${after10k.size}")
+    // metadata.json holds refs, not file entries
+    assert(vSize(2) < 4096, s"v2.json is ${vSize(2)}B — file list not split out")
+
+    // append ONE more file: must reuse the 10k manifest, write 1 new one
+    TableMetadata.commit(loc) { curOpt =>
+      val cur = curOpt.get
+      val one = FileEntry(s"$loc/data/extra.parquet", 1L, 10L, 1,
+        Map.empty, Map.empty)
+      cur.copy(snapshots = cur.snapshots :+
+        Snapshot(2, System.currentTimeMillis(), "append",
+          cur.currentSnapshot.get.files :+ one),
+        currentSnapshotId = 2)
+    }
+    val after1 = manifests().toSet
+    assert(after1.size == 2, s"expected 2 manifests, got ${after1.size}")
+    assert(after10k.subsetOf(after1), "base manifest was rewritten")
+    assert(vSize(3) < 4096, s"v3.json is ${vSize(3)}B")
+    val newManifest = (after1 -- after10k).head
+    assert(java.nio.file.Files.size(metaDir.resolve(newManifest)) < 1024,
+      "new manifest should carry only the added file")
+    // reload roundtrip: hydrated view sees all 10001 files
+    val m = TableMetadata.load(loc)
+    assert(m.currentSnapshot.get.files.size == 10001)
+  }
+
   test("concurrent appends both land (optimistic retry)") {
     val src = Tables.df(spark, sf, "region")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "conc", src)
