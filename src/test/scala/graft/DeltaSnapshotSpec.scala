@@ -52,12 +52,86 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     val back = DeltaSnapshot.read(spark, dir)
     assert(back.count() == src.filter(col("r_regionkey") >= 3).count())
     assert(back.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
-    assert(DeltaSnapshot.schemaOf(dir) == src.schema)
+    assert(DeltaSnapshot.schemaOf(spark, dir) == src.schema)
 
     // facade registration
     val e = LakeEngine(spark)
     e.createDeltaTable("delta_region", dir)
     assert(spark.sql("SELECT count(*) FROM delta_region").head.getLong(0) ==
       back.count())
+  }
+
+  test("checkpoint replay over a cleaned log + partition reconstruction") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("deltacp").toString
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+
+    // data files WITHOUT the partition column (delta stores it in the
+    // path / partitionValues only)
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"$dir/p=a/f1")
+    Seq((3L, "gamma")).toDF("id", "name").coalesce(1)
+      .write.parquet(s"$dir/p=b/f2")
+    def partFile(sub: String): String = {
+      val s = Files.list(Paths.get(dir, sub))
+      try sub + "/" + s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).next()
+      finally s.close()
+    }
+    val (p1, p2) = (partFile("p=a/f1"), partFile("p=b/f2"))
+
+    val tableSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("p", StringType)))
+
+    // checkpoint at version 1: metaData + the f1 add (as if versions
+    // 0..1 were compacted); versions 0..1 JSON already "cleaned" away
+    val cp = spark.sql(
+      s"""SELECT named_struct('path', '$p1',
+         |  'partitionValues', map('p', 'a'),
+         |  'size', 1L, 'modificationTime', 0L, 'dataChange', true) AS add,
+         |  CAST(NULL AS STRUCT<schemaString: STRING,
+         |    partitionColumns: ARRAY<STRING>,
+         |    configuration: MAP<STRING, STRING>>) AS metaData
+         |UNION ALL
+         |SELECT NULL,
+         |  named_struct('schemaString', '${tableSchema.json.replace("'", "''")}',
+         |    'partitionColumns', array('p'),
+         |    'configuration', map())""".stripMargin)
+    cp.coalesce(1).write.parquet(s"$logDir/cp_tmp")
+    val cpFile = {
+      val s = Files.list(Paths.get(s"$logDir/cp_tmp"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).next()
+      finally s.close()
+    }
+    Files.move(Paths.get(s"$logDir/cp_tmp/$cpFile"),
+      logDir.resolve("0" * 19 + "1.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":1,"size":2}""".getBytes)
+
+    // version 2 JSON on top: add f2 (partition p=b)
+    Files.write(logDir.resolve("0" * 19 + "2.json"),
+      (s"""{"add":{"path":"$p2","partitionValues":{"p":"b"},"size":1,"modificationTime":0,"dataChange":true}}
+          |""".stripMargin).getBytes)
+
+    val back = DeltaSnapshot.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "p"))
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, "alpha", "a"), (2L, "beta", "a"),
+      (3L, "gamma", "b")))
+
+    // a gap AFTER the checkpoint must refuse, not silently drop
+    Files.write(logDir.resolve("0" * 19 + "4.json"),
+      """{"add":{"path":"nope.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""".getBytes)
+    intercept[IllegalArgumentException] { DeltaSnapshot.read(spark, dir) }
+    Files.delete(logDir.resolve("0" * 19 + "4.json"))
+
+    // no checkpoint + log not from 0 must refuse
+    Files.delete(logDir.resolve("_last_checkpoint"))
+    intercept[IllegalArgumentException] { DeltaSnapshot.read(spark, dir) }
   }
 }
