@@ -232,38 +232,60 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   /** Expire snapshots beyond the latest `keepLast`, then delete data
     * files no retained snapshot references (deletion-queue equivalent,
     * pg_lake_engine/src/cleanup/deletion_queue.c).
+    *
+    * The live set is computed from the ON-DISK metadata, never from the
+    * hydrated value `TableMetadata.commit` returns: for a snapshot that
+    * was just migrated from an inline file list, the hydrated view has
+    * `manifests = Nil` while the committed v{N}.json references manifests
+    * dehydrate wrote during the commit — sweeping from the in-memory
+    * view would delete them and leave the table unreadable from any
+    * fresh process.
+    *
+    * `graceMs`: a concurrent writer stages its manifest and data files
+    * BEFORE its metadata CAS, so a sweep racing that window would see
+    * them as unreferenced. Files younger than the grace period are never
+    * deleted (Iceberg's orphan-file retention takes the same approach).
     */
-  def expireSnapshots(keepLast: Int = 3): LakeTable = {
-    val committed = TableMetadata.commit(location) { curOpt =>
+  def expireSnapshots(keepLast: Int = 3,
+      graceMs: Long = 10L * 60 * 1000): LakeTable = {
+    TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.get
       val keepIds = cur.snapshots.sortBy(-_.id).take(keepLast).map(_.id).toSet +
         cur.currentSnapshotId
       cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id)))
     }
-    val referenced = committed.snapshots.flatMap(_.files).map(_.path).toSet
+    val onDisk = TableMetadata.load(location)
+    val now = System.currentTimeMillis()
+    def inGrace(p: Path): Boolean =
+      graceMs > 0 &&
+        now - Files.getLastModifiedTime(p).toMillis < graceMs
+    val referenced = onDisk.snapshots.flatMap(_.files).map(_.path).toSet
     val dataDir = Paths.get(location, "data")
     if (Files.exists(dataDir)) {
       Files.walk(dataDir).iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => referenced.contains(p.toString))
+        .filterNot(inGrace)
         .foreach(Files.delete)
     }
     // manifests referenced by no surviving snapshot (expired snapshots,
     // lost CAS races) — same sweep semantics as the data files above
-    val liveManifests = TableMetadata.referencedManifests(committed)
+    val liveManifests = TableMetadata.referencedManifests(onDisk)
     val metaDir = TableMetadata.metaDir(location)
     if (Files.exists(metaDir)) {
       Files.list(metaDir).iterator().asScala
         .filter(_.getFileName.toString.startsWith("manifest-"))
         .filterNot(p => liveManifests.contains(p.getFileName.toString))
+        .filterNot(inGrace)
         .foreach(Files.delete)
     }
     this
   }
 
-  def vacuum(smallBytes: Long = 32L << 20, keepLast: Int = 3): LakeTable = {
+  def vacuum(smallBytes: Long = 32L << 20, keepLast: Int = 3,
+      graceMs: Long = 10L * 60 * 1000): LakeTable = {
     compact(smallBytes)
-    expireSnapshots(keepLast)
+    expireSnapshots(keepLast, graceMs)
   }
 
   /** Snapshot changelog (the reference's changelog test surface —

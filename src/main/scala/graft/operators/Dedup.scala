@@ -202,10 +202,16 @@ object Dedup {
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("sh"))
+    // ⌈t·size⌉ must round up EXACTLY: double arithmetic can overshoot
+    // (0.07*100 = 7.000000000000001 → ceil 8), shortening the prefix
+    // below the sound bound and silently dropping threshold-boundary
+    // pairs. A decimal literal of t's shortest representation makes the
+    // product exact, so ceil is the true mathematical ceiling.
+    val tExact = lit(java.math.BigDecimal.valueOf(minJaccard))
     val prefix = toks.join(dfreq, "sh")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
-        col("size") - ceil(lit(minJaccard) * col("size")) + 1)
+        col("size") - ceil(tExact * col("size")) + 1)
       .select("id", "sh")
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))

@@ -23,9 +23,12 @@ import scala.jdk.CollectionConverters._
   *     drop early adds, the worst failure mode, so it is refused.
   *
   * Partition columns are reconstructed from each file's
-  * `partitionValues` (Delta data files do not store them): files group
-  * by partition tuple, each group scans with the data schema plus
-  * literal partition values cast through the table schema.
+  * `partitionValues` (Delta data files do not store them): ONE scan
+  * over all live files backed by a partition-aware [[FileIndex]] whose
+  * `listFiles` returns a PartitionDirectory per partition tuple —
+  * Spark attaches the partition columns itself and pushes partition
+  * filters into the index, so a 10k-partition table still plans a
+  * single FileScan node (no per-tuple union).
   *
   * Rejected explicitly: deletion vectors, column mapping.
   */
@@ -33,10 +36,12 @@ object DeltaSnapshot {
 
   private val mapper = new ObjectMapper()
 
+  final case class AddFile(size: Long, partitionValues: Map[String, Option[String]])
+
   final case class State(
       schemaJson: String,
       partitionColumns: Seq[String],
-      files: Map[String, Map[String, Option[String]]])
+      files: Map[String, AddFile])
 
   private def requireNoDv(dv: JsonNode): Unit =
     require(dv == null || dv.isNull, "delta deletion vectors unsupported")
@@ -59,16 +64,18 @@ object DeltaSnapshot {
 
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
-    var files = Map.empty[String, Map[String, Option[String]]]
+    var files = Map.empty[String, AddFile]
 
     // ---- 1. checkpoint base state -----------------------------------
     val lastCp = logDir.resolve("_last_checkpoint")
-    val cpVersion: Option[Long] = if (Files.exists(lastCp)) {
+    val cpInfo: Option[(Long, Option[Int])] = if (Files.exists(lastCp)) {
       val node = mapper.readTree(new String(Files.readAllBytes(lastCp)))
-      Some(node.get("version").asLong())
+      val parts = Option(node.get("parts")).filterNot(_.isNull).map(_.asInt())
+      Some(node.get("version").asLong() -> parts)
     } else None
+    val cpVersion = cpInfo.map(_._1)
 
-    cpVersion.foreach { v =>
+    cpInfo.foreach { case (v, declaredParts) =>
       val prefix = f"$v%020d.checkpoint"
       val parts = {
         val s = Files.list(logDir)
@@ -79,6 +86,13 @@ object DeltaSnapshot {
       }
       require(parts.nonEmpty,
         s"_last_checkpoint names version $v but no $prefix*.parquet exists")
+      // `parts` in _last_checkpoint is the multi-part contract: a
+      // missing part file would silently drop live add-files — the same
+      // silent-wrong-scan mode the JSON contiguity checks refuse.
+      val expected = declaredParts.getOrElse(1)
+      require(parts.size == expected,
+        s"checkpoint $v declares $expected part(s) but ${parts.size} " +
+          s"$prefix*.parquet files exist — refusing a partial scan")
       val cp = spark.read.parquet(parts.map(p => s"$logDir/$p"): _*)
 
       val mdRows = cp.filter(col("metaData").isNotNull)
@@ -99,12 +113,12 @@ object DeltaSnapshot {
             col("add.deletionVector").isNotNull).isEmpty,
           "delta deletion vectors unsupported")
       val addRows = cp.filter(col("add").isNotNull)
-        .select("add.path", "add.partitionValues").collect()
+        .select("add.path", "add.size", "add.partitionValues").collect()
       files = addRows.map { r =>
-        val pv = Option(r.getMap[String, String](1))
+        val pv = Option(r.getMap[String, String](2))
           .map(_.map { case (k, x) => k -> Option(x) }.toMap)
           .getOrElse(Map.empty[String, Option[String]])
-        r.getString(0) -> pv
+        r.getString(0) -> AddFile(r.getLong(1), pv)
       }.toMap
       // live remove tombstones in the checkpoint only matter for vacuum
       // bookkeeping; a path is never simultaneously live-add and
@@ -152,8 +166,9 @@ object DeltaSnapshot {
       if (node.has("add")) {
         val add = node.get("add")
         requireNoDv(add.get("deletionVector"))
-        files += add.get("path").asText() ->
-          partValuesOf(add.get("partitionValues"))
+        files += add.get("path").asText() -> AddFile(
+          Option(add.get("size")).map(_.asLong()).getOrElse(0L),
+          partValuesOf(add.get("partitionValues")))
       }
       if (node.has("remove"))
         files -= node.get("remove").get("path").asText()
@@ -177,27 +192,92 @@ object DeltaSnapshot {
       return spark.read.schema(schema)
         .parquet(st.files.keysIterator.toSeq.sorted.map(f => s"$tableDir/$f"): _*)
 
-    // partition-column reconstruction: group by partition tuple, scan
-    // each group with the data schema, attach literal values cast
-    // through the table schema. Group count = distinct partition tuples
-    // present — the same driver-side cardinality any Delta reader holds.
+    // ONE scan for the whole table: partition values attach via the
+    // FileIndex (a PartitionDirectory per distinct tuple), the shape
+    // every serious Delta reader uses. The old per-tuple
+    // read.parquet+unionAll built a k-way union plan — at 10k
+    // partitions that's an analyzer blowup with no shared scan.
     val partSet = st.partitionColumns.toSet
+    val partSchema = StructType(st.partitionColumns.map(schema(_)))
     val dataSchema = StructType(schema.fields.filterNot(f =>
       partSet.contains(f.name)))
-    val byTuple = st.files.toSeq
-      .groupBy { case (_, pv) => st.partitionColumns.map(pv.getOrElse(_, None)) }
-    val frames = byTuple.toSeq.sortBy(_._1.mkString(" "))
-      .map { case (values, group) =>
-        val paths = group.map(_._1).sorted.map(f => s"$tableDir/$f")
-        val base = spark.read.schema(dataSchema).parquet(paths: _*)
-        st.partitionColumns.zip(values).foldLeft(base) {
-          case (df, (name, v)) =>
-            val f = schema(name)
-            df.withColumn(name,
-              v.map(s => lit(s).cast(f.dataType))
-                .getOrElse(lit(null).cast(f.dataType)))
-        }
-      }
-    frames.reduce(_ unionAll _).select(schema.fieldNames.map(col): _*)
+    val index = new DeltaFileIndex(tableDir, partSchema, st)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map.empty)(org.apache.spark.sql.GraftBridge.classicSession(spark))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      .select(schema.fieldNames.map(col): _*)
   }
+}
+
+/** FileIndex over a resolved Delta snapshot: files grouped by partition
+  * tuple, tuple values materialized as InternalRows so Spark both
+  * attaches the partition columns and prunes directories against
+  * partition filters (same contract as PartitioningAwareFileIndex).
+  */
+final class DeltaFileIndex(tableDir: String,
+    override val partitionSchema: StructType,
+    st: DeltaSnapshot.State)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+
+  import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val partCols = partitionSchema.fields.map(_.name).toSeq
+
+  /** Partition-value string → Catalyst internal value, via Cast (the
+    * Delta protocol serializes partition values as strings).
+    */
+  private def internal(v: Option[String],
+      dt: org.apache.spark.sql.types.DataType): Any =
+    v.map(s => Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Some(java.util.TimeZone.getDefault.getID)).eval(null)).orNull
+
+  private val dirs: Seq[(InternalRow, Array[FileStatus])] =
+    st.files.toSeq
+      .groupBy { case (_, add) =>
+        partCols.map(add.partitionValues.getOrElse(_, None))
+      }
+      .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("/"))
+      .map { case (tuple, group) =>
+        val row = InternalRow.fromSeq(tuple.zip(partitionSchema.fields)
+          .map { case (v, f) => internal(v, f.dataType) })
+        val statuses = group.map(_._1).sorted.map { f =>
+          new FileStatus(group.toMap.apply(f).size, false, 1, 128L << 20,
+            0L, new HPath(s"file://$tableDir/$f"))
+        }.toArray
+        row -> statuses
+      }
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(s"file://$tableDir"))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = partitionFilters.reduceOption(And) match {
+      case Some(pred) =>
+        val bound = Predicate.createInterpreted(pred.transform {
+          case a: AttributeReference =>
+            val i = partCols.indexOf(a.name)
+            BoundReference(i, partitionSchema.fields(i).dataType,
+              nullable = true)
+        })
+        dirs.filter { case (row, _) => bound.eval(row) }
+      case None => dirs
+    }
+    kept.map { case (row, statuses) => PartitionDirectory(row, statuses) }
+  }
+
+  override def inputFiles: Array[String] =
+    st.files.keysIterator.map(f => s"$tableDir/$f").toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long =
+    math.max(1L, st.files.valuesIterator.map(_.size).sum)
 }

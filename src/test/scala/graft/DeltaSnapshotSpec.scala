@@ -81,6 +81,10 @@ class DeltaSnapshotSpec extends AnyFunSuite {
       finally s.close()
     }
     val (p1, p2) = (partFile("p=a/f1"), partFile("p=b/f2"))
+    // the protocol requires add.size to be the REAL file length — the
+    // single-scan FileIndex hands it to the parquet reader as the split
+    // bound, so a lying size would truncate the scan
+    val (s1, s2) = (Files.size(Paths.get(dir, p1)), Files.size(Paths.get(dir, p2)))
 
     val tableSchema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
@@ -91,7 +95,7 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     val cp = spark.sql(
       s"""SELECT named_struct('path', '$p1',
          |  'partitionValues', map('p', 'a'),
-         |  'size', 1L, 'modificationTime', 0L, 'dataChange', true) AS add,
+         |  'size', ${s1}L, 'modificationTime', 0L, 'dataChange', true) AS add,
          |  CAST(NULL AS STRUCT<schemaString: STRING,
          |    partitionColumns: ARRAY<STRING>,
          |    configuration: MAP<STRING, STRING>>) AS metaData
@@ -114,7 +118,7 @@ class DeltaSnapshotSpec extends AnyFunSuite {
 
     // version 2 JSON on top: add f2 (partition p=b)
     Files.write(logDir.resolve("0" * 19 + "2.json"),
-      (s"""{"add":{"path":"$p2","partitionValues":{"p":"b"},"size":1,"modificationTime":0,"dataChange":true}}
+      (s"""{"add":{"path":"$p2","partitionValues":{"p":"b"},"size":$s2,"modificationTime":0,"dataChange":true}}
           |""".stripMargin).getBytes)
 
     val back = DeltaSnapshot.read(spark, dir)
@@ -123,6 +127,24 @@ class DeltaSnapshotSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(rows == Seq((1L, "alpha", "a"), (2L, "beta", "a"),
       (3L, "gamma", "b")))
+    // partition reconstruction must not cost one scan per tuple: the
+    // whole table plans as a SINGLE FileScan node
+    assert(back.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size == 1, "partitioned delta read should be one scan node")
+    // partition filters prune at the index (only p=b files survive)
+    val pruned = DeltaSnapshot.read(spark, dir).filter(col("p") === "b")
+    assert(pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.inputRDDs().map(_.partitions.length).sum <= 1)
+    assert(pruned.count() == 1)
+
+    // a declared multi-part checkpoint with a missing part must refuse
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":1,"size":2,"parts":2}""".getBytes)
+    intercept[IllegalArgumentException] { DeltaSnapshot.read(spark, dir) }
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":1,"size":2}""".getBytes)
 
     // a gap AFTER the checkpoint must refuse, not silently drop
     Files.write(logDir.resolve("0" * 19 + "4.json"),

@@ -142,7 +142,7 @@ class LakeTableSpec extends AnyFunSuite {
     val src = Tables.df(spark, sf, "region")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "gc", src)
     t.delete(col("r_regionkey") === 0) // rewrite -> old file orphaned later
-    t.expireSnapshots(keepLast = 1)
+    t.expireSnapshots(keepLast = 1, graceMs = 0L)
     val referenced = t.meta.snapshots.flatMap(_.files).map(_.path).toSet
     val onDisk = {
       val dir = java.nio.file.Paths.get(t.location, "data")
