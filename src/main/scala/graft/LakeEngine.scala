@@ -119,6 +119,24 @@ final class LakeEngine(val spark: SparkSession) {
   def exportIceberg(tableName: String): String =
     graft.lake.IcebergExport.export(table(tableName))
 
+  /** Object-store Iceberg catalog listing (the reference's
+    * `iceberg_tables` view + object_store_catalog export,
+    * object_store_catalog.c:30-45): every registered managed table with
+    * its current exported metadata.json. `export = true` (re)exports
+    * each table first, so the listing always points at the current
+    * snapshot; otherwise stale/missing exports surface as null
+    * metadata_location.
+    */
+  def icebergTables(export: Boolean = false): DataFrame = {
+    import spark.implicits._
+    tables.toSeq.sortBy(_._1).map { case (n, t) =>
+      val metaLoc =
+        if (export) Some(graft.lake.IcebergExport.export(t))
+        else graft.lake.IcebergExport.currentMetadata(t.location)
+      (n, t.location, metaLoc.orNull)
+    }.toDF("table_name", "location", "metadata_location")
+  }
+
   /** Log-format scan (`format 'log', log_format 's3'` in the reference,
     * docs/file-formats-reference.md:141-150): templated regex parse of
     * S3 access logs over a distributed text scan. Unparseable lines

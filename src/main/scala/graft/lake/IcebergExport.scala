@@ -1,7 +1,9 @@
 package graft.lake
 
 import java.io.File
-import java.nio.file.{Files, Paths}
+import java.nio.ByteBuffer
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.time.LocalDate
 import java.util.UUID
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
@@ -14,12 +16,28 @@ import org.apache.spark.sql.types._
   * [[graft.sources.IcebergSnapshot]] and the analogue of the
   * reference's catalog-export path
   * (pg_lake_iceberg/src/iceberg/write_table_metadata.c,
-  * write_manifest.c, avro/avro_writer.c). The export is unpartitioned
-  * (spec-id 0, empty partition tuple): results are identical, external
-  * engines just don't get our hidden-partition pruning. A
-  * `schema.name-mapping.default` property carries field-ids for
-  * readers that want them, since the data files were written without
-  * embedded parquet field-ids.
+  * write_manifest.c, avro/avro_writer.c).
+  *
+  * Fidelity so external engines can PRUNE, not just read:
+  *  - manifest entries carry per-file `value_counts`,
+  *    `null_value_counts`, `lower_bounds`, `upper_bounds` (Iceberg
+  *    single-value serialization, [[IcebergValues]]) straight from the
+  *    table's own file stats — the same stats the reference emits from
+  *    write_manifest.c;
+  *  - the REAL partition spec is exported (identity/temporal/bucket/
+  *    truncate mapped to Iceberg transform names, our order-preserving
+  *    temporal encodings re-encoded to the spec's epoch-relative ints)
+  *    with each file's partition tuple in the manifest, whenever every
+  *    live file maps to exactly one partition; otherwise the export
+  *    falls back to the always-correct unpartitioned spec-0;
+  *  - a `version-hint.text` is maintained next to the numbered
+  *    metadata files (HadoopTables/object-store catalog convention,
+  *    reference object_store_catalog.c:30-45) so external engines can
+  *    attach to the CURRENT version by a stable path.
+  *
+  * New data files embed parquet field-ids (LakeTable.writeData); the
+  * `schema.name-mapping.default` property still covers files written
+  * before that.
   */
 object IcebergExport {
 
@@ -40,20 +58,42 @@ object IcebergExport {
       |{"name":"deleted_rows_count","type":"long","field-id":514}
       |]}""".stripMargin)
 
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]},"field-id":2}]}""".stripMargin)
+  /** Long-keyed map fields encode as array<record{key,value}> with
+    * logicalType map — Avro maps require string keys, Iceberg's are
+    * field-id ints (spec: Appendix A, manifests).
+    */
+  private def kvMapSchema(recName: String, keyId: Int, valueId: Int,
+      valueType: String): String =
+    s"""["null",{"type":"array","items":{"type":"record","name":"$recName",
+       |"fields":[{"name":"key","type":"int","field-id":$keyId},
+       |{"name":"value","type":"$valueType","field-id":$valueId}]},
+       |"logicalType":"map"}]""".stripMargin.replaceAll("\n", "")
+
+  /** Manifest entry schema with a per-table partition record. */
+  private def entrySchema(partFields: Seq[(String, String, Int)]): Schema = {
+    val partJson = partFields.map { case (name, avroType, fieldId) =>
+      s"""{"name":"$name","type":["null","$avroType"],"default":null,""" +
+        s""""field-id":$fieldId}"""
+    }.mkString("[", ",", "]")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":{"type":"record","name":"r102","fields":$partJson},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"value_counts","type":${kvMapSchema("k119_v120", 119, 120, "long")},"default":null,"field-id":109},
+         |  {"name":"null_value_counts","type":${kvMapSchema("k121_v122", 121, 122, "long")},"default":null,"field-id":110},
+         |  {"name":"lower_bounds","type":${kvMapSchema("k126_v127", 126, 127, "bytes")},"default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":${kvMapSchema("k129_v130", 129, 130, "bytes")},"default":null,"field-id":128}
+         |]},"field-id":2}]}""".stripMargin)
+  }
 
   private def icebergType(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -71,6 +111,76 @@ object IcebergExport {
       throw new IllegalArgumentException(s"cannot export type $other")
   }
 
+  // ---- partition spec mapping -------------------------------------------
+
+  /** Avro type of a partition field's value for one of our transforms
+    * (spec: identity/truncate keep the source type; temporal + bucket
+    * are int). None = transform/source combination we can't export.
+    */
+  private def partAvroType(t: PartitionTransform,
+      src: DataType): Option[String] = t match {
+    case _: YearT | _: MonthT | _: DayT | _: HourT | _: BucketT => Some("int")
+    case _: IdentityT | _: TruncateT => src match {
+      case BooleanType => Some("boolean")
+      case ByteType | ShortType | IntegerType | DateType => Some("int")
+      case LongType | TimestampType | TimestampNTZType => Some("long")
+      case FloatType => Some("float")
+      case DoubleType => Some("double")
+      case StringType => Some("string")
+      case _ => None
+    }
+  }
+
+  private def icebergTransformName(t: PartitionTransform): String = t match {
+    case _: IdentityT => "identity"
+    case _: YearT => "year"
+    case _: MonthT => "month"
+    case _: DayT => "day"
+    case _: HourT => "hour"
+    case BucketT(n, _) => s"bucket[$n]"
+    case TruncateT(w, _) => s"truncate[$w]"
+  }
+
+  /** Our stored partition-stat string → the Iceberg transform value
+    * (our temporal encodings are order-preserving literals like
+    * 19970714; the spec wants epoch-relative ints). None when the
+    * value can't be represented.
+    */
+  private def icebergPartValue(t: PartitionTransform, stat: String,
+      src: DataType): Option[AnyRef] = t match {
+    case _: YearT => Some(Int.box(stat.toInt - 1970))
+    case _: MonthT =>
+      val v = stat.toLong
+      Some(Int.box(((v / 100 - 1970) * 12 + (v % 100 - 1)).toInt))
+    case _: DayT =>
+      val v = stat.toLong
+      Some(Int.box(LocalDate.of((v / 10000).toInt, (v / 100 % 100).toInt,
+        (v % 100).toInt).toEpochDay.toInt))
+    case _: HourT =>
+      val v = stat.toLong
+      val d = v / 100
+      val epochDay = LocalDate.of((d / 10000).toInt, (d / 100 % 100).toInt,
+        (d % 100).toInt).toEpochDay
+      Some(Int.box((epochDay * 24 + v % 100).toInt))
+    case _: BucketT => Some(Int.box(stat.toInt))
+    case TruncateT(_, _) => src match {
+      case StringType => Some(stat)
+      case LongType => Some(Long.box(stat.toLong))
+      case ByteType | ShortType | IntegerType => Some(Int.box(stat.toInt))
+      case _ => None
+    }
+    case _: IdentityT => IcebergValues.parse(stat, src) match {
+      case null => None
+      case i: Int => Some(Int.box(i))
+      case l: Long => Some(Long.box(l))
+      case b: Boolean => Some(Boolean.box(b))
+      case f: Float => Some(Float.box(f))
+      case d: Double => Some(Double.box(d))
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+  }
+
   private def writeAvro(path: String, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Long = {
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
@@ -81,36 +191,100 @@ object IcebergExport {
     Files.size(Paths.get(path))
   }
 
+  /** Build one key→value avro "map" (array of kv records). */
+  private def kvArray(schema: Schema, entries: Seq[(Int, AnyRef)]): AnyRef = {
+    val arraySchema = schema.getTypes.get(1) // ["null", array]
+    val itemSchema = arraySchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](entries.size, arraySchema)
+    entries.foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k)
+      r.put("value", v)
+      arr.add(r)
+    }
+    arr
+  }
+
   /** Write Iceberg metadata for the CURRENT snapshot under
     * `<table location>/iceberg-metadata/`; returns the metadata.json
     * path, directly consumable by IcebergSnapshot.read or external
-    * Iceberg tooling.
+    * Iceberg tooling. `version-hint.text` always names the newest
+    * export.
     */
   def export(table: LakeTable): String = {
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))
-    val schema = m.sparkSchema
     val fields = m.currentSchema.fields
+    val typesById: Map[Int, DataType] =
+      fields.map(f => f.id -> DataType.fromDDL(f.dataType)).toMap
+    val idsByName: Map[String, Int] = fields.map(f => f.name -> f.id).toMap
 
     val dir = Paths.get(table.location, "iceberg-metadata")
     Files.createDirectories(dir)
     val snapshotId = snap.id
     val seq = 1L
 
-    // manifest (one, listing every live data file)
-    val entrySchema = ManifestEntrySchema
-    val dfSchema = entrySchema.getField("data_file").schema()
+    // ---- partition spec: real when every file maps to ONE partition --
+    val transforms = m.transforms
+    val partPlan: Option[Seq[(PartitionTransform, DataType, String, Int)]] =
+      if (transforms.isEmpty) None
+      else {
+        val plan = transforms.zipWithIndex.flatMap { case (t, i) =>
+          val src = typesById(idsByName(t.column))
+          partAvroType(t, src).map(av => (t, src, av, 1000 + i))
+        }
+        val exportable = plan.size == transforms.size &&
+          snap.files.forall(fe => transforms.forall { t =>
+            fe.partStats.get(t.valueName).exists(st =>
+              st.min.isDefined && st.min == st.max)
+          })
+        if (exportable) Some(plan) else None
+      }
+
+    val partFields = partPlan.getOrElse(Nil).map { case (t, _, av, fid) =>
+      (t.valueName, av, fid)
+    }
+    val eSchema = entrySchema(partFields)
+    val dfSchema = eSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
+
     val entries = snap.files.map { fe =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", 0)
       df.put("file_path", "file://" + fe.path)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(partSchema))
+      val part = new GenericData.Record(partSchema)
+      partPlan.getOrElse(Nil).foreach { case (t, src, _, _) =>
+        val stat = fe.partStats(t.valueName).min.get
+        part.put(t.valueName, icebergPartValue(t, stat, src).orNull)
+      }
+      df.put("partition", part)
       df.put("record_count", fe.rows)
       df.put("file_size_in_bytes", fe.bytes)
-      val e = new GenericData.Record(entrySchema)
+
+      // stats: only fields whose id exists in this file's recorded
+      // stats AND in the current schema (dropped columns export no
+      // stats; files from older schema versions contribute what they
+      // have)
+      val statFields = fields.flatMap(f =>
+        fe.fieldStats.get(f.id.toString).map(f -> _))
+      df.put("value_counts", kvArray(dfSchema.getField("value_counts").schema(),
+        statFields.map { case (f, _) => f.id -> Long.box(fe.rows) }))
+      df.put("null_value_counts",
+        kvArray(dfSchema.getField("null_value_counts").schema(),
+          statFields.map { case (f, st) => f.id -> Long.box(st.nullCount) }))
+      def bounds(sel: ColStats => Option[String]): Seq[(Int, AnyRef)] =
+        statFields.flatMap { case (f, st) =>
+          sel(st).flatMap(s => IcebergValues.toBytes(s, typesById(f.id)))
+            .map(b => f.id -> ByteBuffer.wrap(b))
+        }
+      df.put("lower_bounds",
+        kvArray(dfSchema.getField("lower_bounds").schema(), bounds(_.min)))
+      df.put("upper_bounds",
+        kvArray(dfSchema.getField("upper_bounds").schema(), bounds(_.max)))
+
+      val e = new GenericData.Record(eSchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", seq)
@@ -128,10 +302,17 @@ object IcebergExport {
       s"""{"type":"struct","schema-id":0,"fields":$fs}"""
     }
 
+    val specFieldsJson = partPlan.getOrElse(Nil).map { case (t, _, _, fid) =>
+      s"""{"name":"${t.valueName}","transform":"${icebergTransformName(t)}",""" +
+        s""""source-id":${idsByName(t.column)},"field-id":$fid}"""
+    }.mkString("[", ",", "]")
+    val lastPartitionId =
+      partPlan.getOrElse(Nil).lastOption.map(_._4).getOrElse(999)
+
     val manifestPath = dir.resolve(s"manifest-$snapshotId.avro").toString
-    val manifestLen = writeAvro(manifestPath, entrySchema, entries, Map(
+    val manifestLen = writeAvro(manifestPath, eSchema, entries, Map(
       "schema" -> icebergSchemaJson,
-      "partition-spec" -> "[]",
+      "partition-spec" -> specFieldsJson,
       "partition-spec-id" -> "0",
       "format-version" -> "2",
       "content" -> "data"))
@@ -155,8 +336,8 @@ object IcebergExport {
     writeAvro(mlPath, ManifestListSchema, Seq(ml), Map(
       "format-version" -> "2"))
 
-    // name mapping: our parquet has no embedded field-ids, so give
-    // iceberg readers the name->id mapping as a table property
+    // name mapping: files written before field-id embedding carry no
+    // parquet field-ids; the mapping keeps them readable by id
     val nameMapping = fields.map(f =>
       s"""{"field-id":${f.id},"names":["${f.name}"]}""")
       .mkString("[", ",", "]")
@@ -172,9 +353,9 @@ object IcebergExport {
          |  "last-column-id": ${m.nextFieldId - 1},
          |  "schemas": [$icebergSchemaJson],
          |  "current-schema-id": 0,
-         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "partition-specs": [{"spec-id": 0, "fields": $specFieldsJson}],
          |  "default-spec-id": 0,
-         |  "last-partition-id": 999,
+         |  "last-partition-id": $lastPartitionId,
          |  "sort-orders": [{"order-id": 0, "fields": []}],
          |  "default-sort-order-id": 0,
          |  "properties": {"schema.name-mapping.default": ${
@@ -194,6 +375,22 @@ object IcebergExport {
          |}""".stripMargin
     val metaPath = dir.resolve(s"v$snapshotId.metadata.json")
     Files.write(metaPath, metadataJson.getBytes)
+    // stable attach point (HadoopTables / object-store catalog
+    // convention): version-hint.text names the current metadata file
+    val hintTmp = Files.createTempFile(dir, "hint", ".tmp")
+    Files.write(hintTmp, metaPath.getFileName.toString.getBytes)
+    Files.move(hintTmp, dir.resolve("version-hint.text"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     metaPath.toString
+  }
+
+  /** Resolve a table's current exported metadata.json via
+    * version-hint.text (the object-store catalog attach path).
+    */
+  def currentMetadata(tableLocation: String): Option[String] = {
+    val dir = Paths.get(tableLocation, "iceberg-metadata")
+    val hint = dir.resolve("version-hint.text")
+    if (!Files.exists(hint)) None
+    else Some(dir.resolve(new String(Files.readAllBytes(hint)).trim).toString)
   }
 }

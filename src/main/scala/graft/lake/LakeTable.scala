@@ -373,8 +373,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   // ------------------------------------------------------------ internals
 
   private def commitOp(op: String, props: Map[String, String] = Map.empty)(
-      nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata =
-    TableMetadata.commit(location) { curOpt =>
+      nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata = {
+    val committed = TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"table vanished at $location"))
       val snapId = cur.snapshots.map(_.id).max + 1
@@ -384,6 +384,14 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         currentSnapshotId = snapId,
         properties = cur.properties ++ props)
     }
+    // object-store catalog mode (reference object_store_catalog.c):
+    // every commit re-exports current Iceberg metadata under the stable
+    // version-hint path, so external engines always attach to the
+    // newest snapshot
+    if (committed.properties.get("iceberg.export").contains("true"))
+      IcebergExport.export(this)
+    committed
+  }
 
   /** Write `df` (current-schema rows) as parquet + collect per-file
     * stats in ONE distributed aggregation over the fresh files (the
@@ -410,13 +418,23 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
         .toDF(cur.fields.map(_.name): _*))
     // on-disk representation: intervals become the 3-field struct
-    val aligned = cur.fields.foldLeft(aligned0) { (acc, f) =>
+    val aligned1 = cur.fields.foldLeft(aligned0) { (acc, f) =>
       if (IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
         acc.withColumn(f.name, org.apache.spark.sql.GraftBridge.column(
           IntervalStorage.IntervalToStruct(
             org.apache.spark.sql.GraftBridge.expression(col(f.name)))))
       else acc
     }
+    // embed the table's field ids in the parquet footers (reference
+    // writes them the same way — pg_lake_engine/src/pgduck/
+    // write_data.c:575-656) so exported Iceberg metadata points at
+    // files external engines can project by id, not just by the
+    // name-mapping property
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val aligned = aligned1.select(cur.fields.map { f =>
+      col(f.name).as(f.name, new MetadataBuilder()
+        .putLong("parquet.field.id", f.id.toLong).build())
+    }: _*)
 
     val transforms = m.transforms
     val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)

@@ -80,10 +80,26 @@ object IcebergSnapshot {
       case other => throw new IllegalArgumentException(s"iceberg type $other")
     }
 
+  /** Top-level Iceberg fields with their ids (for stats keying). */
+  def fieldDefs(metadataPath: String): Seq[graft.lake.FieldDef] = {
+    val root = metadata(metadataPath)
+    val schemaNode =
+      if (root.has("schemas")) {
+        val cur = root.get("current-schema-id").asInt(0)
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt(-1) == cur)
+          .getOrElse(root.get("schemas").get(0))
+      } else root.get("schema")
+    schemaNode.get("fields").elements().asScala.map { f =>
+      graft.lake.FieldDef(f.get("id").asInt(), f.get("name").asText(),
+        typeOf(f.get("type")).sql, !f.get("required").asBoolean(false))
+    }.toSeq
+  }
+
   // ---- snapshot / manifest walk ---------------------------------------
 
   final case class DataFileRef(path: String, format: String, records: Long,
-      bytes: Long)
+      bytes: Long, stats: Map[String, graft.lake.ColStats] = Map.empty)
 
   private def opt(r: GenericRecord, name: String): Option[AnyRef] =
     if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
@@ -94,7 +110,31 @@ object IcebergSnapshot {
     try reader.iterator().asScala.toList finally reader.close()
   }
 
-  /** Live data files of a snapshot (default: current). */
+  /** An int-keyed manifest map (array<record{key,value}> per the spec)
+    * back to a Scala map; absent/null fields → empty.
+    */
+  private def kvMap(df: GenericRecord, name: String): Map[Int, AnyRef] =
+    opt(df, name) match {
+      case Some(arr: java.util.Collection[_]) =>
+        arr.asScala.map { kv =>
+          val r = kv.asInstanceOf[GenericRecord]
+          r.get("key").toString.toInt -> r.get("value")
+        }.toMap
+      case _ => Map.empty
+    }
+
+  private def bytesOf(v: AnyRef): Array[Byte] = v match {
+    case bb: java.nio.ByteBuffer =>
+      val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+    case a: Array[Byte] => a
+  }
+
+  /** Live data files of a snapshot (default: current), with per-file
+    * column stats decoded from value/null counts and lower/upper bounds
+    * when the manifest carries them (reference reads the same stats in
+    * read_manifest.c) — keyed by field id, in the stat-string form
+    * [[graft.lake.Pruning]] consumes.
+    */
   def dataFiles(metadataPath: String,
       snapshotId: Option[Long] = None): Seq[DataFileRef] = {
     val root = metadata(metadataPath)
@@ -103,6 +143,8 @@ object IcebergSnapshot {
       .find(_.get("snapshot-id").asLong() == wanted)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not in $metadataPath"))
+    val typesById: Map[Int, DataType] = fieldDefs(metadataPath)
+      .map(f => f.id -> DataType.fromDDL(f.dataType)).toMap
 
     val manifests: Seq[String] =
       if (snap.has("manifest-list"))
@@ -120,11 +162,29 @@ object IcebergSnapshot {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
           if (content != 0) None // position/equality deletes unsupported
-          else Some(DataFileRef(
-            df.get("file_path").toString,
-            df.get("file_format").toString.toUpperCase,
-            df.get("record_count").toString.toLong,
-            opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L)))
+          else {
+            val nulls = kvMap(df, "null_value_counts")
+              .map { case (k, v) => k -> v.toString.toLong }
+            val lower = kvMap(df, "lower_bounds")
+            val upper = kvMap(df, "upper_bounds")
+            def bound(m: Map[Int, AnyRef], id: Int): Option[String] =
+              m.get(id).flatMap(v => typesById.get(id).flatMap(dt =>
+                graft.lake.IcebergValues.fromBytes(bytesOf(v), dt)))
+            val ids = nulls.keySet ++ lower.keySet ++ upper.keySet
+            val stats = ids.map { id =>
+              // -1 null count = "unknown": Pruning then never takes a
+              // null-count-dependent decision (no false Skip on IS NULL)
+              id.toString -> graft.lake.ColStats(
+                bound(lower, id), bound(upper, id),
+                nulls.getOrElse(id, -1L))
+            }.toMap
+            Some(DataFileRef(
+              df.get("file_path").toString,
+              df.get("file_format").toString.toUpperCase,
+              df.get("record_count").toString.toLong,
+              opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
+              stats))
+          }
         }
       }
     }
@@ -138,7 +198,13 @@ object IcebergSnapshot {
       .toDF("file_path", "file_format", "record_count", "file_size_in_bytes")
   }
 
-  /** Scan an external Iceberg snapshot as a DataFrame. */
+  /** Scan an external Iceberg snapshot as a DataFrame. When the
+    * manifests carry bounds/null counts, the scan goes through the same
+    * stats-pruning FileIndex managed tables use
+    * ([[graft.lake.LakeFileIndex]]) — query predicates skip data files
+    * from exported bounds exactly as the reference prunes external
+    * Iceberg scans (data_file_pruning.c over read_manifest.c stats).
+    */
   def read(spark: SparkSession, metadataPath: String,
       snapshotId: Option[Long] = None): DataFrame = {
     val schema = schemaOf(metadataPath)
@@ -146,8 +212,19 @@ object IcebergSnapshot {
     require(fs.forall(_.format == "PARQUET"),
       s"non-parquet data files: ${fs.filter(_.format != "PARQUET").map(_.path)}")
     if (fs.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    else spark.read.schema(schema).parquet(fs.map(f => localPath(f.path)): _*)
+    if (fs.forall(_.stats.isEmpty))
+      return spark.read.schema(schema).parquet(fs.map(f => localPath(f.path)): _*)
+
+    import graft.lake.{FileEntry, LakeFileIndex, SchemaVersion, Snapshot, TableMetadata}
+    val defs = fieldDefs(metadataPath)
+    val entries = fs.map(f => FileEntry(localPath(f.path), f.records,
+      f.bytes, 1, f.stats, Map.empty))
+    val synthetic = TableMetadata(metadataPath, 2,
+      Seq(SchemaVersion(1, defs)), 1, Nil,
+      Seq(Snapshot(0L, 0L, "import", entries)), 0L,
+      defs.map(_.id).max + 1)
+    LakeFileIndex.relation(spark, synthetic)
   }
 }

@@ -52,4 +52,114 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampNTZType)
   }
+
+  test("exported bounds let an external engine prune data files") {
+    val src = Tables.df(spark, sf, "orders").orderBy("o_orderkey")
+    val t = LakeTable.createAsSelect(spark, LakeEngine.tempLocation("ice4"),
+      "orders_bounds", src, targetFiles = Some(4))
+    val metaPath = IcebergExport.export(t)
+
+    // the foreign engine here is our own external-snapshot reader: its
+    // only knowledge is the exported metadata, so files skipped proves
+    // the manifests carry usable lower/upper bounds
+    val maxKey = src.agg(max("o_orderkey")).head.getLong(0)
+    val pruned = IcebergSnapshot.read(spark, metaPath)
+      .filter(col("o_orderkey") > lit(maxKey - 5))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val expect = src.filter(col("o_orderkey") > maxKey - 5).count()
+    // collect() drives pruned's OWN query execution, so the captured
+    // scan node's metrics are the ones that ran
+    assert(pruned.collect().length == expect)
+    assert(scan.metrics("numFiles").value < 4,
+      s"expected bounds pruning, scanned ${scan.metrics("numFiles").value} files")
+
+    // null counts survive the roundtrip: IS NOT NULL prunes nothing but
+    // stays correct, IS NULL on a non-null column still scans all rows
+    assert(IcebergSnapshot.read(spark, metaPath)
+      .filter(col("o_orderstatus").isNotNull).count() == src.count())
+  }
+
+  test("partitioned export carries the real spec and partition tuples") {
+    val src = Tables.df(spark, sf, "events")
+    // default fanout = one file per partition tuple, the exportable
+    // shape; a targetFiles cap that packs several days into one file
+    // correctly falls back to spec-0 (covered by the test above)
+    val t = LakeTable.createAsSelect(spark, LakeEngine.tempLocation("ice5"),
+      "events_spec", src, partitionSpec = Seq("day(ts)"))
+    val metaPath = IcebergExport.export(t)
+
+    val root = IcebergSnapshot.metadata(metaPath)
+    val spec = root.get("partition-specs").get(0).get("fields")
+    assert(spec.size() == 1)
+    assert(spec.get(0).get("transform").asText() == "day")
+    assert(spec.get(0).get("field-id").asInt() == 1000)
+    val tsId = IcebergSnapshot.fieldDefs(metaPath)
+      .find(_.name == "ts").get.id
+    assert(spec.get(0).get("source-id").asInt() == tsId)
+
+    // partition tuple sanity: manifest day values are epoch days, one
+    // per file, within the fixture's date range
+    import scala.jdk.CollectionConverters._
+    val mlPath = root.get("snapshots").get(0).get("manifest-list").asText()
+    val manifest = {
+      val rdr = org.apache.avro.file.DataFileReader.openReader(
+        new java.io.File(mlPath.stripPrefix("file://")),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try rdr.iterator().asScala.next().get("manifest_path").toString
+      finally rdr.close()
+    }
+    val entries = {
+      val rdr = org.apache.avro.file.DataFileReader.openReader(
+        new java.io.File(manifest.stripPrefix("file://")),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try rdr.iterator().asScala.toList finally rdr.close()
+    }
+    val days = entries.map(_.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("ts__day").asInstanceOf[Int])
+    val (lo, hi) = (src.agg(min(to_date(col("ts")))).head.getDate(0),
+      src.agg(max(to_date(col("ts")))).head.getDate(0))
+    days.foreach { d =>
+      assert(d >= lo.toLocalDate.toEpochDay && d <= hi.toLocalDate.toEpochDay,
+        s"day partition value $d outside fixture range")
+    }
+  }
+
+  test("object-store catalog: listing + version-hint attach roundtrip") {
+    val e = LakeEngine(spark)
+    val r = Tables.df(spark, sf, "region")
+    val n = Tables.df(spark, sf, "nation")
+    val rt = e.createTableAsSelect("cat_region",
+      LakeEngine.tempLocation("cat1"), r)
+    e.createTableAsSelect("cat_nation", LakeEngine.tempLocation("cat2"), n)
+
+    val listing = e.icebergTables(export = true).collect()
+      .map(row => row.getString(0) -> row.getString(2)).toMap
+    assert(listing.keySet.contains("cat_region") &&
+      listing.keySet.contains("cat_nation"))
+
+    // attach by catalog listing, as a foreign engine would
+    listing.foreach { case (name, metaLoc) =>
+      assert(metaLoc != null)
+      val back = IcebergSnapshot.read(spark, metaLoc)
+      val orig = if (name == "cat_region") r else n
+      assert(back.count() == orig.count())
+    }
+
+    // the auto-export property keeps version-hint current across DML
+    val loc3 = LakeEngine.tempLocation("cat3")
+    val t3 = LakeTable.createAsSelect(spark, loc3, "cat_auto", r,
+      properties = Map("iceberg.export" -> "true"))
+    val hint1 = graft.lake.IcebergExport.currentMetadata(loc3)
+    t3.delete(col("r_regionkey") === 0)
+    val hint2 = graft.lake.IcebergExport.currentMetadata(loc3)
+    assert(hint1.isDefined && hint2.isDefined && hint1 != hint2,
+      "commit did not advance the exported catalog pointer")
+    assert(IcebergSnapshot.read(spark, hint2.get).count() == r.count() - 1)
+  }
 }
