@@ -161,7 +161,7 @@ object IcebergSnapshot {
         else {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
-          if (content != 0) None // position/equality deletes unsupported
+          if (content != 0) None // delete files live in delete manifests
           else {
             val nulls = kvMap(df, "null_value_counts")
               .map { case (k, v) => k -> v.toString.toLong }
@@ -184,6 +184,42 @@ object IcebergSnapshot {
               df.get("record_count").toString.toLong,
               opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
               stats))
+          }
+        }
+      }
+    }
+  }
+
+  /** Position-delete files of a snapshot (v2 merge-on-read, spec:
+    * delete manifests have manifest-list `content = 1`; their entries'
+    * `data_file.content` is 1 for position deletes, 2 for equality
+    * deletes — the reference reads both in read_manifest.c:1-674; we
+    * read position deletes and refuse equality deletes loudly).
+    */
+  def positionDeleteFiles(metadataPath: String,
+      snapshotId: Option[Long] = None): Seq[String] = {
+    val root = metadata(metadataPath)
+    val wanted = snapshotId.getOrElse(root.get("current-snapshot-id").asLong())
+    val snap = root.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == wanted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $wanted not in $metadataPath"))
+    if (!snap.has("manifest-list")) return Nil // v1: no delete manifests
+    val deleteManifests = readAvro(snap.get("manifest-list").asText())
+      .filter(m => opt(m, "content").exists(_.toString == "1"))
+      .map(_.get("manifest_path").toString)
+    deleteManifests.flatMap { mPath =>
+      readAvro(mPath).flatMap { entry =>
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          opt(df, "content").map(_.toString.toInt).getOrElse(0) match {
+            case 1 => Some(df.get("file_path").toString)
+            case 2 => throw new UnsupportedOperationException(
+              s"equality delete files unsupported ($mPath)")
+            case other => throw new IllegalStateException(
+              s"unexpected content=$other in delete manifest $mPath")
           }
         }
       }
@@ -214,17 +250,54 @@ object IcebergSnapshot {
     if (fs.isEmpty)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    if (fs.forall(_.stats.isEmpty))
-      return spark.read.schema(schema).parquet(fs.map(f => localPath(f.path)): _*)
 
-    import graft.lake.{FileEntry, LakeFileIndex, SchemaVersion, Snapshot, TableMetadata}
-    val defs = fieldDefs(metadataPath)
-    val entries = fs.map(f => FileEntry(localPath(f.path), f.records,
-      f.bytes, 1, f.stats, Map.empty))
-    val synthetic = TableMetadata(metadataPath, 2,
-      Seq(SchemaVersion(1, defs)), 1, Nil,
-      Seq(Snapshot(0L, 0L, "import", entries)), 0L,
-      defs.map(_.id).max + 1)
-    LakeFileIndex.relation(spark, synthetic)
+    val base =
+      if (fs.forall(_.stats.isEmpty))
+        spark.read.schema(schema).parquet(fs.map(f => localPath(f.path)): _*)
+      else {
+        import graft.lake.{FileEntry, LakeFileIndex, SchemaVersion, Snapshot, TableMetadata}
+        val defs = fieldDefs(metadataPath)
+        val entries = fs.map(f => FileEntry(localPath(f.path), f.records,
+          f.bytes, 1, f.stats, Map.empty))
+        val synthetic = TableMetadata(metadataPath, 2,
+          Seq(SchemaVersion(1, defs)), 1, Nil,
+          Seq(Snapshot(0L, 0L, "import", entries)), 0L,
+          defs.map(_.id).max + 1)
+        LakeFileIndex.relation(spark, synthetic)
+      }
+
+    val deletes = positionDeleteFiles(metadataPath, snapshotId)
+    if (deletes.isEmpty) base
+    else applyPositionDeletes(spark, base, deletes, schema)
+  }
+
+  /** v2 merge-on-read: anti-join the scan against its position-delete
+    * files on (data file path, row position). Spark's parquet metadata
+    * columns supply both sides of the key with zero extra I/O
+    * (`_metadata.file_path` / `_metadata.row_index`), so this is one
+    * distributed hash anti-join — no per-file bitmap materialization on
+    * the driver, which is what keeps it viable when a 100 TB table
+    * carries millions of delete rows. AQE broadcasts the delete side
+    * when it is small (the common case).
+    */
+  private def applyPositionDeletes(spark: SparkSession, base: DataFrame,
+      deleteFiles: Seq[String], schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // spec stores full URIs; the scan's _metadata.file_path is the
+    // filesystem's canonical URI — normalize the scheme prefix so
+    // file:/x, file:///x and /x all compare equal
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val dels = spark.read.parquet(deleteFiles.map(localPath): _*)
+      .select(norm(col("file_path")).as("__del_file"),
+        col("pos").cast("long").as("__del_pos"))
+    val withPos = base
+      .withColumn("__file", norm(col("_metadata.file_path")))
+      .withColumn("__pos", col("_metadata.row_index"))
+    withPos.join(dels,
+        withPos("__file") === dels("__del_file") &&
+          withPos("__pos") === dels("__del_pos"),
+        "left_anti")
+      .select(schema.fieldNames.map(col): _*)
   }
 }

@@ -130,6 +130,118 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 position deletes apply; equality deletes refuse loudly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import scala.jdk.CollectionConverters._
+
+    val src = Tables.df(spark, sf, "nation")
+    val t = LakeTable.createAsSelect(spark, LakeEngine.tempLocation("icedel"),
+      "nation_del", src, targetFiles = Some(2))
+    val metaPath = IcebergExport.export(t)
+    val metaDir = Paths.get(metaPath).getParent
+
+    // the row being deleted: position 0 of the first data file
+    val victimFile = IcebergSnapshot.files(spark, metaPath)
+      .orderBy("file_path").head.getString(0)
+    val victimKey = spark.read
+      .parquet(victimFile.stripPrefix("file://"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(col("__pos") === 0).head
+      .getAs[Number]("n_nationkey").longValue()
+
+    // position-delete parquet per spec: (file_path, pos)
+    import spark.implicits._
+    val delDataDir = Files.createTempDirectory("posdel").toString + "/d"
+    Seq((victimFile, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(delDataDir)
+    val delParquet = Files.list(Paths.get(delDataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).next()
+
+    // delete manifest (data_file.content = 1)
+    val delEntrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def writeDeleteManifest(path: String, content: Int): Long = {
+      val df = new GenericData.Record(
+        delEntrySchema.getField("data_file").schema())
+      df.put("content", content)
+      df.put("file_path", "file://" + delParquet)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 1L)
+      df.put("file_size_in_bytes", Files.size(Paths.get(delParquet)))
+      val e = new GenericData.Record(delEntrySchema)
+      e.put("status", 1)
+      e.put("data_file", df)
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](delEntrySchema))
+      w.create(delEntrySchema, new java.io.File(path))
+      w.append(e)
+      w.close()
+      Files.size(Paths.get(path))
+    }
+
+    // splice a content=1 row into a copy of the manifest list, then a
+    // metadata.json pointing at it — exactly what a foreign writer's
+    // merge-on-read commit produces
+    def spliceMetadata(tag: String, deleteContent: Int): String = {
+      val delManifest = metaDir.resolve(s"delete-m-$tag.avro").toString
+      val delLen = writeDeleteManifest(delManifest, deleteContent)
+      val root = IcebergSnapshot.metadata(metaPath)
+      val mlPath = root.get("snapshots").get(0).get("manifest-list").asText()
+        .stripPrefix("file://")
+      val rdr = DataFileReader.openReader(new java.io.File(mlPath),
+        new GenericDatumReader[GenericRecord]())
+      val mlSchema = rdr.getSchema
+      val rows = rdr.iterator().asScala.toList
+      rdr.close()
+      val delRow = new GenericData.Record(mlSchema)
+      delRow.put("manifest_path", "file://" + delManifest)
+      delRow.put("manifest_length", delLen)
+      delRow.put("partition_spec_id", 0)
+      delRow.put("content", 1)
+      delRow.put("sequence_number", 2L)
+      delRow.put("min_sequence_number", 2L)
+      delRow.put("added_snapshot_id",
+        root.get("current-snapshot-id").asLong())
+      delRow.put("added_files_count", 1)
+      delRow.put("existing_files_count", 0)
+      delRow.put("deleted_files_count", 0)
+      delRow.put("added_rows_count", 1L)
+      delRow.put("existing_rows_count", 0L)
+      delRow.put("deleted_rows_count", 0L)
+      val newMl = metaDir.resolve(s"snap-del-$tag.avro").toString
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mlSchema))
+      w.create(mlSchema, new java.io.File(newMl))
+      (rows :+ delRow).foreach(w.append)
+      w.close()
+      val newMeta = metaDir.resolve(s"vdel-$tag.metadata.json")
+      Files.write(newMeta, new String(Files.readAllBytes(Paths.get(metaPath)))
+        .replace(mlPath, newMl).getBytes)
+      newMeta.toString
+    }
+
+    val posMeta = spliceMetadata("pos", deleteContent = 1)
+    val back = IcebergSnapshot.read(spark, posMeta)
+    assert(back.count() == src.count() - 1)
+    assert(back.filter(col("n_nationkey") === victimKey).isEmpty,
+      s"row $victimKey at position 0 should be deleted")
+    assert(back.exceptAll(src.filter(col("n_nationkey") =!= victimKey))
+      .isEmpty)
+
+    val eqMeta = spliceMetadata("eq", deleteContent = 2)
+    intercept[UnsupportedOperationException] {
+      IcebergSnapshot.read(spark, eqMeta).count()
+    }
+  }
+
   test("object-store catalog: listing + version-hint attach roundtrip") {
     val e = LakeEngine(spark)
     val r = Tables.df(spark, sf, "region")
