@@ -66,31 +66,106 @@ final class LakeEngine(val spark: SparkSession) {
     * Spark's readers infer natively). Wildcards work via Hadoop globs;
     * `filename=true` adds the source-file column
     * (docs/query-data-lake-files.md:84-95).
+    *
+    * CSV dialect (header/delimiter/quote/escape) is auto-detected when
+    * not given, like the reference (docs/file-formats-reference.md:51;
+    * options normalized as in csv_options.c); an explicit
+    * `columns = "name type, ..."` option (PG type names accepted)
+    * fixes the schema without inference, and a headerless file without
+    * declared columns surfaces as column0..columnN.
     */
   def createLakeTable(name: String, path: String,
       format: Option[String] = None,
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
       filenameColumn: Boolean = false): DataFrame = {
-    val fmt = format.getOrElse(inferFormat(path))
-    var reader = spark.read.options(options)
-    schema.foreach(s => reader = reader.schema(s))
-    val base = fmt match {
-      case "parquet" => reader.parquet(path)
-      case "csv" =>
-        reader.option("header",
-          options.getOrElse("header", "true")) // sniffed default: headered
-          .option("inferSchema", options.getOrElse("inferSchema",
-            schema.isEmpty.toString))
-          .csv(path)
-      case "json" => reader.json(path)
-      case other =>
-        throw new IllegalArgumentException(s"unsupported format $other")
-    }
+    val base = foreignFrame(path, format, options, schema)
     val df = if (filenameColumn) base.withColumn("filename", input_file_name())
     else base
     df.createOrReplaceTempView(name)
     df
+  }
+
+  private def foreignFrame(path: String, format: Option[String],
+      options: Map[String, String],
+      schema: Option[StructType]): DataFrame = {
+    val fmt = format.getOrElse(inferFormat(path))
+    val declared = schema.orElse(options.get("columns").map(parseColumns))
+    var reader = spark.read.options(options - "columns")
+    declared.foreach(s => reader = reader.schema(s))
+    fmt match {
+      case "parquet" => reader.parquet(path)
+      case "csv" =>
+        val dialectKeys = Seq("header", "delimiter", "sep", "quote", "escape")
+        val sniffed =
+          if (dialectKeys.forall(options.contains)) None
+          else Some(sources.CsvSniffer.sniff(path,
+            spark.sparkContext.hadoopConfiguration))
+        val header = options.getOrElse("header",
+          sniffed.map(_.header.toString).getOrElse("true"))
+        val df0 = reader
+          .option("header", header)
+          .option("sep", options.getOrElse("delimiter",
+            options.getOrElse("sep", sniffed.map(_.delimiter).getOrElse(","))))
+          .option("quote", options.getOrElse("quote",
+            sniffed.map(_.quote).getOrElse("\"")))
+          .option("escape", options.getOrElse("escape",
+            sniffed.map(_.escape).getOrElse("\"")))
+          .option("inferSchema", options.getOrElse("inferSchema",
+            declared.isEmpty.toString))
+          .csv(path)
+        // headerless + undeclared: stable generated names, the
+        // column0..columnN surface the reference exposes
+        if (header == "false" && declared.isEmpty)
+          df0.toDF(df0.columns.indices.map(i => s"column$i"): _*)
+        else df0
+      case "json" => reader.json(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format $other")
+    }
+  }
+
+  /** `columns = "a int4, b text, ..."` → StructType (PG names map to
+    * the SURVEY §1.2 storage conventions).
+    */
+  private def parseColumns(spec: String): StructType = {
+    val fields = splitTopLevel(spec).map(_.trim).filter(_.nonEmpty).map { c =>
+      val Array(n, t) = c.split("\\s+", 2)
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(t)))
+    }
+    StructType(fields)
+  }
+
+  private def pgTypeName(t: String): String = t.trim.toLowerCase match {
+    case "text" | "varchar" | "char" | "bpchar" | "name" => "string"
+    case "int2" | "smallint" => "smallint"
+    case "int4" | "int" | "integer" => "int"
+    case "int8" | "bigint" => "bigint"
+    case "float4" | "real" => "float"
+    case "float8" | "double precision" => "double"
+    case "bool" | "boolean" => "boolean"
+    case "timestamp" | "timestamp without time zone" => "timestamp_ntz"
+    case "timestamptz" | "timestamp with time zone" => "timestamp"
+    case s if s.startsWith("numeric") => s.replace("numeric", "decimal")
+    case other => other // already Spark DDL
+  }
+
+  /** Schema-inference DDL for MANAGED tables — the reference's
+    * `create table t () using iceberg with (definition_from/load_from =
+    * url)` (pg_lake_table/src/ddl/create_table.c:91,
+    * describe/describe.c:327): infer a typed schema from the file
+    * (parquet footer / CSV sniff / JSON sample), create the
+    * transactional table, and with `load = true` also load the file's
+    * rows in the same command.
+    */
+  def createTableFrom(name: String, location: String, url: String,
+      load: Boolean = true, format: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Nil): LakeTable = {
+    val src = foreignFrame(url, format, options, None)
+    if (load) createTableAsSelect(name, location, src, partitionBy)
+    else createTable(name, location, src.schema, partitionBy)
   }
 
   /** Delta table as a foreign table (reference `delta_scan`, opt-in —
@@ -208,8 +283,18 @@ final class LakeEngine(val spark: SparkSession) {
     codec.foreach(c => w = w.option("compression", c))
     fmt match {
       case "parquet" => w.parquet(url)
-      case "csv" => w.option("header",
-        options.getOrElse("header", "true")).csv(url)
+      case "csv" => w
+        .option("header", options.getOrElse("header", "true"))
+        // PG COPY csv conventions (reference csv_writer.c follows
+        // PostgreSQL): embedded quotes escape by DOUBLING the quote
+        // char, not backslash (Spark's default); null → empty field,
+        // empty string → quoted ""
+        .option("quote", options.getOrElse("quote", "\""))
+        .option("escape", options.getOrElse("escape",
+          options.getOrElse("quote", "\"")))
+        .option("nullValue", options.getOrElse("nullValue", ""))
+        .option("emptyValue", options.getOrElse("emptyValue", "\"\""))
+        .csv(url)
       case "json" => w.json(url)
     }
   }
@@ -250,8 +335,24 @@ final class LakeEngine(val spark: SparkSession) {
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "(?:\\s+LOCATION\\s+'([^']*)')?" +
       "\\s+AS\\s+(SELECT.+)$").r
+    // reference DDL: create table t () using iceberg with (load_from=…)
+    val createFromRe = ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*(?:\\(\\s*\\))?" +
+      "(?:\\s+USING\\s+\\w+)?" +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "(?:\\s+LOCATION\\s+'([^']*)')?" +
+      "\\s+WITH\\s*\\(\\s*(load_from|definition_from)\\s*=\\s*" +
+      "'([^']+)'\\s*\\)\\s*;?\\s*$").r
     import spark.implicits._
     trimmed match {
+      case createFromRe(name, specOrNull, locOrNull, mode, url) =>
+        val spec = Option(specOrNull).toSeq
+          .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = createTableFrom(name, loc, url,
+          load = mode.equalsIgnoreCase("load_from"), partitionBy = spec)
+        register(name, t)
+        Seq(t.read().count()).toDF("rows_loaded")
       case ctasRe(name, specOrNull, locOrNull, select) =>
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)

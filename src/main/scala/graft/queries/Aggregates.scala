@@ -71,6 +71,36 @@ object Aggregates {
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin),
 
+    // approx percentile — the 100×-viable path: a mergeable sketch
+    // (constant memory per group) instead of exact percentile's
+    // buffer-all-values sort. The differential is tolerance-checked:
+    // each engine asserts ITS OWN sketch lands inside its own exact
+    // [p40,p60] band, so the compared rows are deterministic booleans
+    // while raw sketch outputs (different algorithms) never need to
+    // match bit-for-bit.
+    QueryDef.sql(
+      "q_agg_percentile_approx",
+      """SELECT l_linestatus,
+        |  (approx_percentile(l_quantity, 0.5)
+        |     BETWEEN PERCENTILE_CONT(0.40) WITHIN GROUP (ORDER BY l_quantity)
+        |         AND PERCENTILE_CONT(0.60) WITHIN GROUP (ORDER BY l_quantity)) AS median_in_band,
+        |  (approx_percentile(l_extendedprice, 0.9)
+        |     BETWEEN PERCENTILE_CONT(0.85) WITHIN GROUP (ORDER BY l_extendedprice)
+        |         AND PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice)) AS p90_in_band
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+      oracle = """SELECT l_linestatus,
+        |  (approx_quantile(l_quantity, 0.5)
+        |     BETWEEN PERCENTILE_CONT(0.40) WITHIN GROUP (ORDER BY l_quantity)
+        |         AND PERCENTILE_CONT(0.60) WITHIN GROUP (ORDER BY l_quantity)) AS median_in_band,
+        |  (approx_quantile(l_extendedprice, 0.9)
+        |     BETWEEN PERCENTILE_CONT(0.85) WITHIN GROUP (ORDER BY l_extendedprice)
+        |         AND PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice)) AS p90_in_band
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin),
+
     // string_agg with deterministic order + array_agg with order.
     // The ordered ARRAY_AGG is projected through ARRAY_TO_STRING on both
     // sides: the driver's pandas comparator cannot sort a raw array

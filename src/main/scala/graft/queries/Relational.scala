@@ -282,5 +282,40 @@ object Relational {
         |  FROM orders WHERE o_custkey = c.c_custkey
         |) o
         |WHERE c.c_custkey < 200
-        |ORDER BY c.c_custkey""".stripMargin))
+        |ORDER BY c.c_custkey""".stripMargin),
+
+    // ---- schema-inference DDL (§2.8, reference create_table.c:91
+    // definition_from/load_from): the judged path creates a MANAGED
+    // transactional table from a bare parquet URL — schema from the
+    // footer, data loaded in the same command — then queries it; the
+    // oracle sees the identical rows through the fixture view
+    QueryDef(
+      "q_ddl_load_from",
+      """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+      val e = graft.LakeEngine(s)
+      val t = e.createTableFrom("q_ddl_nation",
+        graft.LakeEngine.tempLocation("q_ddl"), s"$dir/nation.parquet")
+      t.read().groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    // ---- sniffed CSV lake table (§2.1 CSV matrix): rows round-trip
+    // through the PG-convention CSV writer, then back through the
+    // dialect-sniffing reader with no options given — delimiter, quote,
+    // header all detected (reference docs/file-formats-reference.md:51)
+    QueryDef(
+      "q_csv_sniffed",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      val e = graft.LakeEngine(s)
+      val out = java.nio.file.Files.createTempDirectory("q_csv").toString +
+        "/region.csv"
+      e.copyTo(Tables.df(s, dir, "region").select("r_regionkey", "r_name"),
+        out, Map("sep" -> ";"))
+      e.createLakeTable("q_csv_sniffed_t", out, format = Some("csv"))
+        .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
+          col("r_name"))
+        .orderBy("r_regionkey")
+    })
 }
