@@ -299,16 +299,20 @@ final class LakeEngine(val spark: SparkSession) {
     }
   }
 
-  /** `COPY table FROM 'url'` — append files into a managed table. */
+  /** `COPY table FROM 'url'` — append files into a managed table. The
+    * row count rides the append's write job as an observed metric, so
+    * the source is scanned once, not count()+append.
+    */
   def copyFrom(tableName: String, url: String,
       options: Map[String, String] = Map.empty): Long = {
     val t = table(tableName)
     val src = createLakeTable(s"__copy_src_$tableName", url,
       schema = Some(t.meta.sparkSchema), options = options)
-    val n = src.count()
-    t.append(src)
+    val obs = new org.apache.spark.sql.Observation()
+    t.append(src.observe(obs, count(lit(1)).as("n")))
     refresh(tableName)
-    n
+    obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
   }
 
   private def compressionOf(url: String): Option[String] = {

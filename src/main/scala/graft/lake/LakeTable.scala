@@ -196,19 +196,34 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val candidates = classified.collect { case (f, d) if d != Pruning.Skip => f }
     if (candidates.isEmpty) return 0L
 
-    val src = readFiles(m, candidates)
-    val updatedCount = src.filter(coalesce(pred, lit(false))).count()
-    val updatedDf = assignments.foldLeft(src) { case (acc, (name, value)) =>
-      acc.withColumn(name,
-        when(coalesce(pred, lit(false)), value).otherwise(col(name)))
+    // the matched-row count rides the rewrite job as an observed
+    // metric — candidate files are scanned ONCE, not count()+rewrite
+    val obs = new org.apache.spark.sql.Observation()
+    val src = readFiles(m, candidates).observe(obs,
+      sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("n"))
+    val updatedDf = assignments.foldLeft(src: DataFrame) {
+      case (acc, (name, value)) =>
+        acc.withColumn(name,
+          when(coalesce(pred, lit(false)), value).otherwise(col(name)))
     }
     val entries = writeData(m, updatedDf, None)
     commitOp("update")(_ => untouched ++ entries)
-    updatedCount
+    obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
   }
 
   /** Metadata-only truncate (postgresExecForeignTruncate equivalent). */
   def truncate(): LakeTable = { commitOp("truncate")(_ => Nil); this }
+
+  /** Replace the table's contents with `df` in ONE snapshot commit
+    * (atomic truncate+insert — readers see either the old or the new
+    * file set, never an empty gap).
+    */
+  def replace(df: DataFrame, targetFiles: Option[Int] = None): LakeTable = {
+    val entries = writeData(meta, df, targetFiles)
+    commitOp("replace")(_ => entries)
+    this
+  }
 
   // ----------------------------------------------------------- maintenance
 
@@ -445,9 +460,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       // coalesce (not round-robin repartition) preserves any clustering
       // the caller established — e.g. an orderBy upstream yields files
       // with tight, disjoint key ranges that stats pruning can use.
-      // Physical planning only; no job is triggered by getNumPartitions
-      // beyond AQE stage materialization.
-      val parts = aligned.rdd.getNumPartitions
+      // LAZY on purpose: materializing .rdd completes a QueryExecution,
+      // which delivers a null metrics row to any Observation riding
+      // this plan (update/copyFrom count their rows that way) — only
+      // touch it when a targetFiles policy actually needs it.
+      lazy val parts = aligned.rdd.getNumPartitions
       val clustered = targetFiles match {
         case Some(n) if parts >= n => aligned.coalesce(n)
         case _ => aligned
@@ -516,7 +533,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     }
   }
 
-  /** Fan-out write for partitioned tables; false when `df` is empty. */
+  /** Fan-out write for partitioned tables; false when `df` is empty.
+    *
+    * The driver materializes the distinct partition-tuple list only
+    * below `write.max-partition-fanout` (default 65536): a cheap
+    * approx-distinct agg decides first, and a high-cardinality spec —
+    * e.g. PARTITIONED BY (identity(user_id)) — falls back to a purely
+    * distributed hash-bucket fanout instead of OOMing the driver.
+    * Hash-bucketed files span several partition values, so stats
+    * pruning degrades from exact Skip/Full to range-based — the
+    * correct price of identity-partitioning unbounded-cardinality
+    * columns.
+    */
   private def writePartitioned(m: TableMetadata, aligned: DataFrame,
       targetFiles: Option[Int], commitDir: Path): Boolean = {
     val schema = m.sparkSchema
@@ -524,6 +552,25 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val valueNames = transforms.map(_.valueName)
     val withVals = transforms.foldLeft(aligned)((acc, t) =>
       acc.withColumn(t.valueName, t.expr(col(t.column), schema(t.column).dataType)))
+
+    val fanoutCap = m.properties.get("write.max-partition-fanout")
+      .map(_.toInt).getOrElse(65536)
+    val approxTuples = withVals.agg(approx_count_distinct(
+      struct(valueNames.map(col): _*), 0.02).as("n")).head.getLong(0)
+    if (approxTuples == 0) return false
+    if (approxTuples > fanoutCap.toLong) {
+      val nBuckets = math.max(1, targetFiles.getOrElse(
+        spark.sessionState.conf.numShufflePartitions))
+      val out = withVals
+        .withColumn("__bucket",
+          pmod(xxhash64(valueNames.map(col): _*), lit(nBuckets.toLong))
+            .cast(org.apache.spark.sql.types.IntegerType))
+        .select((schema.fieldNames.map(col) :+ col("__bucket")).toIndexedSeq: _*)
+      out.repartition(nBuckets, col("__bucket"))
+        .write.mode("errorifexists").partitionBy("__bucket")
+        .parquet(commitDir.toString)
+      return true
+    }
 
     val counts = withVals.groupBy(valueNames.map(col): _*).count().collect()
     if (counts.isEmpty) return false

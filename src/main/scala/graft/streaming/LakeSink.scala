@@ -46,27 +46,50 @@ object LakeSink {
     * whose per-batch UPDATES are upserted into the table as
     * delete-then-append (copy-on-write on the window key) — the
     * streaming analogue of the reference's staging-flush pattern.
+    *
+    * Scale guard: the updated-key set is collected to the driver only
+    * below `maxPredicateKeys` (watermarking keeps the active-window
+    * count small, so this is the normal path), and the delete
+    * predicate is chunked so no single predicate tree grows O(keys).
+    * A pathological batch above the cap switches to a fully
+    * distributed merge: anti-join the current table against the batch
+    * keys and [[LakeTable.replace]] in one atomic commit — no driver
+    * materialization at any size.
     */
   def appendWindowed(stream: DataFrame, table: LakeTable,
       checkpoint: String, keyCols: Seq[String],
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxPredicateKeys: Int = 10000): StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          import org.apache.spark.sql.functions.col
-          val keys = batch.select(keyCols.map(col): _*).distinct().collect()
-          if (keys.nonEmpty) {
-            // delete updated keys, then append fresh values — one
-            // snapshot per step, serialized by the table commit lock
-            val pred = keys.map { r =>
-              keyCols.zipWithIndex.map { case (k, i) =>
-                col(k) <=> org.apache.spark.sql.functions.lit(r.get(i))
-              }.reduce(_ && _)
-            }.reduce(_ || _)
-            table.delete(pred)
+          import org.apache.spark.sql.functions.{col, lit}
+          val keys = batch.select(keyCols.map(col): _*).distinct()
+            .limit(maxPredicateKeys + 1).collect()
+          if (keys.length > maxPredicateKeys) {
+            // distributed merge path: current rows not updated by this
+            // batch survive, batch rows replace their keys — one
+            // atomic snapshot, no driver-side key list
+            val cur = table.read()
+            val merged = cur.join(batch.select(keyCols.map(col): _*)
+                .distinct(), keyCols, "left_anti")
+              .unionByName(batch.select(cur.columns.map(col): _*))
+            table.replace(merged)
+            ()
+          } else if (keys.nonEmpty) {
+            // delete updated keys (chunked predicates), then append
+            // fresh values — snapshots serialized by the commit lock
+            keys.grouped(1000).foreach { chunk =>
+              val pred = chunk.map { r =>
+                keyCols.zipWithIndex.map { case (k, i) =>
+                  col(k) <=> lit(r.get(i))
+                }.reduce(_ && _)
+              }.reduce(_ || _)
+              table.delete(pred)
+            }
             table.append(batch)
             ()
           }

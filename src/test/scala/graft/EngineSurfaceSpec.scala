@@ -157,4 +157,44 @@ class EngineSurfaceSpec extends AnyFunSuite {
     assert(rows(0).getAs[Double]("total") == 3.0)
     assert(rows(1).getAs[Double]("total") == 5.0)
   }
+
+  test("windowed upsert above the key cap takes the distributed merge path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 minute").getField("start").as("w_start"))
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+
+    val t = LakeTable.create(spark, LakeEngine.tempLocation("streamm"),
+      "ev_merge", StructType(Seq(
+        StructField("w_start", TimestampType),
+        StructField("total", DoubleType), StructField("n", LongType))))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // batch 1 under the cap seeds two windows; batch 2 updates one of
+    // them plus a new window with maxPredicateKeys=1 → over cap →
+    // anti-join + replace; the untouched window must survive the merge
+    mem.addData((ts("2024-01-01 10:00:10"), 1.0),
+      (ts("2024-01-01 10:01:10"), 5.0))
+    val ckpt = Files.createTempDirectory("ckptm").toString
+    LakeSink.appendWindowed(agg, t, ckpt, Seq("w_start"))
+      .awaitTermination()
+    mem.addData((ts("2024-01-01 10:01:20"), 2.0),
+      (ts("2024-01-01 10:02:30"), 7.0))
+    LakeSink.appendWindowed(agg, t, ckpt, Seq("w_start"),
+        maxPredicateKeys = 1)
+      .awaitTermination()
+
+    val rows = t.read().orderBy("w_start").collect()
+    assert(rows.length == 3, rows.mkString(";"))
+    assert(rows(0).getAs[Double]("total") == 1.0) // untouched survives
+    assert(rows(1).getAs[Double]("total") == 7.0) // updated 5.0 + 2.0
+    assert(rows(2).getAs[Double]("total") == 7.0) // new window
+    // the merge committed ONE atomic replace snapshot, not truncate+append
+    assert(t.meta.snapshots.exists(_.operation == "replace"))
+  }
 }

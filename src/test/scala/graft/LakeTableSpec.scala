@@ -224,6 +224,73 @@ class LakeTableSpec extends AnyFunSuite {
     assert(m.currentSnapshot.get.files.size == 10001)
   }
 
+  test("high-cardinality identity partition falls back to hash fanout") {
+    val loc = freshLoc()
+    import spark.implicits._
+    val src = (1 to 2000).map(i => (i.toLong, s"u$i")).toDF("uid", "name")
+    // cap far below the 2000 distinct identity values: the write must
+    // take the distributed hash-bucket path, never collecting tuples
+    val t = LakeTable.create(spark, loc, "hc", src.schema,
+      partitionSpec = Seq("identity(uid)"),
+      properties = Map("write.max-partition-fanout" -> "100"))
+    t.append(src, targetFiles = Some(8))
+    val files = t.meta.currentSnapshot.get.files
+    assert(files.nonEmpty && files.size <= 8,
+      s"expected <=8 hash buckets, got ${files.size} files")
+    assert(t.read().count() == 2000)
+    // range-based pruning still correct (if not exact) over hash files
+    assert(t.scan(Some(col("uid") === 1234L)).count() == 1)
+    // low-cardinality specs keep the exact per-partition fanout
+    val t2 = LakeTable.createAsSelect(spark, freshLoc(), "lc",
+      src.withColumn("b", (col("uid") % 3).cast("long")),
+      partitionSpec = Seq("identity(b)"))
+    assert(t2.meta.currentSnapshot.get.files.size == 3)
+  }
+
+  test("update scans candidate files once (observed metric, no count pass)") {
+    val src = Tables.df(spark, sf, "nation")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "upd1", src)
+    val candidatePaths =
+      t.meta.currentSnapshot.get.files.map(_.path).toSet
+
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      // AQE hides the real plan outside the children traversal
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scansOf)
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        val hits = scansOf(qe.executedPlan).filter(
+          _.relation.location.inputFiles.exists(p =>
+            candidatePaths.contains(p.replaceFirst("^file:/+", "/"))))
+        if (hits.nonEmpty) scans.incrementAndGet()
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = t.update(col("n_nationkey") === 3,
+        Map("n_name" -> lit("PATCHED")))
+      assert(n == 1)
+      // listener bus is async; bounded wait for the callbacks
+      val deadline = System.currentTimeMillis() + 10000
+      while (scans.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // absorb any straggler callback
+      assert(scans.get() == 1,
+        s"update ran ${scans.get()} scans over candidate files, want 1")
+    } finally spark.listenerManager.unregister(listener)
+    assert(t.read().filter(col("n_name") === "PATCHED").count() == 1)
+  }
+
   test("concurrent appends both land (optimistic retry)") {
     val src = Tables.df(spark, sf, "region")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "conc", src)
