@@ -159,12 +159,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * matches are rewritten without the matching rows; untouched files
     * carry over. Returns the number of rows deleted.
     */
-  def delete(pred: Column): Long = {
+  def delete(pred: Column): Long = retryOnConflict("delete") {
     val m = meta
     val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
     val resolved = resolvePredicate(m, pred)
     val classified = Pruning.classify(m, resolved, files)
-    val untouched = classified.collect { case (f, Pruning.Skip) => f }
     val dropped = classified.collect { case (f, Pruning.Full) => f }
     val rewrite = classified.collect { case (f, Pruning.Partial) => f }
 
@@ -179,7 +178,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     } else Nil
 
     if (deletedRows > 0 || dropped.nonEmpty)
-      commitOp("delete")(_ => untouched ++ rewritten)
+      commitMerge("delete", (dropped ++ rewrite).map(_.path).toSet, rewritten)
     deletedRows
   }
 
@@ -187,14 +186,14 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * `CASE WHEN pred THEN assignment ELSE old END`; non-candidates carry
     * over untouched. Returns the number of rows updated.
     */
-  def update(pred: Column, assignments: Map[String, Column]): Long = {
+  def update(pred: Column, assignments: Map[String, Column]): Long =
+      retryOnConflict("update") {
     val m = meta
     val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
     val resolved = resolvePredicate(m, pred)
     val classified = Pruning.classify(m, resolved, files)
-    val untouched = classified.collect { case (f, Pruning.Skip) => f }
     val candidates = classified.collect { case (f, d) if d != Pruning.Skip => f }
-    if (candidates.isEmpty) return 0L
+    if (candidates.isEmpty) 0L else {
 
     // the matched-row count rides the rewrite job as an observed
     // metric — candidate files are scanned ONCE, not count()+rewrite
@@ -207,10 +206,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
           when(coalesce(pred, lit(false)), value).otherwise(col(name)))
     }
     val entries = writeData(m, updatedDf, None)
-    commitOp("update")(_ => untouched ++ entries)
+    commitMerge("update", candidates.map(_.path).toSet, entries)
     obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
       .getOrElse(0L)
-  }
+  } }
 
   /** Metadata-only truncate (postgresExecForeignTruncate equivalent). */
   def truncate(): LakeTable = { commitOp("truncate")(_ => Nil); this }
@@ -231,17 +230,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * (VACUUM's rewrite half — pg_lake_table/src/ddl/vacuum.c).
     */
   def compact(smallBytes: Long = 32L << 20,
-      targetBytes: Long = 128L << 20): LakeTable = {
+      targetBytes: Long = 128L << 20): LakeTable = retryOnConflict("compact") {
     val m = meta
     val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
     val small = files.filter(_.bytes < smallBytes)
-    if (small.size < 2) return this
-    val big = files.filterNot(_.bytes < smallBytes)
-    val total = small.map(_.bytes).sum
-    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val entries = writeData(m, readFiles(m, small).repartition(n), None)
-    commitOp("compact")(_ => big ++ entries)
-    this
+    if (small.size < 2) this else {
+      val total = small.map(_.bytes).sum
+      val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+      val entries = writeData(m, readFiles(m, small).repartition(n), None)
+      commitMerge("compact", small.map(_.path).toSet, entries)
+      this
+    }
   }
 
   /** Expire snapshots beyond the latest `keepLast`, then delete data
@@ -386,6 +385,41 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   }
 
   // ------------------------------------------------------------ internals
+
+  /** Commit an op that REMOVES specific files and ADDS new ones, merged
+    * against the freshly loaded snapshot so a CAS retry never reverts a
+    * concurrent writer's commit (append merges the same way inline).
+    * If any removed file has already vanished — a concurrent delete or
+    * compact claimed it — the result written from it is stale, so the
+    * commit aborts with ConcurrentModificationException and
+    * [[retryOnConflict]] re-runs the whole operation against fresh
+    * state (Iceberg's validate-then-retry semantics; the orphaned
+    * attempt files are swept by expireSnapshots).
+    */
+  private def commitMerge(op: String, removedPaths: Set[String],
+      added: Seq[FileEntry],
+      props: Map[String, String] = Map.empty): TableMetadata =
+    commitOp(op, props) { cur =>
+      val curFiles = cur.currentSnapshot.map(_.files).getOrElse(Nil)
+      val missing = removedPaths -- curFiles.map(_.path).toSet
+      if (missing.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op lost ${missing.size} file(s) to a concurrent writer")
+      curFiles.filterNot(f => removedPaths.contains(f.path)) ++ added
+    }
+
+  private def retryOnConflict[A](op: String, attempts: Int = 5)(
+      body: => A): A = {
+    var last: java.util.ConcurrentModificationException = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch { case e: java.util.ConcurrentModificationException =>
+        last = e; i += 1 }
+    }
+    throw new IllegalStateException(
+      s"$op gave up after $attempts conflicting attempts", last)
+  }
 
   private def commitOp(op: String, props: Map[String, String] = Map.empty)(
       nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata = {
