@@ -30,7 +30,7 @@ object PgFunctions {
     */
   private val toCharTable: Seq[(String, String)] = Seq(
     "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh",
-    "MI" -> "mm", "SSSS" -> "", // seconds-past-midnight unsupported
+    "MI" -> "mm",
     "SS" -> "ss", "MS" -> "SSS", "US" -> "SSSSSS",
     "YYYY" -> "yyyy", "YYY" -> "yyy", "YY" -> "yy", "Y" -> "y",
     "IYYY" -> "YYYY", "IW" -> "ww",
@@ -46,6 +46,22 @@ object PgFunctions {
     "am" -> "a", "pm" -> "a",
     "TZ" -> "zz", "OF" -> "x")
 
+  /** PG specifiers that exist but have no faithful Java-pattern
+    * translation. The reference refuses these instead of formatting
+    * wrong output (IsConvertibleToChar gate, to_char.c:262 /
+    * "cannot handle specifier" :813) — so do we.
+    */
+  private val toCharUnsupported: Seq[String] = Seq(
+    "SSSS", "SSSSS", // seconds past midnight
+    "SCC", "CC", // century
+    "IYY", "IY", // partial ISO years (IYYY/IW/ID are supported)
+    "J", // Julian day
+    "RM", "rm", // Roman-numeral month
+    "TH", "th", // ordinal suffixes
+    "TZM", "TZH", // tz minute/hour components
+    "B.C.", "A.D.", "b.c.", "a.d.", "BC", "AD", "bc", "ad",
+    "TM", "FX") // translation mode / fixed format modifiers
+
   def translateToChar(pgFmt: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -60,9 +76,21 @@ object PgFunctions {
       } else if (pgFmt.startsWith("FM", i)) {
         i += 2 // fill-mode modifier: Java patterns don't pad text anyway
       } else {
-        toCharTable.find { case (pg, _) => pgFmt.startsWith(pg, i) } match {
-          case Some((pg, java)) => sb.append(java); i += pg.length
-          case None =>
+        // convertibility gate: a KNOWN-but-untranslatable specifier must
+        // error loudly, unless a longer supported match wins at this
+        // position (e.g. IYYY beats IY)
+        val supported = toCharTable.collect {
+          case (pg, j) if pgFmt.startsWith(pg, i) => (pg, j)
+        }.sortBy(-_._1.length).headOption
+        val blocked = toCharUnsupported.filter(pgFmt.startsWith(_, i))
+          .sortBy(-_.length).headOption
+        (supported, blocked) match {
+          case (s, Some(b)) if s.forall(_._1.length < b.length) =>
+            throw new IllegalArgumentException(
+              s"to_char: pattern '$b' is not supported (position $i of " +
+                s"'$pgFmt')")
+          case (Some((pg, java)), _) => sb.append(java); i += pg.length
+          case (None, None) =>
             // non-pattern chars pass through; quote letters so Java
             // doesn't interpret them
             if (c.isLetter) sb.append('\'').append(c).append('\'')

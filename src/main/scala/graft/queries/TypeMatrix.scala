@@ -177,5 +177,56 @@ object TypeMatrix {
           |  len(embedding[1:4]) AS slice_len_v,
           |  list_contains([label, 1, 2], 1) AS contains_v
           |FROM embeddings WHERE vec_id < 50
-          |ORDER BY vec_id""".stripMargin))
+          |ORDER BY vec_id""".stripMargin),
+
+    // time convention (SURVEY §1.2): TIME has no Spark type — the
+    // documented storage is micros-of-day as LongType. Exercised end to
+    // end: derive, range-filter, bucket to hour-of-day, aggregate.
+    QueryDef.sql(
+      "q_type_time",
+      """SELECT CAST(FLOOR((unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000)
+        |         / 3600000000) AS BIGINT) AS hour_of_day,
+        |  COUNT(*) AS n,
+        |  MIN(unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000) AS min_micros,
+        |  MAX(unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000) AS max_micros
+        |FROM events
+        |WHERE (unix_micros(CAST(ts AS TIMESTAMP)) % 86400000000)
+        |      BETWEEN 6 * 3600000000 AND 18 * 3600000000
+        |GROUP BY 1 ORDER BY hour_of_day""".stripMargin,
+      oracle =
+        """SELECT CAST(FLOOR((epoch_us(ts) % 86400000000)
+          |         / 3600000000) AS BIGINT) AS hour_of_day,
+          |  COUNT(*) AS n,
+          |  MIN(epoch_us(ts) % 86400000000) AS min_micros,
+          |  MAX(epoch_us(ts) % 86400000000) AS max_micros
+          |FROM events
+          |WHERE (epoch_us(ts) % 86400000000)
+          |      BETWEEN 6 * 3600000000 AND 18 * 3600000000
+          |GROUP BY 1 ORDER BY hour_of_day""".stripMargin),
+
+    // uuid convention (SURVEY §1.2): canonical-form StringType. A
+    // deterministic v4-shaped uuid is derived from each key (md5 hex
+    // resected into 8-4-4-4-12), then filtered/ordered as text — the
+    // operations a uuid column actually sees.
+    QueryDef.sql(
+      "q_type_uuid",
+      """SELECT concat(substring(md5(CAST(o_orderkey AS STRING)), 1, 8), '-',
+        |       substring(md5(CAST(o_orderkey AS STRING)), 9, 4), '-',
+        |       substring(md5(CAST(o_orderkey AS STRING)), 13, 4), '-',
+        |       substring(md5(CAST(o_orderkey AS STRING)), 17, 4), '-',
+        |       substring(md5(CAST(o_orderkey AS STRING)), 21, 12)) AS uuid,
+        |  o_orderkey
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 1) = 'a'
+        |ORDER BY uuid, o_orderkey""".stripMargin,
+      oracle =
+        """SELECT concat(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), '-',
+          |       substring(md5(CAST(o_orderkey AS VARCHAR)), 9, 4), '-',
+          |       substring(md5(CAST(o_orderkey AS VARCHAR)), 13, 4), '-',
+          |       substring(md5(CAST(o_orderkey AS VARCHAR)), 17, 4), '-',
+          |       substring(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS uuid,
+          |  o_orderkey
+          |FROM orders
+          |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'
+          |ORDER BY uuid, o_orderkey""".stripMargin))
 }
