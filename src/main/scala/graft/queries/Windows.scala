@@ -122,6 +122,74 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // frame EXCLUDE CURRENT ROW / GROUP / TIES (SURVEY §2.5; reference
+    // ships these via DuckDB, test_window_function_pushdown.py). Spark has
+    // no EXCLUDE clause, so we emulate it compositionally. The emulation
+    // is exact for RANGE frames because a RANGE frame always contains the
+    // current row's full peer group (frame bounds in RANGE mode are peer-
+    // group-aligned), hence:
+    //   EXCLUDE CURRENT ROW = frame_agg - current_value
+    //   EXCLUDE GROUP       = frame_agg - peer_group_agg
+    //   EXCLUDE TIES        = frame_agg - peer_group_agg + current_value
+    // with count guards reproducing SUM's NULL-on-empty-frame semantics.
+    // For ROWS frames the identity holds when the ordering key is unique
+    // (peer group == current row), which the rows_ex_* columns use.
+    // The DuckDB oracle runs the native EXCLUDE syntax — a true
+    // differential of the emulation against a reference implementation.
+    QueryDef(
+      "q_window_exclude",
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS DOUBLE) AS ex_cur_sum,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS DOUBLE) AS ex_grp_sum,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS DOUBLE) AS ex_ties_sum,
+        |  COUNT(*) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS ex_cur_n,
+        |  COUNT(*) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS ex_grp_n,
+        |  COUNT(*) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity
+        |     RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS ex_ties_n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey
+        |     ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS DOUBLE) AS rows_ex_cur_sum
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin) { (s, dir) =>
+      val price = col("l_extendedprice").cast("decimal(18,2)")
+      val wR = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rangeBetween(-2, 2)
+      val wPeer = Window.partitionBy(col("l_returnflag"), col("l_quantity"))
+      val wRows = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"))
+        .rowsBetween(-3, 1)
+      val frameSum = sum(price).over(wR)
+      val frameN   = count(lit(1)).over(wR)
+      val peerSum  = sum(price).over(wPeer)
+      val peerN    = count(lit(1)).over(wPeer)
+      val rowsSum  = sum(price).over(wRows)
+      val rowsN    = count(lit(1)).over(wRows)
+      Tables.df(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          when(frameN > 1, frameSum - price).cast("double").as("ex_cur_sum"),
+          when(frameN > peerN, frameSum - peerSum).cast("double").as("ex_grp_sum"),
+          (frameSum - peerSum + price).cast("double").as("ex_ties_sum"),
+          (frameN - 1).as("ex_cur_n"),
+          (frameN - peerN).as("ex_grp_n"),
+          (frameN - peerN + 1).as("ex_ties_n"),
+          when(rowsN > 1, rowsSum - price).cast("double").as("rows_ex_cur_sum"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+    },
+
     // aggregate-as-window + FILTER-equivalent (sum(CASE WHEN)) + window
     // over the result of a group-by (window-over-agg composition)
     QueryDef(

@@ -99,7 +99,15 @@ object IcebergSnapshot {
   // ---- snapshot / manifest walk ---------------------------------------
 
   final case class DataFileRef(path: String, format: String, records: Long,
-      bytes: Long, stats: Map[String, graft.lake.ColStats] = Map.empty)
+      bytes: Long, stats: Map[String, graft.lake.ColStats] = Map.empty,
+      seq: Long = 0L)
+
+  /** A v2 delete file: `content` 1 = position, 2 = equality. `seq` is the
+    * data sequence number (entry-level when present, else inherited from
+    * the manifest-list row per the spec's metadata inheritance).
+    */
+  final case class DeleteFileRef(path: String, content: Int,
+      equalityIds: Seq[Int], seq: Long)
 
   private def opt(r: GenericRecord, name: String): Option[AnyRef] =
     if (r.getSchema.getField(name) != null) Option(r.get(name)) else None
@@ -135,26 +143,38 @@ object IcebergSnapshot {
     * read_manifest.c) — keyed by field id, in the stat-string form
     * [[graft.lake.Pruning]] consumes.
     */
-  def dataFiles(metadataPath: String,
-      snapshotId: Option[Long] = None): Seq[DataFileRef] = {
-    val root = metadata(metadataPath)
+  private def snapshotNode(root: JsonNode, metadataPath: String,
+      snapshotId: Option[Long]): JsonNode = {
     val wanted = snapshotId.getOrElse(root.get("current-snapshot-id").asLong())
-    val snap = root.get("snapshots").elements().asScala
+    root.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == wanted)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not in $metadataPath"))
+  }
+
+  /** Entry-level data sequence number, inheriting the manifest-list row's
+    * when absent/null (spec: sequence-number inheritance for ADDED rows).
+    */
+  private def entrySeq(entry: GenericRecord, listSeq: Long): Long =
+    opt(entry, "sequence_number").map(_.toString.toLong).getOrElse(listSeq)
+
+  def dataFiles(metadataPath: String,
+      snapshotId: Option[Long] = None): Seq[DataFileRef] = {
+    val root = metadata(metadataPath)
+    val snap = snapshotNode(root, metadataPath, snapshotId)
     val typesById: Map[Int, DataType] = fieldDefs(metadataPath)
       .map(f => f.id -> DataType.fromDDL(f.dataType)).toMap
 
-    val manifests: Seq[String] =
+    val manifests: Seq[(String, Long)] =
       if (snap.has("manifest-list"))
         readAvro(snap.get("manifest-list").asText())
           .filter(m => opt(m, "content").forall(_.toString == "0")) // data
-          .map(_.get("manifest_path").toString)
+          .map(m => m.get("manifest_path").toString ->
+            opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L))
       else // v1 inline manifest array
-        snap.get("manifests").elements().asScala.map(_.asText()).toSeq
+        snap.get("manifests").elements().asScala.map(_.asText() -> 0L).toSeq
 
-    manifests.flatMap { mPath =>
+    manifests.flatMap { case (mPath, listSeq) =>
       readAvro(mPath).flatMap { entry =>
         val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED
@@ -183,47 +203,57 @@ object IcebergSnapshot {
               df.get("file_format").toString.toUpperCase,
               df.get("record_count").toString.toLong,
               opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
-              stats))
+              stats,
+              entrySeq(entry, listSeq)))
           }
         }
       }
     }
   }
 
-  /** Position-delete files of a snapshot (v2 merge-on-read, spec:
-    * delete manifests have manifest-list `content = 1`; their entries'
+  /** Delete files of a snapshot (v2 merge-on-read, spec: delete
+    * manifests have manifest-list `content = 1`; their entries'
     * `data_file.content` is 1 for position deletes, 2 for equality
-    * deletes — the reference reads both in read_manifest.c:1-674; we
-    * read position deletes and refuse equality deletes loudly).
+    * deletes — the reference reads both in read_manifest.c:1-674).
+    * Equality deletes carry the spec's `equality_ids` field-id list and
+    * the data sequence number that scopes which data files they apply to.
     */
-  def positionDeleteFiles(metadataPath: String,
-      snapshotId: Option[Long] = None): Seq[String] = {
+  def deleteFiles(metadataPath: String,
+      snapshotId: Option[Long] = None): Seq[DeleteFileRef] = {
     val root = metadata(metadataPath)
-    val wanted = snapshotId.getOrElse(root.get("current-snapshot-id").asLong())
-    val snap = root.get("snapshots").elements().asScala
-      .find(_.get("snapshot-id").asLong() == wanted)
-      .getOrElse(throw new IllegalArgumentException(
-        s"snapshot $wanted not in $metadataPath"))
+    val snap = snapshotNode(root, metadataPath, snapshotId)
     if (!snap.has("manifest-list")) return Nil // v1: no delete manifests
-    val deleteManifests = readAvro(snap.get("manifest-list").asText())
+    readAvro(snap.get("manifest-list").asText())
       .filter(m => opt(m, "content").exists(_.toString == "1"))
-      .map(_.get("manifest_path").toString)
-    deleteManifests.flatMap { mPath =>
-      readAvro(mPath).flatMap { entry =>
-        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
-        if (status == 2) None
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          opt(df, "content").map(_.toString.toInt).getOrElse(0) match {
-            case 1 => Some(df.get("file_path").toString)
-            case 2 => throw new UnsupportedOperationException(
-              s"equality delete files unsupported ($mPath)")
-            case other => throw new IllegalStateException(
-              s"unexpected content=$other in delete manifest $mPath")
+      .flatMap { m =>
+        val mPath = m.get("manifest_path").toString
+        val listSeq = opt(m, "sequence_number").map(_.toString.toLong)
+          .getOrElse(0L)
+        readAvro(mPath).flatMap { entry =>
+          val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+          if (status == 2) None
+          else {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            val seq = entrySeq(entry, listSeq)
+            opt(df, "content").map(_.toString.toInt).getOrElse(0) match {
+              case 1 => Some(DeleteFileRef(
+                df.get("file_path").toString, 1, Nil, seq))
+              case 2 =>
+                val ids = opt(df, "equality_ids") match {
+                  case Some(c: java.util.Collection[_]) =>
+                    c.asScala.map(_.toString.toInt).toSeq
+                  case _ => Nil
+                }
+                if (ids.isEmpty) throw new IllegalStateException(
+                  s"equality delete without equality_ids in $mPath")
+                Some(DeleteFileRef(
+                  df.get("file_path").toString, 2, ids, seq))
+              case other => throw new IllegalStateException(
+                s"unexpected content=$other in delete manifest $mPath")
+            }
           }
         }
       }
-    }
   }
 
   /** `lake_iceberg.files(url)` equivalent. */
@@ -266,9 +296,16 @@ object IcebergSnapshot {
         LakeFileIndex.relation(spark, synthetic)
       }
 
-    val deletes = positionDeleteFiles(metadataPath, snapshotId)
-    if (deletes.isEmpty) base
-    else applyPositionDeletes(spark, base, deletes, schema)
+    val deletes = deleteFiles(metadataPath, snapshotId)
+    val posDeletes = deletes.filter(_.content == 1).map(_.path)
+    val eqDeletes = deletes.filter(_.content == 2)
+    var out = base
+    if (posDeletes.nonEmpty)
+      out = applyPositionDeletes(spark, out, posDeletes, schema)
+    if (eqDeletes.nonEmpty)
+      out = applyEqualityDeletes(spark, out, eqDeletes, fs, metadataPath,
+        schema)
+    out
   }
 
   /** v2 merge-on-read: anti-join the scan against its position-delete
@@ -299,5 +336,52 @@ object IcebergSnapshot {
           withPos("__pos") === dels("__del_pos"),
         "left_anti")
       .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** v2 merge-on-read equality deletes: a delete row removes every data
+    * row whose values on the delete file's `equality_ids` columns are
+    * (null-safely) equal AND whose data file has a strictly older data
+    * sequence number than the delete file (the spec's scoping rule —
+    * rows written by the same or a later commit survive). Position
+    * deletes need no such gate because they name explicit file paths.
+    *
+    * Shape at scale: one broadcast join attaches per-file sequence
+    * numbers to the scan via `_metadata.file_path` (file count is
+    * metadata-scale), then one hash anti-join per distinct equality-id
+    * set — the delete side stays distributed, nothing is collected.
+    */
+  private def applyEqualityDeletes(spark: SparkSession, base: DataFrame,
+      eqDeletes: Seq[DeleteFileRef], dataRefs: Seq[DataFileRef],
+      metadataPath: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val nameById = fieldDefs(metadataPath).map(f => f.id -> f.name).toMap
+
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:/+", "/")
+    val seqDf = dataRefs.map(f => (localPath(f.path), f.seq))
+      .toDF("__seq_file", "__data_seq")
+    var out = base
+      .withColumn("__eq_file", norm(col("_metadata.file_path")))
+      .join(broadcast(seqDf), col("__eq_file") === col("__seq_file"), "left")
+
+    eqDeletes.groupBy(_.equalityIds).foreach { case (ids, group) =>
+      val names = ids.map(id => nameById.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"equality_id $id is not a top-level field of $metadataPath")))
+      // one scan per distinct (ids, seq); delete-file counts are
+      // metadata-scale, and same-seq files share a single scan
+      val delDf = group.groupBy(_.seq).map { case (seq, refs) =>
+        spark.read.parquet(refs.map(r => localPath(r.path)): _*)
+          .select(names.map(col): _*)
+          .withColumn("__del_seq", lit(seq))
+      }.reduce(_ unionByName _)
+      val renamed = names.foldLeft(delDf)(
+        (d, c) => d.withColumnRenamed(c, s"__del_$c"))
+      val cond = names.map(c => col(c) <=> col(s"__del_$c"))
+        .reduce(_ && _) && col("__data_seq") < col("__del_seq")
+      out = out.join(renamed, cond, "left_anti")
+    }
+    out.select(schema.fieldNames.map(col): _*)
   }
 }

@@ -130,7 +130,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     }
   }
 
-  test("v2 position deletes apply; equality deletes refuse loudly") {
+  test("v2 position deletes apply; equality deletes apply with seq gating") {
     import java.nio.file.{Files, Paths}
     import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
     import org.apache.avro.file.{DataFileReader, DataFileWriter}
@@ -159,7 +159,7 @@ class IcebergInteropSpec extends AnyFunSuite {
     val delParquet = Files.list(Paths.get(delDataDir)).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).next()
 
-    // delete manifest (data_file.content = 1)
+    // delete manifest (data_file.content = 1 position / 2 equality)
     val delEntrySchema = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_entry","fields":[
         |{"name":"status","type":"int"},
@@ -168,15 +168,20 @@ class IcebergInteropSpec extends AnyFunSuite {
         |  {"name":"file_path","type":"string"},
         |  {"name":"file_format","type":"string"},
         |  {"name":"record_count","type":"long"},
-        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
-    def writeDeleteManifest(path: String, content: Int): Long = {
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}""".stripMargin)
+    def writeDeleteManifest(path: String, content: Int, parquet: String,
+        eqIds: Seq[Int]): Long = {
       val df = new GenericData.Record(
         delEntrySchema.getField("data_file").schema())
       df.put("content", content)
-      df.put("file_path", "file://" + delParquet)
+      df.put("file_path", "file://" + parquet)
       df.put("file_format", "PARQUET")
       df.put("record_count", 1L)
-      df.put("file_size_in_bytes", Files.size(Paths.get(delParquet)))
+      df.put("file_size_in_bytes", Files.size(Paths.get(parquet)))
+      if (eqIds.nonEmpty)
+        df.put("equality_ids",
+          eqIds.map(Int.box).asJava: java.util.List[Integer])
       val e = new GenericData.Record(delEntrySchema)
       e.put("status", 1)
       e.put("data_file", df)
@@ -191,9 +196,12 @@ class IcebergInteropSpec extends AnyFunSuite {
     // splice a content=1 row into a copy of the manifest list, then a
     // metadata.json pointing at it — exactly what a foreign writer's
     // merge-on-read commit produces
-    def spliceMetadata(tag: String, deleteContent: Int): String = {
+    def spliceMetadata(tag: String, deleteContent: Int,
+        parquet: String = delParquet, delSeq: Long = 2L,
+        eqIds: Seq[Int] = Nil): String = {
       val delManifest = metaDir.resolve(s"delete-m-$tag.avro").toString
-      val delLen = writeDeleteManifest(delManifest, deleteContent)
+      val delLen = writeDeleteManifest(delManifest, deleteContent, parquet,
+        eqIds)
       val root = IcebergSnapshot.metadata(metaPath)
       val mlPath = root.get("snapshots").get(0).get("manifest-list").asText()
         .stripPrefix("file://")
@@ -207,8 +215,8 @@ class IcebergInteropSpec extends AnyFunSuite {
       delRow.put("manifest_length", delLen)
       delRow.put("partition_spec_id", 0)
       delRow.put("content", 1)
-      delRow.put("sequence_number", 2L)
-      delRow.put("min_sequence_number", 2L)
+      delRow.put("sequence_number", delSeq)
+      delRow.put("min_sequence_number", delSeq)
       delRow.put("added_snapshot_id",
         root.get("current-snapshot-id").asLong())
       delRow.put("added_files_count", 1)
@@ -236,10 +244,29 @@ class IcebergInteropSpec extends AnyFunSuite {
     assert(back.exceptAll(src.filter(col("n_nationkey") =!= victimKey))
       .isEmpty)
 
-    val eqMeta = spliceMetadata("eq", deleteContent = 2)
-    intercept[UnsupportedOperationException] {
-      IcebergSnapshot.read(spark, eqMeta).count()
-    }
+    // equality deletes: delete n_nationkey ∈ {11, 12} by value
+    val keyId = IcebergSnapshot.fieldDefs(metaPath)
+      .find(_.name == "n_nationkey").get.id
+    val dataSeq = IcebergSnapshot.dataFiles(metaPath).map(_.seq).max
+    val eqDataDir = Files.createTempDirectory("eqdel").toString + "/d"
+    src.filter(col("n_nationkey").isin(11, 12)).select("n_nationkey")
+      .coalesce(1).write.parquet(eqDataDir)
+    val eqParquet = Files.list(Paths.get(eqDataDir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).next()
+
+    val eqMeta = spliceMetadata("eq", deleteContent = 2, parquet = eqParquet,
+      delSeq = dataSeq + 1, eqIds = Seq(keyId))
+    val eqBack = IcebergSnapshot.read(spark, eqMeta)
+    assert(eqBack.count() == src.count() - 2)
+    assert(eqBack.filter(col("n_nationkey").isin(11, 12)).isEmpty)
+    assert(eqBack.exceptAll(src.filter(!col("n_nationkey").isin(11, 12)))
+      .isEmpty)
+
+    // the spec's sequence gate: an equality delete at the SAME data
+    // sequence number as the data files must not remove anything
+    val staleMeta = spliceMetadata("eqstale", deleteContent = 2,
+      parquet = eqParquet, delSeq = dataSeq, eqIds = Seq(keyId))
+    assert(IcebergSnapshot.read(spark, staleMeta).count() == src.count())
   }
 
   test("object-store catalog: listing + version-hint attach roundtrip") {
