@@ -36,6 +36,17 @@ final class LakeEngine(val spark: SparkSession) {
   def table(name: String): LakeTable = tables.getOrElse(name,
     throw new IllegalArgumentException(s"unknown lake table $name"))
 
+  def tableOption(name: String): Option[LakeTable] = tables.get(name)
+
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+
+  /** Serve this engine's registry as an Iceberg REST catalog (the
+    * reference's headline attach surface, rest_catalog_ops.c:1-763);
+    * port 0 picks an ephemeral port. Caller stops it.
+    */
+  def serveRestCatalog(port: Int = 0): lake.RestCatalog =
+    new lake.RestCatalog(this, port)
+
   private def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
     t.readIndexed().createOrReplaceTempView(name)
