@@ -48,6 +48,17 @@ object PipelineParams {
   val TopK = 5
   val NumQueryVectors = 20
 
+  /** IVF ANN: deterministic centroid rule (`vec_id % stride == 0`, first
+    * `IvfCentroids` hits) so the differential oracle can reconstruct the
+    * identical index; `IvfNProbe` inverted lists probed per query. At
+    * corpus scale, centroid count should grow ~sqrt(n) (k-means-refined
+    * centroids slot into the same operator — only the centroid frame
+    * changes).
+    */
+  val IvfCentroidStride = 31
+  val IvfCentroids = 16
+  val IvfNProbe = 4
+
   /** Cosine-LSH: hyperplane signatures, `LshBands` bands of `LshRowsPerBand`
     * bits each; deterministic planes from a fixed seed.
     */

@@ -104,6 +104,66 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the partition-pruned ANN
+    * path: a small centroid set splits the corpus into inverted lists
+    * (each vector joins its nearest centroid's list, chosen by
+    * max-cosine with centroid-id tie-break); a query is re-ranked by
+    * exact cosine against only the lists of its `nprobe` nearest
+    * centroids, so the scanned fraction is ~nprobe/numCentroids of the
+    * corpus instead of all of it.
+    *
+    * Centroids here are the deterministic stride rule
+    * ([[PipelineParams.IvfCentroidStride]]) so the differential oracle
+    * can rebuild the identical index; production k-means centroids
+    * drop into the same plan by swapping the centroid frame.
+    *
+    * Scale shape: centroids broadcast (K rows); corpus assignment is a
+    * map-side `max_by` aggregation — no corpus shuffle for the argmax —
+    * followed by one hash join on centroid id. With K ~ sqrt(n) the
+    * lists stay balanced; AQE skew-split covers hot lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = TopK, stride: Int = IvfCentroidStride,
+      numCentroids: Int = IvfCentroids, nprobe: Int = IvfNProbe): DataFrame = {
+    val cent = withNorm(
+      corpus.filter(col(idCol) % stride === 0 &&
+          col(idCol) < stride.toLong * numCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")), "cv", "cn")
+
+    def centScored(df: DataFrame, id: String, vec: String, n: String) =
+      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, n)
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          round(dot(col(vec), col("cv")) / (col(n) * col("cn")), 6))
+
+    // corpus → nearest centroid: partial-aggregated argmax, not a window
+    val assigned = centScored(corpus, "neighbor_id", "nv", "nn")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cid"),
+        any_value(col("nv")).as("nv"), any_value(col("nn")).as("nn"))
+
+    // query → nprobe nearest centroids (query set is small: window fine)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = centScored(queries, "query_id", "qv", "qn")
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+
+    val candidates = probes.join(assigned,
+        probes("cid") === assigned("cid") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes
     * are deterministic ([[PipelineParams.hyperplanes]]).
     */

@@ -353,6 +353,50 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF ANN: inverted-file probe, the partition-pruned scale
+    // path next to LSH. The oracle rebuilds the identical index from
+    // the deterministic centroid rule (stride over vec_id) with the
+    // same round-6 cosine and tie-breaks, so assignment, probing and
+    // re-ranking are all differentially proven, not just row counts.
+    QueryDef(
+      "q_sim_ivf",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id % $IvfCentroidStride = 0
+         |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
+         |assign AS (
+         |  SELECT vec_id AS neighbor_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
+         |                 c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckCos("q.embedding", "c.cv")}, 6) DESC,
+         |                 c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN cent c
+         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rn <= $IvfNProbe)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    round(${duckCos("q.embedding", "n.embedding")}, 6) AS cos,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY round(${duckCos("q.embedding", "n.embedding")}, 6) DESC,
+         |               a.neighbor_id) AS rank
+         |  FROM probe p
+         |  JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
+         |  JOIN embeddings q ON q.vec_id = p.query_id
+         |  JOIN embeddings n ON n.vec_id = a.neighbor_id) t
+         |WHERE rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopK(
+          e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- multimodal plumbing (stub decode — see Multimodal scaladoc) -
     QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "img/fake")
