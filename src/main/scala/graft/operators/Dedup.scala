@@ -188,45 +188,56 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol)
-    val sized = sets.withColumn("size", size(col("shingles")))
+    // every downstream consumer works on xxhash64'd shingles: 8-byte
+    // codegen'd keys/elements instead of shingle text — same pair set
+    // and same jaccard values (a collision would need two distinct
+    // shingles at the same 64-bit hash, odds ~2^-64 per pair), with a
+    // far smaller shuffle payload in BOTH the candidate and the
+    // verification joins
+    val sized = shingleSets(df, idCol, textCol)
+      .withColumn("size", size(col("shingles")))
       .filter(col("size") > 0)
-    // join key = xxhash64(shingle): 8-byte codegen'd key instead of the
-    // shingle text — same pair counts (collision odds ~2^-64 per pair),
-    // much smaller shuffle
+      .select(col("id"),
+        expr("transform(shingles, s -> xxhash64(s))").as("hs"),
+        col("size"))
     val toks = sized.select(col("id"), col("size"),
-        explode(col("shingles")).as("__sh"))
-      .select(col("id"), col("size"), xxhash64(col("__sh")).as("sh"))
+      explode(col("hs")).as("sh"))
     // global df per shingle (shingles are distinct within a doc, so
     // count(*) = document frequency); map-side-combined aggregation
     val dfreq = toks.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("sh"))
     // ⌈t·size⌉ must round up EXACTLY: double arithmetic can overshoot
     // (0.07*100 = 7.000000000000001 → ceil 8), shortening the prefix
     // below the sound bound and silently dropping threshold-boundary
     // pairs. A decimal literal of t's shortest representation makes the
     // product exact, so ceil is the true mathematical ceiling.
     val tExact = lit(java.math.BigDecimal.valueOf(minJaccard))
+    // prefix selection regroups each doc's (df, sh) tokens with a hash
+    // shuffle and sorts the ~|d| entries in memory — replacing a global
+    // sort-shuffle window over the whole token stream, whose sort cost
+    // is corpus-wide rather than per-doc
     val prefix = toks.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <=
-        col("size") - ceil(tExact * col("size")) + 1)
-      .select("id", "sh")
+      .groupBy("id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ts"),
+        any_value(col("size")).as("size"))
+      .withColumn("k",
+        (col("size") - ceil(tExact * col("size")) + 1).cast("int"))
+      .select(col("id"),
+        explode(expr("transform(slice(array_sort(ts), 1, k), x -> x.sh)"))
+          .as("sh"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
-    // exact verification over the full shingle sets, candidates only
-    val a = sized.select(col("id").as("a_id"),
-      col("shingles").as("__shA"), col("size").as("sa"))
-    val b = sized.select(col("id").as("b_id"),
-      col("shingles").as("__shB"), col("size").as("sb"))
-    cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("inter",
-        size(array_intersect(col("__shA"), col("__shB"))))
+    // exact verification over the full (hashed) shingle sets, candidates
+    // only; both joins shuffle the SAME `sized` projection by id, so
+    // ReuseExchange computes the shingle sets once for the pair
+    val withA = cand.join(sized, cand("a_id") === sized("id"))
+      .select(col("a_id"), col("b_id"), col("hs").as("__hsA"),
+        col("size").as("sa"))
+    withA.join(sized, withA("b_id") === sized("id"))
+      .withColumn("inter", size(array_intersect(col("__hsA"), col("hs"))))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
-          (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+          (col("sa") + col("size") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -77,6 +77,21 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** The operator users should call: size-dispatched near-dup pairs.
+    * Exact all-pairs is better below `exactLimit` rows (no signature
+    * pass, perfect recall, and n² is tiny); above it the LSH-banded
+    * join is the only shape that survives corpus scale. The count is
+    * one columnar scan of the id column — negligible against either
+    * branch — and keeps the choice data-driven instead of caller-
+    * guessed.
+    */
+  def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = CosineNearDup,
+      exactLimit: Long = 10000L): DataFrame =
+    if (df.select(idCol).count() <= exactLimit)
+      cosinePairs(df, idCol, vecCol, minCos)
+    else lshCosinePairs(df, idCol, vecCol, minCos)
+
   /** LSH-bucketed near-dup pairs — the corpus-scale path for
     * [[cosinePairs]]: candidates share at least one signature band
     * (shuffle-join on small keys, no n² product), verified by exact
@@ -88,18 +103,24 @@ object Similarity {
       minCos: Double = CosineNearDup): DataFrame = {
     val bandKeys = (0 until LshBands).map(j =>
       s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
-    def side(id: String, vec: String, n: String): DataFrame =
-      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, n)
-        .withColumn("sig", signature(vec))
-        .select(col(id), col(vec), col(n), posexplode(
-          expr(bandKeys.mkString("array(", ",", ")"))).as(Seq("band", "key")))
-    val a = side("a_id", "va", "na")
-    val b = side("b_id", "vb", "nb")
-    a.join(b, a("band") === b("band") && a("key") === b("key") &&
-        col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "va", "na", "vb", "nb").distinct()
+    val base = withNorm(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+    // band rows are (id, band, key) ONLY — the banded self-join and the
+    // candidate distinct never shuffle the embedding arrays; vectors
+    // join back per candidate id below, where ReuseExchange computes the
+    // norm'd projection once for both sides
+    val bands = base.withColumn("sig", signature("v"))
+      .select(col("id"), posexplode(
+        expr(bandKeys.mkString("array(", ",", ")"))).as(Seq("band", "key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val withA = cand.join(base, cand("a_id") === base("id"))
+      .select(col("a_id"), col("b_id"), col("v").as("va"), col("n").as("na"))
+    withA.join(base, withA("b_id") === base("id"))
       .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(dot(col("va"), col("v")) / (col("na") * col("n")), 6))
       .filter(col("cos") >= minCos)
       .select("a_id", "b_id", "cos")
   }
@@ -188,21 +209,28 @@ object Similarity {
       vecCol: String, k: Int = TopK): DataFrame = {
     val bandKeys = (0 until LshBands).map(j =>
       s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
-    def withBands(df: DataFrame, id: String, vec: String, n: String): DataFrame =
-      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, n)
-        .withColumn("sig", signature(vec))
-        .select(col(id), col(vec), col(n), posexplode(
+    def bandRows(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
+        .withColumn("sig", signature("__v"))
+        .select(col(id), posexplode(
           expr(bandKeys.mkString("array(", ",", ")")))
           .as(Seq("band", "key")))
 
-    val qb = withBands(queries, "query_id", "qv", "qn")
-    val cb = withBands(corpus, "neighbor_id", "cv", "cn")
-    val candidates = qb.join(cb,
-        qb("band") === cb("band") && qb("key") === cb("key") &&
-          col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("neighbor_id"), col("cv"), col("cn"))
-      .distinct()
+    // candidate ids from narrow (id, band, key) rows; embeddings join
+    // back after the distinct, so band shuffle and dedup never carry
+    // the arrays
+    val cand = bandRows(queries, "query_id").join(
+        bandRows(corpus, "neighbor_id"),
+        Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+
+    val q = withNorm(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")), "qv", "qn")
+    val c = withNorm(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv")), "cv", "cn")
+    val candidates = cand.join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
 

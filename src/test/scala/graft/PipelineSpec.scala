@@ -81,6 +81,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairsAuto dispatches by corpus size") {
+    val e = Tables.df(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // under the limit: identical to the exact path
+    assert(pairs(Similarity.cosinePairsAuto(e, "vec_id", "embedding", 0.4)) ==
+      pairs(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)))
+    // over the limit: identical to the LSH path
+    assert(pairs(Similarity.cosinePairsAuto(e, "vec_id", "embedding", 0.4,
+        exactLimit = 1)) ==
+      pairs(Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)))
+  }
+
   test("dedup groups: connected components collapse transitive pairs") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
