@@ -21,7 +21,8 @@ object SparkEntry {
       _root_.graft.queries.Functions.defs ++
       _root_.graft.queries.Pipeline.defs ++
       _root_.graft.queries.Tpch.defs ++
-      _root_.graft.queries.TypeMatrix.defs
+      _root_.graft.queries.TypeMatrix.defs ++
+      _root_.graft.queries.Spatial.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

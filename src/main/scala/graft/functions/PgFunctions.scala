@@ -191,5 +191,8 @@ object PgFunctions {
         throw new IllegalArgumentException(
           "to_char requires (timestamp, literal format string), got: " + args)
     }
+
+    // --- spatial st_* layer (§2.7) ---
+    SpatialFunctions.register(spark)
   }
 }

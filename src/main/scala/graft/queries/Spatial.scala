@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Spatial operator surface (SURVEY.md §2.7 "Spatial"; reference ships
+  * 74 st_* functions via PostGIS + DuckDB-spatial,
+  * pg_lake_engine/src/pgduck/shippable_spatial_functions.c). Our layer is
+  * the pure-Scala [[graft.functions.Geometry]] core exposed as st_*
+  * Catalyst expressions.
+  *
+  * Oracle strategy: no spatial extension exists in the offline DuckDB, so
+  * each judged query derives INTEGER-VALUED coordinates from fixture keys
+  * and the oracle recomputes the same cartesian math in plain SQL.
+  * On integer-valued doubles every product/sum below is exact IEEE
+  * arithmetic and sqrt is correctly rounded on identical inputs, so
+  * results are bit-identical by construction, not by tolerance.
+  */
+object Spatial {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- point constructors, accessors, distance, dwithin, WKT ----
+    QueryDef.sql(
+      "q_spatial_point",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 100 AS DOUBLE) AS x1,
+        |    CAST(user_id % 100 AS DOUBLE) AS y1,
+        |    CAST((event_id * 7 + 13) % 100 AS DOUBLE) AS x2,
+        |    CAST((user_id * 11 + 5) % 100 AS DOUBLE) AS y2
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id, st_point(x1, y1) AS p1, st_point(x2, y2) AS p2
+        |  FROM d)
+        |SELECT event_id,
+        |  st_x(p1) AS x1_v, st_y(p1) AS y1_v,
+        |  st_distance(p1, p2) AS dist_v,
+        |  st_dwithin(p1, p2, 25.0) AS near_v,
+        |  st_astext(p1) AS wkt_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(event_id % 100 AS DOUBLE) AS x1,
+          |    CAST(user_id % 100 AS DOUBLE) AS y1,
+          |    CAST((event_id * 7 + 13) % 100 AS DOUBLE) AS x2,
+          |    CAST((user_id * 11 + 5) % 100 AS DOUBLE) AS y2,
+          |    event_id % 100 AS ix1, user_id % 100 AS iy1
+          |  FROM events WHERE event_id < 2000)
+          |SELECT event_id,
+          |  x1 AS x1_v, y1 AS y1_v,
+          |  sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS dist_v,
+          |  sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) <= 25.0 AS near_v,
+          |  'POINT(' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy1 AS VARCHAR) || ')' AS wkt_v
+          |FROM d ORDER BY event_id""".stripMargin),
+
+    // ---- envelopes: area/perimeter/centroid + exact predicates ----
+    QueryDef.sql(
+      "q_spatial_box",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 50 AS DOUBLE) AS ax,
+        |    CAST(user_id % 50 AS DOUBLE) AS ay,
+        |    CAST(event_id % 50 + event_id % 7 + 1 AS DOUBLE) AS bx,
+        |    CAST(user_id % 50 + user_id % 5 + 1 AS DOUBLE) AS by,
+        |    CAST((event_id * 3) % 60 AS DOUBLE) AS px,
+        |    CAST((user_id * 3) % 60 AS DOUBLE) AS py
+        |  FROM events WHERE event_id < 2500),
+        |g AS (
+        |  SELECT event_id,
+        |    st_makeenvelope(ax, ay, bx, by) AS env,
+        |    st_makeenvelope(px, py, px + 5, py + 5) AS env2,
+        |    st_point(px, py) AS p
+        |  FROM d)
+        |SELECT event_id,
+        |  st_area(env) AS area_v,
+        |  st_perimeter(env) AS perim_v,
+        |  st_contains(env, p) AS contains_v,
+        |  st_covers(env, p) AS covers_v,
+        |  st_intersects(env, env2) AS intersects_v,
+        |  st_xmin(env) AS xmin_v, st_ymax(env) AS ymax_v,
+        |  st_x(st_centroid(env)) AS cx_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(event_id % 50 AS DOUBLE) AS ax,
+          |    CAST(user_id % 50 AS DOUBLE) AS ay,
+          |    CAST(event_id % 50 + event_id % 7 + 1 AS DOUBLE) AS bx,
+          |    CAST(user_id % 50 + user_id % 5 + 1 AS DOUBLE) AS by,
+          |    CAST((event_id * 3) % 60 AS DOUBLE) AS px,
+          |    CAST((user_id * 3) % 60 AS DOUBLE) AS py
+          |  FROM events WHERE event_id < 2500)
+          |SELECT event_id,
+          |  (bx - ax) * (by - ay) AS area_v,
+          |  (bx - ax) + (by - ay) + (bx - ax) + (by - ay) AS perim_v,
+          |  (px > ax AND px < bx AND py > ay AND py < by) AS contains_v,
+          |  (px >= ax AND px <= bx AND py >= ay AND py <= by) AS covers_v,
+          |  (ax <= px + 5 AND px <= bx AND ay <= py + 5 AND py <= by) AS intersects_v,
+          |  ax AS xmin_v, by AS ymax_v,
+          |  (ax + bx) / 2 AS cx_v
+          |FROM d ORDER BY event_id""".stripMargin),
+
+    // ---- polygons parsed from WKT: shoelace area, exact point-in-
+    //      triangle (division-free sign tests on both sides) ----
+    QueryDef.sql(
+      "q_spatial_poly",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    event_id % 40 AS ax, user_id % 40 AS ay,
+        |    event_id % 40 + 1 + event_id % 13 AS bx,
+        |    user_id % 40 + event_id % 3 AS by,
+        |    event_id % 40 + event_id % 5 AS cx,
+        |    user_id % 40 + 2 + user_id % 11 AS cy,
+        |    event_id % 40 + 1 AS px, user_id % 40 + 1 AS py
+        |  FROM events WHERE event_id < 2500),
+        |g AS (
+        |  SELECT event_id, ax, bx, cx,
+        |    st_geomfromtext(concat('POLYGON((',
+        |      CAST(ax AS STRING), ' ', CAST(ay AS STRING), ', ',
+        |      CAST(bx AS STRING), ' ', CAST(by AS STRING), ', ',
+        |      CAST(cx AS STRING), ' ', CAST(cy AS STRING), ', ',
+        |      CAST(ax AS STRING), ' ', CAST(ay AS STRING), '))')) AS tri,
+        |    st_geomfromtext(concat('MULTIPOINT(',
+        |      CAST(ax AS STRING), ' ', CAST(ay AS STRING), ', ',
+        |      CAST(bx AS STRING), ' ', CAST(by AS STRING), ', ',
+        |      CAST(cx AS STRING), ' ', CAST(cy AS STRING), ')')) AS mp,
+        |    st_point(CAST(px AS DOUBLE), CAST(py AS DOUBLE)) AS p
+        |  FROM d)
+        |SELECT event_id,
+        |  st_area(tri) AS area_v,
+        |  st_perimeter(tri) AS perim_v,
+        |  st_npoints(tri) AS np_v,
+        |  st_x(st_centroid(mp)) AS cx_v,
+        |  st_y(st_centroid(mp)) AS cy_v,
+        |  st_contains(tri, p) AS contains_v,
+        |  st_within(p, tri) AS within_v,
+        |  st_geometrytype(tri) AS type_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    event_id % 40 AS ax, user_id % 40 AS ay,
+          |    event_id % 40 + 1 + event_id % 13 AS bx,
+          |    user_id % 40 + event_id % 3 AS by,
+          |    event_id % 40 + event_id % 5 AS cx,
+          |    user_id % 40 + 2 + user_id % 11 AS cy,
+          |    event_id % 40 + 1 AS px, user_id % 40 + 1 AS py
+          |  FROM events WHERE event_id < 2500),
+          |s AS (
+          |  SELECT event_id, ax, ay, bx, by, cx, cy, px, py,
+          |    (bx - ax) * (py - ay) - (by - ay) * (px - ax) AS c1,
+          |    (cx - bx) * (py - by) - (cy - by) * (px - bx) AS c2,
+          |    (ax - cx) * (py - cy) - (ay - cy) * (px - cx) AS c3
+          |  FROM d)
+          |SELECT event_id,
+          |  abs(CAST(ax * by - bx * ay + bx * cy - cx * by + cx * ay - ax * cy
+          |      AS DOUBLE)) / 2 AS area_v,
+          |  sqrt(CAST((bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS DOUBLE))
+          |    + sqrt(CAST((cx - bx) * (cx - bx) + (cy - by) * (cy - by) AS DOUBLE))
+          |    + sqrt(CAST((ax - cx) * (ax - cx) + (ay - cy) * (ay - cy) AS DOUBLE)) AS perim_v,
+          |  4 AS np_v,
+          |  CAST(ax + bx + cx AS DOUBLE) / 3 AS cx_v,
+          |  CAST(ay + by + cy AS DOUBLE) / 3 AS cy_v,
+          |  ((c1 > 0 AND c2 > 0 AND c3 > 0) OR (c1 < 0 AND c2 < 0 AND c3 < 0)) AS contains_v,
+          |  ((c1 > 0 AND c2 > 0 AND c3 > 0) OR (c1 < 0 AND c2 < 0 AND c3 < 0)) AS within_v,
+          |  'ST_Polygon' AS type_v
+          |FROM s ORDER BY event_id""".stripMargin))
+}

@@ -1,0 +1,257 @@
+package graft
+
+import graft.functions.Geometry
+import graft.functions.Geometry._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the pure geometry core plus SQL-level smoke of the
+  * st_* registry (SURVEY.md §2.7 "Spatial"). The judged q_spatial_*
+  * queries prove engine-vs-oracle equivalence; this spec pins the
+  * algorithmic semantics on hand-computed figures.
+  */
+class SpatialSpec extends AnyFunSuite {
+  private def sparkSession = SparkTestSession.spark
+
+  private def wkt(s: String): Geom = parseWkt(s)
+
+  test("WKT roundtrip across all seven geometry types") {
+    val cases = Seq(
+      "POINT(1 2)",
+      "POINT EMPTY",
+      "MULTIPOINT(1 2, 3 4)",
+      "LINESTRING(0 0, 1 1, 2 0)",
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))",
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+      "GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(0 0, 1 1))")
+    cases.foreach { c => assert(toWkt(wkt(c)) == c, s"roundtrip of $c") }
+  }
+
+  test("WKB roundtrip preserves structure and SRID") {
+    val cases = Seq(
+      "POINT(1.5 -2.25)",
+      "MULTIPOINT(1 2, 3 4)",
+      "LINESTRING(0 0, 1 1, 2 0)",
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)))",
+      "MULTILINESTRING((0 0, 1 1), (2 2, 3 3))",
+      "GEOMETRYCOLLECTION(POINT(1 2), POLYGON((0 0, 1 0, 1 1, 0 0)))")
+    cases.foreach { c =>
+      val g = wkt(c)
+      assert(parseWkb(toWkb(g)) == g, s"wkb roundtrip of $c")
+      val withSrid = g.withSrid(4326)
+      assert(parseWkb(toWkb(withSrid)) == withSrid, s"ewkb roundtrip of $c")
+    }
+  }
+
+  test("EWKT SRID prefix parses") {
+    val g = wkt("SRID=3857;POINT(10 20)")
+    assert(g.srid == 3857)
+    assert(toWkt(g) == "POINT(10 20)")
+  }
+
+  test("area: rectangle, triangle, polygon with hole, shoelace invariance") {
+    assert(area(wkt("POLYGON((0 0, 4 0, 4 3, 0 3, 0 0))")) == 12.0)
+    assert(area(wkt("POLYGON((0 0, 4 0, 0 3, 0 0))")) == 6.0)
+    assert(area(wkt(
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")) == 96.0)
+    // winding direction must not matter
+    assert(area(wkt("POLYGON((0 0, 0 3, 4 3, 4 0, 0 0))")) == 12.0)
+    assert(area(wkt("LINESTRING(0 0, 5 5)")) == 0.0)
+  }
+
+  test("length and perimeter") {
+    assert(Geometry.length(wkt("LINESTRING(0 0, 3 4)")) == 5.0)
+    assert(Geometry.length(wkt("MULTILINESTRING((0 0, 3 4), (0 0, 0 2))")) == 7.0)
+    assert(perimeter(wkt("POLYGON((0 0, 4 0, 4 3, 0 3, 0 0))")) == 14.0)
+    // holes add to perimeter like PostGIS
+    assert(perimeter(wkt(
+      "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")) == 48.0)
+    assert(Geometry.length(wkt("POLYGON((0 0, 4 0, 4 3, 0 3, 0 0))")) == 0.0)
+  }
+
+  test("centroid: points, lines, polygons, holes") {
+    assert(centroid(wkt("MULTIPOINT(0 0, 2 0, 4 6)")).get == Pt(2.0, 2.0))
+    assert(centroid(wkt("LINESTRING(0 0, 4 0)")).get == Pt(2.0, 0.0))
+    assert(centroid(wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")).get == Pt(2.0, 2.0))
+    // symmetric hole keeps the centroid at the center
+    val holed = wkt(
+      "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0), (3 3, 5 3, 5 5, 3 5, 3 3))")
+    assert(centroid(holed).get == Pt(4.0, 4.0))
+    // asymmetric hole shifts it away from the hole
+    val shifted = wkt(
+      "POLYGON((0 0, 8 0, 8 8, 0 8, 0 0), (0 0, 4 0, 4 4, 0 4, 0 0))")
+    val c = centroid(shifted).get
+    assert(c.x > 4.0 && c.y > 4.0)
+  }
+
+  test("distance: point/segment/polygon combinations") {
+    val p = wkt("POINT(0 0)")
+    assert(distance(p, wkt("POINT(3 4)")) == 5.0)
+    assert(distance(p, wkt("LINESTRING(2 -10, 2 10)")) == 2.0)
+    // beyond the segment end: distance to the endpoint
+    assert(distance(p, wkt("LINESTRING(3 4, 10 4)")) == 5.0)
+    val poly = wkt("POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(distance(p, poly) == math.sqrt(8.0))
+    // intersecting geometries: 0
+    assert(distance(wkt("POINT(3 3)"), poly) == 0.0)
+    assert(distance(wkt("LINESTRING(0 3, 10 3)"), poly) == 0.0)
+  }
+
+  test("point-in-polygon: interior, boundary, holes, exactness") {
+    val rs = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+      .asInstanceOf[GPolygon].rings
+    assert(locateInPolygon(rs, Pt(2, 2)) == 2)
+    assert(locateInPolygon(rs, Pt(0, 5)) == 1) // outer boundary
+    assert(locateInPolygon(rs, Pt(5, 5)) == 0) // inside hole
+    assert(locateInPolygon(rs, Pt(4, 5)) == 1) // hole boundary
+    assert(locateInPolygon(rs, Pt(11, 5)) == 0)
+    assert(locateInPolygon(rs, Pt(10, 10)) == 1) // corner
+  }
+
+  test("contains vs covers: boundary semantics match PostGIS") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val boundaryPt = wkt("POINT(0 2)")
+    val interiorPt = wkt("POINT(2 2)")
+    assert(contains(sq, interiorPt))
+    assert(!contains(sq, boundaryPt)) // ST_Contains excludes boundary
+    assert(covers(sq, boundaryPt)) // ST_Covers includes it
+    assert(within(interiorPt, sq))
+    assert(coveredBy(boundaryPt, sq))
+    // polygon in polygon
+    val inner = wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(contains(sq, inner) && covers(sq, inner))
+    val overlapping = wkt("POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))")
+    assert(!contains(sq, overlapping))
+    // shared-edge polygon is covered but still contained (interior overlaps)
+    val edge = wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert(covers(sq, edge) && contains(sq, edge))
+    // a polygon containing a hole does NOT contain points of the hole
+    val holed = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(!contains(holed, wkt("POINT(5 5)")))
+  }
+
+  test("intersects and disjoint across shapes") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(intersects(sq, wkt("POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))")))
+    assert(intersects(sq, wkt("POLYGON((4 0, 8 0, 8 4, 4 4, 4 0))"))) // edge touch
+    assert(intersects(sq, wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"))) // containment
+    assert(intersects(wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"), sq)) // reversed
+    assert(disjoint(sq, wkt("POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))")))
+    assert(intersects(wkt("LINESTRING(-1 2, 5 2)"), sq))
+    assert(intersects(wkt("POINT(4 4)"), sq)) // corner touch
+    assert(disjoint(wkt("POINT(5 5)"), sq))
+    assert(intersects(wkt("LINESTRING(0 0, 2 2)"), wkt("LINESTRING(0 2, 2 0)")))
+    assert(intersects(wkt("LINESTRING(0 0, 2 2)"), wkt("LINESTRING(1 1, 3 3)"))) // collinear overlap
+    assert(disjoint(wkt("LINESTRING(0 0, 1 1)"), wkt("LINESTRING(2 2, 3 3)")))
+  }
+
+  test("envelope, makeEnvelope degenerate forms, min/max accessors") {
+    val e = envelope(wkt("LINESTRING(1 2, 5 -3, 4 7)"))
+    assert(toWkt(e) == "POLYGON((1 -3, 5 -3, 5 7, 1 7, 1 -3))")
+    assert(toWkt(makeEnvelope(1, 1, 1, 1)) == "POINT(1 1)")
+    assert(toWkt(makeEnvelope(1, 1, 1, 5)) == "LINESTRING(1 1, 1 5)")
+  }
+
+  test("convex hull: square cloud, collinear degenerates") {
+    val hull = convexHull(wkt("MULTIPOINT(0 0, 4 0, 4 4, 0 4, 2 2, 1 3)"))
+    assert(area(hull) == 16.0)
+    assert(allPoints(hull).length == 5) // 4 corners + closure
+    val line = convexHull(wkt("MULTIPOINT(0 0, 1 1, 2 2)"))
+    assert(toWkt(line) == "LINESTRING(0 0, 2 2)")
+    assert(toWkt(convexHull(wkt("POINT(3 3)"))) == "POINT(3 3)")
+  }
+
+  test("simplify: Douglas-Peucker drops near-collinear vertices") {
+    val l = wkt("LINESTRING(0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+    assert(toWkt(simplify(l, 0.1)) == "LINESTRING(0 0, 4 0)")
+    // below tolerance: keeps the significant vertex
+    val bent = wkt("LINESTRING(0 0, 2 3, 4 0)")
+    assert(toWkt(simplify(bent, 0.1)) == "LINESTRING(0 0, 2 3, 4 0)")
+    // polygon rings stay closed and valid
+    val sq = wkt("POLYGON((0 0, 2 0.001, 4 0, 4 4, 0 4, 0 0))")
+    assert(toWkt(simplify(sq, 0.1)) == "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+  }
+
+  test("buffer: point circle area converges; non-point refused") {
+    val b = bufferPoint(wkt("POINT(0 0)"), 10.0)
+    val a = area(b)
+    assert(a > math.Pi * 100 * 0.99 && a < math.Pi * 100)
+    assert(allPoints(b).length == 33) // 32 segments + closure
+    intercept[UnsupportedOperationException] {
+      bufferPoint(wkt("LINESTRING(0 0, 1 1)"), 1.0)
+    }
+  }
+
+  test("transforms: translate/scale/flip/snap/reverse") {
+    assert(toWkt(translate(wkt("POINT(1 2)"), 10, 20)) == "POINT(11 22)")
+    assert(toWkt(scale(wkt("LINESTRING(1 1, 2 2)"), 2, 3)) == "LINESTRING(2 3, 4 6)")
+    assert(toWkt(flipCoordinates(wkt("POINT(1 2)"))) == "POINT(2 1)")
+    assert(toWkt(snapToGrid(wkt("POINT(1.24 5.81)"), 0.5)) == "POINT(1 6)")
+    assert(toWkt(Geometry.reverse(wkt("LINESTRING(0 0, 1 1, 2 0)"))) ==
+      "LINESTRING(2 0, 1 1, 0 0)")
+  }
+
+  test("SRID transform 4326<->3857 roundtrips; others refused") {
+    val p = wkt("POINT(10 45)").withSrid(4326)
+    val merc = transform(p, 3857)
+    assert(merc.srid == 3857)
+    val Pt(mx, my) = allPoints(merc).head
+    assert(math.abs(mx - 1113194.9079327357) < 1e-6)
+    assert(math.abs(my - 5621521.486192066) < 1e-6)
+    val back = transform(merc, 4326)
+    val Pt(bx, by) = allPoints(back).head
+    assert(math.abs(bx - 10) < 1e-9 && math.abs(by - 45) < 1e-9)
+    intercept[UnsupportedOperationException] { transform(p, 2154) }
+    intercept[IllegalArgumentException] { transform(wkt("POINT(0 0)"), 3857) }
+  }
+
+  test("azimuth quadrants") {
+    assert(azimuth(Pt(0, 0), Pt(0, 1)).get == 0.0) // north
+    assert(azimuth(Pt(0, 0), Pt(1, 0)).get == math.Pi / 2) // east
+    assert(azimuth(Pt(0, 0), Pt(0, -1)).get == math.Pi) // south
+    assert(azimuth(Pt(0, 0), Pt(-1, 0)).get == 3 * math.Pi / 2) // west
+    assert(azimuth(Pt(1, 1), Pt(1, 1)).isEmpty)
+  }
+
+  test("collect and union") {
+    assert(toWkt(collect(wkt("POINT(1 1)"), wkt("POINT(2 2)"))) ==
+      "MULTIPOINT(1 1, 2 2)")
+    assert(toWkt(unionPoints(wkt("MULTIPOINT(1 1, 2 2)"), wkt("POINT(1 1)"))) ==
+      "MULTIPOINT(1 1, 2 2)")
+    intercept[IllegalArgumentException] {
+      unionPoints(wkt("POINT(0 0)"), wkt("LINESTRING(0 0, 1 1)"))
+    }
+  }
+
+  test("st_* functions work end-to-end in Spark SQL") {
+    val spark = sparkSession
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT
+        |  st_astext(st_centroid(st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS c,
+        |  st_area(st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))')) AS a,
+        |  st_distance(st_point(0.0, 0.0), st_point(3.0, 4.0)) AS d,
+        |  st_contains(st_makeenvelope(0.0, 0.0, 10.0, 10.0), st_point(5.0, 5.0)) AS inside,
+        |  st_npoints(st_geomfromtext('LINESTRING(0 0, 1 1, 2 2)')) AS np,
+        |  st_srid(st_setsrid(st_point(1.0, 2.0), 4326)) AS srid,
+        |  st_geometrytype(st_point(1.0, 2.0)) AS gt,
+        |  st_astext(st_geomfromwkb(st_asbinary(st_point(7.0, 8.0)))) AS rt
+        |""".stripMargin).as[(String, Double, Double, Boolean, Int, Int, String, String)]
+      .head()
+    assert(row == ("POINT(2 2)", 16.0, 5.0, true, 3, 4326, "ST_Point", "POINT(7 8)"))
+  }
+
+  test("st_* null propagation in SQL") {
+    val spark = sparkSession
+    graft.functions.PgFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT st_x(CAST(NULL AS BINARY)) AS a,
+        |  st_distance(st_point(0.0, 0.0), CAST(NULL AS BINARY)) AS b,
+        |  st_astext(st_point(CAST(NULL AS DOUBLE), 1.0)) AS c""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
