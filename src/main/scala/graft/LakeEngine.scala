@@ -223,6 +223,33 @@ final class LakeEngine(val spark: SparkSession) {
     }.toDF("table_name", "location", "metadata_location")
   }
 
+  /** GeoJSON scan (reference reads geo formats via GDAL,
+    * docs/file-formats-reference.md:96-140; here the GeoJSON layer is
+    * native — [[graft.sources.GeoJson]]). Rows carry WKB geometry for
+    * the st_* function layer plus a properties map.
+    */
+  def createGeoTable(name: String, path: String): DataFrame = {
+    val df = sources.GeoJson.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** http(s):// / hf:// table (reference
+    * docs/file-formats-reference.md:169-193): the URL is staged once
+    * into a local content-addressed cache, then scanned like any lake
+    * foreign table (format inferred from the URL unless given).
+    */
+  def createHttpTable(name: String, url: String,
+      format: Option[String] = None,
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame = {
+    val local = sources.HttpSource.stage(url)
+    createLakeTable(name, local,
+      format = format.orElse(
+        Some(inferFormat(sources.HttpSource.pathPart(url)))),
+      options = options, schema = schema)
+  }
+
   /** Log-format scan (`format 'log', log_format 's3'` in the reference,
     * docs/file-formats-reference.md:141-150): templated regex parse of
     * S3 access logs over a distributed text scan. Unparseable lines
