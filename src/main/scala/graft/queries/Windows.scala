@@ -215,5 +215,35 @@ object Windows {
           sum(when(col("n_lines") > 550, col("qty").cast("decimal(28,2)")))
             .over(w).cast("double").as("cum_big_qty"))
         .orderBy("l_suppkey")
+    },
+
+    // gap-based sessionization (streaming.Sessionize batch formulation:
+    // lag -> new-session flag -> running sum -> group; the streaming
+    // flatMapGroupsWithState twin is proven equal in SessionizeSpec)
+    QueryDef(
+      "q_sessionize",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM marked)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (s, dir) =>
+      graft.streaming.Sessionize
+        .batch(Tables.df(s, dir, "events"), "user_id", "ts", "event_id", 30)
+        .select(col("user_id"),
+          col("session_no").cast("bigint").as("session_no"),
+          col("session_start"), col("session_end"), col("n_events"))
+        .orderBy("user_id", "session_no")
     })
 }
