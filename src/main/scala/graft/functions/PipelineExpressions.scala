@@ -247,3 +247,75 @@ case class SimHash60(child: Expression) extends UnaryExpression {
        """.stripMargin
     })
 }
+
+/** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken winnowing,
+  * SIGMOD'03): length-K polynomial rolling hashes over the string's
+  * code points, sliding-window minima of width W, output = sorted
+  * distinct minima. One O(n) pass per document (the rolling update is
+  * `(h - lead*B^(K-1))*B + next mod M`, identical values to the
+  * per-window fold the DuckDB oracle computes). Codegen calls
+  * [[compute]] directly so the projection stays inside whole-stage
+  * codegen with a single virtual call per row.
+  */
+case class WinnowSig(child: Expression) extends UnaryExpression {
+  import PipelineParams.{WinnowB, WinnowK, WinnowM, WinnowW}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WinnowSig =
+    copy(child = c)
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[UTF8String])
+
+  def compute(s0: UTF8String): ArrayData = {
+    val cps = s0.toString.codePoints().toArray
+    val n = cps.length - WinnowK + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    // B^(K-1) mod M, for removing the leading term
+    var pw = 1L
+    var j = 1
+    while (j < WinnowK) { pw = pw * WinnowB % WinnowM; j += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < cps.length) {
+      if (i >= WinnowK) {
+        h = (h - cps(i - WinnowK) * pw % WinnowM + WinnowM) % WinnowM
+      }
+      h = (h * WinnowB + cps(i)) % WinnowM
+      if (i >= WinnowK - 1) hs(i - WinnowK + 1) = h
+      i += 1
+    }
+    // window minima (W small: the O(n*W) scan beats deque overhead)
+    val minima = new java.util.TreeSet[java.lang.Long]()
+    if (n <= WinnowW) {
+      var m = Long.MaxValue
+      var t = 0
+      while (t < n) { if (hs(t) < m) m = hs(t); t += 1 }
+      minima.add(m)
+    } else {
+      var start = 0
+      while (start <= n - WinnowW) {
+        var m = Long.MaxValue
+        var t = start
+        while (t < start + WinnowW) { if (hs(t) < m) m = hs(t); t += 1 }
+        minima.add(m)
+        start += 1
+      }
+    }
+    val out = new Array[Long](minima.size)
+    val it = minima.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowSig", this,
+      classOf[WinnowSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute(($c));")
+  }
+}

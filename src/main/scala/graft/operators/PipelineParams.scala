@@ -72,6 +72,18 @@ object PipelineParams {
     Seq.fill(LshPlanes)(Seq.fill(EmbeddingDim)(rnd.nextDouble() * 2 - 1))
   }
 
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * k-gram polynomial rolling hashes over code points, window-min
+    * selection. The fingerprint is the SORTED DISTINCT SET of window
+    * minima — a value set, independent of which tied position a
+    * winnowing rule would pick, so the Spark rolling computation and
+    * the DuckDB fold oracle agree exactly.
+    */
+  val WinnowK = 7
+  val WinnowW = 8
+  val WinnowB = 257L
+  val WinnowM = 1000000007L
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic; CJK is detected by codepoint-class ratio.
     */

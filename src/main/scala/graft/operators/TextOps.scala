@@ -83,6 +83,14 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Winnowing fingerprint (rolling k-gram hashes, window minima):
+    * near-dup detection robust to local edits, unlike the exact md5
+    * fingerprint. See [[graft.functions.WinnowSig]].
+    */
+  def winnowFingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.WinnowSig(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
   // ---- quality / stats --------------------------------------------------
 
   def nChars(text: Column): Column = length(text)

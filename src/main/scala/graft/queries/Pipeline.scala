@@ -276,6 +276,44 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- winnowing document fingerprint (rolling-hash k-grams,
+    //      window minima — Schleimer et al. SIGMOD'03). The oracle
+    //      recomputes each window hash as a per-window fold; the Spark
+    //      side rolls in O(n) — identical residues mod M, and the
+    //      sorted-distinct-minima fingerprint is order-rule-free. ------
+    QueryDef(
+      "q_text_winnow",
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    list_transform(range(length(text) - $WinnowK + 1),
+         |      i -> list_reduce(
+         |        list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(range($WinnowK),
+         |            j -> CAST(unicode(text[i + j + 1]) AS BIGINT))),
+         |        (a, c) -> (a * $WinnowB + c) % $WinnowM)) AS hs
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN len(hs) <= $WinnowW THEN [list_min(hs)]
+         |         ELSE list_sort(list_distinct(
+         |           list_transform(range(len(hs) - $WinnowW + 1),
+         |             j -> list_min(hs[j + 1:j + $WinnowW]))))
+         |    END AS fp
+         |  FROM h)
+         |SELECT doc_id, fp, len(fp) AS fp_len,
+         |  fp[1] AS fp_min, fp[len(fp)] AS fp_max
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextOps.winnowFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp"), size(col("fp")).as("fp_len"),
+          when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("fp_min"),
+          when(size(col("fp")) > 0, element_at(col("fp"), size(col("fp"))))
+            .as("fp_max"))
+        .orderBy("doc_id")
+    },
+
     // ---- TF-IDF top terms (classic corpus weighting) -----------------
     QueryDef(
       "q_text_tfidf",

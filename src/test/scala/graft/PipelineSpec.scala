@@ -141,4 +141,29 @@ class PipelineSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"minhash=${lsh.size} exact=${exact.size}")
   }
+
+  test("winnow fingerprint: local-edit robustness, short-string edges") {
+    import spark.implicits._
+    def fp(s: String): Seq[Long] =
+      Seq(s).toDF("t")
+        .select(operators.TextOps.winnowFingerprint(col("t")).as("fp"))
+        .head().getSeq[Long](0)
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val a = fp(base)
+    assert(a.nonEmpty && a == a.sorted && a.distinct == a)
+    // a single-character edit perturbs only nearby k-grams: the
+    // fingerprints stay mostly shared (winnowing's locality guarantee)
+    val edited = base.updated(200, 'X')
+    val b = fp(edited)
+    val overlap = a.toSet.intersect(b.toSet).size.toDouble /
+      math.max(a.size, b.size)
+    assert(overlap > 0.8, s"overlap $overlap")
+    // identical text -> identical fingerprint; disjoint text -> disjoint
+    assert(fp(base) == a)
+    assert(fp("entirely different content with no shared phrasing at all")
+      .toSet.intersect(a.toSet).isEmpty)
+    // shorter than K chars -> empty; exactly K -> one window min
+    assert(fp("abc").isEmpty)
+    assert(fp("abcdefg").length == 1)
+  }
 }
