@@ -185,6 +185,25 @@ object Relational {
         .orderBy("r_name", "n_name")
     },
 
+    // ---- JOIN USING with table aliases (§2.3): the one join shape the
+    //      reference can NOT push down (DuckDB alias bug,
+    //      query_pushdown.c:699-711) — native and unrestricted here ----
+    QueryDef.sql(
+      "q_join_using",
+      """SELECT t.k, t.o_totalprice, s.qty
+        |FROM (SELECT o_orderkey AS k, o_totalprice FROM orders
+        |      WHERE o_orderkey < 500) t
+        |JOIN (SELECT l_orderkey AS k, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |      FROM lineitem GROUP BY l_orderkey) s USING (k)
+        |ORDER BY t.k""".stripMargin,
+      oracle =
+        """SELECT t.k, t.o_totalprice, s.qty
+          |FROM (SELECT o_orderkey AS k, o_totalprice FROM orders
+          |      WHERE o_orderkey < 500) t
+          |JOIN (SELECT l_orderkey AS k, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          |      FROM lineitem GROUP BY l_orderkey) s USING (k)
+          |ORDER BY t.k""".stripMargin),
+
     // ---- set operations (§2.6) ----
     QueryDef(
       "q_setops",
