@@ -142,6 +142,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"minhash=${lsh.size} exact=${exact.size}")
   }
 
+  test("multimodal resize + feature extraction + waveform stats") {
+    val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
+
+    val resized = Multimodal.resizeStub(media, 8, 8)
+    assert(resized.schema == Multimodal.resizedSchema)
+    assert(resized.rdd.getNumPartitions == media.rdd.getNumPartitions)
+    val rrows = resized.collect()
+    assert(rrows.forall(_.getAs[Array[Byte]]("payload").length == 64))
+
+    val feats = Multimodal.extractFeaturesStub(media, dim = 16)
+    assert(feats.schema == Multimodal.featureSchema)
+    val frows = feats.collect()
+    assert(frows.forall(_.getSeq[Float](1).length == 16))
+    // L2-normalized: unit norm (within float tolerance) for nonempty payloads
+    frows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"norm $norm")
+    }
+    // features feed the similarity operators directly (media -> ANN)
+    val fdf = feats.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(
+      fdf.filter(col("vec_id") < 5), fdf, "vec_id", "embedding")
+    assert(topk.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == PipelineParams.TopK))
+
+    val wav = Multimodal.waveformStats(media, windowBytes = 100)
+    val wrows = wav.collect()
+    assert(wrows.forall(r => r.getInt(2) == r.getSeq[Double](1).length))
+    assert(wrows.forall(_.getSeq[Double](1).forall(v => v >= 0 && v <= 255)))
+    // determinism
+    assert(wav.orderBy("media_id").collect()
+      .sameElements(Multimodal.waveformStats(media, 100)
+        .orderBy("media_id").collect()))
+  }
+
   test("winnow fingerprint: local-edit robustness, short-string edges") {
     import spark.implicits._
     def fp(s: String): Seq[Long] =
