@@ -301,13 +301,21 @@ object Pipeline {
          |             j -> list_min(hs[j + 1:j + $WinnowW]))))
          |    END AS fp
          |  FROM h)
-         |SELECT doc_id, fp, len(fp) AS fp_len,
+         |SELECT doc_id,
+         |  coalesce(array_to_string(fp, ','), '') AS fp_str,
+         |  len(fp) AS fp_len,
          |  fp[1] AS fp_min, fp[len(fp)] AS fp_max
          |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // The fingerprint is rendered as a comma-joined string (not a raw
+      // array column): the driver's comparator sorts every column in
+      // pandas, and list-typed cells are unhashable there. Joining keeps
+      // the full fingerprint in the differential.
       docs(s, dir)
         .select(col("doc_id"),
           TextOps.winnowFingerprint(col("text")).as("fp"))
-        .select(col("doc_id"), col("fp"), size(col("fp")).as("fp_len"),
+        .select(col("doc_id"),
+          array_join(col("fp").cast("array<string>"), ",").as("fp_str"),
+          size(col("fp")).as("fp_len"),
           when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("fp_min"),
           when(size(col("fp")) > 0, element_at(col("fp"), size(col("fp"))))
             .as("fp_max"))
