@@ -115,6 +115,33 @@ object TextOps {
     expr(s"aggregate(transform($w, x -> length(x)), 0L, (a, b) -> a + b)")
       .cast("double") / expr(s"size($w)")
 
+  /** Gopher-style repetition: fraction of word occurrences that repeat
+    * an earlier word (1 − distinct/total).
+    */
+  def dupWordRatio(w: String): Column =
+    lit(1.0) - expr(s"size(array_distinct($w))").cast("double") /
+      expr(s"size($w)")
+
+  /** Adjacent word bigrams ("a b"); empty below 2 words. */
+  def bigrams(w: String): Column =
+    expr(
+      s"""CASE WHEN size($w) >= 2
+         |  THEN transform(sequence(0, size($w) - 2),
+         |    i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2)))
+         |  ELSE array() END""".stripMargin)
+
+  /** Fraction of bigram occurrences taken by the most frequent bigram
+    * (0.0 under 2 words) — the Gopher "top n-gram fraction" repetition
+    * signal. Per-row O(d·distinct) over builtin lambdas: scan-local,
+    * zero shuffles at any corpus size.
+    */
+  def topBigramRatio(g: String): Column =
+    expr(
+      s"""CASE WHEN size($g) = 0 THEN cast(0.0 as double)
+         |  ELSE cast(array_max(transform(array_distinct($g),
+         |      x -> size(filter($g, y -> y = x)))) as double) / size($g)
+         |  END""".stripMargin)
+
   /** PII scrubbing: redact email addresses and phone-number-shaped
     * digit runs (training-corpus hygiene). Pure regexp_replace —
     * codegen'd, reproducible in the oracle.

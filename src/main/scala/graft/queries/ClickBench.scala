@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** ClickBench-style web-analytics suite over the `events` fixture —
+  * the reference ships ClickBench as its third benchmark harness
+  * (pg_lake_benchmark/tests/pytests/test_clickbench.py:4,
+  * pg_lake_benchmark/README.md:9-13; 43 queries over a `hits` table).
+  * The fixture `events` table carries the same shape of workload
+  * (user/event/time/value/JSON-props), so this suite adapts the
+  * representative ClickBench query patterns: whole-table counts,
+  * grouped top-k with distinct users, time-bucketed histograms, and
+  * JSON property extraction.
+  *
+  * Same determinism contract as [[Tpch]]: DECIMAL-cast money sums,
+  * total ORDER BY ending in a unique key, identical aliases both sides.
+  */
+object ClickBench {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // CB Q0-3 shapes: whole-table scan aggregates
+    QueryDef.sql(
+      "q_cb_counts",
+      """SELECT count(*) AS hits, count(DISTINCT user_id) AS users,
+        |  count(DISTINCT event_type) AS kinds,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events""".stripMargin),
+
+    // CB Q8/Q13 shape: group + top-k by count with distinct users
+    QueryDef.sql(
+      "q_cb_top_types",
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY cnt DESC, event_type""".stripMargin),
+
+    // CB Q17 shape: heavy-hitter users on a filtered event class
+    QueryDef.sql(
+      "q_cb_top_users",
+      """SELECT user_id, count(*) AS cnt
+        |FROM events
+        |WHERE event_type = 'click'
+        |GROUP BY user_id
+        |ORDER BY cnt DESC, user_id
+        |LIMIT 10""".stripMargin),
+
+    // CB Q20-22 shape: time-bucketed histogram
+    QueryDef.sql(
+      "q_cb_hourly",
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY date_trunc('hour', ts)
+        |ORDER BY h""".stripMargin),
+
+    // JSON property extraction + bucketing (ClickBench's URL/referrer
+    // string slicing, adapted to the props JSON column)
+    QueryDef.sql(
+      "q_cb_props_hist",
+      """SELECT CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) DIV 10
+        |    AS k_bucket,
+        |  count(*) AS cnt
+        |FROM events
+        |GROUP BY CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) DIV 10
+        |ORDER BY k_bucket""".stripMargin,
+      oracle =
+        """SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 10
+          |    AS k_bucket,
+          |  count(*) AS cnt
+          |FROM events
+          |GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 10
+          |ORDER BY k_bucket""".stripMargin))
+}

@@ -443,6 +443,74 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Gopher-style repetition metrics: scan-local lambda
+    // expressions, zero shuffles at any corpus size ------------------
+    QueryDef(
+      "q_text_repetition",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ws,
+         |    CASE WHEN len(ws) >= 2
+         |      THEN list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i + 1])
+         |      ELSE [] END AS bg
+         |  FROM w)
+         |SELECT doc_id,
+         |  1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup_word_ratio,
+         |  CASE WHEN len(bg) = 0 THEN 0.0
+         |    ELSE list_max(list_transform(list_distinct(bg),
+         |        x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg)
+         |    END AS top_bigram_ratio
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .withColumn("bg", TextOps.bigrams("ws"))
+        .select(col("doc_id"),
+          TextOps.dupWordRatio("ws").as("dup_word_ratio"),
+          TextOps.topBigramRatio("bg").as("top_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- C4/Gopher-style quality filter: keep/drop + reason tags ----
+    QueryDef(
+      "q_text_quality_filter",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(ws) AS n_words,
+         |    1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup_ratio,
+         |    list_reduce(list_transform(ws, x -> length(x)),
+         |      (a, b) -> a + b)::DOUBLE / len(ws) AS awl
+         |  FROM w)
+         |SELECT doc_id,
+         |  (n_words >= 20 AND dup_ratio <= 0.55
+         |    AND awl >= 2.0 AND awl <= 10.0) AS keep,
+         |  concat(
+         |    CASE WHEN n_words < 20 THEN 'short;' ELSE '' END,
+         |    CASE WHEN dup_ratio > 0.55 THEN 'repetitive;' ELSE '' END,
+         |    CASE WHEN awl < 2.0 OR awl > 10.0 THEN 'word_len;' ELSE '' END
+         |  ) AS reasons
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .withColumn("n_words", size(col("ws")))
+        .withColumn("dup_ratio", TextOps.dupWordRatio("ws"))
+        .withColumn("awl", TextOps.avgWordLen("ws"))
+        .select(col("doc_id"),
+          (col("n_words") >= 20 && col("dup_ratio") <= 0.55 &&
+            col("awl") >= 2.0 && col("awl") <= 10.0).as("keep"),
+          concat(
+            when(col("n_words") < 20, lit("short;")).otherwise(lit("")),
+            when(col("dup_ratio") > 0.55, lit("repetitive;")).otherwise(lit("")),
+            when(col("awl") < 2.0 || col("awl") > 10.0, lit("word_len;"))
+              .otherwise(lit(""))).as("reasons"))
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing (stub decode — see Multimodal scaladoc) -
     QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "img/fake")
