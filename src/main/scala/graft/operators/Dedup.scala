@@ -93,6 +93,68 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Per-doc MinHash signature table: (id, hs, sig) — hashed shingle
+    * set plus the k-permutation signature. This is the state a 100 TB
+    * pipeline PERSISTS (a lake table keyed by id): incremental batches
+    * then dedup against the corpus without re-reading any document
+    * text, paying only O(|batch| + matching band buckets) per batch.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    shingleSets(df, idCol, textCol)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("hs", TextOps.hashAll("shingles"))
+      .select(col("id"), col("hs"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftBridge.expression(col("hs")))).as("sig"))
+
+  /** Banded LSH keys for a signature table: (id, band, key, is_new). */
+  private def bandedKeys(sigs: DataFrame, isNew: Boolean): DataFrame =
+    sigs.select(col("id"), posexplode(
+        expr(s"""transform(sequence(0, ${MinhashBands - 1}), j ->
+                 |  element_at(sig, ${MinhashR}*j + 1) * $P +
+                 |  element_at(sig, ${MinhashR}*j + 2))""".stripMargin)))
+      .toDF("id", "band", "key")
+      .filter(col("key").isNotNull)
+      .withColumn("is_new", lit(isNew))
+
+  /** Incremental near-dup detection: near-dup pairs between a NEW batch
+    * of documents and an existing corpus whose signatures were
+    * precomputed by [[minhashSignatures]] — corpus documents are never
+    * re-shingled, and corpus–corpus pairs (already known) are excluded
+    * by construction. Returns (a_id, b_id, jaccard), a_id < b_id, where
+    * at least one side is from the new batch; same ~4e-10 false-negative
+    * bound as [[minhashPairs]] at the default threshold.
+    *
+    * Scale shape: one band-key shuffle join over corpus ∪ batch keys
+    * with the corpus–corpus quadrant masked out, then exact-jaccard
+    * verification on candidates only. Per-batch cost is proportional to
+    * the batch plus its collisions, not the corpus.
+    */
+  def incrementalMinhashPairs(corpusSigs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      minJaccard: Double = MinhashJaccard): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol)
+    val keys = bandedKeys(corpusSigs, isNew = false)
+      .unionByName(bandedKeys(newSigs, isNew = true))
+    val candidates = keys.as("x").join(keys.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id") &&
+          (col("x.is_new") || col("y.is_new")))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    val hs = corpusSigs.select(col("id"), col("hs"))
+      .unionByName(newSigs.select(col("id"), col("hs")))
+    candidates
+      .join(hs.select(col("id"), col("hs").as("ha")), col("a_id") === col("id"))
+      .drop("id")
+      .join(hs.select(col("id"), col("hs").as("hb")), col("b_id") === col("id"))
+      .drop("id")
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("ha"), col("hb")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash near-duplicate pairs at hamming distance ≤ `maxHamming`
     * (default 3). Candidates come from a [[PipelineParams.SimhashBands]]-band
     * equality join; by pigeonhole, any pair within distance 3 shares at

@@ -168,6 +168,34 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- incremental corpus dedup: new batch vs stored signatures ----
+    // The realistic 100 TB shape: the corpus's MinHash signatures are
+    // precomputed state, a new batch arrives, and only batch-touching
+    // pairs are found — corpus docs are never re-shingled and corpus–
+    // corpus pairs never re-emitted. The oracle brute-forces jaccard
+    // over every batch-touching pair, so the differential proves the
+    // band join finds them all (same ~4e-10 FN bound as q_dedup_minhash).
+    QueryDef(
+      "q_dedup_incremental",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE (a.doc_id % 10 = 9 OR b.doc_id % 10 = 9)
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $MinhashJaccard
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val corpusSigs = Dedup.minhashSignatures(
+        d.filter(col("doc_id") % 10 =!= 9), "doc_id", "text")
+      Dedup.incrementalMinhashPairs(corpusSigs,
+          d.filter(col("doc_id") % 10 === 9), "doc_id", "text")
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- SimHash near-dup vs brute-force hamming oracle --------------
     QueryDef(
       "q_dedup_simhash",

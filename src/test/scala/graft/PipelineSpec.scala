@@ -142,6 +142,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"minhash=${lsh.size} exact=${exact.size}")
   }
 
+  test("incremental dedup equals full-corpus pairs restricted to the batch") {
+    val docs = Tables.df(spark, sf, "documents")
+    val isNew = col("doc_id") % 10 === 9
+    val corpusSigs = Dedup.minhashSignatures(
+      docs.filter(!isNew), "doc_id", "text")
+    val inc = Dedup.incrementalMinhashPairs(
+        corpusSigs, docs.filter(isNew), "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 10 == 9 || b % 10 == 9 }.toSet
+    assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")

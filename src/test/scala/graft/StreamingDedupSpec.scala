@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming first-writer-wins dedup must keep exactly the rows the
+  * batch formulation keeps when the stream arrives in id order, and
+  * the watermarked variant must expire its state (a duplicate past the
+  * horizon is kept again).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = 1577836800000L // 2020-01-01; watermark 0 drops epoch-0 rows
+  private def ts(minutes: Long): Timestamp = new Timestamp(base + minutes * 60000L)
+
+  test("stream keeps exactly the batch twin's rows when fed in id order") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta epsilon"),
+      (2L, "Alpha  beta   GAMMA"), // normalizes to doc 0's fingerprint
+      (3L, "zeta"), (4L, "delta epsilon"), (5L, "eta theta"))
+
+    val input = MemoryStream[(Long, String)]
+    val kept = StreamingDedup.exact(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val query = kept.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch per doc so arrival order is exactly id order
+      docs.foreach { d => input.addData(d); query.processAllAvailable() }
+
+      val streamed = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val batch = StreamingDedup.batchTwin(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+      assert(streamed == batch)
+      assert(streamed == Seq(0L, 1L, 3L, 5L))
+    } finally query.stop()
+  }
+
+  test("watermarked state expires: far-future duplicate is kept again") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val kept = StreamingDedup.exactWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "10 minutes")
+    val query = kept.writeStream
+      .format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((0L, "alpha beta", ts(0)))
+      query.processAllAvailable()
+      // inside the horizon: suppressed
+      input.addData((1L, "alpha beta", ts(5)))
+      query.processAllAvailable()
+      // advance the watermark far past the horizon, expiring the state
+      input.addData((2L, "other doc", ts(1000)))
+      query.processAllAvailable()
+      // same fingerprint, but its state expired: kept again
+      input.addData((3L, "alpha beta", ts(1005)))
+      query.processAllAvailable()
+
+      val ids = spark.table("dedup_wm_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(0L, 2L, 3L))
+    } finally query.stop()
+  }
+}

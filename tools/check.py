@@ -5,7 +5,7 @@ Runs graft.Verify output (parquet per query + oracle_sql.json) against
 DuckDB on the same fixture tables and reports per-query row/schema/value
 match. Dev-only tool; not part of the shipped library.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name1,name2,...]
 """
 import json
 import math
@@ -28,11 +28,13 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -81,4 +83,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], names))
