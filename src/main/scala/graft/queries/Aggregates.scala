@@ -28,6 +28,41 @@ object Aggregates {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
 
+    // approx count-distinct — the mergeable-sketch (HLL) path for
+    // count(DISTINCT) at 100 TB: constant memory per group, map-side
+    // partial merge, no distinct-expand shuffle. Same band-check oracle
+    // pattern as q_agg_percentile_approx: each engine asserts its OWN
+    // sketch lands within ±5% of its own exact count, so the compared
+    // rows are deterministic booleans while the sketches themselves
+    // (different algorithms) never need to agree bit-for-bit.
+    QueryDef.sql(
+      "q_agg_approx_distinct",
+      """SELECT o_orderstatus,
+        |  (approx_count_distinct(o_custkey, 0.01)
+        |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_custkey) AS BIGINT)
+        |         AND CAST(1.05 * COUNT(DISTINCT o_custkey) AS BIGINT))
+        |    AS cust_in_band,
+        |  (approx_count_distinct(o_orderkey, 0.01)
+        |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |         AND CAST(1.05 * COUNT(DISTINCT o_orderkey) AS BIGINT))
+        |    AS order_in_band
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+      oracle =
+        """SELECT o_orderstatus,
+          |  (approx_count_distinct(o_custkey)
+          |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_custkey) AS BIGINT)
+          |         AND CAST(1.05 * COUNT(DISTINCT o_custkey) AS BIGINT))
+          |    AS cust_in_band,
+          |  (approx_count_distinct(o_orderkey)
+          |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_orderkey) AS BIGINT)
+          |         AND CAST(1.05 * COUNT(DISTINCT o_orderkey) AS BIGINT))
+          |    AS order_in_band
+          |FROM orders
+          |GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin),
+
     // min/max over numerics, text, timestamps; any_value on a
     // functionally-dependent column (deterministic); bool_and/bool_or
     QueryDef.sql(
