@@ -60,7 +60,20 @@ object SpatialOps {
         if (pts.head == pts.last) GMultiPoint(Vector.empty, srid)
         else GMultiPoint(Vector(pts.head, pts.last), srid)
       case g => GCollection(Vector.empty, g.srid)
-    })
+    },
+    "st_pointonsurface" -> { g =>
+      pointOnSurface(g) match {
+        case Some(p) => GPoint(Some(p), g.srid)
+        case None => GPoint(None, g.srid)
+      }
+    },
+    "st_removerepeatedpoints" -> { g => removeRepeatedPoints(g) },
+    "st_makepolygon" -> { g => makePolygon(g) },
+    "st_linemerge" -> { g => lineMerge(g) },
+    "st_normalize" -> { g => normalize(g) },
+    // the core is strictly 2-D (Z/M never parsed or stored), so
+    // force-2d is the identity — kept for PostGIS source compatibility
+    "st_force2d" -> { g => g })
 
   val geomToDouble: Map[String, Geom => Any] = Map(
     "st_x" -> { case GPoint(Some(p), _) => p.x; case _ => null },
@@ -107,7 +120,10 @@ object SpatialOps {
       case GMultiLine(ls, _) =>
         ls.forall(pts => pts.nonEmpty && pts.head == pts.last)
       case _ => true // per PostGIS: points/polygons are closed
-    })
+    },
+    "st_issimple" -> { g => isSimple(g) },
+    "st_isring" -> { g => isRing(g) },
+    "st_isvalid" -> { g => isValid(g) })
 
   val geomPairToBool: Map[String, (Geom, Geom) => Boolean] = Map(
     "st_intersects" -> { (a, b) => intersects(a, b) },
@@ -116,16 +132,31 @@ object SpatialOps {
     "st_within" -> { (a, b) => within(a, b) },
     "st_covers" -> { (a, b) => covers(a, b) },
     "st_coveredby" -> { (a, b) => coveredBy(a, b) },
-    "st_equals" -> { (a, b) => covers(a, b) && covers(b, a) })
+    "st_equals" -> { (a, b) => covers(a, b) && covers(b, a) },
+    "st_touches" -> { (a, b) => Geometry.touches(a, b) },
+    "st_crosses" -> { (a, b) => Geometry.crosses(a, b) },
+    "st_overlaps" -> { (a, b) => Geometry.overlaps(a, b) },
+    "st_containsproperly" -> { (a, b) => containsProperly(a, b) })
 
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
     "st_collect" -> { (a, b) => collect(a, b) },
-    "st_union" -> { (a, b) => unionPoints(a, b) })
+    "st_union" -> { (a, b) => unionPoints(a, b) },
+    "st_shortestline" -> { (a, b) => shortestLine(a, b) })
 
   val geomDoubleToGeom: Map[String, (Geom, Double) => Geom] = Map(
     "st_buffer" -> { (g, r) => bufferPoint(g, r) },
     "st_simplify" -> { (g, t) => simplify(g, t) },
-    "st_snaptogrid" -> { (g, s) => snapToGrid(g, s) })
+    "st_snaptogrid" -> { (g, s) => snapToGrid(g, s) },
+    "st_reduceprecision" -> { (g, s) => reducePrecision(g, s) })
+
+  val geomIntToGeom: Map[String, (Geom, Int) => Geom] = Map(
+    "st_pointn" -> { (g, n) =>
+      pointN(g, n) match {
+        case Some(p) => GPoint(Some(p), g.srid)
+        case None => GPoint(None, g.srid)
+      }
+    },
+    "st_collectionextract" -> { (g, t) => collectionExtract(g, t) })
 }
 
 /** geom → geom, dispatched by name. */
@@ -156,7 +187,8 @@ case class StGeomScalar(name: String, child: Expression)
       .getOrElse(name match {
         case "st_astext" => (g: Geom) => UTF8String.fromString(toWkt(g))
         case "st_geometrytype" => (g: Geom) => UTF8String.fromString(geometryType(g))
-        case "st_asbinary" | "st_asewkb" => (g: Geom) => toWkb(g)
+        case "st_asgeojson" => (g: Geom) => UTF8String.fromString(toGeoJson(g))
+        case "st_asbinary" | "st_asewkb" | "st_aswkb" => (g: Geom) => toWkb(g)
         case _ => throw new IllegalArgumentException(s"unknown st fn $name")
       })
   override def children: Seq[Expression] = Seq(child)
@@ -164,7 +196,8 @@ case class StGeomScalar(name: String, child: Expression)
     if (SpatialOps.geomToDouble.contains(name)) DoubleType
     else if (SpatialOps.geomToInt.contains(name)) IntegerType
     else if (SpatialOps.geomToBool.contains(name)) BooleanType
-    else if (name == "st_asbinary" || name == "st_asewkb") BinaryType
+    else if (name == "st_asbinary" || name == "st_asewkb" ||
+      name == "st_aswkb") BinaryType
     else StringType
   override def nullable: Boolean = true
   override def prettyName: String = name
@@ -253,6 +286,41 @@ case class StGeomPairDouble(name: String, left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(left = c(0), right = c(1))
+}
+
+/** (geom, int) → geom (st_pointn / st_collectionextract). */
+case class StGeomInt(name: String, left: Expression, right: Expression)
+    extends Expression with CodegenFallback {
+  private val impl = SpatialOps.geomIntToGeom(name)
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = name
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input); val r = right.eval(input)
+    if (l == null || r == null) null
+    else SpatialOps.toBytes(impl(SpatialOps.fromBytes(l),
+      r.asInstanceOf[Number].intValue()))
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(left = c(0), right = c(1))
+}
+
+/** st_geomfromgeojson(text): RFC 7946 geometry JSON → WKB. */
+case class StGeomFromGeoJson(child: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "st_geomfromgeojson"
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else SpatialOps.toBytes(
+      graft.sources.GeoJson.parseGeometryString(v.toString))
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
 }
 
 /** st_dwithin(geom, geom, dist). */
@@ -423,8 +491,13 @@ object SpatialFunctions {
     }
     (SpatialOps.geomToDouble.keys ++ SpatialOps.geomToInt.keys ++
       SpatialOps.geomToBool.keys ++
-      Seq("st_astext", "st_geometrytype", "st_asbinary", "st_asewkb"))
+      Seq("st_astext", "st_geometrytype", "st_asbinary", "st_asewkb",
+        "st_aswkb", "st_asgeojson"))
       .foreach { n => f(n) { case Seq(g) => StGeomScalar(n, g) } }
+    SpatialOps.geomIntToGeom.keys.foreach { n =>
+      f(n) { case Seq(g, i) => StGeomInt(n, g, int(i)) }
+    }
+    f("st_geomfromgeojson") { case Seq(s) => StGeomFromGeoJson(s) }
     SpatialOps.geomPairToBool.keys.foreach { n =>
       f(n) { case Seq(a, b) => StGeomPredicate(n, a, b) }
     }

@@ -70,6 +70,12 @@ object GeoJson {
     }.toMap
   }
 
+  /** RFC 7946 geometry JSON text → [[Geometry.Geom]]
+    * (st_geomfromgeojson).
+    */
+  def parseGeometryString(text: String): Geom =
+    parseGeometry(new ObjectMapper().readTree(text))
+
   /** RFC 7946 geometry object → [[Geometry.Geom]]. */
   def parseGeometry(node: JsonNode): Geom = {
     def pt(n: JsonNode): Pt = Pt(n.get(0).asDouble(), n.get(1).asDouble())

@@ -254,4 +254,174 @@ class SpatialSpec extends AnyFunSuite {
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("touches: boundary contact without interior overlap") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // edge-adjacent square: shares the x=4 edge, interiors disjoint
+    assert(Geometry.touches(sq, wkt("POLYGON((4 0, 8 0, 8 4, 4 4, 4 0))")))
+    // corner-adjacent square
+    assert(Geometry.touches(sq, wkt("POLYGON((4 4, 8 4, 8 8, 4 8, 4 4))")))
+    // overlapping square does NOT touch
+    assert(!Geometry.touches(sq, wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")))
+    // disjoint square does NOT touch
+    assert(!Geometry.touches(sq, wkt("POLYGON((9 9, 10 9, 10 10, 9 10, 9 9))")))
+    // point on boundary touches; interior point does not
+    assert(Geometry.touches(sq, wkt("POINT(4 2)")))
+    assert(!Geometry.touches(sq, wkt("POINT(2 2)")))
+    // line ending on the boundary touches; line passing through does not
+    assert(Geometry.touches(sq, wkt("LINESTRING(4 2, 8 2)")))
+    assert(!Geometry.touches(sq, wkt("LINESTRING(2 2, 8 2)")))
+    // two lines meeting at shared endpoints touch
+    assert(Geometry.touches(
+      wkt("LINESTRING(0 0, 1 1)"), wkt("LINESTRING(1 1, 2 0)")))
+    // X-crossing lines do not touch (interiors meet)
+    assert(!Geometry.touches(
+      wkt("LINESTRING(0 0, 2 2)"), wkt("LINESTRING(0 2, 2 0)")))
+  }
+
+  test("crosses: partial pass-through at lower dimension") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // line entering and leaving the area crosses
+    assert(Geometry.crosses(wkt("LINESTRING(-1 2, 5 2)"), sq))
+    // line fully inside does not cross (covered)
+    assert(!Geometry.crosses(wkt("LINESTRING(1 2, 3 2)"), sq))
+    // line along the boundary does not cross (no interior intersection)
+    assert(!Geometry.crosses(wkt("LINESTRING(0 0, 4 0)"), sq))
+    // X-crossing lines cross at a point
+    assert(Geometry.crosses(
+      wkt("LINESTRING(0 0, 2 2)"), wkt("LINESTRING(0 2, 2 0)")))
+    // collinear overlapping lines do NOT cross (1-dim intersection)
+    assert(!Geometry.crosses(
+      wkt("LINESTRING(0 0, 2 0)"), wkt("LINESTRING(1 0, 3 0)")))
+    // multipoint with one point in, one out, crosses the area
+    assert(Geometry.crosses(wkt("MULTIPOINT(2 2, 9 9)"), sq))
+    // all points inside: no cross (covered)
+    assert(!Geometry.crosses(wkt("MULTIPOINT(1 1, 2 2)"), sq))
+  }
+
+  test("overlaps: same-dimension partial overlap") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(Geometry.overlaps(sq, wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")))
+    // containment is not overlap
+    assert(!Geometry.overlaps(sq, wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")))
+    // touching is not overlap
+    assert(!Geometry.overlaps(sq, wkt("POLYGON((4 0, 8 0, 8 4, 4 4, 4 0))")))
+    // collinear partial line overlap
+    assert(Geometry.overlaps(
+      wkt("LINESTRING(0 0, 2 0)"), wkt("LINESTRING(1 0, 3 0)")))
+    // crossing lines share only a point: not overlaps
+    assert(!Geometry.overlaps(
+      wkt("LINESTRING(0 0, 2 2)"), wkt("LINESTRING(0 2, 2 0)")))
+    // different dimensions never overlap
+    assert(!Geometry.overlaps(sq, wkt("LINESTRING(-1 2, 5 2)")))
+  }
+
+  test("containsproperly: interior-only containment") {
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(containsProperly(sq, wkt("POINT(2 2)")))
+    assert(!containsProperly(sq, wkt("POINT(4 2)"))) // boundary
+    assert(containsProperly(sq, wkt("POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))")))
+    // touching the boundary from inside: contained but not properly
+    assert(contains(sq, wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
+    assert(!containsProperly(sq, wkt("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))")))
+  }
+
+  test("issimple / isring / isvalid") {
+    assert(isSimple(wkt("LINESTRING(0 0, 1 1, 2 0)")))
+    // figure-eight self-crossing is not simple
+    assert(!isSimple(wkt("LINESTRING(0 0, 2 2, 2 0, 0 2)")))
+    // closed ring is simple
+    assert(isSimple(wkt("LINESTRING(0 0, 2 0, 2 2, 0 2, 0 0)")))
+    assert(isRing(wkt("LINESTRING(0 0, 2 0, 2 2, 0 2, 0 0)")))
+    assert(!isRing(wkt("LINESTRING(0 0, 2 0, 2 2)"))) // open
+    assert(!isSimple(wkt("MULTIPOINT(1 1, 1 1)")))
+    assert(isValid(wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")))
+    // bow-tie ring is invalid
+    assert(!isValid(wkt("POLYGON((0 0, 2 2, 2 0, 0 2, 0 0))")))
+    // hole outside the shell is invalid
+    assert(!isValid(wkt(
+      "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0), (5 5, 6 5, 6 6, 5 6, 5 5))")))
+  }
+
+  test("pointn, pointonsurface, removerepeatedpoints, makepolygon") {
+    val line = wkt("LINESTRING(0 0, 1 1, 2 0)")
+    assert(pointN(line, 2).contains(Pt(1, 1)))
+    assert(pointN(line, -1).contains(Pt(2, 0)))
+    assert(pointN(line, 9).isEmpty)
+    val sq = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    val pos = pointOnSurface(sq).get
+    assert(locateInPolygon(sq.asInstanceOf[GPolygon].rings, pos) == 2)
+    assert(removeRepeatedPoints(
+      wkt("LINESTRING(0 0, 0 0, 1 1, 1 1, 2 0)")) ==
+      wkt("LINESTRING(0 0, 1 1, 2 0)"))
+    assert(makePolygon(wkt("LINESTRING(0 0, 2 0, 2 2, 0 0)")) ==
+      wkt("POLYGON((0 0, 2 0, 2 2, 0 0))"))
+    intercept[IllegalArgumentException] {
+      makePolygon(wkt("LINESTRING(0 0, 2 0, 2 2)"))
+    }
+  }
+
+  test("linemerge stitches shared endpoints") {
+    assert(lineMerge(wkt("MULTILINESTRING((0 0, 1 1), (1 1, 2 2))")) ==
+      wkt("LINESTRING(0 0, 1 1, 2 2)"))
+    // reversed continuation still merges
+    assert(lineMerge(wkt("MULTILINESTRING((0 0, 1 1), (2 2, 1 1))")) ==
+      wkt("LINESTRING(0 0, 1 1, 2 2)"))
+    // disconnected parts stay apart
+    assert(lineMerge(wkt("MULTILINESTRING((0 0, 1 1), (5 5, 6 6))")) ==
+      wkt("MULTILINESTRING((0 0, 1 1), (5 5, 6 6))"))
+  }
+
+  test("normalize is canonical and idempotent") {
+    // same square written four ways normalizes identically
+    val forms = Seq(
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON((4 4, 0 4, 0 0, 4 0, 4 4))",
+      "POLYGON((0 4, 0 0, 4 0, 4 4, 0 4))",
+      "POLYGON((0 0, 0 4, 4 4, 4 0, 0 0))").map(s => normalize(wkt(s)))
+    assert(forms.distinct.size == 1)
+    assert(normalize(forms.head) == forms.head, "idempotent")
+    assert(normalize(wkt("MULTIPOINT(3 3, 1 1, 2 2)")) ==
+      wkt("MULTIPOINT(1 1, 2 2, 3 3)"))
+  }
+
+  test("shortestline and collectionextract") {
+    val l = shortestLine(wkt("POINT(0 5)"),
+      wkt("LINESTRING(0 0, 10 0)")).asInstanceOf[GLine]
+    assert(l.pts == Vector(Pt(0, 5), Pt(0, 0)))
+    // intersecting inputs give a zero-length witness
+    val z = shortestLine(wkt("LINESTRING(0 0, 2 2)"),
+      wkt("LINESTRING(0 2, 2 0)")).asInstanceOf[GLine]
+    assert(z.pts(0) == z.pts(1) && z.pts(0) == Pt(1, 1))
+    val coll = wkt(
+      "GEOMETRYCOLLECTION(POINT(1 2), LINESTRING(0 0, 1 1), POINT(3 4))")
+    assert(collectionExtract(coll, 1) == wkt("MULTIPOINT(1 2, 3 4)"))
+    assert(collectionExtract(coll, 2) == wkt("MULTILINESTRING((0 0, 1 1))"))
+  }
+
+  test("geojson roundtrip and sql surface of the new functions") {
+    val spark = sparkSession
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    val row = spark.sql(
+      """SELECT
+        |  st_asgeojson(st_point(1.0, 2.0)) AS gj,
+        |  st_astext(st_geomfromgeojson('{"type":"Point","coordinates":[3,4]}')) AS p,
+        |  st_touches(st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'),
+        |             st_geomfromtext('POLYGON((4 0, 8 0, 8 4, 4 4, 4 0))')) AS t,
+        |  st_crosses(st_geomfromtext('LINESTRING(-1 2, 5 2)'),
+        |             st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))')) AS c,
+        |  st_isring(st_geomfromtext('LINESTRING(0 0, 2 0, 2 2, 0 2, 0 0)')) AS r,
+        |  st_astext(st_pointn(st_geomfromtext('LINESTRING(0 0, 1 1, 2 0)'), 2)) AS pn,
+        |  st_astext(st_reduceprecision(st_geomfromtext('LINESTRING(0.04 0.04, 0.96 1.02)'), 1.0)) AS rp
+        |""".stripMargin)
+      .as[(String, String, Boolean, Boolean, Boolean, String, String)].head()
+    assert(row == (
+      """{"type":"Point","coordinates":[1,2]}""", "POINT(3 4)",
+      true, true, true, "POINT(1 1)", "LINESTRING(0 0, 1 1)"))
+    // geojson of a polygon parses back to the same geometry
+    val sq = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert(graft.sources.GeoJson.parseGeometryString(
+      toGeoJson(wkt(sq))) == wkt(sq))
+  }
 }
