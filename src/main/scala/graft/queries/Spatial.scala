@@ -165,5 +165,70 @@ object Spatial {
           |  ((c1 > 0 AND c2 > 0 AND c3 > 0) OR (c1 < 0 AND c2 < 0 AND c3 < 0)) AS contains_v,
           |  ((c1 > 0 AND c2 > 0 AND c3 > 0) OR (c1 < 0 AND c2 < 0 AND c3 < 0)) AS within_v,
           |  'ST_Polygon' AS type_v
-          |FROM s ORDER BY event_id""".stripMargin))
+          |FROM s ORDER BY event_id""".stripMargin),
+
+    // ---- DE-9IM predicates (touches/overlaps/containsproperly/
+    // crosses) on integer boxes + a horizontal probe line; the oracle
+    // is interval arithmetic in plain SQL, exact by construction ----
+    QueryDef.sql(
+      "q_spatial_relate",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 40 AS DOUBLE) AS ax,
+        |    CAST(user_id % 40 AS DOUBLE) AS ay,
+        |    CAST(event_id % 40 + 6 AS DOUBLE) AS ax2,
+        |    CAST(user_id % 40 + 6 AS DOUBLE) AS ay2,
+        |    CAST((event_id * 3 + 2) % 40 AS DOUBLE) AS bx,
+        |    CAST((user_id * 5 + 1) % 40 AS DOUBLE) AS by,
+        |    CAST((event_id * 3 + 2) % 40 + 4 AS DOUBLE) AS bx2,
+        |    CAST((user_id * 5 + 1) % 40 + 4 AS DOUBLE) AS by2,
+        |    CAST((event_id * 7) % 40 AS DOUBLE) AS lx,
+        |    CAST((event_id * 7) % 40 + 10 AS DOUBLE) AS lx2,
+        |    CAST((user_id * 7 + 3) % 40 AS DOUBLE) AS ly
+        |  FROM events WHERE event_id < 2500),
+        |g AS (
+        |  SELECT event_id,
+        |    st_makeenvelope(ax, ay, ax2, ay2) AS a,
+        |    st_makeenvelope(bx, by, bx2, by2) AS b,
+        |    st_makeline(st_point(lx, ly), st_point(lx2, ly)) AS l
+        |  FROM d)
+        |SELECT event_id,
+        |  st_touches(a, b) AS touches_v,
+        |  st_overlaps(a, b) AS overlaps_v,
+        |  st_containsproperly(a, b) AS cp_v,
+        |  st_crosses(l, a) AS crosses_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(event_id % 40 AS DOUBLE) AS ax,
+          |    CAST(user_id % 40 AS DOUBLE) AS ay,
+          |    CAST(event_id % 40 + 6 AS DOUBLE) AS ax2,
+          |    CAST(user_id % 40 + 6 AS DOUBLE) AS ay2,
+          |    CAST((event_id * 3 + 2) % 40 AS DOUBLE) AS bx,
+          |    CAST((user_id * 5 + 1) % 40 AS DOUBLE) AS by,
+          |    CAST((event_id * 3 + 2) % 40 + 4 AS DOUBLE) AS bx2,
+          |    CAST((user_id * 5 + 1) % 40 + 4 AS DOUBLE) AS by2,
+          |    CAST((event_id * 7) % 40 AS DOUBLE) AS lx,
+          |    CAST((event_id * 7) % 40 + 10 AS DOUBLE) AS lx2,
+          |    CAST((user_id * 7 + 3) % 40 AS DOUBLE) AS ly
+          |  FROM d0),
+          |m AS (
+          |  SELECT event_id,
+          |    (ax <= bx2 AND bx <= ax2 AND ay <= by2 AND by <= ay2) AS inter,
+          |    (ax < bx2 AND bx < ax2 AND ay < by2 AND by < ay2) AS ii,
+          |    (bx >= ax AND bx2 <= ax2 AND by >= ay AND by2 <= ay2) AS a_cov_b,
+          |    (ax >= bx AND ax2 <= bx2 AND ay >= by AND ay2 <= by2) AS b_cov_a,
+          |    (bx > ax AND bx2 < ax2 AND by > ay AND by2 < ay2) AS a_cp_b,
+          |    (ly > ay AND ly < ay2 AND lx < ax2 AND ax < lx2) AS l_ii,
+          |    (ly >= ay AND ly <= ay2 AND lx >= ax AND lx2 <= ax2) AS l_cov
+          |  FROM d)
+          |SELECT event_id,
+          |  (inter AND NOT ii) AS touches_v,
+          |  (ii AND NOT a_cov_b AND NOT b_cov_a) AS overlaps_v,
+          |  a_cp_b AS cp_v,
+          |  (l_ii AND NOT l_cov) AS crosses_v
+          |FROM m ORDER BY event_id""".stripMargin
+          .replace("FROM d0",
+            "FROM events WHERE event_id < 2500")))
 }
