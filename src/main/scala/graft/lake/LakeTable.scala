@@ -384,6 +384,29 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** ALTER TABLE ... SET PARTITIONED BY — metadata-only partition-spec
+    * evolution, the Iceberg model (reference docs/iceberg-tables.md
+    * "Defining and evolving partitions"): files already written keep
+    * the stats of the spec they were written under (they still prune
+    * on predicates their recorded transform values can answer; a file
+    * with no stats for a predicate's transform classifies Partial =
+    * kept, conservatively correct), and every write after the change
+    * fans out and records stats under the new spec. No data rewrite at
+    * any table size.
+    */
+  def setPartitionSpec(spec: Seq[String]): LakeTable = {
+    val names = meta.currentSchema.fields.map(_.name).toSet
+    spec.foreach { s =>
+      val t = PartitionTransform.parse(s) // validates the syntax
+      require(names.contains(t.column),
+        s"partition transform '$s' references unknown column '${t.column}'")
+    }
+    TableMetadata.commit(location) { curOpt =>
+      curOpt.get.copy(partitionSpec = spec)
+    }
+    this
+  }
+
   // ------------------------------------------------------------ internals
 
   /** Commit an op that REMOVES specific files and ADDS new ones, merged

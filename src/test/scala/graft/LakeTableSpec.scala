@@ -56,6 +56,29 @@ class LakeTableSpec extends AnyFunSuite {
       Array[Byte](34, 0, 0, 0, 0, 0, 0, 0), 0) == 2017239379)
   }
 
+  test("partition spec evolution: old files stay readable, new spec prunes") {
+    val src = Tables.df(spark, sf, "events")
+    val firstHalf = src.filter(col("event_id") % 2 === 0)
+    val secondHalf = src.filter(col("event_id") % 2 === 1)
+    // start unpartitioned, then evolve to day(ts) and append more
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "evolve", firstHalf,
+      targetFiles = Some(4))
+    t.setPartitionSpec(Seq("day(ts)"))
+    t.append(secondHalf, targetFiles = Some(8))
+    // full content intact across the spec boundary
+    assert(t.read().count() == src.count())
+    // a ts predicate prunes at least the post-evolution files; pre-
+    // evolution files without day(ts) stats are conservatively kept
+    val pred = col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    val (kept, total) = t.pruneStats(pred)
+    assert(kept < total, s"no pruning after evolution ($kept/$total)")
+    assert(t.scan(Some(pred)).count() == src.filter(pred).count())
+    // invalid transform target refused
+    intercept[IllegalArgumentException] {
+      t.setPartitionSpec(Seq("day(no_such_col)"))
+    }
+  }
+
   test("stats pruning without partition spec") {
     val src = Tables.df(spark, sf, "lineitem").orderBy("l_orderkey")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "li", src,
