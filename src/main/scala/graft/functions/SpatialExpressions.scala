@@ -141,7 +141,8 @@ object SpatialOps {
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
     "st_collect" -> { (a, b) => collect(a, b) },
     "st_union" -> { (a, b) => unionPoints(a, b) },
-    "st_shortestline" -> { (a, b) => shortestLine(a, b) })
+    "st_shortestline" -> { (a, b) => shortestLine(a, b) },
+    "st_intersection" -> { (a, b) => intersectionWithConvex(a, b) })
 
   val geomDoubleToGeom: Map[String, (Geom, Double) => Geom] = Map(
     "st_buffer" -> { (g, r) => bufferPoint(g, r) },
@@ -474,6 +475,76 @@ case class StGeomWithArgs(name: String, children: Seq[Expression])
       c: IndexedSeq[Expression]): Expression = copy(children = c)
 }
 
+/** st_extent(geom): aggregate bounding box of a geometry column, as a
+  * polygon envelope (PostGIS's ST_Extent). Implemented as a real
+  * Catalyst [[org.apache.spark.sql.catalyst.expressions.aggregate.ImperativeAggregate]]-style
+  * typed aggregate: the buffer is four doubles (xmin/ymin/xmax/ymax),
+  * partial states merge with min/max — mergeable constant-size state,
+  * so the aggregate runs map-side-combined at any scale.
+  */
+case class StExtentAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_extent"
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array(Double.PositiveInfinity, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NegativeInfinity)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val pts = allPoints(SpatialOps.fromBytes(v))
+      var i = 0
+      while (i < pts.length) {
+        val p = pts(i)
+        if (p.x < buf(0)) buf(0) = p.x
+        if (p.y < buf(1)) buf(1) = p.y
+        if (p.x > buf(2)) buf(2) = p.x
+        if (p.y > buf(3)) buf(3) = p.y
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (b(0) < a(0)) a(0) = b(0)
+    if (b(1) < a(1)) a(1) = b(1)
+    if (b(2) > a(2)) a(2) = b(2)
+    if (b(3) > a(3)) a(3) = b(3)
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf(0) > buf(2)) null // no non-empty input
+    else SpatialOps.toBytes(makeEnvelope(buf(0), buf(1), buf(2), buf(3), 0))
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(32)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(4)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): StExtentAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): StExtentAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
 /** Registry hookup: all st_* names into the session FunctionRegistry. */
 object SpatialFunctions {
 
@@ -498,6 +569,8 @@ object SpatialFunctions {
       f(n) { case Seq(g, i) => StGeomInt(n, g, int(i)) }
     }
     f("st_geomfromgeojson") { case Seq(s) => StGeomFromGeoJson(s) }
+    f("st_extent") { case Seq(g) =>
+      StExtentAgg(g).toAggregateExpression() }
     SpatialOps.geomPairToBool.keys.foreach { n =>
       f(n) { case Seq(a, b) => StGeomPredicate(n, a, b) }
     }

@@ -196,7 +196,8 @@ object Spatial {
         |  st_touches(a, b) AS touches_v,
         |  st_overlaps(a, b) AS overlaps_v,
         |  st_containsproperly(a, b) AS cp_v,
-        |  st_crosses(l, a) AS crosses_v
+        |  st_crosses(l, a) AS crosses_v,
+        |  st_area(st_intersection(a, b)) AS clip_area_v
         |FROM g ORDER BY event_id""".stripMargin,
       oracle =
         """WITH d AS (
@@ -221,13 +222,16 @@ object Spatial {
           |    (ax >= bx AND ax2 <= bx2 AND ay >= by AND ay2 <= by2) AS b_cov_a,
           |    (bx > ax AND bx2 < ax2 AND by > ay AND by2 < ay2) AS a_cp_b,
           |    (ly > ay AND ly < ay2 AND lx < ax2 AND ax < lx2) AS l_ii,
-          |    (ly >= ay AND ly <= ay2 AND lx >= ax AND lx2 <= ax2) AS l_cov
+          |    (ly >= ay AND ly <= ay2 AND lx >= ax AND lx2 <= ax2) AS l_cov,
+          |    GREATEST(0.0, LEAST(ax2, bx2) - GREATEST(ax, bx)) AS clip_w,
+          |    GREATEST(0.0, LEAST(ay2, by2) - GREATEST(ay, by)) AS clip_h
           |  FROM d)
           |SELECT event_id,
           |  (inter AND NOT ii) AS touches_v,
           |  (ii AND NOT a_cov_b AND NOT b_cov_a) AS overlaps_v,
           |  a_cp_b AS cp_v,
-          |  (l_ii AND NOT l_cov) AS crosses_v
+          |  (l_ii AND NOT l_cov) AS crosses_v,
+          |  clip_w * clip_h AS clip_area_v
           |FROM m ORDER BY event_id""".stripMargin
           .replace("FROM d0",
             "FROM events WHERE event_id < 2500")))

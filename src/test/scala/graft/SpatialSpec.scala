@@ -424,4 +424,60 @@ class SpatialSpec extends AnyFunSuite {
     assert(graft.sources.GeoJson.parseGeometryString(
       toGeoJson(wkt(sq))) == wkt(sq))
   }
+
+  test("intersection with a convex clipper: boxes, lines, points") {
+    val box = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // box ∩ box = overlap rectangle, area 4
+    val inter = intersectionWithConvex(
+      wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))"), box)
+    assert(area(inter) == 4.0, toWkt(inter))
+    // fully inside: unchanged area
+    assert(area(intersectionWithConvex(
+      wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"), box)) == 1.0)
+    // fully outside: empty
+    assert(isEmpty(intersectionWithConvex(
+      wkt("POLYGON((9 9, 10 9, 10 10, 9 10, 9 9))"), box)))
+    // triangle clipped by box: half-square of area 8 stays 8
+    assert(area(intersectionWithConvex(
+      wkt("POLYGON((0 0, 4 0, 4 4, 0 0))"), box)) == 8.0)
+    // line passing through: clipped to the chord
+    val chord = intersectionWithConvex(
+      wkt("LINESTRING(-2 2, 6 2)"), box).asInstanceOf[GLine]
+    assert(chord.pts == Vector(Pt(0, 2), Pt(4, 2)))
+    // line dipping in and out: two pieces
+    val vee = intersectionWithConvex(
+      wkt("LINESTRING(-1 1, 2 1, 2 -2, 3 -2, 3 1, 5 1)"), box)
+    assert(vee.isInstanceOf[GMultiLine], toWkt(vee))
+    assert(Geometry.length(vee) == (2.0 + 1.0) + (1.0 + 1.0), toWkt(vee))
+    // points filter by containment
+    assert(intersectionWithConvex(wkt("MULTIPOINT(1 1, 9 9)"), box) ==
+      wkt("MULTIPOINT(1 1)"))
+    // non-convex clipper refused
+    intercept[IllegalArgumentException] {
+      intersectionWithConvex(box, wkt("POLYGON((0 0, 4 0, 1 1, 0 4, 0 0))"))
+    }
+  }
+
+  test("st_extent aggregate and st_intersection in SQL") {
+    val spark = sparkSession
+    graft.functions.PgFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT st_astext(st_extent(g)) AS ext FROM (
+        |  SELECT st_point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS g
+        |  FROM range(1, 6))""".stripMargin).as[String].head()
+    assert(r == "POLYGON((1 2, 5 2, 5 10, 1 10, 1 2))", r)
+    // extent over an empty relation is NULL
+    val e = spark.sql(
+      """SELECT st_extent(g) AS ext FROM (
+        |  SELECT st_point(1.0, 1.0) AS g WHERE 1 = 0)""".stripMargin).head()
+    assert(e.isNullAt(0))
+    // st_intersection end-to-end
+    val a = spark.sql(
+      """SELECT st_area(st_intersection(
+        |  st_geomfromtext('POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))'),
+        |  st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS a"""
+        .stripMargin).as[Double].head()
+    assert(a == 4.0)
+  }
 }
