@@ -148,7 +148,9 @@ object SpatialOps {
     "st_buffer" -> { (g, r) => bufferPoint(g, r) },
     "st_simplify" -> { (g, t) => simplify(g, t) },
     "st_snaptogrid" -> { (g, s) => snapToGrid(g, s) },
-    "st_reduceprecision" -> { (g, s) => reducePrecision(g, s) })
+    "st_reduceprecision" -> { (g, s) => reducePrecision(g, s) },
+    "st_simplifypreservetopology" -> { (g, t) =>
+      simplifyPreserveTopology(g, t) })
 
   val geomIntToGeom: Map[String, (Geom, Int) => Geom] = Map(
     "st_pointn" -> { (g, n) =>

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composed pass a training-data
+  * pipeline runs over raw documents before tokenization:
+  *
+  *   1. quality gate (C4/Gopher rules: length, repetition, word shape),
+  *   2. exact dedup (first-writer-wins on the normalized fingerprint),
+  *   3. deterministic subsample (portable hash-mod, reproducible across
+  *      partitionings and engines).
+  *
+  * Scale shape: one projection pass for the quality metrics (scan-local
+  * lambdas), ONE window shuffle on the fingerprint for dedup, and a
+  * scan-local hash filter — no joins, no driver state, nothing that
+  * widens at 100 TB. Near-dup removal composes on top via
+  * [[Dedup.minhashPairs]] → [[Dedup.dedupGroups]] when needed (kept
+  * out of this pass so the whole chain stays one-shuffle).
+  */
+object Curate {
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      sampleMod: Int, seed: String): DataFrame = {
+    val survivors = df
+      .withColumn("__ws", TextOps.words(col(textCol)))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("__dup", TextOps.dupWordRatio("__ws"))
+      .withColumn("__awl", TextOps.avgWordLen("__ws"))
+      .filter(col("n_words") >= 20 && col("__dup") <= 0.55 &&
+        col("__awl") >= 2.0 && col("__awl") <= 10.0)
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    survivors
+      .withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy("fingerprint")))
+      .filter(col(idCol) === col("__rep"))
+      .filter(TextOps.hash60(
+        concat(lit(seed), col(idCol).cast("string"))) % sampleMod === 0)
+      .select(col(idCol), col("fingerprint"), col("n_words"))
+  }
+}

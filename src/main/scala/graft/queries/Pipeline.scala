@@ -539,6 +539,39 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- end-to-end curation: quality gate → exact dedup →
+    // deterministic subsample, the full pre-tokenization pass as ONE
+    // judged query with a complete SQL oracle ------------------------
+    QueryDef(
+      "q_pipeline_curate",
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, len(ws) AS n_words,
+         |    1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup,
+         |    list_reduce(list_transform(ws, x -> length(x)),
+         |      (a, b) -> a + b)::DOUBLE / len(ws) AS awl
+         |  FROM w),
+         |q AS (
+         |  SELECT doc_id, n_words,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM m
+         |  WHERE n_words >= 20 AND dup <= 0.55
+         |    AND awl >= 2.0 AND awl <= 10.0),
+         |d AS (
+         |  SELECT doc_id, fingerprint, n_words,
+         |    min(doc_id) OVER (PARTITION BY fingerprint) AS rep
+         |  FROM q)
+         |SELECT doc_id, fingerprint, n_words FROM d
+         |WHERE doc_id = rep
+         |  AND ${duckHash("'c42' || doc_id::VARCHAR")} % 4 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curate.curate(docs(s, dir), "doc_id", "text", sampleMod = 4, "c42")
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing (stub decode — see Multimodal scaladoc) -
     QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "img/fake")

@@ -480,4 +480,17 @@ class SpatialSpec extends AnyFunSuite {
         .stripMargin).as[Double].head()
     assert(a == 4.0)
   }
+
+  test("simplifypreservetopology never drops a ring") {
+    // a tiny square collapses under plain simplify at tol 10 but
+    // survives the topology-preserving variant
+    val tiny = wkt("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))")
+    assert(simplify(tiny, 10.0).asInstanceOf[GPolygon].rings.isEmpty)
+    val kept = simplifyPreserveTopology(tiny, 10.0).asInstanceOf[GPolygon]
+    assert(kept.rings.nonEmpty && kept.rings.head.length >= 4)
+    // above-tolerance detail is still dropped like plain simplify
+    val coarse = simplifyPreserveTopology(
+      wkt("LINESTRING(0 0, 1 0.01, 2 0, 3 0.01, 4 0)"), 0.1)
+    assert(coarse == wkt("LINESTRING(0 0, 4 0)"))
+  }
 }
