@@ -43,6 +43,23 @@ object Similarity {
     * rounded to 6 decimals with id tie-break, which makes ranks stable
     * under FP noise. Output: (query_id, neighbor_id, rank, cos).
     */
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * scale 127/max|v|, values floor(v·scale + 0.5) — 4× smaller on
+    * disk with bounded reconstruction error ≤ 0.5/scale per dim. All
+    * arithmetic is per-row IEEE on exact inputs (floor, not round, so
+    * the oracle reproduces ties bit-for-bit); zero vectors quantize to
+    * zeros. Scale shape: pure projection, no shuffle.
+    */
+  def quantizeInt8(vec: String): Column =
+    expr(
+      s"""CASE WHEN array_max(transform($vec, v -> abs(cast(v as double)))) = 0.0
+         |  THEN transform($vec, v -> 0)
+         |  ELSE transform($vec, v -> cast(floor(
+         |    cast(v as double) *
+         |      (127.0 / array_max(transform($vec, x -> abs(cast(x as double)))))
+         |    + 0.5d) as int))
+         |  END""".stripMargin)
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = TopK): DataFrame = {
     val q = withNorm(

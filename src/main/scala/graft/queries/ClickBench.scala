@@ -56,6 +56,59 @@ object ClickBench {
         |GROUP BY date_trunc('hour', ts)
         |ORDER BY h""".stripMargin),
 
+    // Funnel analysis: strictly-ordered view -> click -> purchase per
+    // user, counted per stage (the product-analytics staple; each stage
+    // is a min-aggregate + join, no window over the full stream)
+    QueryDef.sql(
+      "q_cb_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click,
+        |  (SELECT count(*) FROM p) AS n_buy""".stripMargin),
+
+    // Cohort retention: users grouped by first-seen week, activity
+    // counted per week offset (dialects diverge only on day-diff)
+    QueryDef.sql(
+      "q_cb_retention",
+      """WITH firstw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY user_id),
+        |act AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE),
+        |                  CAST(f.cohort AS DATE)) / 7 AS INT) AS week_n
+        |  FROM events e JOIN firstw f ON e.user_id = f.user_id)
+        |SELECT CAST(cohort AS DATE) AS cohort, week_n,
+        |  count(*) AS active_users
+        |FROM act GROUP BY cohort, week_n
+        |ORDER BY cohort, week_n""".stripMargin,
+      oracle =
+        """WITH firstw AS (
+          |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          |  FROM events GROUP BY user_id),
+          |act AS (
+          |  SELECT DISTINCT e.user_id, f.cohort,
+          |    CAST(date_diff('day', CAST(f.cohort AS DATE),
+          |                   CAST(date_trunc('week', e.ts) AS DATE)) / 7
+          |      AS INT) AS week_n
+          |  FROM events e JOIN firstw f ON e.user_id = f.user_id)
+          |SELECT CAST(cohort AS DATE) AS cohort, week_n,
+          |  count(*) AS active_users
+          |FROM act GROUP BY cohort, week_n
+          |ORDER BY cohort, week_n""".stripMargin),
+
     // JSON property extraction + bucketing (ClickBench's URL/referrer
     // string slicing, adapted to the props JSON column)
     QueryDef.sql(

@@ -539,6 +539,25 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- int8 embedding quantization: 4× storage cut with bounded
+    // error; floor(v·scale + 0.5) so the oracle matches bit-for-bit --
+    QueryDef(
+      "q_embedding_quantize",
+      s"""SELECT vec_id, array_to_string(
+         |  CASE WHEN list_max(list_transform(embedding, v -> abs(v::DOUBLE))) = 0.0
+         |    THEN list_transform(embedding, v -> 0)
+         |    ELSE list_transform(embedding, v -> CAST(floor(
+         |      v::DOUBLE *
+         |        (127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE))))
+         |      + 0.5) AS INT))
+         |    END, ',') AS q8
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      embs(s, dir)
+        .select(col("vec_id"),
+          array_join(Similarity.quantizeInt8("embedding"), ",").as("q8"))
+        .orderBy("vec_id")
+    },
+
     // ---- end-to-end curation: quality gate → exact dedup →
     // deterministic subsample, the full pre-tokenization pass as ONE
     // judged query with a complete SQL oracle ------------------------
