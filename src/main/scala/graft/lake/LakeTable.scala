@@ -243,6 +243,63 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     }
   }
 
+  /** OPTIMIZE ZORDER analogue: rewrite the table's data files with rows
+    * ordered along a Z-curve over `cols`, so the per-file min/max
+    * stats become tight on EVERY clustered column simultaneously and
+    * predicates on any subset of them prune files (linear sort orders
+    * only serve their leading column). Numeric/timestamp columns
+    * normalize to 16-bit ranks via global min/max (one tiny agg);
+    * string columns use a 16-bit hash (equality pruning only — hashing
+    * keeps equal values together but not ranges, same trade Delta's
+    * ZORDER makes). The rewrite is one range-repartition by z-value +
+    * in-partition sort; commit replaces all files atomically.
+    */
+  def cluster(cols: Seq[String], targetFiles: Int = 16): LakeTable =
+    retryOnConflict("cluster") {
+      require(cols.nonEmpty && cols.size <= 4,
+        "cluster takes 1-4 columns")
+      require(meta.partitionSpec.isEmpty,
+        "cluster of a partitioned table is not supported; cluster " +
+          "before setting a partition spec or use the spec itself")
+      val m = meta
+      val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+      if (files.isEmpty) this
+      else {
+        val df = readFiles(m, files)
+        val k = cols.size
+        val fieldType = m.currentSchema.fields
+          .map(f => f.name -> DataType.fromDDL(f.dataType)).toMap
+        // 16-bit bucket per column
+        val buckets = cols.map { c =>
+          fieldType(c) match {
+            case _: NumericType | TimestampType | DateType =>
+              val row = df.agg(
+                min(col(c).cast("double")).as("lo"),
+                max(col(c).cast("double")).as("hi")).head()
+              val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+              if (hi <= lo) lit(0L)
+              else least(lit(65535L), floor(
+                (col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+                .cast("long"))
+            case _ => pmod(xxhash64(col(c)), lit(65536L))
+          }
+        }
+        // interleave: bit b of bucket i lands at position b*k + i
+        val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+          buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+            a + shiftleft(shiftright(bk, b) % 2, b * k + i)
+          }
+        }
+        val ordered = df.withColumn("__z", z)
+          .repartitionByRange(math.max(1, targetFiles), col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        val entries = writeData(m, ordered, None)
+        commitMerge("cluster", files.map(_.path).toSet, entries)
+        this
+      }
+    }
+
   /** Expire snapshots beyond the latest `keepLast`, then delete data
     * files no retained snapshot references (deletion-queue equivalent,
     * pg_lake_engine/src/cleanup/deletion_queue.c).

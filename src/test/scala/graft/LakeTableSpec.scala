@@ -79,6 +79,29 @@ class LakeTableSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order clustering: both clustered columns prune, content intact") {
+    val src = Tables.df(spark, sf, "events")
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "zc", src,
+      targetFiles = Some(8))
+    t.cluster(Seq("user_id", "value"), targetFiles = 8)
+    assert(t.read().count() == src.count())
+    // predicates on EACH clustered column independently skip files
+    // (fixture user_id spans 0..14 at this sf; pick low quantiles)
+    val (ku, tu) = t.pruneStats(col("user_id") <= 3L)
+    assert(ku < tu, s"user_id pruning after cluster ($ku/$tu)")
+    val vLo = Tables.df(spark, sf, "events")
+      .selectExpr("percentile(value, 0.2)").head().getDouble(0)
+    val (kv, tv) = t.pruneStats(col("value") <= lit(vLo))
+    assert(kv < tv, s"value pruning after cluster ($kv/$tv)")
+    // correctness of a pruned scan
+    val pred = col("user_id") <= 3L && col("value") <= vLo
+    assert(t.scan(Some(pred)).count() == src.filter(pred).count())
+    intercept[IllegalArgumentException] {
+      LakeTable.createAsSelect(spark, freshLoc(), "zp", src.limit(10),
+        partitionSpec = Seq("day(ts)")).cluster(Seq("user_id"))
+    }
+  }
+
   test("stats pruning without partition spec") {
     val src = Tables.df(spark, sf, "lineitem").orderBy("l_orderkey")
     val t = LakeTable.createAsSelect(spark, freshLoc(), "li", src,
