@@ -119,6 +119,17 @@ object PgFunctions {
     f("atand") { case Seq(x) => ToDegrees(Atan(d(x))) }
     f("atan2d") { case Seq(y, x) => ToDegrees(Atan2(d(y), d(x))) }
 
+    // --- Misra-Gries heavy hitters (mergeable O(k)-state aggregate) ---
+    f("approx_top_items") { case Seq(c, kLit) =>
+      val k = kLit match {
+        case Literal(v: Int, IntegerType) => v
+        case Literal(v: Long, LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"approx_top_items: k must be an integer literal (got $other)")
+      }
+      ApproxTopKAgg(c, k).toAggregateExpression()
+    }
+
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
     f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
 

@@ -109,6 +109,23 @@ object ClickBench {
           |FROM act GROUP BY cohort, week_n
           |ORDER BY cohort, week_n""".stripMargin),
 
+    // Heavy hitters via the Misra-Gries mergeable sketch
+    // (graft.functions.ApproxTopKAgg): with k >= distinct(event_type)
+    // no decrement ever fires, so the sketch counts are EXACT and the
+    // plain GROUP BY oracle must hash-match. The sub-n/(k+1) guarantee
+    // on genuinely skewed high-cardinality data is property-tested in
+    // PipelineSpec.
+    QueryDef.sql(
+      "q_cb_heavyhitters",
+      """SELECT e.item, e.count FROM (
+        |  SELECT explode(approx_top_items(event_type, 8)) AS e
+        |  FROM events) t
+        |ORDER BY item""".stripMargin,
+      oracle =
+        """SELECT event_type AS item, count(*) AS count
+          |FROM events GROUP BY event_type
+          |ORDER BY item""".stripMargin),
+
     // JSON property extraction + bucketing (ClickBench's URL/referrer
     // string slicing, adapted to the props JSON column)
     QueryDef.sql(

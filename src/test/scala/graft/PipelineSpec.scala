@@ -158,6 +158,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
   }
 
+  test("misra-gries guarantee: heavy hitters survive on skewed data") {
+    import spark.implicits._
+    graft.functions.PgFunctions.register(spark)
+    // zipf-ish skew: item i appears ~ n/i times, 200 distinct, k = 10
+    val rows = (1 to 200).flatMap(i => Seq.fill(2000 / i)(s"item$i"))
+    val n = rows.size
+    val k = 10
+    val got = rows.toDF("v").repartition(7)
+      .selectExpr(s"explode(approx_top_items(v, $k)) AS e")
+      .select("e.item", "e.count").as[(String, Long)].collect().toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with true count > n/(k+1) must be present
+    val mustHave = exact.filter(_._2 > n / (k + 1))
+    assert(mustHave.keySet.subsetOf(got.keySet),
+      s"missing heavies: ${mustHave.keySet -- got.keySet}")
+    // counts are never overestimates and undershoot by at most n/(k+1)
+    got.foreach { case (item, c) =>
+      val ex = exact(item)
+      assert(c <= ex && ex - c <= n / (k + 1), s"$item: got $c exact $ex")
+    }
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
