@@ -107,6 +107,48 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().count() == expected)
   }
 
+  test("cluster races appenders: no lost rows, clustering lands or retries") {
+    import spark.implicits._
+    val loc = freshLoc()
+    val seed = (1 to 200).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+    val t = LakeTable.createAsSelect(spark, loc, "zrace", seed,
+      targetFiles = Some(6))
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(3)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+
+    (0 until 2).foreach { a =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          start.await()
+          (0 until 3).foreach { i =>
+            val base = 1000L + a * 100 + i * 10
+            t.append((0 until 5).map(j => (base + j, j * 2.0)).toDF("k", "v"))
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until 2).foreach { _ => t.cluster(Seq("k", "v"), targetFiles = 4) }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.asScala.headOption}")
+
+    // no lost updates in either direction: clustering rewrites only the
+    // files it read (CAS-guarded), appends always land
+    assert(t.read().count() == 200 + 2 * 3 * 5)
+    val onDisk = TableMetadata.load(loc)
+    onDisk.currentSnapshot.get.files.foreach(f =>
+      assert(Files.exists(Paths.get(f.path)), s"lost data file ${f.path}"))
+  }
+
   test("legacy inline metadata: expire after migration keeps manifests live") {
     val loc = freshLoc()
     import spark.implicits._
