@@ -32,19 +32,21 @@ object Aggregates {
     // count(DISTINCT) at 100 TB: constant memory per group, map-side
     // partial merge, no distinct-expand shuffle. Same band-check oracle
     // pattern as q_agg_percentile_approx: each engine asserts its OWN
-    // sketch lands within ±5% of its own exact count, so the compared
-    // rows are deterministic booleans while the sketches themselves
-    // (different algorithms) never need to agree bit-for-bit.
+    // sketch lands inside its own band, so the compared rows are
+    // deterministic booleans while the sketches themselves (different
+    // algorithms) never need to agree bit-for-bit. Spark runs rsd=0.02
+    // against a ±8% band (≈4σ): rsd=0.01 made HLL++ pathologically
+    // slow at bench scale (45 s at sf0.1 vs ~1 s at 0.02).
     QueryDef.sql(
       "q_agg_approx_distinct",
       """SELECT o_orderstatus,
-        |  (approx_count_distinct(o_custkey, 0.01)
-        |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_custkey) AS BIGINT)
-        |         AND CAST(1.05 * COUNT(DISTINCT o_custkey) AS BIGINT))
+        |  (approx_count_distinct(o_custkey, 0.02)
+        |     BETWEEN CAST(0.92 * COUNT(DISTINCT o_custkey) AS BIGINT)
+        |         AND CAST(1.08 * COUNT(DISTINCT o_custkey) AS BIGINT))
         |    AS cust_in_band,
-        |  (approx_count_distinct(o_orderkey, 0.01)
-        |     BETWEEN CAST(0.95 * COUNT(DISTINCT o_orderkey) AS BIGINT)
-        |         AND CAST(1.05 * COUNT(DISTINCT o_orderkey) AS BIGINT))
+        |  (approx_count_distinct(o_orderkey, 0.02)
+        |     BETWEEN CAST(0.92 * COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |         AND CAST(1.08 * COUNT(DISTINCT o_orderkey) AS BIGINT))
         |    AS order_in_band
         |FROM orders
         |GROUP BY o_orderstatus
