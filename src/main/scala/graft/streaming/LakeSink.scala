@@ -56,6 +56,80 @@ object LakeSink {
     * keys and [[LakeTable.replace]] in one atomic commit — no driver
     * materialization at any size.
     */
+  /** Continuous DEDUPLICATED ingestion — the end-to-end streaming shape
+    * of a training-data pipeline: each micro-batch is cleaned against
+    * the corpus state accumulated in `sigTable` (exact fingerprints +
+    * MinHash signatures), survivors land in `docTable` and their
+    * signatures in `sigTable`, so the corpus is NEVER re-read or
+    * re-shingled — per-batch cost is O(batch + band collisions)
+    * regardless of corpus size.
+    *
+    * Order of filters inside a batch:
+    *   1. exact dedup within the batch (min id per fingerprint),
+    *   2. near-dup within the batch ([[graft.operators.Dedup.minhashPairs]],
+    *      smaller id wins),
+    *   3. exact dedup vs corpus (anti-join on stored fingerprints),
+    *   4. near-dup vs corpus
+    *      ([[graft.operators.Dedup.incrementalMinhashPairs]] over the
+    *      stored signatures; the corpus doc always wins).
+    *
+    * Exactly-once: each table carries its own replayed-batch guard; a
+    * crash between the two appends replays the batch, the already-
+    * committed table skips it, and the recomputation is deterministic
+    * against the unchanged signature state, so the pair converges.
+    */
+  def appendDeduped(stream: DataFrame, docTable: LakeTable,
+      sigTable: LakeTable, idCol: String, textCol: String,
+      checkpoint: String,
+      minJaccard: Double = graft.operators.PipelineParams.MinhashJaccard,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextOps}
+    val streamKey = Integer.toHexString(checkpoint.hashCode)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+          // 1. exact within batch
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+          val exactKept = fp
+            .withColumn("__rep", min(col(idCol)).over(w))
+            .filter(col(idCol) === col("__rep")).drop("__rep")
+          // 2. near-dup within batch: smaller id wins each pair
+          val inPairs = Dedup.minhashPairs(
+            exactKept, idCol, textCol, minJaccard)
+          val batchKept = exactKept.join(
+            inPairs.select(col("b_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          // 3. exact vs corpus
+          val corpusSigs = sigTable.read()
+          val freshFp = batchKept.join(
+            corpusSigs.select(col("fingerprint").as("__fp")).distinct(),
+            Seq("__fp"), "left_anti")
+          // 4. near-dup vs corpus: corpus always wins
+          val incPairs = Dedup.incrementalMinhashPairs(
+            corpusSigs, freshFp, idCol, textCol, minJaccard)
+          val survivors = freshFp.join(
+            incPairs.select(col("a_id").as(idCol))
+              .union(incPairs.select(col("b_id").as(idCol))).distinct(),
+            Seq(idCol), "left_anti")
+            .cache()
+          try {
+            val newSigs = Dedup.minhashSignatures(survivors, idCol, textCol)
+              .join(survivors.select(col(idCol).as("id"), col("__fp")), Seq("id"))
+              .select(col("id"), col("__fp").as("fingerprint"),
+                col("hs"), col("sig"))
+            processBatch(docTable, streamKey)(
+              survivors.drop("__fp"), batchId)
+            processBatch(sigTable, s"$streamKey-sigs")(newSigs, batchId)
+          } finally { survivors.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   def appendWindowed(stream: DataFrame, table: LakeTable,
       checkpoint: String, keyCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow(),
