@@ -428,9 +428,50 @@ final class LakeEngine(val spark: SparkSession) {
         val n = table(name).update(pred, assignments)
         refresh(name)
         Seq(n).toDF("rows_updated")
+      case truncateRe(name) if tables.contains(name) =>
+        table(name).truncate(); refresh(name)
+        Seq(0L).toDF("rows_remaining")
+      case vacuumRe(name) if tables.contains(name) =>
+        table(name).vacuum(); refresh(name)
+        Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
+          .toDF("data_files")
+      case alterAddRe(name, colName, colType) if tables.contains(name) =>
+        table(name).addColumn(colName, pgTypeName(colType.trim))
+        refresh(name)
+        Seq(colName).toDF("column_added")
+      case alterRenameRe(name, from, to) if tables.contains(name) =>
+        table(name).renameColumn(from, to); refresh(name)
+        Seq(to).toDF("column_renamed")
+      case alterDropRe(name, colName) if tables.contains(name) =>
+        table(name).dropColumn(colName); refresh(name)
+        Seq(colName).toDF("column_dropped")
+      case alterSetPartRe(name, spec) if tables.contains(name) =>
+        val transforms = splitTopLevel(spec).map(_.trim).filter(_.nonEmpty)
+        table(name).setPartitionSpec(transforms); refresh(name)
+        Seq(transforms.mkString(", ")).toDF("partition_spec")
+      case alterClusterRe(name, cols) if tables.contains(name) =>
+        val cs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty)
+        table(name).cluster(cs); refresh(name)
+        Seq(cs.mkString(", ")).toDF("clustered_by")
       case _ => spark.sql(q)
     }
   }
+
+  // maintenance/DDL verbs routed to the transactional table ops
+  // (the reference exposes the same surface through SQL: TRUNCATE,
+  // lake_table.vacuum, ALTER TABLE add/rename/drop and partition DDL)
+  private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+  private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
+  private val alterAddRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w() ]+?)\\s*;?\\s*$".r
+  private val alterRenameRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
+  private val alterDropRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*;?\\s*$".r
+  private val alterSetPartRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*;?\\s*$".r
+  private val alterClusterRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+CLUSTER\\s+BY\\s*\\(([^()]*)\\)\\s*;?\\s*$".r
 
   /** Split `a = f(x, y), b = 2` on top-level commas only. */
   private def splitTopLevel(s: String): Seq[String] = {

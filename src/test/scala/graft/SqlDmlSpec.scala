@@ -40,6 +40,35 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.table("r_dml").meta.snapshots.length >= 5)
   }
 
+  test("maintenance + DDL verbs route to the transactional table ops") {
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "events")
+    e.createTableAsSelect("ev_ddl", LakeEngine.tempLocation("ddl"), src)
+
+    // ALTER TABLE ... ADD / RENAME / DROP COLUMN (metadata-only)
+    e.sql("ALTER TABLE ev_ddl ADD COLUMN note text")
+    assert(e.sql("SELECT note FROM ev_ddl LIMIT 1").head.isNullAt(0))
+    e.sql("ALTER TABLE ev_ddl RENAME COLUMN note TO remark")
+    assert(e.table("ev_ddl").meta.sparkSchema.fieldNames.contains("remark"))
+    e.sql("ALTER TABLE ev_ddl DROP COLUMN remark")
+    assert(!e.table("ev_ddl").meta.sparkSchema.fieldNames.contains("remark"))
+
+    // CLUSTER BY rewrites files along the z-curve
+    assert(e.sql("ALTER TABLE ev_ddl CLUSTER BY (user_id, value)")
+      .head.getString(0) == "user_id, value")
+    assert(e.table("ev_ddl").read().count() == src.count())
+
+    // SET PARTITIONED BY evolves the spec metadata-only
+    assert(e.sql("ALTER TABLE ev_ddl SET PARTITIONED BY (day(ts))")
+      .head.getString(0) == "day(ts)")
+    assert(e.table("ev_ddl").meta.partitionSpec == Seq("day(ts)"))
+
+    // VACUUM + TRUNCATE
+    e.sql("VACUUM ev_ddl")
+    assert(e.sql("TRUNCATE TABLE ev_ddl").head.getLong(0) == 0L)
+    assert(e.sql("SELECT count(*) FROM ev_ddl").head.getLong(0) == 0L)
+  }
+
   test("create table as select via SQL text, with hidden partitioning") {
     val e = LakeEngine(spark)
     Tables.registerAll(spark, sf)
