@@ -428,6 +428,12 @@ final class LakeEngine(val spark: SparkSession) {
         val n = table(name).update(pred, assignments)
         refresh(name)
         Seq(n).toDF("rows_updated")
+      case snapshotsRe(name) if tables.contains(name) =>
+        table(name).snapshots
+      case filesRe(name) if tables.contains(name) =>
+        table(name).files
+      case fileListRe(glob) =>
+        listFiles(glob)
       case truncateRe(name) if tables.contains(name) =>
         table(name).truncate(); refresh(name)
         Seq(0L).toDF("rows_remaining")
@@ -460,6 +466,15 @@ final class LakeEngine(val spark: SparkSession) {
   // maintenance/DDL verbs routed to the transactional table ops
   // (the reference exposes the same surface through SQL: TRUNCATE,
   // lake_table.vacuum, ALTER TABLE add/rename/drop and partition DDL)
+  // inspection table functions (reference: lake_iceberg.snapshots/files,
+  // lake_file.list — docs/iceberg-tables.md:559, query-data-lake-files.md:42)
+  private val snapshotsRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_snapshots\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
+  private val filesRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
+  private val fileListRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
   private val alterAddRe =

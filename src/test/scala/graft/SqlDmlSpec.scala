@@ -63,6 +63,12 @@ class SqlDmlSpec extends AnyFunSuite {
       .head.getString(0) == "day(ts)")
     assert(e.table("ev_ddl").meta.partitionSpec == Seq("day(ts)"))
 
+    // inspection table functions
+    assert(e.sql("SELECT * FROM lake_snapshots('ev_ddl')").count() >= 3)
+    assert(e.sql("SELECT * FROM lake_files('ev_ddl')").count() >= 1)
+    assert(e.sql(s"SELECT * FROM lake_file_list('$sf/*.parquet')")
+      .count() == 10)
+
     // VACUUM + TRUNCATE
     e.sql("VACUUM ev_ddl")
     assert(e.sql("TRUNCATE TABLE ev_ddl").head.getLong(0) == 0L)
