@@ -441,10 +441,27 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).vacuum(); refresh(name)
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
           .toDF("data_files")
-      case alterAddRe(name, colName, colType) if tables.contains(name) =>
-        table(name).addColumn(colName, pgTypeName(colType.trim))
+      case alterAddRe(name, colName, colType, defaultOrNull)
+          if tables.contains(name) =>
+        table(name).addColumn(colName, pgTypeName(colType.trim),
+          Option(defaultOrNull).map(_.trim))
         refresh(name)
         Seq(colName).toDF("column_added")
+      case createColsRe(name, colList, specOrNull, locOrNull) =>
+        val fields = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
+          .map { c =>
+            val Array(cn, ct) = c.split("\\s+", 2)
+            org.apache.spark.sql.types.StructField(cn,
+              org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(ct)))
+          }
+        val spec = Option(specOrNull).toSeq
+          .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = LakeTable.create(spark,
+          loc, name, org.apache.spark.sql.types.StructType(fields), spec)
+        register(name, t)
+        Seq(name).toDF("table_created")
       case alterRenameRe(name, from, to) if tables.contains(name) =>
         table(name).renameColumn(from, to); refresh(name)
         Seq(to).toDF("column_renamed")
@@ -478,7 +495,14 @@ final class LakeEngine(val spark: SparkSession) {
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
   private val alterAddRe =
-    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+([\\w() ]+?)\\s*;?\\s*$".r
+    ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+" +
+      "([\\w(), ]+?)(?:\\s+DEFAULT\\s+(.+?))?\\s*;?\\s*$").r
+  // explicit-schema CREATE TABLE (no AS SELECT, no load_from)
+  private val createColsRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(((?:[^()]|\\([^()]*\\))+)\\)" +
+      "(?:\\s+USING\\s+\\w+)?" +
+      "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
+      "(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*$").r
   private val alterRenameRe =
     "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
   private val alterDropRe =

@@ -125,7 +125,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
                 org.apache.spark.sql.GraftBridge.expression(col(pf.name))))
               .as(cf.name)
           case Some(pf) => col(pf.name).cast(target).as(cf.name)
-          case None => lit(null).cast(target).as(cf.name)
+          case None => cf.initialDefault
+            .map(d => expr(d).cast(target).as(cf.name))
+            .getOrElse(lit(null).cast(target).as(cf.name))
         }
       }
       spark.read.schema(physical).parquet(group.map(_.path): _*)
@@ -403,12 +405,15 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   // -------------------------------------------------------- schema change
 
   /** Metadata-only column add (docs/iceberg-tables.md:643-700). */
-  def addColumn(name: String, ddlType: String): LakeTable = {
+  def addColumn(name: String, ddlType: String,
+      default: Option[String] = None): LakeTable = {
+    default.foreach(d => expr(d)) // validate the expression parses
     TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.get
       val sv = cur.currentSchema
       val next = SchemaVersion(sv.version + 1,
-        sv.fields :+ FieldDef(cur.nextFieldId, name, ddlType))
+        sv.fields :+ FieldDef(cur.nextFieldId, name, ddlType,
+          initialDefault = default))
       cur.copy(schemas = cur.schemas :+ next,
         currentSchemaVersion = next.version, nextFieldId = cur.nextFieldId + 1)
     }

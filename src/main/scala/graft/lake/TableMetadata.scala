@@ -59,10 +59,13 @@ final case class Snapshot(
   * by name, so renames are metadata-only (reference:
   * pg_lake_table/src/fdw/schema_operations/register_field_ids.c).
   * `physicalName` is the column name as written inside data files of a
-  * given schema version.
+  * given schema version. `initialDefault` is an SQL expression applied
+  * when reading files written BEFORE the column existed (Iceberg's
+  * initial-default: ALTER ADD COLUMN ... DEFAULT is metadata-only, no
+  * rewrite; files written after the add carry real values).
   */
 final case class FieldDef(id: Int, name: String, dataType: String,
-    nullable: Boolean = true)
+    nullable: Boolean = true, initialDefault: Option[String] = None)
 
 final case class SchemaVersion(version: Int, fields: Seq[FieldDef])
 

@@ -75,6 +75,28 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.sql("SELECT count(*) FROM ev_ddl").head.getLong(0) == 0L)
   }
 
+  test("explicit-schema CREATE TABLE + ADD COLUMN DEFAULT (initial-default)") {
+    val e = LakeEngine(spark)
+    e.sql("CREATE TABLE t_cols (id bigint, price numeric(10,2), " +
+      "label text) USING iceberg")
+    assert(e.sql("INSERT INTO t_cols VALUES (1, 9.99, 'a'), (2, 1.50, 'b')")
+      .head.getLong(0) == 2)
+
+    // metadata-only ADD COLUMN with DEFAULT: pre-existing rows read the
+    // default without any file rewrite; later writes carry real values
+    val filesBefore = e.table("t_cols").meta.currentSnapshot.get.files.size
+    e.sql("ALTER TABLE t_cols ADD COLUMN grade text DEFAULT 'unrated'")
+    assert(e.table("t_cols").meta.currentSnapshot.get.files.size
+      == filesBefore, "ADD COLUMN DEFAULT must not rewrite files")
+    assert(e.sql("SELECT grade FROM t_cols WHERE id = 1")
+      .head.getString(0) == "unrated")
+    e.sql("INSERT INTO t_cols VALUES (3, 0.10, 'c', 'good')")
+    assert(e.sql("SELECT grade FROM t_cols WHERE id = 3")
+      .head.getString(0) == "good")
+    assert(e.sql("SELECT count(*) FROM t_cols WHERE grade = 'unrated'")
+      .head.getLong(0) == 2)
+  }
+
   test("create table as select via SQL text, with hidden partitioning") {
     val e = LakeEngine(spark)
     Tables.registerAll(spark, sf)
