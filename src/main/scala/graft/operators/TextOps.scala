@@ -115,6 +115,24 @@ object TextOps {
     expr(s"aggregate(transform($w, x -> length(x)), 0L, (a, b) -> a + b)")
       .cast("double") / expr(s"size($w)")
 
+  /** Overlapping word-window chunks: array of structs
+    * (chunk_no, chunk_text) of `size` words every `stride` words —
+    * the RAG/training prep split. Scan-local expression; pair with
+    * `explode` for one row per chunk. The final partial window is
+    * emitted iff it adds new words (stride < size ⇒ overlap).
+    */
+  def chunks(w: String, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"chunks: need 0 < stride <= size (got size=$size stride=$stride)")
+    expr(
+      s"""transform(
+         |  sequence(0, greatest(0, cast(ceil((size($w) - $size)
+         |    / cast($stride as double)) as int))),
+         |  i -> struct(i as chunk_no,
+         |    array_join(slice($w, i * $stride + 1, $size), ' ')
+         |      as chunk_text))""".stripMargin)
+  }
+
   /** Gopher-style repetition: fraction of word occurrences that repeat
     * an earlier word (1 − distinct/total).
     */

@@ -539,6 +539,32 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- overlapping chunking (RAG/training prep): size-12 windows
+    // every 8 words, one row per chunk; scan-local + explode ---------
+    QueryDef(
+      "q_text_chunks",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(0, CAST(ceil((len(ws) - 12) / 8.0)
+        |      AS INT)) + 1),
+        |    i -> {'chunk_no': i,
+        |          'chunk_text': array_to_string(ws[i*8+1 : i*8+12], ' ')}))
+        |    AS c
+        |  FROM w)
+        |SELECT doc_id, c.chunk_no AS chunk_no, c.chunk_text AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_no""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"),
+          explode(TextOps.chunks("ws", size = 12, stride = 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_no").cast("long").as("chunk_no"),
+          col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
     // ---- int8 embedding quantization: 4× storage cut with bounded
     // error; floor(v·scale + 0.5) so the oracle matches bit-for-bit --
     QueryDef(
