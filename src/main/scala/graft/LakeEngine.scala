@@ -57,6 +57,14 @@ final class LakeEngine(val spark: SparkSession) {
   def refresh(name: String): Unit =
     tables.get(name).foreach(_.readIndexed().createOrReplaceTempView(name))
 
+  /** DROP TABLE: unregister the view + delete per [[LakeTable.drop]]. */
+  def dropTable(name: String, purge: Boolean = true): Unit = {
+    tables.remove(name).foreach { t =>
+      spark.catalog.dropTempView(name)
+      t.drop(purge)
+    }
+  }
+
   /** `iceberg_tables`-style catalog view (docs/iceberg-tables.md:545). */
   def tablesDf: DataFrame = {
     import spark.implicits._
@@ -441,6 +449,14 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).vacuum(); refresh(name)
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
           .toDF("data_files")
+      case optimizeRe(name) if tables.contains(name) =>
+        table(name).compact(); refresh(name)
+        Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
+          .toDF("data_files")
+      case dropTableRe(ifExists, name) =>
+        if (tables.contains(name)) { dropTable(name); Seq(name).toDF("dropped") }
+        else if (ifExists != null) Seq.empty[String].toDF("dropped")
+        else throw new IllegalArgumentException(s"no such table: $name")
       case alterAddRe(name, colName, colType, defaultOrNull)
           if tables.contains(name) =>
         table(name).addColumn(colName, pgTypeName(colType.trim),
@@ -494,6 +510,9 @@ final class LakeEngine(val spark: SparkSession) {
 
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
+  private val optimizeRe = "(?is)^OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
+  private val dropTableRe =
+    "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
   private val alterAddRe =
     ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+" +
       "([\\w(), ]+?)(?:\\s+DEFAULT\\s+(.+?))?\\s*;?\\s*$").r

@@ -446,6 +446,23 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** DROP TABLE (reference docs/iceberg-tables.md "Dropping an Iceberg
+    * table"): `purge` deletes the whole table tree (managed-table
+    * semantics, the default); otherwise only the `_meta` catalog state
+    * goes and data files are left for external readers.
+    */
+  def drop(purge: Boolean = true): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(location)
+    if (!Files.exists(root)) return
+    val target = if (purge) root else root.resolve("_meta")
+    if (Files.exists(target)) {
+      Files.walk(target).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** ALTER TABLE ... SET PARTITIONED BY — metadata-only partition-spec
     * evolution, the Iceberg model (reference docs/iceberg-tables.md
     * "Defining and evolving partitions"): files already written keep

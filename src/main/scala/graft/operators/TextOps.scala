@@ -150,14 +150,21 @@ object TextOps {
 
   /** Fraction of bigram occurrences taken by the most frequent bigram
     * (0.0 under 2 words) — the Gopher "top n-gram fraction" repetition
-    * signal. Per-row O(d·distinct) over builtin lambdas: scan-local,
-    * zero shuffles at any corpus size.
+    * signal. Sort + one run-length pass: O(d log d) per row instead of
+    * the naive O(d²) distinct×filter scan (which measured 2.8 s over
+    * sf0.1's corpus vs ~1 s for this shape). Scan-local, zero shuffles.
     */
   def topBigramRatio(g: String): Column =
     expr(
       s"""CASE WHEN size($g) = 0 THEN cast(0.0 as double)
-         |  ELSE cast(array_max(transform(array_distinct($g),
-         |      x -> size(filter($g, y -> y = x)))) as double) / size($g)
+         |  ELSE cast(aggregate(array_sort($g),
+         |      named_struct('prev', '', 'run', 0, 'best', 0),
+         |      (st, x) -> named_struct(
+         |        'prev', x,
+         |        'run', IF(x = st.prev, st.run + 1, 1),
+         |        'best', greatest(st.best,
+         |          IF(x = st.prev, st.run + 1, 1))),
+         |      st -> st.best) as double) / size($g)
          |  END""".stripMargin)
 
   /** PII scrubbing: redact email addresses and phone-number-shaped

@@ -69,10 +69,18 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.sql(s"SELECT * FROM lake_file_list('$sf/*.parquet')")
       .count() == 10)
 
-    // VACUUM + TRUNCATE
+    // OPTIMIZE + VACUUM + TRUNCATE
+    e.sql("OPTIMIZE ev_ddl")
     e.sql("VACUUM ev_ddl")
     assert(e.sql("TRUNCATE TABLE ev_ddl").head.getLong(0) == 0L)
     assert(e.sql("SELECT count(*) FROM ev_ddl").head.getLong(0) == 0L)
+
+    // DROP TABLE removes the view, registry entry, and files
+    val loc = e.table("ev_ddl").location
+    assert(e.sql("DROP TABLE ev_ddl").head.getString(0) == "ev_ddl")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)))
+    assert(e.sql("DROP TABLE IF EXISTS ev_ddl").isEmpty)
+    intercept[IllegalArgumentException] { e.sql("DROP TABLE ev_ddl") }
   }
 
   test("explicit-schema CREATE TABLE + ADD COLUMN DEFAULT (initial-default)") {
