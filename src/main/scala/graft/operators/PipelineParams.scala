@@ -84,6 +84,25 @@ object PipelineParams {
   val WinnowB = 257L
   val WinnowM = 1000000007L
 
+  /** Benchmark decontamination: n-gram width (wider than [[ShingleN]]
+    * so incidental trigram collisions don't flag whole documents) and
+    * the doc_id-slice rule carving the fixture "benchmark" set for the
+    * judged query.
+    */
+  val DecontamN = 5
+  val DecontamSlice = 41
+
+  /** Deterministic train/eval split: md5 bucket on (seed, id);
+    * buckets below [[SplitTrainBuckets]] train, the rest eval.
+    */
+  val SplitBuckets = 10
+  val SplitTrainBuckets = 8
+
+  /** Bigram-LM coverage: the model is the top-K corpus bigrams
+    * (K fixed ⇒ broadcastable at any corpus size).
+    */
+  val LmModelK = 500
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic; CJK is detected by codepoint-class ratio.
     */

@@ -26,10 +26,10 @@ object Pipeline {
 
   private val W = "string_split(lower(text), ' ')"
 
-  private def duckShingles(ws: String): String =
-    s"""list_distinct(CASE WHEN len($ws) >= $ShingleN
-       |  THEN list_transform(range(0, len($ws) - ${ShingleN - 1}),
-       |         i -> array_to_string(($ws)[i+1:i+$ShingleN], ' '))
+  private def duckShingles(ws: String, n: Int = ShingleN): String =
+    s"""list_distinct(CASE WHEN len($ws) >= $n
+       |  THEN list_transform(range(0, len($ws) - ${n - 1}),
+       |         i -> array_to_string(($ws)[i+1:i+$n], ' '))
        |  ELSE []::VARCHAR[] END)""".stripMargin
 
   private def duckHash(e: String): String =
@@ -614,6 +614,100 @@ object Pipeline {
          |  AND ${duckHash("'c42' || doc_id::VARCHAR")} % 4 = 0
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Curate.curate(docs(s, dir), "doc_id", "text", sampleMod = 4, "c42")
+        .orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination: corpus docs sharing any 5-gram
+    // with the "benchmark" slice (doc_id % 41 = 0). The oracle is the
+    // same broadcast-join semantics brute-forced in SQL, so the
+    // differential proves both the n-gram extraction and the overlap
+    // rule end-to-end ------------------------------------------------
+    QueryDef(
+      "q_decontaminate",
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${duckShingles(W, DecontamN)}) AS g
+         |  FROM documents WHERE doc_id % $DecontamSlice = 0),
+         |hits AS (
+         |  SELECT doc_id, count(*) AS n
+         |  FROM (SELECT doc_id, unnest(${duckShingles(W, DecontamN)}) AS g
+         |        FROM documents WHERE doc_id % $DecontamSlice <> 0) c
+         |  JOIN bench USING (g)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(h.n, 0) AS contaminated_ngrams,
+         |  coalesce(h.n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % $DecontamSlice <> 0
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      Decontaminate.scan(
+          d.filter(col("doc_id") % DecontamSlice =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % DecontamSlice === 0), "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- train/eval split leakage audit: near-dup pairs (exact
+    // jaccard ≥ threshold, found via the banded MinHash join) that
+    // cross the deterministic hash split — each row is a contaminated
+    // eval doc. Brute-force oracle ⇒ the differential again proves
+    // LSH candidate recall, now composed with the split rule ---------
+    QueryDef(
+      "q_split_leakage",
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s,
+         |    CASE WHEN ${duckHash("'sp1' || doc_id::VARCHAR")} % $SplitBuckets
+         |        < $SplitTrainBuckets THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  a.split AS a_split, b.split AS b_split,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE a.split <> b.split
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= $MinhashJaccard
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Sampling.splitLeakage(docs(s, dir), "doc_id", "text", "sp1")
+        .select(col("a_id"), col("b_id"), col("a_split"), col("b_split"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- bigram-LM coverage: score each doc against the top-500
+    // corpus bigram model (two-pass: bounded model aggregated then
+    // broadcast; one corpus re-scan). Integer counts + one per-row
+    // division keep the differential bit-exact -----------------------
+    QueryDef(
+      "q_text_lm_coverage",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ws) >= 2
+         |      THEN list_transform(range(1, len(ws)),
+         |        i -> ws[i] || ' ' || ws[i + 1])
+         |      ELSE [] END AS bgs
+         |  FROM w),
+         |e AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+         |model AS (
+         |  SELECT g FROM e GROUP BY g
+         |  ORDER BY count(*) DESC, g LIMIT $LmModelK),
+         |cov AS (
+         |  SELECT e.doc_id, count(*) AS total, count(m.g) AS covered
+         |  FROM e LEFT JOIN model m ON e.g = m.g
+         |  GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(c.total, 0) AS total_bigrams,
+         |  coalesce(c.covered, 0) AS covered_bigrams,
+         |  CASE WHEN coalesce(c.total, 0) > 0
+         |    THEN c.covered::DOUBLE / c.total ELSE 0.0 END AS lm_coverage
+         |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      LangModel.coverage(d, "doc_id", "text", LangModel.bigramModel(d, "text"))
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
 

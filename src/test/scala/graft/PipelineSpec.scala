@@ -241,4 +241,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp("abc").isEmpty)
     assert(fp("abcdefg").length == 1)
   }
+
+  test("decontamination flags planted benchmark n-grams only") {
+    import spark.implicits._
+    val bench = Seq((1L, "what is the capital city of france today"))
+      .toDF("qid", "question")
+    val corpus = Seq(
+      (10L, "some clean document talking about entirely other topics here"),
+      // contains the benchmark 5-gram "the capital city of france"
+      (11L, "trivia dump: the capital city of france appears verbatim here"),
+      (12L, "short doc"),
+      (13L, "")).toDF("doc_id", "text")
+    val out = Decontaminate.scan(corpus, "doc_id", "text", bench, "question")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L), "every corpus doc reported")
+    assert(out(11L) > 0, "planted overlap missed")
+    assert(out(10L) == 0 && out(12L) == 0 && out(13L) == 0,
+      "clean/short/empty docs must not be flagged")
+  }
+
+  test("split assignment is deterministic and ratio-plausible") {
+    val d = Tables.df(spark, sf, "documents")
+    val s1 = Sampling.splitAssign(d, "doc_id", "sp1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.splitAssign(d.repartition(7), "doc_id", "sp1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "split must be stable under repartitioning")
+    val evalFrac = s1.values.count(_ == "eval").toDouble / s1.size
+    assert(evalFrac > 0.05 && evalFrac < 0.4, s"eval fraction $evalFrac")
+    // different seed reshuffles the assignment
+    val s3 = Sampling.splitAssign(d, "doc_id", "other-seed")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s3 != s1)
+  }
+
+  test("split leakage pairs cross the boundary and match pair dedup") {
+    val d = Tables.df(spark, sf, "documents")
+    val leaks = Sampling.splitLeakage(d, "doc_id", "text", "sp1").collect()
+    leaks.foreach { r =>
+      assert(r.getAs[String]("a_split") != r.getAs[String]("b_split"))
+      assert(r.getAs[Double]("jaccard") >= PipelineParams.MinhashJaccard)
+    }
+    // leakage set == all near-dup pairs minus the same-split ones
+    val splits = Sampling.splitAssign(d, "doc_id", "sp1")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = Dedup.minhashPairs(d, "doc_id", "text")
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => splits(a) != splits(b) }.toSet
+    assert(leaks.map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+  }
+
+  test("lm coverage: bounded model, scores in [0,1], covered <= total") {
+    val d = Tables.df(spark, sf, "documents")
+    val model = LangModel.bigramModel(d, "text", k = 100)
+    assert(model.count() <= 100)
+    val cov = LangModel.coverage(d, "doc_id", "text", model).collect()
+    assert(cov.length == d.count())
+    cov.foreach { r =>
+      val total = r.getAs[Long]("total_bigrams")
+      val covered = r.getAs[Long]("covered_bigrams")
+      val score = r.getAs[Double]("lm_coverage")
+      assert(covered <= total)
+      assert(score >= 0.0 && score <= 1.0)
+      if (total == 0) assert(score == 0.0)
+    }
+    // a doc made purely of the corpus's most frequent bigram scores 1.0
+    import spark.implicits._
+    val top = model.orderBy(col("cnt").desc, col("g")).head().getString(0)
+    val synthetic = Seq((999L, s"$top $top $top")).toDF("doc_id", "text")
+    val s = LangModel.coverage(synthetic, "doc_id", "text", model)
+      .head().getAs[Double]("lm_coverage")
+    assert(s > 0.0, "top-model bigram must be covered")
+  }
 }
