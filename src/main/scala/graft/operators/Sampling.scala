@@ -42,6 +42,37 @@ object Sampling {
         lit("train")).otherwise(lit("eval")))
   }
 
+  /** Temperature-weighted domain mixing (the multilingual-corpus
+    * α-sampling of Conneau & Lample, arXiv:1901.07291 §3.1, α = 0.5):
+    * domain d is sampled with probability ∝ n_d^α, i.e. head domains
+    * are downweighted and tail domains upweighted relative to their
+    * natural frequency. Each row of domain d is accepted with rate
+    * r_d = min(1, F·N·√n_d / (S·n_d)), S = Σ_d √n_d, so the expected
+    * output size is F·N (up to per-domain capping at 1).
+    *
+    * Deterministic and portable: acceptance is hash60(seed,id) mod 1e6
+    * < floor(round(r_d, 9)·1e6) — integer-vs-integer, with the rate
+    * rounded to 9 decimals so both engines agree bit-for-bit. The
+    * domain-rate table is one small aggregate broadcast back onto the
+    * scan; the accept filter itself is scan-local, so the operator
+    * costs one count-shuffle regardless of corpus size.
+    */
+  def mixTemperature(df: DataFrame, domainCol: String, idCol: String,
+      targetFrac: Double, seed: String): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__nd"))
+    val tot = counts.agg(sum(col("__nd")).as("__n"),
+      sum(sqrt(col("__nd"))).as("__s"))
+    val rates = counts.crossJoin(tot)
+      .withColumn("__rate", least(lit(1.0),
+        round(lit(targetFrac) * col("__n") * sqrt(col("__nd")) /
+          (col("__s") * col("__nd")), 9)))
+      .withColumn("__thr", floor(col("__rate") * 1e6).cast("long"))
+      .select(col(domainCol), col("__thr"))
+    df.join(broadcast(rates), domainCol)
+      .filter(orderKey(idCol, seed) % 1000000L < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Split-leakage audit: near-duplicate pairs (MinHash+LSH, exact
     * jaccard ≥ the dedup threshold) that CROSS the train/eval boundary —
     * each row is an eval doc whose near-twin is trainable, i.e. a

@@ -202,6 +202,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+    * cluster embeddings around a small centroid set, then mark a
+    * document as a semantic duplicate if its cosine to a LOWER-id
+    * member of the same cluster is ≥ `tau` — one representative per
+    * semantic near-dup set survives (the lowest id), and the pairwise
+    * comparison never leaves a cluster, which is the whole point: the
+    * quadratic term is Σ|cluster|², not n².
+    *
+    * Centroids use the deterministic stride rule so the differential
+    * oracle can rebuild the identical clustering (same trick as
+    * [[ivfTopK]]); production k-means centroids drop into the same
+    * plan. Scale shape: centroids broadcast, assignment is a map-side
+    * argmax aggregation, then ONE shuffle on cluster id for the
+    * in-cluster self-join. Grow `numCentroids` ~ n/⟨cluster⟩ to keep
+    * cluster sizes bounded as the corpus grows. Recall is clustering-
+    * local by design (a cross-cluster near-dup pair is not a semantic
+    * duplicate under SemDeDup's definition).
+    *
+    * Output: (id, cid, dup) — every input row, its cluster, and
+    * whether it would be dropped.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double = CosineNearDup, stride: Int = IvfCentroidStride,
+      numCentroids: Int = IvfCentroids): DataFrame = {
+    val cent = withNorm(
+      df.filter(col(idCol) % stride === 0 &&
+          col(idCol) < stride.toLong * numCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")), "cv", "cn")
+    // nearest centroid by (round-6 cosine, lowest cid) — the argmax is
+    // a partial-aggregated max_by, so the corpus is never shuffled for
+    // the assignment itself
+    val assigned = withNorm(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cid"),
+        any_value(col("v")).as("v"), any_value(col("n")).as("n"))
+    // in-cluster pairs only; both sides are the SAME projection keyed
+    // by cid, so ReuseExchange materializes the assignment once
+    val a = assigned.select(col("cid"), col("id").as("a_id"),
+      col("v").as("av"), col("n").as("an"))
+    val b = assigned.select(col("cid"), col("id").as("b_id"),
+      col("v").as("bv"), col("n").as("bn"))
+    val dupIds = a.join(b, "cid")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= tau)
+      .select(col("b_id").as("id")).distinct()
+    assigned.join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes
     * are deterministic ([[PipelineParams.hyperplanes]]).
     */

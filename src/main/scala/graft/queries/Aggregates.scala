@@ -36,20 +36,27 @@ object Aggregates {
     // deterministic booleans while the sketches themselves (different
     // algorithms) never need to agree bit-for-bit. Spark runs rsd=0.02
     // against a ±8% band (≈4σ): rsd=0.01 made HLL++ pathologically
-    // slow at bench scale (45 s at sf0.1 vs ~1 s at 0.02).
+    // slow at bench scale (45 s at sf0.1 vs ~1 s at 0.02). The sketch
+    // and the exact side aggregate separately and join on the group
+    // key: one aggregate mixing distinct-expand with sketch buffers
+    // plans ~3× slower than the two clean passes.
     QueryDef.sql(
       "q_agg_approx_distinct",
-      """SELECT o_orderstatus,
-        |  (approx_count_distinct(o_custkey, 0.02)
-        |     BETWEEN CAST(0.92 * COUNT(DISTINCT o_custkey) AS BIGINT)
-        |         AND CAST(1.08 * COUNT(DISTINCT o_custkey) AS BIGINT))
-        |    AS cust_in_band,
-        |  (approx_count_distinct(o_orderkey, 0.02)
-        |     BETWEEN CAST(0.92 * COUNT(DISTINCT o_orderkey) AS BIGINT)
-        |         AND CAST(1.08 * COUNT(DISTINCT o_orderkey) AS BIGINT))
-        |    AS order_in_band
-        |FROM orders
-        |GROUP BY o_orderstatus
+      """WITH ex AS (
+        |  SELECT o_orderstatus,
+        |    COUNT(DISTINCT o_custkey) AS dc, COUNT(DISTINCT o_orderkey) AS dk
+        |  FROM orders GROUP BY o_orderstatus),
+        |ap AS (
+        |  SELECT o_orderstatus,
+        |    approx_count_distinct(o_custkey, 0.02) AS ac,
+        |    approx_count_distinct(o_orderkey, 0.02) AS ak
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT ap.o_orderstatus,
+        |  (ac BETWEEN CAST(0.92 * dc AS BIGINT)
+        |          AND CAST(1.08 * dc AS BIGINT)) AS cust_in_band,
+        |  (ak BETWEEN CAST(0.92 * dk AS BIGINT)
+        |          AND CAST(1.08 * dk AS BIGINT)) AS order_in_band
+        |FROM ap JOIN ex USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
       oracle =
         """SELECT o_orderstatus,
@@ -117,15 +124,22 @@ object Aggregates {
     // match bit-for-bit.
     QueryDef.sql(
       "q_agg_percentile_approx",
-      """SELECT l_linestatus,
-        |  (approx_percentile(l_quantity, 0.5)
-        |     BETWEEN PERCENTILE_CONT(0.40) WITHIN GROUP (ORDER BY l_quantity)
-        |         AND PERCENTILE_CONT(0.60) WITHIN GROUP (ORDER BY l_quantity)) AS median_in_band,
-        |  (approx_percentile(l_extendedprice, 0.9)
-        |     BETWEEN PERCENTILE_CONT(0.85) WITHIN GROUP (ORDER BY l_extendedprice)
-        |         AND PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice)) AS p90_in_band
-        |FROM lineitem
-        |GROUP BY l_linestatus
+      """WITH ex AS (
+        |  SELECT l_linestatus,
+        |    PERCENTILE_CONT(0.40) WITHIN GROUP (ORDER BY l_quantity) AS q40,
+        |    PERCENTILE_CONT(0.60) WITHIN GROUP (ORDER BY l_quantity) AS q60,
+        |    PERCENTILE_CONT(0.85) WITHIN GROUP (ORDER BY l_extendedprice) AS p85,
+        |    PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+        |  FROM lineitem GROUP BY l_linestatus),
+        |ap AS (
+        |  SELECT l_linestatus,
+        |    approx_percentile(l_quantity, 0.5) AS aq,
+        |    approx_percentile(l_extendedprice, 0.9) AS apx
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT ap.l_linestatus,
+        |  (aq BETWEEN q40 AND q60) AS median_in_band,
+        |  (apx BETWEEN p85 AND p95) AS p90_in_band
+        |FROM ap JOIN ex USING (l_linestatus)
         |ORDER BY l_linestatus""".stripMargin,
       oracle = """SELECT l_linestatus,
         |  (approx_quantile(l_quantity, 0.5)

@@ -388,6 +388,61 @@ object Pipeline {
            |ORDER BY doc_id, w""".stripMargin)
     },
 
+    // ---- SemDeDup semantic dedup: deterministic centroid clustering,
+    // in-cluster cosine pairs ≥ τ drop the higher id. The oracle
+    // rebuilds the identical clustering (stride centroids, round-6
+    // cosine argmax with cid tie-break) and the identical drop rule,
+    // so assignment AND the dedup decision are differentially proven
+    // for every row. --------------------------------------------------
+    QueryDef(
+      "q_dedup_semantic",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+         |  WHERE vec_id % $IvfCentroidStride = 0
+         |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
+         |assign AS (
+         |  SELECT vec_id AS id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
+         |                 c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1)
+         |SELECT a.id, a.cid,
+         |  EXISTS (
+         |    SELECT 1 FROM assign b
+         |    JOIN embeddings ea ON ea.vec_id = a.id
+         |    JOIN embeddings eb ON eb.vec_id = b.id
+         |    WHERE b.cid = a.cid AND b.id < a.id
+         |      AND round(${duckCos("ea.embedding", "eb.embedding")}, 6)
+         |            >= $CosineNearDup) AS dup
+         |FROM assign a ORDER BY a.id""".stripMargin) { (s, dir) =>
+      Similarity.semanticDedup(embs(s, dir), "vec_id", "embedding")
+        .orderBy("id")
+    },
+
+    // ---- temperature-weighted domain mixing (α-sampling): rates from
+    // one count aggregate, acceptance by portable hash. The oracle
+    // recomputes the identical per-domain rate table (same operation
+    // order, round-9) and the identical hash rule, so the mix is
+    // differentially proven row-for-row, not just by size. -------------
+    QueryDef(
+      "q_corpus_mix",
+      s"""WITH c AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+         |t AS (SELECT sum(nd) AS n, sum(sqrt(nd)) AS s FROM c),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      round(0.3 * n * sqrt(nd) / (s * nd), 9)) * 1000000.0) AS BIGINT)
+         |      AS thr
+         |  FROM c CROSS JOIN t)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE ${duckHash("'m7' || d.doc_id::VARCHAR")} % 1000000 < r.thr
+         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      Sampling.mixTemperature(docs(s, dir), "lang", "doc_id", 0.3, "m7")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sampling ---------------------------
     QueryDef(
       "q_corpus_sample",

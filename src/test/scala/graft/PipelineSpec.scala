@@ -318,4 +318,50 @@ class PipelineSpec extends AnyFunSuite {
       .head().getAs[Double]("lm_coverage")
     assert(s > 0.0, "top-model bigram must be covered")
   }
+
+  test("semantic dedup: in-cluster rule, lowest id survives, covers input") {
+    val e = Tables.df(spark, sf, "embeddings")
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding").collect()
+    assert(out.length == e.count(), "every input row classified")
+    val cid = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dup = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // recompute the rule from the exact in-cluster pairs
+    val pairs = Similarity.cosinePairs(e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs.filter { case (a, b) => cid(a) == cid(b) }
+      .map(_._2).toSet
+    assert(dup == expect,
+      s"dup set $dup must equal in-cluster higher-ids $expect")
+    // the lowest id of every cluster can never be a duplicate
+    val clusterMin = out.groupBy(_.getLong(1)).values.map(_.map(_.getLong(0)).min)
+    clusterMin.foreach(m => assert(!dup.contains(m)))
+  }
+
+  test("temperature mix: deterministic, upsamples tail domains") {
+    val d = Tables.df(spark, sf, "documents")
+    val m1 = Sampling.mixTemperature(d, "lang", "doc_id", 0.3, "t1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val m2 = Sampling.mixTemperature(d.repartition(7), "lang", "doc_id", 0.3, "t1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(m1 == m2, "mix must be stable under repartitioning")
+    // overall size ~ targetFrac (binomial noise at fixture scale)
+    val n = d.count().toDouble
+    assert(m1.size > 0.15 * n && m1.size < 0.45 * n,
+      s"mix size ${m1.size} vs n $n")
+    // α = 0.5 flattens the mix: every domain's share of the output is
+    // closer to uniform than its share of the input (or capped at 1)
+    val inShare = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outShare = Sampling.mixTemperature(d, "lang", "doc_id", 0.3, "t1")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keepRate = outShare.map { case (l, c) => l -> c.toDouble / inShare(l) }
+    // rates must be anti-monotone in domain size: the smallest domain
+    // keeps the largest fraction
+    val bySize = inShare.toSeq.sortBy(_._2).map(_._1)
+    val smallRate = keepRate(bySize.head)
+    val bigRate = keepRate(bySize.last)
+    assert(smallRate > bigRate,
+      s"tail domain must keep more: $smallRate vs $bigRate")
+  }
 }
