@@ -442,6 +442,10 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).files
       case fileListRe(glob) =>
         listFiles(glob)
+      case icebergFilesRe(url) =>
+        graft.sources.IcebergSnapshot.files(spark, url)
+      case icebergMetaRe(url) =>
+        graft.sources.IcebergSnapshot.metadataJson(spark, url)
       case truncateRe(name) if tables.contains(name) =>
         table(name).truncate(); refresh(name)
         Seq(0L).toDF("rows_remaining")
@@ -507,6 +511,12 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
   private val fileListRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // external-Iceberg inspection over a metadata.json URL (reference:
+  // lake_iceberg.files/metadata — docs/iceberg-tables.md:601-656)
+  private val icebergFilesRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_files\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  private val icebergMetaRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_metadata\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
 
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r

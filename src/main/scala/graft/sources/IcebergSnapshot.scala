@@ -100,7 +100,7 @@ object IcebergSnapshot {
 
   final case class DataFileRef(path: String, format: String, records: Long,
       bytes: Long, stats: Map[String, graft.lake.ColStats] = Map.empty,
-      seq: Long = 0L)
+      seq: Long = 0L, manifestPath: String = "", specId: Int = 0)
 
   /** A v2 delete file: `content` 1 = position, 2 = equality. `seq` is the
     * data sequence number (entry-level when present, else inherited from
@@ -165,16 +165,18 @@ object IcebergSnapshot {
     val typesById: Map[Int, DataType] = fieldDefs(metadataPath)
       .map(f => f.id -> DataType.fromDDL(f.dataType)).toMap
 
-    val manifests: Seq[(String, Long)] =
+    val manifests: Seq[(String, Long, Int)] =
       if (snap.has("manifest-list"))
         readAvro(snap.get("manifest-list").asText())
           .filter(m => opt(m, "content").forall(_.toString == "0")) // data
-          .map(m => m.get("manifest_path").toString ->
-            opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L))
+          .map(m => (m.get("manifest_path").toString,
+            opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+            opt(m, "partition_spec_id").map(_.toString.toInt).getOrElse(0)))
       else // v1 inline manifest array
-        snap.get("manifests").elements().asScala.map(_.asText() -> 0L).toSeq
+        snap.get("manifests").elements().asScala
+          .map(m => (m.asText(), 0L, 0)).toSeq
 
-    manifests.flatMap { case (mPath, listSeq) =>
+    manifests.flatMap { case (mPath, listSeq, specId) =>
       readAvro(mPath).flatMap { entry =>
         val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED
@@ -204,7 +206,8 @@ object IcebergSnapshot {
               df.get("record_count").toString.toLong,
               opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
               stats,
-              entrySeq(entry, listSeq)))
+              entrySeq(entry, listSeq),
+              mPath, specId))
           }
         }
       }
@@ -256,12 +259,32 @@ object IcebergSnapshot {
       }
   }
 
-  /** `lake_iceberg.files(url)` equivalent. */
+  /** `lake_iceberg.files(url)` equivalent — the reference's documented
+    * column set (docs/iceberg-tables.md:639-656): manifest provenance,
+    * content (0 = data; delete files live in [[deleteFiles]]), spec id,
+    * and per-file counts.
+    */
   def files(spark: SparkSession, metadataPath: String): DataFrame = {
     import spark.implicits._
     dataFiles(metadataPath)
-      .map(f => (f.path, f.format, f.records, f.bytes))
-      .toDF("file_path", "file_format", "record_count", "file_size_in_bytes")
+      .map(f => (f.manifestPath, 0, f.path, f.format, f.specId,
+        f.records, f.bytes))
+      .toDF("manifest_path", "content", "file_path", "file_format",
+        "spec_id", "record_count", "file_size_in_bytes")
+  }
+
+  /** `lake_iceberg.metadata(url)` equivalent: the raw table-metadata
+    * JSON (Iceberg spec §table-metadata) as one row — compose with the
+    * JSON functions the way the reference composes it with jsonb ops
+    * (docs/iceberg-tables.md:601-612).
+    */
+  def metadataJson(spark: SparkSession, metadataPath: String): DataFrame = {
+    import spark.implicits._
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(localPath(metadataPath))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    Seq(txt).toDF("metadata")
   }
 
   /** Scan an external Iceberg snapshot as a DataFrame. When the

@@ -144,7 +144,7 @@ class IcebergInteropSpec extends AnyFunSuite {
 
     // the row being deleted: position 0 of the first data file
     val victimFile = IcebergSnapshot.files(spark, metaPath)
-      .orderBy("file_path").head.getString(0)
+      .orderBy("file_path").select("file_path").head.getString(0)
     val victimKey = spark.read
       .parquet(victimFile.stripPrefix("file://"))
       .withColumn("__pos", col("_metadata.row_index"))

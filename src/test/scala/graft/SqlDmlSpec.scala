@@ -69,6 +69,23 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(e.sql(s"SELECT * FROM lake_file_list('$sf/*.parquet')")
       .count() == 10)
 
+    // external-Iceberg inspection over an exported metadata.json URL:
+    // the reference's lake_iceberg.files / lake_iceberg.metadata
+    val metaPath = graft.lake.IcebergExport.export(e.table("ev_ddl"))
+    val ifiles = e.sql(s"SELECT * FROM lake_iceberg_files('$metaPath')")
+    assert(ifiles.columns.toSeq == Seq("manifest_path", "content",
+      "file_path", "file_format", "spec_id", "record_count",
+      "file_size_in_bytes"))
+    assert(ifiles.count() >= 1)
+    assert(ifiles.select("manifest_path").head.getString(0).nonEmpty)
+    val imeta = e.sql(s"SELECT * FROM lake_iceberg_metadata('$metaPath')")
+    assert(imeta.count() == 1)
+    val fmtVer = imeta
+      .select(org.apache.spark.sql.functions.get_json_object(
+        org.apache.spark.sql.functions.col("metadata"), "$['format-version']"))
+      .head.getString(0)
+    assert(fmtVer == "2", s"format-version $fmtVer")
+
     // OPTIMIZE + VACUUM + TRUNCATE
     e.sql("OPTIMIZE ev_ddl")
     e.sql("VACUUM ev_ddl")
