@@ -73,11 +73,24 @@ object SpatialOps {
     "st_normalize" -> { g => normalize(g) },
     // the core is strictly 2-D (Z/M never parsed or stored), so
     // force-2d is the identity — kept for PostGIS source compatibility
-    "st_force2d" -> { g => g })
+    "st_force2d" -> { g => g },
+    "st_makevalid" -> { g => makeValid(g) },
+    // Z/M storage would change every codec and predicate; silently
+    // attaching a zero dimension is worse than refusing
+    "st_force3dz" -> { _ => throw new UnsupportedOperationException(
+      "st_force3dz: the core is strictly 2-D (no Z/M storage)") },
+    "st_force3dm" -> { _ => throw new UnsupportedOperationException(
+      "st_force3dm: the core is strictly 2-D (no Z/M storage)") },
+    "st_force4d" -> { _ => throw new UnsupportedOperationException(
+      "st_force4d: the core is strictly 2-D (no Z/M storage)") })
 
   val geomToDouble: Map[String, Geom => Any] = Map(
     "st_x" -> { case GPoint(Some(p), _) => p.x; case _ => null },
     "st_y" -> { case GPoint(Some(p), _) => p.y; case _ => null },
+    // 2-D core: the Z/M ordinates do not exist — NULL, as PostGIS
+    // returns for a missing dimension
+    "st_z" -> { _ => null },
+    "st_m" -> { _ => null },
     "st_area" -> { g => area(g) },
     "st_length" -> { g => Geometry.length(g) },
     "st_perimeter" -> { g => perimeter(g) },
@@ -111,7 +124,9 @@ object SpatialOps {
       case _ => null
     },
     "st_srid" -> { g => g.srid },
-    "st_dimension" -> { g => dimension(g) })
+    "st_dimension" -> { g => dimension(g) },
+    // ZM flag per PostGIS: 0 = 2-D, 1 = M, 2 = Z, 3 = ZM — always 2-D here
+    "st_zmflag" -> { _ => 0 })
 
   val geomToBool: Map[String, Geom => Boolean] = Map(
     "st_isempty" -> { g => isEmpty(g) },
@@ -142,7 +157,8 @@ object SpatialOps {
     "st_collect" -> { (a, b) => collect(a, b) },
     "st_union" -> { (a, b) => unionPoints(a, b) },
     "st_shortestline" -> { (a, b) => shortestLine(a, b) },
-    "st_intersection" -> { (a, b) => intersectionWithConvex(a, b) })
+    "st_intersection" -> { (a, b) => intersectionWithConvex(a, b) },
+    "st_difference" -> { (a, b) => difference(a, b) })
 
   val geomDoubleToGeom: Map[String, (Geom, Double) => Geom] = Map(
     "st_buffer" -> { (g, r) => bufferPoint(g, r) },

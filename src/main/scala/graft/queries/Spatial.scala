@@ -36,7 +36,9 @@ object Spatial {
         |  st_x(p1) AS x1_v, st_y(p1) AS y1_v,
         |  st_distance(p1, p2) AS dist_v,
         |  st_dwithin(p1, p2, 25.0) AS near_v,
-        |  st_astext(p1) AS wkt_v
+        |  st_astext(p1) AS wkt_v,
+        |  st_astext(st_difference(p1,
+        |    st_makeenvelope(20.0, 20.0, 60.0, 60.0))) AS diff_v
         |FROM g ORDER BY event_id""".stripMargin,
       oracle =
         """WITH d AS (
@@ -51,7 +53,11 @@ object Spatial {
           |  x1 AS x1_v, y1 AS y1_v,
           |  sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) AS dist_v,
           |  sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) <= 25.0 AS near_v,
-          |  'POINT(' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy1 AS VARCHAR) || ')' AS wkt_v
+          |  'POINT(' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy1 AS VARCHAR) || ')' AS wkt_v,
+          |  CASE WHEN x1 BETWEEN 20 AND 60 AND y1 BETWEEN 20 AND 60
+          |    THEN 'POINT EMPTY'
+          |    ELSE 'POINT(' || CAST(ix1 AS VARCHAR) || ' ' || CAST(iy1 AS VARCHAR) || ')'
+          |  END AS diff_v
           |FROM d ORDER BY event_id""".stripMargin),
 
     // ---- envelopes: area/perimeter/centroid + exact predicates ----

@@ -493,4 +493,64 @@ class SpatialSpec extends AnyFunSuite {
       wkt("LINESTRING(0 0, 1 0.01, 2 0, 3 0.01, 4 0)"), 0.1)
     assert(coarse == wkt("LINESTRING(0 0, 4 0)"))
   }
+
+  test("makevalid: bounded repair, identity on valid, loud on overlay") {
+    // unclosed ring + repeated vertex: closed and deduped
+    val open = GPolygon(Vector(Vector(
+      Pt(0, 0), Pt(4, 0), Pt(4, 0), Pt(4, 4), Pt(0, 4))), 0)
+    assert(!isValid(open))
+    val fixed = makeValid(open)
+    assert(isValid(fixed))
+    assert(toWkt(fixed) == "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // valid input passes through unchanged
+    val ok = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(makeValid(ok) eq ok)
+    // single-vertex line collapses to its point (GEOS convention)
+    assert(toWkt(makeValid(GLine(Vector(Pt(1, 2)), 0))) == "POINT(1 2)")
+    // bow-tie self-intersection needs full overlay: loud refusal
+    val bowtie = GPolygon(Vector(Vector(
+      Pt(0, 0), Pt(2, 2), Pt(2, 0), Pt(0, 2), Pt(0, 0))), 0)
+    intercept[UnsupportedOperationException] { makeValid(bowtie) }
+  }
+
+  test("difference: points exact, disjoint/covered fastpaths, loud overlay") {
+    val box = wkt("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    // multipoint minus polygon keeps only outside points (boundary is
+    // covered, so it is removed too)
+    val mp = wkt("MULTIPOINT(1 1, 4 4, 9 9)")
+    assert(toWkt(difference(mp, box)) == "MULTIPOINT(9 9)")
+    // disjoint: subject unchanged
+    val far = wkt("POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))")
+    assert(difference(far, box) eq far)
+    // covered: empty of the subject's type
+    val inner = wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
+    assert(isEmpty(difference(inner, box)))
+    assert(difference(inner, box).isInstanceOf[GPolygon])
+    // partial polygon overlap: loud refusal
+    val overlap = wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")
+    intercept[UnsupportedOperationException] { difference(overlap, box) }
+  }
+
+  test("zm surface: st_z/st_m null, zmflag 0, force3d loud") {
+    val spark = sparkSession
+    graft.functions.SpatialFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT st_z(g), st_m(g), st_zmflag(g), st_zmflag(st_force2d(g))
+        |FROM (SELECT st_point(1.0, 2.0) AS g)""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getInt(2) == 0 && r.getInt(3) == 0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT st_force3dz(st_point(1.0, 2.0))").collect()
+    }
+    assert(err.getMessage.contains("2-D") ||
+      err.getCause != null && err.getCause.getMessage.contains("2-D"))
+    // st_difference + st_makevalid reachable from SQL
+    val d = spark.sql(
+      """SELECT st_astext(st_difference(
+        |  st_geomfromtext('MULTIPOINT(1 1, 9 9)'),
+        |  st_geomfromtext('POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))')))"""
+        .stripMargin).as[String].head()
+    assert(d == "MULTIPOINT(9 9)")
+  }
 }
