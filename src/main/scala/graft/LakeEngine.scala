@@ -467,6 +467,18 @@ final class LakeEngine(val spark: SparkSession) {
           Option(defaultOrNull).map(_.trim))
         refresh(name)
         Seq(colName).toDF("column_added")
+      case createLikeRe(name, src, locOrNull) =>
+        // reference: CREATE TABLE t (LIKE lake_table) USING iceberg —
+        // the log-pipeline DDL (docs/use-case-log-management.md), schema
+        // copied from a registered managed table or any temp view
+        val schema =
+          if (tables.contains(src)) table(src).meta.sparkSchema
+          else spark.table(src).schema
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = LakeTable.create(spark, loc, name, schema, Nil)
+        register(name, t)
+        Seq(name).toDF("table_created")
       case createColsRe(name, colList, specOrNull, locOrNull) =>
         val fields = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
           .map { c =>
@@ -526,6 +538,10 @@ final class LakeEngine(val spark: SparkSession) {
   private val alterAddRe =
     ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+" +
       "([\\w(), ]+?)(?:\\s+DEFAULT\\s+(.+?))?\\s*;?\\s*$").r
+  // CREATE TABLE t (LIKE other) [USING iceberg] [LOCATION '...']
+  private val createLikeRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(\\s*LIKE\\s+(\\w+)\\s*\\)" +
+      "(?:\\s+USING\\s+\\w+)?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*$").r
   // explicit-schema CREATE TABLE (no AS SELECT, no load_from)
   private val createColsRe =
     ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(((?:[^()]|\\([^()]*\\))+)\\)" +

@@ -155,6 +155,72 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Exactly-once incremental file ingestion — the pg_incremental
+    * pattern the reference documents for log pipelines
+    * (docs/use-case-log-management.md: "bookkeeping of the processed
+    * files is done in the same transaction as the command"): list the
+    * glob, subtract what this pipeline already ingested, append only
+    * the new files' rows via `reader`, and record those files in the
+    * SAME atomic commit. A crash between write and commit leaves
+    * orphaned data files (swept by vacuum) and re-processes the batch
+    * on the next run — never a double append.
+    *
+    * Bookkeeping is chunked like the manifest split: each batch writes
+    * one immutable `_meta/ingest-<pipeline>-<uuid>.json` holding just
+    * its file list, and the commit appends the chunk name to the
+    * `ingest.<pipeline>.chunks` property — commits stay O(batch) at any
+    * pipeline age. The chunk-list merge runs inside the commit CAS and
+    * aborts (retrying the whole batch against fresh state) if a racing
+    * ingest of the same pipeline claimed an overlapping file, so each
+    * file's rows land exactly once even under concurrent runners.
+    *
+    * Returns the files ingested this run (empty when up to date).
+    */
+  def ingestFiles(pattern: String, pipeline: String = "default")
+      (reader: Seq[String] => DataFrame): Seq[String] =
+      retryOnConflict("ingest") {
+    val key = s"ingest.$pipeline.chunks"
+    def chunksOf(p: Map[String, String]): Seq[String] =
+      p.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+    def readChunk(name: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        TableMetadata.metaDir(location).resolve(name)),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSeq
+    val baseChunks = chunksOf(meta.properties)
+    val processed = baseChunks.flatMap(readChunk).toSet
+    val hPath = new org.apache.hadoop.fs.Path(pattern)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .map(_.getPath.toString).toSeq.sorted
+    val fresh = listed.filterNot(processed)
+    if (fresh.isEmpty) Seq.empty
+    else {
+      // chunk file first: immutable, content-complete — an abort after
+      // this write orphans the chunk (unreferenced, harmless), never
+      // corrupts the processed set
+      val chunkName = s"ingest-$pipeline-${java.util.UUID.randomUUID()}.json"
+      val dir = TableMetadata.metaDir(location)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve(chunkName),
+        fresh.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val m = meta
+      val entries = writeData(m, reader(fresh), None)
+      val freshSet = fresh.toSet
+      commitOp("ingest", mergeProps = p => {
+        val now = chunksOf(p)
+        val racedOverlap = now.diff(baseChunks)
+          .flatMap(readChunk).exists(freshSet)
+        if (racedOverlap)
+          throw new java.util.ConcurrentModificationException(
+            s"ingest pipeline '$pipeline' raced on overlapping files")
+        p.updated(key, (now :+ chunkName).mkString(","))
+      }) { cur => cur.currentSnapshot.map(_.files).getOrElse(Nil) ++ entries }
+      fresh
+    }
+  }
+
   /** Copy-on-write DELETE (writes.md:15-44): files whose stats prove
     * every row matches are dropped metadata-only (full-partition fast
     * path, docs/iceberg-tables.md:221-224); files that may contain
@@ -523,7 +589,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       s"$op gave up after $attempts conflicting attempts", last)
   }
 
-  private def commitOp(op: String, props: Map[String, String] = Map.empty)(
+  private def commitOp(op: String, props: Map[String, String] = Map.empty,
+      mergeProps: Map[String, String] => Map[String, String] = identity)(
       nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata = {
     val committed = TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.getOrElse(
@@ -533,7 +600,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         snapshots = cur.snapshots :+
           Snapshot(snapId, System.currentTimeMillis(), op, nextFiles(cur)),
         currentSnapshotId = snapId,
-        properties = cur.properties ++ props)
+        // mergeProps runs INSIDE the CAS loop on the freshest
+        // properties — read-modify-write merges (e.g. the ingest chunk
+        // list) stay correct under commit races, where a static map
+        // computed from stale state would overwrite a racer's update
+        properties = mergeProps(cur.properties ++ props))
     }
     // object-store catalog mode (reference object_store_catalog.c):
     // every commit re-exports current Iceberg metadata under the stable

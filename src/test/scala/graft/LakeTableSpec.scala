@@ -370,4 +370,66 @@ class LakeTableSpec extends AnyFunSuite {
     assert(e.table("r2").read().count() == 10)
   }
 
+  test("incremental file ingestion: exactly-once, CREATE TABLE LIKE") {
+    import org.apache.spark.sql.functions.col
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "region")
+    // a landing dir that grows over time, like a log bucket
+    val landing = java.nio.file.Files.createTempDirectory("landing").toString
+    src.filter(col("r_regionkey") < 2).coalesce(1)
+      .write.parquet(s"$landing/batch1")
+    src.filter(col("r_regionkey") >= 2 && col("r_regionkey") < 4).coalesce(1)
+      .write.parquet(s"$landing/batch2")
+
+    // the reference's log-pipeline DDL: schema from an existing table
+    e.createTableAsSelect("r_like_src", LakeEngine.tempLocation("lsrc"),
+      src.limit(0))
+    assert(e.sql("CREATE TABLE logs_ice (LIKE r_like_src) USING iceberg")
+      .head.getString(0) == "logs_ice")
+    val t = e.table("logs_ice")
+
+    def ingest(): Seq[String] =
+      t.ingestFiles(s"$landing/*/*.parquet", "logs") { files =>
+        spark.read.schema(src.schema).parquet(files: _*)
+      }
+    // first run picks up both batches
+    assert(ingest().length == 2)
+    assert(t.read().count() == 4)
+    // re-run: nothing new, no extra snapshot rows
+    assert(ingest().isEmpty)
+    assert(t.read().count() == 4)
+    // a third file lands: only it is processed
+    src.filter(col("r_regionkey") === 4).coalesce(1)
+      .write.parquet(s"$landing/batch3")
+    assert(ingest().length == 1)
+    assert(t.read().count() == 5)
+    assert(t.read().exceptAll(src).isEmpty)
+
+    // two pipelines over the same files are independent bookkeeping
+    val n2 = t.ingestFiles(s"$landing/*/*.parquet", "second") { files =>
+      spark.read.schema(src.schema).parquet(files: _*)
+    }
+    assert(n2.length == 3)
+    assert(t.read().count() == 10)
+
+    // racing runners of ONE pipeline: every file lands exactly once
+    val e2 = LakeEngine(spark)
+    e2.sql("CREATE TABLE race_ice (LIKE r_like_src) USING iceberg")
+    val rt = e2.table("race_ice")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val futs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] =
+            rt.ingestFiles(s"$landing/*/*.parquet", "p") { files =>
+              spark.read.schema(src.schema).parquet(files: _*)
+            }
+        })
+      }
+      val got = futs.map(_.get())
+      assert(got.map(_.length).sum == 3,
+        s"racing ingests must split the 3 files exactly once: $got")
+    } finally pool.shutdown()
+    assert(rt.read().count() == 5)
+  }
 }
