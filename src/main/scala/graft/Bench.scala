@@ -48,6 +48,7 @@ object Bench {
       "q_grouping_sets", "q_window_rank", "q_window_exclude",
       "q_tpch3", "q_tpch4", "q_tpch5", "q_tpch6", "q_tpch10",
       "q_tpch13", "q_tpch17", "q_tpch18",
+      "q_tpcds_channels", "q_tpcds_rollup_rank",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_ngram", "q_dedup_embedding_lsh",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",

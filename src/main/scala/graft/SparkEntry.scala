@@ -21,6 +21,7 @@ object SparkEntry {
       _root_.graft.queries.Functions.defs ++
       _root_.graft.queries.Pipeline.defs ++
       _root_.graft.queries.Tpch.defs ++
+      _root_.graft.queries.TpcDs.defs ++
       _root_.graft.queries.ClickBench.defs ++
       _root_.graft.queries.TypeMatrix.defs ++
       _root_.graft.queries.Spatial.defs

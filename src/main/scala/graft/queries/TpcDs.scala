@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** TPC-DS-shaped suite adapted to the fixture star schema. The
+  * reference ships TPC-DS as its second benchmark harness
+  * (pg_lake_benchmark/src/tpcds.c — 99 queries via DuckDB dsdgen);
+  * the fixtures carry no retail-DS tables, so this suite reproduces
+  * the distinctive TPC-DS plan SHAPES the TPC-H set lacks — channel
+  * unions with netted returns, rollup-then-rank, month pivots,
+  * INTERSECT cohort chains, OR-of-ANDs band filters, moving-average
+  * deviation ranking, frequent-buyer semi-joins — on the available
+  * columns. Same determinism contract as [[Tpch]]: DECIMAL casts
+  * before money sums, one SQL text per query for both engines, every
+  * ORDER BY total with explicit NULLS placement wherever a rollup can
+  * produce NULL keys.
+  */
+object TpcDs {
+
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // DS q5/q77 shape: per-channel sales and returns netted, UNION ALL
+    // of channels, ROLLUP report with explicit NULL placement
+    QueryDef.sql(
+      "q_tpcds_channels",
+      s"""WITH sales AS (
+         |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |           THEN 'express' ELSE 'standard' END AS channel,
+         |    year(o_orderdate) AS yr,
+         |    SUM(CASE WHEN l_returnflag <> 'R' THEN $rev
+         |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS sales_d,
+         |    SUM(CASE WHEN l_returnflag = 'R' THEN $rev
+         |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS returns_d
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2)
+         |-- decimals stay exact through BOTH aggregation levels; the
+         |-- only double cast is terminal (a double->decimal re-cast
+         |-- between levels rounds the last cent engine-dependently)
+         |SELECT channel, yr,
+         |  CAST(SUM(sales_d) AS DOUBLE) AS sales,
+         |  CAST(SUM(returns_d) AS DOUBLE) AS returns,
+         |  CAST(SUM(sales_d) - SUM(returns_d) AS DOUBLE) AS profit
+         |FROM sales
+         |GROUP BY ROLLUP(channel, yr)
+         |ORDER BY channel NULLS FIRST, yr NULLS FIRST""".stripMargin),
+
+    // DS q67 shape: rollup over (brand, yr, mo), then rank WITHIN the
+    // brand partition (the brand-total rollup row ranks first)
+    QueryDef.sql(
+      "q_tpcds_rollup_rank",
+      s"""WITH r AS (
+         |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+         |    CAST(SUM($rev) AS DOUBLE) AS s
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_size <= 10
+         |  GROUP BY ROLLUP(p_brand, yr, mo))
+         |SELECT p_brand, yr, mo, s, rk FROM (
+         |  SELECT p_brand, yr, mo, s,
+         |    rank() OVER (PARTITION BY p_brand
+         |      ORDER BY s DESC, yr ASC NULLS FIRST, mo ASC NULLS FIRST) AS rk
+         |  FROM r WHERE p_brand IS NOT NULL) t
+         |WHERE rk <= 5
+         |ORDER BY p_brand, rk, yr NULLS FIRST, mo NULLS FIRST""".stripMargin),
+
+    // DS q66 shape: quarter pivot via CASE sums, one pass per brand
+    QueryDef.sql(
+      "q_tpcds_pivot",
+      s"""SELECT p_brand,
+         |  CAST(SUM(CASE WHEN month(l_shipdate) BETWEEN 1 AND 3 THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q1_rev,
+         |  CAST(SUM(CASE WHEN month(l_shipdate) BETWEEN 4 AND 6 THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q2_rev,
+         |  CAST(SUM(CASE WHEN month(l_shipdate) BETWEEN 7 AND 9 THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q3_rev,
+         |  CAST(SUM(CASE WHEN month(l_shipdate) BETWEEN 10 AND 12 THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS q4_rev,
+         |  count(*) AS line_count
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin),
+
+    // DS q38 shape: customers active in ALL of three consecutive years
+    // via an INTERSECT chain, final count
+    QueryDef.sql(
+      "q_tpcds_intersect",
+      """SELECT count(*) AS loyal_customers FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998) t"""
+        .stripMargin),
+
+    // DS q13/q48 shape: OR-of-ANDs band predicates, one scan, exact
+    // counts + decimal sums (no engine-ordered double avg)
+    QueryDef.sql(
+      "q_tpcds_bands",
+      s"""SELECT l_returnflag,
+         |  count(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+         |  CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem
+         |WHERE (l_quantity BETWEEN 1 AND 10
+         |         AND l_discount BETWEEN 0.02 AND 0.06)
+         |   OR (l_quantity BETWEEN 20 AND 30
+         |         AND l_discount BETWEEN 0.05 AND 0.09)
+         |   OR (l_quantity BETWEEN 40 AND 50 AND l_tax < 0.04)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin),
+
+    // DS q47/q57 shape: monthly brand sales vs the brand-year mean,
+    // rank by absolute deviation (mean from an exact decimal window
+    // sum so both engines divide identical doubles)
+    QueryDef.sql(
+      "q_tpcds_moving_rank",
+      s"""WITH m AS (
+         |  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+         |    SUM($rev) AS s_d
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)),
+         |-- the window sums the exact decimal, not a re-cast double:
+         |-- both engines then divide identical doubles for the mean
+         |v AS (
+         |  SELECT p_brand, yr, mo, CAST(s_d AS DOUBLE) AS s,
+         |    CAST(SUM(s_d) OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+         |      / COUNT(*) OVER (PARTITION BY p_brand, yr) AS avg_s
+         |  FROM m)
+         |SELECT p_brand, yr, mo,
+         |  round(s, 2) AS s, round(avg_s, 2) AS avg_s, rk FROM (
+         |  SELECT p_brand, yr, mo, s, avg_s,
+         |    rank() OVER (ORDER BY abs(s - avg_s) DESC, p_brand, yr, mo) AS rk
+         |  FROM v WHERE avg_s > 0 AND abs(s - avg_s) / avg_s > 0.3) t
+         |WHERE rk <= 50
+         |ORDER BY rk""".stripMargin),
+
+    // DS q50/q93 shape: per-brand return ratio with HAVING gate
+    QueryDef.sql(
+      "q_tpcds_returns_ratio",
+      s"""SELECT p_brand,
+         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $rev
+         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned,
+         |  CAST(SUM($rev) AS DOUBLE) AS total,
+         |  round(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN $rev
+         |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |        / CAST(SUM($rev) AS DOUBLE), 6) AS ratio
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |GROUP BY p_brand
+         |HAVING CAST(SUM($rev) AS DOUBLE) > 0
+         |ORDER BY ratio DESC, p_brand
+         |LIMIT 10""".stripMargin),
+
+    // DS q23 shape: frequent buyers of one year, their spend the next
+    // year (HAVING cohort → IN semi-join → grand total)
+    QueryDef.sql(
+      "q_tpcds_frequent_buyers",
+      """WITH freq AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1997
+        |  GROUP BY o_custkey HAVING count(*) >= 3)
+        |SELECT count(*) AS orders_1998,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_1998
+        |FROM orders
+        |WHERE year(o_orderdate) = 1998
+        |  AND o_custkey IN (SELECT o_custkey FROM freq)""".stripMargin))
+}
