@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * decoder context) once per partition — the Spark-side plumbing
   * (schema, batching, partition preservation) is real and tested.
   *
-  * The actual byte decoding is a STUB: no image/audio codecs exist in
-  * this environment, so [[decodeImageStub]] derives deterministic fake
-  * dimensions/features from the payload bytes. Swap `decodeOne` for a
-  * real codec without touching any of the distributed structure.
+  * Container-free formats decode for REAL — binary PPM images
+  * ([[decodePpm]]) and 16-bit PCM WAV audio ([[decodeWav]]) are pure
+  * byte layouts needing no codec library. Formats that do need codecs
+  * (JPEG/PNG/MP3/H.264 — absent from this environment) fall back to
+  * the deterministic STUB `decodeOne`; swap it for a real codec
+  * without touching any of the distributed structure.
   */
 object Multimodal {
 
@@ -57,18 +59,126 @@ object Multimodal {
     Row(id, width, height, 3, mean)
   }
 
-  /** Batch decode over partitions: one `decodeOne` per row, iterator in
-    * / iterator out — no per-partition materialization, so partitions
-    * stream at constant memory regardless of media size.
+  /** REAL decode for binary PPM (P6) — the container-free image format
+    * needs no codec library: ASCII header `P6 <w> <h> <maxval>` with
+    * `#` comments, then `w*h` RGB byte triples. Returns None when the
+    * payload is not a well-formed P6 image.
+    */
+  private[operators] def decodePpm(id: Long,
+      payload: Array[Byte]): Option[Row] = {
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
+      return None
+    var i = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < payload.length) {
+        val c = payload(i).toChar
+        if (c == '#') { while (i < payload.length && payload(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < payload.length && payload(i).toChar.isDigit) i += 1
+      if (i == start) None else Some(new String(payload, start, i - start).toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 65536 && i < payload.length &&
+        { i += 1 /* single whitespace after maxval */
+          payload.length - i >= w.toLong * h * 3 }
+    } yield {
+      var sum = 0L
+      val n = w * h * 3
+      var j = 0
+      while (j < n) { sum += (payload(i + j) & 0xff); j += 1 }
+      Row(id, w, h, 3, sum.toDouble / n)
+    }
+  }
+
+  /** Batch decode over partitions: one decode per row, iterator in /
+    * iterator out — no per-partition materialization, so partitions
+    * stream at constant memory regardless of media size. Payloads that
+    * ARE container-free images (PPM/P6) decode for real; anything else
+    * (JPEG/PNG need codec libraries absent from this environment)
+    * falls back to the deterministic stub.
     */
   def decodeImageStub(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.map { r =>
-        decodeOne(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx))
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        decodePpm(id, payload).getOrElse(decodeOne(id, payload))
       }
     }(Encoders.row(decodedSchema))
+  }
+
+  val wavSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("rms", DoubleType),
+    StructField("peak", DoubleType)))
+
+  /** REAL decode for PCM WAV — RIFF is pure byte layout, no codec
+    * needed: parse the `fmt ` chunk (PCM, 16-bit) and the `data` chunk,
+    * then fold the little-endian samples into duration/RMS/peak
+    * normalized to [-1, 1]. Non-PCM or malformed payloads yield no row
+    * (flatMap), so a mixed bucket decodes what it can — the usual lake
+    * posture for dirty media collections.
+    */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeWavOne(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx))
+      }
+    }(Encoders.row(wavSchema))
+  }
+
+  private[operators] def decodeWavOne(id: Long,
+      b: Array[Byte]): Option[Row] = {
+    def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val id4 = tag(off); val len = u32(off + 4)
+      if (id4 == "fmt " && off + 24 <= b.length) {
+        fmtOk = u16(off + 8) == 1 // PCM only
+        channels = u16(off + 10); rate = u32(off + 12).toInt
+        bits = u16(off + 22)
+      } else if (id4 == "data") { dataOff = off + 8; dataLen = len }
+      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)
+      return None
+    val avail = math.min(dataLen, (b.length - dataOff).toLong)
+    val nSamples = avail / 2 / channels
+    var acc = 0.0; var peak = 0.0
+    var i = dataOff
+    val end = dataOff + (nSamples * channels * 2).toInt
+    while (i + 1 < end) {
+      val s = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort / 32768.0
+      acc += s * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 2
+    }
+    val total = nSamples * channels
+    val rms = if (total > 0) math.sqrt(acc / total) else 0.0
+    Some(Row(id, channels, rate, nSamples, nSamples.toDouble / rate,
+      rms, peak))
   }
 
   val resizedSchema: StructType = StructType(Seq(

@@ -55,6 +55,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(1) >= 16 && r.getInt(2) >= 16))
   }
 
+  test("real PPM decode: exact dimensions and mean, stub fallback") {
+    import spark.implicits._
+    // hand-built 2x2 P6 image with a comment line; pixel bytes chosen
+    // so the mean is exact: (0+255)*6/2 /12 = 127.5
+    val header = "P6\n# test\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array.tabulate[Byte](12)(i => if (i % 2 == 0) 0 else -1)
+    val ppm = header ++ pixels
+    val junk = "not an image at all".getBytes("US-ASCII")
+    val df = Seq((1L, ppm), (2L, junk)).toDF("media_id", "payload")
+    val out = Multimodal.decodeImageStub(df).orderBy("media_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getInt(2) == 2 &&
+      out(0).getInt(3) == 3)
+    assert(out(0).getDouble(4) == 127.5)
+    // non-PPM payload routes through the deterministic stub
+    assert(out(1).getInt(1) == 16 + junk.length % 64)
+    // truncated pixel data must NOT decode as an image
+    val bad = header ++ pixels.take(5)
+    val outBad = Multimodal.decodeImageStub(
+      Seq((3L, bad)).toDF("media_id", "payload")).head()
+    assert(outBad.getInt(1) != 2, "truncated PPM must fall back to stub")
+  }
+
+  test("real WAV decode: PCM samples to duration/rms/peak") {
+    import spark.implicits._
+    // hand-built mono 16-bit PCM WAV, 4 samples at 8000 Hz:
+    // 0, 16384 (0.5), -16384 (-0.5), 32767 (~1.0)
+    val samples = Seq[Short](0, 16384, -16384, 32767)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val wav = bb.array()
+    val junk = "never audio".getBytes("US-ASCII")
+    val df = Seq((1L, wav), (2L, junk)).toDF("media_id", "payload")
+    val out = Multimodal.decodeWav(df).collect()
+    assert(out.length == 1, "non-WAV payload yields no row")
+    val r = out.head
+    assert(r.getInt(1) == 1 && r.getInt(2) == 8000 && r.getLong(3) == 4L)
+    assert(r.getDouble(4) == 4.0 / 8000)
+    val expectRms = math.sqrt(
+      samples.map(s => math.pow(s / 32768.0, 2)).sum / 4)
+    assert(math.abs(r.getDouble(5) - expectRms) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 32767.0 / 32768.0) < 1e-12)
+  }
+
   test("multimodal frame sample emits stride-spaced chunks") {
     val docs = Tables.df(spark, sf, "documents").limit(10)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "vid/fake")
