@@ -418,6 +418,20 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         .filterNot(inGrace)
         .foreach(Files.delete)
     }
+    // ingest chunks referenced by no pipeline property (batches whose
+    // commit aborted or lost its CAS race) — the live set is exactly
+    // the union of every ingest.<pipeline>.chunks list
+    val liveChunks = onDisk.properties.collect {
+      case (k, v) if k.startsWith("ingest.") && k.endsWith(".chunks") =>
+        v.split(",").toSeq
+    }.flatten.toSet
+    if (Files.exists(metaDir)) {
+      Files.list(metaDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("ingest-"))
+        .filterNot(p => liveChunks.contains(p.getFileName.toString))
+        .filterNot(inGrace)
+        .foreach(Files.delete)
+    }
     this
   }
 

@@ -431,5 +431,14 @@ class LakeTableSpec extends AnyFunSuite {
         s"racing ingests must split the 3 files exactly once: $got")
     } finally pool.shutdown()
     assert(rt.read().count() == 5)
+
+    // orphaned chunk (aborted batch) is swept; live chunks survive and
+    // bookkeeping still dedups after the sweep
+    val metaDir = graft.lake.TableMetadata.metaDir(t.location)
+    val orphan = metaDir.resolve("ingest-logs-orphan.json")
+    java.nio.file.Files.write(orphan, "bogus".getBytes)
+    t.expireSnapshots(keepLast = 50, graceMs = 0)
+    assert(!java.nio.file.Files.exists(orphan), "orphan chunk swept")
+    assert(ingest().isEmpty, "live bookkeeping intact after sweep")
   }
 }
