@@ -47,7 +47,7 @@ final class LakeEngine(val spark: SparkSession) {
   def serveRestCatalog(port: Int = 0): lake.RestCatalog =
     new lake.RestCatalog(this, port)
 
-  private def register(name: String, t: LakeTable): LakeTable = {
+  private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
     t.readIndexed().createOrReplaceTempView(name)
     t

@@ -441,6 +441,20 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     expireSnapshots(keepLast, graceMs)
   }
 
+  /** Import a complete snapshot state staged by an EXTERNAL engine —
+    * the REST-catalog commit path (reference rest_catalog_ops.c: the
+    * client writes data files + Avro manifests itself, then asks the
+    * catalog to swap metadata). The entries replace the current file
+    * set (an Iceberg add-snapshot's manifest-list carries full state);
+    * the commit is the usual CAS, so external commits serialize with
+    * local writers. Metadata-only — the catalog never reads data.
+    */
+  def importSnapshot(entries: Seq[FileEntry],
+      op: String = "rest-commit"): LakeTable = {
+    commitOp(op)(_ => entries)
+    this
+  }
+
   /** Snapshot changelog (the reference's changelog test surface —
     * pg_lake_table/tests/pytests/test_iceberg_changelog.py): row-level
     * diff between two snapshots at copy-on-write granularity. Rows in

@@ -5,12 +5,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Iceberg REST catalog endpoint over the engine's table registry — the
   * reference's headline attach surface: Spark/pyiceberg/iceberg-rust
   * connect to its catalog over HTTP (pg_lake_iceberg/src/rest_catalog/
   * rest_catalog.c:145, rest_catalog_ops.c:1-763; catalog.c:49-221).
-  * Implements the read path of the public Iceberg REST OpenAPI spec:
+  * Implements the read path of the public Iceberg REST OpenAPI spec
+  * plus the write ops external engines need to create and commit:
   *
   *   GET  /v1/config
   *   GET  /v1/namespaces
@@ -18,6 +20,8 @@ import java.nio.file.{Files, Paths}
   *   GET  /v1/namespaces/{ns}/tables
   *   GET  /v1/namespaces/{ns}/tables/{table}   (LoadTableResult)
   *   HEAD /v1/namespaces/{ns}/tables/{table}
+  *   POST /v1/namespaces/{ns}/tables           (CreateTable)
+  *   POST /v1/namespaces/{ns}/tables/{table}   (CommitTable: add-snapshot)
   *
   * The registry is flat, so tables live in a single `default` namespace.
   * `loadTable` re-exports the table's current snapshot before answering,
@@ -77,21 +81,75 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
         }
         json(ex, 200, mapper.writeValueAsString(root))
 
+      // CreateTable (spec: POST .../tables with name + Iceberg schema).
+      // Field ids are assigned 1..n in field order — the same numbering
+      // standard clients send — so imported per-file stats key cleanly.
+      case ("POST", List("v1", "namespaces", `Ns`, "tables")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val name = body.get("name").asText()
+        if (engine.tableOption(name).isDefined)
+          error(ex, 409, "AlreadyExistsException", s"table $name")
+        else {
+          val defs = graft.sources.IcebergSnapshot.fieldDefsOf(
+            body.get("schema"))
+          val schema = org.apache.spark.sql.types.StructType(defs.map(f =>
+            org.apache.spark.sql.types.StructField(f.name,
+              org.apache.spark.sql.types.DataType.fromDDL(f.dataType),
+              f.nullable)))
+          val loc = Option(body.get("location")).map(_.asText())
+            .filter(_.nonEmpty)
+            .getOrElse(graft.LakeEngine.tempLocation(s"rest_$name"))
+          val t = LakeTable.create(engine.spark, loc, name, schema)
+          engine.register(name, t)
+          loadResult(ex, t)
+        }
+
+      // CommitTable (spec: POST .../tables/{t} with requirements +
+      // updates). The supported update is add-snapshot with a staged
+      // manifest-list: the catalog walks the client's metadata and
+      // swaps the file set under the normal commit CAS.
+      case ("POST", List("v1", "namespaces", `Ns`, "tables", t)) =>
+        engine.tableOption(t) match {
+          case None => error(ex, 404, "NoSuchTableException", s"table $t")
+          case Some(lt) =>
+            val body = mapper.readTree(ex.getRequestBody)
+            val updates = Option(body.get("updates")).toSeq
+              .flatMap(_.elements().asScala)
+            val addSnap = updates.find(u =>
+              u.get("action").asText() == "add-snapshot")
+            addSnap match {
+              case None =>
+                error(ex, 400, "BadRequestException",
+                  "only add-snapshot commits are supported")
+              case Some(u) =>
+                val listPath =
+                  u.get("snapshot").get("manifest-list").asText()
+                val m = lt.meta
+                val typesById = m.currentSchema.fields.map(f =>
+                  f.id -> org.apache.spark.sql.types.DataType
+                    .fromDDL(f.dataType)).toMap
+                val refs = graft.sources.IcebergSnapshot
+                  .dataFilesFromManifestList(listPath, typesById)
+                val entries = refs.map(r => FileEntry(
+                  r.path.stripPrefix("file://"), r.records, r.bytes,
+                  m.currentSchemaVersion, r.stats,
+                  // conservative: imported files carry no transform
+                  // stats, so partition pruning skips them (field-stat
+                  // pruning still applies)
+                  Map.empty))
+                lt.importSnapshot(entries)
+                engine.refresh(t)
+                loadResult(ex, lt)
+            }
+        }
+
       case ("GET" | "HEAD", List("v1", "namespaces", `Ns`, "tables", t)) =>
         engine.tableOption(t) match {
           case None =>
             if (ex.getRequestMethod == "HEAD") head(ex, 404)
             else error(ex, 404, "NoSuchTableException", s"table $t")
           case Some(_) if ex.getRequestMethod == "HEAD" => head(ex, 200)
-          case Some(lt) =>
-            val metaLoc = IcebergExport.export(lt)
-            val root = mapper.createObjectNode()
-            root.put("metadata-location", metaLoc)
-            root.set[com.fasterxml.jackson.databind.node.ObjectNode](
-              "metadata", mapper.readTree(new String(Files.readAllBytes(
-                Paths.get(metaLoc.stripPrefix("file://"))), UTF_8)))
-            root.putObject("config")
-            json(ex, 200, mapper.writeValueAsString(root))
+          case Some(lt) => loadResult(ex, lt)
         }
 
       case (_, List("v1", "namespaces", ns, _*)) if ns != Ns =>
@@ -100,6 +158,20 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
       case (m, p) =>
         error(ex, 404, "NotFound", s"$m /${p.mkString("/")}")
     }
+  }
+
+  /** LoadTableResult: re-export the current snapshot, answer with the
+    * metadata location + inline metadata.
+    */
+  private def loadResult(ex: HttpExchange, lt: LakeTable): Unit = {
+    val metaLoc = IcebergExport.export(lt)
+    val root = mapper.createObjectNode()
+    root.put("metadata-location", metaLoc)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "metadata", mapper.readTree(new String(Files.readAllBytes(
+        Paths.get(metaLoc.stripPrefix("file://"))), UTF_8)))
+    root.putObject("config")
+    json(ex, 200, mapper.writeValueAsString(root))
   }
 
   private def head(ex: HttpExchange, code: Int): Unit = {

@@ -90,11 +90,17 @@ object IcebergSnapshot {
           .find(_.get("schema-id").asInt(-1) == cur)
           .getOrElse(root.get("schemas").get(0))
       } else root.get("schema")
+    fieldDefsOf(schemaNode)
+  }
+
+  /** Parse an Iceberg schema JSON node (metadata.json or a REST
+    * CreateTable request body) into field defs.
+    */
+  def fieldDefsOf(schemaNode: JsonNode): Seq[graft.lake.FieldDef] =
     schemaNode.get("fields").elements().asScala.map { f =>
       graft.lake.FieldDef(f.get("id").asInt(), f.get("name").asText(),
         typeOf(f.get("type")).sql, !f.get("required").asBoolean(false))
     }.toSeq
-  }
 
   // ---- snapshot / manifest walk ---------------------------------------
 
@@ -167,15 +173,33 @@ object IcebergSnapshot {
 
     val manifests: Seq[(String, Long, Int)] =
       if (snap.has("manifest-list"))
-        readAvro(snap.get("manifest-list").asText())
-          .filter(m => opt(m, "content").forall(_.toString == "0")) // data
-          .map(m => (m.get("manifest_path").toString,
-            opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L),
-            opt(m, "partition_spec_id").map(_.toString.toInt).getOrElse(0)))
+        dataManifestsOf(snap.get("manifest-list").asText())
       else // v1 inline manifest array
         snap.get("manifests").elements().asScala
           .map(m => (m.asText(), 0L, 0)).toSeq
 
+    walkManifests(manifests, typesById)
+  }
+
+  /** Data manifests of a manifest-list file: (path, seq, spec-id). */
+  private def dataManifestsOf(listPath: String): Seq[(String, Long, Int)] =
+    readAvro(listPath)
+      .filter(m => opt(m, "content").forall(_.toString == "0")) // data
+      .map(m => (m.get("manifest_path").toString,
+        opt(m, "sequence_number").map(_.toString.toLong).getOrElse(0L),
+        opt(m, "partition_spec_id").map(_.toString.toInt).getOrElse(0)))
+
+  /** Walk a manifest-list an external engine wrote (the REST-commit
+    * import path: the client hands the catalog an add-snapshot whose
+    * manifest-list it already staged; the catalog only reads metadata).
+    * `typesById` decodes the per-file bound bytes.
+    */
+  def dataFilesFromManifestList(listPath: String,
+      typesById: Map[Int, DataType]): Seq[DataFileRef] =
+    walkManifests(dataManifestsOf(listPath), typesById)
+
+  private def walkManifests(manifests: Seq[(String, Long, Int)],
+      typesById: Map[Int, DataType]): Seq[DataFileRef] = {
     manifests.flatMap { case (mPath, listSeq, specId) =>
       readAvro(mPath).flatMap { entry =>
         val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
