@@ -442,6 +442,23 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).files
       case fileListRe(glob) =>
         listFiles(glob)
+      // COPY ... TO/FROM — the reference's SQL import/export surface
+      // (pg_lake_copy/src/copy/copy.c; format + compression from the
+      // target name, PG-style WITH (option value, ...) list)
+      case copyToRe(src, url, optsOrNull) =>
+        val df =
+          if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
+          else spark.table(src)
+        // the exported-row count rides the write job as an observed
+        // metric — one scan, not count()+write
+        val obs = new org.apache.spark.sql.Observation()
+        copyTo(df.observe(obs, count(lit(1)).as("n")), url,
+          parseCopyOptions(optsOrNull))
+        Seq(obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+          .getOrElse(0L)).toDF("rows_exported")
+      case copyFromRe(name, url, optsOrNull) if tables.contains(name) =>
+        Seq(copyFrom(name, url, parseCopyOptions(optsOrNull)))
+          .toDF("rows_imported")
       case icebergFilesRe(url) =>
         graft.sources.IcebergSnapshot.files(spark, url)
       case icebergMetaRe(url) =>
@@ -523,6 +540,26 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
   private val fileListRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  private val copyToRe =
+    ("(?is)^COPY\\s+(\\w+|\\((?:[^()]|\\([^()]*\\))+\\))\\s+TO\\s+" +
+      "'([^']+)'(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+  private val copyFromRe =
+    ("(?is)^COPY\\s+(\\w+)\\s+FROM\\s+'([^']+)'" +
+      "(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
+
+  /** PG COPY option list: `format csv, header true, delimiter ','` —
+    * bare words or quoted values, normalized to reader/writer options.
+    */
+  private def parseCopyOptions(spec: String): Map[String, String] =
+    Option(spec).toSeq.flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
+      .map { o =>
+        val parts = o.split("\\s+", 2)
+        val k = parts(0).toLowerCase
+        val v = if (parts.length > 1)
+          parts(1).trim.stripPrefix("'").stripSuffix("'") else "true"
+        (if (k == "delimiter") "sep" else k) -> v
+      }.toMap
+
   // external-Iceberg inspection over a metadata.json URL (reference:
   // lake_iceberg.files/metadata — docs/iceberg-tables.md:601-656)
   private val icebergFilesRe =

@@ -100,6 +100,33 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { e.sql("DROP TABLE ev_ddl") }
   }
 
+  test("COPY SQL verbs: TO with options, query source, FROM roundtrip") {
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "region")
+    e.createTableAsSelect("r_copy", LakeEngine.tempLocation("rcopy"), src)
+
+    // COPY table TO csv.gz with PG-style options
+    val out = LakeEngine.tempLocation("out") + ".csv.gz"
+    val exp = e.sql(s"COPY r_copy TO '$out' WITH (header true, delimiter '|')")
+    assert(exp.head.getLong(0) == 5L)
+    val back = e.createLakeTable("r_back", out, format = Some("csv"),
+      options = Map("delimiter" -> "|", "header" -> "true"))
+    assert(back.count() == 5)
+
+    // COPY (query) TO parquet
+    val out2 = LakeEngine.tempLocation("out2") + ".parquet"
+    val exp2 = e.sql(
+      s"COPY (SELECT r_regionkey, r_name FROM r_copy WHERE r_regionkey < 3) " +
+        s"TO '$out2'")
+    assert(exp2.head.getLong(0) == 3L)
+    assert(spark.read.parquet(out2).count() == 3)
+
+    // COPY table FROM appends
+    val imp = e.sql(s"COPY r_copy FROM '$out' WITH (header true, delimiter '|')")
+    assert(imp.head.getLong(0) == 5L)
+    assert(e.table("r_copy").read().count() == 10)
+  }
+
   test("explicit-schema CREATE TABLE + ADD COLUMN DEFAULT (initial-default)") {
     val e = LakeEngine(spark)
     e.sql("CREATE TABLE t_cols (id bigint, price numeric(10,2), " +
