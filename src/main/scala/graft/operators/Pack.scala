@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing (the Megatron/T5 "pack documents into
+  * fixed-length sequences" prep step): documents are laid out in a
+  * deterministic pseudo-random order, token counts accumulate along
+  * that order, and each document's bin is `start_offset / seqLen` —
+  * contiguous packing, so a training job can build sequence `b` by
+  * reading exactly the docs with `bin = b` in order.
+  *
+  * Scale shape: a single global cumulative sum would be a
+  * one-partition window (serial at any size). Instead the global
+  * order is (bucket, hash, id) with per-bucket cumsums — B parallel
+  * windows — offset by the bucket prefix totals, which is a window
+  * over B rows (tiny at any corpus size, broadcast back). The
+  * assignment is identical to the serial cumsum over the same order,
+  * and the oracle recomputes it row-for-row.
+  */
+object Pack {
+
+  /** Output: (id, n_tokens, start_tok, bin, bin_offset) — every input
+    * doc with its global token offset and sequence assignment.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, buckets: Int = 32, seed: String = "pack"): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val key = TextOps.hash60(concat(lit(seed), col(idCol).cast("string")))
+    val base = df.select(col(idCol).as("id"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      (key % buckets).as("bucket"), key.as("hk"))
+    val wb = Window.partitionBy("bucket").orderBy(col("hk"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.withColumn("cum_in_bucket", sum("n_tokens").over(wb))
+    val totals = base.groupBy("bucket").agg(sum("n_tokens").as("btotal"))
+    // prefix over the B bucket totals only — the single-partition
+    // window touches B rows, never the corpus
+    val wp = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("prefix", coalesce(sum("btotal").over(wp), lit(0L)))
+      .select("bucket", "prefix")
+    cum.join(broadcast(prefixes), "bucket")
+      .withColumn("start_tok",
+        col("prefix") + col("cum_in_bucket") - col("n_tokens"))
+      .select(col("id"), col("n_tokens"), col("start_tok"),
+        (col("start_tok") / seqLen).cast("long").as("bin"),
+        (col("start_tok") % seqLen).as("bin_offset"))
+  }
+}

@@ -73,6 +73,38 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** [[mixTemperature]] with repetition: when a tail domain's target
+    * rate exceeds 1 the row is EMITTED MULTIPLE TIMES (training
+    * pipelines upsample small domains across epochs rather than
+    * capping them) — `floor(r_d)` copies for every row plus one more
+    * where the portable hash falls under the fractional part. Output
+    * rows carry an `epoch` column (1-based copy number), so expected
+    * output size is exactly F·N with no per-domain cap. Same scale
+    * shape as the capped mixer: one count aggregate broadcast onto the
+    * scan, then a scan-local explode of at most ⌈r_d⌉ copies.
+    */
+  def mixEpochs(df: DataFrame, domainCol: String, idCol: String,
+      targetFrac: Double, seed: String): DataFrame = {
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__nd"))
+    val tot = counts.agg(sum(col("__nd")).as("__n"),
+      sum(sqrt(col("__nd"))).as("__s"))
+    val rates = counts.crossJoin(tot)
+      .withColumn("__rate",
+        round(lit(targetFrac) * col("__n") * sqrt(col("__nd")) /
+          (col("__s") * col("__nd")), 9))
+      .withColumn("__base", floor(col("__rate")).cast("long"))
+      .withColumn("__extra_thr",
+        floor((col("__rate") - floor(col("__rate"))) * 1e6).cast("long"))
+      .select(col(domainCol), col("__base"), col("__extra_thr"))
+    df.join(broadcast(rates), domainCol)
+      .withColumn("__copies", col("__base") +
+        when(orderKey(idCol, seed) % 1000000L < col("__extra_thr"), 1L)
+          .otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__base", "__extra_thr", "__copies")
+  }
+
   /** Split-leakage audit: near-duplicate pairs (MinHash+LSH, exact
     * jaccard ≥ the dedup threshold) that CROSS the train/eval boundary —
     * each row is an eval doc whose near-twin is trainable, i.e. a

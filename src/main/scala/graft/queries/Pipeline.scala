@@ -443,6 +443,75 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- temperature mixing with repetition (upsampling): tail
+    // domains emit multiple epochs. Oracle rebuilds the identical
+    // rate table and expands copies with range() — row-for-row
+    // including the epoch numbers. --------------------------------------
+    QueryDef(
+      "q_corpus_mix_epochs",
+      s"""WITH c AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+         |t AS (SELECT sum(nd) AS n, sum(sqrt(nd)) AS s FROM c),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(floor(round(1.2 * n * sqrt(nd) / (s * nd), 9)) AS BIGINT)
+         |      AS base,
+         |    CAST(floor((round(1.2 * n * sqrt(nd) / (s * nd), 9)
+         |      - floor(round(1.2 * n * sqrt(nd) / (s * nd), 9))) * 1000000.0)
+         |      AS BIGINT) AS extra_thr
+         |  FROM c CROSS JOIN t),
+         |x AS (
+         |  SELECT d.doc_id, d.lang,
+         |    r.base + CASE WHEN ${duckHash("'e9' || d.doc_id::VARCHAR")}
+         |      % 1000000 < r.extra_thr THEN 1 ELSE 0 END AS copies
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT doc_id, lang, CAST(e.epoch AS BIGINT) AS epoch
+         |FROM x, unnest(range(1, copies + 1)) AS e(epoch)
+         |WHERE copies > 0
+         |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      Sampling.mixEpochs(docs(s, dir), "lang", "doc_id", 1.2, "e9")
+        .select("doc_id", "lang", "epoch")
+        .orderBy("doc_id", "epoch")
+    },
+
+    // ---- training-sequence packing: deterministic order, bucketed
+    // cumulative token offsets, contiguous bin assignment. The oracle
+    // recomputes the identical (bucket, hash, id) order, per-bucket
+    // running sums, and bucket prefix offsets — start offsets and bin
+    // numbers prove row-for-row. ---------------------------------------
+    QueryDef(
+      "q_corpus_pack",
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |    ${duckHash("'pk' || doc_id::VARCHAR")} % 8 AS bucket,
+         |    ${duckHash("'pk' || doc_id::VARCHAR")} AS hk
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, n_tokens, bucket,
+         |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_in_bucket
+         |  FROM base),
+         |tot AS (SELECT bucket, SUM(n_tokens) AS btotal FROM base
+         |        GROUP BY bucket),
+         |pre AS (
+         |  SELECT bucket, COALESCE(SUM(btotal) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS prefix
+         |  FROM tot)
+         |SELECT c.doc_id, c.n_tokens,
+         |  p.prefix + c.cum_in_bucket - c.n_tokens AS start_tok,
+         |  (p.prefix + c.cum_in_bucket - c.n_tokens) // 512 AS bin,
+         |  (p.prefix + c.cum_in_bucket - c.n_tokens) % 512 AS bin_offset
+         |FROM cum c JOIN pre p USING (bucket)
+         |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+      Pack.packSequences(docs(s, dir), "doc_id", "text",
+          seqLen = 512, buckets = 8, seed = "pk")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- deterministic stratified sampling ---------------------------
     QueryDef(
       "q_corpus_sample",

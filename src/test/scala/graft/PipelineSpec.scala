@@ -415,4 +415,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(smallRate > bigRate,
       s"tail domain must keep more: $smallRate vs $bigRate")
   }
+
+  test("mix epochs: output ~ F*N, epochs contiguous from 1, deterministic") {
+    val d = Tables.df(spark, sf, "documents")
+    val out = Sampling.mixEpochs(d, "lang", "doc_id", 1.5, "ep")
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = d.count().toDouble
+    assert(out.length > 1.3 * n && out.length < 1.7 * n,
+      s"${out.length} copies vs F*N=${1.5 * n}")
+    // per doc: epochs are exactly 1..k
+    out.groupBy(_._1).values.foreach { copies =>
+      val es = copies.map(_._2).sorted.toSeq
+      assert(es == (1L to es.length).toSeq, s"epochs $es")
+    }
+    val again = Sampling.mixEpochs(d.repartition(5), "lang", "doc_id",
+      1.5, "ep").select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("sequence packing: offsets partition the token stream exactly") {
+    val d = Tables.df(spark, sf, "documents")
+    val out = Pack.packSequences(d, "doc_id", "text", seqLen = 256,
+      buckets = 4, seed = "t").collect()
+    assert(out.length == d.count())
+    // start offsets are a perfect prefix-sum partition: sorting by
+    // start_tok, each doc begins where the previous ended
+    val sorted = out.sortBy(_.getAs[Long]("start_tok"))
+    var expect = 0L
+    sorted.foreach { r =>
+      assert(r.getAs[Long]("start_tok") == expect,
+        s"gap at doc ${r.getAs[Long]("id")}")
+      expect += r.getAs[Long]("n_tokens")
+    }
+    // bin/offset are consistent with start_tok
+    sorted.foreach { r =>
+      val s = r.getAs[Long]("start_tok")
+      assert(r.getAs[Long]("bin") == s / 256)
+      assert(r.getAs[Long]("bin_offset") == s % 256)
+    }
+    // stable under repartitioning
+    val again = Pack.packSequences(d.repartition(9), "doc_id", "text",
+      seqLen = 256, buckets = 4, seed = "t").collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
 }
