@@ -79,4 +79,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange") || p.contains("reused"),
       s"ngram plan recomputes the shingle projection:\n$p")
   }
+
+  test("sequence packing never runs a corpus-wide global window") {
+    // the pack cumsum must be the bucketed parallel shape: every
+    // unpartitioned Window in the plan may only sit above the B-row
+    // bucket-totals aggregate, never above a raw corpus scan — a
+    // global Window over the documents means the serial one-partition
+    // cumsum came back
+    val p = plan("q_corpus_pack")
+    val globalWindows = p.linesIterator
+      .filter(l => l.contains("Window") && !l.contains("windowspecdefinition"))
+      .toSeq
+    // structural check on the tree text: each Window node line with an
+    // empty partition spec must be preceded (deeper subtree) by an
+    // aggregate on `bucket`
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      val isGlobalWindow =
+        l.contains("Window [") && !l.contains("partitionspec") &&
+          !l.matches(".*Window .*\\[bucket.*") && l.contains("windowspecdefinition()")
+      if (isGlobalWindow) {
+        val subtree = lines.drop(i + 1).take(8).mkString("\n")
+        assert(subtree.contains("HashAggregate") &&
+          subtree.contains("bucket"),
+          s"global window not over bucket totals:\n$p")
+      }
+    }
+    // and the per-doc cumsum window is partitioned by bucket
+    assert(p.contains("windowspecdefinition(bucket"),
+      s"pack cumsum lost its bucket partitioning:\n$p")
+    assert(globalWindows.nonEmpty || p.contains("Window"),
+      s"no window at all in pack plan?\n$p")
+  }
 }
