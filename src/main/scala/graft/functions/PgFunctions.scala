@@ -130,6 +130,19 @@ object PgFunctions {
       ApproxTopKAgg(c, k).toAggregateExpression()
     }
 
+    // --- the last three reference shippable names Spark lacks:
+    // array_length(a, dim) is PG's 2-arg form — only dim 1 exists for
+    // the 1-D arrays the storage format allows (the reference gates the
+    // same way, IsArrayLengthShippable); other dims yield NULL
+    f("array_length") { case Seq(a, dim) =>
+      If(EqualTo(Cast(dim, IntegerType), Literal(1)),
+        Size(a), Literal(null, IntegerType))
+    }
+    f("jsonb_array_length") { case Seq(j) =>
+      LengthOfJsonArray(j) // reference rewrites jsonb_ → json_ the same way
+    }
+    f("unnest") { case Seq(a) => Explode(a) }
+
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
     f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
 

@@ -337,7 +337,9 @@ object Functions {
         |  ROUND(CAST(ELEMENT_AT(SLICE(embedding, 3, 5), 1) AS DOUBLE), 6) AS v_slice_first,
         |  ARRAY_CONTAINS(ARRAY(CAST(label AS INT), 1, 2), 1) AS v_contains,
         |  ROUND(CAST(ARRAY_MAX(embedding) AS DOUBLE), 6) AS v_max,
-        |  ROUND(CAST(ARRAY_MIN(embedding) AS DOUBLE), 6) AS v_min
+        |  ROUND(CAST(ARRAY_MIN(embedding) AS DOUBLE), 6) AS v_min,
+        |  ARRAY_LENGTH(embedding, 1) AS v_len1,
+        |  ARRAY_LENGTH(embedding, 2) AS v_len2
         |FROM embeddings
         |WHERE vec_id < 100
         |ORDER BY vec_id""".stripMargin,
@@ -352,7 +354,9 @@ object Functions {
           |  ROUND(CAST(embedding[3] AS DOUBLE), 6) AS v_slice_first,
           |  LIST_CONTAINS([CAST(label AS INT), 1, 2], 1) AS v_contains,
           |  ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS v_max,
-          |  ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS v_min
+          |  ROUND(CAST(LIST_MIN(embedding) AS DOUBLE), 6) AS v_min,
+          |  CAST(LEN(embedding) AS INT) AS v_len1,
+          |  CAST(NULL AS INT) AS v_len2
           |FROM embeddings
           |WHERE vec_id < 100
           |ORDER BY vec_id""".stripMargin),

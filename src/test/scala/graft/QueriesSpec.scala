@@ -38,6 +38,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(names.distinct.size == names.size)
   }
 
+  test("reference shippable names resolve: unnest, jsonb_array_length") {
+    graft.functions.PgFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT unnest(array(1, 2, 3)) AS u,
+        |  jsonb_array_length('[1,2,3,4]') AS jl,
+        |  array_length(array(1, 2), 1) AS al1,
+        |  array_length(array(1, 2), 2) AS al2""".stripMargin).collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(r.head.getInt(1) == 4 && r.head.getInt(2) == 2)
+    assert(r.head.isNullAt(3), "array_length dim>1 must be NULL (1-D only)")
+  }
+
   for (d <- SparkEntry.allDefs) {
     test(s"${d.name} runs on sf0.001") {
       val df = d.run(spark, sf)
