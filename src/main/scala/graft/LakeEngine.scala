@@ -540,8 +540,11 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
   private val fileListRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // the query group is greedy-with-backtracking (not a depth-limited
+  // paren matcher): arbitrarily nested SELECTs route correctly, and the
+  // trailing TO '...' anchor disambiguates the closing paren
   private val copyToRe =
-    ("(?is)^COPY\\s+(\\w+|\\((?:[^()]|\\([^()]*\\))+\\))\\s+TO\\s+" +
+    ("(?is)^COPY\\s+(\\w+|\\(.+\\))\\s+TO\\s+" +
       "'([^']+)'(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   private val copyFromRe =
     ("(?is)^COPY\\s+(\\w+)\\s+FROM\\s+'([^']+)'" +

@@ -113,11 +113,11 @@ class SqlDmlSpec extends AnyFunSuite {
       options = Map("delimiter" -> "|", "header" -> "true"))
     assert(back.count() == 5)
 
-    // COPY (query) TO parquet
+    // COPY (query) TO parquet — deeply nested parens in the query
     val out2 = LakeEngine.tempLocation("out2") + ".parquet"
     val exp2 = e.sql(
-      s"COPY (SELECT r_regionkey, r_name FROM r_copy WHERE r_regionkey < 3) " +
-        s"TO '$out2'")
+      s"COPY (SELECT r_regionkey, round(abs(cast(r_regionkey AS DOUBLE)), 2)" +
+        s" AS k FROM r_copy WHERE r_regionkey < 3) TO '$out2'")
     assert(exp2.head.getLong(0) == 3L)
     assert(spark.read.parquet(out2).count() == 3)
 
