@@ -113,6 +113,23 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
           case Some(lt) =>
             val body = mapper.readTree(ex.getRequestBody)
+            // spec requirement check: a client that read snapshot S
+            // must not clobber a table that moved past S (a racing
+            // local append would otherwise be silently dropped —
+            // CommitFailedException per the REST spec, client re-reads
+            // and retries)
+            val staleReq = Option(body.get("requirements")).toSeq
+              .flatMap(_.elements().asScala)
+              .filter(r => r.get("type").asText() == "assert-ref-snapshot-id")
+              .find(r => r.get("snapshot-id").asLong() !=
+                lt.meta.currentSnapshotId)
+            if (staleReq.isDefined) {
+              error(ex, 409, "CommitFailedException",
+                s"requirement failed: table is at snapshot " +
+                  s"${lt.meta.currentSnapshotId}, not " +
+                  s"${staleReq.get.get("snapshot-id").asLong()}")
+              return
+            }
             val updates = Option(body.get("updates")).toSeq
               .flatMap(_.elements().asScala)
             val addSnap = updates.find(u =>

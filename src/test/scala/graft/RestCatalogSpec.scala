@@ -154,6 +154,27 @@ class RestCatalogSpec extends AnyFunSuite {
         == 400)
       assert(post(s"$base/v1/namespaces/default/tables/nope",
         commitBody)._1 == 404)
+
+      // stale requirement → 409 and the table is untouched: a client
+      // that read an old snapshot cannot clobber a newer local commit
+      val cur = e.table("ext_t").meta.currentSnapshotId
+      val stale =
+        s"""{"requirements":[
+           |  {"type":"assert-ref-snapshot-id","ref":"main",
+           |   "snapshot-id":${cur - 1}}],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |  "snapshot-id":1000,"manifest-list":"$listPath"}}]}"""
+          .stripMargin
+      val (sc2, sb2) = post(s"$base/v1/namespaces/default/tables/ext_t", stale)
+      assert(sc2 == 409, sb2)
+      assert(mapper.readTree(sb2).get("error").get("type").asText() ==
+        "CommitFailedException")
+      assert(e.table("ext_t").meta.currentSnapshotId == cur)
+      // matching requirement commits fine
+      val fresh = stale.replace(s""""snapshot-id":${cur - 1}""",
+        s""""snapshot-id":$cur""")
+      assert(post(s"$base/v1/namespaces/default/tables/ext_t", fresh)._1
+        == 200)
     } finally srv.stop()
   }
 }
