@@ -53,7 +53,8 @@ object Bench {
       "q_dedup_ngram", "q_dedup_embedding_lsh",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_text_stats", "q_text_tfidf", "q_sessionize",
-      "q_pipeline_curate", "q_dedup_incremental", "q_cb_funnel")
+      "q_pipeline_curate", "q_pipeline_train", "q_dedup_incremental",
+      "q_cb_funnel")
     // optional comma-separated name filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

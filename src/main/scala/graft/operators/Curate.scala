@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curate(df: DataFrame, idCol: String, textCol: String,
-      sampleMod: Int, seed: String): DataFrame = {
+  /** Stages 1+2 (quality gate + exact dedup), keeping every original
+    * column plus `n_words` and `fingerprint` so downstream stages (mix,
+    * pack, near-dup) can compose.
+    */
+  def qualityDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val survivors = df
       .withColumn("__ws", TextOps.words(col(textCol)))
       .withColumn("n_words", size(col("__ws")))
@@ -35,8 +39,31 @@ object Curate {
       .withColumn("__rep",
         min(col(idCol)).over(Window.partitionBy("fingerprint")))
       .filter(col(idCol) === col("__rep"))
+      .drop("__ws", "__dup", "__awl", "__rep")
+  }
+
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      sampleMod: Int, seed: String): DataFrame =
+    qualityDedup(df, idCol, textCol)
       .filter(TextOps.hash60(
         concat(lit(seed), col(idCol).cast("string"))) % sampleMod === 0)
       .select(col(idCol), col("fingerprint"), col("n_words"))
+
+  /** The full training-prep composition: quality gate → exact dedup →
+    * temperature mix over the CLEAN corpus's domain counts → sequence
+    * packing of the mixed survivors. Each stage is the already-proven
+    * operator; the composition adds no new shuffle class (one
+    * fingerprint window, one count broadcast, the bucketed pack
+    * cumsum). Output: one row per surviving doc with its domain and
+    * sequence assignment.
+    */
+  def curateForTraining(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String, targetFrac: Double, seqLen: Int,
+      seed: String): DataFrame = {
+    val clean = qualityDedup(df, idCol, textCol)
+    val mixed = Sampling.mixTemperature(clean, domainCol, idCol,
+      targetFrac, seed)
+    Pack.packSequences(mixed, idCol, textCol, seqLen, buckets = 8,
+      seed = seed + "p", keep = Seq(domainCol))
   }
 }

@@ -25,12 +25,13 @@ object Pack {
     * doc with its global token offset and sequence assignment.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      seqLen: Int, buckets: Int = 32, seed: String = "pack"): DataFrame = {
+      seqLen: Int, buckets: Int = 32, seed: String = "pack",
+      keep: Seq[String] = Nil): DataFrame = {
     require(seqLen > 0 && buckets > 0)
     val key = TextOps.hash60(concat(lit(seed), col(idCol).cast("string")))
-    val base = df.select(col(idCol).as("id"),
+    val base = df.select(Seq(col(idCol).as("id"),
       TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"),
-      (key % buckets).as("bucket"), key.as("hk"))
+      (key % buckets).as("bucket"), key.as("hk")) ++ keep.map(col): _*)
     val wb = Window.partitionBy("bucket").orderBy(col("hk"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = base.withColumn("cum_in_bucket", sum("n_tokens").over(wb))
@@ -45,8 +46,8 @@ object Pack {
     cum.join(broadcast(prefixes), "bucket")
       .withColumn("start_tok",
         col("prefix") + col("cum_in_bucket") - col("n_tokens"))
-      .select(col("id"), col("n_tokens"), col("start_tok"),
+      .select(Seq(col("id"), col("n_tokens"), col("start_tok"),
         (col("start_tok") / seqLen).cast("long").as("bin"),
-        (col("start_tok") % seqLen).as("bin_offset"))
+        (col("start_tok") % seqLen).as("bin_offset")) ++ keep.map(col): _*)
   }
 }

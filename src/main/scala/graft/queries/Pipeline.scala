@@ -741,6 +741,80 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- full training-prep composition: quality gate → exact dedup
+    // → temperature mix (rates from the CLEAN corpus) → sequence
+    // packing. Every stage is replayed in one SQL oracle, so the whole
+    // 4-stage pipeline is differentially proven end-to-end, including
+    // the pack offsets of the mixed survivors. ------------------------
+    QueryDef(
+      "q_pipeline_train",
+      s"""WITH w AS (
+         |  SELECT doc_id, lang, text,
+         |    string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, text, len(ws) AS n_words,
+         |    1.0 - len(list_distinct(ws))::DOUBLE / len(ws) AS dup,
+         |    list_reduce(list_transform(ws, x -> length(x)),
+         |      (a, b) -> a + b)::DOUBLE / len(ws) AS awl
+         |  FROM w),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM m
+         |  WHERE n_words >= 20 AND dup <= 0.55
+         |    AND awl >= 2.0 AND awl <= 10.0),
+         |clean AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      min(doc_id) OVER (PARTITION BY fingerprint) AS rep
+         |    FROM q) d WHERE doc_id = rep),
+         |c AS (SELECT lang, count(*) AS nd FROM clean GROUP BY lang),
+         |t AS (SELECT sum(nd) AS n, sum(sqrt(nd)) AS s FROM c),
+         |r AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0,
+         |      round(0.5 * n * sqrt(nd) / (s * nd), 9)) * 1000000.0) AS BIGINT)
+         |      AS thr
+         |  FROM c CROSS JOIN t),
+         |mixed AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM clean d JOIN r USING (lang)
+         |  WHERE ${duckHash("'tr' || d.doc_id::VARCHAR")} % 1000000 < r.thr),
+         |base AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |    ${duckHash("'trp' || doc_id::VARCHAR")} % 8 AS bucket,
+         |    ${duckHash("'trp' || doc_id::VARCHAR")} AS hk
+         |  FROM mixed),
+         |cum AS (
+         |  SELECT doc_id, lang, n_tokens, bucket,
+         |    SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_in_bucket
+         |  FROM base),
+         |tot AS (SELECT bucket, SUM(n_tokens) AS btotal FROM base
+         |        GROUP BY bucket),
+         |pre AS (
+         |  SELECT bucket, COALESCE(SUM(btotal) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS prefix
+         |  FROM tot)
+         |SELECT cc.doc_id, cc.lang, cc.n_tokens,
+         |  p.prefix + cc.cum_in_bucket - cc.n_tokens AS start_tok,
+         |  (p.prefix + cc.cum_in_bucket - cc.n_tokens) // 384 AS bin,
+         |  (p.prefix + cc.cum_in_bucket - cc.n_tokens) % 384 AS bin_offset
+         |FROM cum cc JOIN pre p USING (bucket)
+         |ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
+      Curate.curateForTraining(docs(s, dir), "doc_id", "text", "lang",
+          targetFrac = 0.5, seqLen = 384, seed = "tr")
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "lang", "n_tokens", "start_tok", "bin",
+          "bin_offset")
+        .orderBy("doc_id")
+    },
+
     // ---- benchmark decontamination: corpus docs sharing any 5-gram
     // with the "benchmark" slice (doc_id % 41 = 0). The oracle is the
     // same broadcast-join semantics brute-forced in SQL, so the
