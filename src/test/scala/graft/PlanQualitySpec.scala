@@ -80,6 +80,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"ngram plan recomputes the shingle projection:\n$p")
   }
 
+  test("tpcds star joins broadcast the part dimension") {
+    for (q <- Seq("q_tpcds_pivot", "q_tpcds_rollup_rank",
+        "q_tpcds_moving_rank", "q_tpcds_returns_ratio")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its dimension broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
+
   test("sequence packing never runs a corpus-wide global window") {
     // the pack cumsum must be the bucketed parallel shape: every
     // unpartitioned Window in the plan may only sit above the B-row
