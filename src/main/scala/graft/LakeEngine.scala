@@ -459,6 +459,13 @@ final class LakeEngine(val spark: SparkSession) {
       case copyFromRe(name, url, optsOrNull) if tables.contains(name) =>
         Seq(copyFrom(name, url, parseCopyOptions(optsOrNull)))
           .toDF("rows_imported")
+      case lakeAtRe(name, snap) if tables.contains(name) =>
+        table(name).readAsOf(snap.toLong)
+      case alterSetPropsRe(name, propList) if tables.contains(name) =>
+        val props = parseCopyOptions(propList)
+        table(name).setProperties(props)
+        Seq(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString(", ")).toDF("properties_set")
       case icebergFilesRe(url) =>
         graft.sources.IcebergSnapshot.files(spark, url)
       case icebergMetaRe(url) =>
@@ -562,6 +569,16 @@ final class LakeEngine(val spark: SparkSession) {
           parts(1).trim.stripPrefix("'").stripSuffix("'") else "true"
         (if (k == "delimiter") "sep" else k) -> v
       }.toMap
+
+  // time travel as a table function (reference: point a foreign table
+  // at an old metadata.json — docs/iceberg-tables.md:836-863; here the
+  // snapshot id selects directly)
+  private val lakeAtRe =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_at\\s*\\(\\s*'(\\w+)'\\s*,\\s*" +
+      "(\\d+)\\s*\\)\\s*;?\\s*$").r
+  // ALTER TABLE t SET (k 'v', ...) — table-property DDL
+  private val alterSetPropsRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
 
   // external-Iceberg inspection over a metadata.json URL (reference:
   // lake_iceberg.files/metadata — docs/iceberg-tables.md:601-656)

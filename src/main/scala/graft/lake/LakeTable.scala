@@ -441,6 +441,16 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     expireSnapshots(keepLast, graceMs)
   }
 
+  /** Set table properties (write-path policies like
+    * `out_of_range_values`, export toggles) as a metadata-only commit —
+    * the files carry over unchanged, the merge is atomic under the CAS.
+    */
+  def setProperties(props: Map[String, String]): LakeTable = {
+    commitOp("set-properties", props)(cur =>
+      cur.currentSnapshot.map(_.files).getOrElse(Nil))
+    this
+  }
+
   /** Import a complete snapshot state staged by an EXTERNAL engine —
     * the REST-catalog commit path (reference rest_catalog_ops.c: the
     * client writes data files + Avro manifests itself, then asks the

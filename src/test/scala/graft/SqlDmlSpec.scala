@@ -100,6 +100,25 @@ class SqlDmlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { e.sql("DROP TABLE ev_ddl") }
   }
 
+  test("time travel + property DDL through SQL") {
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "region")
+    e.createTableAsSelect("r_tt", LakeEngine.tempLocation("tt"), src)
+    val snapBefore = e.table("r_tt").meta.currentSnapshotId
+    e.sql("DELETE FROM r_tt WHERE r_regionkey < 2")
+    assert(e.sql("SELECT count(*) FROM r_tt").head.getLong(0) == 3L)
+    // lake_at reads the pre-delete snapshot
+    assert(e.sql(s"SELECT * FROM lake_at('r_tt', $snapBefore)").count() == 5)
+
+    // ALTER TABLE SET (k 'v') lands in table properties atomically
+    assert(e.sql("ALTER TABLE r_tt SET (out_of_range_values 'clamp')")
+      .head.getString(0) == "out_of_range_values=clamp")
+    assert(e.table("r_tt").meta.properties("out_of_range_values") == "clamp")
+    // and the existing PARTITIONED BY form still routes separately
+    assert(e.sql("ALTER TABLE r_tt SET PARTITIONED BY (r_regionkey)")
+      .head.getString(0) == "r_regionkey")
+  }
+
   test("COPY SQL verbs: TO with options, query source, FROM roundtrip") {
     val e = LakeEngine(spark)
     val src = Tables.df(spark, sf, "region")
