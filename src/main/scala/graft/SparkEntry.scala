@@ -24,6 +24,7 @@ object SparkEntry {
       _root_.graft.queries.TpcDs.defs ++
       _root_.graft.queries.ClickBench.defs ++
       _root_.graft.queries.TypeMatrix.defs ++
+      _root_.graft.queries.Fuzz.defs ++
       _root_.graft.queries.Spatial.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

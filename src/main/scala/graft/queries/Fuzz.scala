@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.QueryDef
+import scala.util.Random
+
+/** Generated expression-fuzz differential — the reference's own test
+  * philosophy (differential execution, comparisons.py) scaled past
+  * hand-curated cases: a seeded grammar emits a few hundred random
+  * integer expressions over the nation table, rendered as ONE SQL text
+  * both engines parse, so every operator combination in the grammar is
+  * proven value-equal against the oracle. The grammar is closed over
+  * BIGINT (leaves cast up, literals small, depth bounded) so no
+  * overflow/widening/dialect edge can differ:
+  *
+  *   leaf   := CAST(col AS BIGINT) | 0..9
+  *   unary  := abs(e) | (- e)
+  *   binary := e + e | e - e | e * e | e % (1 + abs(e))
+  *   cond   := CASE WHEN e < e THEN e ELSE e END
+  *   misc   := greatest(e, e) | least(e, e) | coalesce(nullif(e, e), e)
+  *
+  * Changing the seed or count regenerates a different (still
+  * deterministic) matrix; a cross-engine semantics break in ANY of the
+  * grammar's operators shows up as a hash mismatch on this query.
+  */
+object Fuzz {
+
+  private val Seed = 20260812
+  private val NumExprs = 160
+  private val MaxDepth = 4
+
+  private def gen(rnd: Random, depth: Int): String = {
+    val leaves = Seq(
+      () => "CAST(n_nationkey AS BIGINT)",
+      () => "CAST(n_regionkey AS BIGINT)",
+      () => rnd.nextInt(10).toString)
+    if (depth >= MaxDepth) leaves(rnd.nextInt(leaves.size))()
+    else rnd.nextInt(10) match {
+      case 0 | 1 => leaves(rnd.nextInt(leaves.size))()
+      case 2 => s"abs(${gen(rnd, depth + 1)})"
+      case 3 => s"(- ${gen(rnd, depth + 1)})"
+      case 4 => s"(${gen(rnd, depth + 1)} + ${gen(rnd, depth + 1)})"
+      case 5 => s"(${gen(rnd, depth + 1)} - ${gen(rnd, depth + 1)})"
+      case 6 => s"(${gen(rnd, depth + 1)} * ${gen(rnd, depth + 1)})"
+      case 7 =>
+        s"(${gen(rnd, depth + 1)} % (1 + abs(${gen(rnd, depth + 1)})))"
+      case 8 =>
+        s"(CASE WHEN ${gen(rnd, depth + 1)} < ${gen(rnd, depth + 1)} " +
+          s"THEN ${gen(rnd, depth + 1)} ELSE ${gen(rnd, depth + 1)} END)"
+      case 9 => rnd.nextInt(3) match {
+        case 0 => s"greatest(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)})"
+        case 1 => s"least(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)})"
+        case 2 =>
+          s"coalesce(nullif(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)}), " +
+            s"${gen(rnd, depth + 1)})"
+      }
+    }
+  }
+
+  /** Double grammar: every op is IEEE-correctly-rounded in both
+    * engines (+ - * / sqrt), literals are exactly representable, the
+    * divisor guard keeps denominators ≥ 1 and sqrt sees abs — no NaN,
+    * no infinity, no rounding divergence anywhere in the tree. Two
+    * edges the first fuzz run CAUGHT and the grammar now sidesteps:
+    * bare decimal literals parse as DECIMAL in both engines but their
+    * decimal-division scale rules differ (7th-decimal drift), so every
+    * literal is cast to DOUBLE; and least/greatest break the IEEE
+    * +0.0 = -0.0 tie differently, so the emitted column adds +0.0 to
+    * normalize zero signs identically.
+    */
+  private def genD(rnd: Random, depth: Int): String = {
+    val leaves = Seq(
+      () => "CAST(n_nationkey AS DOUBLE)",
+      () => "CAST(n_regionkey AS DOUBLE)",
+      () => s"CAST(${Seq("0.5", "2.0", "3.25", "1.0", "7.5")(
+        rnd.nextInt(5))} AS DOUBLE)")
+    if (depth >= MaxDepth) leaves(rnd.nextInt(leaves.size))()
+    else rnd.nextInt(10) match {
+      case 0 | 1 => leaves(rnd.nextInt(leaves.size))()
+      case 2 => s"abs(${genD(rnd, depth + 1)})"
+      case 3 => s"sqrt(abs(${genD(rnd, depth + 1)}))"
+      case 4 => s"(${genD(rnd, depth + 1)} + ${genD(rnd, depth + 1)})"
+      case 5 => s"(${genD(rnd, depth + 1)} - ${genD(rnd, depth + 1)})"
+      case 6 => s"(${genD(rnd, depth + 1)} * ${genD(rnd, depth + 1)})"
+      case 7 =>
+        s"(${genD(rnd, depth + 1)} / " +
+          s"(CAST(1.0 AS DOUBLE) + abs(${genD(rnd, depth + 1)})))"
+      case 8 =>
+        s"(CASE WHEN ${genD(rnd, depth + 1)} < ${genD(rnd, depth + 1)} " +
+          s"THEN ${genD(rnd, depth + 1)} ELSE ${genD(rnd, depth + 1)} END)"
+      case 9 =>
+        if (rnd.nextBoolean())
+          s"greatest(${genD(rnd, depth + 1)}, ${genD(rnd, depth + 1)})"
+        else s"least(${genD(rnd, depth + 1)}, ${genD(rnd, depth + 1)})"
+    }
+  }
+
+  val defs: Seq[QueryDef] = {
+    val rnd = new Random(Seed)
+    val cols = (0 until NumExprs)
+      .map(i => s"  ${gen(rnd, 0)} AS e$i")
+      .mkString(",\n")
+    val rndD = new Random(Seed + 1)
+    val colsD = (0 until NumExprs)
+      .map(i => s"  (${genD(rndD, 0)} + CAST(0.0 AS DOUBLE)) AS d$i")
+      .mkString(",\n")
+    Seq(
+      QueryDef.sql(
+        "q_fn_fuzz_int",
+        s"""SELECT n_nationkey,
+           |$cols
+           |FROM nation
+           |ORDER BY n_nationkey""".stripMargin),
+      QueryDef.sql(
+        "q_fn_fuzz_double",
+        s"""SELECT n_nationkey,
+           |$colsD
+           |FROM nation
+           |ORDER BY n_nationkey""".stripMargin))
+  }
+}
