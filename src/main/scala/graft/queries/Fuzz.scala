@@ -94,6 +94,27 @@ object Fuzz {
     }
   }
 
+  /** String grammar over the portable subset (1-based substr with
+    * positive literal bounds, ASCII case ops, concat — semantics
+    * identical in PG/DuckDB/Spark).
+    */
+  private def genS(rnd: Random, depth: Int): String = {
+    val leaves = Seq(
+      () => "n_name",
+      () => s"'${Seq("ab", "xyz", "Q", "mn0")(rnd.nextInt(4))}'")
+    if (depth >= 3) leaves(rnd.nextInt(leaves.size))()
+    else rnd.nextInt(8) match {
+      case 0 | 1 => leaves(rnd.nextInt(leaves.size))()
+      case 2 => s"upper(${genS(rnd, depth + 1)})"
+      case 3 => s"lower(${genS(rnd, depth + 1)})"
+      case 4 => s"reverse(${genS(rnd, depth + 1)})"
+      case 5 => s"trim(${genS(rnd, depth + 1)})"
+      case 6 => s"substr(${genS(rnd, depth + 1)}, ${1 + rnd.nextInt(3)}, " +
+        s"${1 + rnd.nextInt(5)})"
+      case 7 => s"concat(${genS(rnd, depth + 1)}, ${genS(rnd, depth + 1)})"
+    }
+  }
+
   val defs: Seq[QueryDef] = {
     val rnd = new Random(Seed)
     val cols = (0 until NumExprs)
@@ -115,6 +136,17 @@ object Fuzz {
         s"""SELECT n_nationkey,
            |$colsD
            |FROM nation
-           |ORDER BY n_nationkey""".stripMargin))
+           |ORDER BY n_nationkey""".stripMargin),
+      QueryDef.sql(
+        "q_fn_fuzz_string", {
+          val rndS = new Random(Seed + 2)
+          val colsS = (0 until NumExprs)
+            .map(i => s"  ${genS(rndS, 0)} AS s$i")
+            .mkString(",\n")
+          s"""SELECT n_nationkey,
+             |$colsS
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
+        }))
   }
 }
