@@ -461,6 +461,10 @@ final class LakeEngine(val spark: SparkSession) {
           .toDF("rows_imported")
       case lakeAtRe(name, snap) if tables.contains(name) =>
         table(name).readAsOf(snap.toLong)
+      case scanReportRe(name) if tables.contains(name) =>
+        val (scanned, skipped) = table(name).scanReport
+        Seq((scanned, skipped)).toDF("data_files_scanned",
+          "data_files_skipped")
       case alterSetPropsRe(name, propList) if tables.contains(name) =>
         val props = parseCopyOptions(propList)
         table(name).setProperties(props)
@@ -579,6 +583,9 @@ final class LakeEngine(val spark: SparkSession) {
   // ALTER TABLE t SET (k 'v', ...) — table-property DDL
   private val alterSetPropsRe =
     "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+  // pruning observability: EXPLAIN "Data Files Scanned/Skipped" parity
+  private val scanReportRe =
+    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_scan_report\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
 
   // external-Iceberg inspection over a metadata.json URL (reference:
   // lake_iceberg.files/metadata — docs/iceberg-tables.md:601-656)

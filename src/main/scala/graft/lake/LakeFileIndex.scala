@@ -66,8 +66,14 @@ object LakeFileIndex {
     * the per-version projection of LakeTable.readFiles instead — the
     * caller falls back).
     */
-  def relation(spark: SparkSession, meta: TableMetadata): DataFrame = {
-    val index = new LakeFileIndex(spark, meta)
+  def relation(spark: SparkSession, meta: TableMetadata): DataFrame =
+    relationFor(spark, meta, new LakeFileIndex(spark, meta))
+
+  /** Same, over a caller-held index (so the caller can read the
+    * pruning counters after execution).
+    */
+  def relationFor(spark: SparkSession, meta: TableMetadata,
+      index: LakeFileIndex): DataFrame = {
     val schema = meta.sparkSchema
     val rel = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat, Map.empty)(

@@ -50,15 +50,34 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * time. Falls back to the per-version projection when metadata-only
     * schema changes left older files behind.
     */
+  /** The pruning index behind the most recent [[readIndexed]] view —
+    * [[scanReport]] reads its counters after a query runs.
+    */
+  @volatile private var lastIndex: Option[LakeFileIndex] = None
+
   def readIndexed(): DataFrame = {
     val m = meta
     val hasInterval = m.currentSchema.fields.exists(f =>
       IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
     if (LakeFileIndex.singleSchemaVersion(m) && !hasInterval &&
-        m.currentSnapshot.exists(_.files.nonEmpty))
-      LakeFileIndex.relation(spark, m)
-    else read()
+        m.currentSnapshot.exists(_.files.nonEmpty)) {
+      val index = new LakeFileIndex(spark, m)
+      lastIndex = Some(index)
+      LakeFileIndex.relationFor(spark, m, index)
+    } else read()
   }
+
+  /** Pruning observability — the reference's EXPLAIN
+    * `Data Files Scanned/Skipped` (docs/iceberg-tables.md:365-421) as
+    * an API: (files scanned, files skipped) by the LAST query planned
+    * against the indexed view. Zero-cost: the counters are set by the
+    * planner's own listFiles call.
+    */
+  def scanReport: (Int, Int) =
+    lastIndex.map { i =>
+      val (kept, total) = i.lastPruning
+      (kept, total - kept)
+    }.getOrElse((0, 0))
 
   /** Time travel (docs/iceberg-tables.md:836-863). */
   def readAsOf(snapshotId: Long): DataFrame = {

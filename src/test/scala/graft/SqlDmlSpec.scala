@@ -110,6 +110,16 @@ class SqlDmlSpec extends AnyFunSuite {
     // lake_at reads the pre-delete snapshot
     assert(e.sql(s"SELECT * FROM lake_at('r_tt', $snapBefore)").count() == 5)
 
+    // pruning observability: a selective filter over the indexed view
+    // reports scanned/skipped file counts (reference EXPLAIN's
+    // "Data Files Scanned/Skipped"). Two appends = two files with
+    // disjoint key ranges, so the filter skips one.
+    e.sql("INSERT INTO r_tt SELECT r_regionkey + 100, r_name FROM r_tt")
+    e.sql("SELECT * FROM r_tt WHERE r_regionkey >= 100").collect()
+    val rep = e.sql("SELECT * FROM lake_scan_report('r_tt')").head
+    assert(rep.getInt(0) >= 1, "the matching file must be scanned")
+    assert(rep.getInt(1) >= 1, s"expected a skipped file: $rep")
+
     // ALTER TABLE SET (k 'v') lands in table properties atomically
     assert(e.sql("ALTER TABLE r_tt SET (out_of_range_values 'clamp')")
       .head.getString(0) == "out_of_range_values=clamp")
