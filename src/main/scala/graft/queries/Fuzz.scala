@@ -115,6 +115,33 @@ object Fuzz {
     }
   }
 
+  /** Timestamp grammar: date_trunc fields, interval day/hour
+    * arithmetic, comparisons — the temporal subset whose semantics the
+    * three engines share exactly (no months arithmetic: end-of-month
+    * clamping rules diverge).
+    */
+  private def genT(rnd: Random, depth: Int): String = {
+    val leaves = Seq(
+      () => "o_orderdate",
+      () => "TIMESTAMP '1997-06-15 12:30:00'",
+      () => "TIMESTAMP '1999-01-02 03:04:05'")
+    if (depth >= 3) leaves(rnd.nextInt(leaves.size))()
+    else rnd.nextInt(8) match {
+      case 0 | 1 => leaves(rnd.nextInt(leaves.size))()
+      // cast: DuckDB's date_trunc returns DATE for day-or-coarser
+      // fields where Spark returns TIMESTAMP
+      case 2 => s"CAST(date_trunc('${Seq("year", "month", "day", "hour")(
+        rnd.nextInt(4))}', ${genT(rnd, depth + 1)}) AS TIMESTAMP)"
+      case 3 => s"(${genT(rnd, depth + 1)} + INTERVAL ${1 + rnd.nextInt(40)} DAY)"
+      case 4 => s"(${genT(rnd, depth + 1)} - INTERVAL ${1 + rnd.nextInt(20)} HOUR)"
+      case 5 => s"greatest(${genT(rnd, depth + 1)}, ${genT(rnd, depth + 1)})"
+      case 6 => s"least(${genT(rnd, depth + 1)}, ${genT(rnd, depth + 1)})"
+      case 7 =>
+        s"(CASE WHEN ${genT(rnd, depth + 1)} < ${genT(rnd, depth + 1)} " +
+          s"THEN ${genT(rnd, depth + 1)} ELSE ${genT(rnd, depth + 1)} END)"
+    }
+  }
+
   val defs: Seq[QueryDef] = {
     val rnd = new Random(Seed)
     val cols = (0 until NumExprs)
@@ -147,6 +174,25 @@ object Fuzz {
              |$colsS
              |FROM nation
              |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_timestamp", {
+          val rndT = new Random(Seed + 3)
+          val colsT = (0 until NumExprs)
+            .map { i =>
+              val e = genT(rndT, 0)
+              // every third column projects an extracted int instead
+              // of the raw timestamp, covering year/month/day too
+              if (i % 3 == 0)
+                s"  ${Seq("year", "month", "day")(i % 9 / 3)}($e) AS t$i"
+              else s"  $e AS t$i"
+            }
+            .mkString(",\n")
+          s"""SELECT o_orderkey,
+             |$colsT
+             |FROM orders
+             |WHERE o_orderkey < 500
+             |ORDER BY o_orderkey""".stripMargin
         }))
   }
 }
