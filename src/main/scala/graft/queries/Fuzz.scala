@@ -176,6 +176,31 @@ object Fuzz {
              |ORDER BY n_nationkey""".stripMargin
         }),
       QueryDef.sql(
+        "q_fn_fuzz_agg", {
+          // aggregate semantics over the int grammar: exact BIGINT
+          // sums, min/max, counts, bool aggregates of generated
+          // comparisons — grouped, so partial-aggregation planning is
+          // also under differential test
+          val rndA = new Random(Seed + 4)
+          val aggs = (0 until 60).map { i =>
+            val e = gen(rndA, 1)
+            rndA.nextInt(6) match {
+              case 0 => s"  sum($e) AS a$i"
+              case 1 => s"  min($e) AS a$i"
+              case 2 => s"  max($e) AS a$i"
+              case 3 => s"  count($e) AS a$i"
+              case 4 => s"  bool_and($e < ${gen(rndA, 1)}) AS a$i"
+              case 5 => s"  bool_or($e > ${gen(rndA, 1)}) AS a$i"
+            }
+          }.mkString(",\n")
+          s"""SELECT n_regionkey,
+             |$aggs,
+             |  count(*) AS a_rows
+             |FROM nation
+             |GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin
+        }),
+      QueryDef.sql(
         "q_fn_fuzz_timestamp", {
           val rndT = new Random(Seed + 3)
           val colsT = (0 until NumExprs)
