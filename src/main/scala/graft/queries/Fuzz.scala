@@ -201,6 +201,31 @@ object Fuzz {
              |ORDER BY n_regionkey""".stripMargin
         }),
       QueryDef.sql(
+        "q_fn_fuzz_window", {
+          // window semantics over the int grammar: ranking with a
+          // total order (unique-key tiebreak), offsets with defaults,
+          // frame aggregates — partitioned and global
+          val rndW = new Random(Seed + 5)
+          val wins = (0 until 40).map { i =>
+            val e = gen(rndW, 1)
+            val part = if (rndW.nextBoolean()) "PARTITION BY n_regionkey " else ""
+            rndW.nextInt(6) match {
+              case 0 => s"  row_number() OVER (${part}ORDER BY $e, n_nationkey) AS w$i"
+              case 1 => s"  rank() OVER (${part}ORDER BY $e, n_nationkey) AS w$i"
+              case 2 => s"  dense_rank() OVER (${part}ORDER BY $e) AS w$i"
+              case 3 => s"  lag($e, 1, -1) OVER (${part}ORDER BY n_nationkey) AS w$i"
+              case 4 => s"  lead($e, ${1 + rndW.nextInt(2)}, 0) " +
+                s"OVER (${part}ORDER BY n_nationkey) AS w$i"
+              case 5 => s"  sum($e) OVER (${part}ORDER BY n_nationkey " +
+                s"ROWS BETWEEN ${rndW.nextInt(4)} PRECEDING AND CURRENT ROW) AS w$i"
+            }
+          }.mkString(",\n")
+          s"""SELECT n_nationkey,
+             |$wins
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
         "q_fn_fuzz_timestamp", {
           val rndT = new Random(Seed + 3)
           val colsT = (0 until NumExprs)
