@@ -225,11 +225,14 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       tau: Double = CosineNearDup, stride: Int = IvfCentroidStride,
-      numCentroids: Int = IvfCentroids): DataFrame = {
+      numCentroids: Int = IvfCentroids,
+      centroids: Option[DataFrame] = None): DataFrame = {
     val cent = withNorm(
-      df.filter(col(idCol) % stride === 0 &&
-          col(idCol) < stride.toLong * numCentroids)
-        .select(col(idCol).as("cid"), col(vecCol).as("cv")), "cv", "cn")
+      centroids.getOrElse(
+        df.filter(col(idCol) % stride === 0 &&
+            col(idCol) < stride.toLong * numCentroids)
+          .select(col(idCol).as("cid"), col(vecCol).as("cv"))),
+      "cv", "cn")
     // nearest centroid by (round-6 cosine, lowest cid) — the argmax is
     // a partial-aggregated max_by, so the corpus is never shuffled for
     // the assignment itself
@@ -256,6 +259,57 @@ object Similarity {
       .select(col("b_id").as("id")).distinct()
     assigned.join(dupIds.withColumn("dup", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cid"), coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
+  /** Distributed Lloyd's k-means over embedding columns — the
+    * production centroid path for [[semanticDedup]] and [[ivfTopK]]
+    * (both accept any centroid frame; the stride rule is only the
+    * oracle-reproducible default). Deterministic end to end: seeded
+    * stride init, round-6 cosine argmax with lowest-cid tie-break,
+    * and per-dimension means from exact sums in a fixed positional
+    * order — repartitioning cannot change the result.
+    *
+    * Scale shape per iteration: centroids broadcast (K rows), the
+    * assignment argmax is map-side partial-aggregated, and the
+    * centroid update is ONE shuffle of (cid, pos, value) triples —
+    * O(n·d) rows but map-side combined to O(K·d) per partition before
+    * the exchange. K·d accumulators per executor core, never the
+    * corpus.
+    *
+    * Returns the refined centroid frame (cid, cv).
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = IvfCentroids, iters: Int = 3,
+      stride: Int = IvfCentroidStride): DataFrame = {
+    var cent = df.filter(col(idCol) % stride === 0 &&
+        col(idCol) < stride.toLong * k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    var i = 0
+    while (i < iters) {
+      val cn = withNorm(cent, "cv", "cn")
+      val assigned = withNorm(
+          df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+        .crossJoin(broadcast(cn))
+        .withColumn("ccos",
+          round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+        .groupBy("id")
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+            .as("cid"),
+          any_value(col("v")).as("v"))
+      // per-dimension mean: positional explode, map-side-combined sums
+      val next = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("m", (col("sx") / col("cnt")).cast("float"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
+      cent = next.localCheckpoint(eager = true)
+      i += 1
+    }
+    cent
   }
 
   /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes

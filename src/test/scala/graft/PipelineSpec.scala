@@ -388,6 +388,37 @@ class PipelineSpec extends AnyFunSuite {
     clusterMin.foreach(m => assert(!dup.contains(m)))
   }
 
+  test("kmeans: objective non-increasing, deterministic, feeds dedup") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    def objective(cent: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.functions._
+      val cn = cent.withColumn("cn", Similarity.norm(col("cv")))
+      emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .withColumn("n", Similarity.norm(col("v")))
+        .crossJoin(broadcast(cn))
+        .withColumn("ccos",
+          Similarity.dot(col("v"), col("cv")) / (col("n") * col("cn")))
+        .groupBy("id").agg(max(col("ccos")).as("best"))
+        .agg(sum(lit(1.0) - col("best"))).head().getDouble(0)
+    }
+    val c0 = Similarity.kmeans(emb, "vec_id", "embedding", iters = 0)
+    val c1 = Similarity.kmeans(emb, "vec_id", "embedding", iters = 1)
+    val c3 = Similarity.kmeans(emb, "vec_id", "embedding", iters = 3)
+    val (o0, o1, o3) = (objective(c0), objective(c1), objective(c3))
+    assert(o1 <= o0 + 1e-9, s"iteration 1 must not worsen: $o0 -> $o1")
+    assert(o3 <= o1 + 1e-9, s"iteration 3 must not worsen: $o1 -> $o3")
+    // deterministic under repartitioning
+    val c3b = Similarity.kmeans(emb.repartition(7), "vec_id", "embedding",
+      iters = 3)
+    val a = c3.orderBy("cid").collect().map(_.toSeq)
+    val b = c3b.orderBy("cid").collect().map(_.toSeq)
+    assert(a.sameElements(b), "kmeans must be partition-invariant")
+    // refined centroids drop into semantic dedup: full coverage holds
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      centroids = Some(c3))
+    assert(out.count() == emb.count())
+  }
+
   test("temperature mix: deterministic, upsamples tail domains") {
     val d = Tables.df(spark, sf, "documents")
     val m1 = Sampling.mixTemperature(d, "lang", "doc_id", 0.3, "t1")
