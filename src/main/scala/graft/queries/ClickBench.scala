@@ -142,5 +142,82 @@ object ClickBench {
           |  count(*) AS cnt
           |FROM events
           |GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 10
-          |ORDER BY k_bucket""".stripMargin))
+          |ORDER BY k_bucket""".stripMargin),
+
+    // CB daily-active shape: uniques per day plus a per-type breakdown
+    // via FILTER counts
+    QueryDef.sql(
+      "q_cb_daily_active",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  count(DISTINCT user_id) AS dau,
+        |  count(*) FILTER (WHERE event_type = 'view') AS views,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS buys
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY d""".stripMargin),
+
+    // CB value-distribution report: exact ordered-set percentiles per
+    // event class
+    QueryDef.sql(
+      "q_cb_value_bands",
+      """SELECT event_type,
+        |  round(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p50,
+        |  round(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p90,
+        |  round(CAST(min(value) AS DOUBLE), 6) AS lo,
+        |  round(CAST(max(value) AS DOUBLE), 6) AS hi
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // per-user activity span: first/last event, active days, events
+    // per active user bucketed (the CB user-engagement shape)
+    QueryDef.sql(
+      "q_cb_user_span",
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT CAST(date_trunc('day', ts) AS DATE))
+        |      AS active_days
+        |  FROM events GROUP BY user_id)
+        |SELECT active_days, count(*) AS users,
+        |  CAST(SUM(n_events) AS BIGINT) AS events
+        |FROM u
+        |GROUP BY active_days
+        |ORDER BY active_days""".stripMargin),
+
+    // event-type transition matrix: lag over each user's stream
+    // (the Markov/journey analysis shape — one window shuffle on user)
+    QueryDef.sql(
+      "q_cb_transitions",
+      """SELECT prev_type, event_type AS next_type, count(*) AS cnt
+        |FROM (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events) t
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, next_type""".stripMargin),
+
+    // hourly error-rate report: conditional ratio with exact counts
+    QueryDef.sql(
+      "q_cb_error_rate",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  count(*) FILTER (WHERE event_type = 'error') AS errors,
+        |  count(*) AS total,
+        |  round(count(*) FILTER (WHERE event_type = 'error')
+        |    * 1000000 DIV count(*) / 1e6, 6) AS err_rate
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY d""".stripMargin,
+      oracle =
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+          |  count(*) FILTER (event_type = 'error') AS errors,
+          |  count(*) AS total,
+          |  round(count(*) FILTER (event_type = 'error')
+          |    * 1000000 // count(*) / 1e6, 6) AS err_rate
+          |FROM events
+          |GROUP BY date_trunc('day', ts)
+          |ORDER BY d""".stripMargin))
 }
