@@ -324,7 +324,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     if (small.size < 2) this else {
       val total = small.map(_.bytes).sum
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-      val entries = writeData(m, readFiles(m, small).repartition(n), None)
+      val merged = readFiles(m, small)
+      // clustering-aware: a z-ordered table's compaction re-sorts the
+      // merged rows along the recorded curve — a plain repartition
+      // would scramble min/max tightness on the clustered columns and
+      // silently undo the pruning cluster() bought
+      val shaped = m.properties.get("cluster.by") match {
+        case Some(cols) if cols.nonEmpty =>
+          zorder(m, merged, cols.split(",").toSeq, n)
+        case _ => merged.repartition(n)
+      }
+      val entries = writeData(m, shaped, None)
       commitMerge("compact", small.map(_.path).toSet, entries)
       this
     }
@@ -352,40 +362,50 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
       if (files.isEmpty) this
       else {
-        val df = readFiles(m, files)
-        val k = cols.size
-        val fieldType = m.currentSchema.fields
-          .map(f => f.name -> DataType.fromDDL(f.dataType)).toMap
-        // 16-bit bucket per column
-        val buckets = cols.map { c =>
-          fieldType(c) match {
-            case _: NumericType | TimestampType | DateType =>
-              val row = df.agg(
-                min(col(c).cast("double")).as("lo"),
-                max(col(c).cast("double")).as("hi")).head()
-              val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-              if (hi <= lo) lit(0L)
-              else least(lit(65535L), floor(
-                (col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
-                .cast("long"))
-            case _ => pmod(xxhash64(col(c)), lit(65536L))
-          }
-        }
-        // interleave: bit b of bucket i lands at position b*k + i
-        val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
-          buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
-            a + shiftleft(shiftright(bk, b) % 2, b * k + i)
-          }
-        }
-        val ordered = df.withColumn("__z", z)
-          .repartitionByRange(math.max(1, targetFiles), col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+        val ordered = zorder(m, readFiles(m, files), cols, targetFiles)
         val entries = writeData(m, ordered, None)
-        commitMerge("cluster", files.map(_.path).toSet, entries)
+        // record the curve so compaction keeps the clustering
+        commitMerge("cluster", files.map(_.path).toSet, entries,
+          Map("cluster.by" -> cols.mkString(",")))
         this
       }
     }
+
+  /** Rows of `df` reordered along the Z-curve over `cols` into
+    * `targetFiles` range partitions (shared by [[cluster]] and
+    * clustering-aware [[compact]]).
+    */
+  private def zorder(m: TableMetadata, df: DataFrame, cols: Seq[String],
+      targetFiles: Int): DataFrame = {
+    val k = cols.size
+    val fieldType = m.currentSchema.fields
+      .map(f => f.name -> DataType.fromDDL(f.dataType)).toMap
+    // 16-bit bucket per column
+    val buckets = cols.map { c =>
+      fieldType(c) match {
+        case _: NumericType | TimestampType | DateType =>
+          val row = df.agg(
+            min(col(c).cast("double")).as("lo"),
+            max(col(c).cast("double")).as("hi")).head()
+          val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+          if (hi <= lo) lit(0L)
+          else least(lit(65535L), floor(
+            (col(c).cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+            .cast("long"))
+        case _ => pmod(xxhash64(col(c)), lit(65536L))
+      }
+    }
+    // interleave: bit b of bucket i lands at position b*k + i
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, b) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+        a + shiftleft(shiftright(bk, b) % 2, b * k + i)
+      }
+    }
+    df.withColumn("__z", z)
+      .repartitionByRange(math.max(1, targetFiles), col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
 
   /** Expire snapshots beyond the latest `keepLast`, then delete data
     * files no retained snapshot references (deletion-queue equivalent,

@@ -100,6 +100,18 @@ class LakeTableSpec extends AnyFunSuite {
       LakeTable.createAsSelect(spark, freshLoc(), "zp", src.limit(10),
         partitionSpec = Seq("day(ts)")).cluster(Seq("user_id"))
     }
+
+    // clustering survives compaction: unsorted small appends are
+    // re-z-ordered by the recorded curve, not blindly merged
+    assert(t.meta.properties("cluster.by") == "user_id,value")
+    val extra = src.orderBy(rand(7)).limit(2000)
+    val extraN = extra.count()
+    t.append(extra, targetFiles = Some(4))
+    t.compact(smallBytes = Long.MaxValue, targetBytes = 8L << 10)
+    val (ku2, tu2) = t.pruneStats(col("user_id") <= 3L)
+    assert(ku2 < tu2,
+      s"user_id pruning must survive compaction ($ku2/$tu2)")
+    assert(t.read().count() == src.count() + extraN)
   }
 
   test("stats pruning without partition spec") {
