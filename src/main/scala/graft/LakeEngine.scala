@@ -461,6 +461,8 @@ final class LakeEngine(val spark: SparkSession) {
           .toDF("rows_imported")
       case lakeAtRe(name, snap) if tables.contains(name) =>
         table(name).readAsOf(snap.toLong)
+      case changesRe(name, from, to) if tables.contains(name) =>
+        table(name).changes(from.toLong, to.toLong)
       case scanReportRe(name) if tables.contains(name) =>
         val (scanned, skipped) = table(name).scanReport
         Seq((scanned, skipped)).toDF("data_files_scanned",
@@ -583,6 +585,10 @@ final class LakeEngine(val spark: SparkSession) {
   // ALTER TABLE t SET (k 'v', ...) — table-property DDL
   private val alterSetPropsRe =
     "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+SET\\s*\\(([^)]*)\\)\\s*;?\\s*$".r
+  // snapshot changelog (reference test_iceberg_changelog.py surface)
+  private val changesRe =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_changes\\s*\\(\\s*'(\\w+)'\\s*,\\s*" +
+      "(\\d+)\\s*,\\s*(\\d+)\\s*\\)\\s*;?\\s*$").r
   // pruning observability: EXPLAIN "Data Files Scanned/Skipped" parity
   private val scanReportRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_scan_report\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r

@@ -120,6 +120,13 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(rep.getInt(0) >= 1, "the matching file must be scanned")
     assert(rep.getInt(1) >= 1, s"expected a skipped file: $rep")
 
+    // changelog between the pre-delete and post-delete snapshots
+    val snapAfter = e.table("r_tt").meta.currentSnapshotId
+    val ch = e.sql(s"SELECT * FROM lake_changes('r_tt', $snapBefore, " +
+      s"$snapAfter)")
+    assert(ch.filter(col("_change_type") === "delete").count() >= 2,
+      "deleted rows must appear in the changelog")
+
     // ALTER TABLE SET (k 'v') lands in table properties atomically
     assert(e.sql("ALTER TABLE r_tt SET (out_of_range_values 'clamp')")
       .head.getString(0) == "out_of_range_values=clamp")
