@@ -152,6 +152,88 @@ object TpcDs {
          |ORDER BY ratio DESC, p_brand
          |LIMIT 10""".stripMargin),
 
+    // DS q88 shape: eight independent band counts answered by ONE scan
+    // via FILTER columns (the reference's 8-subquery report fused)
+    QueryDef.sql(
+      "q_tpcds_multiband",
+      """SELECT
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 5) AS b1,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 6 AND 10) AS b2,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 15) AS b3,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 16 AND 20) AS b4,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 25) AS b5,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 26 AND 30) AS b6,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS b7,
+        |  count(*) FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS b8
+        |FROM lineitem
+        |WHERE l_discount < 0.08""".stripMargin),
+
+    // DS q59 shape: week-over-week comparison — weekly revenue
+    // self-joined across consecutive years, ratio reported
+    QueryDef.sql(
+      "q_tpcds_wow",
+      s"""WITH wk AS (
+         |  SELECT year(l_shipdate) AS yr,
+         |    CAST(weekofyear(l_shipdate) AS INT) AS wk,
+         |    CAST(SUM($rev) AS DOUBLE) AS rev
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) IN (1996, 1997)
+         |  GROUP BY 1, 2)
+         |SELECT a.wk, a.rev AS rev_1996, b.rev AS rev_1997,
+         |  round(b.rev / a.rev, 6) AS ratio
+         |FROM wk a JOIN wk b ON a.wk = b.wk
+         |WHERE a.yr = 1996 AND b.yr = 1997 AND a.rev > 0
+         |ORDER BY a.wk""".stripMargin,
+      oracle =
+        s"""WITH wk AS (
+           |  SELECT year(l_shipdate) AS yr,
+           |    CAST(weekofyear(l_shipdate) AS INT) AS wk,
+           |    CAST(SUM($rev) AS DOUBLE) AS rev
+           |  FROM lineitem
+           |  WHERE year(l_shipdate) IN (1996, 1997)
+           |  GROUP BY 1, 2)
+           |SELECT a.wk, a.rev AS rev_1996, b.rev AS rev_1997,
+           |  round(b.rev / a.rev, 6) AS ratio
+           |FROM wk a JOIN wk b ON a.wk = b.wk
+           |WHERE a.yr = 1996 AND b.yr = 1997 AND a.rev > 0
+           |ORDER BY a.wk""".stripMargin),
+
+    // DS q54 shape: customer segmentation by lifetime spend band
+    QueryDef.sql(
+      "q_tpcds_segments",
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS total
+        |  FROM orders GROUP BY o_custkey)
+        |-- floor, not a bare cast: double->int CAST truncates in
+        |-- Spark but rounds-to-nearest in DuckDB
+        |SELECT CAST(floor(total / 50000) AS BIGINT) AS segment,
+        |  count(*) AS customers
+        |FROM spend
+        |GROUP BY CAST(floor(total / 50000) AS BIGINT)
+        |ORDER BY segment""".stripMargin),
+
+    // DS q97 shape: channel cross-shopping — customers exclusive to
+    // each order-priority channel vs. shopping both, via FULL OUTER
+    QueryDef.sql(
+      "q_tpcds_crossshop",
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |b AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |SELECT
+        |  count(*) FILTER (WHERE a.o_custkey IS NOT NULL
+        |    AND b.o_custkey IS NULL) AS express_only,
+        |  count(*) FILTER (WHERE a.o_custkey IS NULL
+        |    AND b.o_custkey IS NOT NULL) AS standard_only,
+        |  count(*) FILTER (WHERE a.o_custkey IS NOT NULL
+        |    AND b.o_custkey IS NOT NULL) AS both_channels
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"""
+        .stripMargin),
+
     // DS q23 shape: frequent buyers of one year, their spend the next
     // year (HAVING cohort → IN semi-join → grand total)
     QueryDef.sql(
