@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Scale-exact order statistics. Spark's exact `percentile_cont`
+  * buffers every group's values in executor memory (the documented
+  * wall in docs/SCALE.md); the approx sketch is the usual answer, but
+  * when EXACT quantiles are required at corpus scale this implements
+  * the selection-by-range-partition algorithm instead:
+  *
+  *   1. range-partition the column (one shuffle, the same machinery
+  *      as a distributed sort's exchange),
+  *   2. count each partition (scan-local),
+  *   3. locate the partition holding each target rank (driver math
+  *      over P counts),
+  *   4. sort ONLY the hit partitions locally and pick the order
+  *      statistics.
+  *
+  * Memory is bounded by one partition, never the column; the quantile
+  * is bit-exact `PERCENTILE_CONT` (floor/ceil order statistics with
+  * linear interpolation).
+  */
+object Stats {
+
+  /** Exact PERCENTILE_CONT of `colName` for each q in `qs` (global,
+    * ungrouped — the grouped case at scale is partitionBy + this per
+    * group of interest). One count pass + one range shuffle.
+    */
+  def exactQuantiles(df: DataFrame, colName: String,
+      qs: Seq[Double], partitions: Int = 64): Seq[Double] = {
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), "q in [0,1]")
+    val vals = df.select(col(colName).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val n = vals.count()
+    require(n > 0, "exactQuantiles of an empty column")
+    // target order statistics: PERCENTILE_CONT interpolates between
+    // floor and ceil of rank (n-1)*q (0-based)
+    val wanted: Seq[(Double, Long, Long, Double)] = qs.map { q =>
+      val r = (n - 1) * q
+      val lo = math.floor(r).toLong
+      val hi = math.ceil(r).toLong
+      (q, lo, hi, r - lo)
+    }
+    val neededRanks = wanted.flatMap(w => Seq(w._2, w._3)).distinct.sorted
+
+    val parted = vals.repartitionByRange(partitions, col("v"))
+    parted.cache()
+    try {
+      // per-partition counts, in partition order (range partitions are
+      // ordered by construction)
+      val counts = parted.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before i
+      // rank -> partition holding it
+      val byPartition = neededRanks.groupBy { k =>
+        val p = offsets.indexWhere(_ > k) - 1
+        if (p < 0) counts.length - 1 else p
+      }
+      // sort only the hit partitions locally, pick the order stats
+      val found: Map[Long, Double] = byPartition.toSeq.flatMap {
+        case (p, ranks) =>
+          val local = ranks.map(k => k - offsets(p))
+          val rows = parted.rdd
+            .mapPartitionsWithIndex((i, it) =>
+              if (i == p) {
+                val sorted = it.map(_.getDouble(0)).toArray
+                java.util.Arrays.sort(sorted)
+                local.map(l => sorted(l.toInt)).iterator
+              } else Iterator.empty)
+            .collect()
+          ranks.zip(rows)
+      }.toMap
+      wanted.map { case (_, lo, hi, frac) =>
+        val a = found(lo); val b = found(hi)
+        // the engines' PERCENTILE_CONT interpolation is
+        // (1-f)*lower + f*higher — `a + (b-a)*f` differs in final ulps
+        (1.0 - frac) * a + frac * b
+      }
+    } finally { parted.unpersist(); () }
+  }
+
+  /** Convenience: one q. */
+  def exactQuantile(df: DataFrame, colName: String, q: Double): Double =
+    exactQuantiles(df, colName, Seq(q)).head
+}

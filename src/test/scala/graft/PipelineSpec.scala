@@ -388,6 +388,25 @@ class PipelineSpec extends AnyFunSuite {
     clusterMin.foreach(m => assert(!dup.contains(m)))
   }
 
+  test("exact distributed quantiles equal percentile_cont") {
+    val li = Tables.df(spark, sf, "lineitem")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = Stats.exactQuantiles(li, "l_extendedprice", qs)
+    val expect = qs.map { q =>
+      li.selectExpr(
+        s"PERCENTILE_CONT($q) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .head().getDouble(0)
+    }
+    got.zip(expect).zip(qs).foreach { case ((g, e), q) =>
+      assert(g == e, s"q=$q: selection $g != percentile_cont $e")
+    }
+    // robust when a rank lands on a partition boundary: tiny partition
+    // count forces multi-partition hits
+    val got2 = Stats.exactQuantiles(li, "l_extendedprice", qs,
+      partitions = 3)
+    assert(got2 == got)
+  }
+
   test("kmeans: objective non-increasing, deterministic, feeds dedup") {
     val emb = Tables.df(spark, sf, "embeddings")
     def objective(cent: org.apache.spark.sql.DataFrame): Double = {
