@@ -84,4 +84,25 @@ object Stats {
   /** Convenience: one q. */
   def exactQuantile(df: DataFrame, colName: String, q: Double): Double =
     exactQuantiles(df, colName, Seq(q)).head
+
+  /** Grouped exact quantiles for LOW-cardinality group columns (report
+    * dimensions: status flags, channels): one selection pass per
+    * group, so cost is groups × (count + range shuffle of that group's
+    * rows). Guarded — a high-cardinality group column means you want
+    * the sketch (`approx_percentile`), not per-group selection.
+    */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, colName: String,
+      qs: Seq[Double], maxGroups: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = df.select(groupCol).distinct().limit(maxGroups + 1)
+      .collect().map(_.get(0))
+    require(groups.length <= maxGroups,
+      s"more than $maxGroups groups — use approx_percentile at this " +
+        "cardinality")
+    groups.sortBy(_.toString).toSeq.map { g =>
+      val sub = df.filter(col(groupCol) === lit(g))
+      (g.toString, exactQuantiles(sub, colName, qs))
+    }.toDF(groupCol, "quantiles")
+  }
 }

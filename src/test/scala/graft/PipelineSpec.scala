@@ -428,6 +428,21 @@ class PipelineSpec extends AnyFunSuite {
     val got2 = Stats.exactQuantiles(li, "l_extendedprice", qs,
       partitions = 3)
     assert(got2 == got)
+
+    // grouped variant matches per-group percentile_cont
+    val byStatus = Stats.exactQuantilesBy(li, "l_linestatus",
+        "l_extendedprice", Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).head).toMap
+    byStatus.foreach { case (st, v) =>
+      val e = li.filter(col("l_linestatus") === st).selectExpr(
+        "PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+        .head().getDouble(0)
+      assert(v == e, s"group $st: $v != $e")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantilesBy(li, "l_orderkey", "l_quantity", Seq(0.5),
+        maxGroups = 10)
+    }
   }
 
   test("kmeans: objective non-increasing, deterministic, feeds dedup") {
