@@ -185,7 +185,9 @@ object Fuzz {
           val aggs = (0 until 60).map { i =>
             val e = gen(rndA, 1)
             rndA.nextInt(6) match {
-              case 0 => s"  sum($e) AS a$i"
+              // CAST: DuckDB sum(BIGINT) widens to HUGEINT (a no-op
+              // cast on Spark); values are bounded far below 2^63
+              case 0 => s"  CAST(sum($e) AS BIGINT) AS a$i"
               case 1 => s"  min($e) AS a$i"
               case 2 => s"  max($e) AS a$i"
               case 3 => s"  count($e) AS a$i"
@@ -216,8 +218,10 @@ object Fuzz {
               case 3 => s"  lag($e, 1, -1) OVER (${part}ORDER BY n_nationkey) AS w$i"
               case 4 => s"  lead($e, ${1 + rndW.nextInt(2)}, 0) " +
                 s"OVER (${part}ORDER BY n_nationkey) AS w$i"
-              case 5 => s"  sum($e) OVER (${part}ORDER BY n_nationkey " +
-                s"ROWS BETWEEN ${rndW.nextInt(4)} PRECEDING AND CURRENT ROW) AS w$i"
+              // CAST as in the agg grammar: DuckDB windowed sum is HUGEINT
+              case 5 => s"  CAST(sum($e) OVER (${part}ORDER BY n_nationkey " +
+                s"ROWS BETWEEN ${rndW.nextInt(4)} PRECEDING AND CURRENT ROW) " +
+                s"AS BIGINT) AS w$i"
             }
           }.mkString(",\n")
           s"""SELECT n_nationkey,
