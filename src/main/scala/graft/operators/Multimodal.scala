@@ -86,14 +86,23 @@ object Multimodal {
     }
     for {
       w <- int(); h <- int(); maxv <- int()
+      bytesPerSample = if (maxv > 255) 2 else 1
       if w > 0 && h > 0 && maxv > 0 && maxv < 65536 && i < payload.length &&
         { i += 1 /* single whitespace after maxval */
-          payload.length - i >= w.toLong * h * 3 }
+          payload.length - i >= w.toLong * h * 3 * bytesPerSample }
     } yield {
+      // maxval > 255 means 2-byte big-endian samples (PPM spec)
       var sum = 0L
       val n = w * h * 3
       var j = 0
-      while (j < n) { sum += (payload(i + j) & 0xff); j += 1 }
+      if (bytesPerSample == 1)
+        while (j < n) { sum += (payload(i + j) & 0xff); j += 1 }
+      else
+        while (j < n) {
+          sum += ((payload(i + 2 * j) & 0xff) << 8) |
+            (payload(i + 2 * j + 1) & 0xff)
+          j += 1
+        }
       Row(id, w, h, 3, sum.toDouble / n)
     }
   }
@@ -160,6 +169,9 @@ object Multimodal {
         channels = u16(off + 10); rate = u32(off + 12).toInt
         bits = u16(off + 22)
       } else if (id4 == "data") { dataOff = off + 8; dataLen = len }
+      // a corrupt 32-bit length (e.g. 0xFFFFFFF8) must not stall or
+      // rewind the walk — dirty media buckets are the expected input
+      if (len > Int.MaxValue - 8L) return None
       off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
     }
     if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)

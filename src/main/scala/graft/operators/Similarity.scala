@@ -276,6 +276,15 @@ object Similarity {
     * the exchange. K·d accumulators per executor core, never the
     * corpus.
     *
+    * The per-dimension accumulation quantizes each component to the
+    * dyadic 2^-24 grid (x·2^24 is an exact double product for float
+    * inputs; round-half-away ties match across engines) and sums the
+    * resulting LONGs — exact, hence order-independent:
+    * partition-invariance holds by construction, not by luck, and the
+    * whole loop is portable enough for a bit-exact differential oracle
+    * (`q_sim_kmeans`). The grid sits at/below float ulp for |x| ≥ 0.5,
+    * so the quantization is lossless there and sub-ulp elsewhere.
+    *
     * Returns the refined centroid frame (cid, cv).
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
@@ -300,8 +309,12 @@ object Similarity {
       val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("cnt"))
-        .withColumn("m", (col("sx") / col("cnt")).cast("float"))
+        .agg(sum(round(col("x").cast("double") * 16777216.0)
+            .cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m",
+          (col("sx").cast("double") / (col("cnt") * 16777216.0))
+            .cast("float"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("pm"))

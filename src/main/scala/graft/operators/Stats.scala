@@ -58,20 +58,25 @@ object Stats {
         val p = offsets.indexWhere(_ > k) - 1
         if (p < 0) counts.length - 1 else p
       }
-      // sort only the hit partitions locally, pick the order stats
-      val found: Map[Long, Double] = byPartition.toSeq.flatMap {
-        case (p, ranks) =>
-          val local = ranks.map(k => k - offsets(p))
-          val rows = parted.rdd
-            .mapPartitionsWithIndex((i, it) =>
-              if (i == p) {
-                val sorted = it.map(_.getDouble(0)).toArray
-                java.util.Arrays.sort(sorted)
-                local.map(l => sorted(l.toInt)).iterator
-              } else Iterator.empty)
-            .collect()
-          ranks.zip(rows)
-      }.toMap
+      // sort only the hit partitions locally, pick the order stats —
+      // ONE job over all hit partitions (broadcast partition -> local
+      // ranks), not one scan per partition
+      val localRanks: Map[Int, Seq[Long]] = byPartition.map {
+        case (p, ranks) => (p, ranks.map(k => k - offsets(p)))
+      }
+      val bcRanks = df.sparkSession.sparkContext.broadcast(localRanks)
+      val offs = offsets
+      val found: Map[Long, Double] = parted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          bcRanks.value.get(i) match {
+            case Some(locals) =>
+              val sorted = it.map(_.getDouble(0)).toArray
+              java.util.Arrays.sort(sorted)
+              locals.iterator.map(l => (l + offs(i), sorted(l.toInt)))
+            case None => Iterator.empty
+          }
+        }
+        .collect().toMap
       wanted.map { case (_, lo, hi, frac) =>
         val a = found(lo); val b = found(hi)
         // the engines' PERCENTILE_CONT interpolation is
@@ -90,12 +95,16 @@ object Stats {
     * group, so cost is groups × (count + range shuffle of that group's
     * rows). Guarded — a high-cardinality group column means you want
     * the sketch (`approx_percentile`), not per-group selection.
+    * Rows whose group is NULL are excluded (an equality predicate
+    * could never select them; callers wanting the null group should
+    * bucket it explicitly first).
     */
   def exactQuantilesBy(df: DataFrame, groupCol: String, colName: String,
       qs: Seq[Double], maxGroups: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val groups = df.select(groupCol).distinct().limit(maxGroups + 1)
+    val groups = df.filter(col(groupCol).isNotNull)
+      .select(groupCol).distinct().limit(maxGroups + 1)
       .collect().map(_.get(0))
     require(groups.length <= maxGroups,
       s"more than $maxGroups groups — use approx_percentile at this " +
