@@ -413,7 +413,7 @@ object Functions {
       oracle =
         """SELECT event_id,
           |  ELEMENT_AT(m, 'type')[1] AS v_type,
-          |  NULL AS v_missing,
+          |  CAST(NULL AS VARCHAR) AS v_missing,
           |  CAST(CARDINALITY(m) AS INT) AS v_card,
           |  CAST(LEN(MAP_ENTRIES(m)) AS INT) AS v_entries
           |FROM (SELECT event_id,

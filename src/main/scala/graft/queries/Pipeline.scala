@@ -501,9 +501,9 @@ object Pipeline {
          |    AS prefix
          |  FROM tot)
          |SELECT c.doc_id, c.n_tokens,
-         |  p.prefix + c.cum_in_bucket - c.n_tokens AS start_tok,
-         |  (p.prefix + c.cum_in_bucket - c.n_tokens) // 512 AS bin,
-         |  (p.prefix + c.cum_in_bucket - c.n_tokens) % 512 AS bin_offset
+         |  CAST(p.prefix + c.cum_in_bucket - c.n_tokens AS BIGINT) AS start_tok,
+         |  CAST((p.prefix + c.cum_in_bucket - c.n_tokens) // 512 AS BIGINT) AS bin,
+         |  CAST((p.prefix + c.cum_in_bucket - c.n_tokens) % 512 AS BIGINT) AS bin_offset
          |FROM cum c JOIN pre p USING (bucket)
          |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
       Pack.packSequences(docs(s, dir), "doc_id", "text",
@@ -593,6 +593,50 @@ object Pipeline {
       Similarity.ivfTopK(
           e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
         .orderBy("query_id", "rank")
+    },
+
+    // ---- distributed Lloyd's k-means, differentially proven: the
+    // oracle replays both iterations — stride seed, round-6 cosine
+    // argmax with lowest-cid tie-break, DECIMAL-exact per-dimension
+    // sums narrowed through the same double→float pipeline — so the
+    // final centroids compare bit-for-bit, per dimension. This is the
+    // production centroid path feeding semanticDedup/ivfTopK. --------
+    QueryDef(
+      "q_sim_kmeans", {
+        def assign(n: Int, cSrc: String): String =
+          s"""a$n AS (
+             |  SELECT id, cid, v FROM (
+             |    SELECT e.vec_id AS id, c.cid, e.embedding AS v,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
+             |                 c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN $cSrc c) t WHERE rn = 1)"""
+            .stripMargin
+        def means(n: Int): String =
+          s"""m$n AS (
+             |  SELECT cid, CAST(i AS INT) AS pos,
+             |    CAST(CAST(sum(CAST(round(v[i + 1]::DOUBLE * 16777216.0)
+             |        AS BIGINT)) AS DOUBLE)
+             |      / (count(*) * 16777216.0) AS REAL) AS m
+             |  FROM a$n, unnest(range(0, $EmbeddingDim)) AS t(i)
+             |  GROUP BY cid, i),
+             |c$n AS (SELECT cid, list(m ORDER BY pos) AS cv
+             |        FROM m$n GROUP BY cid)""".stripMargin
+        s"""WITH c0 AS (
+           |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           |  WHERE vec_id % $IvfCentroidStride = 0
+           |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
+           |${assign(1, "c0")},
+           |${means(1)},
+           |${assign(2, "c1")},
+           |${means(2)}
+           |SELECT cid, pos, m FROM m2
+           |ORDER BY cid, pos""".stripMargin
+      }) { (s, dir) =>
+      Similarity.kmeans(embs(s, dir), "vec_id", "embedding",
+          k = IvfCentroids, iters = 2)
+        .select(col("cid"), posexplode(col("cv")).as(Seq("pos", "m")))
+        .orderBy("cid", "pos")
     },
 
     // ---- Gopher-style repetition metrics: scan-local lambda
@@ -802,9 +846,9 @@ object Pipeline {
          |    AS prefix
          |  FROM tot)
          |SELECT cc.doc_id, cc.lang, cc.n_tokens,
-         |  p.prefix + cc.cum_in_bucket - cc.n_tokens AS start_tok,
-         |  (p.prefix + cc.cum_in_bucket - cc.n_tokens) // 384 AS bin,
-         |  (p.prefix + cc.cum_in_bucket - cc.n_tokens) % 384 AS bin_offset
+         |  CAST(p.prefix + cc.cum_in_bucket - cc.n_tokens AS BIGINT) AS start_tok,
+         |  CAST((p.prefix + cc.cum_in_bucket - cc.n_tokens) // 384 AS BIGINT) AS bin,
+         |  CAST((p.prefix + cc.cum_in_bucket - cc.n_tokens) % 384 AS BIGINT) AS bin_offset
          |FROM cum cc JOIN pre p USING (bucket)
          |ORDER BY cc.doc_id""".stripMargin) { (s, dir) =>
       Curate.curateForTraining(docs(s, dir), "doc_id", "text", "lang",
@@ -909,13 +953,97 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
-    // ---- multimodal plumbing (stub decode — see Multimodal scaladoc) -
-    QueryDef.rowsOnly("q_multimodal_decode") { (s, dir) =>
-      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "img/fake")
+    // ---- multimodal: REAL decoders under a REAL oracle. Each doc's
+    // text bytes (pure ASCII in the fixture, so ord(char) == byte) are
+    // laid out as a well-formed binary P6 PPM; the Spark side parses
+    // the header and folds the pixel bytes with the production decoder
+    // while DuckDB recomputes width/height/mean straight from the
+    // construction rule — a genuine differential on the byte-level
+    // parser, not an echo of the construction. Sums of pixel bytes are
+    // exact integers, so mean_intensity is the same IEEE division in
+    // both engines (bit-exact, not band-checked). ----------------------
+    QueryDef(
+      "q_multimodal_decode",
+      """SELECT doc_id AS media_id,
+        |  CAST(4 + doc_id % 5 AS INT) AS width,
+        |  CAST(3 + doc_id % 4 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  list_sum(list_transform(regexp_extract_all(
+        |      substring(repeat(text, 4), 1,
+        |        CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT)),
+        |      '[\s\S]'), c -> ord(c)))::DOUBLE
+        |    / ((4 + doc_id % 5) * (3 + doc_id % 4) * 3) AS mean_intensity
+        |FROM documents
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val ppm = docs(s, dir).selectExpr("doc_id",
+        """concat('P6\n',
+          |  cast(4 + doc_id % 5 as string), ' ',
+          |  cast(3 + doc_id % 4 as string), '\n255\n',
+          |  substring(repeat(text, 4), 1,
+          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
+          |  as ppm""".stripMargin)
+      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
       Multimodal.decodeImageStub(media).orderBy("media_id")
     },
 
-    QueryDef.rowsOnly("q_multimodal_frames") { (s, dir) =>
+    // ---- WAV twin of the above: text bytes become little-endian
+    // 16-bit PCM samples inside a spec-correct RIFF container (44-byte
+    // header built via hex/unhex, 64 Hz mono). Every per-sample square
+    // (k/32768)² is a dyadic rational needing ≤30 mantissa bits and the
+    // few-hundred-term sum stays far under 2^22, so the accumulations
+    // are EXACT in both engines and rms/peak/duration compare
+    // bit-for-bit. ----------------------------------------------------
+    QueryDef(
+      "q_multimodal_audio",
+      """WITH p AS (
+        |  SELECT doc_id, least(length(text), 400) // 2 AS ns,
+        |    regexp_extract_all(substring(text, 1,
+        |      (least(length(text), 400) // 2) * 2), '[\s\S]') AS cs
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ns,
+        |    list_transform(range(0, ns), i ->
+        |      (ord(cs[2*i+1]) + 256 * ord(cs[2*i+2])) / 32768.0) AS sm
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(64 AS INT) AS sample_rate,
+        |  CAST(ns AS BIGINT) AS n_samples,
+        |  ns / 64.0 AS duration_s,
+        |  sqrt(list_sum(list_transform(sm, x -> x * x)) / ns) AS rms,
+        |  list_max(sm) AS peak
+        |FROM s
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val wav = docs(s, dir)
+        .selectExpr("doc_id",
+          "least(length(text), 400) div 2 as ns",
+          "substring(text, 1, (least(length(text), 400) div 2) * 2) as smp")
+        .selectExpr("doc_id",
+          """unhex(concat(
+            |  '52494646',
+            |  format_string('%02x%02x0000',
+            |    (36 + ns * 2) % 256, ((36 + ns * 2) div 256) % 256),
+            |  '57415645666d7420100000000100010040000000800000000200100064617461',
+            |  format_string('%02x%02x0000',
+            |    (ns * 2) % 256, ((ns * 2) div 256) % 256),
+            |  hex(cast(smp as binary)))) as wav""".stripMargin)
+      val media = Multimodal.asMedia(wav, "doc_id", "wav", "audio/wav")
+      Multimodal.decodeWav(media).orderBy("media_id")
+    },
+
+    // ---- frame sampling: the chunk/stride/tail arithmetic is fully
+    // SQL-expressible, so the formerly rows-only check is now a real
+    // differential (frame_no = index within the kept stride, tail
+    // frame carries the remainder bytes). ------------------------------
+    QueryDef(
+      "q_multimodal_frames",
+      """SELECT doc_id AS media_id,
+        |  CAST(i // 2 AS INT) AS frame_no,
+        |  CAST(least(64, length(text) - i * 64) AS BIGINT) AS frame_bytes
+        |FROM documents,
+        |  unnest(range(0, greatest(length(text) // 64 - 1, 0) + 1)) AS t(i)
+        |WHERE i % 2 = 0
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text", "vid/fake")
       Multimodal.frameSample(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_no"), col("frame_bytes"))
