@@ -42,10 +42,15 @@ final class LakeEngine(val spark: SparkSession) {
 
   /** Serve this engine's registry as an Iceberg REST catalog (the
     * reference's headline attach surface, rest_catalog_ops.c:1-763);
-    * port 0 picks an ephemeral port. Caller stops it.
+    * port 0 picks an ephemeral port. Caller stops it. Pass
+    * `credentials` to require OAuth2 client-credentials + bearer
+    * tokens on every route (the reference's rest_catalog_auth.c
+    * posture); empty map = open catalog (dev only).
     */
-  def serveRestCatalog(port: Int = 0): lake.RestCatalog =
-    new lake.RestCatalog(this, port)
+  def serveRestCatalog(port: Int = 0,
+      credentials: Map[String, String] = Map.empty,
+      tokenTtlMillis: Long = 3600L * 1000): lake.RestCatalog =
+    new lake.RestCatalog(this, port, credentials, tokenTtlMillis)
 
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
@@ -63,6 +68,19 @@ final class LakeEngine(val spark: SparkSession) {
       spark.catalog.dropTempView(name)
       t.drop(purge)
     }
+  }
+
+  /** RENAME TABLE: pure registry move — the table's location and
+    * metadata are untouched (Iceberg rename semantics; the REST
+    * catalog's /v1/tables/rename lands here).
+    */
+  def renameTable(oldName: String, newName: String): Unit = {
+    require(!tables.contains(newName), s"table $newName already exists")
+    val t = tables.remove(oldName).getOrElse(
+      throw new IllegalArgumentException(s"unknown lake table $oldName"))
+    spark.catalog.dropTempView(oldName)
+    register(newName, t)
+    ()
   }
 
   /** `iceberg_tables`-style catalog view (docs/iceberg-tables.md:545). */

@@ -499,8 +499,20 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * local writers. Metadata-only — the catalog never reads data.
     */
   def importSnapshot(entries: Seq[FileEntry],
-      op: String = "rest-commit"): LakeTable = {
-    commitOp(op)(_ => entries)
+      op: String = "rest-commit",
+      requireSnapshotId: Option[Long] = None): LakeTable = {
+    // the requirement (assert-ref-snapshot-id) must hold INSIDE the
+    // CAS: a local commit landing between a pre-check and the CAS
+    // retry would otherwise be silently erased by the replace
+    commitOp(op) { cur =>
+      requireSnapshotId.foreach { req =>
+        if (cur.currentSnapshotId != req)
+          throw new java.util.ConcurrentModificationException(
+            s"$op requirement failed: table is at snapshot " +
+              s"${cur.currentSnapshotId}, not $req")
+      }
+      entries
+    }
     this
   }
 

@@ -5,6 +5,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 /** Iceberg REST catalog endpoint over the engine's table registry — the
@@ -12,32 +13,59 @@ import scala.jdk.CollectionConverters._
   * connect to its catalog over HTTP (pg_lake_iceberg/src/rest_catalog/
   * rest_catalog.c:145, rest_catalog_ops.c:1-763; catalog.c:49-221).
   * Implements the read path of the public Iceberg REST OpenAPI spec
-  * plus the write ops external engines need to create and commit:
+  * plus the write + lifecycle ops external engines need:
   *
-  *   GET  /v1/config
-  *   GET  /v1/namespaces
-  *   GET  /v1/namespaces/{ns}
-  *   GET  /v1/namespaces/{ns}/tables
-  *   GET  /v1/namespaces/{ns}/tables/{table}   (LoadTableResult)
-  *   HEAD /v1/namespaces/{ns}/tables/{table}
-  *   POST /v1/namespaces/{ns}/tables           (CreateTable)
-  *   POST /v1/namespaces/{ns}/tables/{table}   (CommitTable: add-snapshot)
+  *   POST   /v1/oauth/tokens                       (client-credentials)
+  *   GET    /v1/config
+  *   GET    /v1/namespaces                         (list)
+  *   POST   /v1/namespaces                         (create)
+  *   GET    /v1/namespaces/{ns}                    (properties)
+  *   DELETE /v1/namespaces/{ns}                    (drop when empty)
+  *   GET    /v1/namespaces/{ns}/tables             (list)
+  *   POST   /v1/namespaces/{ns}/tables             (CreateTable)
+  *   GET    /v1/namespaces/{ns}/tables/{table}     (LoadTableResult)
+  *   HEAD   /v1/namespaces/{ns}/tables/{table}
+  *   POST   /v1/namespaces/{ns}/tables/{table}     (CommitTable)
+  *   DELETE /v1/namespaces/{ns}/tables/{table}     (DropTable)
+  *   POST   /v1/tables/rename
   *
-  * The registry is flat, so tables live in a single `default` namespace.
-  * `loadTable` re-exports the table's current snapshot before answering,
-  * so the response always reflects the latest commit — the same property
-  * the reference's object-store catalog export maintains per commit
-  * (object_store_catalog.c:30-45). Export cost is metadata-scale
-  * (O(changed files) via manifest reuse), never data-scale.
+  * Auth matches the reference's rest_catalog_auth.c posture (OAuth2
+  * client-credentials + bearer, rest_catalog_auth.c:1-388): when
+  * `credentials` is non-empty every route except the token endpoint
+  * demands `Authorization: Bearer <token>` where the token came from
+  * POST /v1/oauth/tokens with a valid client_id/client_secret pair;
+  * expired or unknown tokens get 401 and the client re-exchanges.
+  *
+  * The engine registry is flat; REST namespaces beyond `default` are
+  * catalog-level — their tables register under the mangled engine key
+  * `ns__table` and are tracked in [[nsTables]] so listings never leak
+  * across namespaces. `loadTable` re-exports the table's current
+  * snapshot before answering, so the response always reflects the
+  * latest commit — the same property the reference's object-store
+  * catalog export maintains per commit (object_store_catalog.c:30-45).
+  * Export cost is metadata-scale (O(changed files) via manifest
+  * reuse), never data-scale.
   *
   * Runs on the JDK's built-in HTTP server: driver-side, tiny, zero new
   * dependencies. Catalog traffic is metadata-only — data I/O goes
   * straight to the object store from whoever loaded the table.
   */
-final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
+final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
+    credentials: Map[String, String] = Map.empty,
+    tokenTtlMillis: Long = 3600L * 1000) {
 
   private val mapper = new ObjectMapper()
-  private val Ns = "default"
+  private val DefaultNs = "default"
+
+  /** namespace -> properties; seeded with the default namespace. */
+  private val namespaces = TrieMap[String, Map[String, String]](
+    DefaultNs -> Map.empty)
+
+  /** (ns, table) -> engine registry key, for non-default namespaces. */
+  private val nsTables = TrieMap.empty[(String, String), String]
+
+  /** bearer token -> expiry epoch millis. */
+  private val tokens = TrieMap.empty[String, Long]
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -58,25 +86,139 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
           s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  // --------------------------------------------------------------- auth
+
+  /** OAuth2 client-credentials exchange (form-encoded per RFC 6749). */
+  private def issueToken(ex: HttpExchange): Unit = {
+    val form = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      .split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(
+            java.net.URLDecoder.decode(k, UTF_8) ->
+              java.net.URLDecoder.decode(v, UTF_8))
+          case _ => None
+        }
+      }.toMap
+    val ok = form.get("grant_type").contains("client_credentials") &&
+      form.get("client_id").exists(id =>
+        credentials.get(id).exists(sec =>
+          form.get("client_secret").contains(sec)))
+    if (!ok) {
+      error(ex, 401, "OAuthError", "invalid client credentials")
+      return
+    }
+    val tok = java.util.UUID.randomUUID().toString
+    tokens.put(tok, System.currentTimeMillis() + tokenTtlMillis)
+    // drop expired tokens so the store stays bounded
+    val now = System.currentTimeMillis()
+    tokens.filterInPlace((_, exp) => exp > now)
+    json(ex, 200, s"""{"access_token":"$tok","token_type":"bearer",""" +
+      s""""expires_in":${tokenTtlMillis / 1000}}""")
+  }
+
+  /** True when the request may proceed; otherwise answers 401. */
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (credentials.isEmpty) return true
+    val ok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer "))
+      .map(_.stripPrefix("Bearer ").trim)
+      .exists(t => tokens.get(t).exists(_ > System.currentTimeMillis()))
+    if (!ok)
+      error(ex, 401, "NotAuthorizedException",
+        "missing, unknown, or expired bearer token")
+    ok
+  }
+
+  // ----------------------------------------------------------- registry
+
+  private def engineKey(ns: String, table: String): String =
+    if (ns == DefaultNs) table else s"${ns}__$table"
+
+  /** Engine keys owned by non-default namespaces (hidden from default). */
+  private def claimed: Set[String] = nsTables.values.toSet
+
+  private def resolve(ns: String, table: String): Option[LakeTable] =
+    if (ns == DefaultNs)
+      engine.tableOption(table).filterNot(_ => claimed.contains(table))
+    else nsTables.get((ns, table)).flatMap(engine.tableOption)
+
+  private def tablesIn(ns: String): Seq[String] =
+    if (ns == DefaultNs) engine.tableNames.filterNot(claimed)
+    else nsTables.keys.collect { case (n, t) if n == ns => t }.toSeq.sorted
+
+  // -------------------------------------------------------------- routes
+
   private def route(ex: HttpExchange): Unit = {
     val segs = ex.getRequestURI.getPath
       .split("/").toList.filter(_.nonEmpty)
-    (ex.getRequestMethod, segs) match {
+    val method = ex.getRequestMethod
+
+    // the token endpoint is the only unauthenticated route — it IS the
+    // way to become authenticated
+    if ((method, segs) == (("POST", List("v1", "oauth", "tokens")))) {
+      issueToken(ex)
+      return
+    }
+    if (!authorized(ex)) return
+
+    (method, segs) match {
       case ("GET", List("v1", "config")) =>
         json(ex, 200, """{"defaults":{},"overrides":{}}""")
 
       case ("GET", List("v1", "namespaces")) =>
-        json(ex, 200, s"""{"namespaces":[["$Ns"]]}""")
+        val root = mapper.createObjectNode()
+        val arr = root.putArray("namespaces")
+        namespaces.keys.toSeq.sorted.foreach(n => arr.addArray().add(n))
+        json(ex, 200, mapper.writeValueAsString(root))
 
-      case ("GET", List("v1", "namespaces", `Ns`)) =>
-        json(ex, 200, s"""{"namespace":["$Ns"],"properties":{}}""")
+      case ("POST", List("v1", "namespaces")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val parts = Option(body.get("namespace")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText())
+        if (parts.size != 1)
+          error(ex, 400, "BadRequestException",
+            "single-level namespaces only")
+        else {
+          val ns = parts.head
+          val props = Option(body.get("properties")).map(p =>
+            p.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String])
+          if (namespaces.putIfAbsent(ns, props).isDefined)
+            error(ex, 409, "AlreadyExistsException", s"namespace $ns")
+          else
+            json(ex, 200,
+              s"""{"namespace":["$ns"],"properties":${propsJson(props)}}""")
+        }
 
-      case ("GET", List("v1", "namespaces", `Ns`, "tables")) =>
+      case ("GET", List("v1", "namespaces", ns)) =>
+        namespaces.get(ns) match {
+          case None => error(ex, 404, "NoSuchNamespaceException", ns)
+          case Some(props) => json(ex, 200,
+            s"""{"namespace":["$ns"],"properties":${propsJson(props)}}""")
+        }
+
+      case ("DELETE", List("v1", "namespaces", ns)) =>
+        if (!namespaces.contains(ns))
+          error(ex, 404, "NoSuchNamespaceException", ns)
+        else if (ns == DefaultNs)
+          error(ex, 400, "BadRequestException",
+            "the default namespace cannot be dropped")
+        else if (tablesIn(ns).nonEmpty)
+          error(ex, 409, "NamespaceNotEmptyException",
+            s"namespace $ns still holds ${tablesIn(ns).size} table(s)")
+        else { namespaces.remove(ns); head(ex, 204) }
+
+      case ("GET", List("v1", "namespaces", ns, "tables")) =>
+        if (!namespaces.contains(ns)) {
+          error(ex, 404, "NoSuchNamespaceException", ns)
+          return
+        }
         val root = mapper.createObjectNode()
         val ids = root.putArray("identifiers")
-        engine.tableNames.foreach { n =>
+        tablesIn(ns).foreach { n =>
           val id = ids.addObject()
-          id.putArray("namespace").add(Ns)
+          id.putArray("namespace").add(ns)
           id.put("name", n)
         }
         json(ex, 200, mapper.writeValueAsString(root))
@@ -84,11 +226,14 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
       // CreateTable (spec: POST .../tables with name + Iceberg schema).
       // Field ids are assigned 1..n in field order — the same numbering
       // standard clients send — so imported per-file stats key cleanly.
-      case ("POST", List("v1", "namespaces", `Ns`, "tables")) =>
+      case ("POST", List("v1", "namespaces", ns, "tables")) =>
         val body = mapper.readTree(ex.getRequestBody)
         val name = body.get("name").asText()
-        if (engine.tableOption(name).isDefined)
-          error(ex, 409, "AlreadyExistsException", s"table $name")
+        if (!namespaces.contains(ns))
+          error(ex, 404, "NoSuchNamespaceException", ns)
+        else if (resolve(ns, name).isDefined ||
+            engine.tableOption(engineKey(ns, name)).isDefined)
+          error(ex, 409, "AlreadyExistsException", s"table $ns.$name")
         else {
           val defs = graft.sources.IcebergSnapshot.fieldDefsOf(
             body.get("schema"))
@@ -99,8 +244,10 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
           val loc = Option(body.get("location")).map(_.asText())
             .filter(_.nonEmpty)
             .getOrElse(graft.LakeEngine.tempLocation(s"rest_$name"))
-          val t = LakeTable.create(engine.spark, loc, name, schema)
-          engine.register(name, t)
+          val key = engineKey(ns, name)
+          val t = LakeTable.create(engine.spark, loc, key, schema)
+          engine.register(key, t)
+          if (ns != DefaultNs) nsTables.put((ns, name), key)
           loadResult(ex, t)
         }
 
@@ -108,28 +255,21 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
       // updates). The supported update is add-snapshot with a staged
       // manifest-list: the catalog walks the client's metadata and
       // swaps the file set under the normal commit CAS.
-      case ("POST", List("v1", "namespaces", `Ns`, "tables", t)) =>
-        engine.tableOption(t) match {
+      case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
+        resolve(ns, t) match {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
           case Some(lt) =>
             val body = mapper.readTree(ex.getRequestBody)
-            // spec requirement check: a client that read snapshot S
-            // must not clobber a table that moved past S (a racing
-            // local append would otherwise be silently dropped —
-            // CommitFailedException per the REST spec, client re-reads
-            // and retries)
-            val staleReq = Option(body.get("requirements")).toSeq
+            // spec requirement: a client that read snapshot S must not
+            // clobber a table that moved past S (a racing local append
+            // would otherwise be silently dropped). Enforced INSIDE
+            // the commit CAS (importSnapshot's closure) — a pre-check
+            // here would race a local commit landing before the CAS.
+            val requiredSnap = Option(body.get("requirements")).toSeq
               .flatMap(_.elements().asScala)
               .filter(r => r.get("type").asText() == "assert-ref-snapshot-id")
-              .find(r => r.get("snapshot-id").asLong() !=
-                lt.meta.currentSnapshotId)
-            if (staleReq.isDefined) {
-              error(ex, 409, "CommitFailedException",
-                s"requirement failed: table is at snapshot " +
-                  s"${lt.meta.currentSnapshotId}, not " +
-                  s"${staleReq.get.get("snapshot-id").asLong()}")
-              return
-            }
+              .map(r => r.get("snapshot-id").asLong())
+              .headOption
             val updates = Option(body.get("updates")).toSeq
               .flatMap(_.elements().asScala)
             val addSnap = updates.find(u =>
@@ -154,28 +294,82 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0) {
                   // stats, so partition pruning skips them (field-stat
                   // pruning still applies)
                   Map.empty))
-                lt.importSnapshot(entries)
-                engine.refresh(t)
-                loadResult(ex, lt)
+                try {
+                  lt.importSnapshot(entries,
+                    requireSnapshotId = requiredSnap)
+                  engine.refresh(engineKey(ns, t))
+                  loadResult(ex, lt)
+                } catch {
+                  case e: java.util.ConcurrentModificationException =>
+                    error(ex, 409, "CommitFailedException", e.getMessage)
+                }
             }
         }
 
-      case ("GET" | "HEAD", List("v1", "namespaces", `Ns`, "tables", t)) =>
-        engine.tableOption(t) match {
+      case ("GET" | "HEAD", List("v1", "namespaces", ns, "tables", t)) =>
+        resolve(ns, t) match {
           case None =>
-            if (ex.getRequestMethod == "HEAD") head(ex, 404)
+            if (method == "HEAD") head(ex, 404)
             else error(ex, 404, "NoSuchTableException", s"table $t")
-          case Some(_) if ex.getRequestMethod == "HEAD" => head(ex, 200)
+          case Some(_) if method == "HEAD" => head(ex, 200)
           case Some(lt) => loadResult(ex, lt)
         }
 
-      case (_, List("v1", "namespaces", ns, _*)) if ns != Ns =>
+      // DropTable (spec: DELETE .../tables/{t}?purgeRequested=true).
+      case ("DELETE", List("v1", "namespaces", ns, "tables", t)) =>
+        resolve(ns, t) match {
+          case None => error(ex, 404, "NoSuchTableException", s"table $t")
+          case Some(_) =>
+            val purge = Option(ex.getRequestURI.getQuery)
+              .exists(_.split("&").contains("purgeRequested=true"))
+            engine.dropTable(engineKey(ns, t), purge)
+            nsTables.remove((ns, t))
+            head(ex, 204)
+        }
+
+      // RenameTable (spec: POST /v1/tables/rename with source +
+      // destination identifiers). Registry-only — the table keeps its
+      // location and metadata (Iceberg rename semantics).
+      case ("POST", List("v1", "tables", "rename")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        def ident(k: String): Option[(String, String)] =
+          Option(body.get(k)).flatMap { n =>
+            val ns = Option(n.get("namespace")).toSeq
+              .flatMap(_.elements().asScala).map(_.asText())
+            Option(n.get("name")).map(_.asText())
+              .map(t => (ns.headOption.getOrElse(DefaultNs), t))
+          }
+        (ident("source"), ident("destination")) match {
+          case (Some((sns, st)), Some((dns, dt))) =>
+            if (resolve(sns, st).isEmpty)
+              error(ex, 404, "NoSuchTableException", s"table $sns.$st")
+            else if (!namespaces.contains(dns))
+              error(ex, 404, "NoSuchNamespaceException", dns)
+            else if (resolve(dns, dt).isDefined)
+              error(ex, 409, "AlreadyExistsException", s"table $dns.$dt")
+            else {
+              engine.renameTable(engineKey(sns, st), engineKey(dns, dt))
+              if (sns != DefaultNs) nsTables.remove((sns, st))
+              if (dns != DefaultNs)
+                nsTables.put((dns, dt), engineKey(dns, dt))
+              head(ex, 204)
+            }
+          case _ =>
+            error(ex, 400, "BadRequestException",
+              "rename needs source and destination identifiers")
+        }
+
+      case (_, List("v1", "namespaces", ns, _*))
+          if !namespaces.contains(ns) =>
         error(ex, 404, "NoSuchNamespaceException", s"namespace $ns")
 
       case (m, p) =>
         error(ex, 404, "NotFound", s"$m /${p.mkString("/")}")
     }
   }
+
+  private def propsJson(props: Map[String, String]): String =
+    mapper.writeValueAsString(mapper.valueToTree(props.asJava))
 
   /** LoadTableResult: re-export the current snapshot, answer with the
     * metadata location + inline metadata.

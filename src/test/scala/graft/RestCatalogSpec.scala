@@ -177,4 +177,154 @@ class RestCatalogSpec extends AnyFunSuite {
         == 200)
     } finally srv.stop()
   }
+
+  private def send(method: String, url: String, body: String = null,
+      token: String = null): (Int, String) = {
+    var b = HttpRequest.newBuilder(URI.create(url))
+    b = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+    }
+    if (token != null) b = b.header("Authorization", s"Bearer $token")
+    val r = http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def tokenExchange(base: String, id: String,
+      secret: String): (Int, String) = {
+    val r = http.send(HttpRequest.newBuilder(
+        URI.create(s"$base/v1/oauth/tokens"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        s"grant_type=client_credentials&client_id=$id&client_secret=$secret"))
+      .build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("REST catalog auth: OAuth2 client-credentials gates every route") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("auth_t", LakeEngine.tempLocation("rca"),
+      Tables.df(spark, sf, "region"))
+    val srv = e.serveRestCatalog(credentials = Map("svc" -> "s3cret"))
+    try {
+      val base = srv.address
+      // no token / bad token → 401 with a spec-shaped error
+      val (uc, ub) = send("GET", s"$base/v1/namespaces")
+      assert(uc == 401)
+      assert(mapper.readTree(ub).get("error").get("type").asText() ==
+        "NotAuthorizedException")
+      assert(send("GET", s"$base/v1/config", token = "forged")._1 == 401)
+      // wrong credentials refused at the token endpoint
+      assert(tokenExchange(base, "svc", "wrong")._1 == 401)
+      assert(tokenExchange(base, "nobody", "s3cret")._1 == 401)
+      // the exchange itself needs no token (it IS the way in)
+      val (tc, tb) = tokenExchange(base, "svc", "s3cret")
+      assert(tc == 200, tb)
+      val tok = mapper.readTree(tb).get("access_token").asText()
+      assert(mapper.readTree(tb).get("token_type").asText() == "bearer")
+      // bearer token unlocks reads and writes
+      val (lc, lb) = send("GET", s"$base/v1/namespaces/default/tables",
+        token = tok)
+      assert(lc == 200)
+      assert(mapper.readTree(lb).get("identifiers").elements().asScala
+        .map(_.get("name").asText()).contains("auth_t"))
+      assert(send("GET", s"$base/v1/namespaces/default/tables/auth_t",
+        token = tok)._1 == 200)
+    } finally srv.stop()
+  }
+
+  test("REST catalog auth: expired token refused, re-exchange commits") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog(credentials = Map("svc" -> "pw"),
+      tokenTtlMillis = 1)
+    try {
+      val base = srv.address
+      val stale = mapper.readTree(tokenExchange(base, "svc", "pw")._2)
+        .get("access_token").asText()
+      Thread.sleep(20)
+      assert(send("GET", s"$base/v1/namespaces", token = stale)._1 == 401)
+      // the client re-exchanges and retries — the refreshed token can
+      // create (a write op) where the stale one could not even read
+      val srv2 = e.serveRestCatalog(credentials = Map("svc" -> "pw"))
+      try {
+        val base2 = srv2.address
+        val tok2 = mapper.readTree(tokenExchange(base2, "svc", "pw")._2)
+          .get("access_token").asText()
+        val (cc, cb) = send("POST", s"$base2/v1/namespaces/default/tables",
+          """{"name":"auth_w","schema":{"type":"struct","fields":[
+            |  {"id":1,"name":"id","type":"long","required":true}]}}"""
+            .stripMargin, token = tok2)
+        assert(cc == 200, cb)
+        assert(e.tableOption("auth_w").isDefined)
+      } finally srv2.stop()
+    } finally srv.stop()
+  }
+
+  test("REST catalog lifecycle: namespace CRUD, drop, rename, recreate") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      // namespace create / duplicate / list / properties
+      val nsBody = """{"namespace":["analytics"],"properties":{"owner":"ml"}}"""
+      assert(send("POST", s"$base/v1/namespaces", nsBody)._1 == 200)
+      assert(send("POST", s"$base/v1/namespaces", nsBody)._1 == 409)
+      val (gc, gb) = send("GET", s"$base/v1/namespaces/analytics")
+      assert(gc == 200)
+      assert(mapper.readTree(gb).get("properties").get("owner")
+        .asText() == "ml")
+      val (lc, lb) = send("GET", s"$base/v1/namespaces")
+      assert(lc == 200)
+      val nss = mapper.readTree(lb).get("namespaces").elements().asScala
+        .map(_.get(0).asText()).toSet
+      assert(nss == Set("analytics", "default"))
+
+      // create a table INSIDE the new namespace; listings stay scoped
+      val createBody =
+        """{"name":"t1","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true}]}}"""
+          .stripMargin
+      assert(send("POST", s"$base/v1/namespaces/analytics/tables",
+        createBody)._1 == 200)
+      def names(ns: String): Set[String] = {
+        val (_, b) = send("GET", s"$base/v1/namespaces/$ns/tables")
+        mapper.readTree(b).get("identifiers").elements().asScala
+          .map(_.get("name").asText()).toSet
+      }
+      assert(names("analytics") == Set("t1"))
+      assert(!names("default").contains("t1"))
+      assert(send("GET", s"$base/v1/namespaces/analytics/tables/t1")._1
+        == 200)
+
+      // a namespace holding tables refuses to drop
+      assert(send("DELETE", s"$base/v1/namespaces/analytics")._1 == 409)
+
+      // rename across namespaces: analytics.t1 → default.t2
+      assert(send("POST", s"$base/v1/tables/rename",
+        """{"source":{"namespace":["analytics"],"name":"t1"},
+          |"destination":{"namespace":["default"],"name":"t2"}}"""
+          .stripMargin)._1 == 204)
+      assert(names("analytics").isEmpty)
+      assert(names("default").contains("t2"))
+      assert(send("GET", s"$base/v1/namespaces/analytics/tables/t1")._1
+        == 404)
+
+      // drop + recreate from the external side
+      assert(send("DELETE",
+        s"$base/v1/namespaces/default/tables/t2?purgeRequested=true")._1
+        == 204)
+      assert(send("GET", s"$base/v1/namespaces/default/tables/t2")._1
+        == 404)
+      assert(send("POST", s"$base/v1/namespaces/default/tables",
+        createBody.replace("\"t1\"", "\"t2\""))._1 == 200)
+      assert(names("default").contains("t2"))
+
+      // now-empty namespace drops; the default namespace never does
+      assert(send("DELETE", s"$base/v1/namespaces/analytics")._1 == 204)
+      assert(send("GET", s"$base/v1/namespaces/analytics")._1 == 404)
+      assert(send("DELETE", s"$base/v1/namespaces/default")._1 == 400)
+    } finally srv.stop()
+  }
 }
