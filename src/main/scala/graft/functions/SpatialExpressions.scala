@@ -153,11 +153,34 @@ object SpatialOps {
     "st_overlaps" -> { (a, b) => Geometry.overlaps(a, b) },
     "st_containsproperly" -> { (a, b) => containsProperly(a, b) })
 
+  private def bothSingleRingPolys(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (GPolygon(as, _), GPolygon(bs, _)) =>
+      as.length == 1 && bs.length == 1
+    case _ => false
+  }
+
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
     "st_collect" -> { (a, b) => collect(a, b) },
-    "st_union" -> { (a, b) => unionPoints(a, b) },
+    // dissolving union: point sets merge; polygon pairs (convex or
+    // not) go through the general overlay; everything else refuses
+    // loudly via unionPoints' message
+    "st_union" -> { (a, b) =>
+      if (bothSingleRingPolys(a, b)) Overlay.overlayPolygons(a, b, Overlay.Union)
+      else unionPoints(a, b)
+    },
     "st_shortestline" -> { (a, b) => shortestLine(a, b) },
-    "st_intersection" -> { (a, b) => intersectionWithConvex(a, b) },
+    // a convex clipper keeps the Sutherland–Hodgman path (it also
+    // handles point/line/multi subjects and holes); a non-convex
+    // polygon pair dispatches to the general overlay
+    "st_intersection" -> { (a, b) =>
+      val convexClip = b match {
+        case GPolygon(rs, _) => rs.length == 1 && isConvexRing(rs.head)
+        case _ => false
+      }
+      if (!convexClip && bothSingleRingPolys(a, b))
+        Overlay.overlayPolygons(a, b, Overlay.Inter)
+      else intersectionWithConvex(a, b)
+    },
     "st_difference" -> { (a, b) => difference(a, b) })
 
   val geomDoubleToGeom: Map[String, (Geom, Double) => Geom] = Map(

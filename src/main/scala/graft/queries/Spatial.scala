@@ -240,5 +240,69 @@ object Spatial {
           |  clip_w * clip_h AS clip_area_v
           |FROM m ORDER BY event_id""".stripMargin
           .replace("FROM d0",
-            "FROM events WHERE event_id < 2500")))
+            "FROM events WHERE event_id < 2500")),
+
+    // ---- general (non-convex) overlay: an integer-coordinate L-shape
+    // against a half-integer-offset box (generic position by
+    // construction, so the Greiner–Hormann path never refuses). The
+    // oracle decomposes the L into two rectangles and recomputes every
+    // area with interval arithmetic: intersection directly,
+    // union/difference via inclusion–exclusion. True areas are exact
+    // multiples of 0.25, so round(·,6) absorbs the crossing-point
+    // constructions' final-ulp noise and the compare is exact. --------
+    QueryDef.sql(
+      "q_spatial_overlay",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    6 + event_id % 7 AS w, 1 + event_id % 5 AS w1,
+        |    1 + user_id % 5 AS h1, 2 + user_id % 5 + user_id % 7 AS h2,
+        |    CAST((event_id * 3) % 10 AS DOUBLE) + 0.5 AS qx1,
+        |    CAST((user_id * 3) % 10 AS DOUBLE) + 0.5 AS qy1,
+        |    CAST((event_id * 3) % 10 + 2 + event_id % 5 AS DOUBLE) + 0.5 AS qx2,
+        |    CAST((user_id * 3) % 10 + 2 + user_id % 5 AS DOUBLE) + 0.5 AS qy2
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id,
+        |    st_geomfromtext(concat('POLYGON((0 0, ',
+        |      CAST(w AS STRING), ' 0, ',
+        |      CAST(w AS STRING), ' ', CAST(h1 AS STRING), ', ',
+        |      CAST(w1 AS STRING), ' ', CAST(h1 AS STRING), ', ',
+        |      CAST(w1 AS STRING), ' ', CAST(h2 AS STRING), ', ',
+        |      '0 ', CAST(h2 AS STRING), ', 0 0))')) AS l,
+        |    st_makeenvelope(qx1, qy1, qx2, qy2) AS q
+        |  FROM d)
+        |SELECT event_id,
+        |  round(st_area(st_intersection(q, l)), 6) AS ia_v,
+        |  round(st_area(st_union(l, q)), 6) AS ua_v,
+        |  round(st_area(st_difference(l, q)), 6) AS da_v,
+        |  st_geometrytype(st_union(l, q)) AS utype_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(6 + event_id % 7 AS DOUBLE) AS w,
+          |    CAST(1 + event_id % 5 AS DOUBLE) AS w1,
+          |    CAST(1 + user_id % 5 AS DOUBLE) AS h1,
+          |    CAST(2 + user_id % 5 + user_id % 7 AS DOUBLE) AS h2,
+          |    CAST((event_id * 3) % 10 AS DOUBLE) + 0.5 AS qx1,
+          |    CAST((user_id * 3) % 10 AS DOUBLE) + 0.5 AS qy1,
+          |    CAST((event_id * 3) % 10 + 2 + event_id % 5 AS DOUBLE) + 0.5 AS qx2,
+          |    CAST((user_id * 3) % 10 + 2 + user_id % 5 AS DOUBLE) + 0.5 AS qy2
+          |  FROM events WHERE event_id < 2000),
+          |m AS (
+          |  SELECT event_id,
+          |    GREATEST(0, LEAST(w, qx2) - GREATEST(0, qx1)) *
+          |      GREATEST(0, LEAST(h1, qy2) - GREATEST(0, qy1))
+          |    + GREATEST(0, LEAST(w1, qx2) - GREATEST(0, qx1)) *
+          |      GREATEST(0, LEAST(h2, qy2) - GREATEST(h1, qy1)) AS ia,
+          |    w * h1 + w1 * (h2 - h1) AS la,
+          |    (qx2 - qx1) * (qy2 - qy1) AS qa
+          |  FROM d)
+          |SELECT event_id,
+          |  round(ia, 6) AS ia_v,
+          |  round(la + qa - ia, 6) AS ua_v,
+          |  round(la - ia, 6) AS da_v,
+          |  CASE WHEN ia = 0 THEN 'ST_MultiPolygon' ELSE 'ST_Polygon' END
+          |    AS utype_v
+          |FROM m ORDER BY event_id""".stripMargin))
 }

@@ -102,4 +102,107 @@ class GeometryPropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  // ---- general (non-convex) overlay: Greiner–Hormann ----------------
+
+  import graft.functions.Overlay
+
+  private def lShape(ox: Double, oy: Double, w: Double, w1: Double,
+      h1: Double, h2: Double): Geom =
+    GPolygon(Vector(Vector(
+      Pt(ox, oy), Pt(ox + w, oy), Pt(ox + w, oy + h1),
+      Pt(ox + w1, oy + h1), Pt(ox + w1, oy + h2), Pt(ox, oy + h2),
+      Pt(ox, oy))))
+
+  /** Random non-convex L at integer coordinates. */
+  private val genL: Gen[Geom] = for {
+    w <- Gen.choose(3, 8); w1 <- Gen.choose(1, 2)
+    h1 <- Gen.choose(1, 3); up <- Gen.choose(1, 4)
+    ox <- Gen.choose(0, 6); oy <- Gen.choose(0, 6)
+  } yield lShape(ox, oy, w, w1, h1, h1 + up)
+
+  /** Random box at half-integer coordinates — generic position vs the
+    * integer Ls, so the overlay never sees degenerate contact.
+    */
+  private val genHalfBox: Gen[Geom] = for {
+    x <- Gen.choose(0, 12); y <- Gen.choose(0, 12)
+    w <- Gen.choose(1, 6); h <- Gen.choose(1, 6)
+  } yield GPolygon(Vector(Vector(
+    Pt(x + 0.5, y + 0.5), Pt(x + w + 0.5, y + 0.5),
+    Pt(x + w + 0.5, y + h + 0.5), Pt(x + 0.5, y + h + 0.5),
+    Pt(x + 0.5, y + 0.5))))
+
+  /** Random non-convex L at half-integer coordinates. */
+  private val genHalfL: Gen[Geom] = genL.map {
+    case GPolygon(rs, s) =>
+      GPolygon(rs.map(_.map(p => Pt(p.x + 0.5, p.y + 0.5))), s)
+    case g => g
+  }
+
+  private def near(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+
+  test("overlay area algebra on non-convex polygons") {
+    check(forAll(genL, Gen.oneOf(genHalfBox, genHalfL)) { (a, b) =>
+      val ia = area(Overlay.overlayPolygons(a, b, Overlay.Inter))
+      val ua = area(Overlay.overlayPolygons(a, b, Overlay.Union))
+      val da = area(Overlay.overlayPolygons(a, b, Overlay.Diff))
+      val db = area(Overlay.overlayPolygons(b, a, Overlay.Diff))
+      near(ia + da, area(a)) &&
+        near(ia + db, area(b)) &&
+        near(ua, area(a) + area(b) - ia) &&
+        near(area(Overlay.overlayPolygons(b, a, Overlay.Inter)), ia) &&
+        near(area(Overlay.overlayPolygons(b, a, Overlay.Union)), ua)
+    })
+  }
+
+  test("overlay known figures: L against L, containment, hole") {
+    val a = lShape(0, 0, 6, 2, 2, 6)        // area 20
+    val b = lShape(0.5, 0.5, 6, 2, 2, 6)    // non-convex ∩ non-convex
+    assert(near(area(a), 20.0) && near(area(b), 20.0))
+    assert(near(area(Overlay.overlayPolygons(a, b, Overlay.Inter)), 14.25))
+    assert(near(area(Overlay.overlayPolygons(a, b, Overlay.Union)), 25.75))
+    assert(near(area(Overlay.overlayPolygons(a, b, Overlay.Diff)), 5.75))
+
+    // box strictly inside the L's foot: difference keeps it as a hole
+    val hole = GPolygon(Vector(Vector(
+      Pt(2.5, 0.5), Pt(3.5, 0.5), Pt(3.5, 1.5), Pt(2.5, 1.5),
+      Pt(2.5, 0.5))))
+    val diff = Overlay.overlayPolygons(a, hole, Overlay.Diff)
+    assert(near(area(diff), 19.0))
+    assert(locateInPolygon(
+      diff.asInstanceOf[GPolygon].rings, Pt(3.0, 1.0)) == 0)
+    assert(near(area(Overlay.overlayPolygons(a, hole, Overlay.Union)), 20.0))
+    assert(near(area(Overlay.overlayPolygons(a, hole, Overlay.Inter)), 1.0))
+
+    // disjoint: union is both pieces, intersection empty
+    val far = GPolygon(Vector(Vector(
+      Pt(50.5, 50.5), Pt(51.5, 50.5), Pt(51.5, 51.5), Pt(50.5, 51.5),
+      Pt(50.5, 50.5))))
+    assert(isEmpty(Overlay.overlayPolygons(a, far, Overlay.Inter)))
+    assert(near(area(Overlay.overlayPolygons(a, far, Overlay.Union)), 21.0))
+    assert(near(area(Overlay.overlayPolygons(a, far, Overlay.Diff)), 20.0))
+
+    // degenerate contact refuses loudly (shared integer corner)
+    val touching = GPolygon(Vector(Vector(
+      Pt(6, 0), Pt(8, 0), Pt(8, 2), Pt(6, 2), Pt(6, 0))))
+    intercept[UnsupportedOperationException] {
+      Overlay.overlayPolygons(a, touching, Overlay.Inter)
+    }
+  }
+
+  test("multi-component intersection comes back as separate rings") {
+    // a U-shape crossed by a wide flat bar: two disjoint pockets
+    val u = GPolygon(Vector(Vector(
+      Pt(0, 0), Pt(7, 0), Pt(7, 5), Pt(5, 5), Pt(5, 2), Pt(2, 2),
+      Pt(2, 5), Pt(0, 5), Pt(0, 0))))
+    val bar = GPolygon(Vector(Vector(
+      Pt(-0.5, 2.5), Pt(7.5, 2.5), Pt(7.5, 4.5), Pt(-0.5, 4.5),
+      Pt(-0.5, 2.5))))
+    val inter = Overlay.overlayPolygons(u, bar, Overlay.Inter)
+    assert(near(area(inter), 8.0)) // two 2x2 pockets
+    assert(inter.isInstanceOf[GMultiPolygon])
+    assert(inter.asInstanceOf[GMultiPolygon].polys.length == 2)
+    val union = Overlay.overlayPolygons(u, bar, Overlay.Union)
+    assert(near(area(union), area(u) + area(bar) - 8.0))
+  }
 }

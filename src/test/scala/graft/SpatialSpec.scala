@@ -526,9 +526,14 @@ class SpatialSpec extends AnyFunSuite {
     val inner = wkt("POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))")
     assert(isEmpty(difference(inner, box)))
     assert(difference(inner, box).isInstanceOf[GPolygon])
-    // partial polygon overlap: loud refusal
+    // partial polygon overlap now runs the general overlay: the
+    // 4x4 square minus the 4x4 box overlapping its lower-left
+    // quarter keeps 16 - 4 = 12 of area
     val overlap = wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")
-    intercept[UnsupportedOperationException] { difference(overlap, box) }
+    assert(math.abs(area(difference(overlap, box)) - 12.0) < 1e-9)
+    // line-minus-polygon partial overlap still refuses loudly
+    val line = wkt("LINESTRING(1 1, 9 1)")
+    intercept[UnsupportedOperationException] { difference(line, box) }
   }
 
   test("zm surface: st_z/st_m null, zmflag 0, force3d loud") {
