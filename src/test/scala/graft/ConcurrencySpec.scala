@@ -181,6 +181,119 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(t.read().count() == 50)
   }
 
+  test("update races update: commuting increments never lose a write") {
+    import spark.implicits._
+    val loc = freshLoc()
+    val seed = (1 to 100).map(i => (i.toLong, 0L)).toDF("k", "n")
+    val t = LakeTable.createAsSelect(spark, loc, "uprace", seed,
+      targetFiles = Some(4))
+
+    // overlapping predicates force both writers onto the SAME files:
+    // the copy-on-write rewrite must CAS-retry from fresh state, so
+    // each increment is applied exactly once (a lost update would
+    // revert the other writer's rows to a stale image)
+    val rounds = 2
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until rounds).foreach { _ =>
+          t.update(col("k") <= 60, Map("n" -> (col("n") + 1)))
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until rounds).foreach { _ =>
+          t.update(col("k") >= 40, Map("n" -> (col("n") + 10)))
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race timed out")
+    assert(failures.isEmpty, s"writer failed: ${failures.asScala.headOption}")
+
+    // every row carries exactly the increments whose predicate it
+    // matches — regardless of interleaving
+    val rows = t.read().select("k", "n").as[(Long, Long)].collect().toMap
+    assert(rows.size == 100)
+    (1 to 100).foreach { i =>
+      val expected = (if (i <= 60) rounds * 1L else 0L) +
+        (if (i >= 40) rounds * 10L else 0L)
+      assert(rows(i.toLong) == expected,
+        s"k=$i: got ${rows(i.toLong)}, want $expected (lost update)")
+    }
+    val onDisk = TableMetadata.load(loc)
+    onDisk.currentSnapshot.get.files.foreach(f =>
+      assert(Files.exists(Paths.get(f.path)), s"lost data file ${f.path}"))
+  }
+
+  test("expire races readAsOf: grace protects in-flight time travel") {
+    import spark.implicits._
+    val loc = freshLoc()
+    val t = LakeTable.createAsSelect(spark, loc, "ttrace",
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      targetFiles = Some(3))
+    val oldId = t.meta.currentSnapshotId
+    val oldCount = 50L
+    val oldFiles = t.meta.currentSnapshot.get.files.map(_.path)
+    (0 until 2).foreach { i =>
+      t.append(Seq((100L + i, "a")).toDF("k", "v"))
+    }
+    // rewrite everything so the original files become unique to the
+    // old snapshots — the case where expiry actually GCs reader state
+    t.cluster(Seq("k"), targetFiles = 2)
+
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until 8).foreach { _ =>
+          // each attempt must be all-or-nothing: the full old count
+          // when the snapshot is still in metadata, a clean
+          // no-such-snapshot error once expired — never a partial scan
+          // or a missing-file failure (default grace keeps the bytes)
+          try assert(t.readAsOf(oldId).count() == oldCount)
+          catch { case _: IllegalArgumentException => () }
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until 3).foreach { _ =>
+          t.expireSnapshots(keepLast = 1) // default grace
+          Thread.sleep(20)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "race timed out")
+    assert(failures.isEmpty,
+      s"time-travel read saw GC'd state: ${failures.asScala.headOption}")
+
+    // the racing expiry removed the snapshot from metadata, but grace
+    // kept its bytes; the snapshot itself is gone for NEW reads
+    intercept[IllegalArgumentException] { t.readAsOf(oldId) }
+    oldFiles.foreach(p => assert(Files.exists(Paths.get(p)),
+      "grace must keep expired snapshots' files during the race window"))
+    // quiescent zero-grace expiry reclaims the now-orphaned files;
+    // the current snapshot is untouched throughout
+    t.expireSnapshots(keepLast = 1, graceMs = 0L)
+    val current = TableMetadata.load(loc).currentSnapshot.get.files
+      .map(_.path).toSet
+    oldFiles.filterNot(current).foreach(p =>
+      assert(!Files.exists(Paths.get(p)), s"orphaned file survived: $p"))
+    assert(t.read().count() == 52)
+  }
+
   test("expiry races a slow writer: grace keeps the staged manifest") {
     val loc = freshLoc()
     import spark.implicits._
