@@ -54,7 +54,10 @@ object Bench {
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_text_stats", "q_text_tfidf", "q_sessionize",
       "q_pipeline_curate", "q_pipeline_train", "q_dedup_incremental",
-      "q_cb_funnel")
+      "q_cb_funnel",
+      // function-layer representative so BENCH keeps the PG function
+      // surface visible round over round
+      "q_fn_math")
     // optional comma-separated name filter for targeted iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

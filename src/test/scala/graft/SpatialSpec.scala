@@ -558,4 +558,98 @@ class SpatialSpec extends AnyFunSuite {
         .stripMargin).as[String].head()
     assert(d == "MULTIPOINT(9 9)")
   }
+
+  // ---- st_transform: WGS84 UTM zones (Krüger series) ----------------
+  // Validated by independent invariants rather than memorized vectors:
+  // forward∘inverse identity, northing-vs-numerically-integrated
+  // meridian arc on the central meridian, and local conformality.
+
+  private def pt(lon: Double, lat: Double, srid: Int): Geom =
+    GPoint(Some(Pt(lon, lat)), srid)
+  private def xy(g: Geom): Pt = g.asInstanceOf[GPoint].pt.get
+
+  test("utm transform: round-trip identity across zones and latitudes") {
+    for {
+      (srid, lon0) <- Seq((32631, 3.0), (32733, 15.0), (32601, -177.0))
+      lat <- Seq(-75.0, -45.0, -0.5, 0.5, 33.0, 60.0, 80.0)
+      dLon <- Seq(-2.9, -1.0, 0.0, 1.4, 2.9)
+    } {
+      val src = pt(lon0 + dLon, lat, 4326)
+      val utm = transform(src, srid)
+      val p = xy(utm)
+      if (srid == 32733) assert(p.y > 0 && p.y < 2e7)
+      val back = xy(transform(utm, 4326))
+      assert(math.abs(back.x - (lon0 + dLon)) < 1e-9 &&
+        math.abs(back.y - lat) < 1e-9,
+        s"round-trip drift at zone $srid lon=${lon0 + dLon} lat=$lat: $back")
+    }
+  }
+
+  test("utm transform: central-meridian northing equals k0 x meridian arc") {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    def meridianArc(latDeg: Double): Double = {
+      // Simpson integration of a(1-e^2)(1-e^2 sin^2 t)^(-3/2)
+      val n = 20000
+      val h = math.toRadians(latDeg) / n
+      def g(t: Double) = {
+        val s = math.sin(t)
+        a * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+      }
+      var s = g(0) + g(math.toRadians(latDeg))
+      var i = 1
+      while (i < n) { s += (if (i % 2 == 1) 4 else 2) * g(i * h); i += 1 }
+      s * h / 3
+    }
+    for (lat <- Seq(10.0, 45.0, 70.0)) {
+      val p = xy(transform(pt(3.0, lat, 4326), 32631))
+      assert(math.abs(p.x - 500000.0) < 1e-6,
+        s"central meridian must map to the false easting: ${p.x}")
+      assert(math.abs(p.y - 0.9996 * meridianArc(lat)) < 1e-3,
+        s"northing off the scaled meridian arc at lat=$lat: " +
+          s"${p.y} vs ${0.9996 * meridianArc(lat)}")
+    }
+    // equator origin
+    val o = xy(transform(pt(3.0, 0.0, 4326), 32631))
+    assert(math.abs(o.x - 500000.0) < 1e-6 && math.abs(o.y) < 1e-6)
+  }
+
+  test("utm transform: locally conformal (isotropic scale)") {
+    val a = 6378137.0; val f = 1.0 / 298.257223563
+    val e2 = f * (2 - f)
+    for ((lon, lat) <- Seq((4.0, 40.0), (1.5, -35.0), (3.0, 70.0))) {
+      val srid = if (lat >= 0) 32631 else 32731
+      val base = xy(transform(pt(lon, lat, 4326), srid))
+      val d = 1e-6 // degrees
+      val east = xy(transform(pt(lon + d, lat, 4326), srid))
+      val north = xy(transform(pt(lon, lat + d, 4326), srid))
+      val s = math.sin(math.toRadians(lat))
+      val nu = a / math.sqrt(1 - e2 * s * s)
+      val rho = a * (1 - e2) / math.pow(1 - e2 * s * s, 1.5)
+      val dEast = math.hypot(east.x - base.x, east.y - base.y)
+      val dNorth = math.hypot(north.x - base.x, north.y - base.y)
+      val mx = dEast / (math.toRadians(d) * nu * math.cos(math.toRadians(lat)))
+      val my = dNorth / (math.toRadians(d) * rho)
+      assert(math.abs(mx / my - 1) < 1e-5,
+        s"anisotropic scale at ($lon,$lat): mx=$mx my=$my")
+      // scale near the central meridian stays near k0
+      assert(mx > 0.9995 && mx < 1.001, s"implausible scale $mx")
+    }
+  }
+
+  test("utm transform: pivots through wgs84 from web mercator; refusals") {
+    val merc = transform(pt(5.0, 52.0, 4326), 3857)
+    val viaUtm = transform(merc, 32631)
+    val direct = transform(pt(5.0, 52.0, 4326), 32631)
+    val (p1, p2) = (xy(viaUtm), xy(direct))
+    assert(math.abs(p1.x - p2.x) < 1e-6 && math.abs(p1.y - p2.y) < 1e-6)
+    assert(viaUtm.srid == 32631)
+    // unsupported CRS still refuses loudly
+    intercept[UnsupportedOperationException] {
+      transform(pt(1.0, 1.0, 4326), 2154) // Lambert-93 needs PROJ
+    }
+    intercept[UnsupportedOperationException] {
+      transform(pt(1.0, 1.0, 4326).withSrid(27700), 4326)
+    }
+  }
 }
