@@ -141,6 +141,256 @@ object Overlay {
     if (open.isEmpty) open else open :+ open.head
   }
 
+  // ------------------------------------------------------------------
+  // Round-join buffer for lines and polygons — the other refusal the
+  // convex-only core left open (reference: GEOS ST_Buffer). The
+  // outline is constructed DIRECTLY: straight offset sides, one
+  // inscribed arc per outer joint and per end cap, and an offset-line
+  // intersection clip per inner joint — no boolean ops, so adjacent
+  // joints never fight over the same circle. The inscribed-arc
+  // discretization makes the result a subset of the true buffer,
+  // within sagitta r·(1−cos(π/4q)) of it — the point-buffer contract.
+  //
+  // Refused loudly, never silently wrong:
+  //  - non-positive radius, polygons with holes, collections;
+  //  - exact u-turn joints (the outline arc is undefined);
+  //  - a radius too large for an inner joint (the offset clip leaves
+  //    its segments — GEOS handles this with full overlay machinery);
+  //  - any outline that fails the simplicity check afterwards (a path
+  //    folding back within 2r needs the overlay union of GEOS).
+  // ------------------------------------------------------------------
+
+  def buffer(g: Geom, r: Double, quadSegs: Int = 8): Geom = {
+    require(r > 0, "st_buffer radius must be positive")
+    g match {
+      case GPoint(_, _) => Geometry.bufferPoint(g, r, quadSegs)
+      case GMultiPoint(pts, srid) =>
+        unionAll(pts.toVector.map(p =>
+          Geometry.bufferPoint(GPoint(Some(p), srid), r, quadSegs)), srid)
+      case GLine(pts, srid) => bufferPath(pts, r, quadSegs, srid)
+      case GMultiLine(ls, srid) =>
+        unionAll(ls.filter(_.nonEmpty).toVector
+          .map(p => bufferPath(p, r, quadSegs, srid)), srid)
+      case GPolygon(rings, srid) if rings.length == 1 =>
+        val open = ccw(openRing(rings.head))
+        val ring = checkedOutline(
+          ringOutline(open, r, math.max(quadSegs, 2)), srid)
+        GPolygon(Vector(ring), srid)
+      case other => throw new UnsupportedOperationException(
+        s"st_buffer: unsupported input ${geometryType(other)} " +
+          "(polygons with holes and collections are out of scope)")
+    }
+  }
+
+  private def bufferPath(pts0: IndexedSeq[Pt], r: Double, quadSegs: Int,
+      srid: Int): Geom = {
+    val pts = collapsePath(pts0)
+    if (pts.isEmpty) return GPolygon(Vector.empty, srid)
+    if (pts.length == 1)
+      return Geometry.bufferPoint(GPoint(Some(pts.head), srid), r, quadSegs)
+    val ring = checkedOutline(
+      pathOutline(pts, r, math.max(quadSegs, 2)), srid)
+    GPolygon(Vector(ring), srid)
+  }
+
+  /** Drop repeated points, merge exactly-collinear forward joints,
+    * refuse exact u-turns.
+    */
+  private def collapsePath(pts0: IndexedSeq[Pt]): Vector[Pt] =
+    pts0.foldLeft(Vector.empty[Pt]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc
+      else if (acc.length >= 2) {
+        val a = acc(acc.length - 2); val b = acc.last
+        val colin = cross(a, b, p) == 0
+        val dot = (b.x - a.x) * (p.x - b.x) + (b.y - a.y) * (p.y - b.y)
+        if (colin && dot > 0) acc.dropRight(1) :+ p
+        else if (colin)
+          refuse("st_buffer", "exact u-turn joint in the buffered path")
+        else acc :+ p
+      } else acc :+ p
+    }
+
+  private def checkedOutline(open: Vector[Pt], srid: Int): Vector[Pt] = {
+    val ring = open :+ open.head
+    if (!isValid(GPolygon(Vector(ring), srid)))
+      refuse("st_buffer",
+        "buffer outline self-intersects (the geometry folds back " +
+          "within 2r; that case needs full overlay union)")
+    ring
+  }
+
+  @inline private def off(p: Pt, ang: Double, r: Double): Pt =
+    Pt(p.x + r * math.cos(ang), p.y + r * math.sin(ang))
+
+  /** Interior arc samples strictly inside the sweep of `span` radians
+    * starting at a0 (sign = direction), max step π/(2q). The span is
+    * passed EXPLICITLY — deriving it from two rounded angles can land
+    * an ulp past a step boundary and change the vertex count.
+    */
+  private def arcInterior(c: Pt, a0: Double, span: Double, r: Double,
+      q: Int): Vector[Pt] = {
+    val steps = math.max(1,
+      math.ceil(math.abs(span) / (math.Pi / (2 * q))).toInt)
+    (1 until steps).toVector.map { i =>
+      off(c, a0 + span * i / steps, r)
+    }
+  }
+
+  /** Turn angle normalized to (-π, π); exact ±π refuses upstream. */
+  private def turnAngle(a: Double, b: Double): Double = {
+    var t = b - a
+    while (t <= -math.Pi) t += 2 * math.Pi
+    while (t > math.Pi) t -= 2 * math.Pi
+    t
+  }
+
+  /** Intersection of the two offset LINES at an inner joint; refuses
+    * when the clip leaves either offset segment (radius too large for
+    * the local geometry — GEOS territory).
+    */
+  private def innerClip(p0: Pt, p1: Pt, p2: Pt, ang1: Double,
+      ang2: Double, r: Double): Pt = {
+    val a1 = off(p0, ang1, r); val b1 = off(p1, ang1, r)
+    val a2 = off(p1, ang2, r); val b2 = off(p2, ang2, r)
+    val d1x = b1.x - a1.x; val d1y = b1.y - a1.y
+    val d2x = b2.x - a2.x; val d2y = b2.y - a2.y
+    val den = d1x * d2y - d1y * d2x
+    if (den == 0)
+      refuse("st_buffer", "degenerate inner joint (parallel offsets)")
+    val t = ((a2.x - a1.x) * d2y - (a2.y - a1.y) * d2x) / den
+    val u = ((a2.x - a1.x) * d1y - (a2.y - a1.y) * d1x) / den
+    if (t < 0 || t > 1 || u < 0 || u > 1)
+      refuse("st_buffer",
+        "radius too large for an inner joint (offset clip leaves " +
+          "its segment)")
+    Pt(a1.x + t * d1x, a1.y + t * d1y)
+  }
+
+  /** Outline ring of an open path buffer: left side forward, end cap,
+    * right side backward, start cap. Arcs on outer joints, offset-line
+    * clips on inner joints.
+    */
+  private def pathOutline(pts: Vector[Pt], r: Double, q: Int): Vector[Pt] = {
+    val m = pts.length - 1
+    val th = (0 until m).map(i => math.atan2(
+      pts(i + 1).y - pts(i).y, pts(i + 1).x - pts(i).x))
+    val out = Vector.newBuilder[Pt]
+    // forward, left offsets (angle θ+π/2)
+    out += off(pts(0), th(0) + math.Pi / 2, r)
+    var i = 0
+    while (i < m) {
+      val li = th(i) + math.Pi / 2
+      if (i < m - 1) {
+        val turn = turnAngle(th(i), th(i + 1))
+        if (turn < 0) { // right turn: left side is outer — arc
+          out += off(pts(i + 1), li, r)
+          out ++= arcInterior(pts(i + 1), li, turn, r, q)
+          out += off(pts(i + 1), th(i + 1) + math.Pi / 2, r)
+        } else { // left turn: left side is inner — clip
+          out += innerClip(pts(i), pts(i + 1), pts(i + 2),
+            li, th(i + 1) + math.Pi / 2, r)
+        }
+      } else out += off(pts(m), li, r)
+      i += 1
+    }
+    // end cap: θ+π/2 down to θ-π/2 around the last point
+    out ++= arcInterior(pts(m), th(m - 1) + math.Pi / 2, -math.Pi, r, q)
+    out += off(pts(m), th(m - 1) - math.Pi / 2, r)
+    // backward, right offsets (angle θ-π/2)
+    i = m - 1
+    while (i >= 0) {
+      val ri = th(i) - math.Pi / 2
+      if (i > 0) {
+        val turn = turnAngle(th(i - 1), th(i))
+        if (turn > 0) { // left turn: right side is outer — arc
+          out += off(pts(i), ri, r)
+          out ++= arcInterior(pts(i), ri, -turn, r, q)
+          out += off(pts(i), th(i - 1) - math.Pi / 2, r)
+        } else { // right turn: right side is inner — clip (same right
+          // offsets; traversal direction does not flip the side)
+          out += innerClip(pts(i + 1), pts(i), pts(i - 1),
+            ri, th(i - 1) - math.Pi / 2, r)
+        }
+      } else out += off(pts(0), ri, r)
+      i -= 1
+    }
+    // start cap: θ-π/2 down to θ-3π/2 ≡ θ+π/2 (ring closes on head)
+    out ++= arcInterior(pts(0), th(0) - math.Pi / 2, -math.Pi, r, q)
+    dedupeOpen(out.result())
+  }
+
+  /** Outline ring of a CCW polygon ring buffered outward by r:
+    * outward = right of travel (angle θ-π/2); arcs at convex joints,
+    * clips at reflex joints.
+    */
+  private def ringOutline(open: IndexedSeq[Pt], r: Double,
+      q: Int): Vector[Pt] = {
+    val n = open.length
+    val th = (0 until n).map { i =>
+      val a = open(i); val b = open((i + 1) % n)
+      math.atan2(b.y - a.y, b.x - a.x)
+    }
+    val out = Vector.newBuilder[Pt]
+    var i = 0
+    while (i < n) {
+      // joint at vertex i between segment (i-1) and segment i
+      val prev = (i + n - 1) % n
+      val turn = turnAngle(th(prev), th(i))
+      if (turn == 0 || math.abs(turn) >= math.Pi - 1e-12)
+        refuse("st_buffer", "degenerate ring joint")
+      val aPrev = th(prev) - math.Pi / 2
+      val aCur = th(i) - math.Pi / 2
+      if (turn > 0) { // convex (CCW left turn): outer arc aPrev -> aCur
+        out += off(open(i), aPrev, r)
+        out ++= arcInterior(open(i), aPrev, turn, r, q)
+        out += off(open(i), aCur, r)
+      } else { // reflex: inner clip of the two outward offset lines
+        out += innerClip(open(prev), open(i), open((i + 1) % n),
+          aPrev, aCur, r)
+      }
+      i += 1
+    }
+    dedupeOpen(out.result())
+  }
+
+  private def dedupeOpen(v: Vector[Pt]): Vector[Pt] = {
+    val d = v.foldLeft(Vector.empty[Pt]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+    if (d.length > 1 && d.head == d.last) d.dropRight(1) else d
+  }
+
+  /** Union a set of simple polygons into disjoint components (each a
+    * single ring — a hole anywhere refuses loudly). Used for
+    * multi-part buffers only.
+    */
+  private def unionAll(polys: Vector[Geom], srid: Int): Geom = {
+    var comps = Vector.empty[Geom]
+    polys.filterNot(isEmpty).foreach { p0 =>
+      var cur = p0
+      var keep = Vector.empty[Geom]
+      comps.foreach { c =>
+        overlayPolygons(cur, c, Union) match {
+          case u @ GPolygon(rs, _) if rs.length == 1 => cur = u
+          case GPolygon(_, _) =>
+            refuse("st_buffer", "union produced a hole")
+          case _: GMultiPolygon => keep = keep :+ c // disjoint
+          case other => refuse("st_buffer",
+            s"unexpected union result ${geometryType(other)}")
+        }
+      }
+      comps = keep :+ cur
+    }
+    comps match {
+      case Vector() => GPolygon(Vector.empty, srid)
+      case Vector(one) => one
+      case many => GMultiPolygon(many.map {
+        case GPolygon(rs, _) => rs
+        case g => Vector(Geometry.allPoints(g))
+      }, srid)
+    }
+  }
+
   /** Core Greiner–Hormann: None when the boundaries have no proper
     * crossing; otherwise the traversed result rings (closed).
     */

@@ -184,7 +184,7 @@ object SpatialOps {
     "st_difference" -> { (a, b) => difference(a, b) })
 
   val geomDoubleToGeom: Map[String, (Geom, Double) => Geom] = Map(
-    "st_buffer" -> { (g, r) => bufferPoint(g, r) },
+    "st_buffer" -> { (g, r) => Overlay.buffer(g, r) },
     "st_simplify" -> { (g, t) => simplify(g, t) },
     "st_snaptogrid" -> { (g, s) => snapToGrid(g, s) },
     "st_reduceprecision" -> { (g, s) => reducePrecision(g, s) },

@@ -304,5 +304,50 @@ object Spatial {
           |  round(la - ia, 6) AS da_v,
           |  CASE WHEN ia = 0 THEN 'ST_MultiPolygon' ELSE 'ST_Polygon' END
           |    AS utype_v
+          |FROM m ORDER BY event_id""".stripMargin),
+
+    // ---- line buffer: the round-join capsule outline has closed-form
+    // area and perimeter (rectangle + two inscribed half-2q-gon caps:
+    // 2rL + 16 r² sin(π/16), 2L + 64 r sin(π/32)), so the oracle
+    // recomputes both in plain SQL. round(·,4) absorbs the ~1e-12
+    // shoelace-vs-formula float noise; vertex count is structural. ----
+    QueryDef.sql(
+      "q_spatial_buffer",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 30 AS DOUBLE) AS x1,
+        |    CAST(user_id % 30 AS DOUBLE) AS y1,
+        |    CAST(event_id % 30 + 1 + event_id % 7 AS DOUBLE) AS x2,
+        |    CAST(user_id % 30 + event_id % 5 AS DOUBLE) AS y2,
+        |    CAST(1 + event_id % 3 AS DOUBLE) AS r
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id, r,
+        |    sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len,
+        |    st_buffer(st_makeline(st_point(x1, y1), st_point(x2, y2)), r)
+        |      AS b
+        |  FROM d)
+        |SELECT event_id,
+        |  round(st_area(b), 4) AS area_v,
+        |  round(st_perimeter(b), 4) AS perim_v,
+        |  st_npoints(b) AS np_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(event_id % 30 AS DOUBLE) AS x1,
+          |    CAST(user_id % 30 AS DOUBLE) AS y1,
+          |    CAST(event_id % 30 + 1 + event_id % 7 AS DOUBLE) AS x2,
+          |    CAST(user_id % 30 + event_id % 5 AS DOUBLE) AS y2,
+          |    CAST(1 + event_id % 3 AS DOUBLE) AS r
+          |  FROM events WHERE event_id < 2000),
+          |m AS (
+          |  SELECT event_id, r,
+          |    sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS len
+          |  FROM d)
+          |SELECT event_id,
+          |  round(2 * r * len + 16 * r * r * sin(pi() / 16), 4) AS area_v,
+          |  round(2 * len + 64 * r * sin(pi() / 32), 4) AS perim_v,
+          |  35 AS np_v
           |FROM m ORDER BY event_id""".stripMargin))
 }

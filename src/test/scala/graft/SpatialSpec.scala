@@ -559,6 +559,69 @@ class SpatialSpec extends AnyFunSuite {
     assert(d == "MULTIPOINT(9 9)")
   }
 
+  // ---- st_buffer on lines and polygons (capsule union) --------------
+
+  test("line buffer: capsule geometry, area closed form, sandwich") {
+    import graft.functions.Overlay
+    val line = wkt("LINESTRING(0 0, 6 8)") // length 10
+    val buf = Overlay.buffer(line, 2.0)
+    // single capsule: 4q+2 distinct vertices (+ closing), exact area
+    // 2rL + 2q r^2 sin(pi/2q)
+    assert(buf.asInstanceOf[GPolygon].rings.head.length == 35)
+    val expected = 2 * 2.0 * 10 + 16 * 4.0 * math.sin(math.Pi / 16)
+    assert(math.abs(area(buf) - expected) < 1e-9)
+    // sandwich: the discretized buffer contains everything within
+    // r·cos(pi/4q) of the line and nothing beyond r
+    val rng = new scala.util.Random(7)
+    val inner = 2.0 * math.cos(math.Pi / 16) - 1e-9
+    (0 until 300).foreach { _ =>
+      val p = Pt(rng.nextDouble() * 14 - 4, rng.nextDouble() * 16 - 4)
+      val d = distance(line, GPoint(Some(p)))
+      if (d < inner)
+        assert(covers(buf, GPoint(Some(p))), s"missing near point $p d=$d")
+      if (d > 2.0)
+        assert(!covers(buf, GPoint(Some(p))), s"stray far point $p d=$d")
+    }
+  }
+
+  test("polyline and polygon buffer: union stays simple, sandwich holds") {
+    import graft.functions.Overlay
+    val zig = wkt("LINESTRING(0 0, 4 3, 8 0, 12 3)")
+    val bz = Overlay.buffer(zig, 1.5)
+    assert(bz.isInstanceOf[GPolygon] &&
+      bz.asInstanceOf[GPolygon].rings.length == 1)
+    val rng = new scala.util.Random(11)
+    val innerZ = 1.5 * math.cos(math.Pi / 16) - 1e-9
+    (0 until 300).foreach { _ =>
+      val p = Pt(rng.nextDouble() * 16 - 2, rng.nextDouble() * 9 - 3)
+      val d = distance(zig, GPoint(Some(p)))
+      if (d < innerZ) assert(covers(bz, GPoint(Some(p))), s"missing $p")
+      if (d > 1.5) assert(!covers(bz, GPoint(Some(p))), s"stray $p")
+    }
+
+    val square = wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val bs = Overlay.buffer(square, 1.0)
+    assert(bs.isInstanceOf[GPolygon] &&
+      bs.asInstanceOf[GPolygon].rings.length == 1)
+    // area between inscribed-arc and true round-corner buffer
+    assert(area(bs) > 100 + 40 + 16 * math.sin(math.Pi / 16) - 1e-9)
+    assert(area(bs) < 100 + 40 + math.Pi + 1e-9)
+    assert(covers(bs, wkt("POINT(-0.9 5)")))
+    assert(covers(bs, wkt("POINT(10.5 10.5)")))
+    assert(!covers(bs, wkt("POINT(10.9 10.9)")))
+    assert(covers(bs, square)) // buffered region contains the original
+
+    // disjoint multipoint buffer: two separate discs
+    val mp = Overlay.buffer(wkt("MULTIPOINT(0 0, 100 100)"), 1.0)
+    assert(mp.isInstanceOf[GMultiPolygon])
+    assert(math.abs(area(mp) - 2 * 16 * math.sin(math.Pi / 16)) < 1e-9)
+
+    // exact u-turn refuses loudly
+    intercept[UnsupportedOperationException] {
+      Overlay.buffer(wkt("LINESTRING(0 0, 5 0, 1 0)"), 1.0)
+    }
+  }
+
   // ---- st_transform: WGS84 UTM zones (Krüger series) ----------------
   // Validated by independent invariants rather than memorized vectors:
   // forward∘inverse identity, northing-vs-numerically-integrated
