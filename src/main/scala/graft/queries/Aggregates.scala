@@ -152,6 +152,32 @@ object Aggregates {
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin),
 
+    // scale-exact quantiles: the selection-by-range-partition operator
+    // (Stats.exactQuantiles — memory bounded by one partition, never
+    // the column) against DuckDB's sort-based quantile_cont. Both
+    // implement PERCENTILE_CONT's (n-1)q rank rule; round(·,6)
+    // absorbs the engines' final-ulp interpolation differences.
+    QueryDef(
+      "q_stats_quantiles",
+      """WITH v AS (
+        |  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |    [0.01, 0.25, 0.5, 0.75, 0.99]) AS vs FROM lineitem),
+        |u AS (
+        |  SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
+        |    unnest([1, 2, 3, 4, 5]) AS i)
+        |SELECT u.q, round(v.vs[u.i], 6) AS value
+        |FROM u, v ORDER BY u.q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val li = graft.Tables.df(s, dir, "lineitem")
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val vals = graft.operators.Stats.exactQuantiles(
+        li, "l_extendedprice", qs)
+      import s.implicits._
+      qs.zip(vals).toDF("q", "value")
+        .select(col("q"), round(col("value"), 6).as("value"))
+        .orderBy("q")
+    },
+
     // string_agg with deterministic order + array_agg with order.
     // The ordered ARRAY_AGG is projected through ARRAY_TO_STRING on both
     // sides: the driver's pandas comparator cannot sort a raw array
