@@ -295,34 +295,42 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     var i = 0
     while (i < iters) {
-      val cn = withNorm(cent, "cv", "cn")
-      val assigned = withNorm(
-          df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
-        .crossJoin(broadcast(cn))
-        .withColumn("ccos",
-          round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
-        .groupBy("id")
-        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
-            .as("cid"),
-          any_value(col("v")).as("v"))
-      // per-dimension mean: positional explode, map-side-combined sums
-      val next = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(sum(round(col("x").cast("double") * 16777216.0)
-            .cast("long")).as("sx"),
-          count(lit(1)).as("cnt"))
-        .withColumn("m",
-          (col("sx").cast("double") / (col("cnt") * 16777216.0))
-            .cast("float"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
-      cent = next.localCheckpoint(eager = true)
+      cent = kmeansStep(df, idCol, vecCol, cent)
+        .localCheckpoint(eager = true)
       i += 1
     }
     cent
+  }
+
+  /** One Lloyd iteration (exposed for the plan-quality lock): returns
+    * the refined centroid frame for the given centroids.
+    */
+  private[graft] def kmeansStep(df: DataFrame, idCol: String,
+      vecCol: String, cent: DataFrame): DataFrame = {
+    val cn = withNorm(cent, "cv", "cn")
+    val assigned = withNorm(
+        df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+      .crossJoin(broadcast(cn))
+      .withColumn("ccos",
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cid"),
+        any_value(col("v")).as("v"))
+    // per-dimension mean: positional explode, map-side-combined sums
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(round(col("x").cast("double") * 16777216.0)
+          .cast("long")).as("sx"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m",
+        (col("sx").cast("double") / (col("cnt") * 16777216.0))
+          .cast("float"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("cid"), expr("transform(pm, p -> p.m)").as("cv"))
   }
 
   /** Hyperplane-LSH bit signature: bit i = sign(v · plane_i). Planes

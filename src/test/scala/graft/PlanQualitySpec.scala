@@ -121,4 +121,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(globalWindows.nonEmpty || p.contains("Window"),
       s"no window at all in pack plan?\n$p")
   }
+
+  test("kmeans assignment broadcasts centroids, update is partial-aggregated") {
+    // the only join in each Lloyd iteration is corpus x K broadcast
+    // centroids; a sort-merge join or cartesian over the corpus means
+    // the map-side argmax shape regressed. The judged query checkpoints
+    // per iteration (its final plan shows only the tail), so the lock
+    // inspects one iteration step directly.
+    import org.apache.spark.sql.functions._
+    val e = Tables.df(spark, sf, "embeddings")
+    val cent = e.filter(col("vec_id") % 31 === 0 && col("vec_id") < 31L * 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val df = graft.operators.Similarity.kmeansStep(
+      e, "vec_id", "embedding", cent)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"kmeans lost its centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"kmeans went cartesian over the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"kmeans shuffles the corpus for the assignment:\n$p")
+    // the per-dimension mean must partial-aggregate before its exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"kmeans centroid update lost map-side combine:\n$p")
+  }
+
+  test("spatial overlay queries stay scan-local (no joins at all)") {
+    // overlay/buffer are pure per-row expressions over one scan —
+    // any join or corpus shuffle in these plans is a regression
+    for (q <- Seq("q_spatial_overlay", "q_spatial_buffer")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+    }
+  }
 }
