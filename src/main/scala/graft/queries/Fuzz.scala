@@ -28,30 +28,32 @@ object Fuzz {
   private val NumExprs = 160
   private val MaxDepth = 4
 
-  private def gen(rnd: Random, depth: Int): String = {
-    val leaves = Seq(
-      () => "CAST(n_nationkey AS BIGINT)",
-      () => "CAST(n_regionkey AS BIGINT)",
-      () => rnd.nextInt(10).toString)
-    if (depth >= MaxDepth) leaves(rnd.nextInt(leaves.size))()
+  private val NationLeaves: Seq[Random => String] = Seq(
+    _ => "CAST(n_nationkey AS BIGINT)",
+    _ => "CAST(n_regionkey AS BIGINT)",
+    rnd => rnd.nextInt(10).toString)
+
+  private def gen(rnd: Random, depth: Int,
+      leaves: Seq[Random => String] = NationLeaves): String = {
+    if (depth >= MaxDepth) leaves(rnd.nextInt(leaves.size))(rnd)
     else rnd.nextInt(10) match {
-      case 0 | 1 => leaves(rnd.nextInt(leaves.size))()
-      case 2 => s"abs(${gen(rnd, depth + 1)})"
-      case 3 => s"(- ${gen(rnd, depth + 1)})"
-      case 4 => s"(${gen(rnd, depth + 1)} + ${gen(rnd, depth + 1)})"
-      case 5 => s"(${gen(rnd, depth + 1)} - ${gen(rnd, depth + 1)})"
-      case 6 => s"(${gen(rnd, depth + 1)} * ${gen(rnd, depth + 1)})"
+      case 0 | 1 => leaves(rnd.nextInt(leaves.size))(rnd)
+      case 2 => s"abs(${gen(rnd, depth + 1, leaves)})"
+      case 3 => s"(- ${gen(rnd, depth + 1, leaves)})"
+      case 4 => s"(${gen(rnd, depth + 1, leaves)} + ${gen(rnd, depth + 1, leaves)})"
+      case 5 => s"(${gen(rnd, depth + 1, leaves)} - ${gen(rnd, depth + 1, leaves)})"
+      case 6 => s"(${gen(rnd, depth + 1, leaves)} * ${gen(rnd, depth + 1, leaves)})"
       case 7 =>
-        s"(${gen(rnd, depth + 1)} % (1 + abs(${gen(rnd, depth + 1)})))"
+        s"(${gen(rnd, depth + 1, leaves)} % (1 + abs(${gen(rnd, depth + 1, leaves)})))"
       case 8 =>
-        s"(CASE WHEN ${gen(rnd, depth + 1)} < ${gen(rnd, depth + 1)} " +
-          s"THEN ${gen(rnd, depth + 1)} ELSE ${gen(rnd, depth + 1)} END)"
+        s"(CASE WHEN ${gen(rnd, depth + 1, leaves)} < ${gen(rnd, depth + 1, leaves)} " +
+          s"THEN ${gen(rnd, depth + 1, leaves)} ELSE ${gen(rnd, depth + 1, leaves)} END)"
       case 9 => rnd.nextInt(3) match {
-        case 0 => s"greatest(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)})"
-        case 1 => s"least(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)})"
+        case 0 => s"greatest(${gen(rnd, depth + 1, leaves)}, ${gen(rnd, depth + 1, leaves)})"
+        case 1 => s"least(${gen(rnd, depth + 1, leaves)}, ${gen(rnd, depth + 1, leaves)})"
         case 2 =>
-          s"coalesce(nullif(${gen(rnd, depth + 1)}, ${gen(rnd, depth + 1)}), " +
-            s"${gen(rnd, depth + 1)})"
+          s"coalesce(nullif(${gen(rnd, depth + 1, leaves)}, ${gen(rnd, depth + 1, leaves)}), " +
+            s"${gen(rnd, depth + 1, leaves)})"
       }
     }
   }
@@ -226,6 +228,81 @@ object Fuzz {
           }.mkString(",\n")
           s"""SELECT n_nationkey,
              |$wins
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_join", {
+          // join dimension: fuzzed BIGINT expressions on BOTH sides of
+          // an equi-join condition and in the projection — planner
+          // join-key normalization and null-safe equality are under
+          // differential test, not just scalar evaluation
+          val rndJ = new Random(Seed + 6)
+          val aL: Seq[Random => String] = Seq(
+            _ => "CAST(a.n_nationkey AS BIGINT)",
+            _ => "CAST(a.n_regionkey AS BIGINT)",
+            r => r.nextInt(10).toString)
+          val bL: Seq[Random => String] = Seq(
+            _ => "CAST(b.n_nationkey AS BIGINT)",
+            _ => "CAST(b.n_regionkey AS BIGINT)",
+            r => r.nextInt(10).toString)
+          val abL = aL.dropRight(1) ++ bL
+          val cols = (0 until 40)
+            .map(i => s"  ${gen(rndJ, 1, abL)} AS j$i")
+            .mkString(",\n")
+          val ea = gen(rndJ, 1, aL)
+          val eb = gen(rndJ, 1, bL)
+          s"""SELECT a.n_nationkey AS nk1, b.n_nationkey AS nk2,
+             |$cols
+             |FROM nation a JOIN nation b
+             |  ON ($ea % 3) = ($eb % 3)
+             |ORDER BY nk1, nk2""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_leftjoin", {
+          // outer-join dimension: fuzzed expressions evaluate over the
+          // null-extended side — NULL propagation through the whole
+          // int grammar is the property under test. NULLS FIRST is
+          // explicit: the engines' default null order differs.
+          val rndL = new Random(Seed + 7)
+          val aL: Seq[Random => String] = Seq(
+            _ => "CAST(a.n_nationkey AS BIGINT)",
+            _ => "CAST(a.n_regionkey AS BIGINT)",
+            r => r.nextInt(10).toString)
+          val rL: Seq[Random => String] = Seq(
+            _ => "CAST(r.r_regionkey AS BIGINT)",
+            r2 => r2.nextInt(10).toString)
+          val mixed = aL ++ rL.dropRight(1)
+          val cols = (0 until 30)
+            .map(i => s"  ${gen(rndL, 1, mixed)} AS l$i")
+            .mkString(",\n")
+          val ea = gen(rndL, 1, aL)
+          val er = gen(rndL, 1, rL)
+          s"""SELECT a.n_nationkey AS nk1, r.r_regionkey AS rk,
+             |$cols
+             |FROM nation a LEFT JOIN region r
+             |  ON ($ea % 11) = ($er % 11)
+             |ORDER BY nk1, rk NULLS FIRST""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_scalar_subq", {
+          // correlated-scalar-subquery dimension: each column is an
+          // aggregated subquery whose correlation predicate and
+          // aggregand are fuzzed — decorrelation planning is under
+          // differential test; empty groups yield NULL on both sides
+          val rndS = new Random(Seed + 8)
+          val rL: Seq[Random => String] = Seq(
+            _ => "CAST(r.r_regionkey AS BIGINT)",
+            rr => rr.nextInt(10).toString)
+          val cols = (0 until 12).map { i =>
+            val em = gen(rndS, 2, rL)
+            val er = gen(rndS, 2, rL)
+            val en = gen(rndS, 2)
+            s"""  (SELECT min($em) FROM region r
+               |   WHERE ($er % 3) = (($en) % 3)) AS s$i""".stripMargin
+          }.mkString(",\n")
+          s"""SELECT n_nationkey,
+             |$cols
              |FROM nation
              |ORDER BY n_nationkey""".stripMargin
         }),
