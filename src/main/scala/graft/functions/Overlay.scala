@@ -142,6 +142,122 @@ object Overlay {
   }
 
   // ------------------------------------------------------------------
+  // Mixed-dimension intersections: line ∩ line (proper crossing
+  // points) and line ∩ arbitrary single-ring polygon (split the path
+  // at boundary crossings, keep the pieces whose midpoints locate
+  // inside — exact point location decides, so non-convex polygons are
+  // fine). Degenerate contact (endpoint on the other geometry,
+  // collinear overlap, tangency) refuses loudly as everywhere else.
+  // ------------------------------------------------------------------
+
+  private def pathsOf(g: Geom): IndexedSeq[IndexedSeq[Pt]] = g match {
+    case GLine(p, _) => if (p.length >= 2) Vector(p) else Vector.empty
+    case GMultiLine(ls, _) => ls.filter(_.length >= 2)
+    case _ => Vector.empty
+  }
+
+  /** Proper pairwise crossing points of two linear geometries. */
+  def intersectLines(ga: Geom, gb: Geom): Geom = {
+    val srid = ga.srid
+    val pts = ArrayBuffer.empty[Pt]
+    for {
+      pa <- pathsOf(ga); i <- 0 until pa.length - 1
+      pb <- pathsOf(gb); j <- 0 until pb.length - 1
+    } {
+      val p = pa(i); val q = pa(i + 1)
+      val c = pb(j); val d = pb(j + 1)
+      val d1 = cross(c, d, p); val d2 = cross(c, d, q)
+      val d3 = cross(p, q, c); val d4 = cross(p, q, d)
+      if ((d1 == 0 && onSeg(c, d, p)) || (d2 == 0 && onSeg(c, d, q)) ||
+          (d3 == 0 && onSeg(p, q, c)) || (d4 == 0 && onSeg(p, q, d)))
+        refuse("st_intersection",
+          "line endpoint on the other line (collinear or touching " +
+            "contact)")
+      if (d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0 &&
+          (d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0)) {
+        val t = d1 / (d1 - d2)
+        pts += Pt(p.x + t * (q.x - p.x), p.y + t * (q.y - p.y))
+      }
+    }
+    val uniq = pts.distinct
+    if (uniq.isEmpty) GPoint(None, srid)
+    else if (uniq.length == 1) GPoint(Some(uniq.head), srid)
+    else GMultiPoint(uniq.toVector, srid)
+  }
+
+  @inline private def onSeg(a: Pt, b: Pt, p: Pt): Boolean =
+    cross(a, b, p) == 0 &&
+      math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
+      math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
+
+  /** Clip linear geometry to an arbitrary simple single-ring polygon:
+    * split every segment at its proper boundary crossings, keep pieces
+    * whose midpoints are interior, stitch adjacent kept pieces.
+    */
+  def clipLinesToPolygon(gl: Geom, gp: Geom): Geom = {
+    val srid = gl.srid
+    val ring = gp match {
+      case GPolygon(rs, _) if rs.length == 1 => rs.head
+      case _ => throw new UnsupportedOperationException(
+        "st_intersection: line clipping needs a single-ring polygon " +
+          s"(got ${geometryType(gp)})")
+    }
+    val open = openRing(ring)
+    val closed = open :+ open.head
+    val n = open.length
+    val out = ArrayBuffer.empty[Vector[Pt]]
+    pathsOf(gl).foreach { path =>
+      var current = Vector.empty[Pt] // growing kept piece
+      def flush(): Unit = {
+        if (current.length >= 2) out += current
+        current = Vector.empty
+      }
+      var i = 0
+      while (i < path.length - 1) {
+        val p = path(i); val q = path(i + 1)
+        if (locateInRing(closed, p) == 1 || locateInRing(closed, q) == 1)
+          refuse("st_intersection",
+            "line vertex exactly on the polygon boundary")
+        val ts = ArrayBuffer(0.0, 1.0)
+        var j = 0
+        while (j < n) {
+          val c = open(j); val d = open((j + 1) % n)
+          val d1 = cross(c, d, p); val d2 = cross(c, d, q)
+          val d3 = cross(p, q, c); val d4 = cross(p, q, d)
+          if ((d3 == 0 && onSeg(p, q, c)) || (d4 == 0 && onSeg(p, q, d)))
+            refuse("st_intersection",
+              "polygon vertex exactly on the clipped line")
+          if (d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0 &&
+              (d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0))
+            ts += d1 / (d1 - d2)
+          j += 1
+        }
+        val sorted = ts.distinct.sorted
+        def at(t: Double): Pt =
+          if (t == 0.0) p else if (t == 1.0) q
+          else Pt(p.x + t * (q.x - p.x), p.y + t * (q.y - p.y))
+        var k = 0
+        while (k < sorted.length - 1) {
+          val (t0, t1) = (sorted(k), sorted(k + 1))
+          val mid = at((t0 + t1) / 2)
+          if (locateInPolygon(Vector(closed), mid) == 2) {
+            val a = at(t0); val b = at(t1)
+            if (current.nonEmpty && current.last == a) current :+= b
+            else { flush(); current = Vector(a, b) }
+          } else flush()
+          k += 1
+        }
+        i += 1
+      }
+      flush()
+    }
+    val pieces = out.toVector
+    if (pieces.isEmpty) GLine(Vector.empty, srid)
+    else if (pieces.length == 1) GLine(pieces.head, srid)
+    else GMultiLine(pieces, srid)
+  }
+
+  // ------------------------------------------------------------------
   // Round-join buffer for lines and polygons — the other refusal the
   // convex-only core left open (reference: GEOS ST_Buffer). The
   // outline is constructed DIRECTLY: straight offset sides, one

@@ -169,15 +169,42 @@ object SpatialOps {
       else unionPoints(a, b)
     },
     "st_shortestline" -> { (a, b) => shortestLine(a, b) },
-    // a convex clipper keeps the Sutherland–Hodgman path (it also
-    // handles point/line/multi subjects and holes); a non-convex
-    // polygon pair dispatches to the general overlay
+    // full dimension matrix: point inputs filter by coverage; two
+    // linear inputs intersect to their proper crossing points; a line
+    // against a polygon clips (convex via S-H segments, non-convex via
+    // midpoint-classified splitting); polygon pairs go S-H when the
+    // clipper is convex (also covers holes/multi subjects) and
+    // Greiner–Hormann otherwise
     "st_intersection" -> { (a, b) =>
+      def pointsIn(g: Geom, container: Geom): Geom = g match {
+        case GPoint(op, s) =>
+          GPoint(op.filter(p => covers(container, GPoint(Some(p), s))), s)
+        case GMultiPoint(ps, s) =>
+          GMultiPoint(ps.filter(p =>
+            covers(container, GPoint(Some(p), s))), s)
+        case other => other
+      }
       val convexClip = b match {
         case GPolygon(rs, _) => rs.length == 1 && isConvexRing(rs.head)
         case _ => false
       }
-      if (!convexClip && bothSingleRingPolys(a, b))
+      def singleRing(g: Geom): Boolean = g match {
+        case GPolygon(rs, _) => rs.length == 1
+        case _ => false
+      }
+      val (da, db) = (dimension(a), dimension(b))
+      if (da == 0) pointsIn(a, b)
+      else if (db == 0) pointsIn(b, a)
+      else if (da == 1 && db == 1) Overlay.intersectLines(a, b)
+      else if (da == 1 && db == 2 && !convexClip && singleRing(b))
+        Overlay.clipLinesToPolygon(a, b)
+      else if (da == 2 && db == 1 && singleRing(a)) a match {
+        case _ if isConvexRing(
+            a.asInstanceOf[GPolygon].rings.head) =>
+          intersectionWithConvex(b, a)
+        case _ => Overlay.clipLinesToPolygon(b, a)
+      }
+      else if (!convexClip && bothSingleRingPolys(a, b))
         Overlay.overlayPolygons(a, b, Overlay.Inter)
       else intersectionWithConvex(a, b)
     },

@@ -559,6 +559,83 @@ class SpatialSpec extends AnyFunSuite {
     assert(d == "MULTIPOINT(9 9)")
   }
 
+  // ---- mixed-dimension st_intersection ------------------------------
+
+  test("line-line intersection: proper crossings, empties, refusals") {
+    import graft.functions.Overlay
+    val x = Overlay.intersectLines(
+      wkt("LINESTRING(0 0, 4 4)"), wkt("LINESTRING(0 4, 4 0)"))
+    assert(toWkt(x) == "POINT(2 2)")
+    // zigzag crossing a line twice -> two points
+    val x2 = Overlay.intersectLines(
+      wkt("LINESTRING(0 1, 4 1)"), wkt("LINESTRING(0.5 0, 1.5 2, 2.5 0)"))
+    assert(x2.isInstanceOf[GMultiPoint] && allPoints(x2).length == 2)
+    // disjoint / parallel -> empty point
+    assert(isEmpty(Overlay.intersectLines(
+      wkt("LINESTRING(0 0, 1 0)"), wkt("LINESTRING(0 1, 1 1)"))))
+    // collinear overlap refuses loudly
+    intercept[UnsupportedOperationException] {
+      Overlay.intersectLines(
+        wkt("LINESTRING(0 0, 4 0)"), wkt("LINESTRING(2 0, 6 0)"))
+    }
+  }
+
+  test("line clipped to non-convex polygons: lengths and pieces exact") {
+    import graft.functions.Overlay
+    val l = wkt("POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))")
+    // horizontal probe through the foot: kept piece spans [0, 6]
+    val c1 = Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(-0.5 1.5, 7.5 1.5)"), l)
+    assert(math.abs(Geometry.length(c1) - 6.0) < 1e-9)
+    // above the foot only the vertical arm remains: [0, 2]
+    val c2 = Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(-0.5 3.5, 7.5 3.5)"), l)
+    assert(math.abs(Geometry.length(c2) - 2.0) < 1e-9)
+    // diagonal: enters at (0, 0.75), exits the arm at (2, 2.75)
+    val c3 = Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(-0.5 0.25, 6.5 7.25)"), l)
+    assert(math.abs(Geometry.length(c3) - 2 * math.sqrt(2)) < 1e-9)
+    // U-shape probed across both prongs -> MULTILINESTRING, two pieces
+    val u = wkt("POLYGON((0 0, 7 0, 7 5, 5 5, 5 2, 2 2, 2 5, 0 5, 0 0))")
+    val c4 = Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(-0.5 3.5, 7.5 3.5)"), u)
+    assert(c4.isInstanceOf[GMultiLine])
+    assert(math.abs(Geometry.length(c4) - 4.0) < 1e-9)
+    // fully inside / fully outside
+    assert(math.abs(Geometry.length(Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(0.5 0.5, 1.5 0.5)"), l)) - 1.0) < 1e-9)
+    assert(isEmpty(Overlay.clipLinesToPolygon(
+      wkt("LINESTRING(4.5 3.5, 6.5 3.5)"), l)))
+    // vertex-on-boundary refuses loudly
+    intercept[UnsupportedOperationException] {
+      Overlay.clipLinesToPolygon(wkt("LINESTRING(0 0, 3 1)"), l)
+    }
+  }
+
+  test("st_intersection dispatches the full dimension matrix") {
+    val spark = sparkSession
+    graft.functions.SpatialFunctions.register(spark)
+    import spark.implicits._
+    val r = spark.sql(
+      """SELECT
+        |  st_astext(st_intersection(st_point(1.0, 1.0),
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'))),
+        |  st_astext(st_intersection(
+        |    st_makeline(st_point(0.0, 0.0), st_point(4.0, 4.0)),
+        |    st_makeline(st_point(0.0, 4.0), st_point(4.0, 0.0)))),
+        |  round(st_length(st_intersection(
+        |    st_makeline(st_point(-0.5, 1.5), st_point(7.5, 1.5)),
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'))), 6),
+        |  round(st_length(st_intersection(
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'),
+        |    st_makeline(st_point(-0.5, 3.5), st_point(7.5, 3.5)))), 6)
+        |""".stripMargin).head()
+    assert(r.getString(0) == "POINT(1 1)")
+    assert(r.getString(1) == "POINT(2 2)")
+    assert(r.getDouble(2) == 6.0)
+    assert(r.getDouble(3) == 2.0)
+  }
+
   // ---- st_buffer on lines and polygons (capsule union) --------------
 
   test("line buffer: capsule geometry, area closed form, sandwich") {
