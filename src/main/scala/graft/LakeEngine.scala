@@ -260,6 +260,17 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** ESRI Shapefile scan (`.shp`/`.zip`, native byte-layout reader —
+    * [[graft.sources.Shapefile]]); same row contract as
+    * [[createGeoTable]] with dBase attributes in place of GeoJSON
+    * properties.
+    */
+  def createShapeTable(name: String, path: String): DataFrame = {
+    val df = sources.Shapefile.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** http(s):// / hf:// table (reference
     * docs/file-formats-reference.md:169-193): the URL is staged once
     * into a local content-addressed cache, then scanned like any lake
