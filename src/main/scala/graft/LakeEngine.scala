@@ -271,6 +271,17 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** XLSX scan (native SpreadsheetML reader — [[graft.sources.Xlsx]]);
+    * string-typed columns from the first worksheet, header row by
+    * default, same textual contract as the CSV layer before casts.
+    */
+  def createXlsxTable(name: String, path: String,
+      header: Boolean = true): DataFrame = {
+    val df = sources.Xlsx.read(spark, path, header)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** http(s):// / hf:// table (reference
     * docs/file-formats-reference.md:169-193): the URL is staged once
     * into a local content-addressed cache, then scanned like any lake
