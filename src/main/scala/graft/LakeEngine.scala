@@ -271,6 +271,17 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** GeoPackage scan (`.gpkg`, native read-only SQLite b-tree walker —
+    * [[graft.sources.GeoPackage]]); feature tables discovered via
+    * `gpkg_geometry_columns`, rows carry unwrapped standard WKB.
+    */
+  def createGpkgTable(name: String, path: String,
+      layer: Option[String] = None): DataFrame = {
+    val df = sources.GeoPackage.read(spark, path, layer)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** XLSX scan (native SpreadsheetML reader — [[graft.sources.Xlsx]]);
     * string-typed columns from the first worksheet, header row by
     * default, same textual contract as the CSV layer before casts.
