@@ -190,11 +190,60 @@ object Overlay {
       math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
       math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
 
+  /** Noded union of two linear geometries: every proper crossing
+    * becomes a vertex of both paths, and the result carries all paths
+    * of both inputs (set semantics; PostGIS-style noding). Degenerate
+    * contact (collinear overlap, endpoint touching) refuses loudly
+    * via the same tests as [[intersectLines]].
+    */
+  def unionLines(ga: Geom, gb: Geom): Geom = {
+    val srid = ga.srid
+    def noded(src: Geom, other: Geom): IndexedSeq[IndexedSeq[Pt]] =
+      pathsOf(src).map { path =>
+        val out = ArrayBuffer.empty[Pt]
+        var i = 0
+        while (i < path.length - 1) {
+          val p = path(i); val q = path(i + 1)
+          out += p
+          val ts = ArrayBuffer.empty[(Double, Pt)]
+          pathsOf(other).foreach { op =>
+            var j = 0
+            while (j < op.length - 1) {
+              val c = op(j); val d = op(j + 1)
+              val d1 = cross(c, d, p); val d2 = cross(c, d, q)
+              val d3 = cross(p, q, c); val d4 = cross(p, q, d)
+              if ((d1 == 0 && onSeg(c, d, p)) ||
+                  (d2 == 0 && onSeg(c, d, q)) ||
+                  (d3 == 0 && onSeg(p, q, c)) ||
+                  (d4 == 0 && onSeg(p, q, d)))
+                refuse("st_union",
+                  "line endpoint on the other line (collinear or " +
+                    "touching contact)")
+              if (d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0 &&
+                  (d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0)) {
+                val t = d1 / (d1 - d2)
+                ts += ((t, Pt(p.x + t * (q.x - p.x),
+                  p.y + t * (q.y - p.y))))
+              }
+              j += 1
+            }
+          }
+          ts.sortBy(_._1).foreach(out += _._2)
+          i += 1
+        }
+        out += path.last
+        out.toIndexedSeq
+      }
+    GMultiLine(noded(ga, gb) ++ noded(gb, ga), srid)
+  }
+
   /** Clip linear geometry to an arbitrary simple single-ring polygon:
     * split every segment at its proper boundary crossings, keep pieces
-    * whose midpoints are interior, stitch adjacent kept pieces.
+    * whose midpoints are interior (`keepInside`) or exterior
+    * (st_difference), stitch adjacent kept pieces.
     */
-  def clipLinesToPolygon(gl: Geom, gp: Geom): Geom = {
+  def clipLinesToPolygon(gl: Geom, gp: Geom,
+      keepInside: Boolean = true): Geom = {
     val srid = gl.srid
     val ring = gp match {
       case GPolygon(rs, _) if rs.length == 1 => rs.head
@@ -240,7 +289,8 @@ object Overlay {
         while (k < sorted.length - 1) {
           val (t0, t1) = (sorted(k), sorted(k + 1))
           val mid = at((t0 + t1) / 2)
-          if (locateInPolygon(Vector(closed), mid) == 2) {
+          val inside = locateInPolygon(Vector(closed), mid) == 2
+          if (inside == keepInside) {
             val a = at(t0); val b = at(t1)
             if (current.nonEmpty && current.last == a) current :+= b
             else { flush(); current = Vector(a, b) }

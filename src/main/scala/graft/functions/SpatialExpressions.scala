@@ -161,11 +161,29 @@ object SpatialOps {
 
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
     "st_collect" -> { (a, b) => collect(a, b) },
-    // dissolving union: point sets merge; polygon pairs (convex or
-    // not) go through the general overlay; everything else refuses
-    // loudly via unionPoints' message
+    // dissolving union across the dimension matrix: point sets merge;
+    // line pairs node at their crossings; polygon pairs (convex or
+    // not) go through the general overlay; mixed dimensions keep the
+    // higher operand and the uncovered remainder of the lower (never
+    // an overlapping collection, which would double-count measures)
     "st_union" -> { (a, b) =>
-      if (bothSingleRingPolys(a, b)) Overlay.overlayPolygons(a, b, Overlay.Union)
+      val (da, db) = (dimension(a), dimension(b))
+      if (bothSingleRingPolys(a, b))
+        Overlay.overlayPolygons(a, b, Overlay.Union)
+      else if (da == 1 && db == 1) Overlay.unionLines(a, b)
+      else if (da != db) {
+        val (hi, lo) = if (da > db) (a, b) else (b, a)
+        (dimension(hi), dimension(lo)) match {
+          case (2, 1) if hi.isInstanceOf[GPolygon] &&
+              hi.asInstanceOf[GPolygon].rings.length == 1 =>
+            val outside = Overlay.clipLinesToPolygon(lo, hi,
+              keepInside = false)
+            if (isEmpty(outside)) hi else collect(hi, outside)
+          case (_, 0) =>
+            if (covers(hi, lo)) hi else collect(hi, lo)
+          case _ => unionPoints(a, b) // loud refusal with the message
+        }
+      }
       else unionPoints(a, b)
     },
     "st_shortestline" -> { (a, b) => shortestLine(a, b) },

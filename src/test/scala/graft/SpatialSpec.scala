@@ -531,9 +531,13 @@ class SpatialSpec extends AnyFunSuite {
     // quarter keeps 16 - 4 = 12 of area
     val overlap = wkt("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))")
     assert(math.abs(area(difference(overlap, box)) - 12.0) < 1e-9)
-    // line-minus-polygon partial overlap still refuses loudly
+    // line-minus-polygon keeps the outside piece (4,1)..(9,1)
     val line = wkt("LINESTRING(1 1, 9 1)")
-    intercept[UnsupportedOperationException] { difference(line, box) }
+    assert(math.abs(Geometry.length(difference(line, box)) - 5.0) < 1e-9)
+    // degenerate contact still refuses loudly: collinear line overlap
+    intercept[UnsupportedOperationException] {
+      difference(wkt("LINESTRING(0 0, 4 0)"), wkt("LINESTRING(2 0, 6 0)"))
+    }
   }
 
   test("zm surface: st_z/st_m null, zmflag 0, force3d loud") {
@@ -634,6 +638,53 @@ class SpatialSpec extends AnyFunSuite {
     assert(r.getString(1) == "POINT(2 2)")
     assert(r.getDouble(2) == 6.0)
     assert(r.getDouble(3) == 2.0)
+  }
+
+  test("line union nodes at crossings; mixed-dim union/difference") {
+    import graft.functions.Overlay
+    val u = Overlay.unionLines(
+      wkt("LINESTRING(0 0, 4 4)"), wkt("LINESTRING(0 4, 4 0)"))
+    val ml = u.asInstanceOf[GMultiLine]
+    assert(ml.lines.length == 2)
+    assert(ml.lines.forall(_.length == 3)) // crossing became a vertex
+    assert(ml.lines.forall(_.contains(Pt(2.0, 2.0))))
+    assert(math.abs(Geometry.length(u) - 2 * math.sqrt(32)) < 1e-9)
+    intercept[UnsupportedOperationException] {
+      Overlay.unionLines(
+        wkt("LINESTRING(0 0, 4 0)"), wkt("LINESTRING(2 0, 6 0)"))
+    }
+
+    val spark = sparkSession
+    graft.functions.SpatialFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  round(st_length(st_difference(
+        |    st_makeline(st_point(-0.5, 1.5), st_point(7.5, 1.5)),
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'))), 6),
+        |  round(st_area(st_difference(
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'),
+        |    st_makeline(st_point(-0.5, 1.5), st_point(7.5, 1.5)))), 6),
+        |  round(st_area(st_union(
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'),
+        |    st_makeline(st_point(-0.5, 1.5), st_point(7.5, 1.5)))), 6),
+        |  round(st_length(st_union(
+        |    st_geomfromtext('POLYGON((0 0, 6 0, 6 2, 2 2, 2 6, 0 6, 0 0))'),
+        |    st_makeline(st_point(-0.5, 1.5), st_point(7.5, 1.5)))), 6),
+        |  round(st_length(st_union(
+        |    st_makeline(st_point(0.0, 0.0), st_point(4.0, 4.0)),
+        |    st_makeline(st_point(0.0, 4.0), st_point(4.0, 0.0)))), 6)
+        |""".stripMargin).head()
+    // line minus L-polygon keeps the two outside stubs (0.5 + 1.5)
+    assert(r.getDouble(0) == 2.0)
+    // polygon minus a line loses measure zero: area unchanged
+    assert(r.getDouble(1) == 20.0)
+    // polygon ∪ line: area unchanged, only the OUTSIDE stubs carry
+    // length (no double-counted covered span)
+    assert(r.getDouble(2) == 20.0)
+    assert(r.getDouble(3) == 2.0)
+    // noded line union preserves total length
+    assert(r.getDouble(4) == math.floor(2 * math.sqrt(32) * 1e6) / 1e6 ||
+      math.abs(r.getDouble(4) - 2 * math.sqrt(32)) < 1e-5)
   }
 
   // ---- st_buffer on lines and polygons (capsule union) --------------
