@@ -349,5 +349,60 @@ object Spatial {
           |  round(2 * r * len + 16 * r * r * sin(pi() / 16), 4) AS area_v,
           |  round(2 * len + 64 * r * sin(pi() / 32), 4) AS perim_v,
           |  35 AS np_v
+          |FROM m ORDER BY event_id""".stripMargin),
+
+    // ---- mixed-dimension overlay ops: a half-integer horizontal
+    // probe against the integer L-shape (line ∩ polygon keeps the
+    // inside span, line − polygon the outside stubs) and a crossing
+    // vertical probe (line ∩ line = the crossing point). The oracle is
+    // case arithmetic: inside length is w below the foot, w1 in the
+    // arm band, 0 above; the probes always cross at (px, py). --------
+    QueryDef.sql(
+      "q_spatial_lineops",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    6 + event_id % 7 AS w, 1 + event_id % 5 AS w1,
+        |    1 + user_id % 5 AS h1, 2 + user_id % 5 + user_id % 7 AS h2,
+        |    CAST(user_id % 12 AS DOUBLE) + 0.5 AS py,
+        |    CAST(event_id % 6 AS DOUBLE) + 0.5 AS px
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id, w, py, px,
+        |    st_geomfromtext(concat('POLYGON((0 0, ',
+        |      CAST(w AS STRING), ' 0, ',
+        |      CAST(w AS STRING), ' ', CAST(h1 AS STRING), ', ',
+        |      CAST(w1 AS STRING), ' ', CAST(h1 AS STRING), ', ',
+        |      CAST(w1 AS STRING), ' ', CAST(h2 AS STRING), ', ',
+        |      '0 ', CAST(h2 AS STRING), ', 0 0))')) AS l,
+        |    st_makeline(st_point(-0.5, py),
+        |      st_point(CAST(w AS DOUBLE) + 1.5, py)) AS hl,
+        |    st_makeline(st_point(px, -0.5), st_point(px, 13.5)) AS vl
+        |  FROM d)
+        |SELECT event_id,
+        |  round(st_length(st_intersection(hl, l)), 6) AS il_v,
+        |  round(st_length(st_difference(hl, l)), 6) AS dl_v,
+        |  round(st_x(st_intersection(hl, vl)), 6) AS xx_v,
+        |  round(st_y(st_intersection(hl, vl)), 6) AS xy_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(6 + event_id % 7 AS DOUBLE) AS w,
+          |    CAST(1 + event_id % 5 AS DOUBLE) AS w1,
+          |    CAST(1 + user_id % 5 AS DOUBLE) AS h1,
+          |    CAST(2 + user_id % 5 + user_id % 7 AS DOUBLE) AS h2,
+          |    CAST(user_id % 12 AS DOUBLE) + 0.5 AS py,
+          |    CAST(event_id % 6 AS DOUBLE) + 0.5 AS px
+          |  FROM events WHERE event_id < 2000),
+          |m AS (
+          |  SELECT event_id, w, py, px,
+          |    CASE WHEN py < h1 THEN w WHEN py < h2 THEN w1
+          |      ELSE 0.0 END AS il
+          |  FROM d)
+          |SELECT event_id,
+          |  round(il, 6) AS il_v,
+          |  round(w + 2 - il, 6) AS dl_v,
+          |  round(px, 6) AS xx_v,
+          |  round(py, 6) AS xy_v
           |FROM m ORDER BY event_id""".stripMargin))
 }
