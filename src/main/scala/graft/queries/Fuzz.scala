@@ -307,6 +307,36 @@ object Fuzz {
              |ORDER BY n_nationkey""".stripMargin
         }),
       QueryDef.sql(
+        "q_fn_fuzz_setops", {
+          // set-operation dimension: UNION / INTERSECT / EXCEPT over
+          // fuzzed BIGINT pair projections — distinct-semantics
+          // planning (dedup, set difference ordering) under
+          // differential test; the result is a set, so (a, b) is a
+          // total order
+          val rndO = new Random(Seed + 9)
+          def pair(): String =
+            s"SELECT ${gen(rndO, 1)} AS a, ${gen(rndO, 1)} AS b FROM nation"
+          // the INTERSECT operand REUSES two of the union branches, so
+          // the overlap is structural and the result is never empty
+          val (p1, p2, p3, p4) = (pair(), pair(), pair(), pair())
+          s"""SELECT a, b FROM (
+             |  $p1
+             |  UNION
+             |  $p2
+             |  UNION
+             |  $p3
+             |  EXCEPT
+             |  $p4
+             |) t
+             |INTERSECT
+             |SELECT a, b FROM (
+             |  $p1
+             |  UNION
+             |  $p3
+             |) t2
+             |ORDER BY a, b""".stripMargin
+        }),
+      QueryDef.sql(
         "q_fn_fuzz_timestamp", {
           val rndT = new Random(Seed + 3)
           val colsT = (0 until NumExprs)
