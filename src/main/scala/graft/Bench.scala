@@ -65,20 +65,39 @@ object Bench {
               else Some(headline.toSet))
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Median-of-3 in-JVM repeats per query: a one-sample bench on a
+    // shared box records transient load bursts as phantom regressions
+    // (r6 recorded q_tpch5 at 9.66 s where a clean re-run gives 1.95 s).
+    // The median of three back-to-back runs is immune to a single burst
+    // and still cheap (~3x one pass). SPARK_GRAFT_REPEATS overrides.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val results = picked.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> samples(samples.length / 2)
     }
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit the JSON line LAST, after spark.stop(), straight on System.out
+    // with an explicit flush: r5/r6 both recorded "parsed": null because
+    // the forked JVM exited while sbt was still draining the pipe and the
+    // line was cut mid-flush. Printing it twice means a mid-line cut of
+    // the final copy still leaves one complete line in the driver's
+    // 2000-char tail.
     spark.stop()
+    System.out.println(json)
+    System.out.println(json)
+    System.out.flush()
   }
 }

@@ -283,12 +283,14 @@ final class LakeEngine(val spark: SparkSession) {
   }
 
   /** XLSX scan (native SpreadsheetML reader — [[graft.sources.Xlsx]]);
-    * string-typed columns from the first worksheet, header row by
-    * default, same textual contract as the CSV layer before casts.
+    * string-typed columns from one worksheet (first tab by default,
+    * `layer` selects by tab name — the reference's `layer 'Sheet 1'`),
+    * header row by default, same textual contract as the CSV layer
+    * before casts.
     */
   def createXlsxTable(name: String, path: String,
-      header: Boolean = true): DataFrame = {
-    val df = sources.Xlsx.read(spark, path, header)
+      header: Boolean = true, layer: Option[String] = None): DataFrame = {
+    val df = sources.Xlsx.read(spark, path, header, layer)
     df.createOrReplaceTempView(name)
     df
   }

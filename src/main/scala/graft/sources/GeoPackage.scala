@@ -45,11 +45,15 @@ object GeoPackage {
     val files = status.map(_.getPath.toString)
       .filter(_.toLowerCase.endsWith(".gpkg")).sorted
     require(files.nonEmpty, s"no .gpkg files under $path")
+    // ship the session's Hadoop conf to executors (same as Spark's own
+    // file sources): a fresh Configuration() would drop credentials /
+    // scheme settings needed for e.g. s3a paths
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(files, files.length)
       .flatMap { file =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(file)
-        val in = p.getFileSystem(conf).open(p)
+        val in = p.getFileSystem(confB.value.value).open(p)
         val bytes = try in.readAllBytes() finally in.close()
         features(bytes, layer).map { case (l, wkb, gt, attrs) =>
           (l, wkb, gt, attrs, file)
@@ -72,7 +76,14 @@ object GeoPackage {
       val t = Sqlite.table(db, tname)
       val gi = t.col(gcol)
       t.rows.map { r =>
-        val wkb = unwrapGpb(r(gi).asInstanceOf[Array[Byte]])
+        // NULL geometry cells are legal per the GeoPackage spec (GDAL
+        // emits null-geometry rows); keep the row, null geometry
+        val wkb = r(gi) match {
+          case null => null
+          case b: Array[Byte] => unwrapGpb(b)
+          case v => throw new IllegalArgumentException(
+            s"geometry column $gcol of $tname holds non-blob $v")
+        }
         val attrs = t.names.zipWithIndex.collect {
           case (n, i) if i != gi && r(i) != null =>
             n -> (r(i) match {
@@ -82,7 +93,8 @@ object GeoPackage {
             })
         }.toMap
         (tname, wkb,
-          Geometry.geometryType(Geometry.parseWkb(wkb)), attrs)
+          if (wkb == null) null
+          else Geometry.geometryType(Geometry.parseWkb(wkb)), attrs)
       }
     }
   }

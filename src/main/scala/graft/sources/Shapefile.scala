@@ -3,7 +3,7 @@ package graft.sources
 import graft.functions.Geometry
 import graft.functions.Geometry._
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.charset.Charset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.mutable.ArrayBuffer
 
@@ -49,11 +49,15 @@ object Shapefile {
       l.endsWith(".shp") || l.endsWith(".zip")
     }.sorted
     require(files.nonEmpty, s"no .shp/.zip files under $path")
+    // ship the session's Hadoop conf to executors (same as Spark's own
+    // file sources): a fresh Configuration() would drop credentials /
+    // scheme settings needed for e.g. s3a paths
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     spark.sparkContext.parallelize(files, files.length)
       .flatMap { file =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         val p = new org.apache.hadoop.fs.Path(file)
-        val f = p.getFileSystem(conf)
+        val f = p.getFileSystem(confB.value.value)
         def readAll(pp: org.apache.hadoop.fs.Path): Array[Byte] = {
           val in = f.open(pp)
           try {
@@ -64,26 +68,34 @@ object Shapefile {
             out.toByteArray
           } finally in.close()
         }
-        val (shp, dbf) =
+        val (shp, dbf, cpg) =
           if (file.toLowerCase.endsWith(".zip")) unzip(readAll(p))
           else {
-            val sibling = new org.apache.hadoop.fs.Path(
-              file.replaceAll("(?i)\\.shp$", ".dbf"))
+            def sib(ext: String) = new org.apache.hadoop.fs.Path(
+              file.replaceAll("(?i)\\.shp$", ext))
+            val dbfP = sib(".dbf")
+            val cpgP = sib(".cpg")
             (readAll(p),
-              if (f.exists(sibling)) Some(readAll(sibling)) else None)
+              if (f.exists(dbfP)) Some(readAll(dbfP)) else None,
+              if (f.exists(cpgP))
+                Some(new String(readAll(cpgP), Charset.forName("US-ASCII")))
+              else None)
           }
-        records(shp, dbf).map { case (wkb, gtype, attrs) =>
+        records(shp, dbf, cpg).map { case (wkb, gtype, attrs) =>
           (wkb, gtype, attrs, file)
         }
       }
       .toDF("geometry", "geom_type", "attributes", "filename")
   }
 
-  /** Decode one shapefile (+ optional dbf) into per-record rows. */
-  def records(shp: Array[Byte], dbf: Option[Array[Byte]])
+  /** Decode one shapefile (+ optional dbf, optional .cpg charset hint)
+    * into per-record rows.
+    */
+  def records(shp: Array[Byte], dbf: Option[Array[Byte]],
+      cpg: Option[String] = None)
       : Seq[(Array[Byte], String, Map[String, String])] = {
     val geoms = parseShp(shp)
-    val attrs = dbf.map(parseDbf).getOrElse(
+    val attrs = dbf.map(b => parseDbf(b, cpg)).getOrElse(
       Seq.fill(geoms.length)(Some(Map.empty[String, String])))
     require(attrs.length == geoms.length,
       s"shp has ${geoms.length} records but dbf has ${attrs.length}")
@@ -93,24 +105,28 @@ object Shapefile {
     }
   }
 
-  /** .zip bytes -> (.shp member, optional .dbf member). */
+  /** .zip bytes -> (.shp member, optional .dbf, optional .cpg text). */
   private[sources] def unzip(bytes: Array[Byte])
-      : (Array[Byte], Option[Array[Byte]]) = {
+      : (Array[Byte], Option[Array[Byte]], Option[String]) = {
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(bytes))
     var shp: Array[Byte] = null
     var dbf: Option[Array[Byte]] = None
+    var cpg: Option[String] = None
     var e = zin.getNextEntry
     while (e != null) {
       val n = e.getName.toLowerCase
       if (!n.startsWith("__macosx") && !e.isDirectory) {
         if (n.endsWith(".shp")) shp = zin.readAllBytes()
         else if (n.endsWith(".dbf")) dbf = Some(zin.readAllBytes())
+        else if (n.endsWith(".cpg"))
+          cpg = Some(new String(zin.readAllBytes(),
+            Charset.forName("US-ASCII")))
       }
       e = zin.getNextEntry
     }
     require(shp != null, "zip contains no .shp member")
-    (shp, dbf)
+    (shp, dbf, cpg)
   }
 
   // ---------------------------------------------------------------- .shp
@@ -194,22 +210,53 @@ object Shapefile {
 
   // ---------------------------------------------------------------- .dbf
 
+  /** Resolve the attribute charset: the .cpg sidecar wins, then the
+    * DBF header's language-driver ID (byte 29), then cp1252 — the
+    * de-facto default dBase encoding (GDAL's own fallback). US-ASCII
+    * would silently mangle any non-ASCII byte into a replacement char.
+    */
+  private[sources] def dbfCharset(cpg: Option[String], ldid: Int): Charset = {
+    def forName(n: String): Option[Charset] =
+      try Some(Charset.forName(n)) catch { case _: Exception => None }
+    cpg.map(_.trim).filter(_.nonEmpty).flatMap { s =>
+      val u = s.toUpperCase
+      // common .cpg spellings: "UTF-8", "UTF8", "88591", "ISO-8859-1",
+      // "1252", "CP1252", "WINDOWS-1252"
+      if (u.matches("\\d+"))
+        forName("windows-" + u).orElse(forName("cp" + u))
+      else if (u.startsWith("CP"))
+        forName(u).orElse(forName("windows-" + u.drop(2)))
+      else forName(u.replaceFirst("^UTF(\\d)", "UTF-$1"))
+    }.orElse(ldid match {
+      // the handful of LDIDs seen in the wild (ESRI/GDAL table)
+      case 0x57 | 0x03 => forName("windows-1252")
+      case 0x4f | 0x13 => forName("windows-932") // Japanese
+      case 0x4d | 0x7a => forName("windows-936") // Simplified Chinese
+      case 0x4e | 0x79 => forName("windows-949") // Korean
+      case 0x50 | 0x7b => forName("windows-950") // Traditional Chinese
+      case 0x26 | 0x65 => forName("windows-1251") // Cyrillic
+      case _ => None
+    }).getOrElse(Charset.forName("windows-1252"))
+  }
+
   /** dBase III records; `None` entries are deleted rows. Values keep
     * their textual form (trimmed), same contract as GeoJSON properties.
     */
-  def parseDbf(bytes: Array[Byte]): IndexedSeq[Option[Map[String, String]]] = {
+  def parseDbf(bytes: Array[Byte], cpg: Option[String] = None)
+      : IndexedSeq[Option[Map[String, String]]] = {
     require(bytes.length >= 32, "dbf too short for its header")
     val le = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val nRecords = le.getInt(4)
     val headerSize = le.getShort(8) & 0xffff
     val recordSize = le.getShort(10) & 0xffff
+    val cs = dbfCharset(cpg, bytes(29) & 0xff)
     // field descriptors: 32 bytes each from offset 32 up to 0x0D
     case class Field(name: String, typ: Char, len: Int)
     val fields = ArrayBuffer.empty[Field]
     var off = 32
     while (off + 32 <= headerSize && bytes(off) != 0x0d) {
       val nameEnd = (0 until 11).find(k => bytes(off + k) == 0).getOrElse(11)
-      fields += Field(new String(bytes, off, nameEnd, US_ASCII),
+      fields += Field(new String(bytes, off, nameEnd, cs),
         bytes(off + 11).toChar, bytes(off + 16) & 0xff)
       off += 32
     }
@@ -220,7 +267,7 @@ object Shapefile {
       else {
         var fo = base.toInt + 1
         val m = fields.map { f =>
-          val raw = new String(bytes, fo, f.len, US_ASCII).trim
+          val raw = new String(bytes, fo, f.len, cs).trim
           fo += f.len
           f.name -> (f.typ match {
             case 'L' => raw match {

@@ -14,7 +14,9 @@ import scala.collection.mutable.ArrayBuffer
   * javax.xml.parsers), so like the shapefile reader this comes
   * straight from the public spec, no GDAL/POI:
   *
-  *   - first worksheet (`xl/worksheets/sheet1.xml`) becomes the table;
+  *   - one worksheet becomes the table: the first tab in workbook
+  *     order by default, or the tab named by `layer` (the reference's
+  *     `layer 'Sheet 1'` option, docs/file-formats-reference.md:128);
   *   - cell types: shared strings (`t="s"` via xl/sharedStrings.xml),
   *     inline strings (`t="inlineStr"`), formula-cached strings
   *     (`t="str"`), booleans (`t="b"`), and plain numbers;
@@ -30,14 +32,14 @@ import scala.collection.mutable.ArrayBuffer
 object Xlsx {
 
   def read(spark: SparkSession, path: String,
-      header: Boolean = true): DataFrame = {
+      header: Boolean = true, layer: Option[String] = None): DataFrame = {
     val bytes = {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
       try in.readAllBytes() finally in.close()
     }
-    val grid = parse(bytes)
+    val grid = parse(bytes, layer)
     require(grid.nonEmpty, s"empty worksheet in $path")
     val width = grid.map(_.length).max
     val padded = grid.map(r => r.padTo(width, null: String))
@@ -64,26 +66,33 @@ object Xlsx {
       schema)
   }
 
-  /** Parse .xlsx bytes into a row-major grid of nullable strings. */
-  def parse(bytes: Array[Byte]): Vector[Vector[String]] = {
-    var sheet: Array[Byte] = null
-    var sheetName: String = null
-    var shared: Array[Byte] = null
+  /** Parse .xlsx bytes into a row-major grid of nullable strings.
+    * `layer` selects a worksheet by its workbook tab name (the
+    * reference's `layer 'Sheet 1'` option); default is the FIRST tab in
+    * workbook order — resolved through xl/workbook.xml and its
+    * relationships, because part names don't track tab order
+    * (sheet10.xml sorts before sheet2.xml, and parts can be renamed
+    * arbitrarily).
+    */
+  def parse(bytes: Array[Byte],
+      layer: Option[String] = None): Vector[Vector[String]] = {
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     var e = zin.getNextEntry
     while (e != null) {
       val n = e.getName
-      if (n.matches("xl/worksheets/sheet[0-9]+\\.xml") &&
-          (sheetName == null || n < sheetName)) {
-        sheet = zin.readAllBytes(); sheetName = n
-      } else if (n == "xl/sharedStrings.xml") shared = zin.readAllBytes()
+      if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+          n == "xl/sharedStrings.xml" ||
+          n.matches("xl/worksheets/[^/]+\\.xml"))
+        parts(n) = zin.readAllBytes()
       e = zin.getNextEntry
     }
-    require(sheet != null, "xlsx has no xl/worksheets/sheetN.xml part")
+    val sheet = resolveSheet(parts, layer)
     val sharedStrings: IndexedSeq[String] =
-      if (shared == null) Vector.empty
-      else elements(dom(shared), "si").map(si =>
-        elements(si, "t").map(_.getTextContent).mkString)
+      parts.get("xl/sharedStrings.xml") match {
+        case None => Vector.empty
+        case Some(shared) => elements(dom(shared), "si").map(richText)
+      }
     val rows = ArrayBuffer.empty[Vector[String]]
     elements(dom(sheet), "row").foreach { r =>
       val cells = ArrayBuffer.empty[(Int, String)]
@@ -92,7 +101,8 @@ object Xlsx {
         val t = c.getAttribute("t")
         val v = t match {
           case "inlineStr" =>
-            elements(c, "t").map(_.getTextContent).mkString
+            childElements(c).find(_.getTagName == "is")
+              .map(richText).getOrElse("")
           case "s" =>
             val idx = elements(c, "v").headOption
               .map(_.getTextContent.trim.toInt).getOrElse(-1)
@@ -112,6 +122,77 @@ object Xlsx {
       rows += arr.toVector
     }
     rows.toVector
+  }
+
+  /** Pick the worksheet part: by tab name when `layer` is given, else
+    * the first tab in workbook order. Falls back to numeric-suffix
+    * ordering of sheetN.xml parts when xl/workbook.xml is absent.
+    */
+  private def resolveSheet(parts: collection.Map[String, Array[Byte]],
+      layer: Option[String]): Array[Byte] = {
+    val sheetParts = parts.keys
+      .filter(_.matches("xl/worksheets/[^/]+\\.xml")).toVector
+    require(sheetParts.nonEmpty, "xlsx has no xl/worksheets/*.xml part")
+    val byWorkbook: Option[Array[Byte]] = for {
+      wb <- parts.get("xl/workbook.xml")
+      rels <- parts.get("xl/_rels/workbook.xml.rels")
+      // rId -> part path ("worksheets/sheet1.xml", possibly "/xl/…")
+      relMap = elements(dom(rels), "Relationship").map { r =>
+        val target = r.getAttribute("Target")
+        r.getAttribute("Id") ->
+          (if (target.startsWith("/")) target.stripPrefix("/")
+           else "xl/" + target)
+      }.toMap
+      tabs = elements(dom(wb), "sheet").map { s =>
+        // namespace-unaware parse: the relationship attr is literally
+        // "r:id" (ECMA-376 names the prefix in the workbook part)
+        s.getAttribute("name") -> s.getAttribute("r:id")
+      }
+      chosen <- layer match {
+        case Some(want) =>
+          val hit = tabs.find(_._1 == want)
+          require(hit.isDefined,
+            s"no sheet named '$want' (sheets: ${tabs.map(_._1).mkString(", ")})")
+          hit
+        case None => tabs.headOption
+      }
+      bytes <- relMap.get(chosen._2).flatMap(parts.get)
+    } yield bytes
+    byWorkbook.getOrElse {
+      require(layer.isEmpty,
+        s"cannot resolve sheet '${layer.get}': xlsx has no xl/workbook.xml")
+      // no workbook part: numeric suffix order, not lexicographic
+      // (sheet2 before sheet10)
+      parts(sheetParts.sortBy { p =>
+        "([0-9]+)\\.xml$".r.findFirstMatchIn(p)
+          .map(_.group(1).toLong).getOrElse(Long.MaxValue)
+      }.head)
+    }
+  }
+
+  /** Rich text of an <si>/<is> container: its direct <t> child plus the
+    * <t> of each <r> run — excluding <rPh>/<phoneticPr> subtrees, whose
+    * <t> descendants are phonetic hints, not cell text.
+    */
+  private def richText(container: Element): String = {
+    val sb = new StringBuilder
+    childElements(container).foreach {
+      case t if t.getTagName == "t" => sb.append(t.getTextContent)
+      case r if r.getTagName == "r" =>
+        childElements(r).filter(_.getTagName == "t")
+          .foreach(t => sb.append(t.getTextContent))
+      case _ => // rPh, phoneticPr, rPr — not cell text
+    }
+    sb.toString
+  }
+
+  /** Direct child elements only (no descendants). */
+  private def childElements(root: Element): Vector[Element] = {
+    val nl = root.getChildNodes
+    (0 until nl.getLength).flatMap(nl.item(_) match {
+      case e: Element => Some(e)
+      case _ => None
+    }).toVector
   }
 
   private def dom(xml: Array[Byte]): Element = {

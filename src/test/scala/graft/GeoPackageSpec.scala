@@ -57,8 +57,8 @@ class GeoPackageSpec extends AnyFunSuite {
     Files.copy(fixture, dir.resolve("sample.gpkg"))
     val e = LakeEngine(spark)
     val all = e.createGpkgTable("gpkg_t", dir.toString)
-    assert(all.count() == 2003)
-    assert(all.select("layer").distinct().count() == 2)
+    assert(all.count() == 2005)
+    assert(all.select("layer").distinct().count() == 3)
     val places = e.createGpkgTable("gpkg_places", dir.toString,
       layer = Some("places"))
     assert(places.count() == 3)
@@ -67,6 +67,15 @@ class GeoPackageSpec extends AnyFunSuite {
       """SELECT max(st_area(st_geomfromwkb(geometry))) FROM gpkg_places""")
       .head().getDouble(0)
     assert(math.abs(area - 16.0) < 1e-12)
+  }
+
+  test("NULL geometry cells keep the row with null geometry") {
+    // legal per the GeoPackage spec; GDAL emits null-geometry rows
+    val rows = GeoPackage.features(bytes, Some("nullgeo"))
+    assert(rows.length == 2)
+    val byName = rows.map(r => r._4("name") -> r).toMap
+    assert(parseWkb(byName("has_geom")._2) == GPoint(Some(Pt(5.0, 6.0))))
+    assert(byName("no_geom")._2 == null && byName("no_geom")._3 == null)
   }
 
   test("sqlite primitives and refusals") {

@@ -66,7 +66,9 @@ class ShapefileSpec extends AnyFunSuite {
   }
 
   private def dbfFile(fields: Seq[(String, Char, Int)],
-      rows: Seq[Option[Seq[String]]]): Array[Byte] = {
+      rows: Seq[Option[Seq[String]]],
+      cs: java.nio.charset.Charset = US_ASCII,
+      ldid: Int = 0): Array[Byte] = {
     val headerSize = 32 + 32 * fields.length + 1
     val recordSize = 1 + fields.map(_._3).sum
     val buf = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
@@ -75,6 +77,7 @@ class ShapefileSpec extends AnyFunSuite {
     buf.putInt(4, rows.length)
     buf.putShort(8, headerSize.toShort)
     buf.putShort(10, recordSize.toShort)
+    buf.put(29, ldid.toByte)
     fields.zipWithIndex.foreach { case ((name, typ, len), i) =>
       val off = 32 + 32 * i
       val nb = name.getBytes(US_ASCII)
@@ -89,7 +92,8 @@ class ShapefileSpec extends AnyFunSuite {
       var off = base + 1
       val vals = row.getOrElse(Seq.fill(fields.length)(""))
       fields.zip(vals).foreach { case ((_, _, len), v) =>
-        val padded = v.padTo(len, ' ').take(len).getBytes(US_ASCII)
+        val enc = v.getBytes(cs)
+        val padded = enc.padTo(len, ' '.toByte).take(len)
         padded.zipWithIndex.foreach { case (c, k) => buf.put(off + k, c) }
         off += len
       }
@@ -184,6 +188,28 @@ class ShapefileSpec extends AnyFunSuite {
       "SELECT st_x(st_geomfromwkb(geometry)) FROM shape_t ORDER BY 1")
       .collect().map(_.getDouble(0)).toSeq
     assert(xs == Seq(7.0, 7.0, 9.0, 9.0))
+  }
+
+  test("dbf attribute charset: cpg sidecar, LDID byte, cp1252 default") {
+    val cs1252 = java.nio.charset.Charset.forName("windows-1252")
+    val shp = shpFile(Seq(pointRec(0, 0)))
+    // no hints at all: cp1252 default decodes é (0xE9) correctly
+    val d0 = dbfFile(Seq(("NAME", 'C', 8)), Seq(Some(Seq("café"))),
+      cs = cs1252)
+    assert(Shapefile.records(shp, Some(d0)).head._3("NAME") == "café")
+    // .cpg sidecar says UTF-8: multibyte text survives
+    val dUtf = dbfFile(Seq(("NAME", 'C', 12)), Seq(Some(Seq("東京"))),
+      cs = java.nio.charset.StandardCharsets.UTF_8)
+    assert(Shapefile.records(shp, Some(dUtf), Some("UTF-8"))
+      .head._3("NAME") == "東京")
+    // LDID 0x65 (Cyrillic) without a .cpg: windows-1251
+    val cs1251 = java.nio.charset.Charset.forName("windows-1251")
+    val dCyr = dbfFile(Seq(("NAME", 'C', 8)), Seq(Some(Seq("Москва"))),
+      cs = cs1251, ldid = 0x65)
+    assert(Shapefile.records(shp, Some(dCyr)).head._3("NAME") == "Москва")
+    // numeric .cpg spelling ("1252")
+    assert(Shapefile.records(shp, Some(d0), Some("1252"))
+      .head._3("NAME") == "café")
   }
 
   test("z/m shape types and corrupt files refuse loudly") {

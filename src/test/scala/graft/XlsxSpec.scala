@@ -78,6 +78,60 @@ class XlsxSpec extends AnyFunSuite {
       !r(1).getBoolean(2))
   }
 
+  private def mini(v: String): String =
+    s"""<worksheet><sheetData>
+       |  <row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row>
+       |</sheetData></worksheet>""".stripMargin
+
+  test("sheet selection: workbook tab order and layer name") {
+    // tab order (beta first) disagrees with lexicographic part order
+    // (sheet10.xml < sheet2.xml) AND with numeric order (2 < 10):
+    // only xl/workbook.xml + rels resolve it correctly.
+    val wb = xlsx(
+      "xl/workbook.xml" ->
+        """<workbook><sheets>
+          |  <sheet name="beta" sheetId="7" r:id="rId2"/>
+          |  <sheet name="alpha" sheetId="3" r:id="rId1"/>
+          |</sheets></workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships>
+          |  <Relationship Id="rId1" Target="worksheets/sheet2.xml"/>
+          |  <Relationship Id="rId2" Target="worksheets/sheet10.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet2.xml" -> mini("from_alpha"),
+      "xl/worksheets/sheet10.xml" -> mini("from_beta"))
+    assert(Xlsx.parse(wb) == Vector(Vector("from_beta")))
+    assert(Xlsx.parse(wb, Some("alpha")) == Vector(Vector("from_alpha")))
+    val err = intercept[IllegalArgumentException] {
+      Xlsx.parse(wb, Some("nope"))
+    }
+    assert(err.getMessage.contains("beta"))
+  }
+
+  test("sheet fallback without workbook part: numeric suffix order") {
+    val noWb = xlsx(
+      "xl/worksheets/sheet10.xml" -> mini("ten"),
+      "xl/worksheets/sheet2.xml" -> mini("two"))
+    assert(Xlsx.parse(noWb) == Vector(Vector("two")))
+    intercept[IllegalArgumentException] { Xlsx.parse(noWb, Some("x")) }
+  }
+
+  test("phonetic runs (rPh) are not cell text") {
+    // East-Asian files carry furigana in <rPh>; its <t> must not leak
+    // into the value (neither in sharedStrings nor inlineStr cells)
+    val grid = Xlsx.parse(xlsx(
+      "xl/sharedStrings.xml" ->
+        """<sst><si><r><t>東京</t></r><rPh sb="0" eb="2"><t>トウキョウ</t></rPh>
+          |<phoneticPr fontId="1"/></si></sst>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData>
+          |  <row r="1"><c r="A1" t="s"><v>0</v></c>
+          |    <c r="B1" t="inlineStr"><is><t>大阪</t>
+          |      <rPh sb="0" eb="2"><t>オオサカ</t></rPh></is></c></row>
+          |</sheetData></worksheet>""".stripMargin))
+    assert(grid == Vector(Vector("東京", "大阪")))
+  }
+
   test("headerless mode and refusals") {
     val spark = SparkTestSession.spark
     val dir = Files.createTempDirectory("xlsx2")
