@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** Exact PERCENTILE_CONT of `colName` for each q in `qs` (global,
-    * ungrouped — the grouped case at scale is partitionBy + this per
-    * group of interest). One count pass + one range shuffle.
+    * ungrouped — [[exactQuantilesBy]] handles the grouped case in one
+    * job). One count pass + one range shuffle.
     */
   def exactQuantiles(df: DataFrame, colName: String,
       qs: Seq[Double], partitions: Int = 64): Seq[Double] = {
@@ -91,27 +91,110 @@ object Stats {
     exactQuantiles(df, colName, Seq(q)).head
 
   /** Grouped exact quantiles for LOW-cardinality group columns (report
-    * dimensions: status flags, channels): one selection pass per
-    * group, so cost is groups × (count + range shuffle of that group's
-    * rows). Guarded — a high-cardinality group column means you want
-    * the sketch (`approx_percentile`), not per-group selection.
-    * Rows whose group is NULL are excluded (an equality predicate
-    * could never select them; callers wanting the null group should
-    * bucket it explicitly first).
+    * dimensions: status flags, channels) in a CONSTANT number of jobs —
+    * not one selection pass per group:
+    *
+    *   1. ONE range shuffle on `(group, v)`: each group occupies a
+    *      contiguous partition span, values range-ordered across it,
+    *   2. one pass counting `(partition, group)` cells → per-group
+    *      totals and per-partition offsets (driver math over ≤ P×G
+    *      tiny tuples),
+    *   3. one selection pass sorting only the hit groups of the hit
+    *      partitions.
+    *
+    * Guarded — a high-cardinality group column means you want the
+    * sketch (`approx_percentile`), not per-group selection. Rows whose
+    * group or value is NULL are excluded (PERCENTILE_CONT semantics;
+    * callers wanting the null group should bucket it explicitly).
     */
   def exactQuantilesBy(df: DataFrame, groupCol: String, colName: String,
-      qs: Seq[Double], maxGroups: Int = 64): DataFrame = {
+      qs: Seq[Double], maxGroups: Int = 64,
+      partitions: Int = 64): DataFrame = {
+    require(qs.forall(q => q >= 0.0 && q <= 1.0), "q in [0,1]")
     val spark = df.sparkSession
     import spark.implicits._
-    val groups = df.filter(col(groupCol).isNotNull)
-      .select(groupCol).distinct().limit(maxGroups + 1)
-      .collect().map(_.get(0))
-    require(groups.length <= maxGroups,
+    val vals = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(colName).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    // cheap cardinality guard BEFORE any wide collect
+    val nGroups = vals.select("g").distinct().limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
       s"more than $maxGroups groups — use approx_percentile at this " +
         "cardinality")
-    groups.sortBy(_.toString).toSeq.map { g =>
-      val sub = df.filter(col(groupCol) === lit(g))
-      (g.toString, exactQuantiles(sub, colName, qs))
-    }.toDF(groupCol, "quantiles")
+    require(nGroups > 0, "exactQuantilesBy of an empty input")
+    // ONE range shuffle: lexicographic (g, v) keys mean each group's
+    // rows form a contiguous run of partitions, range-ordered by v
+    val parted = vals.repartitionByRange(partitions, col("g"), col("v"))
+    parted.cache()
+    try {
+      // (partition, group) cell counts — tiny (≤ partitions × groups)
+      val cells: Array[(Int, String, Long)] = parted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { r =>
+            val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1L
+          }
+          m.iterator.map { case (g, c) => (i, g, c) }
+        }.collect()
+      // per group: total n and (partition, rows-of-g-before-it) offsets
+      val groupMeta: Map[String, (Long, Array[(Int, Long)])] =
+        cells.groupBy(_._2).map { case (g, cs) =>
+          val inOrder = cs.sortBy(_._1)
+          var acc = 0L
+          val offs = inOrder.map { case (p, _, c) =>
+            val o = acc; acc += c; (p, o)
+          }
+          g -> (acc, offs)
+        }
+      // PERCENTILE_CONT rank rule per group: interpolate between floor
+      // and ceil of (n-1)q
+      val wanted: Map[String, Seq[(Long, Long, Double)]] =
+        groupMeta.map { case (g, (n, _)) =>
+          g -> qs.map { q =>
+            val r = (n - 1) * q
+            (math.floor(r).toLong, math.ceil(r).toLong, r - math.floor(r))
+          }
+        }
+      // partition -> (group, local rank, global rank) needs
+      val byPartition: Map[Int, Seq[(String, Long, Long)]] = (for {
+        (g, ws) <- wanted.toSeq
+        k <- ws.flatMap(w => Seq(w._1, w._2)).distinct
+      } yield {
+        val offs = groupMeta(g)._2
+        val idx = offs.lastIndexWhere(_._2 <= k)
+        val (p, off) = offs(idx)
+        (p, (g, k - off, k))
+      }).groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2)) }
+      val bc = spark.sparkContext.broadcast(byPartition)
+      // one selection job: sort ONLY the needed groups of hit partitions
+      val found: Map[(String, Long), Double] = parted.rdd
+        .mapPartitionsWithIndex { (i, it) =>
+          bc.value.get(i) match {
+            case Some(needs) =>
+              val needGroups = needs.map(_._1).toSet
+              val buf = scala.collection.mutable.Map
+                .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+              it.foreach { r =>
+                val g = r.getString(0)
+                if (needGroups(g))
+                  buf.getOrElseUpdate(g,
+                    scala.collection.mutable.ArrayBuffer.empty) += r.getDouble(1)
+              }
+              val sorted = buf.map { case (g, b) =>
+                val a = b.toArray; java.util.Arrays.sort(a); (g, a)
+              }
+              needs.iterator.map { case (g, local, global) =>
+                ((g, global), sorted(g)(local.toInt))
+              }
+            case None => Iterator.empty
+          }
+        }.collect().toMap
+      wanted.toSeq.sortBy(_._1).map { case (g, ws) =>
+        (g, ws.map { case (lo, hi, f) =>
+          (1.0 - f) * found((g, lo)) + f * found((g, hi))
+        })
+      }.toDF(groupCol, "quantiles")
+    } finally { parted.unpersist(); () }
   }
 }

@@ -178,6 +178,37 @@ object Aggregates {
         .orderBy("q")
     },
 
+    // grouped scale-exact quantiles: Stats.exactQuantilesBy — ONE
+    // range shuffle + one selection pass covering ALL groups (the r6
+    // implementation looped count+selection jobs per group), against
+    // DuckDB's per-group quantile_cont. Same rank rule + round(·,6)
+    // ulp absorption as q_stats_quantiles.
+    QueryDef(
+      "q_stats_quantiles_by",
+      """WITH v AS (
+        |  SELECT l_linestatus, quantile_cont(CAST(l_extendedprice AS DOUBLE),
+        |    [0.01, 0.25, 0.5, 0.75, 0.99]) AS vs
+        |  FROM lineitem GROUP BY l_linestatus),
+        |u AS (
+        |  SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS DOUBLE) AS q,
+        |    unnest([1, 2, 3, 4, 5]) AS i)
+        |SELECT v.l_linestatus, u.q, round(v.vs[u.i], 6) AS value
+        |FROM u, v ORDER BY v.l_linestatus, u.q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val li = graft.Tables.df(s, dir, "lineitem")
+      val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+      val by = graft.operators.Stats.exactQuantilesBy(
+        li, "l_linestatus", "l_extendedprice", qs)
+      by.collect().toSeq.flatMap { r =>
+        val g = r.getString(0)
+        qs.zip(r.getSeq[Double](1)).map { case (q, v) => (g, q, v) }
+      }.toDF("l_linestatus", "q", "value")
+        .select(col("l_linestatus"), col("q"),
+          round(col("value"), 6).as("value"))
+        .orderBy("l_linestatus", "q")
+    },
+
     // string_agg with deterministic order + array_agg with order.
     // The ordered ARRAY_AGG is projected through ARRAY_TO_STRING on both
     // sides: the driver's pandas comparator cannot sort a raw array

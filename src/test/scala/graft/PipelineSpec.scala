@@ -443,6 +443,28 @@ class PipelineSpec extends AnyFunSuite {
       Stats.exactQuantilesBy(li, "l_orderkey", "l_quantity", Seq(0.5),
         maxGroups = 10)
     }
+
+    // single-job structure: the job count must not scale with group
+    // count (the r6 implementation paid count+selection per group —
+    // 3 groups would already exceed this bound)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Stats.exactQuantilesBy(li, "l_returnflag", "l_quantity",
+        Seq(0.25, 0.5, 0.75)).collect()
+      Thread.sleep(500) // listener bus is async; undercount only
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // observed: 8 (guard distinct+count, range sampling, cell counts,
+    // selection; AQE splits some). The r6 per-group loop would pay
+    // ~4 jobs PER group (3 groups ⇒ 14+), so 9 cleanly separates.
+    assert(jobs.get() <= 9,
+      s"exactQuantilesBy ran ${jobs.get()} jobs — per-group looping?")
   }
 
   test("kmeans: objective non-increasing, deterministic, feeds dedup") {
