@@ -299,12 +299,15 @@ final class LakeEngine(val spark: SparkSession) {
     * docs/file-formats-reference.md:169-193): the URL is staged once
     * into a local content-addressed cache, then scanned like any lake
     * foreign table (format inferred from the URL unless given).
+    * `hf://…@~parquet/∗∗/∗.parquet` wildcard URLs expand to the full
+    * shard list via the public tree API and scan as one multi-file
+    * table.
     */
   def createHttpTable(name: String, url: String,
       format: Option[String] = None,
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None): DataFrame = {
-    val local = sources.HttpSource.stage(url)
+    val local = sources.HttpSource.stageAll(url)
     createLakeTable(name, local,
       format = format.orElse(
         Some(inferFormat(sources.HttpSource.pathPart(url)))),

@@ -29,21 +29,108 @@ object HttpSource {
     d
   }
 
+  /** HF site root for resolve + API URLs; the spec points it at a
+    * local fixture server.
+    */
+  private def hfEndpoint: String =
+    sys.props.getOrElse("graft.hf.endpoint", "https://huggingface.co")
+
+  /** Parsed `hf://[datasets/]{org}/{repo}[@rev]/{path}`. `@~parquet`
+    * is HF's alias for the auto-converted parquet branch
+    * `refs/convert/parquet` (the reference's batch-URL syntax,
+    * docs/file-formats-reference.md:169-193).
+    */
+  private case class HfRef(kind: String, org: String, repo: String,
+      revision: String, path: String) {
+    private def enc(s: String) =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    def resolveUrl: String =
+      s"$hfEndpoint/$kind$org/$repo/resolve/${enc(revision)}/$path"
+    def treeUrl(fixedDir: String): String = {
+      val apiKind = if (kind.nonEmpty) kind else "models/"
+      s"$hfEndpoint/api/$apiKind$org/$repo/tree/${enc(revision)}" +
+        (if (fixedDir.isEmpty) "" else s"/$fixedDir") + "?recursive=true"
+    }
+  }
+
+  private def parseHf(url: String): HfRef = {
+    val rest = url.stripPrefix("hf://")
+    val (kind, tail) =
+      if (rest.startsWith("datasets/")) ("datasets/", rest.stripPrefix("datasets/"))
+      else ("", rest)
+    tail.split("/", 3) match {
+      case Array(org, repoRev, path) =>
+        val (repo, rev) = repoRev.split("@", 2) match {
+          case Array(r, "~parquet") => (r, "refs/convert/parquet")
+          case Array(r, v) => (r, v)
+          case Array(r) => (r, "main")
+        }
+        HfRef(kind, org, repo, rev, path)
+      case _ => throw new IllegalArgumentException(
+        s"hf:// URL needs org/repo/path: $url")
+    }
+  }
+
   /** hf:// → https:// resolve-URL translation (public HF convention). */
   def resolveUrl(url: String): String =
-    if (url.startsWith("hf://")) {
-      // hf://datasets/{org}/{repo}/{path} or hf://{org}/{repo}/{path}
-      val rest = url.stripPrefix("hf://")
-      val (kind, tail) =
-        if (rest.startsWith("datasets/")) ("datasets/", rest.stripPrefix("datasets/"))
-        else ("", rest)
-      tail.split("/", 3) match {
-        case Array(org, repo, path) =>
-          s"https://huggingface.co/$kind$org/$repo/resolve/main/$path"
-        case _ => throw new IllegalArgumentException(
-          s"hf:// URL needs org/repo/path: $url")
+    if (url.startsWith("hf://")) parseHf(url).resolveUrl else url
+
+  /** Expand an hf:// URL whose path contains glob characters
+    * (`hf://datasets/org/name@~parquet/∗∗/∗.parquet`) into the
+    * matching shards' resolve URLs, via the public
+    * `/api/{datasets|models}/{id}/tree/{rev}?recursive=true` endpoint
+    * (Link-header pagination followed). Non-glob URLs pass through.
+    */
+  def expand(url: String): Seq[String] = {
+    if (!url.startsWith("hf://") || !url.contains("*")) return Seq(url)
+    val ref = parseHf(url)
+    // list recursively from the deepest fixed directory prefix
+    val starAt = ref.path.indexOf('*')
+    val fixedDir = ref.path.substring(0, starAt)
+      .reverse.dropWhile(_ != '/').reverse.stripSuffix("/")
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher("glob:" + ref.path)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    var next: Option[String] = Some(ref.treeUrl(fixedDir))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    while (next.isDefined) {
+      val (body, nextLink) = fetch(next.get)
+      val arr = mapper.readTree(body)
+      require(arr.isArray, s"unexpected HF tree response for $url")
+      arr.forEach { n =>
+        if (n.path("type").asText() == "file")
+          files += n.path("path").asText()
       }
-    } else url
+      next = nextLink
+    }
+    val hits = files.filter(p =>
+      matcher.matches(java.nio.file.Paths.get(p))).sorted.toSeq
+    require(hits.nonEmpty,
+      s"no files in ${ref.org}/${ref.repo}@${ref.revision} match ${ref.path}")
+    hits.map(p => ref.copy(path = p).resolveUrl)
+  }
+
+  /** Stage a URL that may be an hf:// wildcard: single URLs go through
+    * [[stage]]; wildcards stage every matching shard through the same
+    * content-addressed cache and hard-link them into one directory, so
+    * the scan sees a single multi-file table.
+    */
+  def stageAll(url: String): String = {
+    if (!url.contains("*")) return stage(url)
+    val shards = expand(url)
+    val digest = MessageDigest.getInstance("SHA-256")
+      .digest(url.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
+    val dir = cacheDir.resolve(s"set-$digest")
+    Files.createDirectories(dir)
+    shards.foreach { s =>
+      val local = Paths.get(stage(s))
+      val link = dir.resolve(local.getFileName)
+      if (!Files.exists(link))
+        try Files.createLink(link, local)
+        catch { case _: java.nio.file.FileAlreadyExistsException => }
+    }
+    dir.toString
+  }
 
   /** URL without query string / fragment — what extension-based format
     * inference should look at.
@@ -81,7 +168,7 @@ object HttpSource {
     target.toString
   }
 
-  private def download(url: String, to: Path): Unit = {
+  private def connect(url: String): HttpURLConnection = {
     var conn = new URI(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setInstanceFollowRedirects(true)
@@ -99,6 +186,11 @@ object HttpSource {
     if (conn.getResponseCode != 200)
       throw new java.io.IOException(
         s"GET $url -> HTTP ${conn.getResponseCode}")
+    conn
+  }
+
+  private def download(url: String, to: Path): Unit = {
+    val conn = connect(url)
     val in: InputStream = conn.getInputStream
     try {
       val out = new FileOutputStream(to.toFile)
@@ -108,5 +200,20 @@ object HttpSource {
       in.close()
       conn.disconnect()
     }
+  }
+
+  /** GET to memory; returns (body, next-page URL from the Link
+    * header's rel="next", if any — the HF tree API paginates).
+    */
+  private def fetch(url: String): (Array[Byte], Option[String]) = {
+    val conn = connect(url)
+    try {
+      val body = conn.getInputStream.readAllBytes()
+      val next = Option(conn.getHeaderField("Link")).flatMap { l =>
+        """<([^>]+)>\s*;\s*rel="next"""".r.findFirstMatchIn(l)
+          .map(_.group(1))
+      }
+      (body, next)
+    } finally conn.disconnect()
   }
 }

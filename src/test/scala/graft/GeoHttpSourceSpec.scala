@@ -110,10 +110,86 @@ class GeoHttpSourceSpec extends AnyFunSuite {
       "https://huggingface.co/datasets/org/repo/resolve/main/data/train.parquet")
     assert(sources.HttpSource.resolveUrl("hf://org/repo/model.bin") ==
       "https://huggingface.co/org/repo/resolve/main/model.bin")
+    // @revision and the @~parquet convert-branch alias
+    assert(sources.HttpSource.resolveUrl(
+      "hf://datasets/org/repo@v1.2/data/x.parquet") ==
+      "https://huggingface.co/datasets/org/repo/resolve/v1.2/data/x.parquet")
+    assert(sources.HttpSource.resolveUrl(
+      "hf://datasets/org/repo@~parquet/default/train/0000.parquet") ==
+      "https://huggingface.co/datasets/org/repo/resolve/" +
+        "refs%2Fconvert%2Fparquet/default/train/0000.parquet")
     assert(sources.HttpSource.resolveUrl("https://x.test/a.csv") ==
       "https://x.test/a.csv")
     intercept[IllegalArgumentException] {
       sources.HttpSource.resolveUrl("hf://datasets/only-two")
+    }
+  }
+
+  test("hf:// wildcard expands via the tree API and scans multi-shard") {
+    // two parquet shards under the layout the HF parquet branch uses
+    val repoRoot = Paths.get(tmpDir("hfrepo"))
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(repoRoot.resolve("p0").toString)
+    Seq((3L, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(repoRoot.resolve("p1").toString)
+    def onlyParquet(d: String): java.nio.file.Path =
+      Files.list(repoRoot.resolve(d)).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+    val shard0 = onlyParquet("p0"); val shard1 = onlyParquet("p1")
+
+    val treeHits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => {
+      val uri = ex.getRequestURI.toString
+      def send(code: Int, bytes: Array[Byte],
+          headers: Map[String, String] = Map.empty): Unit = {
+        headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      if (uri.startsWith("/api/datasets/org/multi/tree/refs%2Fconvert%2Fparquet")) {
+        // paginated: page 1 (train shard + a non-matching json) links
+        // to page 2 (test shard)
+        if (treeHits.incrementAndGet() == 1)
+          send(200,
+            """[{"type":"file","path":"default/train/0000.parquet","size":10},
+              |{"type":"file","path":"default/train/state.json","size":2},
+              |{"type":"directory","path":"default/test"}]""".stripMargin
+              .getBytes(UTF_8),
+            Map("Link" ->
+              s"""<$base/api/datasets/org/multi/tree/refs%2Fconvert%2Fparquet?recursive=true&cursor=p2>; rel="next""""))
+        else
+          send(200,
+            """[{"type":"file","path":"default/test/0000.parquet","size":5}]"""
+              .getBytes(UTF_8))
+      } else if (uri.startsWith(
+          "/datasets/org/multi/resolve/refs%2Fconvert%2Fparquet/default/train/0000.parquet")) {
+        send(200, Files.readAllBytes(shard0))
+      } else if (uri.startsWith(
+          "/datasets/org/multi/resolve/refs%2Fconvert%2Fparquet/default/test/0000.parquet")) {
+        send(200, Files.readAllBytes(shard1))
+      } else send(404, Array.emptyByteArray)
+    })
+    server.start()
+    System.setProperty("graft.hf.endpoint",
+      s"http://127.0.0.1:${server.getAddress.getPort}")
+    try {
+      val df = engine.createHttpTable("hf_multi",
+        "hf://datasets/org/multi@~parquet/**/*.parquet")
+      assert(df.count() == 3) // both shards, json ignored
+      assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // no match → loud refusal
+      intercept[IllegalArgumentException] {
+        sources.HttpSource.expand(
+          "hf://datasets/org/multi@~parquet/**/*.csv")
+      }
+    } finally {
+      System.clearProperty("graft.hf.endpoint")
+      server.stop(0)
     }
   }
 }
