@@ -25,7 +25,8 @@ import scala.jdk.CollectionConverters._
   *   POST   /v1/namespaces/{ns}/tables             (CreateTable)
   *   GET    /v1/namespaces/{ns}/tables/{table}     (LoadTableResult)
   *   HEAD   /v1/namespaces/{ns}/tables/{table}
-  *   POST   /v1/namespaces/{ns}/tables/{table}     (CommitTable)
+  *   POST   /v1/namespaces/{ns}/tables/{table}     (CommitTable:
+  *            add-snapshot + add-schema/set-current-schema evolution)
   *   DELETE /v1/namespaces/{ns}/tables/{table}     (DropTable)
   *   POST   /v1/tables/rename
   *
@@ -252,9 +253,13 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
         }
 
       // CommitTable (spec: POST .../tables/{t} with requirements +
-      // updates). The supported update is add-snapshot with a staged
-      // manifest-list: the catalog walks the client's metadata and
-      // swaps the file set under the normal commit CAS.
+      // updates). Supported updates: add-snapshot (staged
+      // manifest-list walked, file set swapped under the commit CAS)
+      // and schema evolution via add-schema/set-current-schema — the
+      // actions standard clients send for ALTER TABLE ADD/RENAME/DROP
+      // COLUMN — mapped onto the metadata-only column ops by field-id
+      // diff (reference rest_catalog_ops.c handles the same UpdateTable
+      // surface).
       case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
         resolve(ns, t) match {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
@@ -271,38 +276,56 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
               .map(r => r.get("snapshot-id").asLong())
               .headOption
             val updates = Option(body.get("updates")).toSeq
-              .flatMap(_.elements().asScala)
-            val addSnap = updates.find(u =>
-              u.get("action").asText() == "add-snapshot")
-            addSnap match {
-              case None =>
-                error(ex, 400, "BadRequestException",
-                  "only add-snapshot commits are supported")
-              case Some(u) =>
-                val listPath =
-                  u.get("snapshot").get("manifest-list").asText()
-                val m = lt.meta
-                val typesById = m.currentSchema.fields.map(f =>
-                  f.id -> org.apache.spark.sql.types.DataType
-                    .fromDDL(f.dataType)).toMap
-                val refs = graft.sources.IcebergSnapshot
-                  .dataFilesFromManifestList(listPath, typesById)
-                val entries = refs.map(r => FileEntry(
-                  r.path.stripPrefix("file://"), r.records, r.bytes,
-                  m.currentSchemaVersion, r.stats,
-                  // conservative: imported files carry no transform
-                  // stats, so partition pruning skips them (field-stat
-                  // pruning still applies)
-                  Map.empty))
-                try {
-                  lt.importSnapshot(entries,
-                    requireSnapshotId = requiredSnap)
+              .flatMap(_.elements().asScala).toSeq
+            val actions = updates.map(_.get("action").asText())
+            val unsupported = actions.filterNot(Set(
+              "add-snapshot", "add-schema", "set-current-schema"))
+            if (updates.isEmpty)
+              error(ex, 400, "BadRequestException", "no updates in commit")
+            else if (unsupported.nonEmpty)
+              error(ex, 400, "BadRequestException",
+                s"unsupported update action(s): ${unsupported.mkString(", ")}")
+            else {
+              val schemaErr = updates
+                .filter(_.get("action").asText() == "add-schema")
+                .flatMap(u => applySchemaEvolution(lt, u.get("schema")))
+                .headOption
+              val addSnap = updates.find(u =>
+                u.get("action").asText() == "add-snapshot")
+              (schemaErr, addSnap) match {
+                case (Some(msg), _) =>
+                  error(ex, 400, "BadRequestException", msg)
+                case (None, None) =>
+                  // schema-only commit (set-current-schema is implicit:
+                  // evolution applies immediately, -1 = latest)
                   engine.refresh(engineKey(ns, t))
                   loadResult(ex, lt)
-                } catch {
-                  case e: java.util.ConcurrentModificationException =>
-                    error(ex, 409, "CommitFailedException", e.getMessage)
-                }
+                case (None, Some(u)) =>
+                  val listPath =
+                    u.get("snapshot").get("manifest-list").asText()
+                  val m = lt.meta
+                  val typesById = m.currentSchema.fields.map(f =>
+                    f.id -> org.apache.spark.sql.types.DataType
+                      .fromDDL(f.dataType)).toMap
+                  val refs = graft.sources.IcebergSnapshot
+                    .dataFilesFromManifestList(listPath, typesById)
+                  val entries = refs.map(r => FileEntry(
+                    r.path.stripPrefix("file://"), r.records, r.bytes,
+                    m.currentSchemaVersion, r.stats,
+                    // conservative: imported files carry no transform
+                    // stats, so partition pruning skips them (field-stat
+                    // pruning still applies)
+                    Map.empty))
+                  try {
+                    lt.importSnapshot(entries,
+                      requireSnapshotId = requiredSnap)
+                    engine.refresh(engineKey(ns, t))
+                    loadResult(ex, lt)
+                  } catch {
+                    case e: java.util.ConcurrentModificationException =>
+                      error(ex, 409, "CommitFailedException", e.getMessage)
+                  }
+              }
             }
         }
 
@@ -366,6 +389,37 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
       case (m, p) =>
         error(ex, 404, "NotFound", s"$m /${p.mkString("/")}")
     }
+  }
+
+  /** Apply an add-schema update by FIELD-ID diff against the current
+    * schema (ids are the identity across renames, per the Iceberg
+    * spec): same id + new name → rename; id absent from the incoming
+    * schema → drop; unknown id → add. Type changes refuse loudly (the
+    * column ops are metadata-only; silent type punning would corrupt
+    * reads). Returns Some(message) on refusal.
+    */
+  private def applySchemaEvolution(lt: LakeTable,
+      schemaNode: com.fasterxml.jackson.databind.JsonNode)
+      : Option[String] = {
+    val incoming = graft.sources.IcebergSnapshot.fieldDefsOf(schemaNode)
+    val cur = lt.meta.currentSchema.fields
+    val curById = cur.map(f => f.id -> f).toMap
+    val inIds = incoming.map(_.id).toSet
+    val typeChanged = incoming.flatMap(nf => curById.get(nf.id).collect {
+      case cf if !cf.dataType.equalsIgnoreCase(nf.dataType) =>
+        s"${cf.name}: ${cf.dataType} -> ${nf.dataType}"
+    })
+    if (typeChanged.nonEmpty)
+      return Some(
+        s"type evolution not supported (${typeChanged.mkString("; ")})")
+    cur.filterNot(f => inIds.contains(f.id))
+      .foreach(f => lt.dropColumn(f.name))
+    incoming.foreach(nf => curById.get(nf.id)
+      .filter(_.name != nf.name)
+      .foreach(cf => lt.renameColumn(cf.name, nf.name)))
+    incoming.filterNot(nf => curById.contains(nf.id))
+      .foreach(nf => lt.addColumn(nf.name, nf.dataType))
+    None
   }
 
   private def propsJson(props: Map[String, String]): String =

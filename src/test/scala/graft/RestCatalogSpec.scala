@@ -178,6 +178,99 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("REST catalog schema evolution: external ALTER TABLE commits") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      val createBody =
+        """{"name":"ext_evo","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true},
+          |  {"id":2,"name":"label","type":"string","required":false}
+          |]}}""".stripMargin
+      assert(post(s"$base/v1/namespaces/default/tables", createBody)._1 == 200)
+
+      // external ALTER TABLE ADD COLUMN — the add-schema +
+      // set-current-schema actions standard clients send
+      val addCol =
+        """{"requirements":[],"updates":[
+          |  {"action":"add-schema","schema":{"type":"struct","fields":[
+          |    {"id":1,"name":"id","type":"long","required":true},
+          |    {"id":2,"name":"label","type":"string","required":false},
+          |    {"id":3,"name":"score","type":"double","required":false}
+          |  ]}},
+          |  {"action":"set-current-schema","schema-id":-1}
+          |]}""".stripMargin
+      val (ac, ab) = post(s"$base/v1/namespaces/default/tables/ext_evo", addCol)
+      assert(ac == 200, ab)
+      assert(e.table("ext_evo").meta.sparkSchema.fieldNames.toSeq ==
+        Seq("id", "label", "score"))
+
+      // the client then commits data under the evolved schema;
+      // local reads see both the new column and the new rows
+      import spark.implicits._
+      val staged = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "label", "score")
+      val scratch = graft.lake.LakeTable.createAsSelect(spark,
+        LakeEngine.tempLocation("evostage"), "evostage", staged)
+      val listPath = IcebergSnapshot.metadata(
+          graft.lake.IcebergExport.export(scratch))
+        .get("snapshots").elements().asScala.toSeq.last
+        .get("manifest-list").asText()
+      val (dc, db) = post(s"$base/v1/namespaces/default/tables/ext_evo",
+        s"""{"updates":[{"action":"add-snapshot","snapshot":{
+           |  "snapshot-id":1,"manifest-list":"$listPath"}}]}""".stripMargin)
+      assert(dc == 200, db)
+      val local = e.table("ext_evo").read()
+      assert(local.columns.toSeq == Seq("id", "label", "score"))
+      assert(local.count() == 2)
+      assert(local.filter(col("score") === 1.5).head().getString(1) == "b")
+      // and the re-export served over REST carries the evolved schema
+      val (_, tb) = get(s"$base/v1/namespaces/default/tables/ext_evo")
+      val restSchema = mapper.readTree(tb).get("metadata")
+      val back = IcebergSnapshot.read(spark,
+        mapper.readTree(tb).get("metadata-location").asText())
+      assert(back.columns.toSeq == Seq("id", "label", "score"))
+      assert(restSchema.get("current-snapshot-id").asLong() ==
+        e.table("ext_evo").meta.currentSnapshotId)
+
+      // rename by field-id: same ids, label -> tag
+      val rename =
+        """{"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true},
+          |  {"id":2,"name":"tag","type":"string","required":false},
+          |  {"id":3,"name":"score","type":"double","required":false}
+          |]}}]}""".stripMargin
+      assert(post(s"$base/v1/namespaces/default/tables/ext_evo", rename)._1
+        == 200)
+      val renamed = e.table("ext_evo").read()
+      assert(renamed.columns.toSeq == Seq("id", "tag", "score"))
+      // files written under the old name still read (field-id mapping)
+      assert(renamed.filter(col("tag") === "a").count() == 1)
+
+      // drop by omission: id 3 gone
+      val drop =
+        """{"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true},
+          |  {"id":2,"name":"tag","type":"string","required":false}
+          |]}}]}""".stripMargin
+      assert(post(s"$base/v1/namespaces/default/tables/ext_evo", drop)._1
+        == 200)
+      assert(e.table("ext_evo").read().columns.toSeq == Seq("id", "tag"))
+
+      // type evolution refuses loudly, schema untouched
+      val retype =
+        """{"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"string","required":true},
+          |  {"id":2,"name":"tag","type":"string","required":false}
+          |]}}]}""".stripMargin
+      val (rc, rb) = post(s"$base/v1/namespaces/default/tables/ext_evo", retype)
+      assert(rc == 400, rb)
+      assert(rb.contains("type evolution"))
+      assert(e.table("ext_evo").meta.sparkSchema.fieldNames.toSeq ==
+        Seq("id", "tag"))
+    } finally srv.stop()
+  }
+
   private def send(method: String, url: String, body: String = null,
       token: String = null): (Int, String) = {
     var b = HttpRequest.newBuilder(URI.create(url))
