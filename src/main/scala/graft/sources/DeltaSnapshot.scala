@@ -30,21 +30,33 @@ import scala.jdk.CollectionConverters._
   * filters into the index, so a 10k-partition table still plans a
   * single FileScan node (no per-tuple union).
   *
-  * Rejected explicitly: deletion vectors, column mapping.
+  * Deletion vectors are read-supported ([[DeletionVectors]]): each
+  * masked file's bitmap decodes (in executors) to (file, row_index)
+  * pairs, anti-joined against the scan's `_metadata.row_index` — the
+  * mask never materializes on the driver. Column mapping is still
+  * rejected explicitly.
   */
 object DeltaSnapshot {
 
   private val mapper = new ObjectMapper()
 
-  final case class AddFile(size: Long, partitionValues: Map[String, Option[String]])
+  final case class AddFile(size: Long,
+      partitionValues: Map[String, Option[String]],
+      dv: Option[DeletionVectors.Descriptor] = None)
 
   final case class State(
       schemaJson: String,
       partitionColumns: Seq[String],
       files: Map[String, AddFile])
 
-  private def requireNoDv(dv: JsonNode): Unit =
-    require(dv == null || dv.isNull, "delta deletion vectors unsupported")
+  private def dvOf(dv: JsonNode): Option[DeletionVectors.Descriptor] =
+    if (dv == null || dv.isNull) None
+    else Some(DeletionVectors.Descriptor(
+      dv.get("storageType").asText(),
+      dv.get("pathOrInlineDv").asText(),
+      Option(dv.get("offset")).filterNot(_.isNull).map(_.asLong()),
+      dv.get("sizeInBytes").asInt(),
+      dv.get("cardinality").asLong()))
 
   private def checkMapping(conf: JsonNode): Unit = {
     val mode = Option(conf).flatMap(c =>
@@ -108,17 +120,29 @@ object DeltaSnapshot {
       }
 
       val hasDv = cp.select("add.*").schema.fieldNames.contains("deletionVector")
-      if (hasDv)
-        require(cp.filter(col("add").isNotNull &&
-            col("add.deletionVector").isNotNull).isEmpty,
-          "delta deletion vectors unsupported")
-      val addRows = cp.filter(col("add").isNotNull)
-        .select("add.path", "add.size", "add.partitionValues").collect()
+      val addBase = cp.filter(col("add").isNotNull)
+      val addRows =
+        if (hasDv) addBase.select(
+          col("add.path"), col("add.size"), col("add.partitionValues"),
+          col("add.deletionVector.storageType"),
+          col("add.deletionVector.pathOrInlineDv"),
+          col("add.deletionVector.offset"),
+          col("add.deletionVector.sizeInBytes"),
+          col("add.deletionVector.cardinality")).collect()
+        else addBase
+          .select("add.path", "add.size", "add.partitionValues").collect()
       files = addRows.map { r =>
         val pv = Option(r.getMap[String, String](2))
           .map(_.map { case (k, x) => k -> Option(x) }.toMap)
           .getOrElse(Map.empty[String, Option[String]])
-        r.getString(0) -> AddFile(r.getLong(1), pv)
+        val dv =
+          if (hasDv && !r.isNullAt(3))
+            Some(DeletionVectors.Descriptor(r.getString(3), r.getString(4),
+              if (r.isNullAt(5)) None
+              else Some(r.getAs[Number](5).longValue()),
+              r.getAs[Number](6).intValue(), r.getAs[Number](7).longValue()))
+          else None
+        r.getString(0) -> AddFile(r.getLong(1), pv, dv)
       }.toMap
       // live remove tombstones in the checkpoint only matter for vacuum
       // bookkeeping; a path is never simultaneously live-add and
@@ -165,10 +189,10 @@ object DeltaSnapshot {
       }
       if (node.has("add")) {
         val add = node.get("add")
-        requireNoDv(add.get("deletionVector"))
         files += add.get("path").asText() -> AddFile(
           Option(add.get("size")).map(_.asLong()).getOrElse(0L),
-          partValuesOf(add.get("partitionValues")))
+          partValuesOf(add.get("partitionValues")),
+          dvOf(add.get("deletionVector")))
       }
       if (node.has("remove"))
         files -= node.get("remove").get("path").asText()
@@ -188,27 +212,62 @@ object DeltaSnapshot {
       return spark.createDataFrame(
         java.util.Collections.emptyList[Row](), schema)
 
-    if (st.partitionColumns.isEmpty)
-      return spark.read.schema(schema)
-        .parquet(st.files.keysIterator.toSeq.sorted.map(f => s"$tableDir/$f"): _*)
-
-    // ONE scan for the whole table: partition values attach via the
-    // FileIndex (a PartitionDirectory per distinct tuple), the shape
-    // every serious Delta reader uses. The old per-tuple
-    // read.parquet+unionAll built a k-way union plan — at 10k
-    // partitions that's an analyzer blowup with no shared scan.
-    val partSet = st.partitionColumns.toSet
-    val partSchema = StructType(st.partitionColumns.map(schema(_)))
-    val dataSchema = StructType(schema.fields.filterNot(f =>
-      partSet.contains(f.name)))
-    val index = new DeltaFileIndex(tableDir, partSchema, st)
-    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      index, partSchema, dataSchema, None,
-      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map.empty)(org.apache.spark.sql.GraftBridge.classicSession(spark))
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-        org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+    val base: DataFrame =
+      if (st.partitionColumns.isEmpty)
+        spark.read.schema(schema)
+          .parquet(st.files.keysIterator.toSeq.sorted
+            .map(f => s"$tableDir/$f"): _*)
+      else {
+        // ONE scan for the whole table: partition values attach via the
+        // FileIndex (a PartitionDirectory per distinct tuple), the shape
+        // every serious Delta reader uses. The old per-tuple
+        // read.parquet+unionAll built a k-way union plan — at 10k
+        // partitions that's an analyzer blowup with no shared scan.
+        val partSet = st.partitionColumns.toSet
+        val partSchema = StructType(st.partitionColumns.map(schema(_)))
+        val dataSchema = StructType(schema.fields.filterNot(f =>
+          partSet.contains(f.name)))
+        val index = new DeltaFileIndex(tableDir, partSchema, st)
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, partSchema, dataSchema, None,
+          new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+          Map.empty)(org.apache.spark.sql.GraftBridge.classicSession(spark))
+        org.apache.spark.sql.GraftBridge.ofRows(spark,
+          org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
+      }
+    maskDeleted(spark, tableDir, st, base)
       .select(schema.fieldNames.map(col): _*)
+  }
+
+  /** Anti-join out DV-masked rows: bitmaps decode in EXECUTORS to
+    * (file, row_index) pairs matched against the scan's
+    * `_metadata.file_path` / `_metadata.row_index` — nothing
+    * data-scale touches the driver, and files without a DV pass
+    * through a plain (broadcastable) anti-join.
+    */
+  private def maskDeleted(spark: SparkSession, tableDir: String,
+      st: State, base: DataFrame): DataFrame = {
+    val withDv = st.files.toSeq.collect {
+      case (p, add) if add.dv.isDefined => (s"$tableDir/$p", add.dv.get)
+    }
+    if (withDv.isEmpty) return base
+    import spark.implicits._
+    val dels = spark.sparkContext
+      .parallelize(withDv, math.min(withDv.size, 32))
+      .flatMap { case (fp, d) =>
+        DeletionVectors.deletedRows(tableDir, d).iterator.map(i => (fp, i))
+      }.toDF("__dv_path", "__dv_idx")
+    // file:/ URI renderings differ between the metadata column and the
+    // log-relative paths; compare on the bare filesystem path
+    def norm(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+    base
+      .withColumn("__p", norm(col("_metadata.file_path")))
+      .withColumn("__i", col("_metadata.row_index"))
+      .join(dels.withColumn("__dv_path", norm(col("__dv_path"))),
+        col("__p") === col("__dv_path") && col("__i") === col("__dv_idx"),
+        "left_anti")
+      .drop("__p", "__i")
   }
 }
 
