@@ -15,11 +15,16 @@ import scala.collection.mutable.ArrayBuffer
   *  - inputs are valid single-ring polygons (holes stay on the convex
   *    path or the exactly-decidable difference subset);
   *  - degenerate boundary contact — a vertex of one polygon exactly on
-  *    the other's boundary, collinear overlapping edges, or a computed
-  *    crossing collapsing onto a vertex — is refused: correct handling
-  *    needs snap-rounded exact arithmetic, and a wrong polygon is worse
-  *    than a loud error. Generic-position inputs (e.g. integer
-  *    coordinates against half-integer coordinates) never hit this.
+  *    the other's boundary, collinear overlapping edges, shared
+  *    vertices — routes to the NODED overlay ([[nodedOverlay]]): mutual
+  *    vertex insertion makes every contact vertex-to-vertex (exact — no
+  *    new coordinates beyond the same one-division crossing points),
+  *    then each noded edge is kept or dropped by an exact midpoint
+  *    location test and kept edges stitch into rings with the
+  *    rightmost-turn rule (pinch contacts split into separate rings).
+  *    Only genuinely zero-area residue still refuses: an intersection
+  *    that is entirely lower-dimensional (a shared edge or point — a
+  *    LINESTRING/POINT in GEOS terms, not a polygon).
   *
   * All predicates (crossing detection, entry/exit marking) are sign
   * tests on exact products; the only constructions are the crossing
@@ -96,6 +101,17 @@ object Overlay {
     }
     require(isValid(ga) && isValid(gb),
       s"${op.name}: inputs must be valid polygons")
+    // degenerate boundary contact (any vertex of one polygon exactly on
+    // the other's boundary — which covers collinear overlap and shared
+    // vertices too, since an overlapping stretch always puts at least
+    // one endpoint on the other boundary) → the noded exact path
+    locally {
+      val aO = ccw(openRing(ra)); val bO = ccw(openRing(rb))
+      val cA = aO :+ aO.head; val cB = bO :+ bO.head
+      if (aO.exists(p => locateInRing(cB, p) == 1) ||
+          bO.exists(p => locateInRing(cA, p) == 1))
+        return nodedOverlay(aO, bO, op, srid)
+    }
     trace(ra, rb, op) match {
       case None => // no proper crossings: containment or disjoint
         val aInB = locateInRing(rb, ra.head) == 2
@@ -139,6 +155,245 @@ object Overlay {
     }
     val open = if (d.length > 1 && d.head == d.last) d.dropRight(1) else d
     if (open.isEmpty) open else open :+ open.head
+  }
+
+  // ------------------------------------------------------------------
+  // Noded overlay — the degenerate-contact path. Both rings are
+  // mutually noded (the other ring's on-edge vertices plus the proper
+  // crossing points become vertices), after which EVERY contact is
+  // vertex-to-vertex and every edge is either strictly inside, strictly
+  // outside, or exactly shared with the other polygon. An exact
+  // midpoint location test classifies each edge; kept directed edges
+  // stitch into rings with the rightmost-turn rule, which also splits
+  // pinch contacts (corner-touching results) into separate rings.
+  // ------------------------------------------------------------------
+
+  private final case class XPt(ai: Int, ta: Double, bi: Int, tb: Double,
+      p: Pt)
+
+  /** Proper pairwise crossings of two open CCW rings (same strict sign
+    * tests and one-division construction as [[trace]]).
+    */
+  private def properCrossings(a: IndexedSeq[Pt],
+      b: IndexedSeq[Pt]): Seq[XPt] = {
+    val out = ArrayBuffer.empty[XPt]
+    var i = 0
+    while (i < a.length) {
+      val p = a(i); val q = a((i + 1) % a.length)
+      var j = 0
+      while (j < b.length) {
+        val c = b(j); val d = b((j + 1) % b.length)
+        val d1 = cross(c, d, p); val d2 = cross(c, d, q)
+        val d3 = cross(p, q, c); val d4 = cross(p, q, d)
+        if (d1 != 0 && d2 != 0 && d3 != 0 && d4 != 0 &&
+            (d1 > 0) != (d2 > 0) && (d3 > 0) != (d4 > 0)) {
+          val tA = d1 / (d1 - d2)
+          val tB = d3 / (d3 - d4)
+          out += XPt(i, tA, j, tB,
+            Pt(p.x + tA * (q.x - p.x), p.y + tA * (q.y - p.y)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Parameter of `v` along segment (p,q) via the dominant axis (v is
+    * known to lie on the segment).
+    */
+  @inline private def paramOn(p: Pt, q: Pt, v: Pt): Double =
+    if (math.abs(q.x - p.x) >= math.abs(q.y - p.y))
+      (v.x - p.x) / (q.x - p.x)
+    else (v.y - p.y) / (q.y - p.y)
+
+  /** Insert into ring `r` every vertex of `other` lying strictly inside
+    * one of r's edges, plus the given crossing points (keyed by r's
+    * edge index).
+    */
+  private def nodeRing(r: IndexedSeq[Pt], other: IndexedSeq[Pt],
+      crossingsByEdge: Map[Int, Seq[(Double, Pt)]]): Vector[Pt] = {
+    val out = Vector.newBuilder[Pt]
+    var i = 0
+    while (i < r.length) {
+      val p = r(i); val q = r((i + 1) % r.length)
+      out += p
+      val onEdge = other.filter(v => v != p && v != q && onSeg(p, q, v))
+        .map(v => (paramOn(p, q, v), v))
+      (onEdge ++ crossingsByEdge.getOrElse(i, Nil))
+        .distinctBy(_._2).sortBy(_._1).foreach(out += _._2)
+      i += 1
+    }
+    dedupeOpen(out.result())
+  }
+
+  /** `d1` precedes `d2` sweeping CLOCKWISE from `ref` (exact sign
+    * logic; angle 2π — straight back along ref — sorts last).
+    */
+  private def cwFirst(ref: Pt, d1: Pt, d2: Pt): Boolean = {
+    def clazz(d: Pt): Int = {
+      val cr = ref.x * d.y - ref.y * d.x
+      val dot = ref.x * d.x + ref.y * d.y
+      if (cr < 0) 0 else if (cr == 0 && dot < 0) 1
+      else if (cr > 0) 2 else 3 // cr == 0 && dot > 0: full turn
+    }
+    val (c1, c2) = (clazz(d1), clazz(d2))
+    if (c1 != c2) c1 < c2
+    else if (c1 == 0 || c1 == 2) d1.x * d2.y - d1.y * d2.x < 0
+    else false
+  }
+
+  /** Stitch directed edges (interior on the LEFT) into closed rings.
+    * At each vertex the walk takes the outgoing edge with the smallest
+    * clockwise angle from the reversed incoming direction — the
+    * rightmost turn — which keeps faces that touch at a pinch vertex
+    * separate.
+    */
+  private def stitchRings(op: String,
+      edges: Seq[(Pt, Pt)]): Vector[Vector[Pt]] = {
+    val byFrom = scala.collection.mutable.Map
+      .empty[Pt, ArrayBuffer[(Pt, Int)]]
+    edges.zipWithIndex.foreach { case ((u, v), k) =>
+      byFrom.getOrElseUpdate(u, ArrayBuffer.empty) += ((v, k))
+    }
+    val used = new Array[Boolean](edges.length)
+    val rings = Vector.newBuilder[Vector[Pt]]
+    edges.zipWithIndex.foreach { case ((u0, v0), k0) =>
+      if (!used(k0)) {
+        used(k0) = true
+        val ring = Vector.newBuilder[Pt]
+        ring += u0
+        var prev = u0
+        var cur = v0
+        var steps = 0
+        while (cur != u0) {
+          ring += cur
+          val ref = Pt(prev.x - cur.x, prev.y - cur.y) // reversed in-dir
+          val outs = byFrom.getOrElse(cur, ArrayBuffer.empty)
+            .filter(e => !used(e._2))
+          if (outs.isEmpty)
+            refuse(op, "noded boundary fails to close (dangling edge)")
+          val best = outs.minBy(identity)(Ordering.fromLessThan[(Pt, Int)] {
+            (e1, e2) =>
+              cwFirst(ref, Pt(e1._1.x - cur.x, e1._1.y - cur.y),
+                Pt(e2._1.x - cur.x, e2._1.y - cur.y))
+          })
+          used(best._2) = true
+          prev = cur
+          cur = best._1
+          steps += 1
+          if (steps > edges.length + 1)
+            refuse(op, "noded traversal failed to close")
+        }
+        val r = ring.result()
+        if (r.length >= 3 && signedArea(r) != 0.0) rings += (r :+ r.head)
+      }
+    }
+    rings.result()
+  }
+
+  /** Assemble closed rings (CCW shells, CW holes, from interior-left
+    * stitching) into a polygon / multipolygon, attaching each hole to
+    * the shell containing it.
+    */
+  private def assemble(op: String, rings: Vector[Vector[Pt]],
+      srid: Int): Geom = {
+    val (shells, holes) = rings.partition(r => signedArea(openRing(r)) > 0)
+    if (shells.isEmpty) {
+      if (holes.nonEmpty)
+        refuse(op, "overlay produced holes without a shell")
+      return GPolygon(Vector.empty, srid)
+    }
+    val attached = shells.map(s => (s, ArrayBuffer.empty[Vector[Pt]]))
+    holes.foreach { h =>
+      val probe = openRing(h).find(p =>
+        shells.exists(s => locateInRing(s, p) != 1))
+      val owner = attached.find { case (s, _) =>
+        probe.exists(p => locateInRing(s, p) == 2)
+      }
+      owner match {
+        case Some((_, hs)) => hs += h
+        case None => refuse(op, "hole not contained in any shell")
+      }
+    }
+    if (attached.length == 1)
+      GPolygon(attached.head._1 +: attached.head._2.toVector, srid)
+    else GMultiPolygon(
+      attached.map { case (s, hs) => s +: hs.toVector }, srid)
+  }
+
+  /** The degenerate-contact overlay. `a`/`b` are open CCW rings. */
+  private def nodedOverlay(a: IndexedSeq[Pt], b: IndexedSeq[Pt], op: Op,
+      srid: Int): Geom = {
+    val xs = properCrossings(a, b)
+    val aN = nodeRing(a, b,
+      xs.groupBy(_.ai).map { case (i, s) => i -> s.map(x => (x.ta, x.p)) })
+    val bN = nodeRing(b, a,
+      xs.groupBy(_.bi).map { case (j, s) => j -> s.map(x => (x.tb, x.p)) })
+    val closedA = aN :+ aN.head
+    val closedB = bN :+ bN.head
+    def edgesOf(r: Vector[Pt]): Vector[(Pt, Pt)] =
+      r.indices.map(i => (r(i), r((i + 1) % r.length))).toVector
+    val ea = edgesOf(aN); val eb = edgesOf(bN)
+    val ebFwd = eb.toSet
+    val ebRev = eb.map(_.swap).toSet
+
+    // classification: shared edges by direction, the rest by an exact
+    // midpoint location against the OTHER noded ring
+    def mid(e: (Pt, Pt)) = Pt((e._1.x + e._2.x) / 2, (e._1.y + e._2.y) / 2)
+    def side(closed: IndexedSeq[Pt], e: (Pt, Pt)): Int = {
+      val l = locateInRing(closed, mid(e))
+      if (l == 1)
+        refuse(op.name, "inconsistent noding (midpoint on boundary of " +
+          "a non-shared edge)")
+      l // 2 = interior, 0 = exterior
+    }
+    val kept = Vector.newBuilder[(Pt, Pt)]
+    ea.foreach { e =>
+      if (ebFwd.contains(e)) { // shared, interiors on the same side
+        op match {
+          case Inter | Union => kept += e
+          case Diff => // boundary strip of A lies inside B: not in A−B
+        }
+      } else if (ebRev.contains(e)) { // shared, interiors opposite
+        op match {
+          case Inter => // 1-dimensional contact: no area here
+          case Union => // interior seam of the union
+          case Diff => kept += e
+        }
+      } else {
+        val s = side(closedB, e)
+        op match {
+          case Inter => if (s == 2) kept += e
+          case Union | Diff => if (s == 0) kept += e
+        }
+      }
+    }
+    val eaFwd = ea.toSet
+    val eaRev = ea.map(_.swap).toSet
+    eb.foreach { e =>
+      if (!eaFwd.contains(e) && !eaRev.contains(e)) {
+        val s = side(closedA, e)
+        op match {
+          case Inter => if (s == 2) kept += e
+          case Union => if (s == 0) kept += e
+          case Diff => if (s == 2) kept += ((e._2, e._1)) // reversed
+        }
+      }
+    }
+    val rings = stitchRings(op.name, kept.result().distinct)
+    if (rings.isEmpty) {
+      op match {
+        case Inter =>
+          // the noded path is only entered when boundary contact
+          // exists, so an empty intersection here is the zero-area
+          // residue — a shared edge or point, not a polygon
+          refuse(op.name, "intersection is zero-area (a shared edge " +
+            "or point — a LINESTRING/POINT, not a polygon)")
+        case Union => refuse(op.name, "union traversal produced no area")
+        case Diff => GPolygon(Vector.empty, srid) // A ⊆ B
+      }
+    } else assemble(op.name, rings, srid)
   }
 
   // ------------------------------------------------------------------

@@ -306,6 +306,66 @@ object Spatial {
           |    AS utype_v
           |FROM m ORDER BY event_id""".stripMargin),
 
+    // ---- degenerate boundary contact: the noded overlay path.
+    // Rectangle b touches a along the x=w edge (full, partial, or
+    // corner-only contact depending on y1), rectangle c sits inside a
+    // sharing the origin corner's two edges. Every output has a
+    // closed-form oracle: union/difference areas are exact integer
+    // arithmetic, and the union type flips to MultiPolygon exactly
+    // when the contact degenerates to the corner point (y1 = h). ----
+    QueryDef.sql(
+      "q_spatial_overlay_touch",
+      """WITH d0 AS (
+        |  SELECT event_id, user_id,
+        |    3 + CAST(event_id % 5 AS INT) AS w,
+        |    2 + CAST(user_id % 4 AS INT) AS h,
+        |    1 + CAST(event_id % 4 AS INT) AS v,
+        |    1 + CAST(user_id % 3 AS INT) AS u
+        |  FROM events WHERE event_id < 2000),
+        |d AS (
+        |  SELECT event_id, w, h, v, u,
+        |    CAST(event_id % (h + 1) AS INT) AS y1,
+        |    1 + CAST(event_id % (w - 1) AS INT) AS c1,
+        |    1 + CAST(user_id % (h - 1) AS INT) AS c2
+        |  FROM d0),
+        |g AS (
+        |  SELECT event_id, w, h, v, u, y1, c1, c2,
+        |    st_makeenvelope(0, 0, w, h) AS a,
+        |    st_makeenvelope(w, y1, w + v, y1 + u) AS b,
+        |    st_makeenvelope(0, 0, c1, c2) AS c
+        |  FROM d)
+        |SELECT event_id,
+        |  round(st_area(st_union(a, b)), 6) AS ub_v,
+        |  round(st_area(st_difference(a, b)), 6) AS dab_v,
+        |  st_geometrytype(st_union(a, b)) AS ut_v,
+        |  round(st_area(st_intersection(a, c)), 6) AS iac_v,
+        |  round(st_area(st_union(a, c)), 6) AS uac_v,
+        |  round(st_area(st_difference(a, c)), 6) AS dac_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d0 AS (
+          |  SELECT event_id, user_id,
+          |    3 + CAST(event_id % 5 AS INT) AS w,
+          |    2 + CAST(user_id % 4 AS INT) AS h,
+          |    1 + CAST(event_id % 4 AS INT) AS v,
+          |    1 + CAST(user_id % 3 AS INT) AS u
+          |  FROM events WHERE event_id < 2000),
+          |d AS (
+          |  SELECT event_id, w, h, v, u,
+          |    CAST(event_id % (h + 1) AS INT) AS y1,
+          |    1 + CAST(event_id % (w - 1) AS INT) AS c1,
+          |    1 + CAST(user_id % (h - 1) AS INT) AS c2
+          |  FROM d0)
+          |SELECT event_id,
+          |  round(CAST(w * h + v * u AS DOUBLE), 6) AS ub_v,
+          |  round(CAST(w * h AS DOUBLE), 6) AS dab_v,
+          |  CASE WHEN y1 < h THEN 'ST_Polygon'
+          |       ELSE 'ST_MultiPolygon' END AS ut_v,
+          |  round(CAST(c1 * c2 AS DOUBLE), 6) AS iac_v,
+          |  round(CAST(w * h AS DOUBLE), 6) AS uac_v,
+          |  round(CAST(w * h - c1 * c2 AS DOUBLE), 6) AS dac_v
+          |FROM d ORDER BY event_id""".stripMargin),
+
     // ---- line buffer: the round-join capsule outline has closed-form
     // area and perimeter (rectangle + two inscribed half-2q-gon caps:
     // 2rL + 16 r² sin(π/16), 2L + 64 r sin(π/32)), so the oracle

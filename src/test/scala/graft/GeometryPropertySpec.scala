@@ -182,12 +182,82 @@ class GeometryPropertySpec extends AnyFunSuite {
     assert(near(area(Overlay.overlayPolygons(a, far, Overlay.Union)), 21.0))
     assert(near(area(Overlay.overlayPolygons(a, far, Overlay.Diff)), 20.0))
 
-    // degenerate contact refuses loudly (shared integer corner)
+    // degenerate contact: a zero-area INTERSECTION (pure shared edge)
+    // still refuses loudly — it is a LINESTRING, not a polygon — but
+    // union and difference now resolve through the noded path
     val touching = GPolygon(Vector(Vector(
       Pt(6, 0), Pt(8, 0), Pt(8, 2), Pt(6, 2), Pt(6, 0))))
     intercept[UnsupportedOperationException] {
       Overlay.overlayPolygons(a, touching, Overlay.Inter)
     }
+    val tu = Overlay.overlayPolygons(a, touching, Overlay.Union)
+    assert(near(area(tu), 24.0) && tu.isInstanceOf[GPolygon])
+    assert(near(area(Overlay.overlayPolygons(a, touching, Overlay.Diff)),
+      20.0))
+  }
+
+  test("noded overlay: touching and shared-edge figures") {
+    def box(x1: Double, y1: Double, x2: Double, y2: Double) =
+      GPolygon(Vector(Vector(Pt(x1, y1), Pt(x2, y1), Pt(x2, y2),
+        Pt(x1, y2), Pt(x1, y1))))
+    // corner-only contact: union is a MULTIPOLYGON of both squares
+    val q1 = box(0, 0, 2, 2); val q2 = box(2, 2, 4, 4)
+    val cu = Overlay.overlayPolygons(q1, q2, Overlay.Union)
+    assert(cu.isInstanceOf[GMultiPolygon] && near(area(cu), 8.0))
+    assert(near(area(Overlay.overlayPolygons(q1, q2, Overlay.Diff)), 4.0))
+    intercept[UnsupportedOperationException] { // point contact: 0-dim
+      Overlay.overlayPolygons(q1, q2, Overlay.Inter)
+    }
+    // partial shared edge: union merges into one ring
+    val r1 = box(0, 0, 3, 3); val r2 = box(3, 1, 5, 2)
+    val pu = Overlay.overlayPolygons(r1, r2, Overlay.Union)
+    assert(pu.isInstanceOf[GPolygon] && near(area(pu), 11.0))
+    assert(near(area(Overlay.overlayPolygons(r1, r2, Overlay.Diff)), 9.0))
+    // identical polygons: every op is closed-form
+    assert(near(area(Overlay.overlayPolygons(r1, r1, Overlay.Inter)), 9.0))
+    assert(near(area(Overlay.overlayPolygons(r1, r1, Overlay.Union)), 9.0))
+    assert(isEmpty(Overlay.overlayPolygons(r1, r1, Overlay.Diff)))
+    // contained sharing two edges (corner notch): diff is the L
+    val notch = box(0, 0, 1, 1)
+    assert(near(area(Overlay.overlayPolygons(r1, notch, Overlay.Inter)), 1.0))
+    assert(near(area(Overlay.overlayPolygons(r1, notch, Overlay.Union)), 9.0))
+    val ln = Overlay.overlayPolygons(r1, notch, Overlay.Diff)
+    assert(near(area(ln), 8.0) && ln.isInstanceOf[GPolygon])
+    // overlap with vertex-on-edge contact plus proper crossings
+    val cross1 = box(1, -1, 2, 4) // spans r1 vertically, corners on edges
+    assert(near(area(Overlay.overlayPolygons(r1, cross1, Overlay.Inter)), 3.0))
+    assert(near(area(Overlay.overlayPolygons(r1, cross1, Overlay.Union)),
+      9.0 + 5.0 - 3.0))
+    assert(near(area(Overlay.overlayPolygons(r1, cross1, Overlay.Diff)), 6.0))
+  }
+
+  /** Random integer box — same grid as genL, so boundary contact
+    * (shared edges, vertex-on-edge, corner touch) is common.
+    */
+  private val genIntBox: Gen[Geom] = for {
+    x <- Gen.choose(0, 10); y <- Gen.choose(0, 10)
+    w <- Gen.choose(1, 5); h <- Gen.choose(1, 5)
+  } yield GPolygon(Vector(Vector(
+    Pt(x, y), Pt(x + w, y), Pt(x + w, y + h),
+    Pt(x, y + h), Pt(x, y))))
+
+  test("noded overlay: area algebra on integer-grid polygons") {
+    check(forAll(genL, Gen.oneOf(genIntBox, genL)) { (a, b) =>
+      // a zero-area intersection (pure edge/point contact) refuses —
+      // it contributes 0 to the algebra
+      val ia = try area(Overlay.overlayPolygons(a, b, Overlay.Inter))
+        catch {
+          case e: UnsupportedOperationException
+              if e.getMessage.contains("zero-area") => 0.0
+        }
+      val ua = area(Overlay.overlayPolygons(a, b, Overlay.Union))
+      val da = area(Overlay.overlayPolygons(a, b, Overlay.Diff))
+      val db = area(Overlay.overlayPolygons(b, a, Overlay.Diff))
+      near(ia + da, area(a)) &&
+        near(ia + db, area(b)) &&
+        near(ua, area(a) + area(b) - ia) &&
+        near(area(Overlay.overlayPolygons(b, a, Overlay.Union)), ua)
+    })
   }
 
   test("multi-component intersection comes back as separate rings") {
