@@ -118,8 +118,13 @@ object HttpSource {
   def stageAll(url: String): String = {
     if (!url.contains("*")) return stage(url)
     val shards = expand(url)
+    // key the set directory by the RESOLVED shard list, not the
+    // wildcard URL: the same pattern resolving to a different shard
+    // set (upstream grew, different endpoint) must get a fresh
+    // directory rather than accumulate stale links
     val digest = MessageDigest.getInstance("SHA-256")
-      .digest(url.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(24)
+      .digest(shards.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(24)
     val dir = cacheDir.resolve(s"set-$digest")
     Files.createDirectories(dir)
     shards.foreach { s =>
