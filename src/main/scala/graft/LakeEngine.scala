@@ -260,6 +260,34 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** GeoJSONSeq scan (`.geojsons`/`.geojsonl` — newline-delimited
+    * Features, line-splittable so one big file parallelizes).
+    */
+  def createGeoSeqTable(name: String, path: String): DataFrame = {
+    val df = sources.GeoJson.readSeq(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** KML/KMZ scan (OGC KML 2.2, native XML reader —
+    * [[graft.sources.GeoXml]]); Placemarks become rows with name/
+    * description/ExtendedData attributes.
+    */
+  def createKmlTable(name: String, path: String): DataFrame = {
+    val df = sources.GeoXml.readKml(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** GML scan (OGC GML 2/3 simple features, native XML reader —
+    * [[graft.sources.GeoXml]]); featureMember children become rows.
+    */
+  def createGmlTable(name: String, path: String): DataFrame = {
+    val df = sources.GeoXml.readGml(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** ESRI Shapefile scan (`.shp`/`.zip`, native byte-layout reader —
     * [[graft.sources.Shapefile]]); same row contract as
     * [[createGeoTable]] with dBase attributes in place of GeoJSON

@@ -37,6 +37,28 @@ object GeoJson {
     }.toDF("geometry", "geom_type", "properties", "filename")
   }
 
+  /** GeoJSONSeq scan (`.geojsons`/`.geojsonl`,
+    * docs/file-formats-reference.md:109): newline-delimited Feature
+    * documents, optionally RS-prefixed (RFC 8142). Unlike whole-file
+    * GeoJSON this is LINE-splittable, so Spark's text reader gives
+    * intra-file parallelism for free — the one geo format that scales
+    * within a single large file.
+    */
+  def readSeq(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.text(path)
+      .select(org.apache.spark.sql.functions.input_file_name().as("filename"),
+        col("value"))
+      .as[(String, String)]
+    raw.flatMap { case (file, line) =>
+      val t = line.stripPrefix("\u001e").trim // RFC 8142 RS framing
+      if (t.isEmpty) Nil
+      else parseFeatures(t).map { case (wkb, gtype, props) =>
+        (wkb, gtype, props, file)
+      }
+    }.toDF("geometry", "geom_type", "properties", "filename")
+  }
+
   /** Parse one GeoJSON document into (wkb, geometry-type, properties). */
   def parseFeatures(text: String):
       Seq[(Array[Byte], String, Map[String, String])] = {
