@@ -89,18 +89,38 @@ object Overlay {
         "rather than emit a possibly-wrong polygon (perturb inputs or " +
         "use a convex clipper)")
 
-  /** Entry point: general overlay of two single-ring polygons. */
+  /** Shell CCW, holes CW — interior on the LEFT of every directed
+    * edge, the invariant the noded overlay classifies against.
+    */
+  private def orientRings(rings: Seq[IndexedSeq[Pt]])
+      : Vector[IndexedSeq[Pt]] = {
+    val shell = ccw(openRing(rings.head))
+    val holes = rings.tail.map { r =>
+      val o = openRing(r)
+      if (signedArea(o) > 0) o.reverse else o
+    }
+    (shell +: holes).toVector
+  }
+
+  /** Entry point: general overlay of two polygons (single-ring pairs
+    * in generic position go through Greiner–Hormann; polygons with
+    * HOLES and degenerate boundary contact go through the noded path).
+    */
   def overlayPolygons(ga: Geom, gb: Geom, op: Op): Geom = {
     val srid = ga.srid
-    val (ra, rb) = (ga, gb) match {
+    val (ringsA, ringsB) = (ga, gb) match {
       case (GPolygon(as, _), GPolygon(bs, _))
-          if as.length == 1 && bs.length == 1 => (as.head, bs.head)
+          if as.nonEmpty && bs.nonEmpty => (as, bs)
       case _ => throw new UnsupportedOperationException(
-        s"${op.name}: general overlay supports single-ring polygons " +
+        s"${op.name}: general overlay supports polygon inputs " +
           s"(got ${geometryType(ga)}, ${geometryType(gb)})")
     }
     require(isValid(ga) && isValid(gb),
       s"${op.name}: inputs must be valid polygons")
+    if (ringsA.length > 1 || ringsB.length > 1)
+      return nodedOverlay(orientRings(ringsA), orientRings(ringsB),
+        op, srid)
+    val (ra, rb) = (ringsA.head, ringsB.head)
     // degenerate boundary contact (any vertex of one polygon exactly on
     // the other's boundary — which covers collinear overlap and shared
     // vertices too, since an overlapping stretch always puts at least
@@ -110,7 +130,7 @@ object Overlay {
       val cA = aO :+ aO.head; val cB = bO :+ bO.head
       if (aO.exists(p => locateInRing(cB, p) == 1) ||
           bO.exists(p => locateInRing(cA, p) == 1))
-        return nodedOverlay(aO, bO, op, srid)
+        return nodedOverlay(Vector(aO), Vector(bO), op, srid)
     }
     trace(ra, rb, op) match {
       case None => // no proper crossings: containment or disjoint
@@ -308,13 +328,15 @@ object Overlay {
     holes.foreach { h =>
       val probe = openRing(h).find(p =>
         shells.exists(s => locateInRing(s, p) != 1))
-      val owner = attached.find { case (s, _) =>
+      // innermost (smallest) containing shell: with nested shells in
+      // one result, the hole belongs to the closest enclosing one
+      val candidates = attached.filter { case (s, _) =>
         probe.exists(p => locateInRing(s, p) == 2)
       }
-      owner match {
-        case Some((_, hs)) => hs += h
-        case None => refuse(op, "hole not contained in any shell")
-      }
+      if (candidates.isEmpty) refuse(op, "hole not contained in any shell")
+      candidates.minBy { case (s, _) =>
+        math.abs(signedArea(openRing(s)))
+      }._2 += h
     }
     if (attached.length == 1)
       GPolygon(attached.head._1 +: attached.head._2.toVector, srid)
@@ -322,30 +344,45 @@ object Overlay {
       attached.map { case (s, hs) => s +: hs.toVector }, srid)
   }
 
-  /** The degenerate-contact overlay. `a`/`b` are open CCW rings. */
-  private def nodedOverlay(a: IndexedSeq[Pt], b: IndexedSeq[Pt], op: Op,
-      srid: Int): Geom = {
-    val xs = properCrossings(a, b)
-    val aN = nodeRing(a, b,
-      xs.groupBy(_.ai).map { case (i, s) => i -> s.map(x => (x.ta, x.p)) })
-    val bN = nodeRing(b, a,
-      xs.groupBy(_.bi).map { case (j, s) => j -> s.map(x => (x.tb, x.p)) })
-    val closedA = aN :+ aN.head
-    val closedB = bN :+ bN.head
-    def edgesOf(r: Vector[Pt]): Vector[(Pt, Pt)] =
-      r.indices.map(i => (r(i), r((i + 1) % r.length))).toVector
+  /** The degenerate-contact / polygon-with-holes overlay. `a`/`b` are
+    * ring LISTS (shell first), each open and oriented interior-left
+    * (shell CCW, holes CW).
+    */
+  private def nodedOverlay(a: Vector[IndexedSeq[Pt]],
+      b: Vector[IndexedSeq[Pt]], op: Op, srid: Int): Geom = {
+    val bVerts = b.flatten
+    val aVerts = a.flatten
+    // node every A ring against every B ring (and vice versa): proper
+    // crossings + the other polygon's on-edge vertices
+    val aN: Vector[Vector[Pt]] = a.map { ra =>
+      val cr = b.flatMap(rb => properCrossings(ra, rb)
+        .map(x => (x.ai, (x.ta, x.p))))
+        .groupBy(_._1).map { case (i, s) => i -> s.map(_._2) }
+      nodeRing(ra, bVerts, cr)
+    }
+    val bN: Vector[Vector[Pt]] = b.map { rb =>
+      val cr = a.flatMap(ra => properCrossings(rb, ra)
+        .map(x => (x.ai, (x.ta, x.p))))
+        .groupBy(_._1).map { case (i, s) => i -> s.map(_._2) }
+      nodeRing(rb, aVerts, cr)
+    }
+    val closedA = aN.map(r => r :+ r.head)
+    val closedB = bN.map(r => r :+ r.head)
+    val contact = aN.flatten.toSet.intersect(bN.flatten.toSet).nonEmpty
+    def edgesOf(rs: Vector[Vector[Pt]]): Vector[(Pt, Pt)] =
+      rs.flatMap(r => r.indices.map(i => (r(i), r((i + 1) % r.length))))
     val ea = edgesOf(aN); val eb = edgesOf(bN)
     val ebFwd = eb.toSet
     val ebRev = eb.map(_.swap).toSet
 
     // classification: shared edges by direction, the rest by an exact
-    // midpoint location against the OTHER noded ring
+    // midpoint location against the OTHER polygon (holes included)
     def mid(e: (Pt, Pt)) = Pt((e._1.x + e._2.x) / 2, (e._1.y + e._2.y) / 2)
-    def side(closed: IndexedSeq[Pt], e: (Pt, Pt)): Int = {
-      val l = locateInRing(closed, mid(e))
+    def side(closed: Vector[Vector[Pt]], e: (Pt, Pt)): Int = {
+      val l = locateInPolygon(closed, mid(e))
       if (l == 1)
-        refuse(op.name, "inconsistent noding (midpoint on boundary of " +
-          "a non-shared edge)")
+        refuse(op.name, s"inconsistent noding (midpoint ${mid(e)} of " +
+          s"non-shared edge ${e._1}->${e._2} lies on the other boundary)")
       l // 2 = interior, 0 = exterior
     }
     val kept = Vector.newBuilder[(Pt, Pt)]
@@ -385,11 +422,13 @@ object Overlay {
     if (rings.isEmpty) {
       op match {
         case Inter =>
-          // the noded path is only entered when boundary contact
-          // exists, so an empty intersection here is the zero-area
-          // residue — a shared edge or point, not a polygon
-          refuse(op.name, "intersection is zero-area (a shared edge " +
-            "or point — a LINESTRING/POINT, not a polygon)")
+          // with boundary contact, an empty intersection is the
+          // zero-area residue — a shared edge or point, not a polygon;
+          // without contact the interiors are genuinely disjoint
+          if (contact)
+            refuse(op.name, "intersection is zero-area (a shared edge " +
+              "or point — a LINESTRING/POINT, not a polygon)")
+          GPolygon(Vector.empty, srid)
         case Union => refuse(op.name, "union traversal produced no area")
         case Diff => GPolygon(Vector.empty, srid) // A ⊆ B
       }
@@ -572,13 +611,13 @@ object Overlay {
   // discretization makes the result a subset of the true buffer,
   // within sagitta r·(1−cos(π/4q)) of it — the point-buffer contract.
   //
-  // Refused loudly, never silently wrong:
-  //  - non-positive radius, polygons with holes, collections;
-  //  - exact u-turn joints (the outline arc is undefined);
-  //  - a radius too large for an inner joint (the offset clip leaves
-  //    its segments — GEOS handles this with full overlay machinery);
-  //  - any outline that fails the simplicity check afterwards (a path
-  //    folding back within 2r needs the overlay union of GEOS).
+  // When the direct outline is undefined — exact u-turn joints, a
+  // radius too large for an inner joint, a path folding back within
+  // 2r — the buffer falls back to the union of per-segment capsules
+  // (the GEOS construction), which the noded overlay can now compute
+  // including the degenerate arc/side contact adjacent capsules have.
+  // Still refused loudly: non-positive radius, polygons with holes,
+  // collections.
   // ------------------------------------------------------------------
 
   def buffer(g: Geom, r: Double, quadSegs: Int = 8): Geom = {
@@ -594,9 +633,21 @@ object Overlay {
           .map(p => bufferPath(p, r, quadSegs, srid)), srid)
       case GPolygon(rings, srid) if rings.length == 1 =>
         val open = ccw(openRing(rings.head))
-        val ring = checkedOutline(
-          ringOutline(open, r, math.max(quadSegs, 2)), srid)
-        GPolygon(Vector(ring), srid)
+        try {
+          val ring = checkedOutline(
+            ringOutline(open, r, math.max(quadSegs, 2)), srid)
+          GPolygon(Vector(ring), srid)
+        } catch {
+          case _: UnsupportedOperationException =>
+            // joints the direct outline refuses (u-turns, radius too
+            // large, fold-back): polygon ∪ per-boundary-segment
+            // capsules — the GEOS construction, now expressible since
+            // the overlay handles holes and degenerate contact
+            val closed = open :+ open.head
+            unionAll(weld(GPolygon(Vector(closed), srid) +:
+              segmentCapsules(closed, r, math.max(quadSegs, 2), srid)),
+              srid)
+        }
       case other => throw new UnsupportedOperationException(
         s"st_buffer: unsupported input ${geometryType(other)} " +
           "(polygons with holes and collections are out of scope)")
@@ -605,13 +656,73 @@ object Overlay {
 
   private def bufferPath(pts0: IndexedSeq[Pt], r: Double, quadSegs: Int,
       srid: Int): Geom = {
-    val pts = collapsePath(pts0)
-    if (pts.isEmpty) return GPolygon(Vector.empty, srid)
-    if (pts.length == 1)
-      return Geometry.bufferPoint(GPoint(Some(pts.head), srid), r, quadSegs)
-    val ring = checkedOutline(
-      pathOutline(pts, r, math.max(quadSegs, 2)), srid)
-    GPolygon(Vector(ring), srid)
+    val dedup = pts0.foldLeft(Vector.empty[Pt]) { (acc, p) =>
+      if (acc.nonEmpty && acc.last == p) acc else acc :+ p
+    }
+    if (dedup.isEmpty) return GPolygon(Vector.empty, srid)
+    if (dedup.length == 1)
+      return Geometry.bufferPoint(GPoint(Some(dedup.head), srid), r,
+        quadSegs)
+    try {
+      val pts = collapsePath(dedup)
+      val ring = checkedOutline(
+        pathOutline(pts, r, math.max(quadSegs, 2)), srid)
+      GPolygon(Vector(ring), srid)
+    } catch {
+      case _: UnsupportedOperationException =>
+        // u-turn joints, a radius too large for an inner joint, or an
+        // outline folding back within 2r: fall back to the union of
+        // per-segment capsules (the GEOS construction). O(m²) in the
+        // segment count — the price of the pathological shape, never
+        // paid on the direct-outline fast path.
+        unionAll(weld(segmentCapsules(dedup, r, math.max(quadSegs, 2),
+          srid)), srid)
+    }
+  }
+
+  /** One always-valid capsule per consecutive point pair. */
+  private def segmentCapsules(pts: IndexedSeq[Pt], r: Double, q: Int,
+      srid: Int): Vector[Geom] =
+    (0 until pts.length - 1).toVector
+      .filter(i => pts(i) != pts(i + 1))
+      .map { i =>
+        val outline = pathOutline(Vector(pts(i), pts(i + 1)), r, q)
+        GPolygon(Vector(outline :+ outline.head), srid)
+      }
+
+  /** Weld vertices that agree to within 1e-9 onto one representative
+    * (grid hash). Adjacent capsules sample coinciding cap arcs through
+    * different angle expressions (`θ+π/2 − kπ/2q` vs `θ−π/2+ (k+q)…`),
+    * which land ulps apart — welding restores the exact coincidence
+    * the noded union's shared-edge detection needs. Capsule vertex
+    * spacing is ~r·π/2q, many orders above the tolerance.
+    */
+  private def weld(geoms: Vector[Geom]): Vector[Geom] = {
+    val eps = 1e-9
+    val byCell = scala.collection.mutable.Map.empty[(Long, Long), Pt]
+    def canon(p: Pt): Pt = {
+      val cx = math.round(p.x / eps); val cy = math.round(p.y / eps)
+      var found: Pt = null
+      var dx = -1
+      while (dx <= 1) {
+        var dy = -1
+        while (dy <= 1) {
+          if (found == null)
+            byCell.get((cx + dx, cy + dy)).foreach { q =>
+              if (math.abs(q.x - p.x) <= eps && math.abs(q.y - p.y) <= eps)
+                found = q
+            }
+          dy += 1
+        }
+        dx += 1
+      }
+      if (found != null) found
+      else { byCell((cx, cy)) = p; p }
+    }
+    geoms.map {
+      case GPolygon(rs, s) => GPolygon(rs.map(_.map(canon)), s)
+      case g => g
+    }
   }
 
   /** Drop repeated points, merge exactly-collinear forward joints,
@@ -640,8 +751,21 @@ object Overlay {
     ring
   }
 
+  /** `cos`/`sin` of near-cardinal angles snap to exact 0/±1: sin(π)
+    * evaluates to 1.2e-16, which would push an axis-aligned offset a
+    * hair off its true position — turning exact tangencies between
+    * adjacent capsules into micro-crossing slivers that the noded
+    * union then (rightly) refuses as inconsistent.
+    */
+  @inline private def trigClean(v: Double): Double =
+    if (math.abs(v) < 1e-15) 0.0
+    else if (math.abs(v - 1) < 1e-15) 1.0
+    else if (math.abs(v + 1) < 1e-15) -1.0
+    else v
+
   @inline private def off(p: Pt, ang: Double, r: Double): Pt =
-    Pt(p.x + r * math.cos(ang), p.y + r * math.sin(ang))
+    Pt(p.x + r * trigClean(math.cos(ang)),
+      p.y + r * trigClean(math.sin(ang)))
 
   /** Interior arc samples strictly inside the sweep of `span` radians
     * starting at a0 (sign = direction), max step π/(2q). The span is
@@ -792,9 +916,7 @@ object Overlay {
       var keep = Vector.empty[Geom]
       comps.foreach { c =>
         overlayPolygons(cur, c, Union) match {
-          case u @ GPolygon(rs, _) if rs.length == 1 => cur = u
-          case GPolygon(_, _) =>
-            refuse("st_buffer", "union produced a hole")
+          case u @ GPolygon(rs, _) if rs.nonEmpty => cur = u // holes ok
           case _: GMultiPolygon => keep = keep :+ c // disjoint
           case other => refuse("st_buffer",
             s"unexpected union result ${geometryType(other)}")

@@ -159,6 +159,14 @@ object SpatialOps {
     case _ => false
   }
 
+  /** Any polygon pair — holes welcome (the noded overlay handles
+    * multi-ring inputs).
+    */
+  private def bothPolys(a: Geom, b: Geom): Boolean = (a, b) match {
+    case (GPolygon(as, _), GPolygon(bs, _)) => as.nonEmpty && bs.nonEmpty
+    case _ => false
+  }
+
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
     "st_collect" -> { (a, b) => collect(a, b) },
     // dissolving union across the dimension matrix: point sets merge;
@@ -168,7 +176,7 @@ object SpatialOps {
     // an overlapping collection, which would double-count measures)
     "st_union" -> { (a, b) =>
       val (da, db) = (dimension(a), dimension(b))
-      if (bothSingleRingPolys(a, b))
+      if (bothPolys(a, b))
         Overlay.overlayPolygons(a, b, Overlay.Union)
       else if (da == 1 && db == 1) Overlay.unionLines(a, b)
       else if (da != db) {
@@ -222,7 +230,7 @@ object SpatialOps {
           intersectionWithConvex(b, a)
         case _ => Overlay.clipLinesToPolygon(b, a)
       }
-      else if (!convexClip && bothSingleRingPolys(a, b))
+      else if (!convexClip && bothPolys(a, b))
         Overlay.overlayPolygons(a, b, Overlay.Inter)
       else intersectionWithConvex(a, b)
     },

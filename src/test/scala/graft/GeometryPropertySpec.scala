@@ -231,6 +231,62 @@ class GeometryPropertySpec extends AnyFunSuite {
     assert(near(area(Overlay.overlayPolygons(r1, cross1, Overlay.Diff)), 6.0))
   }
 
+  test("buffer fallback: u-turns and tight joints via capsule union") {
+    // exact u-turn: the backtrack leg is absorbed — the union of the
+    // two capsules IS the first capsule, closed form
+    val ut = Overlay.buffer(GLine(Vector(Pt(0, 0), Pt(4, 0), Pt(1, 0))), 1.0)
+    assert(near(area(ut), 2.0 * 4 + 16 * math.sin(math.Pi / 16)))
+    // radius too large for the inner joints of a tight square wave:
+    // direct outline refuses, capsule union still answers
+    val sq = Overlay.buffer(GLine(Vector(
+      Pt(0, 0), Pt(2, 0), Pt(2, 1), Pt(0, 1))), 1.0)
+    val capArea = 2.0 * 2 + 16 * math.sin(math.Pi / 16) // 2-long capsule
+    assert(area(sq) > capArea && area(sq) <
+      2 * capArea + (2.0 * 1 + 16 * math.sin(math.Pi / 16)))
+    // tight reflex joint on a polygon ring: fallback = ring ∪ capsules
+    val poly = GPolygon(Vector(Vector(
+      Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(2, 1), Pt(0, 4), Pt(0, 0))))
+    val pb = Overlay.buffer(poly, 2.0)
+    assert(area(pb) > area(poly))
+    // every original vertex sits strictly inside the buffered shape
+    assert(Vector(Pt(0, 0), Pt(4, 0), Pt(4, 4), Pt(2, 1), Pt(0, 4))
+      .forall(p => graft.functions.Geometry.intersects(
+        GPoint(Some(p)), pb)))
+  }
+
+  test("noded overlay: polygons with holes") {
+    def ring(pts: (Double, Double)*) =
+      pts.map { case (x, y) => Pt(x, y) }.toVector
+    val A = GPolygon(Vector(
+      ring((0, 0), (6, 0), (6, 6), (0, 6), (0, 0)),
+      ring((2, 2), (4, 2), (4, 4), (2, 4), (2, 2)))) // hole, area 32
+    assert(near(area(A), 32.0))
+    // overlaps solid AND pokes into the hole (proper crossings with
+    // both rings)
+    val B = GPolygon(Vector(ring((1, 1), (3, 1), (3, 3), (1, 3), (1, 1))))
+    assert(near(area(Overlay.overlayPolygons(A, B, Overlay.Inter)), 3.0))
+    val u = Overlay.overlayPolygons(A, B, Overlay.Union)
+    assert(near(area(u), 33.0)) // hole shrinks to an L of area 3
+    assert(near(area(Overlay.overlayPolygons(A, B, Overlay.Diff)), 29.0))
+    assert(near(area(Overlay.overlayPolygons(B, A, Overlay.Diff)), 1.0))
+    // B sharing the hole's bottom edge exactly, from the solid side
+    val C = GPolygon(Vector(ring((2, 1), (4, 1), (4, 2), (2, 2), (2, 1))))
+    assert(near(area(Overlay.overlayPolygons(A, C, Overlay.Inter)), 2.0))
+    assert(near(area(Overlay.overlayPolygons(A, C, Overlay.Union)), 32.0))
+    assert(near(area(Overlay.overlayPolygons(A, C, Overlay.Diff)), 30.0))
+    // B strictly inside the hole: genuinely disjoint interiors
+    val D = GPolygon(Vector(ring((2.5, 2.5), (3.5, 2.5), (3.5, 3.5),
+      (2.5, 3.5), (2.5, 2.5))))
+    assert(isEmpty(Overlay.overlayPolygons(A, D, Overlay.Inter)))
+    val ud = Overlay.overlayPolygons(A, D, Overlay.Union)
+    assert(near(area(ud), 33.0) && ud.isInstanceOf[GMultiPolygon])
+    assert(near(area(Overlay.overlayPolygons(A, D, Overlay.Diff)), 32.0))
+    // identical hole-carrying polygons
+    assert(near(area(Overlay.overlayPolygons(A, A, Overlay.Inter)), 32.0))
+    assert(near(area(Overlay.overlayPolygons(A, A, Overlay.Union)), 32.0))
+    assert(isEmpty(Overlay.overlayPolygons(A, A, Overlay.Diff)))
+  }
+
   /** Random integer box — same grid as genL, so boundary contact
     * (shared edges, vertex-on-edge, corner touch) is common.
     */

@@ -744,10 +744,11 @@ class SpatialSpec extends AnyFunSuite {
     assert(mp.isInstanceOf[GMultiPolygon])
     assert(math.abs(area(mp) - 2 * 16 * math.sin(math.Pi / 16)) < 1e-9)
 
-    // exact u-turn refuses loudly
-    intercept[UnsupportedOperationException] {
-      Overlay.buffer(wkt("LINESTRING(0 0, 5 0, 1 0)"), 1.0)
-    }
+    // exact u-turn resolves through the capsule-union fallback: the
+    // backtrack leg is absorbed, so the result IS the first capsule
+    val ut = Overlay.buffer(wkt("LINESTRING(0 0, 5 0, 1 0)"), 1.0)
+    assert(math.abs(area(ut) -
+      (2.0 * 5 + 16 * math.sin(math.Pi / 16))) < 1e-9)
   }
 
   // ---- st_transform: WGS84 UTM zones (Krüger series) ----------------
