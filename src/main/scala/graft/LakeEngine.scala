@@ -288,6 +288,16 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** FlatGeobuf scan (`.fgb`, native flatbuffer reader —
+    * [[graft.sources.FlatGeobuf]]); spatial index skipped, features
+    * decode to the standard WKB row contract.
+    */
+  def createFgbTable(name: String, path: String): DataFrame = {
+    val df = sources.FlatGeobuf.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** ESRI Shapefile scan (`.shp`/`.zip`, native byte-layout reader —
     * [[graft.sources.Shapefile]]); same row contract as
     * [[createGeoTable]] with dBase attributes in place of GeoJSON
