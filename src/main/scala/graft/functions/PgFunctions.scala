@@ -102,8 +102,21 @@ object PgFunctions {
     sb.toString
   }
 
-  /** Register the compat functions into the session's FunctionRegistry. */
+  /** Sessions already registered — registration is called from every
+    * LakeEngine constructor and every SQL-text QueryDef, so without this
+    * guard each re-run floods WARN "replaced a previously registered
+    * function" (~70 lines/session), which crowded the bench JSON out of
+    * the driver's 2000-char output tail. Weak keys: sessions are GC-able.
+    */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
+  /** Register the compat functions into the session's FunctionRegistry.
+    * Idempotent per session.
+    */
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")

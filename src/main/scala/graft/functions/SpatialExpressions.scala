@@ -642,7 +642,15 @@ case class StExtentAgg(
 /** Registry hookup: all st_* names into the session FunctionRegistry. */
 object SpatialFunctions {
 
+  // Same per-session idempotence guard as PgFunctions.register: spatial
+  // registration re-runs flood ~70 "replaced a previously registered
+  // function" WARN lines that crowd the bench JSON out of the output tail.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
+
   def register(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val reg = spark.sessionState.functionRegistry
     def f(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
