@@ -516,6 +516,96 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** One REST CommitTable as ONE metadata CAS — the Iceberg REST spec
+    * requires all updates + requirements in a commit to succeed or fail
+    * as a unit, so requirement check, schema evolution (field-id diff),
+    * and the snapshot swap all happen inside the same
+    * [[TableMetadata.commit]] closure. A failed requirement therefore
+    * never leaves a half-applied schema change behind, and schema-only
+    * commits still honor assert-ref-snapshot-id.
+    *
+    * Schema evolution semantics (ids are the identity, per spec): same
+    * id + new name = rename; current id absent from `incoming` = drop;
+    * unknown id = add, KEEPING the client-supplied field id (a client
+    * computes it from the table state it read; accepting a different
+    * local id would make the next commit's diff misclassify the column).
+    * Type changes and field-id reuse below `nextFieldId` refuse with
+    * IllegalArgumentException (the caller maps it to 400); requirement
+    * failures throw ConcurrentModificationException (409).
+    *
+    * `buildEntries` runs against the POST-evolution metadata so imported
+    * file stats resolve against the schema the new snapshot is tagged
+    * with.
+    */
+  def commitExternal(
+      incomingSchema: Option[Seq[FieldDef]],
+      buildEntries: Option[TableMetadata => Seq[FileEntry]],
+      requireSnapshotId: Option[Long],
+      op: String = "rest-commit"): TableMetadata = {
+    val committed = TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.getOrElse(
+        throw new IllegalStateException(s"table vanished at $location"))
+      requireSnapshotId.foreach { req =>
+        if (cur.currentSnapshotId != req)
+          throw new java.util.ConcurrentModificationException(
+            s"$op requirement failed: table is at snapshot " +
+              s"${cur.currentSnapshotId}, not $req")
+      }
+      val evolved = incomingSchema.fold(cur)(evolveSchemaByFieldId(cur, _))
+      buildEntries match {
+        case None => evolved
+        case Some(build) =>
+          val snapId = evolved.snapshots.map(_.id).max + 1
+          evolved.copy(
+            snapshots = evolved.snapshots :+ Snapshot(snapId,
+              System.currentTimeMillis(), op, build(evolved)),
+            currentSnapshotId = snapId)
+      }
+    }
+    if (committed.properties.get("iceberg.export").contains("true"))
+      IcebergExport.export(this)
+    committed
+  }
+
+  /** Field-id-diff schema evolution for [[commitExternal]]. Pure:
+    * returns the evolved metadata (identical input schema = no new
+    * schema version). Surviving fields keep their current order and
+    * defaults; adds append in incoming order.
+    */
+  private def evolveSchemaByFieldId(cur: TableMetadata,
+      incoming: Seq[FieldDef]): TableMetadata = {
+    val sv = cur.currentSchema
+    val curById = sv.fields.map(f => f.id -> f).toMap
+    val inIds = incoming.map(_.id).toSet
+    val typeChanged = incoming.flatMap(nf => curById.get(nf.id).collect {
+      case cf if !cf.dataType.equalsIgnoreCase(nf.dataType) =>
+        s"${cf.name}: ${cf.dataType} -> ${nf.dataType}"
+    })
+    if (typeChanged.nonEmpty)
+      throw new IllegalArgumentException(
+        s"type evolution not supported (${typeChanged.mkString("; ")})")
+    val added = incoming.filterNot(nf => curById.contains(nf.id))
+    // a fresh id below nextFieldId would collide with values already
+    // written under a dropped column's id in old data files
+    added.filter(_.id < cur.nextFieldId).foreach(nf =>
+      throw new IllegalArgumentException(
+        s"added column ${nf.name} reuses field id ${nf.id} " +
+          s"(next free id is ${cur.nextFieldId})"))
+    val kept = sv.fields.filter(f => inIds.contains(f.id)).map { f =>
+      val nf = incoming.find(_.id == f.id).get
+      if (nf.name != f.name) f.copy(name = nf.name) else f
+    }
+    if (kept == sv.fields && added.isEmpty) cur
+    else {
+      val next = SchemaVersion(sv.version + 1,
+        kept ++ added.map(nf =>
+          FieldDef(nf.id, nf.name, nf.dataType, nf.nullable)))
+      cur.copy(schemas = cur.schemas :+ next,
+        currentSchemaVersion = next.version,
+        nextFieldId = (added.map(_.id + 1) :+ cur.nextFieldId).max)
+    }
+  }
+
   /** Snapshot changelog (the reference's changelog test surface —
     * pg_lake_table/tests/pytests/test_iceberg_changelog.py): row-level
     * diff between two snapshots at copy-on-write granularity. Rows in

@@ -268,7 +268,7 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
             // spec requirement: a client that read snapshot S must not
             // clobber a table that moved past S (a racing local append
             // would otherwise be silently dropped). Enforced INSIDE
-            // the commit CAS (importSnapshot's closure) — a pre-check
+            // the commit CAS (commitExternal's closure) — a pre-check
             // here would race a local commit landing before the CAS.
             val requiredSnap = Option(body.get("requirements")).toSeq
               .flatMap(_.elements().asScala)
@@ -286,45 +286,48 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
               error(ex, 400, "BadRequestException",
                 s"unsupported update action(s): ${unsupported.mkString(", ")}")
             else {
-              val schemaErr = updates
+              // ONE atomic commit: requirement + schema evolution +
+              // snapshot swap all inside the same metadata CAS (spec:
+              // updates and requirements succeed or fail as a unit) —
+              // a 409 can never leave a schema change half-applied,
+              // and schema-only commits honor assert-ref-snapshot-id.
+              // set-current-schema is implicit (-1 = latest).
+              val incomingSchema = updates
                 .filter(_.get("action").asText() == "add-schema")
-                .flatMap(u => applySchemaEvolution(lt, u.get("schema")))
-                .headOption
-              val addSnap = updates.find(u =>
-                u.get("action").asText() == "add-snapshot")
-              (schemaErr, addSnap) match {
-                case (Some(msg), _) =>
-                  error(ex, 400, "BadRequestException", msg)
-                case (None, None) =>
-                  // schema-only commit (set-current-schema is implicit:
-                  // evolution applies immediately, -1 = latest)
-                  engine.refresh(engineKey(ns, t))
-                  loadResult(ex, lt)
-                case (None, Some(u)) =>
+                .map(u => graft.sources.IcebergSnapshot
+                  .fieldDefsOf(u.get("schema")))
+                .lastOption
+              val buildEntries = updates
+                .find(_.get("action").asText() == "add-snapshot")
+                .map { u =>
                   val listPath =
                     u.get("snapshot").get("manifest-list").asText()
-                  val m = lt.meta
-                  val typesById = m.currentSchema.fields.map(f =>
-                    f.id -> org.apache.spark.sql.types.DataType
-                      .fromDDL(f.dataType)).toMap
-                  val refs = graft.sources.IcebergSnapshot
-                    .dataFilesFromManifestList(listPath, typesById)
-                  val entries = refs.map(r => FileEntry(
-                    r.path.stripPrefix("file://"), r.records, r.bytes,
-                    m.currentSchemaVersion, r.stats,
-                    // conservative: imported files carry no transform
-                    // stats, so partition pruning skips them (field-stat
-                    // pruning still applies)
-                    Map.empty))
-                  try {
-                    lt.importSnapshot(entries,
-                      requireSnapshotId = requiredSnap)
-                    engine.refresh(engineKey(ns, t))
-                    loadResult(ex, lt)
-                  } catch {
-                    case e: java.util.ConcurrentModificationException =>
-                      error(ex, 409, "CommitFailedException", e.getMessage)
+                  (m: TableMetadata) => {
+                    // resolve against the POST-evolution schema the new
+                    // snapshot is tagged with
+                    val typesById = m.currentSchema.fields.map(f =>
+                      f.id -> org.apache.spark.sql.types.DataType
+                        .fromDDL(f.dataType)).toMap
+                    graft.sources.IcebergSnapshot
+                      .dataFilesFromManifestList(listPath, typesById)
+                      .map(r => FileEntry(
+                        r.path.stripPrefix("file://"), r.records, r.bytes,
+                        m.currentSchemaVersion, r.stats,
+                        // conservative: imported files carry no transform
+                        // stats, so partition pruning skips them
+                        // (field-stat pruning still applies)
+                        Map.empty))
                   }
+                }
+              try {
+                lt.commitExternal(incomingSchema, buildEntries, requiredSnap)
+                engine.refresh(engineKey(ns, t))
+                loadResult(ex, lt)
+              } catch {
+                case e: java.util.ConcurrentModificationException =>
+                  error(ex, 409, "CommitFailedException", e.getMessage)
+                case e: IllegalArgumentException =>
+                  error(ex, 400, "BadRequestException", e.getMessage)
               }
             }
         }
@@ -389,37 +392,6 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
       case (m, p) =>
         error(ex, 404, "NotFound", s"$m /${p.mkString("/")}")
     }
-  }
-
-  /** Apply an add-schema update by FIELD-ID diff against the current
-    * schema (ids are the identity across renames, per the Iceberg
-    * spec): same id + new name → rename; id absent from the incoming
-    * schema → drop; unknown id → add. Type changes refuse loudly (the
-    * column ops are metadata-only; silent type punning would corrupt
-    * reads). Returns Some(message) on refusal.
-    */
-  private def applySchemaEvolution(lt: LakeTable,
-      schemaNode: com.fasterxml.jackson.databind.JsonNode)
-      : Option[String] = {
-    val incoming = graft.sources.IcebergSnapshot.fieldDefsOf(schemaNode)
-    val cur = lt.meta.currentSchema.fields
-    val curById = cur.map(f => f.id -> f).toMap
-    val inIds = incoming.map(_.id).toSet
-    val typeChanged = incoming.flatMap(nf => curById.get(nf.id).collect {
-      case cf if !cf.dataType.equalsIgnoreCase(nf.dataType) =>
-        s"${cf.name}: ${cf.dataType} -> ${nf.dataType}"
-    })
-    if (typeChanged.nonEmpty)
-      return Some(
-        s"type evolution not supported (${typeChanged.mkString("; ")})")
-    cur.filterNot(f => inIds.contains(f.id))
-      .foreach(f => lt.dropColumn(f.name))
-    incoming.foreach(nf => curById.get(nf.id)
-      .filter(_.name != nf.name)
-      .foreach(cf => lt.renameColumn(cf.name, nf.name)))
-    incoming.filterNot(nf => curById.contains(nf.id))
-      .foreach(nf => lt.addColumn(nf.name, nf.dataType))
-    None
   }
 
   private def propsJson(props: Map[String, String]): String =

@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.{ByteBuffer, ByteOrder}
-import java.nio.file.{Files, Paths}
 
 /** Delta Lake deletion-vector decoding, implemented from the public
   * protocol (delta-io PROTOCOL.md "Deletion Vectors" + the
@@ -77,13 +76,24 @@ object DeletionVectors {
       s"unsupported deletion vector storage type '$t'")
   }
 
-  /** Deleted row indices of one descriptor (sorted ascending). */
-  def deletedRows(tableDir: String, d: Descriptor): Array[Long] =
+  /** Deleted row indices of one descriptor (sorted ascending). On-disk
+    * DVs ('u'/'p') open through the Hadoop FileSystem of the caller's
+    * configuration — this runs inside executor tasks, where the table
+    * may live on any configured filesystem (s3a/hdfs), not just
+    * `file:`, same posture as the other byte-level readers.
+    */
+  def deletedRows(tableDir: String, d: Descriptor,
+      conf: org.apache.hadoop.conf.Configuration): Array[Long] =
     d.storageType match {
       case "i" => parseBitmapArray(z85Decode(d.pathOrInlineDv))
       case "u" | "p" =>
-        val bytes = Files.readAllBytes(
-          Paths.get(dvPath(tableDir, d).stripPrefix("file:")))
+        val p = new org.apache.hadoop.fs.Path(dvPath(tableDir, d))
+        val fs = p.getFileSystem(conf)
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Int.MaxValue, s"absurd DV file size $len")
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
         require(bytes.nonEmpty && bytes(0) == 1,
           s"unsupported DV file format version ${bytes.headOption.getOrElse(-1)}")
         val off = d.offset.getOrElse(1L).toInt

@@ -252,10 +252,13 @@ object DeltaSnapshot {
     }
     if (withDv.isEmpty) return base
     import spark.implicits._
+    val hconf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val dels = spark.sparkContext
       .parallelize(withDv, math.min(withDv.size, 32))
       .flatMap { case (fp, d) =>
-        DeletionVectors.deletedRows(tableDir, d).iterator.map(i => (fp, i))
+        DeletionVectors.deletedRows(tableDir, d, hconf.value)
+          .iterator.map(i => (fp, i))
       }.toDF("__dv_path", "__dv_idx")
     // file:/ URI renderings differ between the metadata column and the
     // log-relative paths; compare on the bare filesystem path

@@ -154,10 +154,20 @@ object FlatGeobuf {
       val f = new FbTable(bytes, bb, fPos + bb.getInt(fPos))
       val g = f.table(0).map(decodeGeometry(_, bb, defaultType))
         .getOrElse(GCollection(Vector.empty))
+      // a Feature may carry its own columns vector (field 2), which per
+      // the spec overrides the header columns for that feature's
+      // property stream
+      val fColumns = f.vector(2) match {
+        case None => columns
+        case Some((elems, n)) => (0 until n).map { i =>
+          val c = f.tableAt(elems, i)
+          Column(c.string(0).getOrElse(s"col$i"), c.ubyte(1, 0))
+        }
+      }
       val props = f.vector(1) match {
         case None => Map.empty[String, String]
         case Some((start, len)) =>
-          decodeProps(bytes, bb, start, len, columns)
+          decodeProps(bytes, bb, start, len, fColumns)
       }
       out += ((toWkb(g), Geometry.geometryType(g), props))
       off += 4 + fSize

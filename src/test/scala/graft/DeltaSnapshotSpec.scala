@@ -329,7 +329,8 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     Files.write(pFile, pBytes)
     assert(DeletionVectors.deletedRows(dir,
       DeletionVectors.Descriptor("p", pFile.toString, Some(pOffs.head),
-        roaringArray(Seq(0L)).length, 1)).toSeq == Seq(0L))
+        roaringArray(Seq(0L)).length, 1),
+      spark.sparkContext.hadoopConfiguration).toSeq == Seq(0L))
 
     // corrupt crc refuses loudly
     val broken = pBytes.clone(); broken(pBytes.length - 6) =
@@ -338,7 +339,8 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeletionVectors.deletedRows(dir,
         DeletionVectors.Descriptor("p", pFile.toString, Some(pOffs.head),
-          roaringArray(Seq(0L)).length, 1))
+          roaringArray(Seq(0L)).length, 1),
+        spark.sparkContext.hadoopConfiguration)
     }
   }
 

@@ -243,6 +243,33 @@ class FlatGeobufSpec extends AnyFunSuite {
     assert(math.abs(Geometry.area(parseWkb(rows(2)._1)) - 5.0) < 1e-12)
   }
 
+  test("feature-level columns vector overrides the header schema") {
+    // header says (name: String); the feature carries its OWN columns
+    // table (count: Long) in Feature field 2, which per the spec
+    // overrides the header for that feature's property stream
+    val head = header(1, Seq(("name", 11)), 1)
+    val props = propBytes { p => p.u16(0); p.u64(42L) }
+    val f = sizePrefixed { o =>
+      writeTable(o, Seq(
+        0 -> Ref(oo => writeTable(oo,
+          Seq(1 -> Ref(o3 => writeDoubleVec(o3, Seq(1.0, 2.0)))))),
+        1 -> Ref { oo =>
+          oo.pad(4)
+          val p = oo.pos
+          oo.u32(props.length)
+          props.foreach(oo.b += _)
+          p
+        },
+        2 -> Ref(oo => writeTableVec(oo, Seq(
+          (o2: Out) => writeTable(o2, Seq(
+            0 -> Ref(o3 => writeString(o3, "count")),
+            1 -> scalarU8(7))))))))
+    }
+    val rows = FlatGeobuf.features(fgb(head, Seq(f)))
+    assert(rows.length == 1)
+    assert(rows.head._3 == Map("count" -> "42"))
+  }
+
   test("index is skipped exactly; engine scan; refusals") {
     // indexSize: the spec's level arithmetic
     assert(FlatGeobuf.indexSize(1, 16) == 40)

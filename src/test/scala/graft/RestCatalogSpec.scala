@@ -355,6 +355,105 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("REST catalog commit atomicity: updates + requirements are a unit") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      assert(post(s"$base/v1/namespaces/default/tables",
+        """{"name":"ext_atomic","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true},
+          |  {"id":2,"name":"label","type":"string","required":false}
+          |]}}""".stripMargin)._1 == 200)
+
+      import spark.implicits._
+      val staged = Seq((1L, "a"), (2L, "b")).toDF("id", "label")
+      val scratch = graft.lake.LakeTable.createAsSelect(spark,
+        LakeEngine.tempLocation("atomstage"), "atomstage", staged)
+      val listPath = IcebergSnapshot.metadata(
+          graft.lake.IcebergExport.export(scratch))
+        .get("snapshots").elements().asScala.toSeq.last
+        .get("manifest-list").asText()
+
+      val cur = e.table("ext_atomic").meta.currentSnapshotId
+      def addSchemaJson(extra: String) =
+        s"""{"action":"add-schema","schema":{"type":"struct","fields":[
+           |  {"id":1,"name":"id","type":"long","required":true},
+           |  {"id":2,"name":"label","type":"string","required":false}$extra
+           |]}}""".stripMargin
+      val addScore =
+        addSchemaJson(""",{"id":3,"name":"score","type":"double","required":false}""")
+
+      // schema-only commit with a stale requirement → 409, schema
+      // untouched (the spec's unit rule — r7 applied the schema before
+      // ever checking the requirement)
+      val (c1, b1) = post(s"$base/v1/namespaces/default/tables/ext_atomic",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |  "snapshot-id":${cur - 1}}],
+           |"updates":[$addScore]}""".stripMargin)
+      assert(c1 == 409, b1)
+      assert(e.table("ext_atomic").meta.sparkSchema.fieldNames.toSeq ==
+        Seq("id", "label"))
+
+      // mixed add-schema + add-snapshot with a stale requirement → 409
+      // and NEITHER applied
+      val (c2, b2) = post(s"$base/v1/namespaces/default/tables/ext_atomic",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |  "snapshot-id":${cur - 1}}],
+           |"updates":[$addScore,
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":77,"manifest-list":"$listPath"}}]}""".stripMargin)
+      assert(c2 == 409, b2)
+      assert(e.table("ext_atomic").meta.currentSnapshotId == cur)
+      assert(e.table("ext_atomic").meta.sparkSchema.fieldNames.toSeq ==
+        Seq("id", "label"))
+
+      // same mixed commit with the matching requirement → 200, both
+      // applied in one snapshot swap
+      val (c3, b3) = post(s"$base/v1/namespaces/default/tables/ext_atomic",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |  "snapshot-id":$cur}],
+           |"updates":[$addScore,
+           |  {"action":"add-snapshot","snapshot":{
+           |    "snapshot-id":78,"manifest-list":"$listPath"}}]}""".stripMargin)
+      assert(c3 == 200, b3)
+      val m3 = e.table("ext_atomic").meta
+      assert(m3.sparkSchema.fieldNames.toSeq == Seq("id", "label", "score"))
+      assert(m3.currentSnapshotId != cur)
+      assert(e.table("ext_atomic").read().count() == 2)
+
+      // the client-added column kept ITS field id (3); a later
+      // add-schema from the same client state must not duplicate it
+      assert(m3.currentSchema.fields.find(_.name == "score").get.id == 3)
+
+      // an add that skips ahead persists the client id verbatim
+      val addFar = addSchemaJson(
+        """,{"id":3,"name":"score","type":"double","required":false},
+          |  {"id":7,"name":"extra","type":"string","required":false}"""
+          .stripMargin)
+      assert(post(s"$base/v1/namespaces/default/tables/ext_atomic",
+        s"""{"updates":[$addFar]}""")._1 == 200)
+      val m4 = e.table("ext_atomic").meta
+      assert(m4.currentSchema.fields.find(_.name == "extra").get.id == 7)
+      assert(m4.nextFieldId == 8)
+
+      // reusing a retired id below nextFieldId refuses (data written
+      // under the old id would pun into the new column)
+      val reuse =
+        """{"updates":[{"action":"add-schema","schema":{"type":"struct","fields":[
+          |  {"id":1,"name":"id","type":"long","required":true},
+          |  {"id":2,"name":"label","type":"string","required":false},
+          |  {"id":3,"name":"score","type":"double","required":false},
+          |  {"id":7,"name":"extra","type":"string","required":false},
+          |  {"id":4,"name":"sneaky","type":"string","required":false}
+          |]}}]}""".stripMargin
+      val (c5, b5) = post(s"$base/v1/namespaces/default/tables/ext_atomic",
+        reuse)
+      assert(c5 == 400, b5)
+      assert(b5.contains("reuses field id"))
+    } finally srv.stop()
+  }
+
   test("REST catalog lifecycle: namespace CRUD, drop, rename, recreate") {
     val e = LakeEngine(spark)
     val srv = e.serveRestCatalog()
