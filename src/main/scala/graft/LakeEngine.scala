@@ -333,6 +333,18 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** Legacy-Excel .xls scan (native CFB+BIFF8 reader —
+    * [[graft.sources.Xls]]), same contract as [[createXlsxTable]]:
+    * string-typed columns from one worksheet, `layer` selects a tab by
+    * name, header row by default. BIFF5 and earlier refuse loudly.
+    */
+  def createXlsTable(name: String, path: String,
+      header: Boolean = true, layer: Option[String] = None): DataFrame = {
+    val df = sources.Xls.read(spark, path, header, layer)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** http(s):// / hf:// table (reference
     * docs/file-formats-reference.md:169-193): the URL is staged once
     * into a local content-addressed cache, then scanned like any lake

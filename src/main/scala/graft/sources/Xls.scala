@@ -81,7 +81,11 @@ object Xls {
     val miniFatStart = bb.getInt(60)
     val difatStart = bb.getInt(68)
     val numDifat = bb.getInt(72)
-    def sectorPos(s: Int): Int = 512 + s * sectorSize
+    // MS-CFB: sector N begins at (N+1)<<sectorShift — for major
+    // version 3 (512-byte sectors) that is the familiar 512 + N*512,
+    // and for version 4 (4096-byte sectors) sector 0 starts at 4096,
+    // NOT at 512 (the header pads to a full sector)
+    def sectorPos(s: Int): Int = (s + 1) << sectorShift
 
     // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
     val fatSectors = ArrayBuffer.empty[Int]
