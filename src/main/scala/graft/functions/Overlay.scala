@@ -22,9 +22,14 @@ import scala.collection.mutable.ArrayBuffer
   *    then each noded edge is kept or dropped by an exact midpoint
   *    location test and kept edges stitch into rings with the
   *    rightmost-turn rule (pinch contacts split into separate rings).
-  *    Only genuinely zero-area residue still refuses: an intersection
-  *    that is entirely lower-dimensional (a shared edge or point — a
-  *    LINESTRING/POINT in GEOS terms, not a polygon).
+  *    A zero-area intersection (polygons that only touch) returns the
+  *    lower-dimensional residue — shared boundary segments merged into
+  *    LINESTRING(s) plus isolated shared vertices as POINT(s), the
+  *    same shapes GEOS produces ([[contactResidue]]).
+  *  - MultiPolygon operands route through the same noded path with
+  *    point location generalized to any-component interior
+  *    ([[nodedOverlayMulti]]); a valid multipolygon's components have
+  *    disjoint interiors, which the classification relies on.
   *
   * All predicates (crossing detection, entry/exit marking) are sign
   * tests on exact products; the only constructions are the crossing
@@ -108,15 +113,24 @@ object Overlay {
     */
   def overlayPolygons(ga: Geom, gb: Geom, op: Op): Geom = {
     val srid = ga.srid
-    val (ringsA, ringsB) = (ga, gb) match {
-      case (GPolygon(as, _), GPolygon(bs, _))
-          if as.nonEmpty && bs.nonEmpty => (as, bs)
+    def comps(g: Geom): Vector[IndexedSeq[IndexedSeq[Pt]]] = g match {
+      case GPolygon(rs, _) if rs.nonEmpty => Vector(rs)
+      case GMultiPolygon(ps, _) if ps.nonEmpty =>
+        ps.toVector.map(p => p: IndexedSeq[IndexedSeq[Pt]])
       case _ => throw new UnsupportedOperationException(
-        s"${op.name}: general overlay supports polygon inputs " +
-          s"(got ${geometryType(ga)}, ${geometryType(gb)})")
+        s"${op.name}: general overlay supports polygon/multipolygon " +
+          s"inputs (got ${geometryType(ga)}, ${geometryType(gb)})")
     }
+    val (compsA, compsB) = (comps(ga), comps(gb))
     require(isValid(ga) && isValid(gb),
       s"${op.name}: inputs must be valid polygons")
+    // any multipolygon operand → the noded path with per-component
+    // point location (components of a VALID multipolygon are disjoint,
+    // which the edge classification relies on)
+    if (compsA.length > 1 || compsB.length > 1)
+      return nodedOverlayMulti(compsA.map(orientRings),
+        compsB.map(orientRings), op, srid)
+    val (ringsA, ringsB) = (compsA.head, compsB.head)
     if (ringsA.length > 1 || ringsB.length > 1)
       return nodedOverlay(orientRings(ringsA), orientRings(ringsB),
         op, srid)
@@ -349,25 +363,39 @@ object Overlay {
     * (shell CCW, holes CW).
     */
   private def nodedOverlay(a: Vector[IndexedSeq[Pt]],
-      b: Vector[IndexedSeq[Pt]], op: Op, srid: Int): Geom = {
-    val bVerts = b.flatten
-    val aVerts = a.flatten
-    // node every A ring against every B ring (and vice versa): proper
-    // crossings + the other polygon's on-edge vertices
-    val aN: Vector[Vector[Pt]] = a.map { ra =>
-      val cr = b.flatMap(rb => properCrossings(ra, rb)
-        .map(x => (x.ai, (x.ta, x.p))))
-        .groupBy(_._1).map { case (i, s) => i -> s.map(_._2) }
-      nodeRing(ra, bVerts, cr)
-    }
-    val bN: Vector[Vector[Pt]] = b.map { rb =>
-      val cr = a.flatMap(ra => properCrossings(rb, ra)
-        .map(x => (x.ai, (x.ta, x.p))))
-        .groupBy(_._1).map { case (i, s) => i -> s.map(_._2) }
-      nodeRing(rb, aVerts, cr)
-    }
-    val closedA = aN.map(r => r :+ r.head)
-    val closedB = bN.map(r => r :+ r.head)
+      b: Vector[IndexedSeq[Pt]], op: Op, srid: Int): Geom =
+    nodedOverlayMulti(Vector(a.map(r => r: IndexedSeq[Pt])),
+      Vector(b.map(r => r: IndexedSeq[Pt])), op, srid)
+
+  /** Multi-component noded overlay: each operand is a list of polygon
+    * components (shell + holes, open, interior-left). Noding and edge
+    * classification are exactly the single-polygon algorithm with point
+    * location generalized to "interior of ANY component" — sound
+    * because a valid multipolygon's components have disjoint interiors.
+    */
+  private def nodedOverlayMulti(aC: Vector[Vector[IndexedSeq[Pt]]],
+      bC: Vector[Vector[IndexedSeq[Pt]]], op: Op, srid: Int): Geom = {
+    val aRings = aC.flatten
+    val bRings = bC.flatten
+    val bVerts = bRings.flatten
+    val aVerts = aRings.flatten
+    // node every ring against every ring of the other operand: proper
+    // crossings + the other operand's on-edge vertices
+    def nodeComps(comps: Vector[Vector[IndexedSeq[Pt]]],
+        otherRings: Vector[IndexedSeq[Pt]],
+        otherVerts: Vector[Pt]): Vector[Vector[Vector[Pt]]] =
+      comps.map(_.map { r =>
+        val cr = otherRings.flatMap(o => properCrossings(r, o)
+          .map(x => (x.ai, (x.ta, x.p))))
+          .groupBy(_._1).map { case (i, s) => i -> s.map(_._2) }
+        nodeRing(r, otherVerts, cr)
+      })
+    val aNC = nodeComps(aC, bRings, bVerts)
+    val bNC = nodeComps(bC, aRings, aVerts)
+    val aN: Vector[Vector[Pt]] = aNC.flatten
+    val bN: Vector[Vector[Pt]] = bNC.flatten
+    val closedA = aNC.map(_.map(r => r :+ r.head))
+    val closedB = bNC.map(_.map(r => r :+ r.head))
     val contact = aN.flatten.toSet.intersect(bN.flatten.toSet).nonEmpty
     def edgesOf(rs: Vector[Vector[Pt]]): Vector[(Pt, Pt)] =
       rs.flatMap(r => r.indices.map(i => (r(i), r((i + 1) % r.length))))
@@ -376,14 +404,22 @@ object Overlay {
     val ebRev = eb.map(_.swap).toSet
 
     // classification: shared edges by direction, the rest by an exact
-    // midpoint location against the OTHER polygon (holes included)
+    // midpoint location against the OTHER operand (holes included;
+    // interior of any component counts)
     def mid(e: (Pt, Pt)) = Pt((e._1.x + e._2.x) / 2, (e._1.y + e._2.y) / 2)
-    def side(closed: Vector[Vector[Pt]], e: (Pt, Pt)): Int = {
-      val l = locateInPolygon(closed, mid(e))
-      if (l == 1)
-        refuse(op.name, s"inconsistent noding (midpoint ${mid(e)} of " +
-          s"non-shared edge ${e._1}->${e._2} lies on the other boundary)")
-      l // 2 = interior, 0 = exterior
+    def side(closedComps: Vector[Vector[Vector[Pt]]], e: (Pt, Pt)): Int = {
+      var best = 0
+      closedComps.foreach { comp =>
+        locateInPolygon(comp, mid(e)) match {
+          case 1 =>
+            refuse(op.name, s"inconsistent noding (midpoint ${mid(e)} " +
+              s"of non-shared edge ${e._1}->${e._2} lies on the other " +
+              "boundary)")
+          case 2 => best = 2
+          case _ =>
+        }
+      }
+      best // 2 = interior, 0 = exterior
     }
     val kept = Vector.newBuilder[(Pt, Pt)]
     ea.foreach { e =>
@@ -422,17 +458,97 @@ object Overlay {
     if (rings.isEmpty) {
       op match {
         case Inter =>
-          // with boundary contact, an empty intersection is the
-          // zero-area residue — a shared edge or point, not a polygon;
-          // without contact the interiors are genuinely disjoint
-          if (contact)
-            refuse(op.name, "intersection is zero-area (a shared edge " +
-              "or point — a LINESTRING/POINT, not a polygon)")
-          GPolygon(Vector.empty, srid)
+          // with boundary contact, an empty area intersection is the
+          // zero-area residue: the shared (noded) boundary segments and
+          // isolated shared vertices — the LINESTRING/POINT result GEOS
+          // returns. Without contact the interiors are genuinely
+          // disjoint and the intersection is empty.
+          if (contact) contactResidue(ea, ebFwd, ebRev, aN, bN, srid)
+          else GPolygon(Vector.empty, srid)
         case Union => refuse(op.name, "union traversal produced no area")
         case Diff => GPolygon(Vector.empty, srid) // A ⊆ B
       }
     } else assemble(op.name, rings, srid)
+  }
+
+  /** Lower-dimensional intersection of polygons whose interiors do not
+    * meet: after mutual noding every 1-dimensional contact stretch is
+    * an exactly-shared edge pair and every point contact a shared
+    * vertex. Shared segments merge into maximal paths (linemerge);
+    * shared vertices not on any shared segment come back as points —
+    * the same LINESTRING / MULTILINESTRING / POINT / MULTIPOINT /
+    * GEOMETRYCOLLECTION shapes GEOS produces for touching polygons.
+    */
+  private def contactResidue(ea: Vector[(Pt, Pt)], ebFwd: Set[(Pt, Pt)],
+      ebRev: Set[(Pt, Pt)], aN: Vector[Vector[Pt]], bN: Vector[Vector[Pt]],
+      srid: Int): Geom = {
+    def norm(e: (Pt, Pt)): (Pt, Pt) =
+      if (e._1.x < e._2.x ||
+          (e._1.x == e._2.x && e._1.y <= e._2.y)) e else e.swap
+    val segs = ea.filter(e => ebFwd.contains(e) || ebRev.contains(e))
+      .map(norm).distinct
+    val onSegPts = segs.flatMap(e => Seq(e._1, e._2)).toSet
+    val shared = aN.flatten.toSet.intersect(bN.flatten.toSet)
+    val isolated = (shared -- onSegPts).toVector.sortBy(p => (p.x, p.y))
+    val paths = mergePaths(segs)
+    val lineG: Option[Geom] =
+      if (paths.isEmpty) None
+      else if (paths.length == 1) Some(GLine(paths.head, srid))
+      else Some(GMultiLine(paths, srid))
+    val ptG: Option[Geom] =
+      if (isolated.isEmpty) None
+      else if (isolated.length == 1) Some(GPoint(Some(isolated.head), srid))
+      else Some(GMultiPoint(isolated, srid))
+    (lineG, ptG) match {
+      case (Some(l), Some(p)) => GCollection(Vector(l, p), srid)
+      case (Some(l), None) => l
+      case (None, Some(p)) => p
+      case (None, None) => GPolygon(Vector.empty, srid) // unreachable
+    }
+  }
+
+  /** Merge undirected segments into maximal paths (linemerge): walk
+    * from every node of degree != 2, then sweep leftover pure cycles.
+    */
+  private def mergePaths(segs: Vector[(Pt, Pt)]): Vector[Vector[Pt]] = {
+    val adj = scala.collection.mutable.Map.empty[Pt, ArrayBuffer[(Pt, Int)]]
+    segs.zipWithIndex.foreach { case ((u, v), k) =>
+      adj.getOrElseUpdate(u, ArrayBuffer.empty) += ((v, k))
+      adj.getOrElseUpdate(v, ArrayBuffer.empty) += ((u, k))
+    }
+    val used = new Array[Boolean](segs.length)
+    val out = Vector.newBuilder[Vector[Pt]]
+    def walkFrom(s: Pt, first: (Pt, Int)): Vector[Pt] = {
+      val path = ArrayBuffer(s)
+      var cur = s
+      var step = first
+      var continue = true
+      while (continue) {
+        used(step._2) = true
+        path += step._1
+        cur = step._1
+        if (adj(cur).length == 2 && cur != s)
+          adj(cur).find(e => !used(e._2)) match {
+            case Some(e2) => step = e2
+            case None => continue = false
+          }
+        else continue = false
+      }
+      path.toVector
+    }
+    val starts = adj.keys.toVector.sortBy(p => (p.x, p.y))
+    starts.filter(s => adj(s).length != 2).foreach { s =>
+      var next = adj(s).find(e => !used(e._2))
+      while (next.isDefined) {
+        out += walkFrom(s, next.get)
+        next = adj(s).find(e => !used(e._2))
+      }
+    }
+    // leftover components are pure cycles (every node degree 2)
+    segs.zipWithIndex.foreach { case ((u, v), k) =>
+      if (!used(k)) out += walkFrom(u, (v, k))
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------------

@@ -159,12 +159,16 @@ object SpatialOps {
     case _ => false
   }
 
-  /** Any polygon pair — holes welcome (the noded overlay handles
-    * multi-ring inputs).
+  /** Any areal pair — holes and multipolygons welcome (the noded
+    * overlay handles multi-ring and multi-component inputs).
     */
-  private def bothPolys(a: Geom, b: Geom): Boolean = (a, b) match {
-    case (GPolygon(as, _), GPolygon(bs, _)) => as.nonEmpty && bs.nonEmpty
-    case _ => false
+  private def bothPolys(a: Geom, b: Geom): Boolean = {
+    def areal(g: Geom): Boolean = g match {
+      case GPolygon(rs, _) => rs.nonEmpty
+      case GMultiPolygon(ps, _) => ps.nonEmpty
+      case _ => false
+    }
+    areal(a) && areal(b)
   }
 
   val geomPairToGeom: Map[String, (Geom, Geom) => Geom] = Map(
@@ -230,7 +234,11 @@ object SpatialOps {
           intersectionWithConvex(b, a)
         case _ => Overlay.clipLinesToPolygon(b, a)
       }
-      else if (!convexClip && bothPolys(a, b))
+      else if (bothPolys(a, b))
+        // areal × areal ALWAYS takes the general overlay (convex pairs
+        // included): touching polygons return their lower-dimensional
+        // contact (LINESTRING/POINT) instead of the convex clipper's
+        // silently-empty polygon
         Overlay.overlayPolygons(a, b, Overlay.Inter)
       else intersectionWithConvex(a, b)
     },

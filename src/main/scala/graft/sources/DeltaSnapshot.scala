@@ -4,7 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 import scala.jdk.CollectionConverters._
 
 /** Delta Lake table scan (SURVEY.md §2.1 `delta_scan`; reference gates
@@ -33,8 +33,22 @@ import scala.jdk.CollectionConverters._
   * Deletion vectors are read-supported ([[DeletionVectors]]): each
   * masked file's bitmap decodes (in executors) to (file, row_index)
   * pairs, anti-joined against the scan's `_metadata.row_index` — the
-  * mask never materializes on the driver. Column mapping is still
-  * rejected explicitly.
+  * mask never materializes on the driver.
+  *
+  * Column mapping (`delta.columnMapping.mode` = `name` | `id`) is
+  * read-supported: the schemaString's per-field
+  * `delta.columnMapping.physicalName` / `.id` metadata (preserved by
+  * `DataType.fromJson`) drives a physical read schema — parquet is
+  * scanned under the physical names, and the result is cast back to
+  * the logical schema (a struct-to-struct cast renames positionally at
+  * every nesting level). `id` mode additionally stamps
+  * `parquet.field.id` on each read-schema field and rides Spark's
+  * field-id resolution (`spark.sql.parquet.fieldId.read.enabled`), the
+  * same resolution rule delta-kernel applies (reference:
+  * pg_lake_engine/src/pgduck/read_data.c:297-317). Per the protocol,
+  * `add.partitionValues` keys are PHYSICAL names under mapping — they
+  * are normalized back to logical names at resolve time so the
+  * partition-aware FileIndex is mapping-agnostic.
   */
 object DeltaSnapshot {
 
@@ -47,7 +61,8 @@ object DeltaSnapshot {
   final case class State(
       schemaJson: String,
       partitionColumns: Seq[String],
-      files: Map[String, AddFile])
+      files: Map[String, AddFile],
+      mappingMode: String = "none")
 
   private def dvOf(dv: JsonNode): Option[DeletionVectors.Descriptor] =
     if (dv == null || dv.isNull) None
@@ -58,11 +73,58 @@ object DeltaSnapshot {
       dv.get("sizeInBytes").asInt(),
       dv.get("cardinality").asLong()))
 
-  private def checkMapping(conf: JsonNode): Unit = {
+  private def mappingModeOf(conf: JsonNode): String = {
     val mode = Option(conf).flatMap(c =>
       Option(c.get("delta.columnMapping.mode"))).map(_.asText())
       .getOrElse("none")
-    require(mode == "none", "delta column mapping unsupported")
+    require(Set("none", "name", "id")(mode),
+      s"unknown delta.columnMapping.mode '$mode'")
+    mode
+  }
+
+  private val PhysKey = "delta.columnMapping.physicalName"
+  private val IdKey = "delta.columnMapping.id"
+
+  /** Physical read schema under column mapping: every field renamed to
+    * its `physicalName` (the name actually stored in the parquet
+    * footers), recursively through structs/arrays/maps. In `id` mode
+    * each field is also stamped with `parquet.field.id` so Spark's
+    * parquet reader resolves it by field id rather than by name.
+    */
+  private def physicalField(f: StructField, idMode: Boolean): StructField = {
+    val phys =
+      if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+      else f.name
+    val md =
+      if (idMode && f.metadata.contains(IdKey))
+        new MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(IdKey)).build()
+      else Metadata.empty
+    StructField(phys, physicalType(f.dataType, idMode), f.nullable, md)
+  }
+
+  private def physicalType(dt: DataType, idMode: Boolean): DataType =
+    dt match {
+      case s: StructType =>
+        StructType(s.fields.map(physicalField(_, idMode)))
+      case a: ArrayType =>
+        a.copy(elementType = physicalType(a.elementType, idMode))
+      case m: MapType =>
+        m.copy(keyType = physicalType(m.keyType, idMode),
+          valueType = physicalType(m.valueType, idMode))
+      case other => other
+    }
+
+  /** Strip the column-mapping bookkeeping from the user-facing schema. */
+  private def stripField(f: StructField): StructField =
+    StructField(f.name, stripType(f.dataType), f.nullable, Metadata.empty)
+
+  private def stripType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(stripField))
+    case a: ArrayType => a.copy(elementType = stripType(a.elementType))
+    case m: MapType => m.copy(keyType = stripType(m.keyType),
+      valueType = stripType(m.valueType))
+    case other => other
   }
 
   private def partValuesOf(node: JsonNode): Map[String, Option[String]] =
@@ -77,6 +139,7 @@ object DeltaSnapshot {
     var schemaJson: String = null
     var partCols: Seq[String] = Nil
     var files = Map.empty[String, AddFile]
+    var mappingMode = "none"
 
     // ---- 1. checkpoint base state -----------------------------------
     val lastCp = logDir.resolve("_last_checkpoint")
@@ -115,8 +178,10 @@ object DeltaSnapshot {
         schemaJson = r.getString(0)
         partCols = Option(r.getSeq[String](1)).getOrElse(Nil)
         val conf = Option(r.getMap[String, String](2)).getOrElse(Map.empty)
-        require(conf.getOrElse("delta.columnMapping.mode", "none") == "none",
-          "delta column mapping unsupported")
+        val mode = conf.getOrElse("delta.columnMapping.mode", "none")
+        require(Set("none", "name", "id")(mode),
+          s"unknown delta.columnMapping.mode '$mode'")
+        mappingMode = mode
       }
 
       val hasDv = cp.select("add.*").schema.fieldNames.contains("deletionVector")
@@ -185,7 +250,7 @@ object DeltaSnapshot {
         schemaJson = md.get("schemaString").asText()
         partCols = Option(md.get("partitionColumns"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-        checkMapping(md.get("configuration"))
+        mappingMode = mappingModeOf(md.get("configuration"))
       }
       if (node.has("add")) {
         val add = node.get("add")
@@ -198,23 +263,57 @@ object DeltaSnapshot {
         files -= node.get("remove").get("path").asText()
     }
     require(schemaJson != null, s"no metaData action found in $logDir")
-    State(schemaJson, partCols, files)
+
+    if (mappingMode != "none") {
+      // Under mapping the protocol keys add.partitionValues by PHYSICAL
+      // name; normalize to logical here (passthrough when a writer used
+      // logical keys) so the FileIndex and partition reconstruction stay
+      // mapping-agnostic. partitionColumns are normalized the same way.
+      val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      val logicalByPhys: Map[String, String] = schema.fields.collect {
+        case f if f.metadata.contains(PhysKey) =>
+          f.metadata.getString(PhysKey) -> f.name
+      }.toMap
+      partCols = partCols.map(c => logicalByPhys.getOrElse(c, c))
+      files = files.map { case (p, add) =>
+        p -> add.copy(partitionValues = add.partitionValues.map {
+          case (k, v) => logicalByPhys.getOrElse(k, k) -> v
+        })
+      }
+    }
+    State(schemaJson, partCols, files, mappingMode)
   }
 
   def schemaOf(spark: SparkSession, tableDir: String): StructType =
-    DataType.fromJson(resolve(spark, tableDir).schemaJson)
-      .asInstanceOf[StructType]
+    stripType(DataType.fromJson(resolve(spark, tableDir).schemaJson)
+      .asInstanceOf[StructType]).asInstanceOf[StructType]
 
   def read(spark: SparkSession, tableDir: String): DataFrame = {
     val st = resolve(spark, tableDir)
-    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val logical = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val outSchema =
+      stripType(logical).asInstanceOf[StructType]
     if (st.files.isEmpty)
       return spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), schema)
+        java.util.Collections.emptyList[Row](), outSchema)
+
+    val mapped = st.mappingMode != "none"
+    val idMode = st.mappingMode == "id"
+    if (idMode)
+      // Spark's parquet reader resolves read-schema fields carrying
+      // `parquet.field.id` metadata by field id only under this conf;
+      // schemas without the metadata are unaffected by enabling it.
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val partSet = st.partitionColumns.toSet
+    val dataFields = logical.fields.filterNot(f => partSet.contains(f.name))
+    // parquet footers store PHYSICAL names under mapping
+    val readSchema =
+      if (mapped) StructType(dataFields.map(physicalField(_, idMode)))
+      else StructType(dataFields)
 
     val base: DataFrame =
       if (st.partitionColumns.isEmpty)
-        spark.read.schema(schema)
+        spark.read.schema(readSchema)
           .parquet(st.files.keysIterator.toSeq.sorted
             .map(f => s"$tableDir/$f"): _*)
       else {
@@ -223,20 +322,32 @@ object DeltaSnapshot {
         // every serious Delta reader uses. The old per-tuple
         // read.parquet+unionAll built a k-way union plan — at 10k
         // partitions that's an analyzer blowup with no shared scan.
-        val partSet = st.partitionColumns.toSet
-        val partSchema = StructType(st.partitionColumns.map(schema(_)))
-        val dataSchema = StructType(schema.fields.filterNot(f =>
-          partSet.contains(f.name)))
+        // Partition columns keep their LOGICAL names: their values come
+        // from the index, not the parquet footers.
+        val partSchema = StructType(st.partitionColumns.map(n =>
+          stripField(logical(n))))
         val index = new DeltaFileIndex(tableDir, partSchema, st)
         val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-          index, partSchema, dataSchema, None,
+          index, partSchema, readSchema, None,
           new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
           Map.empty)(org.apache.spark.sql.GraftBridge.classicSession(spark))
         org.apache.spark.sql.GraftBridge.ofRows(spark,
           org.apache.spark.sql.execution.datasources.LogicalRelation(rel))
       }
+    val renamed: Seq[org.apache.spark.sql.Column] =
+      logical.fields.toSeq.map { f =>
+        if (partSet.contains(f.name)) col(f.name)
+        else if (!mapped) col(f.name)
+        else {
+          // physical → logical: top-level rename via alias; nested
+          // struct/array/map field names rename through a positional
+          // struct-to-struct cast (types are identical, names differ)
+          val phys = physicalField(f, idMode).name
+          col(phys).cast(stripType(f.dataType)).as(f.name)
+        }
+      }
     maskDeleted(spark, tableDir, st, base)
-      .select(schema.fieldNames.map(col): _*)
+      .select(renamed: _*)
   }
 
   /** Anti-join out DV-masked rows: bitmaps decode in EXECUTORS to

@@ -183,13 +183,12 @@ class GeometryPropertySpec extends AnyFunSuite {
     assert(near(area(Overlay.overlayPolygons(a, far, Overlay.Diff)), 20.0))
 
     // degenerate contact: a zero-area INTERSECTION (pure shared edge)
-    // still refuses loudly — it is a LINESTRING, not a polygon — but
-    // union and difference now resolve through the noded path
+    // resolves to the 1-dimensional contact, like GEOS
     val touching = GPolygon(Vector(Vector(
       Pt(6, 0), Pt(8, 0), Pt(8, 2), Pt(6, 2), Pt(6, 0))))
-    intercept[UnsupportedOperationException] {
-      Overlay.overlayPolygons(a, touching, Overlay.Inter)
-    }
+    val ti = Overlay.overlayPolygons(a, touching, Overlay.Inter)
+    assert(ti.isInstanceOf[GLine] &&
+      near(Geometry.length(ti), 2.0), toWkt(ti))
     val tu = Overlay.overlayPolygons(a, touching, Overlay.Union)
     assert(near(area(tu), 24.0) && tu.isInstanceOf[GPolygon])
     assert(near(area(Overlay.overlayPolygons(a, touching, Overlay.Diff)),
@@ -205,9 +204,9 @@ class GeometryPropertySpec extends AnyFunSuite {
     val cu = Overlay.overlayPolygons(q1, q2, Overlay.Union)
     assert(cu.isInstanceOf[GMultiPolygon] && near(area(cu), 8.0))
     assert(near(area(Overlay.overlayPolygons(q1, q2, Overlay.Diff)), 4.0))
-    intercept[UnsupportedOperationException] { // point contact: 0-dim
-      Overlay.overlayPolygons(q1, q2, Overlay.Inter)
-    }
+    // point contact: the 0-dimensional touch point, like GEOS
+    val ci = Overlay.overlayPolygons(q1, q2, Overlay.Inter)
+    assert(toWkt(ci) == "POINT(2 2)", toWkt(ci))
     // partial shared edge: union merges into one ring
     val r1 = box(0, 0, 3, 3); val r2 = box(3, 1, 5, 2)
     val pu = Overlay.overlayPolygons(r1, r2, Overlay.Union)

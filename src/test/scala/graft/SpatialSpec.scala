@@ -203,7 +203,9 @@ class SpatialSpec extends AnyFunSuite {
     val back = transform(merc, 4326)
     val Pt(bx, by) = allPoints(back).head
     assert(math.abs(bx - 10) < 1e-9 && math.abs(by - 45) < 1e-9)
-    intercept[UnsupportedOperationException] { transform(p, 2154) }
+    // 2154 (Lambert-93) moved into the closed-form registry; an
+    // unregistered CRS still refuses
+    intercept[UnsupportedOperationException] { transform(p, 999999) }
     intercept[IllegalArgumentException] { transform(wkt("POINT(0 0)"), 3857) }
   }
 
@@ -838,10 +840,61 @@ class SpatialSpec extends AnyFunSuite {
     assert(viaUtm.srid == 32631)
     // unsupported CRS still refuses loudly
     intercept[UnsupportedOperationException] {
-      transform(pt(1.0, 1.0, 4326), 2154) // Lambert-93 needs PROJ
+      transform(pt(1.0, 1.0, 4326), 999999)
     }
-    intercept[UnsupportedOperationException] {
-      transform(pt(1.0, 1.0, 4326).withSrid(27700), 4326)
-    }
+  }
+
+  // ---- zero-area contact residue + multipolygon overlay -------------
+
+  private def inter(a: String, b: String): Geom =
+    graft.functions.SpatialOps.geomPairToGeom("st_intersection")(
+      wkt(a), wkt(b))
+  private def union2(a: String, b: String): Geom =
+    graft.functions.SpatialOps.geomPairToGeom("st_union")(wkt(a), wkt(b))
+
+  test("touching polygons intersect to their lower-dimensional contact") {
+    // full shared edge → LINESTRING
+    assert(toWkt(inter("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON((2 0, 4 0, 4 2, 2 2, 2 0))")) == "LINESTRING(2 0, 2 2)")
+    // corner touch → POINT
+    assert(toWkt(inter("POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))",
+      "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))")) == "POINT(2 2)")
+    // partial collinear overlap → the shared stretch only
+    assert(toWkt(inter("POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))",
+      "POLYGON((1 -2, 3 -2, 3 0, 1 0, 1 -2))")) == "LINESTRING(1 0, 3 0)")
+    // disjoint stays empty
+    assert(isEmpty(inter("POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "POLYGON((5 5, 6 5, 6 6, 5 6, 5 5))")))
+  }
+
+  test("multipolygon operands in intersection/union/difference") {
+    val m = "MULTIPOLYGON(((0 0, 2 0, 2 2, 0 2, 0 0))," +
+      " ((4 0, 6 0, 6 2, 4 2, 4 0)))"
+    val b = "POLYGON((1 1, 5 1, 5 3, 1 3, 1 1))"
+    // two disjoint 1x1 pieces
+    val i = inter(m, b)
+    assert(math.abs(area(i) - 2.0) < 1e-9, toWkt(i))
+    assert(i.isInstanceOf[GMultiPolygon], toWkt(i))
+    // union area: 4 + 4 + 8 - 2 (shared)
+    assert(math.abs(area(union2(m, b)) - 14.0) < 1e-9)
+    // difference both ways
+    assert(math.abs(area(difference(wkt(m), wkt(b))) - 6.0) < 1e-9)
+    assert(math.abs(area(difference(wkt(b), wkt(m))) - 6.0) < 1e-9)
+    // multipolygon × multipolygon
+    val m2 = "MULTIPOLYGON(((1 0, 3 0, 3 1, 1 1, 1 0))," +
+      " ((5 0, 7 0, 7 1, 5 1, 5 0)))"
+    val ii = inter(m, m2)
+    // [1,2]x[0,1] + [5,6]x[0,1] = 2
+    assert(math.abs(area(ii) - 2.0) < 1e-9, toWkt(ii))
+  }
+
+  test("convex pairs keep exact areas through the general overlay") {
+    // the dispatch change routes ALL areal pairs through the overlay;
+    // the old convex-clipper result must be preserved exactly
+    val a = inter("POLYGON((2 2, 6 2, 6 6, 2 6, 2 2))",
+      "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(math.abs(area(a) - 4.0) < 1e-9)
+    assert(toWkt(normalize(a)) == "POLYGON((2 2, 4 2, 4 4, 2 4, 2 2))",
+      toWkt(a))
   }
 }
