@@ -393,10 +393,18 @@ private[graft] object Crs {
       val phiAbs =
         if (rho == 0) math.Pi / 2 else phiFromT(ell, rho / rhoFactor)
       val dl = if (rho == 0) 0.0 else math.atan2(x, -y)
-      val lon = lon0 + (if (south) -math.toDegrees(dl) else math.toDegrees(dl))
+      val lon = normLon(
+        lon0 + (if (south) -math.toDegrees(dl) else math.toDegrees(dl)))
       Pt(lon, if (south) -math.toDegrees(phiAbs) else math.toDegrees(phiAbs))
     }
   }
+
+  /** Normalize a longitude into (-180, 180] — projections whose
+    * central meridian is far from Greenwich (polar stereographic at
+    * lon0 = -45) otherwise hand back lon0 ± 180-relative values.
+    */
+  @inline private def normLon(lon: Double): Double =
+    if (lon > 180) lon - 360 else if (lon <= -180) lon + 360 else lon
 
   // ---- CRS = projection + datum ------------------------------------
 

@@ -464,5 +464,192 @@ object Spatial {
           |  round(w + 2 - il, 6) AS dl_v,
           |  round(px, 6) AS xx_v,
           |  round(py, 6) AS xy_v
-          |FROM m ORDER BY event_id""".stripMargin))
+          |FROM m ORDER BY event_id""".stripMargin),
+
+    // ---- zero-area contact residue: touching rectangles intersect to
+    // their lower-dimensional contact (GEOS semantics). Rectangle b
+    // touches a along the x=w edge: the shared stretch [y1, min(h,
+    // y1+u)] comes back as a LINESTRING (length closed-form), and when
+    // y1 = h the contact degenerates to the corner POINT. Rectangle l
+    // shares a's full left edge → LINESTRING of length exactly h. ----
+    QueryDef.sql(
+      "q_spatial_overlay_residue",
+      """WITH d0 AS (
+        |  SELECT event_id, user_id,
+        |    3 + CAST(event_id % 5 AS INT) AS w,
+        |    2 + CAST(user_id % 4 AS INT) AS h,
+        |    1 + CAST(event_id % 4 AS INT) AS v,
+        |    1 + CAST(user_id % 3 AS INT) AS u
+        |  FROM events WHERE event_id < 2000),
+        |d AS (
+        |  SELECT event_id, w, h, v, u,
+        |    CAST(event_id % (h + 1) AS INT) AS y1
+        |  FROM d0),
+        |g AS (
+        |  SELECT event_id, w, h, v, u, y1,
+        |    st_makeenvelope(0, 0, w, h) AS a,
+        |    st_makeenvelope(w, y1, w + v, y1 + u) AS b,
+        |    st_makeenvelope(-v, 0, 0, h) AS l
+        |  FROM d)
+        |SELECT event_id,
+        |  st_geometrytype(st_intersection(a, b)) AS rt_v,
+        |  round(st_length(st_intersection(a, b)), 6) AS rl_v,
+        |  st_npoints(st_intersection(a, b)) AS rn_v,
+        |  st_geometrytype(st_intersection(a, l)) AS lt_v,
+        |  round(st_length(st_intersection(a, l)), 6) AS ll_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d0 AS (
+          |  SELECT event_id, user_id,
+          |    3 + CAST(event_id % 5 AS INT) AS w,
+          |    2 + CAST(user_id % 4 AS INT) AS h,
+          |    1 + CAST(event_id % 4 AS INT) AS v,
+          |    1 + CAST(user_id % 3 AS INT) AS u
+          |  FROM events WHERE event_id < 2000),
+          |d AS (
+          |  SELECT event_id, w, h, v, u,
+          |    CAST(event_id % (h + 1) AS INT) AS y1
+          |  FROM d0)
+          |SELECT event_id,
+          |  CASE WHEN y1 < h THEN 'ST_LineString' ELSE 'ST_Point' END
+          |    AS rt_v,
+          |  round(CAST(CASE WHEN y1 < h
+          |    THEN LEAST(h, y1 + u) - y1 ELSE 0 END AS DOUBLE), 6) AS rl_v,
+          |  CAST(CASE WHEN y1 < h THEN 2 ELSE 1 END AS INT) AS rn_v,
+          |  'ST_LineString' AS lt_v,
+          |  round(CAST(h AS DOUBLE), 6) AS ll_v
+          |FROM d ORDER BY event_id""".stripMargin),
+
+    // ---- multipolygon operands: m = two disjoint rectangles built by
+    // st_union (disjoint union → MULTIPOLYGON), overlaid with a low
+    // strip b that spans both components and the gap. Intersection is
+    // componentwise ((w + w2) * hb, two pieces), the union is one
+    // connected polygon (b bridges the gap), and the difference is the
+    // two above-strip remainders. All areas are closed-form; hb is
+    // half-integer and < min(h, h2) so nothing degenerates. ----------
+    QueryDef.sql(
+      "q_spatial_overlay_multi",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    2 + CAST(event_id % 4 AS INT) AS w,
+        |    2 + CAST(user_id % 3 AS INT) AS h,
+        |    1 + CAST(event_id % 3 AS INT) AS w2,
+        |    2 + CAST((event_id + user_id) % 3 AS INT) AS h2,
+        |    CAST(event_id % 2 AS DOUBLE) + 0.5 AS hb
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id, w, h, w2, h2, hb,
+        |    st_union(st_makeenvelope(0, 0, w, h),
+        |      st_makeenvelope(w + 2, 0, w + 2 + w2, h2)) AS m,
+        |    st_makeenvelope(0, 0, w + 2 + w2, hb) AS b
+        |  FROM d)
+        |SELECT event_id,
+        |  st_geometrytype(m) AS mt_v,
+        |  round(st_area(st_intersection(m, b)), 6) AS ia_v,
+        |  st_geometrytype(st_intersection(m, b)) AS it_v,
+        |  round(st_area(st_union(m, b)), 6) AS ua_v,
+        |  st_geometrytype(st_union(m, b)) AS ut_v,
+        |  round(st_area(st_difference(m, b)), 6) AS da_v,
+        |  st_geometrytype(st_difference(m, b)) AS dt_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    2 + CAST(event_id % 4 AS INT) AS w,
+          |    2 + CAST(user_id % 3 AS INT) AS h,
+          |    1 + CAST(event_id % 3 AS INT) AS w2,
+          |    2 + CAST((event_id + user_id) % 3 AS INT) AS h2,
+          |    CAST(event_id % 2 AS DOUBLE) + 0.5 AS hb
+          |  FROM events WHERE event_id < 2000)
+          |SELECT event_id,
+          |  'ST_MultiPolygon' AS mt_v,
+          |  round((w + w2) * hb, 6) AS ia_v,
+          |  'ST_MultiPolygon' AS it_v,
+          |  round(w * h + w2 * h2 + (w + 2 + w2) * hb
+          |    - (w + w2) * hb, 6) AS ua_v,
+          |  'ST_Polygon' AS ut_v,
+          |  round(w * h + w2 * h2 - (w + w2) * hb, 6) AS da_v,
+          |  'ST_MultiPolygon' AS dt_v
+          |FROM d ORDER BY event_id""".stripMargin),
+
+    // ---- CRS registry: EPSG:3857 forward is closed-form in plain SQL
+    // (spherical mercator), so the oracle recomputes it; every
+    // projected CRS is judged by the 4326 → crs → 4326 round-trip
+    // landing back on the integer-degree input (registry round-trips
+    // are sub-mm ≈ 1e-8 deg, absorbed by round(·,6)); and the ETRS89
+    // UTM alias must agree with WGS84 UTM to sub-mm (the datums are
+    // realized as equivalent; the ellipsoids differ in 1/f only at the
+    // 9th digit). Domains per CRS: France (2154), GB (27700), Europe
+    // (3035), CONUS (5070), Arctic (3413). ---------------------------
+    QueryDef.sql(
+      "q_spatial_crs",
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CAST(-5 + event_id % 12 AS DOUBLE) AS lon_fr,
+        |    CAST(42 + user_id % 8 AS DOUBLE) AS lat_fr,
+        |    CAST(-6 + event_id % 7 AS DOUBLE) AS lon_gb,
+        |    CAST(50 + user_id % 9 AS DOUBLE) AS lat_gb,
+        |    CAST(-10 + event_id % 40 AS DOUBLE) AS lon_eu,
+        |    CAST(36 + user_id % 33 AS DOUBLE) AS lat_eu,
+        |    CAST(-120 + event_id % 45 AS DOUBLE) AS lon_us,
+        |    CAST(26 + user_id % 22 AS DOUBLE) AS lat_us,
+        |    CAST(event_id % 359 - 179 AS DOUBLE) AS lon_po,
+        |    CAST(61 + user_id % 28 AS DOUBLE) AS lat_po
+        |  FROM events WHERE event_id < 2000),
+        |g AS (
+        |  SELECT event_id,
+        |    lon_fr, lat_fr, lon_gb, lat_gb, lon_eu, lat_eu,
+        |    lon_us, lat_us, lon_po, lat_po,
+        |    st_setsrid(st_point(lon_fr, lat_fr), 4326) AS pfr,
+        |    st_setsrid(st_point(lon_gb, lat_gb), 4326) AS pgb,
+        |    st_setsrid(st_point(lon_eu, lat_eu), 4326) AS peu,
+        |    st_setsrid(st_point(lon_us, lat_us), 4326) AS pus,
+        |    st_setsrid(st_point(lon_po, lat_po), 4326) AS ppo
+        |  FROM d)
+        |SELECT event_id,
+        |  round(st_x(st_transform(pfr, 3857)), 4) AS mx_v,
+        |  round(st_y(st_transform(pfr, 3857)), 4) AS my_v,
+        |  round(st_x(st_transform(st_transform(pfr, 2154), 4326)), 6) AS fx_v,
+        |  round(st_y(st_transform(st_transform(pfr, 2154), 4326)), 6) AS fy_v,
+        |  round(st_x(st_transform(st_transform(pgb, 27700), 4326)), 6) AS gx_v,
+        |  round(st_y(st_transform(st_transform(pgb, 27700), 4326)), 6) AS gy_v,
+        |  round(st_x(st_transform(st_transform(peu, 3035), 4326)), 6) AS ex_v,
+        |  round(st_y(st_transform(st_transform(peu, 3035), 4326)), 6) AS ey_v,
+        |  round(st_x(st_transform(st_transform(pus, 5070), 4326)), 6) AS ux_v,
+        |  round(st_y(st_transform(st_transform(pus, 5070), 4326)), 6) AS uy_v,
+        |  round(st_x(st_transform(st_transform(ppo, 3413), 4326)), 6) AS px_v,
+        |  round(st_y(st_transform(st_transform(ppo, 3413), 4326)), 6) AS py_v,
+        |  round(abs(st_x(st_transform(pfr, 25831))
+        |    - st_x(st_transform(pfr, 32631))), 2) AS za_v
+        |FROM g ORDER BY event_id""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT event_id,
+          |    CAST(-5 + event_id % 12 AS DOUBLE) AS lon_fr,
+          |    CAST(42 + user_id % 8 AS DOUBLE) AS lat_fr,
+          |    CAST(-6 + event_id % 7 AS DOUBLE) AS lon_gb,
+          |    CAST(50 + user_id % 9 AS DOUBLE) AS lat_gb,
+          |    CAST(-10 + event_id % 40 AS DOUBLE) AS lon_eu,
+          |    CAST(36 + user_id % 33 AS DOUBLE) AS lat_eu,
+          |    CAST(-120 + event_id % 45 AS DOUBLE) AS lon_us,
+          |    CAST(26 + user_id % 22 AS DOUBLE) AS lat_us,
+          |    CAST(event_id % 359 - 179 AS DOUBLE) AS lon_po,
+          |    CAST(61 + user_id % 28 AS DOUBLE) AS lat_po
+          |  FROM events WHERE event_id < 2000)
+          |SELECT event_id,
+          |  round(6378137.0 * radians(lon_fr), 4) AS mx_v,
+          |  round(6378137.0 * ln(tan(pi() / 4 + radians(lat_fr) / 2)), 4)
+          |    AS my_v,
+          |  round(lon_fr, 6) AS fx_v,
+          |  round(lat_fr, 6) AS fy_v,
+          |  round(lon_gb, 6) AS gx_v,
+          |  round(lat_gb, 6) AS gy_v,
+          |  round(lon_eu, 6) AS ex_v,
+          |  round(lat_eu, 6) AS ey_v,
+          |  round(lon_us, 6) AS ux_v,
+          |  round(lat_us, 6) AS uy_v,
+          |  round(lon_po, 6) AS px_v,
+          |  round(lat_po, 6) AS py_v,
+          |  0.0 AS za_v
+          |FROM d ORDER BY event_id""".stripMargin))
 }
