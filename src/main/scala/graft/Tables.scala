@@ -22,14 +22,20 @@ object Tables {
 
   def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read the raw int64 nanos and floor-convert to
-      // microsecond TIMESTAMP_NTZ — the same truncation DuckDB applies.
+      // events.ts is parquet TIMESTAMP(NANOS) in the driver fixtures,
+      // which Spark's vectorized reader rejects. Read the raw int64
+      // nanos and floor-convert to microsecond TIMESTAMP_NTZ — the same
+      // truncation DuckDB applies. Fixture sets written with micro
+      // precision (e.g. the sf1 scale smoke) come back as a timestamp
+      // already, so dispatch on the physical type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts",
+      val raw = spark.read.parquet(path(sfDir, name))
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)")
-            .cast("timestamp_ntz"))
+        case _ => org.apache.spark.sql.functions.col("ts")
+      }
+      raw.withColumn("ts", ts.cast("timestamp_ntz"))
     } else spark.read.parquet(path(sfDir, name))
 
   /** Register every fixture table as a temp view named after the table. */

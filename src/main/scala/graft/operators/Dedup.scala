@@ -302,4 +302,57 @@ object Dedup {
           (col("sa") + col("size") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Exact duplicate-substring spans — the substring-level dedup of Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed Spark-first. Every `window`-token
+    * sliding window whose exact text occurs at least twice anywhere in
+    * the corpus is a duplicate window; overlapping or token-adjacent
+    * duplicate windows inside a document merge into maximal spans — the
+    * units a curation pipeline cuts or down-weights.
+    *
+    * The paper builds one corpus-wide suffix array (inherently
+    * single-machine); the Spark-native shape is a linear hash-group of
+    * the corpus's rolling windows: windows materialize scan-locally as
+    * compact xxhash64 keys (identical grouping to the raw text —
+    * a collision needs two distinct windows at the same 64-bit value,
+    * odds ~2^-64 per pair), duplicate keys come from ONE map-side-
+    * combined aggregation, positions rejoin on the same key, and the
+    * island merge is a per-document window pass. Total cost is
+    * O(corpus tokens) shuffle bytes and is skew-free: window keys are
+    * near-unique except for the duplicates themselves.
+    *
+    * Output: one row per (id, span) — 0-based token `start_pos`,
+    * inclusive token `end_pos`, and `n_windows` duplicate windows
+    * merged into the span.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"duplicateSpans: window must be >= 2 (got $window)")
+    val wins = df
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("ws"))
+      .select(col("id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $window
+           |  THEN transform(sequence(0, size(ws) - $window),
+           |    i -> struct(i AS pos,
+           |      xxhash64(array_join(slice(ws, i + 1, $window), ' ')) AS key))
+           |  ELSE array() END""".stripMargin)).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.key").as("key"))
+    val dup = wins.groupBy("key").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    // windows at positions p < q overlap or touch iff q - p <= window;
+    // a new island starts where that gap rule breaks
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    wins.join(dup, "key")
+      .withColumn("fresh",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= window, 0).otherwise(1))
+      .withColumn("span", sum("fresh").over(byDoc))
+      .groupBy("id", "span")
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(window - 1)).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span"), col("start_pos"), col("end_pos"),
+        col("n_windows"))
+  }
 }

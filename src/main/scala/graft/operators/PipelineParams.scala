@@ -103,6 +103,26 @@ object PipelineParams {
     */
   val LmModelK = 500
 
+  /** Duplicate-substring spans: sliding-window width in tokens. The
+    * paper's threshold is 50 BPE tokens; the fixture docs are ~40-200
+    * words, so 8 words keeps the judged query's span population
+    * non-trivial while the operator takes the width as a parameter.
+    */
+  val SpanWindow = 8
+
+  /** BM25 retrieval: Okapi parameters at their literature defaults,
+    * top-k depth, and the deterministic fixture-query rule (every
+    * doc_id ≡ [[Bm25QuerySel]] (mod [[Bm25QueryStride]]) contributes
+    * its first [[Bm25QueryLen]] words as a query — scales with the
+    * corpus, no hand-written query list).
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 5
+  val Bm25QueryLen = 4
+  val Bm25QueryStride = 1013
+  val Bm25QuerySel = 7
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic; CJK is detected by codepoint-class ratio.
     */

@@ -1048,5 +1048,103 @@ object Pipeline {
       Multimodal.frameSample(media, frameBytes = 64, stride = 2)
         .select(col("media_id"), col("frame_no"), col("frame_bytes"))
         .orderBy("media_id", "frame_no")
+    },
+
+    // ---- duplicate-substring spans (Lee et al. substring dedup): the
+    // oracle groups rolling windows by their RAW TEXT and replays the
+    // same island merge, so the hash-grouped Spark path is proven
+    // against the definitionally-exact computation — duplicate-window
+    // detection, span merging, and the per-doc accounting all
+    // differentially verified. ----------------------------------------
+    QueryDef(
+      "q_dedup_spans",
+      s"""WITH w AS (
+         |  SELECT doc_id, $W AS ws FROM documents),
+         |win AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(ws[i+1:i+$SpanWindow], ' ') AS wtext
+         |  FROM w, unnest(range(0, greatest(len(ws) - ${SpanWindow - 1}, 0))) AS t(i)),
+         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+         |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (wtext)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              <= $SpanWindow THEN 0 ELSE 1 END AS fresh
+         |  FROM hit),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    sum(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span, min(pos) AS s0,
+         |    max(pos) + ${SpanWindow - 1} AS e0, count(*) AS nw
+         |  FROM sp GROUP BY doc_id, span)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(nw) AS BIGINT) AS n_windows,
+         |  CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(max(e0 - s0 + 1) AS BIGINT) AS max_span
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text")
+        .withColumn("span_tokens", col("end_pos") - col("start_pos") + 1)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("n_windows")).as("n_windows"),
+          sum(col("span_tokens")).as("dup_tokens"),
+          max(col("span_tokens")).as("max_span"))
+        .orderBy("doc_id")
+    },
+
+    // ---- BM25 top-k retrieval: fixture-derived queries (first words
+    // of every stride-selected doc), contributions built from the same
+    // expression tree with the same double literals on both engines,
+    // decimal-exact accumulation, rank on the exact score. The oracle
+    // recomputes tf/df/dl/avgdl and every score from scratch. ---------
+    QueryDef(
+      "q_search_bm25",
+      s"""WITH w AS (
+         |  SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |corpus AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         |q AS (
+         |  SELECT doc_id AS query_id, list_distinct(ws[1:$Bm25QueryLen]) AS qws
+         |  FROM w WHERE doc_id % $Bm25QueryStride = $Bm25QuerySel),
+         |qt AS (SELECT query_id, unnest(qws) AS w FROM q),
+         |contrib AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
+         |            / (dfreq.df + (0.5)::DOUBLE))
+         |      * ((tf.tf * (${Bm25K1 + 1})::DOUBLE)
+         |         / (tf.tf + ($Bm25K1)::DOUBLE * ((${1.0 - Bm25B})::DOUBLE
+         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl)))
+         |      AS DECIMAL(28,12)) AS c
+         |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN corpus),
+         |scored AS (
+         |  SELECT query_id, doc_id, sum(c) AS sd
+         |  FROM contrib GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, sd,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sd DESC, doc_id) AS rk
+         |  FROM scored)
+         |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk,
+         |  round(sd::DOUBLE, 6) AS score
+         |FROM ranked WHERE rk <= $Bm25TopK
+         |ORDER BY query_id, doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val q = d.filter(col("doc_id") % Bm25QueryStride === Bm25QuerySel)
+        .select(col("doc_id").as("query_id"),
+          expr(s"array_join(slice(split(lower(text), ' '), 1, $Bm25QueryLen), ' ')")
+            .as("qtext"))
+      Search.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext")
+        .select(col("query_id"), col("id").as("doc_id"), col("rk"),
+          round(col("sd").cast("double"), 6).as("score"))
+        .orderBy("query_id", "doc_id")
     })
 }

@@ -443,7 +443,49 @@ class PipelineSpec extends AnyFunSuite {
       Stats.exactQuantilesBy(li, "l_orderkey", "l_quantity", Seq(0.5),
         maxGroups = 10)
     }
+  }
 
+  test("duplicate spans: cross-doc and in-doc windows merge to maximal spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e q"),
+      (3L, "z q w e r t y u i o p"),    // nothing duplicated
+      (4L, "m n o p q m n o p q"))      // in-doc repeat: one merged span
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    // doc 1: dup windows at 0,1,2 -> tokens [0, 4]; doc 2: at 2,3,4 ->
+    // [2, 6]; doc 4: at 0,1,2,5,6,7 with gap 3 <= window -> ONE span
+    // [0, 9] of 6 windows; doc 3: absent
+    assert(spans == Set((1L, 0, 4, 3L), (2L, 2, 6, 3L), (4L, 0, 9, 6L)),
+      s"got $spans")
+  }
+
+  test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple dog dog dog"),
+      (3L, "dog emu fox grape"),
+      (4L, "horse iguana jay kiwi lemur"))
+      .toDF("doc_id", "text")
+    val q = Seq((100L, "apple banana")).toDF("qid", "qtext")
+    val top = Search.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .orderBy("rk").collect()
+    assert(top.length <= 3)
+    // only docs containing a query term score at all
+    assert(top.map(_.getLong(1)).toSet.subsetOf(Set(1L, 2L)))
+    // doc 1 matches both terms (one rare) -> top rank
+    assert(top.head.getLong(1) == 1L && top.head.getLong(3) == 1L)
+    // scores weakly decrease with rank
+    val sds = top.map(_.getDecimal(2).doubleValue())
+    assert(sds.sameElements(sds.sorted.reverse))
+  }
+
+  test("grouped quantiles run a constant number of jobs") {
+    val li = Tables.df(spark, sf, "lineitem")
     // single-job structure: the job count must not scale with group
     // count (the r6 implementation paid count+selection per group —
     // 3 groups would already exceed this bound)
