@@ -70,6 +70,56 @@ case class ArrayDotD(left: Expression, right: Expression)
   }
 }
 
+/** All hyperplane-LSH band keys of a vector in one JVM pass: band j's
+  * key packs the sign bits of the dots against planes
+  * [j·r, j·r+r) (bit i = plane j·r+i, weight 2^i). Dot accumulation
+  * order matches [[ArrayDotD]] / `aggregate(zip_with(...))`, so keys
+  * are bit-identical to the expression-tree signature the fixed 4×4
+  * contract uses — at the auto-sized scale shapes (100+ planes) the
+  * per-plane interpreted lambda trees would dominate the whole query.
+  */
+case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
+    rowsPerBand: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): LshBandKeys =
+    copy(child = c)
+
+  @transient private lazy val flat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nBands = flat.length / rowsPerBand
+    val keys = new Array[Long](nBands)
+    var j = 0
+    while (j < nBands) {
+      var key = 0L
+      var i = 0
+      while (i < rowsPerBand) {
+        val p = flat(j * rowsPerBand + i)
+        val n = math.min(v.numElements(), p.length)
+        var acc = 0.0
+        var k = 0
+        while (k < n) {
+          val xv = if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)
+          acc += xv * p(k)
+          k += 1
+        }
+        if (acc >= 0) key |= 1L << i
+        i += 1
+      }
+      keys(j) = key
+      j += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
 /** Distinct word n-gram shingles ("a b c") over a string array, in one
   * JVM pass — value-identical to the `transform(sequence(...))` +
   * `array_join(slice(...))` formulation in TextOps (and the oracle's

@@ -67,10 +67,24 @@ object PipelineParams {
   val LshRowsPerBand = 4
   val EmbeddingDim = 64
 
-  lazy val hyperplanes: Seq[Seq[Double]] = {
+  lazy val hyperplanes: Seq[Seq[Double]] = hyperplanesN(LshPlanes)
+
+  /** First `count` planes of the seed-7 stream — a prefix extension of
+    * [[hyperplanes]], so wider signatures (the auto-sized scale path)
+    * agree bit-for-bit with the fixed 16-plane contract on the bits
+    * they share.
+    */
+  def hyperplanesN(count: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(LshPlanes)(Seq.fill(EmbeddingDim)(rnd.nextDouble() * 2 - 1))
+    Seq.fill(count)(Seq.fill(EmbeddingDim)(rnd.nextDouble() * 2 - 1))
   }
+
+  /** Target expected LSH bucket occupancy for the auto-sized path:
+    * candidate volume per band is (occupancy² / 2) × keys, so holding
+    * occupancy constant as the corpus grows is what keeps the banded
+    * join linear instead of quadratic.
+    */
+  val LshTargetBucket = 16
 
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-gram polynomial rolling hashes over code points, window-min

@@ -104,10 +104,56 @@ object Similarity {
     */
   def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double = CosineNearDup,
-      exactLimit: Long = 10000L): DataFrame =
-    if (df.select(idCol).count() <= exactLimit)
-      cosinePairs(df, idCol, vecCol, minCos)
-    else lshCosinePairs(df, idCol, vecCol, minCos)
+      exactLimit: Long = 10000L): DataFrame = {
+    val n = df.select(idCol).count()
+    if (n <= exactLimit) cosinePairs(df, idCol, vecCol, minCos)
+    else {
+      val (bands, rows) = lshAutoParams(n)
+      lshCosinePairsScaled(df, idCol, vecCol, minCos, bands, rows)
+    }
+  }
+
+  /** Corpus-size-driven LSH shape: rows-per-band grows with log2(n) so
+    * expected bucket occupancy stays at [[PipelineParams.LshTargetBucket]]
+    * (constant occupancy ⇒ candidate volume linear in n, the property
+    * the fixed 4×4 contract loses the moment the corpus outgrows its
+    * 16-value key space — the sf1 smoke measured that cliff at 46×
+    * for a 10× scale-up); band count then grows to hold ≥95% detection
+    * at the cos≈0.9 design point via the standard S-curve
+    * 1−(1−p^r)^b with p = 1 − acos(s)/π. Wider signatures cost only
+    * scan-local plane dot products — linear, the right trade against a
+    * quadratic join.
+    */
+  def lshAutoParams(n: Long, targetBucket: Int = LshTargetBucket,
+      designCos: Double = 0.9, designRecall: Double = 0.95): (Int, Int) = {
+    val rows = math.max(LshRowsPerBand, math.min(20,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(designCos) / math.Pi
+    val pBand = math.pow(p, rows)
+    val bands = math.max(LshBands, math.min(32,
+      math.ceil(math.log(1.0 - designRecall) / math.log(1.0 - pBand)).toInt))
+    (bands, rows)
+  }
+
+  /** [[lshCosinePairs]] with an explicit (bands × rowsPerBand) shape.
+    * Band j's key is built from its own plane slice
+    * (planes j·r .. j·r+r−1, bit i weighted 2^i) — at (4, 4) this is
+    * bit-identical to the fixed packed-signature contract, which the
+    * spec pins; beyond it the per-band keys avoid packing more than 64
+    * bits into one long.
+    */
+  def lshCosinePairsScaled(df: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, bands: Int, rowsPerBand: Int): DataFrame = {
+    val planes = hyperplanesN(bands * rowsPerBand)
+    val base = withNorm(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
+    val keys = GraftBridge.column(graft.functions.LshBandKeys(
+      GraftBridge.expression(col("v")), planes, rowsPerBand))
+    val bandRows = base.select(col("id"),
+      posexplode(keys).as(Seq("band", "key")))
+    verifyCandidates(base, bandRows, minCos)
+  }
 
   /** LSH-bucketed near-dup pairs — the corpus-scale path for
     * [[cosinePairs]]: candidates share at least one signature band
@@ -129,6 +175,15 @@ object Similarity {
     val bands = base.withColumn("sig", signature("v"))
       .select(col("id"), posexplode(
         expr(bandKeys.mkString("array(", ",", ")"))).as(Seq("band", "key")))
+    verifyCandidates(base, bands, minCos)
+  }
+
+  /** Shared tail of the banded paths: self-join the narrow
+    * (id, band, key) rows, dedup candidate pairs, then verify by exact
+    * cosine with the vectors joined back per id.
+    */
+  private def verifyCandidates(base: DataFrame, bands: DataFrame,
+      minCos: Double): DataFrame = {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))

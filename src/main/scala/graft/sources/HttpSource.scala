@@ -23,11 +23,7 @@ import java.security.MessageDigest
   */
 object HttpSource {
 
-  private val cacheDir: Path = {
-    val d = Paths.get(System.getProperty("java.io.tmpdir"), "graft-http-cache")
-    Files.createDirectories(d)
-    d
-  }
+  private def cacheDir: Path = FileCache.dir
 
   /** HF site root for resolve + API URLs; the spec points it at a
     * local fixture server.
@@ -144,7 +140,9 @@ object HttpSource {
 
   /** Download (or reuse a cached copy of) `url`; returns the local path.
     * The cache key is the URL's SHA-256, the extension is preserved so
-    * format inference keeps working.
+    * format inference keeps working. Capacity bounding, LRU touch, TTL
+    * revalidation (conditional GET), and stale-if-error live in
+    * [[FileCache]].
     */
   def stage(url: String): String = {
     val resolved = resolveUrl(url)
@@ -157,54 +155,56 @@ object HttpSource {
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(resolved.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(24)
-    val target = cacheDir.resolve(s"$digest$ext")
-    if (!Files.exists(target)) {
-      val tmp = Files.createTempFile(cacheDir, "dl-", ".part")
-      try {
-        download(resolved, tmp)
-        try Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch {
-          // concurrent stage of the same URL won the race — use theirs
-          case _: java.nio.file.FileAlreadyExistsException =>
-        }
-      } finally Files.deleteIfExists(tmp)
-    }
-    target.toString
+    FileCache.getOrFetch(digest, ext) { (tmp, cond) =>
+      download(resolved, tmp, cond)
+    }.toString
   }
 
-  private def connect(url: String): HttpURLConnection = {
-    var conn = new URI(url).toURL.openConnection()
-      .asInstanceOf[HttpURLConnection]
+  private def connect(url: String,
+      headers: Map[String, String] = Map.empty): HttpURLConnection = {
+    def open(u: String): HttpURLConnection = {
+      val c = new URI(u).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+      c
+    }
+    var conn = open(url)
     conn.setInstanceFollowRedirects(true)
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
     var redirects = 0
     // follow cross-protocol redirects (http->https) the JDK refuses
-    while (conn.getResponseCode / 100 == 3 && redirects < 5) {
+    while (conn.getResponseCode / 100 == 3 &&
+        conn.getResponseCode != 304 && redirects < 5) {
       val loc = conn.getHeaderField("Location")
       conn.disconnect()
-      conn = new URI(loc).toURL.openConnection()
-        .asInstanceOf[HttpURLConnection]
+      conn = open(loc)
       redirects += 1
     }
-    if (conn.getResponseCode != 200)
+    if (conn.getResponseCode != 200 && conn.getResponseCode != 304)
       throw new java.io.IOException(
         s"GET $url -> HTTP ${conn.getResponseCode}")
     conn
   }
 
-  private def download(url: String, to: Path): Unit = {
-    val conn = connect(url)
-    val in: InputStream = conn.getInputStream
+  /** GET `url` into `to` with the cache's conditional headers; None on
+    * 304 Not Modified, response validators otherwise.
+    */
+  private def download(url: String, to: Path,
+      cond: Map[String, String]): Option[FileCache.Fetched] = {
+    val conn = connect(url, cond)
     try {
-      val out = new FileOutputStream(to.toFile)
-      try in.transferTo(out)
-      finally out.close()
-    } finally {
-      in.close()
-      conn.disconnect()
-    }
+      if (conn.getResponseCode == 304) return None
+      val in: InputStream = conn.getInputStream
+      try {
+        val out = new FileOutputStream(to.toFile)
+        try in.transferTo(out)
+        finally out.close()
+      } finally in.close()
+      Some(FileCache.Fetched(
+        Option(conn.getHeaderField("ETag")),
+        Option(conn.getHeaderField("Last-Modified"))))
+    } finally conn.disconnect()
   }
 
   /** GET to memory; returns (body, next-page URL from the Link

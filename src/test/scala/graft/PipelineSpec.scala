@@ -140,10 +140,63 @@ class PipelineSpec extends AnyFunSuite {
     // under the limit: identical to the exact path
     assert(pairs(Similarity.cosinePairsAuto(e, "vec_id", "embedding", 0.4)) ==
       pairs(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4)))
-    // over the limit: identical to the LSH path
+    // over the limit: the auto-sized banded path (shape from
+    // lshAutoParams at the corpus count — (5,5) at this fixture's 500)
+    val (bands, rows) = Similarity.lshAutoParams(e.count())
     assert(pairs(Similarity.cosinePairsAuto(e, "vec_id", "embedding", 0.4,
         exactLimit = 1)) ==
-      pairs(Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)))
+      pairs(Similarity.lshCosinePairsScaled(e, "vec_id", "embedding", 0.4,
+        bands, rows)))
+  }
+
+  test("lshCosinePairsScaled at (4,4) is bit-identical to the fixed contract") {
+    val e = Tables.df(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.lshCosinePairsScaled(e, "vec_id", "embedding",
+        0.4, PipelineParams.LshBands, PipelineParams.LshRowsPerBand)) ==
+      rows(Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)))
+  }
+
+  test("lshAutoParams holds bucket occupancy and recall as n grows") {
+    // occupancy bound: n / 2^rows <= targetBucket until the rows cap
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)) {
+      val (bands, rows) = Similarity.lshAutoParams(n)
+      assert(rows <= 20 && bands <= 32)
+      if (rows < 20)
+        assert(n.toDouble / (1L << rows) <= PipelineParams.LshTargetBucket,
+          s"n=$n rows=$rows occupancy ${n.toDouble / (1L << rows)}")
+      // S-curve detection probability at the cos=0.9 design point
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val detect = 1.0 - math.pow(1.0 - math.pow(p, rows), bands)
+      assert(detect >= 0.95 || bands == 32,
+        s"n=$n shape ($bands,$rows) detect $detect")
+    }
+    // monotone: more data never narrows the shape
+    val shapes = Seq(1000L, 100000L, 10000000L).map(Similarity.lshAutoParams(_))
+    assert(shapes == shapes.sortBy(s => (s._2, s._1)))
+  }
+
+  test("wide auto shape still finds planted near-dup twins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(PipelineParams.EmbeddingDim)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 400L).map(i => (i, vec()))
+    // 40 twins: base vector + tiny perturbation => cos ~ 0.999
+    val twins = base.take(40).map { case (i, v) =>
+      (1000L + i, v.map(x => x + rnd.nextFloat() * 0.01f))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val (bands, rows) = Similarity.lshAutoParams(200000L) // wide: e.g. rows>=13
+    assert(rows > PipelineParams.LshRowsPerBand &&
+      bands > PipelineParams.LshBands)
+    val found = Similarity.lshCosinePairsScaled(
+        df, "vec_id", "embedding", 0.95, bands, rows)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = twins.count { case (tid, _) => found.contains((tid - 1000L, tid)) }
+    assert(hits >= 36, s"wide shape found $hits/40 planted twins")
   }
 
   test("dedup groups: connected components collapse transitive pairs") {

@@ -157,4 +157,59 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
   }
+
+  test("bm25 candidates come from the postings join, never a cross product") {
+    // queries × corpus must meet ONLY through shared terms (posting
+    // lists bound the candidates); a cartesian/nested-loop between the
+    // two sides is the all-pairs scoring regression
+    val p = plan("q_search_bm25")
+    assert(!p.contains("CartesianProduct"), s"bm25 went cartesian:\n$p")
+    // the ONE allowed nested-loop join is the 1-row (N, avgdl) corpus
+    // stats broadcast; a second one would be a real cross product
+    // (count in the final plan only — AQE's toString repeats the tree
+    // under "== Initial Plan ==")
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(finalPlan).size
+    assert(nlj <= 1, s"bm25 has $nlj nested-loop joins:\n$p")
+    // query terms meet postings through a hash join on the term
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bm25 postings join missing:\n$p")
+  }
+
+  test("duplicate-span windows are per-document, dedup group is hash-agg") {
+    // the island-merge windows must partition by doc id — an
+    // unpartitioned window means a corpus-wide serial sort; the
+    // duplicate-window detection itself must be a hash aggregate on
+    // window hashes, not any kind of self-join
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("windowspecdefinition()"),
+      s"span merge runs a global window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"spans went cartesian:\n$p")
+    assert(p.contains("HashAggregate"), s"span detection lost hash-agg:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark, corpus side never shuffles early") {
+    // the benchmark n-gram set is tiny vs the corpus: the contamination
+    // join must be a broadcast hash join, and the only corpus shuffle
+    // is the final per-doc aggregate
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"decontamination lost the benchmark broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontamination shuffles the corpus for the join:\n$p")
+  }
+
+  test("auto-sized LSH keeps the banded join shape at wide shapes") {
+    // the scale path (lshAutoParams -> lshCosinePairsScaled) must keep
+    // the same hash-join-on-band-keys plan as the fixed contract
+    val e = Tables.df(spark, sf, "embeddings")
+    val (bands, rows) = graft.operators.Similarity.lshAutoParams(200000L)
+    val df = graft.operators.Similarity.lshCosinePairsScaled(
+      e, "vec_id", "embedding", 0.9, bands, rows)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"auto LSH went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"auto LSH has a nested-loop join:\n$p")
+  }
 }

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scratch probe for SCALE.md (run manually, not part of CI). */
+class ScaleProbeSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  test("time fixed vs auto LSH pairs at sf1", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
+    val e = Tables.df(spark, dir, "embeddings")
+    val n = e.count()
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = body
+      println(f"PROBE $label n=$n pairs=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val (bands, rows) = Similarity.lshAutoParams(n)
+    println(s"PROBE auto shape: bands=$bands rows=$rows")
+    time("auto") {
+      Similarity.lshCosinePairsScaled(e, "vec_id", "embedding",
+        PipelineParams.CosineNearDup, bands, rows).count()
+    }
+    time("fixed4x4") {
+      Similarity.lshCosinePairs(e, "vec_id", "embedding").count()
+    }
+  }
+}
