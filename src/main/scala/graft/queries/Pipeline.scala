@@ -953,6 +953,32 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- hashed-feature linear quality classifier: the oracle
+    // rebuilds every score from scratch — same portable md5 bucket,
+    // same integer weight rule, per-token w/dl contributions from the
+    // same double expression tree, DECIMAL(28,12) accumulation (exact
+    // ⇒ order-independent ⇒ engine-exact); the keep label thresholds
+    // the exact decimal (≡ sigmoid ≥ 0.5 without exp()'s libm drift) --
+    QueryDef(
+      "q_quality_classifier",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (
+         |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w),
+         |sc AS (
+         |  SELECT doc_id,
+         |    sum(CAST(
+         |      ((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
+         |         % $QcWeightMod - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0)
+         |        / dl AS DECIMAL(28,12))) AS score
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST(score AS DECIMAL(38,12)) AS score,
+         |  score >= 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Classifier.scoreRule(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- multimodal: REAL decoders under a REAL oracle. Each doc's
     // text bytes (pure ASCII in the fixture, so ord(char) == byte) are
     // laid out as a well-formed binary P6 PPM; the Spark side parses

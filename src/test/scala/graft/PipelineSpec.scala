@@ -199,6 +199,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 36, s"wide shape found $hits/40 planted twins")
   }
 
+  test("quality classifier: map weights reproduce the rule, labels threshold at 0") {
+    val d = Tables.df(spark, sf, "documents").limit(100)
+    val rule = Classifier.scoreRule(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), (r.getDecimal(1), r.getBoolean(2)))).toMap
+    assert(rule.nonEmpty)
+    // keep is exactly score >= 0
+    rule.values.foreach { case (s, keep) =>
+      assert(keep == (s.signum >= 0))
+    }
+    // a weight map materializing the rule gives identical scores
+    val w = (0 until PipelineParams.QcBuckets).map { b =>
+      val raw = (b * PipelineParams.QcWeightA + PipelineParams.QcWeightB) %
+        PipelineParams.QcWeightMod - PipelineParams.QcWeightMod / 2
+      b -> raw.toDouble / (PipelineParams.QcWeightMod / 2.0)
+    }.toMap
+    val mapped = Classifier.scoreLinear(d, "doc_id", "text", w).collect()
+      .map(r => (r.getLong(0), (r.getDecimal(1), r.getBoolean(2)))).toMap
+    assert(mapped == rule)
+  }
+
   test("dedup groups: connected components collapse transitive pairs") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}

@@ -199,6 +199,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"decontamination shuffles the corpus for the join:\n$p")
   }
 
+  test("quality classifier is join-free with one map-side-combined shuffle") {
+    // weights are an inline rule / broadcast literal, never a join;
+    // the only exchange is the per-doc score aggregate
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Join"), s"classifier grew a join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"classifier lost map-side combine:\n$p")
+  }
+
   test("auto-sized LSH keeps the banded join shape at wide shapes") {
     // the scale path (lshAutoParams -> lshCosinePairsScaled) must keep
     // the same hash-join-on-band-keys plan as the fixed contract
