@@ -303,6 +303,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** [[ngramJaccardPairs]] over the df-capped shingle universe: shingles
+    * occurring in more than `maxDf` documents are dropped from every
+    * set BEFORE similarity (the CCNet-style hot-token control), and the
+    * returned jaccard is exact over what remains. This is the knob that
+    * bounds candidate volume under vocabulary-concentration growth: a
+    * shingle's posting list — and with it the quadratic per-token
+    * candidate term — can never exceed `maxDf` rows, at the documented
+    * cost that pairs similar ONLY through ultra-common shingles (near-
+    * zero-information matches by construction) are not reported.
+    * Documents whose every shingle is capped away drop out entirely.
+    */
+  def ngramJaccardPairsCapped(df: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, maxDf: Long): DataFrame = {
+    val toks0 = shingleSets(df, idCol, textCol)
+      .filter(size(col("shingles")) > 0)
+      .select(col("id"),
+        explode(expr("transform(shingles, s -> xxhash64(s))")).as("sh"))
+    val dfreq = toks0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    // inner join = the cap: capped tokens vanish from every set; df
+    // rides along for the prefix sort
+    val toks = toks0.join(dfreq, "sh")
+    // ONE grouped exchange feeds both the verification sets and the
+    // prefix selection (ReuseExchange) — same shape as the uncapped
+    // operator's `sized`
+    val grouped = toks.groupBy("id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("ts"))
+      .withColumn("size", size(col("ts")))
+    val sized = grouped.select(col("id"),
+      expr("transform(ts, x -> x.sh)").as("hs"), col("size"))
+    val tExact = lit(java.math.BigDecimal.valueOf(minJaccard))
+    val prefix = grouped
+      .withColumn("k",
+        (col("size") - ceil(tExact * col("size")) + 1).cast("int"))
+      .select(col("id"),
+        explode(expr("transform(slice(array_sort(ts), 1, k), x -> x.sh)"))
+          .as("sh"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct()
+    val withA = cand.join(sized, cand("a_id") === sized("id"))
+      .select(col("a_id"), col("b_id"), col("hs").as("__hsA"),
+        col("size").as("sa"))
+    withA.join(sized, withA("b_id") === sized("id"))
+      .withColumn("inter", size(array_intersect(col("__hsA"), col("hs"))))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("sa") + col("size") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact duplicate-substring spans — the substring-level dedup of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499), re-expressed Spark-first. Every `window`-token

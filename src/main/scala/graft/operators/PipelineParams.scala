@@ -137,6 +137,12 @@ object PipelineParams {
   val Bm25QueryStride = 1013
   val Bm25QuerySel = 7
 
+  /** df cap for the judged capped ngram-join query: drops the top ~1%
+    * hottest shingles at sf0.01 (df distribution 1..7, p99 = 4), so
+    * the query exercises real cap behavior while most pairs survive.
+    */
+  val NgramMaxDf = 4L
+
   /** Hashed-feature linear classifier: bucket count (the fixed feature
     * space) and the judged deterministic weight rule
     * w(b) = ((b·A + B) mod M − M/2) / (M/2) — integer arithmetic, so

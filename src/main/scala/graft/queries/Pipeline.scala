@@ -230,6 +230,35 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- df-capped ngram join: the vocabulary-concentration control.
+    // Shingles in more than NgramMaxDf docs are dropped from every set
+    // BEFORE similarity (posting lists — and the quadratic per-token
+    // candidate term — bounded at maxDf rows); jaccard is exact over
+    // the capped universe, which the oracle rebuilds from scratch -----
+    QueryDef(
+      "q_dedup_ngram_capped",
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents),
+         |tok AS (SELECT doc_id, unnest(s) AS g FROM sh0),
+         |dfreq AS (
+         |  SELECT g FROM tok GROUP BY g HAVING count(*) <= $NgramMaxDf),
+         |sh AS (
+         |  SELECT doc_id, list(g) AS s
+         |  FROM tok JOIN dfreq USING (g) GROUP BY doc_id)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s)) > 0
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairsCapped(docs(s, dir), "doc_id", "text", 0.5,
+          NgramMaxDf)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- embedding near-dup pairs ------------------------------------
     QueryDef(
       "q_dedup_embedding",

@@ -199,6 +199,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits >= 36, s"wide shape found $hits/40 planted twins")
   }
 
+  test("capped ngram join: cap=infinity equals the uncapped operator") {
+    val d = Tables.df(spark, sf, "documents").limit(200)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val uncapped = pairs(Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5))
+    assert(pairs(Dedup.ngramJaccardPairsCapped(d, "doc_id", "text", 0.5,
+      Long.MaxValue)) == uncapped)
+    // a real cap only removes pairs (capping shrinks shared shingles
+    // at least as fast as set sizes for the pairs that survive is NOT
+    // guaranteed — jaccard can move either way — so assert the exact
+    // contract instead: results equal brute force over capped sets
+    val capped = Dedup.ngramJaccardPairsCapped(d, "doc_id", "text", 0.5, 3L)
+    val toks = d.withColumn("ws", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(col("text")), " "))
+      .select(col("doc_id"), explode(TextOps.shingles("ws")).as("g"))
+    val keep = toks.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 3)
+    val sets = toks.join(keep, "g").groupBy("doc_id")
+      .agg(collect_set(col("g")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val brute = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b, math.round(j * 1e9))).toSet
+    assert(pairs(capped) == brute)
+  }
+
   test("quality classifier: map weights reproduce the rule, labels threshold at 0") {
     val d = Tables.df(spark, sf, "documents").limit(100)
     val rule = Classifier.scoreRule(d, "doc_id", "text").collect()

@@ -27,4 +27,22 @@ class ScaleProbeSpec extends AnyFunSuite {
       Similarity.lshCosinePairs(e, "vec_id", "embedding").count()
     }
   }
+
+  test("time uncapped vs capped ngram join at sf1", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
+    val d = Tables.df(spark, dir, "documents")
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = body
+      println(f"PROBE $label pairs=$c t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("ngram-uncapped") {
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5).count()
+    }
+    time("ngram-capped") {
+      Dedup.ngramJaccardPairsCapped(d, "doc_id", "text", 0.5,
+        graft.operators.PipelineParams.NgramMaxDf * 10).count()
+    }
+  }
 }
