@@ -64,6 +64,25 @@ object Classifier {
       numBuckets: Int = QcBuckets): DataFrame =
     scoreWith(df, idCol, textCol, ruleWeight, numBuckets)
 
+  /** Scan-local keep predicate over a words-array column — the rule
+    * score folded per ROW (array order) with a DECIMAL(28,12)
+    * accumulator, so composed pipelines (e.g. [[Curate.curateMl]]) gate
+    * on quality without the explode/agg shuffle or a join-back: decimal
+    * addition is exact, so this fold equals [[scoreRule]]'s aggregated
+    * sum no matter the order, and the oracle replays it with a plain
+    * `list_sum` of the same per-token decimals.
+    */
+  def keepRule(wsCol: String, numBuckets: Int = QcBuckets): Column =
+    expr(
+      s"""aggregate(
+         |  transform($wsCol, t -> CAST(
+         |    ((cast(conv(substring(md5(t),1,15),16,10) as bigint)
+         |        % $numBuckets * $QcWeightA + $QcWeightB) % $QcWeightMod
+         |      - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0 / size($wsCol)
+         |    AS DECIMAL(28,12))),
+         |  CAST(0 AS DECIMAL(28,12)),
+         |  (a, x) -> CAST(a + x AS DECIMAL(28,12))) >= 0""".stripMargin)
+
   /** Score with trained weights (bucket → weight). The map is a plain
     * broadcast literal — O(numBuckets) per executor, never a join, so
     * the plan is identical to the rule path.

@@ -49,6 +49,28 @@ object Curate {
         concat(lit(seed), col(idCol).cast("string"))) % sampleMod === 0)
       .select(col(idCol), col("fingerprint"), col("n_words"))
 
+  /** [[curate]] with the hashed-feature ML gate
+    * ([[Classifier.keepRule]]) in place of the C4/Gopher rules — the
+    * classifier score folds scan-locally per row, so the composition
+    * keeps the rule path's shuffle budget exactly: one fingerprint
+    * window, zero joins.
+    */
+  def curateMl(df: DataFrame, idCol: String, textCol: String,
+      sampleMod: Int, seed: String): DataFrame = {
+    val survivors = df
+      .withColumn("__ws", TextOps.words(col(textCol)))
+      .withColumn("n_words", size(col("__ws")))
+      .filter(Classifier.keepRule("__ws"))
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+    survivors
+      .withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy("fingerprint")))
+      .filter(col(idCol) === col("__rep"))
+      .filter(TextOps.hash60(
+        concat(lit(seed), col(idCol).cast("string"))) % sampleMod === 0)
+      .select(col(idCol), col("fingerprint"), col("n_words"))
+  }
+
   /** The full training-prep composition: quality gate → exact dedup →
     * temperature mix over the CLEAN corpus's domain counts → sequence
     * packing of the mixed survivors. Each stage is the already-proven

@@ -814,6 +814,41 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- curation with the ML gate: the hashed-feature classifier
+    // replaces the C4/Gopher rules, folded scan-locally (decimal sum is
+    // exact ⇒ order-independent ⇒ the oracle's list_sum of the same
+    // per-token decimals is the identical gate); dedup + sample stages
+    // unchanged, so the whole composition still has ONE window shuffle
+    // and zero joins -------------------------------------------------
+    QueryDef(
+      "q_pipeline_curate_ml",
+      s"""WITH w AS (
+         |  SELECT doc_id, text, $W AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, text, len(ws) AS n_words
+         |  FROM w
+         |  WHERE list_sum(list_transform(ws, t -> CAST(
+         |      ((${duckHash("t")} % $QcBuckets * $QcWeightA + $QcWeightB)
+         |         % $QcWeightMod - ${QcWeightMod / 2})
+         |        / ${QcWeightMod / 2}.0 / len(ws)
+         |      AS DECIMAL(28,12)))) >= 0),
+         |q AS (
+         |  SELECT doc_id, n_words,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM g),
+         |d AS (
+         |  SELECT doc_id, fingerprint, n_words,
+         |    min(doc_id) OVER (PARTITION BY fingerprint) AS rep
+         |  FROM q)
+         |SELECT doc_id, fingerprint, n_words FROM d
+         |WHERE doc_id = rep
+         |  AND ${duckHash("'ml42' || doc_id::VARCHAR")} % 4 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curate.curateMl(docs(s, dir), "doc_id", "text", sampleMod = 4, "ml42")
+        .orderBy("doc_id")
+    },
+
     // ---- full training-prep composition: quality gate → exact dedup
     // → temperature mix (rates from the CLEAN corpus) → sequence
     // packing. Every stage is replayed in one SQL oracle, so the whole

@@ -249,6 +249,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(mapped == rule)
   }
 
+  test("keepRule scan-local fold gates exactly the scoreRule-kept docs") {
+    val d = Tables.df(spark, sf, "documents").limit(200)
+    val viaAgg = Classifier.scoreRule(d, "doc_id", "text")
+      .filter(col("keep")).select("id").collect().map(_.getLong(0)).toSet
+    val viaFold = d
+      .withColumn("__ws", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(col("text")), " "))
+      .filter(Classifier.keepRule("__ws"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaFold == viaAgg)
+    assert(viaFold.nonEmpty && viaFold.size < 200,
+      s"degenerate gate: ${viaFold.size}/200 kept")
+  }
+
   test("dedup groups: connected components collapse transitive pairs") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: components {1,2,3}, {10,11}
