@@ -73,4 +73,40 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(ids == Seq(0L, 2L, 3L))
     } finally query.stop()
   }
+
+  test("stateless ML gate composes into the streaming ingest: twin of batch gate+dedup") {
+    // Classifier.keepRule is a pure per-row predicate, so the quality
+    // gate slots into a streaming pipeline ahead of the stateful dedup
+    // with no new state store — and must keep exactly the docs the
+    // batch composition keeps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+      .limit(40).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val gated = input.toDF().toDF("doc_id", "text")
+      .withColumn("__ws", split(lower(col("text")), " "))
+      .filter(graft.operators.Classifier.keepRule("__ws"))
+      .drop("__ws")
+    val kept = StreamingDedup.exact(gated, "text")
+    val query = kept.writeStream
+      .format("memory").queryName("gate_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.foreach { d => input.addData(d); query.processAllAvailable() }
+      val streamed = spark.table("gate_dedup_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val batch = StreamingDedup.batchTwin(
+          docs.toDF("doc_id", "text")
+            .withColumn("__ws", split(lower(col("text")), " "))
+            .filter(graft.operators.Classifier.keepRule("__ws"))
+            .drop("__ws"),
+          "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        s"degenerate gate: ${streamed.size}/${docs.size}")
+    } finally query.stop()
+  }
 }
