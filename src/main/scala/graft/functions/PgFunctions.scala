@@ -159,6 +159,17 @@ object PgFunctions {
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
     f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
 
+    // --- normalize(text [, form]) — PG Unicode normalization (PG passes
+    //     the form as a keyword; here a string literal). Native codegen'd
+    //     expression over the JDK normalizer ---
+    f("normalize") {
+      case Seq(s) => UnicodeNormalize(s, "NFC")
+      case Seq(s, Literal(form, StringType)) =>
+        UnicodeNormalize(s, String.valueOf(form).toUpperCase)
+      case other => throw new IllegalArgumentException(
+        "normalize: form must be a string literal (NFC/NFD/NFKC/NFKD)")
+    }
+
     // --- starts_with (PG ^@ / starts_with) ---
     f("starts_with") { case Seq(s, p) => StartsWith(s, p) }
 

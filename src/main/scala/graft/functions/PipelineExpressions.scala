@@ -120,6 +120,39 @@ case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
   }
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) of a string column — the
+  * corpus-hygiene pass that canonicalizes visually-identical byte
+  * sequences (composed vs decomposed accents, compatibility forms)
+  * before fingerprinting or dedup; PG exposes the same op as
+  * `normalize(text, form)`. Whole-stage-codegen'd as a single static
+  * call into the JDK normalizer (ICU-equivalent tables; the Unicode
+  * normalization algorithm is deterministic across implementations, so
+  * the DuckDB oracle's utf8proc `nfc_normalize` matches bit-for-bit).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  require(Set("NFC", "NFD", "NFKC", "NFKD")(form),
+    s"normalize: unknown form $form (need NFC/NFD/NFKC/NFKD)")
+
+  override def dataType: DataType = StringType
+  override protected def withNewChildInternal(c: Expression): UnicodeNormalize =
+    copy(child = c)
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.$form))")
+}
+
 /** Distinct word n-gram shingles ("a b c") over a string array, in one
   * JVM pass — value-identical to the `transform(sequence(...))` +
   * `array_join(slice(...))` formulation in TextOps (and the oracle's

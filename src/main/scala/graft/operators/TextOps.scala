@@ -167,6 +167,16 @@ object TextOps {
          |      st -> st.best) as double) / size($g)
          |  END""".stripMargin)
 
+  /** Unicode NFC normalization (composed canonical form) — canonicalize
+    * decomposed accents/compatibility sequences before fingerprinting,
+    * so byte-different but visually-identical text dedups together.
+    * Native codegen'd expression; PG-name `normalize(text, form)` is
+    * registered in [[graft.functions.PgFunctions]].
+    */
+  def normalizeNfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.UnicodeNormalize(
+      org.apache.spark.sql.GraftBridge.expression(text), "NFC"))
+
   /** PII scrubbing: redact email addresses and phone-number-shaped
     * digit runs (training-corpus hygiene). Pure regexp_replace —
     * codegen'd, reproducible in the oracle.

@@ -762,6 +762,73 @@ object Pipeline {
         .orderBy("doc_id", "chunk_no")
     },
 
+    // ---- line-level cross-corpus dedup (CCNet/FineWeb boilerplate
+    // filter): fixed 10-word segments stand in for lines (the fixture
+    // corpus is single-line); any segment whose normalized 60-bit hash
+    // occurs in >1 distinct docs is removed from EVERY doc, survivors
+    // reassemble in original order --------------------------------------
+    QueryDef(
+      "q_dedup_lines",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, u.line_no AS line_no, u.line AS line,
+         |    ${duckHash(
+              "regexp_replace(trim(lower(u.line)), '\\s+', ' ', 'g')")} AS lh
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+         |    i -> {'line_no': i,
+         |          'line': array_to_string(ws[i*10+1 : i*10+10], ' ')})) AS u
+         |  FROM w) t),
+         |hot AS (SELECT lh FROM l GROUP BY lh HAVING count(DISTINCT doc_id) > 1),
+         |kept AS (SELECT * FROM l WHERE lh NOT IN (SELECT lh FROM hot)),
+         |reb AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(line ORDER BY line_no), ' ') AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(reb.clean_text, '') AS clean_text,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  CAST(ceil(len(w.ws) / 10.0) AS BIGINT) - coalesce(reb.n_kept, 0)
+         |    AS n_removed
+         |FROM w LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .withColumn("lines", expr(
+          """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+            |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+      Dedup.dedupLines(d, "doc_id", col("lines"), maxDocs = 1, lineSep = " ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- Unicode NFC normalization: decomposed accents injected
+    // deterministically (e -> e + U+0301 combining acute), then
+    // canonicalized back; the JDK and DuckDB's utf8proc implement the
+    // same Unicode algorithm, so strings and codepoint lengths match
+    // exactly (len_nfc must equal len_raw) ------------------------------
+    QueryDef(
+      "q_text_normalize",
+      """SELECT doc_id,
+        |  nfc_normalize(replace(text, 'e', 'e' || chr(769))) AS nfc_text,
+        |  CAST(length(text) AS BIGINT) AS len_raw,
+        |  CAST(length(replace(text, 'e', 'e' || chr(769))) AS BIGINT)
+        |    AS len_marked,
+        |  CAST(length(nfc_normalize(replace(text, 'e', 'e' || chr(769))))
+        |    AS BIGINT) AS len_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val marked = regexp_replace(col("text"), "e", "é")
+      docs(s, dir).select(col("doc_id"),
+          TextOps.normalizeNfc(marked).as("nfc_text"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(marked).cast("long").as("len_marked"),
+          length(TextOps.normalizeNfc(marked)).cast("long").as("len_nfc"))
+        .orderBy("doc_id")
+    },
+
     // ---- int8 embedding quantization: 4× storage cut with bounded
     // error; floor(v·scale + 0.5) so the oracle matches bit-for-bit --
     QueryDef(

@@ -580,6 +580,45 @@ class PipelineSpec extends AnyFunSuite {
       s"got $spans")
   }
 
+  test("line dedup: boilerplate removed everywhere, order kept, normalization folds case/space") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("COOKIE BANNER", "alpha beta", "footer text")),
+      (2L, Seq("cookie   banner", "gamma delta", "footer text")),
+      (3L, Seq("unique one", "cookie banner", "unique two")),
+      (4L, Seq("cookie banner")))
+      .toDF("doc_id", "lines")
+    val out = Dedup.dedupLines(docs, "doc_id", col("lines"), maxDocs = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "cookie banner" (4 docs, via trim/collapse/lower normalization) and
+    // "footer text" (2 docs) exceed maxDocs=1 -> removed from every doc;
+    // unique lines survive in original order; doc 4 empties out
+    assert(out.toSeq == Seq(
+      (1L, "alpha beta", 1L, 2L),
+      (2L, "gamma delta", 1L, 2L),
+      (3L, "unique one\nunique two", 2L, 1L),
+      (4L, "", 0L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("unicode normalize: NFC composes, NFD decomposes, SQL name registered") {
+    import spark.implicits._
+    val r = Seq(("éclair", "already ascii"))
+      .toDF("a", "b")
+      .select(TextOps.normalizeNfc(col("a")).as("na"),
+        TextOps.normalizeNfc(col("b")).as("nb"),
+        TextOps.normalizeNfc(lit(null).cast("string")).as("nn"))
+      .first()
+    assert(r.getString(0) == "éclair")
+    assert(r.getString(1) == "already ascii")
+    assert(r.isNullAt(2))
+    graft.functions.PgFunctions.register(spark)
+    val sqlRes = spark.sql(
+      "SELECT normalize('é'), normalize('é', 'NFD')").first()
+    assert(sqlRes.getString(0) == "é")
+    assert(sqlRes.getString(1) == "é")
+  }
+
   test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
     import spark.implicits._
     val docs = Seq(
