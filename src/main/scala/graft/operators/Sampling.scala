@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling/shuffling (SURVEY.md §7 M6): training
@@ -103,6 +103,52 @@ object Sampling {
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
       .drop("__base", "__extra_thr", "__copies")
+  }
+
+  /** Quality-ranked selection under a global token budget — the
+    * data-constrained curation step (FineWeb-Edu/DCLM shape): rank the
+    * corpus by a quality score (best first, ids break ties), accumulate
+    * token counts along that order, and mark every document whose
+    * cumulative total fits the budget. The output is the exact greedy
+    * prefix of the quality ordering.
+    *
+    * Scale shape: a naive `sum over (ORDER BY score)` window is a
+    * one-partition serial pass. Here the corpus is range-partitioned on
+    * the ranking key, cumsums run per partition in parallel, and the
+    * per-partition totals (B rows) get a tiny prefix pass broadcast
+    * back — the two-phase parallel prefix sum, same machinery as
+    * [[Pack.packSequences]]. `spark_partition_id()` is safe as the
+    * partition label because range partition i holds exactly the i-th
+    * contiguous slice of the (score desc, id) order; the final
+    * cumulative values are order-determined, independent of where the
+    * range boundaries fall.
+    *
+    * Output: (id, score, n_tokens, cum_tokens, selected).
+    */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: Column,
+      tokensCol: Column, budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget >= 0 && buckets > 0)
+    val base = df.select(col(idCol).as("id"), scoreCol.as("score"),
+      tokensCol.cast("long").as("n_tokens"))
+    val parted = base
+      .repartitionByRange(buckets, col("score").desc, col("id").asc)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = parted.withColumn("__cum_in", sum("n_tokens").over(w))
+    // B partition totals -> prefix over B rows only, broadcast back
+    val totals = parted.groupBy("__pid").agg(sum("n_tokens").as("__ptotal"))
+    val wp = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefixes = totals
+      .withColumn("__prefix", coalesce(sum("__ptotal").over(wp), lit(0L)))
+      .select("__pid", "__prefix")
+    cum.join(broadcast(prefixes), "__pid")
+      .withColumn("cum_tokens", col("__prefix") + col("__cum_in"))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .select("id", "score", "n_tokens", "cum_tokens", "selected")
   }
 
   /** Split-leakage audit: near-duplicate pairs (MinHash+LSH, exact

@@ -554,6 +554,34 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     },
 
+    // ---- token-budget selection: greedy prefix of the quality
+    // ordering (stop-ratio score, ids break ties) until the global
+    // token budget fills — the oracle recomputes the serial cumsum the
+    // two-phase parallel prefix in Sampling.selectByBudget must equal
+    // row-for-row -----------------------------------------------------
+    QueryDef(
+      "q_corpus_budget",
+      s"""WITH m AS (
+         |  SELECT doc_id, ${duckStopRatio(W, stopwords.head._2)} AS score,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, score, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM m)
+         |SELECT doc_id, score, n_tokens, cum_tokens,
+         |  cum_tokens <= 20000 AS selected
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).withColumn("ws", TextOps.words(col("text")))
+      Sampling.selectByBudget(d, "doc_id",
+          TextOps.wordRatio("ws", stopwords.head._2),
+          TextOps.tokenCount(col("text")), budget = 20000L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- LSH ANN top-k — oracle brute-forces the same band contract
     // (see q_dedup_embedding_lsh): rank-by-cosine within the candidates
     // that share ≥1 signature band with the query. Recall vs. the exact

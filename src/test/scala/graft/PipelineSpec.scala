@@ -619,6 +619,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sqlRes.getString(1) == "é")
   }
 
+  test("budget selection equals the serial greedy prefix") {
+    import spark.implicits._
+    val d = Seq((1L, 0.9, 10L), (2L, 0.8, 10L), (3L, 0.95, 15L),
+      (4L, 0.8, 5L)).toDF("doc_id", "score", "toks")
+    val out = Sampling.selectByBudget(d, "doc_id", col("score"),
+        col("toks"), budget = 30, buckets = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    // quality order: 3 (0.95, cum 15), 1 (0.9, cum 25), then the 0.8
+    // tie breaks by id — 2 (cum 35), 4 (cum 40); budget 30 admits 3, 1
+    assert(out.toSeq == Seq((1L, 25L, true), (2L, 35L, false),
+      (3L, 15L, true), (4L, 40L, false)), s"got ${out.toSeq}")
+  }
+
   test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
     import spark.implicits._
     val docs = Seq(

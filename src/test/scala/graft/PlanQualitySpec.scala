@@ -122,6 +122,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no window at all in pack plan?\n$p")
   }
 
+  test("budget selection cumsum is the partitioned parallel shape") {
+    // same contract as the pack test: the corpus-wide cumsum must run
+    // per range partition (windowspecdefinition(__pid ...)); any
+    // unpartitioned window may only sit above the B-row partition
+    // -totals aggregate, never above the corpus scan
+    val p = plan("q_corpus_budget")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"budget cumsum lost its per-partition parallelism:\n$p")
+    val lines = p.linesIterator.toIndexedSeq
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.contains("windowspecdefinition()")) {
+        val subtree = lines.drop(i + 1).take(8).mkString("\n")
+        assert(subtree.contains("HashAggregate") &&
+          subtree.contains("__pid"),
+          s"global window not over the __pid totals:\n$p")
+      }
+    }
+  }
+
   test("kmeans assignment broadcasts centroids, update is partial-aggregated") {
     // the only join in each Lloyd iteration is corpus x K broadcast
     // centroids; a sort-merge join or cartesian over the corpus means
