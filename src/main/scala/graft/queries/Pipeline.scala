@@ -857,6 +857,33 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- BPE tokenizer training + encode: merges train distributed on
+    // the corpus itself, every word encodes scan-locally, and the token
+    // sequence must concatenate back to its exact word (DuckDB replays
+    // the identity side). Merge-choice correctness is proven separately
+    // by PipelineSpec's sequential-reference differential — this query
+    // pins the ENCODER's structure corpus-wide (no dropped/duplicated/
+    // mangled symbols on any of the ~30k word instances) --------------
+    QueryDef(
+      "q_bpe_roundtrip",
+      """SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.w AS w_rt
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS u
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents) t) s
+        |WHERE length(u.w) > 0
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val merges = Bpe.train(docs(s, dir), "text", BpeMerges)
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          array_join(Bpe.encodeWord(col("w"), merges), "").as("w_rt"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- int8 embedding quantization: 4× storage cut with bounded
     // error; floor(v·scale + 0.5) so the oracle matches bit-for-bit --
     QueryDef(

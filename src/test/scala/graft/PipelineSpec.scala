@@ -633,6 +633,91 @@ class PipelineSpec extends AnyFunSuite {
       (3L, 15L, true), (4L, 40L, false)), s"got ${out.toSeq}")
   }
 
+  // --- sequential reference BPE (Sennrich alg. 1, no end-of-word
+  // marker), the single-node ground truth the distributed trainer and
+  // the rank-priority encoder must both match exactly -----------------
+  private def refBpeTrain(corpus: Seq[String], k: Int): Seq[(String, String)] = {
+    val freq = corpus.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var vocab: Map[Vector[String], Long] =
+      freq.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.size < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          merges += ((a, b))
+          vocab = vocab.map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += a + b; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            out.toVector -> f
+          }
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  private def refBpeEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    for ((a, b) <- merges) {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += a + b; j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
+  test("bpe: distributed trainer matches the sequential reference merge-for-merge") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest widest widest",
+      "lowest wide wider")
+    val expected = refBpeTrain(corpus, 12)
+    assert(expected.nonEmpty)
+    val got = Bpe.train(corpus.toDF("text"), "text", 12)
+    assert(got == expected, s"merges diverge:\n got=$got\n ref=$expected")
+  }
+
+  test("bpe: rank-priority encoder == training-order replay, exact roundtrip, unseen words ok") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest",
+      "newest newest newest widest widest")
+    val merges = Bpe.train(corpus.toDF("text"), "text", 10)
+    val words = Seq("low", "lower", "newest", "widest", "lowest",
+      "unseen", "w", "")
+    val rows = words.toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (w <- words) {
+      assert(rows(w) == refBpeEncode(w, merges),
+        s"'$w': ${rows(w)} != ${refBpeEncode(w, merges)}")
+      assert(rows(w).mkString("") == w, s"roundtrip broke for '$w'")
+    }
+    // compression actually happened on in-vocab words
+    assert(rows("newest").length < "newest".length)
+  }
+
   test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
     import spark.implicits._
     val docs = Seq(
