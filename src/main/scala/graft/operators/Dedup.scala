@@ -426,6 +426,8 @@ object Dedup {
     * Output: one row per (id, span) — 0-based token `start_pos`,
     * inclusive token `end_pos`, and `n_windows` duplicate windows
     * merged into the span.
+    *
+    * See [[cutSpans]] for the applying side.
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       window: Int = SpanWindow): DataFrame = {
@@ -455,5 +457,43 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("id"), col("span"), col("start_pos"), col("end_pos"),
         col("n_windows"))
+  }
+
+  /** Apply [[duplicateSpans]] as a CUT: remove every duplicate span's
+    * tokens from every document and reassemble the survivors in order
+    * (the Lee et al. cut-all policy — content occurring twice anywhere
+    * is removed everywhere; down-weighting instead is a caller choice
+    * over the spans frame). Output: (id, clean_text, n_kept, n_cut),
+    * one row per input document.
+    *
+    * Scale shape on top of the span detection: the token explode joins
+    * spans on the doc id (equi) with the position range as a residual
+    * predicate — span counts per doc are small, so the anti join stays
+    * a hash join on id — and one groupBy(id) reassembles. Linear in
+    * corpus tokens, no driver materialization.
+    */
+  def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = SpanWindow): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, window)
+      .select(col("id").as("sid"), col("start_pos"), col("end_pos"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.words(col(textCol))).as(Seq("pos", "w")))
+    val kept = toks.join(spans,
+      toks("id") === col("sid") &&
+        col("pos") >= col("start_pos") && col("pos") <= col("end_pos"),
+      "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(collect_list(struct(col("pos"), col("w"))).as("ts"))
+      .select(col("id"),
+        array_join(expr("transform(array_sort(ts), x -> x.w)"), " ")
+          .as("clean_text"),
+        size(col("ts")).cast("long").as("n_kept"))
+    df.select(col(idCol).as("id"),
+        size(TextOps.words(col(textCol))).cast("long").as("n_words"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_cut"))
   }
 }

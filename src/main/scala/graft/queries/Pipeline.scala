@@ -1307,6 +1307,55 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- span CUT: the applying side of q_dedup_spans — duplicate
+    // spans removed from every doc, survivors reassembled in order;
+    // the oracle replays detection AND the cut from scratch ----------
+    QueryDef(
+      "q_dedup_spans_cut",
+      s"""WITH w AS (
+         |  SELECT doc_id, $W AS ws FROM documents),
+         |win AS (
+         |  SELECT doc_id, i AS pos,
+         |    array_to_string(ws[i+1:i+$SpanWindow], ' ') AS wtext
+         |  FROM w, unnest(range(0, greatest(len(ws) - ${SpanWindow - 1}, 0))) AS t(i)),
+         |dup AS (SELECT wtext FROM win GROUP BY wtext HAVING count(*) >= 2),
+         |hit AS (SELECT doc_id, pos FROM win JOIN dup USING (wtext)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              <= $SpanWindow THEN 0 ELSE 1 END AS fresh
+         |  FROM hit),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    sum(fresh) OVER (PARTITION BY doc_id ORDER BY pos) AS span
+         |  FROM isl),
+         |spans AS (
+         |  SELECT doc_id, span, min(pos) AS s0,
+         |    max(pos) + ${SpanWindow - 1} AS e0
+         |  FROM sp GROUP BY doc_id, span),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, ws[i+1] AS wd
+         |  FROM w, unnest(range(0, len(ws))) AS t(i)),
+         |kept AS (
+         |  SELECT tok.* FROM tok WHERE NOT EXISTS (
+         |    SELECT 1 FROM spans s WHERE s.doc_id = tok.doc_id
+         |      AND tok.pos BETWEEN s.s0 AND s.e0)),
+         |reb AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(wd ORDER BY pos), ' ') AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(reb.clean_text, '') AS clean_text,
+         |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w.ws) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_cut
+         |FROM w LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      Dedup.cutSpans(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- BM25 top-k retrieval: fixture-derived queries (first words
     // of every stride-selected doc), contributions built from the same
     // expression tree with the same double literals on both engines,

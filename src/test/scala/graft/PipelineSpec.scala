@@ -718,6 +718,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("newest").length < "newest".length)
   }
 
+  test("span cut removes every duplicate span, keeps the rest in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // span [0,4] -> keeps "f g h"
+      (2L, "x y a b c d e q"),          // span [2,6] -> keeps "x y q"
+      (3L, "z q w e r t y u i o p"),    // untouched
+      (4L, "m n o p q m n o p q"))      // span [0,9] -> empties out
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, "doc_id", "text", window = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "f g h", 3L, 5L),
+      (2L, "x y q", 3L, 5L),
+      (3L, "z q w e r t y u i o p", 11L, 0L),
+      (4L, "", 0L, 10L)), s"got ${out.toSeq}")
+  }
+
   test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
     import spark.implicits._
     val docs = Seq(
