@@ -28,6 +28,40 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("time round-8 text ops at sf1", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
+    import org.apache.spark.sql.functions._
+    val d = Tables.df(spark, dir, "documents")
+    // noop-write, not count(): count() lets Catalyst prune the
+    // reassembly projections and times an emptier plan
+    def time(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      println(f"PROBE $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    time("dedup-lines") {
+      val withLines = d.withColumn("ws", TextOps.words(col("text")))
+        .withColumn("lines", expr(
+          """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+            |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+      Dedup.dedupLines(withLines, "doc_id", col("lines"), 1, " ")
+    }
+    time("span-cut") {
+      Dedup.cutSpans(d, "doc_id", "text")
+    }
+    time("budget-select") {
+      Sampling.selectByBudget(
+        d.withColumn("ws", TextOps.words(col("text"))), "doc_id",
+        TextOps.wordRatio("ws", PipelineParams.stopwords.head._2),
+        TextOps.tokenCount(col("text")), budget = 2000000L)
+    }
+    val t0 = System.nanoTime()
+    val m = Bpe.train(d, "text", PipelineParams.BpeMerges)
+    println(f"PROBE bpe-train24 merges=${m.size} " +
+      f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
   test("time uncapped vs capped ngram join at sf1", org.scalatest.Tag("probe")) {
     assume(sys.env.contains("GRAFT_SCALE_PROBE"))
     val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
