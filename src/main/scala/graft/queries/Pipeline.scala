@@ -168,6 +168,43 @@ object Pipeline {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- dedup group assignment: connected components over the
+    // near-dup pair graph (iterative min-label propagation in Spark) —
+    // the oracle computes the transitive closure with a recursive CTE
+    // and labels every node with its component minimum, so the
+    // fixpoint itself is differentially proven, not just the pairs ---
+    QueryDef(
+      "q_dedup_groups",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= $MinhashJaccard),
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |closure(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT c.id, e.d FROM closure c JOIN edges e ON c.r = e.s),
+         |lab AS (SELECT id, min(r) AS rep FROM closure GROUP BY id)
+         |SELECT l.id AS doc_id, l.rep,
+         |  CAST(cnt.n AS BIGINT) AS group_size
+         |FROM lab l JOIN (SELECT rep, count(*) AS n FROM lab GROUP BY rep) cnt
+         |  USING (rep)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val groups = Dedup.dedupGroups(
+        Dedup.minhashPairs(docs(s, dir), "doc_id", "text"))
+      groups.withColumn("group_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("rep")))
+        .select(col("id").as("doc_id"), col("rep"), col("group_size"))
+        .orderBy("doc_id")
+    },
+
     // ---- incremental corpus dedup: new batch vs stored signatures ----
     // The realistic 100 TB shape: the corpus's MinHash signatures are
     // precomputed state, a new batch arrives, and only batch-touching
