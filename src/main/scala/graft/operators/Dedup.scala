@@ -404,6 +404,57 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Per-line document frequencies of a corpus — the PERSISTED state for
+    * incremental line dedup (a lake table keyed by line hash). One
+    * map-side-combined aggregation; 16 bytes per distinct line.
+    * Output: (lh, docs).
+    */
+  def lineStats(df: DataFrame, idCol: String, linesCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), explode(linesCol).as("line"))
+      .select(col("id"), TextOps.hash60(
+        regexp_replace(trim(lower(col("line"))), "\\s+", " ")).as("lh"))
+      .groupBy("lh").agg(count_distinct(col("id")).as("docs"))
+
+  /** Incremental [[dedupLines]]: clean a NEW batch against a corpus
+    * whose line frequencies were precomputed by [[lineStats]] — corpus
+    * documents are never re-read; a line is boilerplate when its
+    * corpus + batch document count exceeds `maxDocs`. Per-batch cost is
+    * O(batch lines) plus one join against the state table on the 8-byte
+    * line key (state-side shuffle prunes to keys the batch touches).
+    * Output: same shape as [[dedupLines]]. Union the batch's
+    * [[lineStats]] into the state table afterwards to absorb the batch.
+    */
+  def dedupLinesIncremental(corpusStats: DataFrame, newDocs: DataFrame,
+      idCol: String, linesCol: Column, maxDocs: Long = 1,
+      lineSep: String = "\n"): DataFrame = {
+    val base = newDocs.select(col(idCol).as("id"), linesCol.as("__lines"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+    val lines = base
+      .select(col("id"), posexplode(col("__lines")).as(Seq("line_no", "line")))
+      .withColumn("lh", TextOps.hash60(
+        regexp_replace(trim(lower(col("line"))), "\\s+", " ")))
+    val batchDf = lines.groupBy("lh")
+      .agg(count_distinct(col("id")).as("bdocs"))
+    val hot = batchDf
+      .join(corpusStats.select(col("lh"), col("docs").as("cdocs")),
+        Seq("lh"), "left")
+      .filter(coalesce(col("cdocs"), lit(0L)) + col("bdocs") > maxDocs)
+      .select("lh")
+    val kept = lines.join(hot, Seq("lh"), "left_anti")
+    val rebuilt = kept.groupBy("id")
+      .agg(collect_list(struct(col("line_no"), col("line"))).as("ls"))
+      .select(col("id"),
+        array_join(expr("transform(array_sort(ls), x -> x.line)"), lineSep)
+          .as("clean_text"),
+        size(col("ls")).cast("long").as("n_kept"))
+    base.select(col("id"), col("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact duplicate-substring spans — the substring-level dedup of Lee
     * et al., "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499), re-expressed Spark-first. Every `window`-token

@@ -870,6 +870,56 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- incremental line dedup: clean a new batch (doc_id % 10 = 9)
+    // against persisted corpus line frequencies — corpus docs never
+    // re-read; hot rule counts corpus + batch docs, identical to the
+    // full-corpus filter (PipelineSpec pins that equality) ------------
+    QueryDef(
+      "q_dedup_lines_incremental",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |  FROM documents),
+         |l AS (
+         |  SELECT doc_id, u.line_no AS line_no, u.line AS line,
+         |    ${duckHash(
+              "regexp_replace(trim(lower(u.line)), '\\s+', ' ', 'g')")} AS lh
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |    range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+         |    i -> {'line_no': i,
+         |          'line': array_to_string(ws[i*10+1 : i*10+10], ' ')})) AS u
+         |  FROM w) t),
+         |cdf AS (SELECT lh, count(DISTINCT doc_id) AS docs FROM l
+         |        WHERE doc_id % 10 <> 9 GROUP BY lh),
+         |bdf AS (SELECT lh, count(DISTINCT doc_id) AS bdocs FROM l
+         |        WHERE doc_id % 10 = 9 GROUP BY lh),
+         |hot AS (SELECT bdf.lh FROM bdf LEFT JOIN cdf USING (lh)
+         |        WHERE coalesce(cdf.docs, 0) + bdf.bdocs > 1),
+         |kept AS (SELECT * FROM l WHERE doc_id % 10 = 9
+         |         AND lh NOT IN (SELECT lh FROM hot)),
+         |reb AS (
+         |  SELECT doc_id, array_to_string(list(line ORDER BY line_no), ' ')
+         |    AS clean_text, count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(reb.clean_text, '') AS clean_text,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  CAST(ceil(len(w.ws) / 10.0) AS BIGINT) - coalesce(reb.n_kept, 0)
+         |    AS n_removed
+         |FROM w LEFT JOIN reb USING (doc_id)
+         |WHERE w.doc_id % 10 = 9 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .withColumn("lines", expr(
+          """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+            |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+      val state = Dedup.lineStats(
+        d.filter(col("doc_id") % 10 =!= 9), "doc_id", col("lines"))
+      Dedup.dedupLinesIncremental(state, d.filter(col("doc_id") % 10 === 9),
+          "doc_id", col("lines"), maxDocs = 1, lineSep = " ")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // ---- Unicode NFC normalization: decomposed accents injected
     // deterministically (e -> e + U+0301 combining acute), then
     // canonicalized back; the JDK and DuckDB's utf8proc implement the

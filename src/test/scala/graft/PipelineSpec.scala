@@ -601,6 +601,25 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "", 0L, 1L)), s"got ${out.toSeq}")
   }
 
+  test("incremental line dedup == full-corpus filter restricted to the batch") {
+    import spark.implicits._
+    val d = Tables.df(spark, sf, "documents")
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("lines", expr(
+        """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+          |  i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""".stripMargin))
+    val full = Dedup.dedupLines(d, "doc_id", col("lines"), 1, " ")
+      .filter(col("id") % 10 === 9)
+      .orderBy("id").collect().toSeq
+    val state = Dedup.lineStats(
+      d.filter(col("doc_id") % 10 =!= 9), "doc_id", col("lines"))
+    val inc = Dedup.dedupLinesIncremental(state,
+        d.filter(col("doc_id") % 10 === 9), "doc_id", col("lines"), 1, " ")
+      .orderBy("id").collect().toSeq
+    assert(inc == full, "incremental diverges from the full-corpus filter")
+    assert(inc.nonEmpty)
+  }
+
   test("unicode normalize: NFC composes, NFD decomposes, SQL name registered") {
     import spark.implicits._
     val r = Seq(("éclair", "already ascii"))
