@@ -83,6 +83,58 @@ object Classifier {
          |  CAST(0 AS DECIMAL(28,12)),
          |  (a, x) -> CAST(a + x AS DECIMAL(28,12))) >= 0""".stripMargin)
 
+  /** Distributed logistic-regression TRAINING for the hashed-feature
+    * classifier — full-batch gradient descent, so the quality gate's
+    * model can be (re)fit inside the engine instead of imported.
+    *
+    * Per iteration: (1) a score pass — per-token weight lookup via a
+    * broadcast (bucket, weight) join, one map-side-combined agg to
+    * per-doc scores, error = sigmoid(score) − label; (2) a gradient
+    * pass — errors join back onto the cached token features by doc id,
+    * one agg keyed by bucket. The driver holds only the
+    * `numBuckets`-float weight vector (the model) and the ≤numBuckets
+    * gradient rows per iteration; corpus bytes never reach it. The
+    * token features (id, y, 1/dl, bucket) are computed once and
+    * cached/spilled — 2 shuffle passes × `iters` over that projection,
+    * the textbook distributed full-batch LR cost.
+    *
+    * Returns bucket → weight, drop-in for [[scoreLinear]].
+    */
+  def train(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, numBuckets: Int = QcBuckets, iters: Int = 20,
+      lr: Double = 2.0): Map[Int, Double] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tok = df.withColumn("__ws", TextOps.words(col(textCol)))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"),
+        (lit(1.0) / size(col("__ws"))).as("x"),
+        explode(col("__ws")).as("t"))
+      .select(col("id"), col("y"), col("x"),
+        (TextOps.hash60(col("t")) % numBuckets).as("b"))
+      .cache()
+    val n = tok.select("id").distinct().count().toDouble
+    val w = Array.fill(numBuckets)(0.0)
+    for (_ <- 1 to iters) {
+      val wdf = broadcast(
+        w.indices.map(b => (b.toLong, w(b))).toDF("b", "w"))
+      val errors = tok.join(wdf, "b")
+        .groupBy("id")
+        .agg(sum(col("x") * col("w")).as("s"), first(col("y")).as("y"))
+        .select(col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("s"))) - col("y")).as("err"))
+      val grads = tok.join(errors, "id")
+        .groupBy("b").agg(sum(col("err") * col("x")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getLong(0).toInt
+        w(b) -= lr * r.getDouble(1) / n
+      }
+    }
+    tok.unpersist()
+    w.indices.filter(b => w(b) != 0.0).map(b => b -> w(b)).toMap
+  }
+
   /** Score with trained weights (bucket → weight). The map is a plain
     * broadcast literal — O(numBuckets) per executor, never a join, so
     * the plan is identical to the rule path.

@@ -755,6 +755,27 @@ class PipelineSpec extends AnyFunSuite {
       (4L, "", 0L, 10L)), s"got ${out.toSeq}")
   }
 
+  test("classifier training recovers a separable labeling") {
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+    // labels from the deterministic rule => a perfectly separable
+    // problem in the same feature space; full-batch LR must fit it
+    val labeled = Classifier.scoreRule(docs, "doc_id", "text")
+      .select(col("id").as("doc_id"),
+        col("keep").cast("int").as("label"))
+      .join(docs, "doc_id")
+    val w = Classifier.train(labeled, "doc_id", "text", "label", iters = 30)
+    assert(w.nonEmpty && w.keys.forall(b => b >= 0 && b < 1024))
+    val pred = Classifier.scoreLinear(labeled, "doc_id", "text", w)
+      .select(col("id").as("doc_id"), col("keep"))
+    val acc = pred.join(
+        labeled.select(col("doc_id"), (col("label") === 1).as("want")),
+        "doc_id")
+      .select(avg((col("keep") === col("want")).cast("double")))
+      .first().getDouble(0)
+    assert(acc >= 0.9, s"train accuracy $acc too low")
+  }
+
   test("bm25: exact-phrase doc ranks first, k bound and rank order hold") {
     import spark.implicits._
     val docs = Seq(
