@@ -130,6 +130,47 @@ object LakeSink {
       .start()
   }
 
+  /** Continuous line-deduplicated ingestion — the streaming twin of
+    * [[graft.operators.Dedup.dedupLinesIncremental]]: each micro-batch
+    * of documents is cleaned against the PERSISTED line-frequency
+    * state (boilerplate lines — seen in more than `maxDocs` documents
+    * across corpus + batch — removed, survivors reassembled in order),
+    * the cleaned docs append to `docTable`, and the batch's own line
+    * frequencies append to `statsTable` as increments (readers
+    * re-aggregate by line hash; compaction folds increments away).
+    *
+    * Exactly-once by the same two-table argument as [[appendDeduped]]:
+    * per-table replayed-batch guards + deterministic recompute against
+    * the unchanged state.
+    *
+    * `lines` is the line-segmentation column (array<string>) evaluated
+    * against each batch, e.g. `split(col("text"), "\n")`.
+    */
+  def appendLineDeduped(stream: DataFrame, docTable: LakeTable,
+      statsTable: LakeTable, idCol: String,
+      lines: org.apache.spark.sql.Column, checkpoint: String,
+      maxDocs: Long = 1, lineSep: String = "\n",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val streamKey = Integer.toHexString(checkpoint.hashCode)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val state = statsTable.read()
+            .groupBy("lh").agg(sum("docs").as("docs"))
+          val cleaned = Dedup.dedupLinesIncremental(
+            state, batch, idCol, lines, maxDocs, lineSep)
+          val newStats = Dedup.lineStats(batch, idCol, lines)
+          processBatch(docTable, streamKey)(cleaned, batchId)
+          processBatch(statsTable, s"$streamKey-stats")(newStats, batchId)
+        }
+      }
+      .start()
+  }
+
   def appendWindowed(stream: DataFrame, table: LakeTable,
       checkpoint: String, keyCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow(),

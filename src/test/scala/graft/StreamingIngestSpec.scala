@@ -69,4 +69,49 @@ class StreamingIngestSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(storedFp == expectFp)
   }
+
+  test("cross-batch line dedup against persisted line frequencies") {
+    implicit val sqlCtx = spark.sqlContext
+    val docTable = LakeTable.create(spark, LakeEngine.tempLocation("lind"),
+      "cleandocs", StructType(Seq(
+        StructField("id", LongType), StructField("clean_text", StringType),
+        StructField("n_kept", LongType), StructField("n_removed", LongType))))
+    val statsTable = LakeTable.create(spark, LakeEngine.tempLocation("lins"),
+      "linestats", StructType(Seq(
+        StructField("lh", LongType), StructField("docs", LongType))))
+
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("linededup-ckpt").toString
+
+    def runBatch(rows: (Long, String)*): Unit = {
+      input.addData(rows: _*)
+      val q = LakeSink.appendLineDeduped(
+        input.toDF().toDF("doc_id", "text"), docTable, statsTable,
+        "doc_id", split(col("text"), "/"), ckpt, maxDocs = 1, lineSep = "/")
+      q.awaitTermination()
+    }
+
+    // batch 1: "footer" repeats across docs 0 and 1 -> removed from
+    // both (in-batch df = 2 > 1); unique lines survive in order
+    runBatch((0L, "alpha/footer"), (1L, "beta/footer/gamma"))
+    val b1 = docTable.read().orderBy("id")
+      .select("id", "clean_text").as[(Long, String)].collect().toSeq
+    assert(b1 == Seq((0L, "alpha"), (1L, "beta/gamma")), s"got $b1")
+
+    // batch 2: "alpha" is now boilerplate ACROSS batches (doc 0 had it,
+    // doc 2 brings it again -> corpus+batch df = 2 > 1); "delta" fresh
+    runBatch((2L, "alpha/delta"))
+    val b2 = docTable.read().orderBy("id")
+      .select("id", "clean_text").as[(Long, String)].collect().toSeq
+    assert(b2 == Seq((0L, "alpha"), (1L, "beta/gamma"), (2L, "delta")),
+      s"got $b2")
+
+    // the stats table aggregates to the full corpus line frequencies
+    val statDocs = statsTable.read().groupBy("lh")
+      .agg(sum("docs").as("docs")).select("docs").as[Long]
+      .collect().sorted.toSeq
+    // lines: alpha(2 docs), footer(2), beta(1), gamma(1), delta(1)
+    assert(statDocs == Seq(1L, 1L, 1L, 2L, 2L), s"got $statDocs")
+  }
 }
