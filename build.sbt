@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] "/"[error] ",
+// which breaks any consumer that expects a bare JSON line on stdout
+// (the bench driver greps the output tail for `{"metric":...}`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
