@@ -117,6 +117,18 @@ object PipelineParams {
     */
   val LmModelK = 500
 
+  /** Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): pruned top-K model per order
+    * (prefix-closed, so every kept n-gram's context count is in the
+    * model), the paper's backoff factor, and the CCNet-style
+    * perplexity tercile split (head/middle/tail).
+    */
+  val LmUniK = 2000
+  val LmBiK = 3000
+  val LmTriK = 3000
+  val LmBackoff = 0.4
+  val LmPplBuckets = 3
+
   /** Duplicate-substring spans: sliding-window width in tokens. The
     * paper's threshold is 50 BPE tokens; the fixture docs are ~40-200
     * words, so 8 words keeps the judged query's span population

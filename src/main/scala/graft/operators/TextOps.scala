@@ -148,6 +148,15 @@ object TextOps {
          |    i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2)))
          |  ELSE array() END""".stripMargin)
 
+  /** Adjacent word trigrams ("a b c"); empty below 3 words. */
+  def trigrams(w: String): Column =
+    expr(
+      s"""CASE WHEN size($w) >= 3
+         |  THEN transform(sequence(0, size($w) - 3),
+         |    i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2),
+         |      ' ', element_at($w, i + 3)))
+         |  ELSE array() END""".stripMargin)
+
   /** Fraction of bigram occurrences taken by the most frequent bigram
     * (0.0 under 2 words) — the Gopher "top n-gram fraction" repetition
     * signal. Sort + one run-length pass: O(d log d) per row instead of

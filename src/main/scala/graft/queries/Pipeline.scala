@@ -1226,6 +1226,76 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- stupid-backoff trigram perplexity (Brants et al. 2007 +
+    // the CCNet head/middle/tail split): the oracle retrains the
+    // whole pruned prefix-closed model from scratch and rescores every
+    // trigram — per-position ln(S) is quantized to DECIMAL(28,6)
+    // (libm ln drifts 1 ulp between engines; 1e-6 steps sit 1e10 ulps
+    // from any boundary), the decimal sum is order-independent, and
+    // the tercile comes from plain NTILE (the Spark side derives the
+    // same bucket arithmetically from a parallel-prefix global rank —
+    // no serial window) --------------------------------------------
+    QueryDef(
+      "q_text_perplexity",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS w FROM w),
+         |corpus AS (SELECT count(*) AS n FROM tok),
+         |uni AS (
+         |  SELECT w, count(*) AS cu FROM tok GROUP BY w
+         |  ORDER BY cu DESC, w LIMIT $LmUniK),
+         |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE [] END) AS g2 FROM w),
+         |bi0 AS (SELECT g2, count(*) AS cb FROM bg GROUP BY g2
+         |  ORDER BY cb DESC, g2 LIMIT $LmBiK),
+         |bi AS (
+         |  SELECT b.g2, b.cb, u.cu FROM bi0 b
+         |  JOIN uni u ON string_split(b.g2, ' ')[1] = u.w),
+         |tg AS (SELECT unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS g3 FROM w),
+         |tri0 AS (SELECT g3, count(*) AS ct FROM tg GROUP BY g3
+         |  ORDER BY ct DESC, g3 LIMIT $LmTriK),
+         |tri AS (
+         |  SELECT t.g3, t.ct, b.cb FROM tri0 t
+         |  JOIN bi b ON string_split(t.g3, ' ')[1] || ' ' ||
+         |    string_split(t.g3, ' ')[2] = b.g2),
+         |trip AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS g3 FROM w),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    coalesce(t.ct::DOUBLE / t.cb,
+         |      ($LmBackoff)::DOUBLE * coalesce(b.cb::DOUBLE / b.cu,
+         |        ($LmBackoff)::DOUBLE * coalesce(u.cu::DOUBLE / corpus.n,
+         |          (1.0)::DOUBLE / corpus.n))) AS s
+         |  FROM trip p
+         |  LEFT JOIN tri t ON p.g3 = t.g3
+         |  LEFT JOIN bi b ON string_split(p.g3, ' ')[2] || ' ' ||
+         |    string_split(p.g3, ' ')[3] = b.g2
+         |  LEFT JOIN uni u ON string_split(p.g3, ' ')[3] = u.w
+         |  CROSS JOIN corpus),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_scored,
+         |    sum(CAST(ln(s) AS DECIMAL(28,6))) AS lp
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_scored, CAST(lp AS DECIMAL(38,6)) AS logprob,
+         |  CAST(ntile($LmPplBuckets) OVER (
+         |    ORDER BY CAST(lp AS DOUBLE) / n_scored DESC, doc_id) AS INT)
+         |    AS ppl_bucket
+         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val m = LangModel.trainBackoff(d, "text")
+      LangModel.perplexity(d, "doc_id", "text", m)
+        .select(col("id").as("doc_id"), col("n_scored"),
+          col("logprob").cast("decimal(38,6)").as("logprob"),
+          col("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+
     // ---- hashed-feature linear quality classifier: the oracle
     // rebuilds every score from scratch — same portable md5 bucket,
     // same integer weight rule, per-token w/dl contributions from the

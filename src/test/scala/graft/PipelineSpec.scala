@@ -925,4 +925,46 @@ class PipelineSpec extends AnyFunSuite {
       seqLen = 256, buckets = 4, seed = "t").collect()
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
+
+  test("stupid backoff: chain values and prefix closure by hand") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c a b c d"), (2L, "x y a b c"))
+      .toDF("doc_id", "text")
+    val m = LangModel.trainBackoff(train, "text")
+    // counts: N=12; c(a b c)=3, c(a b)=3, c(b c)=3, c(b c d)=1
+    val score = Seq((10L, "a b c d"), (11L, "a b q")).toDF("doc_id", "text")
+    val out = LangModel.perplexity(score, "doc_id", "text", m)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_scored"), r.getAs[java.math.BigDecimal]("logprob")
+          .doubleValue())).toMap
+    // "a b c d": trigram "a b c" = 3/3 = 1, "b c d" = 1/3 (each
+    // contribution quantized to 1e-6 before the sum)
+    assert(out(10L)._1 == 2L)
+    assert(math.abs(out(10L)._2 - math.log(1.0 / 3)) < 1e-5)
+    // "a b q": trigram, suffix bigram, and unigram "q" all unseen →
+    // 0.4 * (0.4 * (1/N)) with the exact same association order
+    assert(out(11L)._1 == 1L)
+    assert(math.abs(out(11L)._2 - math.log(0.4 * (0.4 * (1.0 / 12)))) < 1e-5)
+
+    // prefix closure: k1=5 keeps {a,b,c,d,x} (count desc, word asc) and
+    // drops y — so bigram "y a" must leave the model while "x y" stays
+    val pruned = LangModel.trainBackoff(train, "text", k1 = 5)
+    val bis = pruned.bi.select("g2").collect().map(_.getString(0)).toSet
+    assert(bis.contains("x y") && !bis.contains("y a"))
+    // and the tri model keeps only trigrams whose context bigram stayed
+    val tris = pruned.tri.select("g3").collect().map(_.getString(0)).toSet
+    assert(!tris.contains("y a b") && tris.contains("x y a"))
+  }
+
+  test("ppl_bucket equals a serial NTILE over the same ordering") {
+    val d = Tables.df(spark, sf, "documents")
+    val m = LangModel.trainBackoff(d, "text")
+    val out = LangModel.perplexity(d, "doc_id", "text", m)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_logprob").desc, col("id"))
+    val mismatches = out
+      .withColumn("nt", ntile(PipelineParams.LmPplBuckets).over(w))
+      .filter(col("nt") =!= col("ppl_bucket")).count()
+    assert(mismatches == 0L)
+  }
 }
