@@ -79,4 +79,28 @@ class ScaleProbeSpec extends AnyFunSuite {
         graft.operators.PipelineParams.NgramMaxDf * 10).count()
     }
   }
+
+  test("time LM operators at sf1", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
+    val d = Tables.df(spark, dir, "documents")
+    var t0 = System.nanoTime()
+    val bm = LangModel.trainBackoff(d, "text")
+    val out = LangModel.perplexity(d, "doc_id", "text", bm)
+    out.write.format("noop").mode("overwrite").save()
+    println(f"PROBE perplexity(train+score) " +
+      f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val vocab = Unigram.train(d, "text")
+    println(f"PROBE unigram-train pieces=${vocab.size} " +
+      f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    import org.apache.spark.sql.functions._
+    d.withColumn("ws", TextOps.words(col("text")))
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("ps", Unigram.segment(col("w"), vocab))
+      .write.format("noop").mode("overwrite").save()
+    println(f"PROBE unigram-encode t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
 }
