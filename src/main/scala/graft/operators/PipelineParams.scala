@@ -163,6 +163,16 @@ object PipelineParams {
   val UnigramShrink = 0.6
   val UnigramUnkScore = -100.0
 
+  /** DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    * hashed-bigram feature space size, selection depth, and the
+    * deterministic judged-query target-domain rule (doc_id ≡ sel mod
+    * stride — the operator itself takes any target frame).
+    */
+  val DsirBuckets = 1024
+  val DsirKeep = 100
+  val DsirTargetStride = 7
+  val DsirTargetSel = 3
+
   /** df cap for the judged capped ngram-join query: drops the top ~1%
     * hottest shingles at sf0.01 (df distribution 1..7, p99 = 4), so
     * the query exercises real cap behavior while most pairs survive.

@@ -1321,6 +1321,52 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- DSIR importance resampling (Xie et al. 2023): the oracle
+    // rebuilds the hashed-bigram bucket space, both smoothed
+    // distributions, every per-bucket log ratio (quantized to
+    // DECIMAL(28,6) — same ln-drift armor as perplexity), every
+    // per-doc importance sum, and the top-k selection --------------
+    QueryDef(
+      "q_dsir_select",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE [] END) AS g
+         |  FROM w),
+         |bkt AS (SELECT doc_id, ${duckHash("g")} % $DsirBuckets AS b FROM bg),
+         |tc AS (SELECT b, count(*) AS ct FROM bkt
+         |  WHERE doc_id % $DsirTargetStride = $DsirTargetSel GROUP BY b),
+         |rc AS (SELECT b, count(*) AS cr FROM bkt GROUP BY b),
+         |tn AS (SELECT count(*) AS nt FROM bkt
+         |  WHERE doc_id % $DsirTargetStride = $DsirTargetSel),
+         |rn AS (SELECT count(*) AS nr FROM bkt),
+         |lam AS (
+         |  SELECT coalesce(tc.b, rc.b) AS b,
+         |    CAST(ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tn.nt + $DsirBuckets))
+         |      - ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (rn.nr + $DsirBuckets))
+         |      AS DECIMAL(28,6)) AS lam
+         |  FROM tc FULL OUTER JOIN rc ON tc.b = rc.b
+         |  CROSS JOIN tn CROSS JOIN rn),
+         |sc AS (
+         |  SELECT k.doc_id, count(*) AS n_grams,
+         |    CAST(sum(l.lam) AS DECIMAL(38,6)) AS importance
+         |  FROM bkt k JOIN lam l ON k.b = l.b GROUP BY k.doc_id)
+         |SELECT doc_id, n_grams, importance,
+         |  rank() OVER (ORDER BY importance DESC, doc_id) <= $DsirKeep
+         |    AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val target =
+        d.filter(col("doc_id") % DsirTargetStride === DsirTargetSel)
+      val lam = Dsir.importanceTable(target, d, "text")
+      Dsir.select(d, "doc_id", "text", lam)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("importance"), col("selected"))
+        .orderBy("doc_id")
+    },
+
     // ---- hashed-feature linear quality classifier: the oracle
     // rebuilds every score from scratch — same portable md5 bucket,
     // same integer weight rule, per-token w/dl contributions from the

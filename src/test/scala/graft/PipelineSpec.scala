@@ -1059,6 +1059,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(vocab.forall { case (_, s) => s < 0 && !s.isInfinite })
   }
 
+  test("dsir: importance weights match an independent computation") {
+    import spark.implicits._
+    // independent md5 60-bit bucket (different code path from
+    // TextOps.hash60's conv() expression)
+    def bucket(s: String, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % b
+    }
+    val texts = Seq((0L, "the cat sat"), (1L, "the cat ran"),
+      (2L, "dogs bark loud"), (3L, "the cat sat here"))
+    val d = texts.toDF("doc_id", "text")
+    val target = d.filter(col("doc_id") === 0L || col("doc_id") === 3L)
+    val B = 64
+    val lam = Dsir.importanceTable(target, d, "text", buckets = B)
+    val out = Dsir.select(d, "doc_id", "text", lam, keep = 2, buckets = B)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[java.math.BigDecimal]("importance").doubleValue(),
+          r.getAs[Boolean]("selected"))).toMap
+    // reference: plain-scala replay of counts, smoothing, quantize
+    def bigrams(t: String) = t.toLowerCase.split(" ", -1).toSeq
+      .sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val rawG = texts.flatMap { case (id, t) => bigrams(t).map(id -> _) }
+    val tgtG = rawG.filter(p => p._1 == 0L || p._1 == 3L)
+    val rc = rawG.groupBy(p => bucket(p._2, B)).map { case (b, g) =>
+      b -> g.size.toLong }
+    val tc = tgtG.groupBy(p => bucket(p._2, B)).map { case (b, g) =>
+      b -> g.size.toLong }
+    val (nt, nr) = (tgtG.size.toLong, rawG.size.toLong)
+    def q6(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(6,
+        java.math.RoundingMode.HALF_UP).doubleValue()
+    def lamOf(b: Long): Double = q6(
+      math.log((tc.getOrElse(b, 0L) + 1).toDouble / (nt + B)) -
+        math.log((rc.getOrElse(b, 0L) + 1).toDouble / (nr + B)))
+    val want = rawG.groupBy(_._1).map { case (id, gs) =>
+      id -> gs.map(p => lamOf(bucket(p._2, B))).sum }
+    want.foreach { case (id, imp) =>
+      assert(math.abs(out(id)._1 - imp) < 1e-9, s"doc $id")
+    }
+    // the two target docs must be the two selected at keep=2
+    assert(out(0L)._2 && out(3L)._2 && !out(1L)._2 && !out(2L)._2)
+  }
+
+  test("dsir: target docs outscore the rest on the fixture corpus") {
+    val d = Tables.df(spark, sf, "documents")
+    val target = d.filter(col("doc_id") %
+      PipelineParams.DsirTargetStride === PipelineParams.DsirTargetSel)
+    val lam = Dsir.importanceTable(target, d, "text")
+    val out = Dsir.select(d, "doc_id", "text", lam)
+      .withColumn("is_target", col("id") %
+        PipelineParams.DsirTargetStride === PipelineParams.DsirTargetSel)
+    val means = out.groupBy("is_target")
+      .agg(avg(col("importance").cast("double")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} not above raw mean ${means(false)}")
+  }
+
   test("ppl_bucket equals a serial NTILE over the same ordering") {
     val d = Tables.df(spark, sf, "documents")
     val m = LangModel.trainBackoff(d, "text")
