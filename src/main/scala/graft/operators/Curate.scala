@@ -71,6 +71,35 @@ object Curate {
       .select(col(idCol), col("fingerprint"), col("n_words"))
   }
 
+  /** [[curate]] with the CCNet perplexity gate in place of the
+    * C4/Gopher rules: train the stupid-backoff model on the corpus
+    * itself ([[LangModel.trainBackoff]]), keep documents whose
+    * perplexity tercile is within `keepBuckets` (1 = head only,
+    * 2 = head+middle — CCNet's usual cut), then exact dedup +
+    * deterministic subsample. Unlike the scan-local rule/ML gates this
+    * gate is a corpus-level aggregate, so the composition pays one
+    * id-keyed hash join of the keep-set — the model itself stays
+    * top-K-bounded and broadcast, and no driver state appears.
+    */
+  def curatePpl(df: DataFrame, idCol: String, textCol: String,
+      sampleMod: Int, seed: String,
+      keepBuckets: Int = PipelineParams.PplKeepBuckets): DataFrame = {
+    val model = LangModel.trainBackoff(df, textCol)
+    val keep = LangModel.perplexity(df, idCol, textCol, model)
+      .filter(col("ppl_bucket") <= keepBuckets)
+      .select(col("id").as("__kid"))
+    df.join(keep, col(idCol) === col("__kid")).drop("__kid")
+      .withColumn("__ws", TextOps.words(col(textCol)))
+      .withColumn("n_words", size(col("__ws")))
+      .withColumn("fingerprint", TextOps.fingerprint(col(textCol)))
+      .withColumn("__rep",
+        min(col(idCol)).over(Window.partitionBy("fingerprint")))
+      .filter(col(idCol) === col("__rep"))
+      .filter(TextOps.hash60(
+        concat(lit(seed), col(idCol).cast("string"))) % sampleMod === 0)
+      .select(col(idCol), col("fingerprint"), col("n_words"))
+  }
+
   /** The full training-prep composition: quality gate → exact dedup →
     * temperature mix over the CLEAN corpus's domain counts → sequence
     * packing of the mixed survivors. Each stage is the already-proven

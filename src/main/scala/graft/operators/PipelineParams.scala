@@ -129,6 +129,9 @@ object PipelineParams {
   val LmBackoff = 0.4
   val LmPplBuckets = 3
 
+  /** CCNet-style curation keeps the head+middle perplexity buckets. */
+  val PplKeepBuckets = 2
+
   /** Duplicate-substring spans: sliding-window width in tokens. The
     * paper's threshold is 50 BPE tokens; the fixture docs are ~40-200
     * words, so 8 words keeps the judged query's span population

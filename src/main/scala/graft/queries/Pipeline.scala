@@ -1367,6 +1367,81 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- curation with the CCNet perplexity gate: the oracle
+    // retrains the backoff model, rescores the corpus, takes the
+    // head+middle terciles, and replays dedup + sample — the whole
+    // composed pass differentially pinned end-to-end ---------------
+    QueryDef(
+      "q_pipeline_curate_ppl",
+      s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (SELECT unnest(ws) AS w FROM w),
+         |corpus AS (SELECT count(*) AS n FROM tok),
+         |uni AS (
+         |  SELECT w, count(*) AS cu FROM tok GROUP BY w
+         |  ORDER BY cu DESC, w LIMIT $LmUniK),
+         |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2
+         |    THEN list_transform(range(1, len(ws)),
+         |      i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE [] END) AS g2 FROM w),
+         |bi0 AS (SELECT g2, count(*) AS cb FROM bg GROUP BY g2
+         |  ORDER BY cb DESC, g2 LIMIT $LmBiK),
+         |bi AS (
+         |  SELECT b.g2, b.cb, u.cu FROM bi0 b
+         |  JOIN uni u ON string_split(b.g2, ' ')[1] = u.w),
+         |tg AS (SELECT unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS g3 FROM w),
+         |tri0 AS (SELECT g3, count(*) AS ct FROM tg GROUP BY g3
+         |  ORDER BY ct DESC, g3 LIMIT $LmTriK),
+         |tri AS (
+         |  SELECT t.g3, t.ct, b.cb FROM tri0 t
+         |  JOIN bi b ON string_split(t.g3, ' ')[1] || ' ' ||
+         |    string_split(t.g3, ' ')[2] = b.g2),
+         |trip AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+         |    THEN list_transform(range(1, len(ws) - 1),
+         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |    ELSE [] END) AS g3 FROM w),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    coalesce(t.ct::DOUBLE / t.cb,
+         |      ($LmBackoff)::DOUBLE * coalesce(b.cb::DOUBLE / b.cu,
+         |        ($LmBackoff)::DOUBLE * coalesce(u.cu::DOUBLE / corpus.n,
+         |          (1.0)::DOUBLE / corpus.n))) AS s
+         |  FROM trip p
+         |  LEFT JOIN tri t ON p.g3 = t.g3
+         |  LEFT JOIN bi b ON string_split(p.g3, ' ')[2] || ' ' ||
+         |    string_split(p.g3, ' ')[3] = b.g2
+         |  LEFT JOIN uni u ON string_split(p.g3, ' ')[3] = u.w
+         |  CROSS JOIN corpus),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_scored,
+         |    sum(CAST(ln(s) AS DECIMAL(28,6))) AS lp
+         |  FROM sc GROUP BY doc_id),
+         |pb AS (
+         |  SELECT doc_id, ntile($LmPplBuckets) OVER (
+         |    ORDER BY CAST(lp AS DOUBLE) / n_scored DESC, doc_id) AS bkt
+         |  FROM agg),
+         |k AS (SELECT doc_id FROM pb WHERE bkt <= $PplKeepBuckets),
+         |f AS (
+         |  SELECT d.doc_id, len(string_split(lower(d.text), ' '))
+         |      AS n_words,
+         |    md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM documents d JOIN k USING (doc_id)),
+         |dd AS (
+         |  SELECT doc_id, fingerprint, n_words,
+         |    min(doc_id) OVER (PARTITION BY fingerprint) AS rep
+         |  FROM f)
+         |SELECT doc_id, fingerprint, n_words FROM dd
+         |WHERE doc_id = rep
+         |  AND ${duckHash("'p42' || doc_id::VARCHAR")} % 3 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curate.curatePpl(docs(s, dir), "doc_id", "text",
+        sampleMod = 3, "p42")
+        .orderBy("doc_id")
+    },
+
     // ---- hashed-feature linear quality classifier: the oracle
     // rebuilds every score from scratch — same portable md5 bucket,
     // same integer weight rule, per-token w/dl contributions from the
