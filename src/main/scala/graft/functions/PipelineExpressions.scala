@@ -205,6 +205,53 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 }
 
+/** Per-document Shannon character entropy (nats):
+  * H = ln(L) − (Σ_c n_c·ln(n_c)) / L over the document's code-point
+  * counts — the cheap gibberish/repetition signal (near-zero for
+  * one-character spam, ~ln(alphabet) for uniform noise) quality
+  * filters threshold on. Scan-local, one pass, no shuffle.
+  *
+  * Engine-exact contract (mirrors the perplexity operator): each
+  * n_c·ln(n_c) term is quantized to 6 decimals (HALF_UP) before the
+  * EXACT decimal sum — term order can't matter and a 1-ulp libm ln
+  * drift can't surface — then H = ln(L) − sum/L is quantized to 6
+  * decimals as the output. Returns NULL for an empty string.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = DataTypes.createDecimalType(38, 6)
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var L = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      L += 1
+    }
+    var sum = java.math.BigDecimal.ZERO
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next()
+      sum = sum.add(new java.math.BigDecimal(n * math.log(n.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+    }
+    val h = math.log(L.toDouble) - sum.doubleValue() / L
+    org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(h)
+        .setScale(6, java.math.RoundingMode.HALF_UP), 38, 6)
+  }
+}
+
 /** Viterbi segmentation of ONE word under a unigram-LM piece
   * vocabulary (Kudo 2018, "Subword Regularization" — the SentencePiece
   * unigram model): the segmentation maximizing the summed piece

@@ -148,6 +148,13 @@ object TextOps {
          |    i -> concat(element_at($w, i + 1), ' ', element_at($w, i + 2)))
          |  ELSE array() END""".stripMargin)
 
+  /** Shannon character entropy (nats, DECIMAL(38,6)) — see
+    * [[graft.functions.CharEntropy]]; null for empty text.
+    */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.CharEntropy(
+      org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Adjacent word trigrams ("a b c"); empty below 3 words. */
   def trigrams(w: String): Column =
     expr(

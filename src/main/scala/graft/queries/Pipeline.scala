@@ -1251,6 +1251,32 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- character-entropy quality signal (the RefinedWeb-style
+    // gibberish/repetition detector): per-doc Shannon entropy over
+    // code-point counts, each n·ln(n) term quantized to 6 decimals
+    // before the exact decimal sum (same ln-drift armor as
+    // perplexity), final H quantized on output ---------------------
+    QueryDef(
+      "q_text_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS L,
+        |    sum(CAST(n * ln(n::DOUBLE) AS DECIMAL(28,6))) AS s
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, L AS n_chars_ent,
+        |  CAST(ln(L::DOUBLE) - CAST(s AS DOUBLE) / L AS DECIMAL(38,6))
+        |    AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_ent"),
+          TextOps.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // ---- stupid-backoff trigram perplexity (Brants et al. 2007 +
     // the CCNet head/middle/tail split): the oracle retrains the
     // whole pruned prefix-closed model from scratch and rescores every

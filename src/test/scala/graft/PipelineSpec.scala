@@ -1059,6 +1059,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(vocab.forall { case (_, s) => s < 0 && !s.isInfinite })
   }
 
+  test("char entropy: hand cases") {
+    import spark.implicits._
+    val d = Seq((1L, "aaab"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+        TextOps.charEntropy(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[java.math.BigDecimal]("e"))).toMap
+    // H("aaab") = ln 4 − q6(3·ln 3)/4, all at 6-decimal quantization
+    assert(out(1L).get == new java.math.BigDecimal("0.562335"))
+    assert(out(2L).get == new java.math.BigDecimal("0.000000"))
+    assert(out(3L).isEmpty)
+  }
+
   test("dsir: importance weights match an independent computation") {
     import spark.implicits._
     // independent md5 60-bit bucket (different code path from
