@@ -205,6 +205,69 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 }
 
+/** Scan-local stupid-backoff LM score of ONE document: the same
+  * trigram walk, backoff chain, and per-position 6-decimal ln
+  * quantization as [[graft.operators.LangModel.perplexity]], folded
+  * per ROW with the (top-K-bounded, hence safely materialized) model
+  * riding inside the expression — decimal addition is exact, so this
+  * fold equals the exploded/aggregated formulation no matter the
+  * order, which is what lets the perplexity gate run STATELESS inside
+  * a streaming pipeline (no join, no shuffle, no state store).
+  * Returns struct(n_scored BIGINT, logprob DECIMAL(38,6)); n_scored
+  * is 0 with logprob 0 for docs under 3 words.
+  */
+case class BackoffScore(child: Expression, uni: Seq[(String, Double)],
+    bi: Seq[(String, Double)], tri: Seq[(String, Double)], n: Long,
+    backoff: Double)
+    extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_scored", LongType, nullable = false),
+    StructField("logprob", DataTypes.createDecimalType(38, 6),
+      nullable = false)))
+  override protected def withNewChildInternal(c: Expression): BackoffScore =
+    copy(child = c)
+
+  @transient private lazy val (uniM, biM, triM) = {
+    def m(s: Seq[(String, Double)]) = {
+      val h = new java.util.HashMap[String, java.lang.Double](s.size * 2)
+      s.foreach { case (k, v) => h.put(k, v) }
+      h
+    }
+    (m(uni), m(bi), m(tri))
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    // same tokenization as TextOps.words: split(lower(text), ' ')
+    val ws = v.asInstanceOf[UTF8String].toString.toLowerCase
+      .split(" ", -1)
+    var sum = java.math.BigDecimal.ZERO
+    var cnt = 0L
+    var j = 0
+    while (j + 2 < ws.length) {
+      val (a, b, c) = (ws(j), ws(j + 1), ws(j + 2))
+      val p3 = triM.get(a + " " + b + " " + c)
+      val s =
+        if (p3 != null) p3.doubleValue()
+        else {
+          val p2 = biM.get(b + " " + c)
+          backoff * (if (p2 != null) p2.doubleValue()
+          else {
+            val p1 = uniM.get(c)
+            backoff * (if (p1 != null) p1.doubleValue() else 1.0 / n)
+          })
+        }
+      sum = sum.add(new java.math.BigDecimal(math.log(s))
+        .setScale(6, java.math.RoundingMode.HALF_UP))
+      cnt += 1
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(cnt,
+      org.apache.spark.sql.types.Decimal(sum, 38, 6))
+  }
+}
+
 /** Per-document Shannon character entropy (nats):
   * H = ln(L) − (Σ_c n_c·ln(n_c)) / L over the document's code-point
   * counts — the cheap gibberish/repetition signal (near-zero for

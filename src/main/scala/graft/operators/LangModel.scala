@@ -102,6 +102,36 @@ object LangModel {
     BackoffModel(uni.select("w", "p1"), bi.select("g2", "p2"), tri, corpus)
   }
 
+  /** Materialized model for scan-local / streaming scoring: every
+    * frame is top-K-bounded by construction, so collecting it is a
+    * bounded driver fetch (the same justification as the k-means
+    * centroid and BPE merge tables).
+    */
+  final case class BackoffModelLocal(uni: Seq[(String, Double)],
+      bi: Seq[(String, Double)], tri: Seq[(String, Double)], n: Long)
+
+  def collectModel(m: BackoffModel): BackoffModelLocal = {
+    def pairs(df: DataFrame, k: String, v: String) =
+      df.select(k, v).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    BackoffModelLocal(
+      pairs(m.uni, "w", "p1"), pairs(m.bi, "g2", "p2"),
+      pairs(m.tri, "g3", "p3"),
+      m.corpus.collect()(0).getLong(0))
+  }
+
+  /** Scan-local fold of the backoff score — struct(n_scored, logprob),
+    * provably equal to [[perplexity]]'s aggregation (decimal sums are
+    * order-independent; pinned by PipelineSpec). Being a pure per-row
+    * expression, it gates STREAMING pipelines with no state store —
+    * the CCNet filter at ingest time.
+    */
+  def scoreLocal(text: org.apache.spark.sql.Column, m: BackoffModelLocal,
+      backoff: Double = LmBackoff): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.BackoffScore(
+      org.apache.spark.sql.GraftBridge.expression(text),
+      m.uni, m.bi, m.tri, m.n, backoff))
+
   /** Per-document stupid-backoff score: every trigram position scores
     * S(c|a,b) = p3 if "a b c" is in the model, else 0.4·p2("b c"),
     * else 0.4²·p1(c), else 0.4²/N for an unseen word — the paper's

@@ -1132,6 +1132,23 @@ class PipelineSpec extends AnyFunSuite {
       s"target mean ${means(true)} not above raw mean ${means(false)}")
   }
 
+  test("scan-local backoff fold equals the aggregated perplexity") {
+    val d = Tables.df(spark, sf, "documents")
+    val m = LangModel.trainBackoff(d, "text")
+    val agg = LangModel.perplexity(d, "doc_id", "text", m)
+      .select(col("id"), col("n_scored"), col("logprob"))
+    val local = d
+      .withColumn("sc",
+        LangModel.scoreLocal(col("text"), LangModel.collectModel(m)))
+      .select(col("doc_id").as("id"), col("sc.n_scored").as("n2"),
+        col("sc.logprob").as("lp2"))
+      .filter(col("n2") > 0)
+    val joined = agg.join(local, "id")
+    assert(joined.count() == agg.count() && agg.count() > 0)
+    assert(joined.filter(col("n_scored") =!= col("n2") ||
+      col("logprob") =!= col("lp2")).count() == 0)
+  }
+
   test("ppl_bucket equals a serial NTILE over the same ordering") {
     val d = Tables.df(spark, sf, "documents")
     val m = LangModel.trainBackoff(d, "text")

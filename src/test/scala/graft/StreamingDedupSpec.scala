@@ -109,4 +109,48 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"degenerate gate: ${streamed.size}/${docs.size}")
     } finally query.stop()
   }
+
+  test("stateless perplexity gate composes into streaming ingest: twin of batch") {
+    // LangModel.scoreLocal folds the backoff score per row with the
+    // bounded model inside the expression — no join, no state store —
+    // so the CCNet-style gate runs at ingest time and must keep
+    // exactly the batch composition's docs
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LangModel
+    val fixture = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val model = LangModel.collectModel(
+      LangModel.trainBackoff(fixture, "text"))
+    val docs = fixture.limit(40).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    // τ = the batch median average log-prob, so the gate splits the set
+    val avgs = docs.toDF("doc_id", "text")
+      .withColumn("sc", LangModel.scoreLocal(col("text"), model))
+      .filter(col("sc.n_scored") > 0)
+      .select((col("sc.logprob").cast("double") / col("sc.n_scored"))
+        .as("a")).as[Double].collect().sorted
+    val tau = avgs(avgs.length / 2)
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sc", LangModel.scoreLocal(col("text"), model))
+      .filter(col("sc.n_scored") > 0 &&
+        col("sc.logprob").cast("double") / col("sc.n_scored") >= tau)
+      .drop("sc")
+
+    val input = MemoryStream[(Long, String)]
+    val kept = StreamingDedup.exact(
+      gate(input.toDF().toDF("doc_id", "text")), "text")
+    val query = kept.writeStream
+      .format("memory").queryName("ppl_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.foreach { d => input.addData(d); query.processAllAvailable() }
+      val streamed = spark.table("ppl_gate_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val batch = StreamingDedup.batchTwin(
+          gate(docs.toDF("doc_id", "text")), "doc_id", "text")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size,
+        s"degenerate gate: ${streamed.size}/${docs.size}")
+    } finally query.stop()
+  }
 }
