@@ -205,6 +205,57 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- quality-aware dedup: each near-dup component keeps its
+    // best-scoring doc (score desc, id) instead of the minimum id —
+    // the oracle recomputes the transitive closure AND every quality
+    // score from scratch -------------------------------------------
+    QueryDef(
+      "q_dedup_best",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, ${duckShingles(W)} AS s FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= $MinhashJaccard),
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |closure(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT c.id, e.d FROM closure c JOIN edges e ON c.r = e.s),
+         |lab AS (SELECT id, min(r) AS rep FROM closure GROUP BY id),
+         |w AS (SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w),
+         |scr AS (
+         |  SELECT doc_id,
+         |    sum(CAST(
+         |      ((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
+         |         % $QcWeightMod - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0)
+         |        / dl AS DECIMAL(28,12))) AS score
+         |  FROM tok GROUP BY doc_id),
+         |g AS (
+         |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS grp,
+         |    CAST(s.score AS DECIMAL(38,12)) AS score
+         |  FROM documents d
+         |  LEFT JOIN lab l ON d.doc_id = l.id
+         |  JOIN scr s ON s.doc_id = d.doc_id)
+         |SELECT doc_id, grp, score,
+         |  row_number() OVER (PARTITION BY grp
+         |    ORDER BY score DESC, doc_id) = 1 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val score = Classifier.scoreRule(d, "doc_id", "text")
+        .select(col("id").as("__sid"),
+          col("score").cast("decimal(38,12)").as("__score"))
+      val withScore = d.join(score, col("doc_id") === col("__sid"))
+      Dedup.keepBestPerGroup(withScore, "doc_id", col("__score"),
+          Dedup.minhashPairs(d, "doc_id", "text"))
+        .orderBy("doc_id")
+    },
+
     // ---- incremental corpus dedup: new batch vs stored signatures ----
     // The realistic 100 TB shape: the corpus's MinHash signatures are
     // precomputed state, a new batch arrives, and only batch-touching
