@@ -1302,6 +1302,67 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- corpus health report: the one-shot profile a pipeline runs
+    // before training — sizes, per-domain/lang counts, exact-dup mass,
+    // and token-length deciles (scale-exact quantile operator), all as
+    // one (metric, key, value) frame ---------------------------------
+    QueryDef(
+      "q_corpus_report",
+      """WITH w AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(lower(text), ' ')) AS n_words,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |q AS (SELECT quantile_cont(CAST(n_words AS DOUBLE),
+        |    [0.1, 0.5, 0.9]) AS vs FROM w)
+        |SELECT 'docs' AS metric, 'total' AS key,
+        |  CAST(count(*) AS DOUBLE) AS value FROM w
+        |UNION ALL
+        |SELECT 'tokens', 'total', CAST(sum(n_words) AS DOUBLE) FROM w
+        |UNION ALL
+        |SELECT 'dedup', 'exact_dup_docs',
+        |  CAST(count(*) - count(DISTINCT fp) AS DOUBLE) FROM w
+        |UNION ALL
+        |SELECT 'lang', lang, CAST(count(*) AS DOUBLE) FROM w GROUP BY lang
+        |UNION ALL
+        |SELECT 'source', source, CAST(count(*) AS DOUBLE) FROM w
+        |GROUP BY source
+        |UNION ALL
+        |SELECT 'len_q', CAST(u.q AS VARCHAR), round(q.vs[u.i], 6)
+        |FROM (SELECT unnest([0.1, 0.5, 0.9]) AS q,
+        |        unnest([1, 2, 3]) AS i) u, q
+        |ORDER BY metric, key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val d = docs(s, dir)
+        .withColumn("n_words", size(TextOps.words(col("text"))))
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+      val totals = d.agg(
+        count(lit(1)).cast("double").as("docs"),
+        sum("n_words").cast("double").as("tokens"),
+        (count(lit(1)) - countDistinct("fp")).cast("double").as("dups"))
+      val head = totals.select(explode(array(
+        struct(lit("docs").as("metric"), lit("total").as("key"),
+          col("docs").as("value")),
+        struct(lit("tokens").as("metric"), lit("total").as("key"),
+          col("tokens").as("value")),
+        struct(lit("dedup").as("metric"), lit("exact_dup_docs").as("key"),
+          col("dups").as("value"))))
+          .as("r")).select("r.*")
+      val byLang = d.groupBy(col("lang").as("key"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("lang").as("metric"), col("key"), col("value"))
+      val bySource = d.groupBy(col("source").as("key"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("source").as("metric"), col("key"), col("value"))
+      val qs = Seq(0.1, 0.5, 0.9)
+      val deciles = qs.zip(Stats.exactQuantiles(d, "n_words", qs))
+        .toDF("q", "v")
+        .select(lit("len_q").as("metric"), col("q").cast("string").as("key"),
+          round(col("v"), 6).as("value"))
+      head.union(byLang).union(bySource).union(deciles)
+        .orderBy("metric", "key")
+    },
+
     // ---- character-entropy quality signal (the RefinedWeb-style
     // gibberish/repetition detector): per-doc Shannon entropy over
     // code-point counts, each n·ln(n) term quantized to 6 decimals
