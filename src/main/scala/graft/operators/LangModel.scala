@@ -99,7 +99,13 @@ object LangModel {
         concat(col("__p").getItem(0), lit(" "), col("__p").getItem(1)))
       .join(broadcast(bi.select(col("g2").as("__ctx"), col("cb"))), "__ctx")
       .select(col("g3"), (col("ct").cast("double") / col("cb")).as("p3"))
-    BackoffModel(uni.select("w", "p1"), bi.select("g2", "p2"), tri, corpus)
+    // materialize the bounded model frames ONCE: without this, every
+    // scoring join replays the whole corpus-count subtree (three extra
+    // corpus scans per scoring pass at 100 TB); each frame is ≤ top-K
+    // rows, so the checkpoint is a constant-size spill
+    BackoffModel(uni.select("w", "p1").localCheckpoint(true),
+      bi.select("g2", "p2").localCheckpoint(true),
+      tri.localCheckpoint(true), corpus.localCheckpoint(true))
   }
 
   /** Materialized model for scan-local / streaming scoring: every

@@ -227,6 +227,56 @@ class PlanQualitySpec extends AnyFunSuite {
       s"classifier lost map-side combine:\n$p")
   }
 
+  test("perplexity scoring is broadcast-model, rank is pid-partitioned") {
+    // the three model joins and the corpus row must broadcast (the
+    // model is top-K-bounded); the tercile rank must come from the
+    // parallel-prefix shape — its per-partition window partitions by
+    // __pid, and any unpartitioned window may only sit above the
+    // B-row partition-totals aggregate, never above corpus rows
+    val p = plan("q_text_perplexity")
+    assert(!p.contains("CartesianProduct"), s"perplexity cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"perplexity model joins lost their broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"perplexity shuffles the corpus for a model join:\n$p")
+    assert(p.contains("windowspecdefinition(__pid"),
+      s"perplexity rank lost its __pid partitioning:\n$p")
+    // the only nested-loop is the 1-row corpus-N broadcast; AQE's
+    // toString prints reused stages expanded, so the same stats join
+    // can appear twice — every occurrence must be the BuildRight Cross
+    // of that one-row frame, and the scoring exchange must be shared
+    // (Reused*) between the rank and partition-totals branches rather
+    // than recomputed
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val nlj = "BroadcastNestedLoopJoin.*".r.findAllIn(finalPlan).toSeq
+    assert(nlj.size <= 2 &&
+      nlj.forall(_.contains("BuildRight, Cross")),
+      s"perplexity nested-loop joins look wrong:\n$p")
+    assert(finalPlan.contains("Reused"),
+      s"perplexity scoring exchange is not reused across branches:\n$p")
+  }
+
+  test("dsir scoring broadcasts the lambda table, selection is TakeOrdered") {
+    // the λ table is bucket-bounded: the scoring join must broadcast;
+    // top-k selection must be a TakeOrdered(AndProject), never a
+    // global Sort of the corpus scores
+    val p = plan("q_dsir_select")
+    assert(!p.contains("CartesianProduct"), s"dsir cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dsir lost the λ broadcast:\n$p")
+    assert(p.contains("TakeOrdered"),
+      s"dsir top-k is not TakeOrdered:\n$p")
+  }
+
+  test("quality-aware dedup windows partition by group") {
+    val p = plan("q_dedup_best")
+    assert(!p.contains("CartesianProduct"), s"dedup_best cartesian:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"dedup_best runs a global window:\n$p")
+    assert(p.contains("windowspecdefinition(grp"),
+      s"dedup_best argmax window not partitioned by grp:\n$p")
+  }
+
   test("auto-sized LSH keeps the banded join shape at wide shapes") {
     // the scale path (lshAutoParams -> lshCosinePairsScaled) must keep
     // the same hash-join-on-band-keys plan as the fixed contract
