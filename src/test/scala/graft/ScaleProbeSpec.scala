@@ -102,5 +102,12 @@ class ScaleProbeSpec extends AnyFunSuite {
       .withColumn("ps", Unigram.segment(col("w"), vocab))
       .write.format("noop").mode("overwrite").save()
     println(f"PROBE unigram-encode t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val target = d.filter(col("doc_id") %
+      PipelineParams.DsirTargetStride === PipelineParams.DsirTargetSel)
+    val lam = Dsir.importanceTable(target, d, "text")
+    Dsir.select(d, "doc_id", "text", lam)
+      .write.format("noop").mode("overwrite").save()
+    println(f"PROBE dsir-select t=${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 }
