@@ -269,6 +269,17 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** AutoCAD ASCII DXF scan (native group-code reader —
+    * [[graft.sources.Dxf]]): POINT/LINE/LWPOLYLINE/legacy POLYLINE
+    * entities as WKB rows with layer/handle properties; binary
+    * .dxf/.dwg refuse loudly.
+    */
+  def createDxfTable(name: String, path: String): DataFrame = {
+    val df = sources.Dxf.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** KML/KMZ scan (OGC KML 2.2, native XML reader —
     * [[graft.sources.GeoXml]]); Placemarks become rows with name/
     * description/ExtendedData attributes.
