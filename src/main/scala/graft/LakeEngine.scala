@@ -280,6 +280,16 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** MapInfo MIF/MID scan (native text reader — [[graft.sources.Mif]]):
+    * NONE/POINT/LINE/PLINE/REGION records with sibling-.mid
+    * attributes; region holes are NOT reconstructed (stated).
+    */
+  def createMifTable(name: String, path: String): DataFrame = {
+    val df = sources.Mif.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** KML/KMZ scan (OGC KML 2.2, native XML reader —
     * [[graft.sources.GeoXml]]); Placemarks become rows with name/
     * description/ExtendedData attributes.
