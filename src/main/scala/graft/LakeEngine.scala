@@ -280,6 +280,15 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** WAsP .map scan (native text reader — [[graft.sources.WaspMap]]):
+    * elevation/roughness contour LINESTRINGs with their attributes.
+    */
+  def createWaspMapTable(name: String, path: String): DataFrame = {
+    val df = sources.WaspMap.read(spark, path)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** MapInfo MIF/MID scan (native text reader — [[graft.sources.Mif]]):
     * NONE/POINT/LINE/PLINE/REGION records with sibling-.mid
     * attributes; region holes are NOT reconstructed (stated).
