@@ -280,6 +280,16 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** OpenDRIVE .xodr scan (native XML reader with sampled reference
+    * lines — [[graft.sources.OpenDrive]]).
+    */
+  def createXodrTable(name: String, path: String,
+      step: Double = 1.0): DataFrame = {
+    val df = sources.OpenDrive.read(spark, path, step)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** WAsP .map scan (native text reader — [[graft.sources.WaspMap]]):
     * elevation/roughness contour LINESTRINGs with their attributes.
     */
