@@ -280,6 +280,17 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** WebDataset tar-shard scan ([[graft.sources.WebDataset]]): one row
+    * per sample with its `components` map; the write side is
+    * `WebDataset.write` (deterministic uniform shards, exactly-once
+    * rename commit).
+    */
+  def createWebDatasetTable(name: String, dir: String): DataFrame = {
+    val df = sources.WebDataset.read(spark, dir)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   /** OpenDRIVE .xodr scan (native XML reader with sampled reference
     * lines — [[graft.sources.OpenDrive]]).
     */
