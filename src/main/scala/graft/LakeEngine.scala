@@ -280,6 +280,56 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** The reference's `format 'gdal'` entry point: infer the reader
+    * from the file extension (docs/file-formats-reference.md:96-140)
+    * and dispatch to the matching native scan. Formats whose layout is
+    * proprietary-undocumented (.gdb, .tab, .dwg) refuse loudly with
+    * the conversion hint; unknown extensions refuse rather than guess.
+    */
+  def createGdalTable(name: String, path: String,
+      layer: Option[String] = None): DataFrame = {
+    val lower = path.toLowerCase
+    def noLayer(fmt: String): Unit = require(layer.isEmpty,
+      s"$fmt does not take a 'layer' option")
+    val stripped =
+      if (lower.endsWith(".gz")) lower.dropRight(3) else lower
+    stripped match {
+      case p if p.endsWith(".geojson") || p.endsWith(".json") =>
+        noLayer("GeoJSON"); createGeoTable(name, path)
+      case p if p.endsWith(".geojsons") || p.endsWith(".geojsonl") =>
+        noLayer("GeoJSONSeq"); createGeoSeqTable(name, path)
+      case p if p.endsWith(".shp") || p.endsWith(".zip") =>
+        noLayer("Shapefile"); createShapeTable(name, path)
+      case p if p.endsWith(".gpkg") => createGpkgTable(name, path, layer)
+      case p if p.endsWith(".kml") || p.endsWith(".kmz") =>
+        noLayer("KML"); createKmlTable(name, path)
+      case p if p.endsWith(".gml") =>
+        noLayer("GML"); createGmlTable(name, path)
+      case p if p.endsWith(".fgb") =>
+        noLayer("FlatGeobuf"); createFgbTable(name, path)
+      case p if p.endsWith(".xlsx") =>
+        createXlsxTable(name, path, layer = layer)
+      case p if p.endsWith(".xls") =>
+        createXlsTable(name, path, layer = layer)
+      case p if p.endsWith(".dxf") =>
+        noLayer("DXF"); createDxfTable(name, path)
+      case p if p.endsWith(".mif") || p.endsWith(".mit") =>
+        noLayer("MIF"); createMifTable(name, path)
+      case p if p.endsWith(".map") =>
+        noLayer("WAsP"); createWaspMapTable(name, path)
+      case p if p.endsWith(".xodr") =>
+        noLayer("OpenDRIVE"); createXodrTable(name, path)
+      case p if p.endsWith(".gdb") || p.endsWith(".tab") ||
+          p.endsWith(".dwg") =>
+        throw new IllegalArgumentException(
+          s"'$path': .gdb/.tab/.dwg are proprietary binary formats " +
+            "with no public spec - convert to GeoPackage/MIF/DXF first")
+      case _ => throw new IllegalArgumentException(
+        s"cannot infer a GDAL-table format from '$path' - use the " +
+          "format-specific create*Table entry point")
+    }
+  }
+
   /** WebDataset tar-shard scan ([[graft.sources.WebDataset]]): one row
     * per sample with its `components` map; the write side is
     * `WebDataset.write` (deterministic uniform shards, exactly-once
