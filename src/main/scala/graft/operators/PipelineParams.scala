@@ -166,6 +166,12 @@ object PipelineParams {
   val UnigramShrink = 0.6
   val UnigramUnkScore = -100.0
 
+  /** UniMax language sampling (Chung et al. 2023): total token budget
+    * and the per-language epoch cap for the judged fixture query.
+    */
+  val UniMaxBudget = 20000L
+  val UniMaxEpochs = 2
+
   /** DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169):
     * hashed-bigram feature space size, selection depth, and the
     * deterministic judged-query target-domain rule (doc_id ≡ sel mod

@@ -151,6 +151,55 @@ object Sampling {
       .select("id", "score", "n_tokens", "cum_tokens", "selected")
   }
 
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): allocate a total token budget across languages by
+    * WATER-FILLING — languages in (size asc, name asc) order each get
+    * `min(maxEpochs · N_l, remaining / languages_left)` — so small
+    * languages are uniformly boosted but never repeated past the epoch
+    * cap. The per-language quota materializes as `full_epochs`
+    * complete passes plus a deterministic partial-epoch prefix
+    * (portable-hash order, token-cumsum ≤ the fractional remainder).
+    *
+    * Scale shape: the water-fill runs on the K-row language table
+    * (driver math on a bounded frame, same stance as the k-means
+    * centroids); the per-doc side is one broadcast join + a
+    * language-partitioned window cumsum — no global window, one
+    * shuffle. Every division is IEEE on engine-identical operands, so
+    * the DuckDB oracle replays the allocation with a recursive CTE.
+    */
+  def mixUniMax(df: DataFrame, domainCol: String, idCol: String,
+      tokensCol: Column, budget: Long, maxEpochs: Int,
+      seed: String): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1)
+    val base = df.select(col(domainCol).as("lang"), col(idCol).as("id"),
+      tokensCol.cast("long").as("n_tokens"))
+    // K-row language table -> driver water-fill (bounded)
+    val langs = base.groupBy("lang").agg(sum("n_tokens").as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (l, n) => (n, l) }
+    val k = langs.length
+    var rem = budget.toDouble
+    val quotas = langs.zipWithIndex.map { case ((l, nl), i) =>
+      val q = math.min((maxEpochs.toLong * nl).toDouble, rem / (k - i))
+      rem -= q
+      val full = math.floor(q / nl)
+      (l, q, full, q - full * nl)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.map { case (l, q, f, p) => (l, q, f.toInt, p) }
+      .toDF("lang", "quota", "full_epochs", "partial_quota")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy(orderKey("id", seed), col("id"))
+    base
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(quotaDf), "lang")
+      .withColumn("in_partial", col("cum_tokens") <= col("partial_quota"))
+      .select(col("id"), col("lang"), col("n_tokens"),
+        col("full_epochs"), col("in_partial"))
+  }
+
   /** Split-leakage audit: near-duplicate pairs (MinHash+LSH, exact
     * jaccard ≥ the dedup threshold) that CROSS the train/eval boundary —
     * each row is an eval doc whose near-twin is trainable, i.e. a

@@ -1505,6 +1505,53 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- UniMax language sampling: the oracle replays the
+    // water-filling allocation with a recursive CTE (same IEEE
+    // divisions in the same order), then the per-language
+    // hash-ordered partial-epoch prefix ----------------------------
+    QueryDef(
+      "q_corpus_unimax",
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, lang, len($W) AS nt FROM documents),
+         |langs AS (
+         |  SELECT lang, sum(nt) AS nl,
+         |    row_number() OVER (ORDER BY sum(nt), lang) AS i,
+         |    count(*) OVER () AS k
+         |  FROM w GROUP BY lang),
+         |wf(i, lang, nl, quota, rem) AS (
+         |  SELECT i, lang, nl,
+         |    least(($UniMaxEpochs * nl)::DOUBLE, ($UniMaxBudget)::DOUBLE / k),
+         |    ($UniMaxBudget)::DOUBLE -
+         |      least(($UniMaxEpochs * nl)::DOUBLE, ($UniMaxBudget)::DOUBLE / k)
+         |  FROM langs WHERE i = 1
+         |  UNION ALL
+         |  SELECT l.i, l.lang, l.nl,
+         |    least(($UniMaxEpochs * l.nl)::DOUBLE, f.rem / (l.k - l.i + 1)),
+         |    f.rem -
+         |      least(($UniMaxEpochs * l.nl)::DOUBLE, f.rem / (l.k - l.i + 1))
+         |  FROM wf f JOIN langs l ON l.i = f.i + 1),
+         |q AS (
+         |  SELECT lang, CAST(floor(quota / nl) AS INT) AS full_epochs,
+         |    quota - floor(quota / nl) * nl AS partial_quota
+         |  FROM wf),
+         |c AS (
+         |  SELECT doc_id, lang, nt,
+         |    sum(nt) OVER (PARTITION BY lang
+         |      ORDER BY ${duckHash("'um7' || doc_id::VARCHAR")}, doc_id)
+         |      AS cum
+         |  FROM w)
+         |SELECT c.doc_id, c.lang, CAST(c.nt AS BIGINT) AS n_tokens,
+         |  q.full_epochs, c.cum <= q.partial_quota AS in_partial
+         |FROM c JOIN q USING (lang) ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+        Sampling.mixUniMax(docs(s, dir), "lang", "doc_id",
+            size(TextOps.words(col("text"))), UniMaxBudget,
+            UniMaxEpochs, "um7")
+          .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+            col("full_epochs"), col("in_partial"))
+          .orderBy("doc_id")
+    },
+
     // ---- curation with the CCNet perplexity gate: the oracle
     // retrains the backoff model, rescores the corpus, takes the
     // head+middle terciles, and replays dedup + sample — the whole

@@ -1072,6 +1072,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)
   }
 
+  test("unimax: water-filling allocation by hand") {
+    import spark.implicits._
+    // lang a: 10 tokens, lang b: 100 tokens; budget 60, epochs 2.
+    // fill order (size asc): a gets min(2·10, 60/2) = 20 (capped, 2
+    // full epochs, no partial); b gets min(200, 40/1) = 40 (0 full
+    // epochs, partial quota 40)
+    val d = Seq(
+      (1L, "a", "w " * 4), (2L, "a", "w " * 6),
+      (3L, "b", "w " * 50), (4L, "b", "w " * 50)
+    ).map { case (id, l, t) => (id, l, t.trim) }.toDF("doc_id", "lang", "text")
+    val out = Sampling.mixUniMax(d, "lang", "doc_id",
+        size(TextOps.words(col("text"))), budget = 60L, maxEpochs = 2,
+        seed = "t")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("full_epochs"), r.getAs[Boolean]("in_partial")))
+      .toMap
+    assert(out(1L)._1 == 2 && out(2L)._1 == 2)
+    assert(!out(1L)._2 && !out(2L)._2) // capped: no partial epoch
+    assert(out(3L)._1 == 0 && out(4L)._1 == 0)
+    // partial quota 40 admits exactly the hash-first of the two 50s
+    assert(Seq(out(3L)._2, out(4L)._2).count(identity) == 0)
+    // (50 > 40: even the first doc exceeds the partial prefix)
+  }
+
   test("dsir: importance weights match an independent computation") {
     import spark.implicits._
     // independent md5 60-bit bucket (different code path from
