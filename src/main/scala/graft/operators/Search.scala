@@ -73,4 +73,31 @@ object Search {
       Window.partitionBy("query_id").orderBy(col("sd").desc, col("id")))
     scored.withColumn("rk", rk.cast("long")).filter(col("rk") <= k)
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttner, SIGIR 2009):
+    * merge per-query rankings from heterogeneous retrieval legs
+    * (lexical BM25, vector ANN, …) by summing 1/(k0 + rank) per leg —
+    * the standard hybrid-search combiner, score-scale-free by
+    * construction. Each leg frame is (query_id, id, rank); output is
+    * the per-query top-`topK` by (rrf desc, id) with the exact-decimal
+    * fused score and the number of contributing legs.
+    *
+    * Scale shape: the legs are already per-query top-k (bounded), so
+    * the union + one (query_id, id) aggregation + one query-partitioned
+    * window all run on candidate-sized data, never the corpus.
+    */
+  def rrfFuse(legs: Seq[DataFrame], topK: Int,
+      k0: Double = 60.0): DataFrame = {
+    require(legs.nonEmpty)
+    val contribs = legs.map(_.select(col("query_id"), col("id"),
+      (lit(1.0) / (lit(k0) + col("rank")))
+        .cast("decimal(28,12)").as("c")))
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy("query_id", "id")
+      .agg(sum("c").as("rrf"), count(lit(1)).cast("int").as("legs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("hybrid_rank", row_number().over(w).cast("long"))
+      .filter(col("hybrid_rank") <= topK)
+  }
 }

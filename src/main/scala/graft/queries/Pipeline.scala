@@ -1895,5 +1895,90 @@ object Pipeline {
         .select(col("query_id"), col("id").as("doc_id"), col("rk"),
           round(col("sd").cast("double"), 6).as("score"))
         .orderBy("query_id", "doc_id")
+    },
+
+    // ---- hybrid retrieval: BM25 + exact-cosine legs fused with
+    // Reciprocal Rank Fusion (Cormack et al. 2009) — the oracle
+    // replays BOTH legs from scratch and the 1/(60+rank) decimal
+    // fusion; queries are ids 0..NumQueryVectors-1 so the lexical and
+    // vector sides share a query set -------------------------------
+    QueryDef(
+      "q_search_hybrid",
+      s"""WITH w AS (
+         |  SELECT doc_id, $W AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         |corpus AS (
+         |  SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+         |q AS (
+         |  SELECT doc_id AS query_id, list_distinct(ws[1:$Bm25QueryLen]) AS qws
+         |  FROM w WHERE doc_id < $NumQueryVectors),
+         |qt AS (SELECT query_id, unnest(qws) AS w FROM q),
+         |contrib AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
+         |            / (dfreq.df + (0.5)::DOUBLE))
+         |      * ((tf.tf * (${Bm25K1 + 1})::DOUBLE)
+         |         / (tf.tf + ($Bm25K1)::DOUBLE * ((${1.0 - Bm25B})::DOUBLE
+         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl)))
+         |      AS DECIMAL(28,12)) AS c
+         |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN corpus),
+         |lex AS (
+         |  SELECT query_id, doc_id AS id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, doc_id) AS rank
+         |  FROM (SELECT query_id, doc_id, sum(c) AS c FROM contrib
+         |        GROUP BY query_id, doc_id) s),
+         |vec AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${duckCos("q.embedding", "c.embedding")}, 6)
+         |        DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < $NumQueryVectors),
+         |leg_c AS (
+         |  SELECT query_id, id,
+         |    CAST((1.0)::DOUBLE / ((60.0)::DOUBLE + rank)
+         |      AS DECIMAL(28,12)) AS c
+         |  FROM lex WHERE rank <= $Bm25TopK
+         |  UNION ALL
+         |  SELECT query_id, id,
+         |    CAST((1.0)::DOUBLE / ((60.0)::DOUBLE + rank)
+         |      AS DECIMAL(28,12)) AS c
+         |  FROM vec WHERE rank <= $TopK),
+         |fused AS (
+         |  SELECT query_id, id, sum(c) AS rrf,
+         |    CAST(count(*) AS INT) AS legs
+         |  FROM leg_c GROUP BY query_id, id),
+         |fin AS (
+         |  SELECT query_id, id, rrf, legs,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, id) AS hybrid_rank
+         |  FROM fused)
+         |SELECT query_id, id, CAST(rrf AS DECIMAL(38,12)) AS rrf, legs,
+         |  CAST(hybrid_rank AS BIGINT) AS hybrid_rank
+         |FROM fin WHERE hybrid_rank <= $Bm25TopK
+         |ORDER BY query_id, id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val q20 = d.filter(col("doc_id") < NumQueryVectors)
+        .select(col("doc_id").as("query_id"),
+          expr(s"array_join(slice(split(lower(text), ' '), 1, $Bm25QueryLen), ' ')")
+            .as("qtext"))
+      val lex = Search.bm25TopK(d, "doc_id", "text", q20,
+          "query_id", "qtext")
+        .select(col("query_id"), col("id"), col("rk").as("rank"))
+      val e = embs(s, dir)
+      val vec = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      Search.rrfFuse(Seq(lex, vec), topK = Bm25TopK)
+        .select(col("query_id"), col("id"),
+          col("rrf").cast("decimal(38,12)").as("rrf"), col("legs"),
+          col("hybrid_rank"))
+        .orderBy("query_id", "id")
     })
 }
