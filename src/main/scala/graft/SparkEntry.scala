@@ -25,7 +25,8 @@ object SparkEntry {
       _root_.graft.queries.ClickBench.defs ++
       _root_.graft.queries.TypeMatrix.defs ++
       _root_.graft.queries.Fuzz.defs ++
-      _root_.graft.queries.Spatial.defs
+      _root_.graft.queries.Spatial.defs ++
+      _root_.graft.queries.Temporal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-aligned joins and series repair — the temporal operators a
+  * feature/training pipeline needs that neither Spark nor the reference
+  * expose as primitives (the reference's users hand-roll them as
+  * correlated subqueries; pg_lake ships no ASOF/range join —
+  * pg_lake_table/src/planner/query_pushdown.c pushes only the standard
+  * join shapes). Each operator here is a declarative composition that
+  * Catalyst plans with ONE key-hash shuffle — no nested-loop, no
+  * per-key driver work — so the plan survives a 1000-executor corpus.
+  */
+object Temporal {
+
+  /** unix_micros over either timestamp flavor (the fixture tables carry
+    * TIMESTAMP_NTZ; sessions here run UTC so the NTZ->LTZ cast is the
+    * identity on the underlying micros).
+    */
+  private[operators] def micros(c: Column): Column =
+    unix_micros(c.cast("timestamp"))
+
+  /** As-of join: for every left row, the single most recent right row
+    * with the same key and `rightTime <= leftTime` (or the earliest
+    * with `rightTime >= leftTime` when `forward`), optionally within
+    * `toleranceUs` microseconds.
+    *
+    * Shape: tag both sides, union, ONE window over (keys, time) —
+    * exactly one hash-partition exchange plus a partition-local sort,
+    * the same cost as one sort-merge join, with no per-key driver
+    * loop and no time-range blowup (PlanQualitySpec locks the shape).
+    * Ties on the right side resolve deterministically by
+    * `rightTieBreak` (the LAST row in ascending tie-break order wins,
+    * matching `ORDER BY ts DESC, tiebreak DESC LIMIT 1`).
+    *
+    * `rightPayload` columns are carried onto the matched left rows and
+    * must not collide with left column names; the matched right
+    * timestamp lands in `matchedTimeCol`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightPayload: Seq[String],
+      matchedTimeCol: String,
+      toleranceUs: Option[Long] = None,
+      forward: Boolean = false,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val leftRest =
+      left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTime)
+    val overlap = rightPayload.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"right payload collides with left: $overlap")
+    require(rightTieBreak.forall(rightPayload.contains),
+      "tie-break columns must be in rightPayload")
+
+    // union schema: keys ++ __t ++ __side ++ __rt ++ payload ++ leftRest
+    val rSide = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          col(rightTime).as("__rt")) ++
+        rightPayload.map(col) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(right.schema(rightTime).dataType).as("__rt")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftRest.map(col): _*)
+
+    // At equal timestamps right rows sort before left rows in match
+    // direction, so an exactly-simultaneous right row IS a match
+    // (<= / >= semantics) in both directions.
+    val ord: Seq[Column] =
+      if (forward)
+        (col("__t").desc +: col("__side").asc_nulls_first +:
+          rightTieBreak.map(col(_).desc))
+      else
+        (col("__t").asc +: col("__side").asc_nulls_first +:
+          rightTieBreak.map(col(_).asc))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedCols = ("__rt" +: rightPayload).map(c =>
+      last(col(c), ignoreNulls = true).over(w).as(s"__m_$c"))
+    val matched = rSide.unionByName(lSide)
+      .select(col("*") +: matchedCols: _*)
+      .filter(col("__side") === 1)
+
+    // tolerance: null out the whole match when the gap exceeds it
+    val inTol: Column = toleranceUs match {
+      case None => col("__m___rt").isNotNull
+      case Some(t) if forward =>
+        micros(col("__m___rt")) - micros(col("__t")) <= t
+      case Some(t) =>
+        micros(col("__t")) - micros(col("__m___rt")) <= t
+    }
+    val out = matched.select(
+      keys.map(col) ++
+        Seq(col("__t").as(leftTime)) ++
+        leftRest.map(col) ++
+        Seq(when(inTol, col("__m___rt")).as(matchedTimeCol)) ++
+        rightPayload.map(c => when(inTol, col(s"__m_$c")).as(c)): _*)
+    out
+  }
+
+  /** Value-in-interval join without a nested loop: each right interval
+    * `[loCol, hiCol)` is exploded onto the fixed-width bins it covers
+    * and each left row lands on the single bin holding `valueCol`, so
+    * the pair meets on an EQUI key (exactly once — the left row's bin
+    * is unique) and the exact predicate re-filters. Catalyst picks
+    * broadcast-hash for a small interval side and sort-merge on the
+    * bin key for a large one; either way there is no
+    * BroadcastNestedLoopJoin (PlanQualitySpec forbids it).
+    *
+    * Pick `binWidth` near the typical interval width: replication is
+    * `ceil(width/binWidth)+1` bins per interval.
+    */
+  def rangeJoin(
+      left: DataFrame, valueCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    val keyed = left.withColumn("__bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    keyed.join(binned,
+        keyed("__bin") === binned("__bin") &&
+          col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Regular-grid gap filling with last-observation-carried-forward and
+    * linear interpolation. Input is one row per (keys, tsCol) on an
+    * already-aligned grid (e.g. daily buckets); output is the DENSE
+    * per-key grid from each key's first to last observation, stepping
+    * by `stepExpr` (a SQL interval), with:
+    *
+    *   - `observed`  — whether the grid point had a row,
+    *   - `<valueCol>_locf` — last non-null value at or before the point,
+    *   - `<valueCol>_interp` — linear interpolation between the
+    *     surrounding observations (the observed value itself on hits;
+    *     null when an endpoint is missing, which on this grid only
+    *     happens outside [first, last] and therefore never).
+    *
+    * Interpolation is plain IEEE double arithmetic over exact integer
+    * microsecond gaps — the identical expression tree in any engine
+    * reproduces it bit-for-bit (+,-,*,/ are exactly rounded; no libm).
+    * Cost: one grouped agg for the bounds, a distributed explode for
+    * the grid, one equi join back, one window — all on the key hash.
+    */
+  def gapFill(
+      df: DataFrame, keys: Seq[String], tsCol: String, valueCol: String,
+      stepExpr: String = "interval 1 day"): DataFrame = {
+    require(keys.nonEmpty, "gapFill needs at least one key column")
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
+    val grid = bounds.select(
+      keys.map(col) :+
+        explode(sequence(col("__lo"), col("__hi"), expr(stepExpr)))
+          .as(tsCol): _*)
+    val joined = grid.join(df, keys :+ tsCol, "left")
+
+    val upTo = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsTs = when(v.isNotNull, col(tsCol))
+    val prevV = last(v, ignoreNulls = true).over(upTo)
+    val prevT = last(obsTs, ignoreNulls = true).over(upTo)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextT = first(obsTs, ignoreNulls = true).over(after)
+    val frac = (micros(col(tsCol)) - micros(prevT)).cast("double") /
+      (micros(nextT) - micros(prevT)).cast("double")
+    joined.select(
+      keys.map(col) ++ Seq(
+        col(tsCol),
+        v.isNotNull.as("observed"),
+        prevV.as(s"${valueCol}_locf"),
+        when(v.isNotNull, v)
+          .when(prevV.isNotNull && nextV.isNotNull,
+            prevV + (nextV - prevV) * frac)
+          .as(s"${valueCol}_interp")): _*)
+  }
+}

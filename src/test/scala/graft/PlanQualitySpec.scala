@@ -290,4 +290,44 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"auto LSH has a nested-loop join:\n$p")
   }
+
+  test("asof join is one window over one key exchange, no join node") {
+    // the union+window formulation must not plan a join at all, and the
+    // only data movement is the hash partition on the key
+    val ev = Tables.df(spark, sf, "events")
+    val l = ev.filter(org.apache.spark.sql.functions.col("event_type") ===
+      "purchase").select("event_id", "user_id", "ts")
+    val r = ev.filter(org.apache.spark.sql.functions.col("event_type") ===
+      "view").select(org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("event_id").as("vid"))
+    val df = graft.operators.Temporal.asofJoin(l, r, Seq("user_id"),
+      "ts", "ts", Seq("vid"), "vts", rightTieBreak = Seq("vid"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asof join planned a join node:\n$p")
+    // AQE materializes the one logical key shuffle as an exchange per
+    // union leg (each row still moves exactly once); >2 would mean a
+    // second repartitioning crept in after the window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"asof join has $exchanges key exchanges:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("range and spatial grid joins are equi joins, never nested-loop") {
+    for (q <- Seq("q_join_range_bin", "q_spatial_grid_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has nested-loop join:\n$p")
+    }
+  }
+
+  test("gapfill grid explode stays distributed, window is key-partitioned") {
+    val p = plan("q_ts_gapfill")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition()"),
+      s"gapfill runs a global window:\n$p")
+  }
 }
