@@ -110,4 +110,64 @@ class ScaleProbeSpec extends AnyFunSuite {
       .write.format("noop").mode("overwrite").save()
     println(f"PROBE dsir-select t=${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
+
+  test("time temporal + spatial-join operators sf0.1 vs sf1",
+      org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import org.apache.spark.sql.functions._
+    graft.functions.PgFunctions.register(spark)
+    // first sf0.1 pass is discarded warmup (codegen + JIT dominate the
+    // sub-second sf0.1 timings otherwise)
+    for (dir <- Seq("/root/testdata/sf0.1", "/root/testdata/sf0.1",
+        sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1"))) {
+      val ev = Tables.df(spark, dir, "events")
+      val n = ev.count()
+      def time(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        println(f"PROBE $label n=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("asof-join") {
+        val l = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val r = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("vid"))
+        Temporal.asofJoin(l, r, Seq("user_id"), "ts", "ts", Seq("vid"),
+          "vts", toleranceUs = Some(7L * 86400000000L),
+          rightTieBreak = Seq("vid"))
+      }
+      time("range-join") {
+        val bands = spark.range(0, 2100).select(col("id").as("band_id"),
+          (col("id") * lit(50.0)).as("lo"),
+          (col("id") * lit(50.0) + lit(200.0)).as("hi"))
+        Temporal.rangeJoin(Tables.df(spark, dir, "lineitem"),
+            "l_extendedprice", bands, "lo", "hi", 200.0)
+          .groupBy("band_id").agg(count(lit(1)).as("n"))
+      }
+      time("spatial-grid-join") {
+        // constant point density, box count scaling with the corpus:
+        // output pairs grow linearly with n
+        val pts = ev.select(col("event_id").as("pid"),
+          expr("st_point(CAST((event_id * 3) % 1000 AS DOUBLE), " +
+            "CAST((user_id * 7) % 1000 AS DOUBLE))").as("pgeom"))
+        val boxes = ev.filter(col("event_id") % 50 === 0)
+          .select(col("event_id").as("bid"),
+            expr("st_makeenvelope(" +
+              "CAST((event_id * 13) % 990 AS DOUBLE), " +
+              "CAST((event_id * 29) % 990 AS DOUBLE), " +
+              "CAST((event_id * 13) % 990 + (event_id % 5) + 2 AS DOUBLE), " +
+              "CAST((event_id * 29) % 990 + (event_id % 7) + 2 AS DOUBLE))")
+              .as("bgeom"))
+        SpatialJoin.intersectsJoin(pts, "pgeom", boxes, "bgeom", 8.0)
+          .groupBy("bid").agg(count(lit(1)).as("n_pts"))
+      }
+      time("gapfill") {
+        val daily = ev.groupBy(col("user_id"),
+            date_trunc("DAY", col("ts")).as("d"))
+          .agg(sum(col("value").cast("decimal(18,2)"))
+            .cast("double").as("v"))
+        Temporal.gapFill(daily, Seq("user_id"), "d", "v")
+      }
+    }
+  }
 }
