@@ -19,6 +19,30 @@ object Sampling {
   def shuffled(df: DataFrame, idCol: String, seed: String): DataFrame =
     df.orderBy(orderKey(idCol, seed), col(idCol))
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+    * IPL 97(5) 2006, algorithm A-ES): row i draws u_i ~ U(0,1] from
+    * the portable 60-bit hash of (seed, id) and the k largest keys
+    * u_i^(1/w_i) form the sample — inclusion probability proportional
+    * to weight, no replacement, one pass.
+    *
+    * Ordering by ln(u)/w is monotone-equivalent to u^(1/w); the
+    * per-row scalar is quantized to DECIMAL(28,6) (libm ln drifts a
+    * ulp between engines; 1e-6 steps sit ~1e10 ulps from any rounding
+    * boundary) so the selection is deterministic AND engine-exact,
+    * ties broken by id. Selection is a TakeOrdered top-k — per
+    * partition O(k), no global sort shuffle, no driver data beyond the
+    * k winners. Weights must be strictly positive.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
+      k: Int, seed: String): DataFrame = {
+    // u in (0, 1]: (h+1) / 2^60 with h the 60-bit non-negative hash
+    val u = (orderKey(idCol, seed) + 1).cast("double") /
+      lit(1.152921504606846976e18)
+    df.withColumn("es_key", (log(u) / weight).cast("decimal(28,6)"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** k rows per stratum, chosen by hash order — balanced, reproducible
     * (one window shuffle on the stratum key).
     */

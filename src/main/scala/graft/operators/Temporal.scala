@@ -137,6 +137,41 @@ object Temporal {
       .drop("__bin")
   }
 
+  /** Interval-overlap join without a nested loop — the 1-D analogue of
+    * [[graft.operators.SpatialJoin.intersectsJoin]]: both sides explode
+    * onto the fixed-width bins their `[lo, hi)` interval covers,
+    * candidates meet on the bin (plus any `keys` equi pairs), the exact
+    * half-open overlap predicate `l.lo < r.hi && r.lo < l.hi`
+    * re-filters, and the reference-bin rule (the bin holding the
+    * overlap's left edge, `max(l.lo, r.lo)`) emits each pair exactly
+    * once with no DISTINCT shuffle.
+    */
+  def intervalJoin(
+      left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      binWidth: Double,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty, s"column names collide across sides: $shared")
+    def binned(df: DataFrame, lo: String, hi: String, b: String) =
+      df.withColumn(b, explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    val l = binned(left, leftLo, leftHi, "__lbin")
+    val r = binned(right, rightLo, rightHi, "__rbin")
+    val overlap =
+      col(leftLo) < col(rightHi) && col(rightLo) < col(leftHi)
+    val refBin =
+      floor(greatest(col(leftLo), col(rightLo)) / binWidth)
+        .cast("long") === col("__lbin")
+    val keyCond = keys.map { case (a, b) => col(a) === col(b) }
+      .foldLeft(lit(true))(_ && _)
+    l.join(r, col("__lbin") === col("__rbin") && keyCond &&
+        overlap && refBin)
+      .drop("__lbin", "__rbin")
+  }
+
   /** Regular-grid gap filling with last-observation-carried-forward and
     * linear interpolation. Input is one row per (keys, tsCol) on an
     * already-aligned grid (e.g. daily buckets); output is the DENSE

@@ -642,6 +642,31 @@ object Pipeline {
         .orderBy("lang", "doc_id")
     },
 
+    // ---- weighted sampling without replacement (Efraimidis–Spirakis):
+    // token-count weights, portable-hash uniforms, ln(u)/w key
+    // quantized to DECIMAL(28,6) so both engines select the identical
+    // 100 winners — the oracle recomputes every key from scratch ------
+    QueryDef(
+      "q_corpus_sample_weighted",
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(ln((${duckHash("'sw1' || doc_id::VARCHAR")} + 1)
+         |          / 1152921504606846976.0)
+         |      / (len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]|[^a-z0-9 ]')) + 1)
+         |      AS DECIMAL(28,6)) AS es_key
+         |  FROM documents),
+         |s AS (SELECT doc_id, es_key FROM m
+         |      ORDER BY es_key DESC, doc_id LIMIT 100)
+         |SELECT doc_id, CAST(es_key AS DOUBLE) AS es_key
+         |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Sampling.sampleWeighted(docs(s, dir), "doc_id",
+          (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
+          k = 100, seed = "sw1")
+        .select(col("doc_id"), col("es_key").cast("double").as("es_key"))
+        .orderBy("doc_id")
+    },
+
     // ---- token-budget selection: greedy prefix of the quality
     // ordering (stop-ratio score, ids break ties) until the global
     // token budget fills — the oracle recomputes the serial cumsum the

@@ -80,6 +80,32 @@ object Temporal {
         .orderBy("band_id")
     },
 
+    // ---- interval-overlap join: same-customer order windows ----
+    QueryDef(
+      "q_join_interval",
+      """SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+        |  a.o_custkey AS custkey
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        | AND a.o_orderdate < b.o_orderdate + INTERVAL 10 DAY
+        | AND b.o_orderdate < a.o_orderdate + INTERVAL 10 DAY
+        |ORDER BY k1, k2""".stripMargin) { (s, dir) =>
+      val o = Tables.df(s, dir, "orders")
+      def days = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("double")
+      val a = o.select(col("o_orderkey").as("k1"),
+        col("o_custkey").as("c1"), days.as("lo1"),
+        (days + 10.0).as("hi1"))
+      val b = o.select(col("o_orderkey").as("k2"),
+        col("o_custkey").as("c2"), days.as("lo2"),
+        (days + 10.0).as("hi2"))
+      Top.intervalJoin(a, "lo1", "hi1", b, "lo2", "hi2",
+          binWidth = 10.0, keys = Seq(("c1", "c2")))
+        .filter(col("k1") < col("k2"))
+        .select(col("k1"), col("k2"), col("c1").as("custkey"))
+        .orderBy("k1", "k2")
+    },
+
     // ---- gap fill: dense daily per-user series, locf + linear ----
     QueryDef(
       "q_ts_gapfill",

@@ -1184,4 +1184,43 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("nt") =!= col("ppl_bucket")).count()
     assert(mismatches == 0L)
   }
+
+  test("weighted sampling matches an independent plain-Scala replay") {
+    val d = Tables.df(spark, sf, "documents")
+    val got = Sampling.sampleWeighted(d, "doc_id",
+        (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
+        k = 50, seed = "swx")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+
+    // independent replay: jdk md5, BigDecimal quantization
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val rows = d.select(col("doc_id"),
+        (TextOps.tokenCount(col("text")) + lit(1)).cast("double").as("w"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = rows.map { case (id, w) =>
+      val u = (h60("swx" + id) + 1).toDouble / 1.152921504606846976e18
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (id, key)
+    }.sortBy { case (id, key) => (key.unary_-, id) }.take(50).map(_._1).toSeq
+    assert(got.sorted == want.sorted)
+  }
+
+  test("weighted sampling favors heavy weights") {
+    import spark.implicits._
+    // 200 rows: ids 0..99 weight 1, ids 100..199 weight 50 — the heavy
+    // half must dominate a k=40 sample for any seed
+    val df = (0L until 200L).map(i => (i, if (i < 100) 1.0 else 50.0))
+      .toDF("id", "w")
+    val sel = Sampling.sampleWeighted(df, "id", col("w"), 40, "s1")
+      .select("id").collect().map(_.getLong(0))
+    assert(sel.length == 40)
+    assert(sel.count(_ >= 100) >= 30,
+      s"heavy-weight rows under-sampled: ${sel.count(_ >= 100)}/40")
+  }
 }

@@ -316,7 +316,8 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("range and spatial grid joins are equi joins, never nested-loop") {
-    for (q <- Seq("q_join_range_bin", "q_spatial_grid_join")) {
+    for (q <- Seq("q_join_range_bin", "q_spatial_grid_join",
+        "q_join_interval")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has cartesian:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),

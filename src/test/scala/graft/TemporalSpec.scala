@@ -110,6 +110,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.size == got.distinct.size, "pair emitted more than once")
   }
 
+  test("intervalJoin equals the cross-filter formulation, pairs unique") {
+    val a = Seq((1L, 10L, 0.0, 10.0), (2L, 10L, 5.0, 15.0),
+      (3L, 20L, 0.0, 100.0), (4L, 10L, 10.0, 20.0),  // touches 1: no overlap
+      (5L, 10L, -35.0, -5.0)).toDF("aid", "ak", "alo", "ahi")
+    val b = Seq((100L, 10L, 9.0, 11.0), (101L, 10L, -20.0, 1.0),
+      (102L, 20L, 50.0, 60.0), (103L, 30L, 0.0, 100.0))
+      .toDF("bid", "bk", "blo", "bhi")
+    val got = Temporal.intervalJoin(a, "alo", "ahi", b, "blo", "bhi",
+        binWidth = 7.0, keys = Seq(("ak", "bk")))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = a.crossJoin(b)
+      .filter(col("ak") === col("bk") &&
+        col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got.size == got.distinct.size, "duplicate pairs emitted")
+    assert(got.sorted == want)
+  }
+
   test("gapFill: locf and linear interpolation hand case") {
     val df = Seq(
       ("a", ts("2024-01-01 00:00:00"), 10.0),
