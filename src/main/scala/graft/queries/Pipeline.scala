@@ -1047,6 +1047,36 @@ object Pipeline {
         .orderBy("doc_id", "pos")
     },
 
+    // ---- WordPiece tokenizer roundtrip: train the likelihood-scored
+    // merge vocabulary in-engine, greedy-longest-match encode every
+    // word instance, strip the ## continuation markers and reassemble
+    // — the corpus-wide structural pin (training is proven
+    // vocab-for-vocab against a sequential reference in PipelineSpec;
+    // the alphabet covers every corpus char, so no word ever
+    // collapses to [UNK] here) -----------------------------------------
+    QueryDef(
+      "q_wordpiece_roundtrip",
+      """SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.w AS w_rt
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ws)),
+        |    i -> {'pos': i, 'w': ws[i+1]})) AS u
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |        FROM documents) t) s
+        |WHERE length(u.w) > 0
+        |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      val vocab = WordPiece.train(docs(s, dir), "text", BpeMerges)
+      docs(s, dir)
+        .withColumn("ws", TextOps.words(col("text")))
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("toks", WordPiece.encodeWord(col("w"), vocab))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("""array_join(transform(toks, (p, i) ->
+            |  CASE WHEN i = 0 THEN p ELSE substring(p, 3) END), '')"""
+            .stripMargin).as("w_rt"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- unigram-LM tokenizer (SentencePiece) roundtrip: train the
     // EM-pruned unigram model in-engine, Viterbi-encode every word
     // instance, reassemble — same corpus-wide structural pin as the

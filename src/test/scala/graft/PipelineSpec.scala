@@ -1185,6 +1185,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  private def refWordPieceTrain(corpus: Seq[String], k: Int): Seq[String] = {
+    val freq = corpus.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def symize(w: String): Vector[String] =
+      w.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c.toString else "##" + c }.toVector
+    var vocab: Map[Vector[String], Long] =
+      freq.map { case (w, f) => symize(w) -> f }
+    val alphabet = vocab.keys.flatten.toSet.toSeq.sorted
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (merges.size < k && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+      for ((syms, f) <- vocab) {
+        for (s <- syms) uc(s) = uc.getOrElse(s, 0L) + f
+        for (i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) =
+            pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      }
+      val best = pc.toSeq.sortBy { case ((a, b), c) =>
+        (-(c.toDouble / (uc(a).toDouble * uc(b).toDouble)), a, b)
+      }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          val m = a + b.stripPrefix("##")
+          merges += m
+          vocab = vocab.map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+                out += m; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            out.toVector -> f
+          }
+        case _ => done = true
+      }
+    }
+    alphabet ++ merges.toSeq
+  }
+
+  test("wordpiece: distributed trainer matches the sequential reference") {
+    import spark.implicits._
+    val corpus = Seq(
+      "hugging hugging hugging face face",
+      "hug hugs hugged face faces",
+      "unhug unhugged hugging face")
+    val expected = refWordPieceTrain(corpus, 10)
+    assert(expected.count(_.length > 2) > 2, "fixture trains no merges")
+    val got = WordPiece.train(corpus.toDF("text"), "text", 10)
+    assert(got == expected, s"vocab diverges:\n got=$got\n ref=$expected")
+  }
+
+  test("wordpiece: greedy encode roundtrips, unseen chars go [UNK]") {
+    import spark.implicits._
+    val corpus = Seq(
+      "hugging hugging hugging face face",
+      "hug hugs hugged face faces")
+    val vocab = WordPiece.train(corpus.toDF("text"), "text", 8)
+    val words = Seq("hugging", "face", "hugs", "hug", "faced",
+      "gag", "qzx", "")
+    val rows = words.toDF("w")
+      .select(col("w"), WordPiece.encodeWord(col("w"), vocab).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (w <- Seq("hugging", "face", "hugs", "hug", "faced")) {
+      val pieces = rows(w)
+      assert(pieces.head + pieces.tail.map(_.stripPrefix("##")).mkString("")
+        == w, s"roundtrip broke for '$w': $pieces")
+      assert(pieces.tail.forall(_.startsWith("##")),
+        s"continuation marker missing in $pieces")
+    }
+    assert(rows("qzx") == Seq("[UNK]"), s"got ${rows("qzx")}")
+    // 'g' is never word-initial in the corpus, so no initial piece
+    // matches and the WHOLE word collapses to [UNK] (HF semantics)
+    assert(rows("gag") == Seq("[UNK]"), s"got ${rows("gag")}")
+    assert(rows("") == Seq())
+    // compression happened on a trained word
+    assert(rows("hugging").length < "hugging".length)
+  }
+
   test("weighted sampling matches an independent plain-Scala replay") {
     val d = Tables.df(spark, sf, "documents")
     val got = Sampling.sampleWeighted(d, "doc_id",
