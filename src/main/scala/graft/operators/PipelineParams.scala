@@ -59,6 +59,19 @@ object PipelineParams {
   val IvfCentroids = 16
   val IvfNProbe = 4
 
+  /** Product quantization (IVF-PQ): `PqM` subspaces of
+    * EmbeddingDim/PqM dims, `PqK` codebook entries per subspace taken
+    * by the deterministic stride rule (same trick as the IVF
+    * centroids, so the oracle rebuilds the identical codebooks).
+    * 2-dim subspaces with 64 entries measure 0.44 recall@5 on the
+    * fixture vs the 0.51 ceiling of the IVF probing itself (synthetic
+    * near-uniform vectors are the hard case for PQ); 32 byte codes vs
+    * 256 raw bytes per vector = 8x shuffle compression.
+    */
+  val PqM = 32
+  val PqK = 64
+  val PqStride = 7
+
   /** Cosine-LSH: hyperplane signatures, `LshBands` bands of `LshRowsPerBand`
     * bits each; deterministic planes from a fixed seed.
     */

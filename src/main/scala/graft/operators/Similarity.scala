@@ -257,6 +257,80 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-PQ approximate top-k (Jégou, Douze & Schmid, TPAMI 2011 — the
+    * FAISS `IVFPQ` shape): coarse inverted lists exactly as in
+    * [[ivfTopK]], but the list entries carry only `m` PQ code bytes
+    * instead of the vector — at 100 TB the candidate join moves
+    * codes, not embeddings — and the re-rank is the asymmetric
+    * distance (ADC) of the query vector to each candidate's codes.
+    *
+    * Codebooks use the deterministic stride rule (like the IVF
+    * centroids) so the differential oracle rebuilds the identical
+    * index; k-means codebooks drop into the same plan by swapping the
+    * codebook rows. The driver holds m·pqK·(dim/m) doubles —
+    * corpus-size independent.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = TopK, stride: Int = IvfCentroidStride,
+      numCentroids: Int = IvfCentroids, nprobe: Int = IvfNProbe,
+      m: Int = PqM, pqK: Int = PqK, pqStride: Int = PqStride): DataFrame = {
+    val cbRows = corpus
+      .filter(col(idCol) % pqStride === 0 &&
+        col(idCol) < pqStride.toLong * pqK)
+      .select((col(idCol) / pqStride).cast("int").as("c"),
+        col(vecCol).cast("array<double>").as("v"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    require(cbRows.nonEmpty, "no codebook rows under the stride rule")
+    val dim = cbRows.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => cbRows.toSeq.map { case (_, v) =>
+        v.slice(j * subDim, (j + 1) * subDim) })
+
+    val cent = withNorm(
+      corpus.filter(col(idCol) % stride === 0 &&
+          col(idCol) < stride.toLong * numCentroids)
+        .select(col(idCol).as("cid"), col(vecCol).as("cv")), "cv", "cn")
+    def centScored(df: DataFrame, id: String, vec: String, n: String) =
+      withNorm(df.select(col(idCol).as(id), col(vecCol).as(vec)), vec, n)
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos",
+          round(dot(col(vec), col("cv")) / (col(n) * col("cn")), 6))
+
+    // inverted lists carry (cid, codes) — the vector is dropped after
+    // encoding, which is the memory/shuffle win PQ exists for
+    val assigned = centScored(corpus, "neighbor_id", "nv", "nn")
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc")))
+          .as("cid"),
+        any_value(col("nv")).as("nv"))
+      .withColumn("codes", GraftBridge.column(graft.functions.PqEncode(
+        GraftBridge.expression(col("nv")), codebooks)))
+      .drop("nv")
+
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("ccos").desc, col("cid"))
+    val probes = centScored(queries, "query_id", "qv", "qn")
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+
+    val candidates = probes.join(assigned,
+        probes("cid") === assigned("cid") &&
+          col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", GraftBridge.column(graft.functions.PqAdc(
+        GraftBridge.expression(col("qv")),
+        GraftBridge.expression(col("codes")), codebooks)))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist").asc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
     * cluster embeddings around a small centroid set, then mark a
     * document as a semantic duplicate if its cosine to a LOWER-id

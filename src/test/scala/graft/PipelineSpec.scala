@@ -1185,6 +1185,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("ivf-pq: codes match an independent replay, recall above floor") {
+    import graft.operators.PipelineParams._
+    val e = Tables.df(spark, sf, "embeddings")
+    // independent plain-Scala codebook + argmin-code replay
+    val rows = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cbIds = rows.keys
+      .filter(id => id % PqStride == 0 && id < PqStride.toLong * PqK)
+      .toSeq.sorted
+    val dim = rows.head._2.length
+    val sub = dim / PqM
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+    def refCode(v: Array[Double], j: Int): Int = {
+      var bc = 0; var bd: java.math.BigDecimal = null
+      for ((cid, c) <- cbIds.zipWithIndex) {
+        val cb = rows(cid)
+        var acc = 0.0; var i = 0
+        while (i < sub) {
+          val d = v(j * sub + i) - cb(j * sub + i); acc += d * d; i += 1
+        }
+        val rd = r6(acc)
+        if (bd == null || rd.compareTo(bd) < 0) { bd = rd; bc = c }
+      }
+      bc
+    }
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqM).map(j =>
+      cbIds.map(id => rows(id).slice(j * sub, (j + 1) * sub).toSeq))
+    val got = e.select(col("vec_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.PqEncode(org.apache.spark.sql.GraftBridge
+            .expression(col("embedding")), codebooks)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, v) <- rows) {
+      val want = (0 until PqM).map(refCode(v, _))
+      assert(got(id) == want, s"codes diverge for vec $id")
+    }
+
+    // recall of the quantized path against the exact top-k
+    val q = e.filter(col("vec_id") < NumQueryVectors)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(q, e, "vec_id", "embedding")
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // stride codebooks + nprobe=4/16 lists cap the ceiling at the IVF
+    // path's own 0.51; the quantized path must stay close to it
+    assert(recall >= 0.35, s"IVF-PQ recall $recall below floor")
+  }
+
   private def refWordPieceTrain(corpus: Seq[String], k: Int): Seq[String] = {
     val freq = corpus.flatMap(_.toLowerCase.split(" ").filter(_.nonEmpty))
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
