@@ -335,6 +335,74 @@ object Dedup {
     * zero-information matches by construction) are not reported.
     * Documents whose every shingle is capped away drop out entirely.
     */
+  /** Edit-distance similarity self-join (Ed-Join — Xiao, Wang & Lin,
+    * VLDB 2008): every unordered string pair within levenshtein
+    * distance `maxDist`, without the n² cross product.
+    *
+    * Grams are sentinel-padded q-grams (q−1 U+0001 chars at each
+    * end — padding buys every string q−1 extra grams, shrinking the
+    * gram-poor class; a literal U+0001 in data can only produce an
+    * extra candidate the verify step drops, never a false negative). One edit touches at most `q` grams, so strings within
+    * distance d differ by at most q·d grams each way — under the
+    * rarest-first global gram order, the q·d+1-gram prefixes of two
+    * close strings must intersect *provided both carry more than q·d
+    * distinct grams*, so those candidates meet on an EQUI gram key.
+    * Gram-poor strings (≤ q·d distinct grams — short or
+    * single-character-run degenerates; a bounded universe, not a
+    * corpus-sized class) take a broadcast fallback leg against the
+    * ≤ 2·q·d-gram strings (an edit adds ≤ q grams, so a close partner
+    * of a gram-poor string is itself gram-poor-ish). Both legs length-
+    * filter and verify with exact `levenshtein`; the legs partition
+    * the pair space (both-rich vs at-least-one-poor), so no pair is
+    * emitted twice.
+    */
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 0 && q >= 1, "maxDist >= 0, q >= 1")
+    val pad = "\u0001" * (q - 1)
+    val strs = df.select(col(strCol).as("s"))
+      .filter(length(col("s")) > 0).distinct()
+      .withColumn("__p", concat(lit(pad), col("s"), lit(pad)))
+      .withColumn("gs", expr(
+        s"""array_distinct(transform(
+           |  sequence(1, length(s) + ${q - 1}),
+           |  i -> substring(__p, i, $q)))""".stripMargin))
+      .withColumn("gc", size(col("gs")))
+      .drop("__p")
+    val poorMax = q * maxDist
+
+    // rich leg: prefix-filtered equi join on rarest-first grams
+    val rich = strs.filter(col("gc") > poorMax)
+    val toks = rich.select(col("s"), explode(col("gs")).as("g"))
+    val dfreq = toks.groupBy("g").agg(count(lit(1)).as("df"))
+    val k = poorMax + 1
+    val prefix = toks.join(dfreq, "g")
+      .groupBy("s")
+      .agg(collect_list(struct(col("df"), col("g"))).as("ts"))
+      .select(col("s"),
+        explode(expr(s"transform(slice(array_sort(ts), 1, $k), x -> x.g)"))
+          .as("g"))
+    val richCand = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.s") < col("y.s") &&
+          abs(length(col("x.s")) - length(col("y.s"))) <= maxDist)
+      .select(col("x.s").as("s1"), col("y.s").as("s2")).distinct()
+
+    // poor leg: gram-poor strings broadcast against the ≤ 2·q·d-gram
+    // class; least/greatest ordering because the poor side may hold
+    // either endpoint of the pair
+    val poor = strs.filter(col("gc") <= poorMax).select(col("s").as("ps"))
+    val semi = strs.filter(col("gc") <= 2 * poorMax).select(col("s").as("qs"))
+    val poorCand = semi.join(broadcast(poor),
+        col("ps") =!= col("qs") &&
+          abs(length(col("ps")) - length(col("qs"))) <= maxDist)
+      .select(least(col("ps"), col("qs")).as("s1"),
+        greatest(col("ps"), col("qs")).as("s2")).distinct()
+
+    richCand.unionByName(poorCand)
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+  }
+
   def ngramJaccardPairsCapped(df: DataFrame, idCol: String,
       textCol: String, minJaccard: Double, maxDf: Long): DataFrame = {
     val toks0 = shingleSets(df, idCol, textCol)

@@ -54,6 +54,57 @@ object Temporal {
         .orderBy("event_id")
     },
 
+    // ---- forward as-of: next purchase after each signup, 3d window ----
+    QueryDef(
+      "q_join_asof_fwd",
+      """SELECT e.event_id, e.user_id, e.ts, m.p_ts, m.p_event_id,
+        |  epoch_us(m.p_ts) - epoch_us(e.ts) AS wait_us
+        |FROM events e
+        |LEFT JOIN LATERAL (
+        |  SELECT v.ts AS p_ts, v.event_id AS p_event_id
+        |  FROM events v
+        |  WHERE v.user_id = e.user_id AND v.event_type = 'purchase'
+        |    AND v.ts >= e.ts AND v.ts <= e.ts + INTERVAL 3 DAY
+        |  ORDER BY v.ts ASC, v.event_id ASC LIMIT 1) m ON true
+        |WHERE e.event_type = 'signup'
+        |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"))
+      Top.asofJoin(signups, purchases,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("p_event_id"), matchedTimeCol = "p_ts",
+          toleranceUs = Some(3L * 86400000000L), forward = true,
+          rightTieBreak = Seq("p_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("p_ts"),
+          col("p_event_id"),
+          (unix_micros(col("p_ts").cast("timestamp")) -
+            unix_micros(col("ts").cast("timestamp"))).as("wait_us"))
+        .orderBy("event_id")
+    },
+
+    // ---- edit-distance similarity self-join over id-like strings ----
+    QueryDef(
+      "q_join_editdist",
+      """WITH v AS (
+        |  SELECT DISTINCT 's' || CAST(event_id % 2500 AS VARCHAR) AS w
+        |  FROM events)
+        |SELECT a.w AS s1, b.w AS s2,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b
+        |  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+        | AND levenshtein(a.w, b.w) <= 1
+        |ORDER BY s1, s2""".stripMargin) { (s, dir) =>
+      val strs = Tables.df(s, dir, "events").select(
+        concat(lit("s"), (col("event_id") % 2500).cast("string")).as("w"))
+      graft.operators.Dedup.editDistancePairs(strs, "w", maxDist = 1)
+        .select(col("s1"), col("s2"), col("dist").cast("bigint").as("dist"))
+        .orderBy("s1", "s2")
+    },
+
     // ---- binned range join: overlapping price bands over lineitem ----
     QueryDef(
       "q_join_range_bin",

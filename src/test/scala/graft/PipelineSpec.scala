@@ -1185,6 +1185,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("edit-distance join equals brute force at d=1 and d=2") {
+    import spark.implicits._
+    // id-like strings with plenty of distance-1/2 neighbors
+    val strs = (0 until 400).map(i => "s" + (i * 7 % 500)).toDF("w")
+    val v = strs.distinct()
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(strs, "w", maxDist = d)
+        .select("s1", "s2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      val want = v.as("a").crossJoin(v.as("b"))
+        .filter(col("a.w") < col("b.w") &&
+          levenshtein(col("a.w"), col("b.w")) <= d)
+        .select(col("a.w"), col("b.w")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      assert(want.nonEmpty, "fixture has no close pairs")
+      assert(got == want, s"d=$d: ${got.size} vs ${want.size} pairs")
+      assert(got.size == got.distinct.size, "duplicate pairs")
+    }
+  }
+
   test("ivf-pq: codes match an independent replay, recall above floor") {
     import graft.operators.PipelineParams._
     val e = Tables.df(spark, sf, "embeddings")

@@ -111,6 +111,45 @@ class ScaleProbeSpec extends AnyFunSuite {
     println(f"PROBE dsir-select t=${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 
+  test("time wordpiece/weighted-sample/ivfpq/editdist sf0.1 vs sf1",
+      org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.1", "/root/testdata/sf0.1",
+        sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1"))) {
+      val d = Tables.df(spark, dir, "documents")
+      val e = Tables.df(spark, dir, "embeddings")
+      val n = d.count()
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"PROBE $label n=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("wordpiece-train12") {
+        WordPiece.train(d, "text", 12)
+      }
+      time("weighted-sample") {
+        Sampling.sampleWeighted(d, "doc_id",
+            (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
+            k = 100, seed = "sw1")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("ivfpq-topk") {
+        Similarity.ivfPqTopK(
+            e.filter(col("vec_id") < PipelineParams.NumQueryVectors),
+            e, "vec_id", "embedding")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("editdist-join") {
+        val strs = Tables.df(spark, dir, "events").select(
+          concat(lit("s"), (col("event_id") % 25000).cast("string"))
+            .as("w"))
+        Dedup.editDistancePairs(strs, "w", maxDist = 1)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
   test("time temporal + spatial-join operators sf0.1 vs sf1",
       org.scalatest.Tag("probe")) {
     assume(sys.env.contains("GRAFT_SCALE_PROBE"))
