@@ -203,6 +203,60 @@ object Temporal {
         .orderBy("user_id", "d")
     },
 
+    // ---- PageRank over a synthesized link graph: 3 unrolled
+    // iterations, per-edge contributions quantized to integer
+    // pico-units (floor(x*1e12+0.5) — pure exactly-rounded IEEE ops,
+    // no decimal tie-breaking) and summed as BIGINT, so the oracle's
+    // unrolled CTEs reproduce every rank bit-for-bit ----
+    QueryDef(
+      "q_graph_pagerank", {
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (
+             |  SELECT n.node,
+             |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+             |        / (SELECT n FROM meta)
+             |      + CAST(0.85 AS DOUBLE) *
+             |        (CAST(COALESCE(s.s, 0) AS DOUBLE) / 1e12) AS rank
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.dst,
+             |      CAST(SUM(CAST(floor(r.rank / CAST(od.od AS DOUBLE)
+             |        * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS s
+             |    FROM e JOIN $prev r ON r.node = e.src
+             |    JOIN od ON od.src = e.src
+             |    GROUP BY e.dst) s ON s.dst = n.node)"""
+            .stripMargin
+        s"""WITH e AS (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT event_id % 1000 AS src,
+           |           (event_id * 7 + 3) % 1000 AS dst FROM events
+           |    UNION ALL
+           |    SELECT event_id % 1000, (event_id * 31 + 11) % 500
+           |    FROM events
+           |    UNION ALL
+           |    SELECT (event_id * 3) % 500, (event_id * 17 + 1) % 1000
+           |    FROM events) t),
+           |nodes AS (SELECT DISTINCT node FROM (
+           |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e) t),
+           |meta AS (SELECT COUNT(*) AS n FROM nodes),
+           |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+           |r0 AS (SELECT node,
+           |  CAST(1 AS DOUBLE) / (SELECT n FROM meta) AS rank FROM nodes),
+           |${iter("r0", "r1")},
+           |${iter("r1", "r2")},
+           |${iter("r2", "r3")}
+           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+      }) { (s, dir) =>
+      val ev = Tables.df(s, dir, "events")
+      val edges = ev.select((col("event_id") % 1000).as("src"),
+          ((col("event_id") * 7 + 3) % 1000).as("dst"))
+        .unionByName(ev.select((col("event_id") % 1000).as("src"),
+          ((col("event_id") * 31 + 11) % 500).as("dst")))
+        .unionByName(ev.select(((col("event_id") * 3) % 500).as("src"),
+          ((col("event_id") * 17 + 1) % 1000).as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("node")
+    },
+
     // ---- grid-partitioned spatial join: points in boxes ----
     QueryDef(
       "q_spatial_grid_join",

@@ -141,10 +141,15 @@ class ScaleProbeSpec extends AnyFunSuite {
           .write.format("noop").mode("overwrite").save()
       }
       time("editdist-join") {
-        val strs = Tables.df(spark, dir, "events").select(
-          concat(lit("s"), (col("event_id") % 25000).cast("string"))
-            .as("w"))
-        Dedup.editDistancePairs(strs, "w", maxDist = 1)
+        // distinct-string count scales with the corpus (n/4); q from
+        // GRAFT_EDQ — dense ID universes need q matched to alphabet
+        // entropy (see SCALE.md)
+        val ev = Tables.df(spark, dir, "events")
+        val mod = ev.count() / 4
+        val q = sys.env.getOrElse("GRAFT_EDQ", "2").toInt
+        val strs = ev.select(
+          concat(lit("s"), (col("event_id") % mod).cast("string")).as("w"))
+        Dedup.editDistancePairs(strs, "w", maxDist = 1, q = q)
           .write.format("noop").mode("overwrite").save()
       }
     }
