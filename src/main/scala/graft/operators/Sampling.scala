@@ -35,12 +35,32 @@ object Sampling {
     */
   def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
       k: Int, seed: String): DataFrame = {
+    df.withColumn("es_key", esKey(idCol, weight, seed))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The A-ES selection key ln(u)/w, quantized (see [[sampleWeighted]]). */
+  private def esKey(idCol: String, weight: Column, seed: String): Column = {
     // u in (0, 1]: (h+1) / 2^60 with h the 60-bit non-negative hash
     val u = (orderKey(idCol, seed) + 1).cast("double") /
       lit(1.152921504606846976e18)
-    df.withColumn("es_key", (log(u) / weight).cast("decimal(28,6)"))
-      .orderBy(col("es_key").desc, col(idCol))
-      .limit(k)
+    (log(u) / weight).cast("decimal(28,6)")
+  }
+
+  /** Per-group weighted sampling without replacement: the k largest
+    * A-ES keys WITHIN each group (per-language / per-source quotas —
+    * the stratified counterpart of [[sampleWeighted]]). One
+    * group-partitioned window, no global sort, no driver data.
+    */
+  def sampleWeightedBy(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, kPerGroup: Int, seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", esKey(idCol, weight, seed))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= kPerGroup)
+      .drop("__rk")
   }
 
   /** k rows per stratum, chosen by hash order — balanced, reproducible

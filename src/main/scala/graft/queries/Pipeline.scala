@@ -667,6 +667,33 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- per-group weighted sampling (per-language quotas): same
+    // A-ES keys, k largest within each lang -----------------------------
+    QueryDef(
+      "q_corpus_sample_weighted_by",
+      s"""WITH m AS (
+         |  SELECT lang, doc_id,
+         |    CAST(ln((${duckHash("'swg' || doc_id::VARCHAR")} + 1)
+         |          / 1152921504606846976.0)
+         |      / (len(regexp_extract_all(lower(text),
+         |           '[a-z]+|[0-9]|[^a-z0-9 ]')) + 1)
+         |      AS DECIMAL(28,6)) AS es_key
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, es_key, row_number() OVER (
+         |    PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk
+         |  FROM m)
+         |SELECT lang, doc_id, CAST(es_key AS DOUBLE) AS es_key
+         |FROM r WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin) {
+      (s, dir) =>
+      Sampling.sampleWeightedBy(docs(s, dir), "lang", "doc_id",
+          (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
+          kPerGroup = 15, seed = "swg")
+        .select(col("lang"), col("doc_id"),
+          col("es_key").cast("double").as("es_key"))
+        .orderBy("lang", "doc_id")
+    },
+
     // ---- token-budget selection: greedy prefix of the quality
     // ordering (stop-ratio score, ids break ties) until the global
     // token budget fills — the oracle recomputes the serial cumsum the

@@ -1366,6 +1366,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.sorted == want.sorted)
   }
 
+  test("grouped weighted sampling = per-group global sampling, k each") {
+    val d = Tables.df(spark, sf, "documents")
+    val w = (TextOps.tokenCount(col("text")) + lit(1)).cast("double")
+    val out = Sampling.sampleWeightedBy(d, "lang", "doc_id", w, 7, "g1")
+    val byLang = out.select("lang", "doc_id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    for ((lang, ids) <- byLang) {
+      assert(ids.size == 7, s"$lang: ${ids.size} rows")
+      // the group's winners are exactly what global A-ES sampling
+      // restricted to that group selects
+      val solo = Sampling.sampleWeighted(
+          d.filter(col("lang") === lang), "doc_id", w, 7, "g1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == solo, s"$lang diverges from per-group selection")
+    }
+  }
+
   test("weighted sampling favors heavy weights") {
     import spark.implicits._
     // 200 rows: ids 0..99 weight 1, ids 100..199 weight 50 — the heavy

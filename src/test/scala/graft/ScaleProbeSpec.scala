@@ -140,6 +140,17 @@ class ScaleProbeSpec extends AnyFunSuite {
             e, "vec_id", "embedding")
           .write.format("noop").mode("overwrite").save()
       }
+      time("pagerank3") {
+        // node universe scales with the corpus (n/100), edge count with n
+        val ev = Tables.df(spark, dir, "events")
+        val m = ev.count() / 100
+        val edges = ev.select((col("event_id") % m).as("src"),
+            ((col("event_id") * 7 + 3) % m).as("dst"))
+          .unionByName(ev.select((col("event_id") % m).as("src"),
+            ((col("event_id") * 31 + 11) % (m / 2)).as("dst")))
+        Graph.pageRank(edges, "src", "dst", iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
       time("editdist-join") {
         // distinct-string count scales with the corpus (n/4); q from
         // GRAFT_EDQ — dense ID universes need q matched to alphabet
