@@ -38,6 +38,11 @@ object Temporal {
     * `rightPayload` columns are carried onto the matched left rows and
     * must not collide with left column names; the matched right
     * timestamp lands in `matchedTimeCol`.
+    *
+    * NULL times: right rows with a null time can never be "most
+    * recent" and are dropped; left rows with a null time are kept,
+    * unmatched (DuckDB ASOF JOIN semantics — a null probe matches
+    * nothing).
     */
   def asofJoin(
       left: DataFrame,
@@ -59,7 +64,7 @@ object Temporal {
       "tie-break columns must be in rightPayload")
 
     // union schema: keys ++ __t ++ __side ++ __rt ++ payload ++ leftRest
-    val rSide = right.select(
+    val rSide = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
           col(rightTime).as("__rt")) ++
@@ -93,7 +98,9 @@ object Temporal {
 
     // tolerance: null out the whole match when the gap exceeds it
     val inTol: Column = toleranceUs match {
-      case None => col("__m___rt").isNotNull
+      // null-probe guard: with a tolerance the micros comparison is
+      // null-safe by itself; without one, require the probe time
+      case None => col("__t").isNotNull && col("__m___rt").isNotNull
       case Some(t) if forward =>
         micros(col("__m___rt")) - micros(col("__t")) <= t
       case Some(t) =>

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.operators._
 import graft.operators.PipelineParams._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline query surface (SURVEY.md §7 M6): text
@@ -640,6 +640,81 @@ object Pipeline {
       Sampling.stratified(docs(s, dir), "lang", "doc_id", 20, "s42")
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- mergeable HLL sketches: per-type user/event sketches plus
+    // the register-wise-max union ('_all'); the oracle rebuilds every
+    // register from the portable hash, sums them as the integer
+    // Σ 2^(52−M_b) (exact, order-independent), and re-derives the
+    // estimate with the identical double expression ------------------
+    QueryDef(
+      "q_stats_hll", {
+        def est0(s: String): String =
+          s"""((CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+             |  + CAST(1.079 AS DOUBLE) / 512.0)) * 262144.0
+             |  * (4503599627370496.0 / CAST($s AS DOUBLE)))""".stripMargin
+        def estSql(s: String, v: String): String =
+          s"""CASE WHEN ${est0(s)} <= 1280.0 AND $v > 0
+             |  THEN round(512.0 * ln(512.0 / CAST($v AS DOUBLE)), 6)
+             |  ELSE round(${est0(s)}, 6) END""".stripMargin
+        def rho(h: String): String =
+          s"""MAX(CASE WHEN $h // 512 = 0 THEN 52
+             |    ELSE 52 - length(printf('%b', $h // 512)) END)"""
+            .stripMargin
+        def leg(name: String, hcol: String): String =
+          s"""r$name AS (
+             |  SELECT event_type, $hcol % 512 AS b, ${rho(hcol)} AS m
+             |  FROM h GROUP BY 1, 2),
+             |f$name AS (
+             |  SELECT g.event_type, g.b, COALESCE(r.m, 0) AS m
+             |  FROM grid g LEFT JOIN r$name r
+             |    ON r.event_type = g.event_type AND r.b = g.b),
+             |m$name AS (SELECT b, MAX(m) AS m FROM f$name GROUP BY b),
+             |a$name AS (
+             |  SELECT grp, CAST(SUM(1::BIGINT << (52 - m)) AS BIGINT) AS s,
+             |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS INT) AS v
+             |  FROM (SELECT event_type AS grp, m FROM f$name
+             |        UNION ALL SELECT '_all', m FROM m$name) t
+             |  GROUP BY 1)""".stripMargin
+        s"""WITH h AS (
+           |  SELECT event_type,
+           |    ('0x' || substring(md5('hll' || user_id::VARCHAR), 1, 15))
+           |      ::BIGINT AS hu,
+           |    ('0x' || substring(md5('hll' || event_id::VARCHAR), 1, 15))
+           |      ::BIGINT AS he
+           |  FROM events),
+           |types AS (SELECT DISTINCT event_type FROM events),
+           |grid AS (SELECT t.event_type, g.r AS b
+           |         FROM types t CROSS JOIN range(0, 512) g(r)),
+           |${leg("u", "hu")},
+           |${leg("e", "he")}
+           |SELECT au.grp, au.s AS u_s, au.v AS u_v,
+           |  ${estSql("au.s", "au.v")} AS u_est,
+           |  ae.s AS e_s, ae.v AS e_v,
+           |  ${estSql("ae.s", "ae.v")} AS e_est
+           |FROM au JOIN ae ON au.grp = ae.grp
+           |ORDER BY au.grp""".stripMargin
+      }) { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge.{column => gc, expression => ge}
+      def sk(c: Column) = gc(graft.functions.HllSketchAgg(
+        ge(c.cast("string"))).toAggregateExpression())
+      def comb(c: Column) = gc(graft.functions.HllCombineAgg(
+        ge(c)).toAggregateExpression())
+      def st(c: Column) = gc(graft.functions.HllStats(ge(c)))
+      val base = Tables.df(s, dir, "events").groupBy(col("event_type"))
+        .agg(sk(col("user_id")).as("sku"), sk(col("event_id")).as("ske"))
+      val per = base.select(col("event_type").as("grp"),
+        st(col("sku")).as("su"), st(col("ske")).as("se"))
+      val all = base.agg(comb(col("sku")).as("sku"),
+          comb(col("ske")).as("ske"))
+        .select(lit("_all").as("grp"),
+          st(col("sku")).as("su"), st(col("ske")).as("se"))
+      per.unionByName(all).select(col("grp"),
+          col("su.s").as("u_s"), col("su.v").as("u_v"),
+          col("su.est").as("u_est"),
+          col("se.s").as("e_s"), col("se.v").as("e_v"),
+          col("se.est").as("e_est"))
+        .orderBy("grp")
     },
 
     // ---- weighted sampling without replacement (Efraimidis–Spirakis):

@@ -46,6 +46,27 @@ class TemporalSpec extends AnyFunSuite {
       (4L, None, None, None)))
   }
 
+  test("asofJoin: null times — right rows dropped, left rows unmatched") {
+    val left = Seq((1L, "a", Option(ts("2024-01-10 00:00:00"))),
+      (2L, "a", Option.empty[Timestamp])).toDF("id", "k", "t")
+    val right = Seq((10L, "a", Option(ts("2024-01-05 00:00:00")), 1.0),
+      (11L, "a", Option.empty[Timestamp], 9.0)).toDF("rid", "k", "rt", "rv")
+    for (fwdTol <- Seq((false, None), (false, Some(30L * 86400000000L)),
+        (true, None))) {
+      val (fwd, tol) = fwdTol
+      val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+          Seq("rid", "rv"), "mt", toleranceUs = tol, forward = fwd,
+          rightTieBreak = Seq("rid"))
+        .select("id", "rid").orderBy("id")
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      // the null-time right row (rid 11) must never match anything;
+      // the null-time left row (id 2) must survive, unmatched
+      assert(out.map(_._1) == Seq(1L, 2L), s"fwd=$fwd tol=$tol: $out")
+      assert(out(1)._2.isEmpty, s"null-probe matched: fwd=$fwd tol=$tol")
+      assert(out(0)._2 != Some(11L), s"null right row matched: $out")
+    }
+  }
+
   test("asofJoin forward: earliest right at or after, within tolerance") {
     val left = Seq((1L, "a", ts("2024-01-10 00:00:00")),
       (2L, "a", ts("2024-01-30 00:00:00"))).toDF("id", "k", "t")
