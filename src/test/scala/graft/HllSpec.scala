@@ -47,6 +47,52 @@ class HllSpec extends AnyFunSuite {
       "register-wise max must equal the union sketch exactly")
   }
 
+  test("streaming windowed sketches equal the batch aggregate") {
+    import graft.streaming.DistinctSketch
+    import graft.streaming.DistinctSketch.{In, Out}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = 1577836800000L // 2020-01-01
+    def ts(minutes: Long) = new java.sql.Timestamp(base + minutes * 60000L)
+    val rows =
+      (0 until 300).map(i => In(ts(i % 25), s"u${i % 40}")) ++
+      (0 until 200).map(i => In(ts(30 + i % 25), s"u${i % 90}"))
+
+    val input = MemoryStream[In]
+    val q = DistinctSketch.stream(
+        input.toDS().withWatermark("ts", "0 seconds"), windowMinutes = 30)
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows.take(300): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(300): _*)
+      q.processAllAvailable()
+      input.addData(In(ts(100000), "z")) // push watermark: close all
+      q.processAllAvailable()
+      input.addData(In(ts(200000), "z"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sketch_out").as[Out].collect()
+        .filter(_.n_rows > 1)
+        .map(o => (o.window_start.getTime, o.n_rows, o.sketch.toSeq, o.est))
+        .sortBy(_._1).toSeq
+
+      val batch = rows.toDF("ts", "value")
+        .groupBy(((unix_millis(col("ts").cast("timestamp")) /
+          lit(1800000L)).cast("long") * 1800000L).as("w"))
+        .agg(count(lit(1)).as("n"), sk(col("value")).as("s"))
+        .collect().map { r =>
+          val (_, _, est) = Hll.stats(r.getAs[Array[Byte]]("s"))
+          (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]]("s").toSeq, est)
+        }.sortBy(_._1).toSeq
+      assert(streamed == batch,
+        s"stream != batch:\n ${streamed.map(_._2)} vs ${batch.map(_._2)}")
+    } finally q.stop()
+  }
+
   test("sketch is insensitive to partitioning and duplication") {
     val base = (1L to 4000L).toDF("v")
     val s1 = base.repartition(37).agg(sk(col("v"))).collect()(0)
