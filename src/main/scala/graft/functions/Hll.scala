@@ -28,11 +28,21 @@ object Hll {
   val IndexBits = 9
   val MaxRank = 52 // 60-bit hash - 9 index bits -> 51 payload bits, +1
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex nibbles of md5 as a long — value-identical to
+    * `Long.parseLong(hexString.take(15), 16)` (HllSpec pins it), but
+    * hot-path-shaped: thread-local digest, no hex string.
+    */
   def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val d = mdLocal.get().digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
   def rank(w: Long): Int =

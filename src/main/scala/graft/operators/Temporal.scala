@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Time-aligned joins and series repair — the temporal operators a
   * feature/training pipeline needs that neither Spark nor the reference
@@ -32,8 +33,10 @@ object Temporal {
     * the same cost as one sort-merge join, with no per-key driver
     * loop and no time-range blowup (PlanQualitySpec locks the shape).
     * Ties on the right side resolve deterministically by
-    * `rightTieBreak` (the LAST row in ascending tie-break order wins,
-    * matching `ORDER BY ts DESC, tiebreak DESC LIMIT 1`).
+    * `rightTieBreak`, favoring the row nearest in iteration
+    * direction: backward takes the HIGHEST tie-break (matching
+    * `ORDER BY ts DESC, tiebreak DESC LIMIT 1`), forward the LOWEST
+    * (matching `ORDER BY ts ASC, tiebreak ASC LIMIT 1`).
     *
     * `rightPayload` columns are carried onto the matched left rows and
     * must not collide with left column names; the matched right
@@ -63,55 +66,61 @@ object Temporal {
     require(rightTieBreak.forall(rightPayload.contains),
       "tie-break columns must be in rightPayload")
 
-    // union schema: keys ++ __t ++ __side ++ __rt ++ payload ++ leftRest
+    // union schema: keys ++ __t ++ __side ++ __m (one STRUCT carrying
+    // the right row's time + payload — null payload CELLS stay inside
+    // their row's struct, so a match can never mix columns from
+    // different right rows) ++ leftRest
+    val mStruct = struct(
+      col(rightTime).as("__rt") +: rightPayload.map(col): _*)
     val rSide = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          col(rightTime).as("__rt")) ++
-        rightPayload.map(col) ++
+          mStruct.as("__m")) ++
         leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val mType = StructType(
+      StructField("__rt", right.schema(rightTime).dataType) +:
+        rightPayload.map(c => StructField(c, right.schema(c).dataType)))
     val lSide = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side"),
-          lit(null).cast(right.schema(rightTime).dataType).as("__rt")) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+          lit(null).cast(mType).as("__m")) ++
         leftRest.map(col): _*)
 
     // At equal timestamps right rows sort before left rows in match
     // direction, so an exactly-simultaneous right row IS a match
     // (<= / >= semantics) in both directions.
+    // tie-break columns live inside the __m struct (null for left
+    // rows — harmless: the tie-break only orders within side 0)
     val ord: Seq[Column] =
       if (forward)
         (col("__t").desc +: col("__side").asc_nulls_first +:
-          rightTieBreak.map(col(_).desc))
+          rightTieBreak.map(c => col("__m").getField(c).desc))
       else
         (col("__t").asc +: col("__side").asc_nulls_first +:
-          rightTieBreak.map(col(_).asc))
+          rightTieBreak.map(c => col("__m").getField(c).asc))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedCols = ("__rt" +: rightPayload).map(c =>
-      last(col(c), ignoreNulls = true).over(w).as(s"__m_$c"))
     val matched = rSide.unionByName(lSide)
-      .select(col("*") +: matchedCols: _*)
+      .withColumn("__match", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
 
     // tolerance: null out the whole match when the gap exceeds it
     val inTol: Column = toleranceUs match {
       // null-probe guard: with a tolerance the micros comparison is
       // null-safe by itself; without one, require the probe time
-      case None => col("__t").isNotNull && col("__m___rt").isNotNull
+      case None => col("__t").isNotNull && col("__match.__rt").isNotNull
       case Some(t) if forward =>
-        micros(col("__m___rt")) - micros(col("__t")) <= t
+        micros(col("__match.__rt")) - micros(col("__t")) <= t
       case Some(t) =>
-        micros(col("__t")) - micros(col("__m___rt")) <= t
+        micros(col("__t")) - micros(col("__match.__rt")) <= t
     }
     val out = matched.select(
       keys.map(col) ++
         Seq(col("__t").as(leftTime)) ++
         leftRest.map(col) ++
-        Seq(when(inTol, col("__m___rt")).as(matchedTimeCol)) ++
-        rightPayload.map(c => when(inTol, col(s"__m_$c")).as(c)): _*)
+        Seq(when(inTol, col("__match.__rt")).as(matchedTimeCol)) ++
+        rightPayload.map(c => when(inTol, col(s"__match.$c")).as(c)): _*)
     out
   }
 
@@ -132,6 +141,8 @@ object Temporal {
       intervals: DataFrame, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    val shared = left.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty, s"column names collide across sides: $shared")
     val binned = intervals.withColumn("__bin",
       explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),

@@ -59,7 +59,11 @@ object WordPiece {
           (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
+      // minPairFreq FILTERS candidates (the likelihood score favors
+      // rare pairs — a hapax pair scores 1.0 and would otherwise top
+      // the ranking and stop training while frequent merges remain)
       val scored = pairs
+        .filter(col("cnt") >= minPairFreq)
         .join(broadcast(units.select(col("s").as("a"),
           col("ucnt").as("ca"))), "a")
         .join(broadcast(units.select(col("s").as("b"),
@@ -68,7 +72,7 @@ object WordPiece {
           (col("ca").cast("double") * col("cb").cast("double")))
       val best = scored.orderBy(desc("score"), asc("a"), asc("b"))
         .limit(1).select("a", "b", "cnt").collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairFreq) exhausted = true
+      if (best.isEmpty) exhausted = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         val m = a + (if (b.startsWith("##")) b.substring(2) else b)

@@ -15,10 +15,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * regardless of stream length, no timeline buffering. Within a batch,
   * events process in (ts, side, id) order, so a simultaneous reference
   * row matches (<= semantics) and ties resolve by the highest reference
-  * id — the exact batch tie-break. For inputs delivered in event-time
-  * order across batches the output equals the batch operator row for
-  * row (AsofEnrichSpec proves it); a reference row arriving LATE (after
-  * a fact it should have matched was already emitted) only affects
+  * id — the exact batch tie-break. Event times keep full microsecond
+  * precision (Timestamp nanos), matching the batch operator's
+  * unix_micros comparisons. For inputs delivered in event-time order
+  * across batches the output equals the batch operator row for row
+  * (AsofEnrichSpec proves it); a reference row arriving LATE (after a
+  * fact it should have matched was already emitted) only affects
   * subsequent facts — the append-mode contract.
   */
 object AsofEnrich {
@@ -31,6 +33,17 @@ object AsofEnrich {
   /** Per-key state: the latest reference row (micros, id, value). */
   case class LastRef(tsUs: Long, id: Long, value: Double)
 
+  /** Full-microsecond conversions (Timestamp.getTime floors to ms —
+    * the batch twin compares unix_micros, so sub-ms must survive).
+    */
+  private[streaming] def toUs(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private[streaming] def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000 * 1000)
+    t.setNanos((us % 1000000).toInt * 1000)
+    t
+  }
+
   def stream(in: Dataset[In],
       toleranceUs: Option[Long] = None): Dataset[Enriched] = {
     val spark = in.sparkSession
@@ -39,11 +52,11 @@ object AsofEnrich {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[In], state: GroupState[LastRef]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.side, e.id))
+          val sorted = it.toSeq.sortBy(e => (toUs(e.ts), e.side, e.id))
           val out = Seq.newBuilder[Enriched]
           var last = state.getOption
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
+            val us = toUs(e.ts)
             if (e.side == 0) {
               if (last.forall(l =>
                   (us > l.tsUs) || (us == l.tsUs && e.id > l.id)))
@@ -52,7 +65,7 @@ object AsofEnrich {
               val m = last.filter(l =>
                 toleranceUs.forall(t => us - l.tsUs <= t))
               out += Enriched(key, e.id, e.ts, m.map(_.id),
-                m.map(l => new Timestamp(l.tsUs / 1000)), m.map(_.value))
+                m.map(l => toTs(l.tsUs)), m.map(_.value))
             }
           }
           last.foreach(state.update)

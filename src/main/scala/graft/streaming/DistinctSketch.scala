@@ -40,14 +40,37 @@ object DistinctSketch {
             }.toSeq
             state.remove()
             out.iterator
+          } else if (!state.exists &&
+              state.getCurrentWatermarkMs() >= (wk + 1) * windowMs) {
+            // late data for an already-closed window: DROP (standard
+            // watermark semantics) — re-opening would both emit the
+            // window twice and make setTimeoutTimestamp throw (it
+            // rejects timestamps at or below the watermark)
+            Iterator.empty
           } else {
             val w = state.getOption.getOrElse(
               OpenWindow(new Array[Byte](Hll.M), 0L))
             var n = w.n
-            it.foreach { e => Hll.add(w.regs, e.value); n += 1 }
-            state.update(OpenWindow(w.regs, n))
-            state.setTimeoutTimestamp((wk + 1) * windowMs)
-            Iterator.empty
+            it.foreach { e =>
+              // null values skip the hash, exactly like the batch
+              // HllSketchAgg; the row still counts
+              if (e.value != null) Hll.add(w.regs, e.value)
+              n += 1
+            }
+            val endMs = (wk + 1) * windowMs
+            if (state.getCurrentWatermarkMs() >= endMs) {
+              // the watermark crossed the window end within this very
+              // batch: close now (setTimeoutTimestamp would reject a
+              // timestamp at or below the watermark)
+              val (_, _, est) = Hll.stats(w.regs)
+              state.remove()
+              Iterator.single(
+                Out(new Timestamp(wk * windowMs), n, w.regs, est))
+            } else {
+              state.update(OpenWindow(w.regs, n))
+              state.setTimeoutTimestamp(endMs)
+              Iterator.empty
+            }
           }
       }
   }

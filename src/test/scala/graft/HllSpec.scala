@@ -22,6 +22,16 @@ class HllSpec extends AnyFunSuite {
     ids.toDF("v").agg(sk(col("v")).as("s")).collect()(0)
       .getAs[Array[Byte]](0)
 
+  test("byte-path hash60 equals the hex-string definition") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- (0 until 500).map("hll" + _) ++ Seq("", "hllnull", "héllo")) {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      assert(Hll.hash60(s) == java.lang.Long.parseLong(hex, 16),
+        s"hash60 diverges for '$s'")
+    }
+  }
+
   test("estimate tracks exact distinct within HLL error, both branches") {
     // small-range branch (linear counting): n << m
     for (n <- Seq(50, 200)) {

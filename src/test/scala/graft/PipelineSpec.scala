@@ -1278,11 +1278,11 @@ class PipelineSpec extends AnyFunSuite {
           pc((syms(i), syms(i + 1))) =
             pc.getOrElse((syms(i), syms(i + 1)), 0L) + f
       }
-      val best = pc.toSeq.sortBy { case ((a, b), c) =>
+      val best = pc.toSeq.filter(_._2 >= 2).sortBy { case ((a, b), c) =>
         (-(c.toDouble / (uc(a).toDouble * uc(b).toDouble)), a, b)
       }.headOption
       best match {
-        case Some(((a, b), c)) if c >= 2 =>
+        case Some(((a, b), _)) =>
           val m = a + b.stripPrefix("##")
           merges += m
           vocab = vocab.map { case (syms, f) =>
@@ -1303,12 +1303,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("wordpiece: distributed trainer matches the sequential reference") {
     import spark.implicits._
+    // "qz" plants a hapax pair (q, ##z) whose likelihood score is the
+    // maximum possible 1.0 — minPairFreq must FILTER it, not stop on it
     val corpus = Seq(
       "hugging hugging hugging face face",
       "hug hugs hugged face faces",
-      "unhug unhugged hugging face")
+      "unhug unhugged hugging face qz")
     val expected = refWordPieceTrain(corpus, 10)
-    assert(expected.count(_.length > 2) > 2, "fixture trains no merges")
+    assert(expected.count(_.length > 2) > 2,
+      "the hapax pair must not terminate training")
     val got = WordPiece.train(corpus.toDF("text"), "text", 10)
     assert(got == expected, s"vocab diverges:\n got=$got\n ref=$expected")
   }

@@ -46,6 +46,33 @@ class TemporalSpec extends AnyFunSuite {
       (4L, None, None, None)))
   }
 
+  test("asofJoin: null payload cells never mix columns across right rows") {
+    // the matched right row carries a NULL payload cell; the match
+    // must emit THAT null, not back-fill it from an older right row
+    val left = Seq((1L, "a", ts("2024-01-10 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (10L, "a", ts("2024-01-01 00:00:00"), Option(5.0)),
+      (11L, "a", ts("2024-01-05 00:00:00"), Option.empty[Double]))
+      .toDF("rid", "k", "rt", "rv")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("rid", "rv"), "mt", rightTieBreak = Seq("rid"))
+      .select("rid", "rv").collect()(0)
+    assert(out.getLong(0) == 11L)
+    assert(out.isNullAt(1),
+      s"null payload back-filled from an older right row: ${out.get(1)}")
+  }
+
+  test("asofJoin forward: ties take the LOWEST tie-break") {
+    val left = Seq((1L, "a", ts("2024-01-10 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (20L, "a", ts("2024-01-12 00:00:00"), 1.0),
+      (21L, "a", ts("2024-01-12 00:00:00"), 2.0)).toDF("rid", "k", "rt", "rv")
+    val out = Temporal.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("rid", "rv"), "mt", forward = true, rightTieBreak = Seq("rid"))
+      .select("rid").collect()(0).getLong(0)
+    assert(out == 20L, s"forward tie must take the lowest rid, got $out")
+  }
+
   test("asofJoin: null times — right rows dropped, left rows unmatched") {
     val left = Seq((1L, "a", Option(ts("2024-01-10 00:00:00"))),
       (2L, "a", Option.empty[Timestamp])).toDF("id", "k", "t")
