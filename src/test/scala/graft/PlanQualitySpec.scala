@@ -325,6 +325,15 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank iterations and hll sketches never cross-product") {
+    for (q <- Seq("q_graph_pagerank", "q_stats_hll")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has nested-loop join:\n$p")
+    }
+  }
+
   test("gapfill grid explode stays distributed, window is key-partitioned") {
     val p = plan("q_ts_gapfill")
     assert(!p.contains("CartesianProduct"), p)
