@@ -80,6 +80,10 @@ object FileCache {
             Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
               StandardCopyOption.ATOMIC_MOVE)
             writeMeta(metaPath, f)
+            // a revalidation can REPLACE the entry with larger bytes;
+            // without this the bound only applies on misses and a
+            // fixed key set with growing objects fills the disk
+            enforceCapacity(keep = target)
         }
       } catch {
         // stale-if-error: the cached copy outlives a dead origin

@@ -89,4 +89,23 @@ class WebDatasetSpec extends AnyFunSuite {
         |FROM wds_t ORDER BY sample_id""".stripMargin).collect()
     assert(got.length == 8 && got(3).getString(1) == "document 3 body")
   }
+
+  test("empty input writes zero shards instead of crashing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds5").toString
+    val n = WebDataset.write(
+      fixture(8).filter(org.apache.spark.sql.functions.lit(false)),
+      "doc_id", "parts", dir, 3)
+    assert(n == 0)
+    assert(new java.io.File(dir).listFiles().forall(!_.getName.endsWith(".tar")))
+  }
+
+  test("oversized tar entry refuses instead of wrapping the offset") {
+    // hand-build one ustar header claiming an over-2GiB payload
+    val hdr = new Array[Byte](1024)
+    "big.bin".getBytes.copyToArray(hdr, 0)
+    "77777777777".getBytes.copyToArray(hdr, 124) // octal ~8.5 GB
+    hdr(156) = '0'
+    val e = intercept[IllegalArgumentException](WebDataset.parseTar(hdr))
+    assert(e.getMessage.contains("exceeds the supported range"))
+  }
 }
