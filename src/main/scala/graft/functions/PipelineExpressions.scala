@@ -206,15 +206,17 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 }
 
 /** Scan-local stupid-backoff LM score of ONE document: the same
-  * trigram walk, backoff chain, and per-position 6-decimal ln
-  * quantization as [[graft.operators.LangModel.perplexity]], folded
-  * per ROW with the (top-K-bounded, hence safely materialized) model
-  * riding inside the expression — decimal addition is exact, so this
-  * fold equals the exploded/aggregated formulation no matter the
-  * order, which is what lets the perplexity gate run STATELESS inside
-  * a streaming pipeline (no join, no shuffle, no state store).
-  * Returns struct(n_scored BIGINT, logprob DECIMAL(38,6)); n_scored
-  * is 0 with logprob 0 for docs under 3 words.
+  * trigram walk, backoff chain, and per-position integer MICRO-unit ln
+  * quantization (floor(ln·1e6 + 0.5) as BIGINT — the
+  * [[graft.operators.Graph.pageRank]] contract) as
+  * [[graft.operators.LangModel.perplexity]], folded per ROW with the
+  * (top-K-bounded, hence safely materialized) model riding inside the
+  * expression — integer addition is exact, so this fold equals the
+  * exploded/aggregated formulation no matter the order, which is what
+  * lets the perplexity gate run STATELESS inside a streaming pipeline
+  * (no join, no shuffle, no state store). Returns
+  * struct(n_scored BIGINT, logprob_u BIGINT micro-nats); n_scored
+  * is 0 with logprob_u 0 for docs under 3 words.
   */
 case class BackoffScore(child: Expression, uni: Seq[(String, Double)],
     bi: Seq[(String, Double)], tri: Seq[(String, Double)], n: Long,
@@ -224,8 +226,7 @@ case class BackoffScore(child: Expression, uni: Seq[(String, Double)],
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_scored", LongType, nullable = false),
-    StructField("logprob", DataTypes.createDecimalType(38, 6),
-      nullable = false)))
+    StructField("logprob_u", LongType, nullable = false)))
   override protected def withNewChildInternal(c: Expression): BackoffScore =
     copy(child = c)
 
@@ -242,7 +243,7 @@ case class BackoffScore(child: Expression, uni: Seq[(String, Double)],
     // same tokenization as TextOps.words: split(lower(text), ' ')
     val ws = v.asInstanceOf[UTF8String].toString.toLowerCase
       .split(" ", -1)
-    var sum = java.math.BigDecimal.ZERO
+    var sum = 0L
     var cnt = 0L
     var j = 0
     while (j + 2 < ws.length) {
@@ -258,36 +259,41 @@ case class BackoffScore(child: Expression, uni: Seq[(String, Double)],
             backoff * (if (p1 != null) p1.doubleValue() else 1.0 / n)
           })
         }
-      sum = sum.add(new java.math.BigDecimal(math.log(s))
-        .setScale(6, java.math.RoundingMode.HALF_UP))
+      sum += math.floor(math.log(s) * 1e6 + 0.5).toLong
       cnt += 1
       j += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(cnt,
-      org.apache.spark.sql.types.Decimal(sum, 38, 6))
+    org.apache.spark.sql.catalyst.InternalRow(cnt, sum)
   }
 }
 
-/** Per-document Shannon character entropy (nats):
-  * H = ln(L) − (Σ_c n_c·ln(n_c)) / L over the document's code-point
-  * counts — the cheap gibberish/repetition signal (near-zero for
-  * one-character spam, ~ln(alphabet) for uniform noise) quality
-  * filters threshold on. Scan-local, one pass, no shuffle.
+/** Per-document Shannon character entropy, L·1e6-scaled to a BIGINT:
+  * the exact integer lnµ(L)·L − Σ_c n_c·lnµ(n_c) over the document's
+  * code-point counts, where lnµ(x) = floor(ln(x)·1e6 + 0.5) — i.e.
+  * H·L in integer MICRO-nat units (divide by L·1e6 for nats). The
+  * cheap gibberish/repetition signal (near-zero for one-character
+  * spam, ~ln(alphabet)·L·1e6 for uniform noise) quality filters
+  * threshold on. Scan-local, one pass, no shuffle.
   *
-  * Engine-exact contract (mirrors the perplexity operator): each
-  * n_c·ln(n_c) term is quantized to 6 decimals (HALF_UP) before the
-  * EXACT decimal sum — term order can't matter and a 1-ulp libm ln
-  * drift can't surface — then H = ln(L) − sum/L is quantized to 6
-  * decimals as the output. Returns NULL for an empty string.
+  * Engine-exact contract (the [[graft.operators.Graph.pageRank]]
+  * integer-unit contract): each ln passes only through exactly-rounded
+  * IEEE ops (·1e6, +0.5, floor) into a BIGINT, and everything after is
+  * exact integer arithmetic — order-independent, no double→DECIMAL
+  * cast whose rounding rule could vary between engine builds, and a
+  * 1-ulp libm ln drift flips a floor only when ln(n)·1e6 lands within
+  * an ulp (≈2e-9) of an integer. Returns NULL for an empty string.
   */
 case class CharEntropy(child: Expression)
     extends UnaryExpression with CodegenFallback {
   import org.apache.spark.unsafe.types.UTF8String
 
-  override def dataType: DataType = DataTypes.createDecimalType(38, 6)
+  override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override protected def withNewChildInternal(c: Expression): CharEntropy =
     copy(child = c)
+
+  private def lnMicro(x: Long): Long =
+    math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
@@ -301,17 +307,13 @@ case class CharEntropy(child: Expression)
       i += Character.charCount(cp)
       L += 1
     }
-    var sum = java.math.BigDecimal.ZERO
+    var sum = 0L
     val it = counts.values().iterator()
     while (it.hasNext) {
       val n = it.next()
-      sum = sum.add(new java.math.BigDecimal(n * math.log(n.toDouble))
-        .setScale(6, java.math.RoundingMode.HALF_UP))
+      sum += n * lnMicro(n)
     }
-    val h = math.log(L.toDouble) - sum.doubleValue() / L
-    org.apache.spark.sql.types.Decimal(
-      new java.math.BigDecimal(h)
-        .setScale(6, java.math.RoundingMode.HALF_UP), 38, 6)
+    lnMicro(L) * L - sum
   }
 }
 

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   * Determinism contract (the DuckDB oracle recomputes every score):
   * bucket = portable 60-bit md5 hash mod `numBuckets`; each token's
   * contribution w(bucket)/dl is built from the same integer/double
-  * expression tree on both engines (bit-identical per token), and the
-  * cross-token accumulation is a DECIMAL(28,12) sum — exact integer
-  * arithmetic, so the total is order-independent and engine-exact.
-  * The kept/dropped label thresholds the exact decimal at 0, which is
-  * sigmoid(score) >= 0.5 without evaluating exp() (whose last-ulp
-  * behavior differs across libm implementations).
+  * expression tree on both engines (bit-identical per token) and then
+  * quantized to integer PICO-units — `floor(x·1e12 + 0.5)` as a
+  * BIGINT, every step an exactly-rounded IEEE op identical in any
+  * engine — and summed as BIGINTs, so the total is order-independent
+  * AND engine-exact with no decimal cast anywhere (a double→DECIMAL
+  * cast's rounding rule is an engine-version property; this is the
+  * same integer contract as [[Graph.pageRank]]). The kept/dropped
+  * label thresholds the integer at 0, which is sigmoid(score) >= 0.5
+  * without evaluating exp() (whose last-ulp behavior differs across
+  * libm implementations).
   */
 object Classifier {
   import PipelineParams._
@@ -42,7 +46,7 @@ object Classifier {
     TextOps.hash60(token) % numBuckets
 
   /** Per-document linear score + keep label under a bucket→weight
-    * function. (id, score DECIMAL(38,12), keep boolean).
+    * function. (id, score_p BIGINT pico-units, keep boolean).
     */
   private def scoreWith(df: DataFrame, idCol: String, textCol: String,
       weightOf: Column => Column, numBuckets: Int): DataFrame = {
@@ -52,11 +56,11 @@ object Classifier {
         explode(col("__ws")).as("t"))
     tok
       .withColumn("c",
-        (weightOf(bucket(col("t"), numBuckets)) / col("dl"))
-          .cast("decimal(28,12)"))
+        floor((weightOf(bucket(col("t"), numBuckets)) / col("dl")) *
+          lit(1e12) + lit(0.5)).cast("long"))
       .groupBy("id")
-      .agg(sum(col("c")).as("score"))
-      .withColumn("keep", col("score") >= 0)
+      .agg(sum(col("c")).as("score_p"))
+      .withColumn("keep", col("score_p") >= 0)
   }
 
   /** Score with the deterministic judged rule. */
@@ -65,23 +69,23 @@ object Classifier {
     scoreWith(df, idCol, textCol, ruleWeight, numBuckets)
 
   /** Scan-local keep predicate over a words-array column — the rule
-    * score folded per ROW (array order) with a DECIMAL(28,12)
+    * score folded per ROW (array order) with a BIGINT pico-unit
     * accumulator, so composed pipelines (e.g. [[Curate.curateMl]]) gate
-    * on quality without the explode/agg shuffle or a join-back: decimal
+    * on quality without the explode/agg shuffle or a join-back: integer
     * addition is exact, so this fold equals [[scoreRule]]'s aggregated
     * sum no matter the order, and the oracle replays it with a plain
-    * `list_sum` of the same per-token decimals.
+    * `list_sum` of the same per-token pico-units.
     */
   def keepRule(wsCol: String, numBuckets: Int = QcBuckets): Column =
     expr(
       s"""aggregate(
-         |  transform($wsCol, t -> CAST(
+         |  transform($wsCol, t -> CAST(floor(
          |    ((cast(conv(substring(md5(t),1,15),16,10) as bigint)
          |        % $numBuckets * $QcWeightA + $QcWeightB) % $QcWeightMod
          |      - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0 / size($wsCol)
-         |    AS DECIMAL(28,12))),
-         |  CAST(0 AS DECIMAL(28,12)),
-         |  (a, x) -> CAST(a + x AS DECIMAL(28,12))) >= 0""".stripMargin)
+         |    * 1e12 + 0.5d) AS BIGINT)),
+         |  CAST(0 AS BIGINT),
+         |  (a, x) -> a + x) >= 0""".stripMargin)
 
   /** Distributed logistic-regression TRAINING for the hashed-feature
     * classifier — full-batch gradient descent, so the quality gate's

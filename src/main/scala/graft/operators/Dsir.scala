@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: buckets come from the portable 60-bit md5 hash, counts
   * are exact integers, each λ is two ln's on engine-identical doubles
-  * QUANTIZED to DECIMAL(28,6) (the same 1-ulp-drift armor as the
-  * perplexity operator), and the per-doc sum of decimals is
-  * order-independent — so the DuckDB oracle rebuilds the whole
-  * pipeline and matches hash-for-hash.
+  * quantized to integer MICRO-units — floor(x·1e6 + 0.5) as BIGINT,
+  * the [[Graph.pageRank]] contract: only exactly-rounded IEEE ops, no
+  * double→DECIMAL cast whose rounding rule could vary across engine
+  * builds — and the per-doc BIGINT sum is order-independent — so the
+  * DuckDB oracle rebuilds the whole pipeline and matches
+  * hash-for-hash.
   */
 object Dsir {
   import PipelineParams._
@@ -40,9 +42,10 @@ object Dsir {
       .select((TextOps.hash60(col("g")) % buckets).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cnt"))
 
-  /** λ table: (b, lam DECIMAL(28,6)) over the union of buckets either
-    * corpus touched, with Laplace(+1) smoothing over `buckets` cells.
-    * Bounded at `buckets` rows — broadcastable at any corpus size.
+  /** λ table: (b, lam_u BIGINT micro-units) over the union of buckets
+    * either corpus touched, with Laplace(+1) smoothing over `buckets`
+    * cells. Bounded at `buckets` rows — broadcastable at any corpus
+    * size.
     */
   def importanceTable(target: DataFrame, raw: DataFrame, textCol: String,
       buckets: Int = DsirBuckets): DataFrame = {
@@ -55,15 +58,15 @@ object Dsir {
     tc.join(rc, Seq("b"), "full_outer")
       .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
       .select(col("b"),
-        (log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+        floor((log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
             (col("nt") + lit(buckets))) -
           log((coalesce(col("cr"), lit(0L)) + lit(1L)).cast("double") /
-            (col("nr") + lit(buckets))))
-          .cast("decimal(28,6)").as("lam"))
+            (col("nr") + lit(buckets)))) * lit(1e6) + lit(0.5))
+          .cast("long").as("lam_u"))
   }
 
   /** Per-document importance weights + top-`keep` selection flag:
-    * (id, n_grams, importance DECIMAL(38,6), selected). Documents
+    * (id, n_grams, importance_u BIGINT micro-units, selected). Documents
     * under 2 words carry no bigrams and are absent (nothing to
     * estimate a ratio from — same posture as the perplexity scorer).
     */
@@ -76,8 +79,8 @@ object Dsir {
       .join(broadcast(lam), Seq("b"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"),
-        sum("lam").cast("decimal(38,6)").as("importance"))
-    val top = scored.orderBy(col("importance").desc, col("id").asc)
+        sum("lam_u").as("importance_u"))
+    val top = scored.orderBy(col("importance_u").desc, col("id").asc)
       .limit(keep).select(col("id"), lit(true).as("__sel"))
     scored.join(broadcast(top), Seq("id"), "left")
       .withColumn("selected", coalesce(col("__sel"), lit(false)))

@@ -142,13 +142,15 @@ object LangModel {
     * S(c|a,b) = p3 if "a b c" is in the model, else 0.4·p2("b c"),
     * else 0.4²·p1(c), else 0.4²/N for an unseen word — the paper's
     * backoff chain with the pruned-model floor. Output per doc (docs
-    * with ≥ 1 trigram): `n_scored` positions, `logprob` = Σ ln S with
-    * each per-position ln QUANTIZED to DECIMAL(28,6) before the sum —
-    * S itself is an engine-identical integer-ratio double, but libm
-    * ln() drifts by 1 ulp between engines, so the contract quantizes
-    * each contribution far (1e10 ulps) from any rounding boundary and
-    * the decimal sum is then order-independent AND engine-exact —
-    * `avg_logprob`, `perplexity` = e^(−avg), and
+    * with ≥ 1 trigram): `n_scored` positions, `logprob_u` = Σ ln S in
+    * integer MICRO-nat units, each per-position ln quantized as
+    * floor(ln(S)·1e6 + 0.5) BIGINT (the [[Graph.pageRank]] contract:
+    * S itself is an engine-identical integer-ratio double; the ·1e6,
+    * +0.5, floor chain is exactly-rounded IEEE arithmetic identical in
+    * any engine, and there is NO double→DECIMAL cast whose rounding
+    * rule could differ between engine builds) — the integer sum is
+    * order-independent AND engine-exact — `avg_logprob` (micro-nats
+    * per position), `perplexity` = e^(−avg/1e6), and
     * the CCNet-style `ppl_bucket` (ntile semantics over avg_logprob
     * desc: bucket 1 = head/lowest perplexity, `buckets` = tail).
     *
@@ -185,14 +187,15 @@ object LangModel {
       .crossJoin(broadcast(model.corpus))
       .groupBy("id")
       .agg(count(lit(1)).as("n_scored"),
-        sum(log(s).cast("decimal(28,6)")).as("logprob"))
+        sum(floor(log(s) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("logprob_u"))
       .withColumn("avg_logprob",
-        col("logprob").cast("double") / col("n_scored"))
+        col("logprob_u").cast("double") / col("n_scored"))
     // distributed global rank by (avg_logprob desc, id): range exchange
     // + per-partition row_number + B-row partition offsets broadcast —
     // the ntile bucket is then pure arithmetic on (rank, total)
     val parted = scored
-      .withColumn("perplexity", exp(-col("avg_logprob")))
+      .withColumn("perplexity", exp(-(col("avg_logprob") / lit(1e6))))
       .repartitionByRange(32, col("avg_logprob").desc, col("id").asc)
       .withColumn("__pid", spark_partition_id())
     val wIn = org.apache.spark.sql.expressions.Window

@@ -26,26 +26,49 @@ object Sampling {
     * to weight, no replacement, one pass.
     *
     * Ordering by ln(u)/w is monotone-equivalent to u^(1/w); the
-    * per-row scalar is quantized to DECIMAL(28,6) (libm ln drifts a
-    * ulp between engines; 1e-6 steps sit ~1e10 ulps from any rounding
-    * boundary) so the selection is deterministic AND engine-exact,
-    * ties broken by id. Selection is a TakeOrdered top-k — per
-    * partition O(k), no global sort shuffle, no driver data beyond the
-    * k winners. Weights must be strictly positive.
+    * per-row scalar is quantized to an integer MICRO-unit BIGINT via
+    * floor(x·1e6 + 0.5) — the [[Graph.pageRank]] contract: ·1e6, +0.5
+    * and floor are exactly-rounded IEEE ops identical in any engine
+    * (no double→DECIMAL cast, whose rounding rule is an engine-build
+    * property), and a 1-ulp libm ln drift flips the floor only when
+    * the scaled key lands within an ulp of an integer — so the
+    * selection is deterministic AND engine-exact, ties broken by id.
+    * Selection is a TakeOrdered top-k — per partition O(k), no global
+    * sort shuffle, no driver data beyond the k winners. Weights must
+    * be ≥ 1e-9 (strictly positive and far from BIGINT overflow of the
+    * scaled key); rows violating that raise instead of silently
+    * dropping. The output `es_key` column is part of the contract, so
+    * the input must not already carry one.
     */
   def sampleWeighted(df: DataFrame, idCol: String, weight: Column,
       k: Int, seed: String): DataFrame = {
+    requireFreshCols(df, "sampleWeighted", "es_key")
     df.withColumn("es_key", esKey(idCol, weight, seed))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
 
-  /** The A-ES selection key ln(u)/w, quantized (see [[sampleWeighted]]). */
+  private def requireFreshCols(df: DataFrame, op: String,
+      names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them first; these names are produced by the operator")
+  }
+
+  /** The A-ES selection key floor(ln(u)/w·1e6 + 0.5) as BIGINT (see
+    * [[sampleWeighted]]). |ln(u)| ≤ 60·ln 2 ≈ 41.6, so any w ≥ 1e-9
+    * keeps the scaled key under 2^63; smaller or non-positive (or
+    * null) weights violate the A-ES contract and raise.
+    */
   private def esKey(idCol: String, weight: Column, seed: String): Column = {
     // u in (0, 1]: (h+1) / 2^60 with h the 60-bit non-negative hash
     val u = (orderKey(idCol, seed) + 1).cast("double") /
       lit(1.152921504606846976e18)
-    (log(u) / weight).cast("decimal(28,6)")
+    val key = floor((log(u) / weight) * lit(1e6) + lit(0.5)).cast("long")
+    when(weight >= lit(1e-9), key).otherwise(raise_error(concat(
+      lit("sampleWeighted: weight must be >= 1e-9, got "),
+      coalesce(weight.cast("string"), lit("null")))))
   }
 
   /** Per-group weighted sampling without replacement: the k largest
@@ -55,6 +78,7 @@ object Sampling {
     */
   def sampleWeightedBy(df: DataFrame, groupCol: String, idCol: String,
       weight: Column, kPerGroup: Int, seed: String): DataFrame = {
+    requireFreshCols(df, "sampleWeightedBy", "es_key", "__rk")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("es_key").desc, col(idCol))
     df.withColumn("es_key", esKey(idCol, weight, seed))

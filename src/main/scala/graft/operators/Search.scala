@@ -25,17 +25,20 @@ import org.apache.spark.sql.functions._
   * Determinism contract (the DuckDB oracle recomputes scores): each
   * per-(doc, term) contribution is built from the SAME expression tree
   * with the same double literals on both engines, so per-row IEEE
-  * arithmetic is bit-identical; the cross-term accumulation is made
-  * order-independent by summing fixed-scale decimals; ranking uses the
-  * exact decimal score with doc-id tie-break.
+  * arithmetic is bit-identical, then quantized to an integer MICRO-unit
+  * BIGINT via floor(x·1e6 + 0.5) (the [[Graph.pageRank]] contract —
+  * exactly-rounded IEEE ops only, no double→DECIMAL cast whose
+  * rounding rule is an engine-build property); the cross-term
+  * accumulation is an order-independent BIGINT sum; ranking uses the
+  * exact integer score with doc-id tie-break.
   */
 object Search {
   import PipelineParams._
 
   /** BM25 top-k: `queries` is a (query id, query text) frame — small
     * relative to the corpus (it broadcasts). Returns one row per
-    * (query_id, doc id) in the query's top `k`, with the exact-decimal
-    * score and the 1-based rank.
+    * (query_id, doc id) in the query's top `k`, with the exact integer
+    * micro-unit score `sd` and the 1-based rank.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
@@ -59,8 +62,8 @@ object Search {
       (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") + lit(k1) *
       (lit(1.0 - b) + (lit(b) * col("dl")) / col("avgdl"))
-    val contrib = (idf * ((col("tf") * lit(k1 + 1)) / denom))
-      .cast("decimal(28,12)")
+    val contrib = floor((idf * ((col("tf") * lit(k1 + 1)) / denom)) *
+      lit(1e6) + lit(0.5)).cast("long")
     val scored = tf
       .join(broadcast(qterms), "w")
       .join(dfreq, "w")
@@ -76,11 +79,13 @@ object Search {
 
   /** Reciprocal Rank Fusion (Cormack, Clarke & Büttner, SIGIR 2009):
     * merge per-query rankings from heterogeneous retrieval legs
-    * (lexical BM25, vector ANN, …) by summing 1/(k0 + rank) per leg —
+    * (lexical BM25, vector ANN, …) by summing 1/(k0 + rank) per leg
+    * (quantized to integer PICO-units — no libm anywhere, so the
+    * quantized value is bit-identical in any engine) —
     * the standard hybrid-search combiner, score-scale-free by
     * construction. Each leg frame is (query_id, id, rank); output is
-    * the per-query top-`topK` by (rrf desc, id) with the exact-decimal
-    * fused score and the number of contributing legs.
+    * the per-query top-`topK` by (rrf desc, id) with the exact integer
+    * pico-unit fused score and the number of contributing legs.
     *
     * Scale shape: the legs are already per-query top-k (bounded), so
     * the union + one (query_id, id) aggregation + one query-partitioned
@@ -90,8 +95,8 @@ object Search {
       k0: Double = 60.0): DataFrame = {
     require(legs.nonEmpty)
     val contribs = legs.map(_.select(col("query_id"), col("id"),
-      (lit(1.0) / (lit(k0) + col("rank")))
-        .cast("decimal(28,12)").as("c")))
+      floor((lit(1.0) / (lit(k0) + col("rank"))) * lit(1e12) + lit(0.5))
+        .cast("long").as("c")))
     val fused = contribs.reduce(_ unionAll _)
       .groupBy("query_id", "id")
       .agg(sum("c").as("rrf"), count(lit(1)).cast("int").as("legs"))

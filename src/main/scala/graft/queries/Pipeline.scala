@@ -231,28 +231,27 @@ object Pipeline {
          |tok AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w),
          |scr AS (
          |  SELECT doc_id,
-         |    sum(CAST(
-         |      ((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
+         |    CAST(sum(CAST(floor(
+         |      (((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
          |         % $QcWeightMod - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0)
-         |        / dl AS DECIMAL(28,12))) AS score
+         |        / dl) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS score_p
          |  FROM tok GROUP BY doc_id),
          |g AS (
-         |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS grp,
-         |    CAST(s.score AS DECIMAL(38,12)) AS score
+         |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS grp, s.score_p
          |  FROM documents d
          |  LEFT JOIN lab l ON d.doc_id = l.id
          |  JOIN scr s ON s.doc_id = d.doc_id)
-         |SELECT doc_id, grp, score,
+         |SELECT doc_id, grp, score_p,
          |  row_number() OVER (PARTITION BY grp
-         |    ORDER BY score DESC, doc_id) = 1 AS keep
+         |    ORDER BY score_p DESC, doc_id) = 1 AS keep
          |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val score = Classifier.scoreRule(d, "doc_id", "text")
-        .select(col("id").as("__sid"),
-          col("score").cast("decimal(38,12)").as("__score"))
+        .select(col("id").as("__sid"), col("score_p").as("__score"))
       val withScore = d.join(score, col("doc_id") === col("__sid"))
       Dedup.keepBestPerGroup(withScore, "doc_id", col("__score"),
           Dedup.minhashPairs(d, "doc_id", "text"))
+        .withColumnRenamed("score", "score_p")
         .orderBy("doc_id")
     },
 
@@ -719,26 +718,27 @@ object Pipeline {
 
     // ---- weighted sampling without replacement (Efraimidis–Spirakis):
     // token-count weights, portable-hash uniforms, ln(u)/w key
-    // quantized to DECIMAL(28,6) so both engines select the identical
-    // 100 winners — the oracle recomputes every key from scratch ------
+    // quantized to an integer micro-unit BIGINT (floor(x·1e6+0.5) —
+    // exactly-rounded IEEE ops only) so both engines select the
+    // identical 100 winners — the oracle recomputes every key ---------
     QueryDef(
       "q_corpus_sample_weighted",
       s"""WITH m AS (
          |  SELECT doc_id,
-         |    CAST(ln((${duckHash("'sw1' || doc_id::VARCHAR")} + 1)
+         |    CAST(floor(ln((${duckHash("'sw1' || doc_id::VARCHAR")} + 1)
          |          / 1152921504606846976.0)
          |      / (len(regexp_extract_all(lower(text),
          |           '[a-z]+|[0-9]|[^a-z0-9 ]')) + 1)
-         |      AS DECIMAL(28,6)) AS es_key
+         |      * 1e6 + 0.5) AS BIGINT) AS es_key
          |  FROM documents),
          |s AS (SELECT doc_id, es_key FROM m
          |      ORDER BY es_key DESC, doc_id LIMIT 100)
-         |SELECT doc_id, CAST(es_key AS DOUBLE) AS es_key
+         |SELECT doc_id, es_key
          |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Sampling.sampleWeighted(docs(s, dir), "doc_id",
           (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
           k = 100, seed = "sw1")
-        .select(col("doc_id"), col("es_key").cast("double").as("es_key"))
+        .select(col("doc_id"), col("es_key"))
         .orderBy("doc_id")
     },
 
@@ -748,24 +748,23 @@ object Pipeline {
       "q_corpus_sample_weighted_by",
       s"""WITH m AS (
          |  SELECT lang, doc_id,
-         |    CAST(ln((${duckHash("'swg' || doc_id::VARCHAR")} + 1)
+         |    CAST(floor(ln((${duckHash("'swg' || doc_id::VARCHAR")} + 1)
          |          / 1152921504606846976.0)
          |      / (len(regexp_extract_all(lower(text),
          |           '[a-z]+|[0-9]|[^a-z0-9 ]')) + 1)
-         |      AS DECIMAL(28,6)) AS es_key
+         |      * 1e6 + 0.5) AS BIGINT) AS es_key
          |  FROM documents),
          |r AS (
          |  SELECT lang, doc_id, es_key, row_number() OVER (
          |    PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rk
          |  FROM m)
-         |SELECT lang, doc_id, CAST(es_key AS DOUBLE) AS es_key
+         |SELECT lang, doc_id, es_key
          |FROM r WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin) {
       (s, dir) =>
       Sampling.sampleWeightedBy(docs(s, dir), "lang", "doc_id",
           (TextOps.tokenCount(col("text")) + lit(1)).cast("double"),
           kPerGroup = 15, seed = "swg")
-        .select(col("lang"), col("doc_id"),
-          col("es_key").cast("double").as("es_key"))
+        .select(col("lang"), col("doc_id"), col("es_key"))
         .orderBy("lang", "doc_id")
     },
 
@@ -1328,11 +1327,11 @@ object Pipeline {
     },
 
     // ---- curation with the ML gate: the hashed-feature classifier
-    // replaces the C4/Gopher rules, folded scan-locally (decimal sum is
-    // exact ⇒ order-independent ⇒ the oracle's list_sum of the same
-    // per-token decimals is the identical gate); dedup + sample stages
-    // unchanged, so the whole composition still has ONE window shuffle
-    // and zero joins -------------------------------------------------
+    // replaces the C4/Gopher rules, folded scan-locally (BIGINT
+    // pico-unit sum is exact ⇒ order-independent ⇒ the oracle's
+    // list_sum of the same per-token integers is the identical gate);
+    // dedup + sample stages unchanged, so the whole composition still
+    // has ONE window shuffle and zero joins ---------------------------
     QueryDef(
       "q_pipeline_curate_ml",
       s"""WITH w AS (
@@ -1340,11 +1339,11 @@ object Pipeline {
          |g AS (
          |  SELECT doc_id, text, len(ws) AS n_words
          |  FROM w
-         |  WHERE list_sum(list_transform(ws, t -> CAST(
+         |  WHERE list_sum(list_transform(ws, t -> CAST(floor(
          |      ((${duckHash("t")} % $QcBuckets * $QcWeightA + $QcWeightB)
          |         % $QcWeightMod - ${QcWeightMod / 2})
-         |        / ${QcWeightMod / 2}.0 / len(ws)
-         |      AS DECIMAL(28,12)))) >= 0),
+         |        / ${QcWeightMod / 2}.0 / len(ws) * 1e12 + 0.5)
+         |      AS BIGINT))) >= 0),
          |q AS (
          |  SELECT doc_id, n_words,
          |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
@@ -1593,9 +1592,11 @@ object Pipeline {
 
     // ---- character-entropy quality signal (the RefinedWeb-style
     // gibberish/repetition detector): per-doc Shannon entropy over
-    // code-point counts, each n·ln(n) term quantized to 6 decimals
-    // before the exact decimal sum (same ln-drift armor as
-    // perplexity), final H quantized on output ---------------------
+    // code-point counts in the integer micro-unit contract — each
+    // ln(n) quantized as lnµ(n) = floor(ln(n)·1e6+0.5) BIGINT, then
+    // entropy_lu = lnµ(L)·L − Σ n·lnµ(n) is EXACT integer arithmetic
+    // (= H·L in micro-nats): no decimal cast, no division, nothing an
+    // engine build can round differently ----------------------------
     QueryDef(
       "q_text_entropy",
       """WITH ch AS (
@@ -1604,25 +1605,27 @@ object Pipeline {
         |cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
         |agg AS (
         |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS L,
-        |    sum(CAST(n * ln(n::DOUBLE) AS DECIMAL(28,6))) AS s
+        |    CAST(sum(n * CAST(floor(ln(n::DOUBLE) * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS s
         |  FROM cc GROUP BY doc_id)
         |SELECT doc_id, L AS n_chars_ent,
-        |  CAST(ln(L::DOUBLE) - CAST(s AS DOUBLE) / L AS DECIMAL(38,6))
-        |    AS entropy
+        |  CAST(floor(ln(L::DOUBLE) * 1e6 + 0.5) AS BIGINT) * L - s
+        |    AS entropy_lu
         |FROM agg ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir).filter(length(col("text")) > 0)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("n_chars_ent"),
-          TextOps.charEntropy(col("text")).as("entropy"))
+          TextOps.charEntropy(col("text")).as("entropy_lu"))
         .orderBy("doc_id")
     },
 
     // ---- stupid-backoff trigram perplexity (Brants et al. 2007 +
     // the CCNet head/middle/tail split): the oracle retrains the
     // whole pruned prefix-closed model from scratch and rescores every
-    // trigram — per-position ln(S) is quantized to DECIMAL(28,6)
-    // (libm ln drifts 1 ulp between engines; 1e-6 steps sit 1e10 ulps
-    // from any boundary), the decimal sum is order-independent, and
+    // trigram — per-position ln(S) is quantized to an integer
+    // micro-unit BIGINT via floor(ln·1e6+0.5) (exactly-rounded IEEE
+    // ops only — no double→DECIMAL cast, whose rounding rule is an
+    // engine-build property), the BIGINT sum is order-independent, and
     // the tercile comes from plain NTILE (the Spark side derives the
     // same bucket arithmetically from a parallel-prefix global rank —
     // no serial window) --------------------------------------------
@@ -1671,9 +1674,10 @@ object Pipeline {
          |  CROSS JOIN corpus),
          |agg AS (
          |  SELECT doc_id, count(*) AS n_scored,
-         |    sum(CAST(ln(s) AS DECIMAL(28,6))) AS lp
+         |    CAST(sum(CAST(floor(ln(s) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS lp
          |  FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_scored, CAST(lp AS DECIMAL(38,6)) AS logprob,
+         |SELECT doc_id, n_scored, lp AS logprob_u,
          |  CAST(ntile($LmPplBuckets) OVER (
          |    ORDER BY CAST(lp AS DOUBLE) / n_scored DESC, doc_id) AS INT)
          |    AS ppl_bucket
@@ -1682,16 +1686,16 @@ object Pipeline {
       val m = LangModel.trainBackoff(d, "text")
       LangModel.perplexity(d, "doc_id", "text", m)
         .select(col("id").as("doc_id"), col("n_scored"),
-          col("logprob").cast("decimal(38,6)").as("logprob"),
-          col("ppl_bucket"))
+          col("logprob_u"), col("ppl_bucket"))
         .orderBy("doc_id")
     },
 
     // ---- DSIR importance resampling (Xie et al. 2023): the oracle
     // rebuilds the hashed-bigram bucket space, both smoothed
-    // distributions, every per-bucket log ratio (quantized to
-    // DECIMAL(28,6) — same ln-drift armor as perplexity), every
-    // per-doc importance sum, and the top-k selection --------------
+    // distributions, every per-bucket log ratio (quantized to an
+    // integer micro-unit BIGINT via floor(x·1e6+0.5) — exactly-rounded
+    // IEEE ops only, same contract as perplexity), every per-doc
+    // importance sum, and the top-k selection ----------------------
     QueryDef(
       "q_dsir_select",
       s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
@@ -1710,17 +1714,18 @@ object Pipeline {
          |rn AS (SELECT count(*) AS nr FROM bkt),
          |lam AS (
          |  SELECT coalesce(tc.b, rc.b) AS b,
-         |    CAST(ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tn.nt + $DsirBuckets))
-         |      - ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (rn.nr + $DsirBuckets))
-         |      AS DECIMAL(28,6)) AS lam
+         |    CAST(floor(
+         |      (ln((coalesce(tc.ct, 0) + 1)::DOUBLE / (tn.nt + $DsirBuckets))
+         |       - ln((coalesce(rc.cr, 0) + 1)::DOUBLE / (rn.nr + $DsirBuckets)))
+         |      * 1e6 + 0.5) AS BIGINT) AS lam
          |  FROM tc FULL OUTER JOIN rc ON tc.b = rc.b
          |  CROSS JOIN tn CROSS JOIN rn),
          |sc AS (
          |  SELECT k.doc_id, count(*) AS n_grams,
-         |    CAST(sum(l.lam) AS DECIMAL(38,6)) AS importance
+         |    CAST(sum(l.lam) AS BIGINT) AS importance_u
          |  FROM bkt k JOIN lam l ON k.b = l.b GROUP BY k.doc_id)
-         |SELECT doc_id, n_grams, importance,
-         |  rank() OVER (ORDER BY importance DESC, doc_id) <= $DsirKeep
+         |SELECT doc_id, n_grams, importance_u,
+         |  rank() OVER (ORDER BY importance_u DESC, doc_id) <= $DsirKeep
          |    AS selected
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
@@ -1729,7 +1734,7 @@ object Pipeline {
       val lam = Dsir.importanceTable(target, d, "text")
       Dsir.select(d, "doc_id", "text", lam)
         .select(col("id").as("doc_id"), col("n_grams"),
-          col("importance"), col("selected"))
+          col("importance_u"), col("selected"))
         .orderBy("doc_id")
     },
 
@@ -1829,7 +1834,8 @@ object Pipeline {
          |  CROSS JOIN corpus),
          |agg AS (
          |  SELECT doc_id, count(*) AS n_scored,
-         |    sum(CAST(ln(s) AS DECIMAL(28,6))) AS lp
+         |    CAST(sum(CAST(floor(ln(s) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS lp
          |  FROM sc GROUP BY doc_id),
          |pb AS (
          |  SELECT doc_id, ntile($LmPplBuckets) OVER (
@@ -1858,9 +1864,11 @@ object Pipeline {
     // ---- hashed-feature linear quality classifier: the oracle
     // rebuilds every score from scratch — same portable md5 bucket,
     // same integer weight rule, per-token w/dl contributions from the
-    // same double expression tree, DECIMAL(28,12) accumulation (exact
-    // ⇒ order-independent ⇒ engine-exact); the keep label thresholds
-    // the exact decimal (≡ sigmoid ≥ 0.5 without exp()'s libm drift) --
+    // same double expression tree quantized to integer pico-units
+    // (floor(x·1e12+0.5) BIGINT — exactly-rounded IEEE ops only, no
+    // engine-build-dependent double→DECIMAL cast), BIGINT accumulation
+    // (exact ⇒ order-independent ⇒ engine-exact); the keep label
+    // thresholds the integer (≡ sigmoid ≥ 0.5 without exp()'s drift) --
     QueryDef(
       "q_quality_classifier",
       s"""WITH w AS (SELECT doc_id, $W AS ws FROM documents),
@@ -1868,13 +1876,12 @@ object Pipeline {
          |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS t FROM w),
          |sc AS (
          |  SELECT doc_id,
-         |    sum(CAST(
-         |      ((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
+         |    CAST(sum(CAST(floor(
+         |      (((((${duckHash("t")} % $QcBuckets) * $QcWeightA + $QcWeightB)
          |         % $QcWeightMod - ${QcWeightMod / 2}) / ${QcWeightMod / 2}.0)
-         |        / dl AS DECIMAL(28,12))) AS score
+         |        / dl) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS score_p
          |  FROM tok GROUP BY doc_id)
-         |SELECT doc_id, CAST(score AS DECIMAL(38,12)) AS score,
-         |  score >= 0 AS keep
+         |SELECT doc_id, score_p, score_p >= 0 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Classifier.scoreRule(docs(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
@@ -2075,7 +2082,8 @@ object Pipeline {
     // ---- BM25 top-k retrieval: fixture-derived queries (first words
     // of every stride-selected doc), contributions built from the same
     // expression tree with the same double literals on both engines,
-    // decimal-exact accumulation, rank on the exact score. The oracle
+    // quantized to integer micro-units (floor(x·1e6+0.5) BIGINT) and
+    // summed exactly, rank on the exact integer score. The oracle
     // recomputes tf/df/dl/avgdl and every score from scratch. ---------
     QueryDef(
       "q_search_bm25",
@@ -2093,17 +2101,17 @@ object Pipeline {
          |qt AS (SELECT query_id, unnest(qws) AS w FROM q),
          |contrib AS (
          |  SELECT qt.query_id, tf.doc_id,
-         |    CAST(ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
+         |    CAST(floor((ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
          |            / (dfreq.df + (0.5)::DOUBLE))
          |      * ((tf.tf * (${Bm25K1 + 1})::DOUBLE)
          |         / (tf.tf + ($Bm25K1)::DOUBLE * ((${1.0 - Bm25B})::DOUBLE
-         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl)))
-         |      AS DECIMAL(28,12)) AS c
+         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl))))
+         |      * 1e6 + 0.5) AS BIGINT) AS c
          |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
          |  JOIN dl ON dl.doc_id = tf.doc_id
          |  CROSS JOIN corpus),
          |scored AS (
-         |  SELECT query_id, doc_id, sum(c) AS sd
+         |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS sd
          |  FROM contrib GROUP BY query_id, doc_id),
          |ranked AS (
          |  SELECT query_id, doc_id, sd,
@@ -2111,7 +2119,7 @@ object Pipeline {
          |      ORDER BY sd DESC, doc_id) AS rk
          |  FROM scored)
          |SELECT query_id, doc_id, CAST(rk AS BIGINT) AS rk,
-         |  round(sd::DOUBLE, 6) AS score
+         |  sd AS score_u
          |FROM ranked WHERE rk <= $Bm25TopK
          |ORDER BY query_id, doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
@@ -2121,15 +2129,17 @@ object Pipeline {
             .as("qtext"))
       Search.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext")
         .select(col("query_id"), col("id").as("doc_id"), col("rk"),
-          round(col("sd").cast("double"), 6).as("score"))
+          col("sd").as("score_u"))
         .orderBy("query_id", "doc_id")
     },
 
     // ---- hybrid retrieval: BM25 + exact-cosine legs fused with
     // Reciprocal Rank Fusion (Cormack et al. 2009) — the oracle
-    // replays BOTH legs from scratch and the 1/(60+rank) decimal
-    // fusion; queries are ids 0..NumQueryVectors-1 so the lexical and
-    // vector sides share a query set -------------------------------
+    // replays BOTH legs from scratch and the 1/(60+rank) fusion in
+    // integer pico-units (floor(x·1e12+0.5) BIGINT — libm-free, so
+    // bit-identical in any engine); queries are ids
+    // 0..NumQueryVectors-1 so the lexical and vector sides share a
+    // query set ----------------------------------------------------
     QueryDef(
       "q_search_hybrid",
       s"""WITH w AS (
@@ -2146,12 +2156,12 @@ object Pipeline {
          |qt AS (SELECT query_id, unnest(qws) AS w FROM q),
          |contrib AS (
          |  SELECT qt.query_id, tf.doc_id,
-         |    CAST(ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
+         |    CAST(floor((ln((1.0)::DOUBLE + (corpus.n - dfreq.df + (0.5)::DOUBLE)
          |            / (dfreq.df + (0.5)::DOUBLE))
          |      * ((tf.tf * (${Bm25K1 + 1})::DOUBLE)
          |         / (tf.tf + ($Bm25K1)::DOUBLE * ((${1.0 - Bm25B})::DOUBLE
-         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl)))
-         |      AS DECIMAL(28,12)) AS c
+         |            + (($Bm25B)::DOUBLE * dl.dl) / corpus.avgdl))))
+         |      * 1e6 + 0.5) AS BIGINT) AS c
          |  FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
          |  JOIN dl ON dl.doc_id = tf.doc_id
          |  CROSS JOIN corpus),
@@ -2159,8 +2169,8 @@ object Pipeline {
          |  SELECT query_id, doc_id AS id,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY c DESC, doc_id) AS rank
-         |  FROM (SELECT query_id, doc_id, sum(c) AS c FROM contrib
-         |        GROUP BY query_id, doc_id) s),
+         |  FROM (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS c
+         |        FROM contrib GROUP BY query_id, doc_id) s),
          |vec AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS id,
          |    row_number() OVER (PARTITION BY q.vec_id
@@ -2170,16 +2180,16 @@ object Pipeline {
          |  WHERE q.vec_id < $NumQueryVectors),
          |leg_c AS (
          |  SELECT query_id, id,
-         |    CAST((1.0)::DOUBLE / ((60.0)::DOUBLE + rank)
-         |      AS DECIMAL(28,12)) AS c
+         |    CAST(floor(((1.0)::DOUBLE / ((60.0)::DOUBLE + rank))
+         |      * 1e12 + 0.5) AS BIGINT) AS c
          |  FROM lex WHERE rank <= $Bm25TopK
          |  UNION ALL
          |  SELECT query_id, id,
-         |    CAST((1.0)::DOUBLE / ((60.0)::DOUBLE + rank)
-         |      AS DECIMAL(28,12)) AS c
+         |    CAST(floor(((1.0)::DOUBLE / ((60.0)::DOUBLE + rank))
+         |      * 1e12 + 0.5) AS BIGINT) AS c
          |  FROM vec WHERE rank <= $TopK),
          |fused AS (
-         |  SELECT query_id, id, sum(c) AS rrf,
+         |  SELECT query_id, id, CAST(sum(c) AS BIGINT) AS rrf,
          |    CAST(count(*) AS INT) AS legs
          |  FROM leg_c GROUP BY query_id, id),
          |fin AS (
@@ -2187,7 +2197,7 @@ object Pipeline {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY rrf DESC, id) AS hybrid_rank
          |  FROM fused)
-         |SELECT query_id, id, CAST(rrf AS DECIMAL(38,12)) AS rrf, legs,
+         |SELECT query_id, id, rrf AS rrf_p, legs,
          |  CAST(hybrid_rank AS BIGINT) AS hybrid_rank
          |FROM fin WHERE hybrid_rank <= $Bm25TopK
          |ORDER BY query_id, id""".stripMargin) { (s, dir) =>
@@ -2205,7 +2215,7 @@ object Pipeline {
         .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
       Search.rrfFuse(Seq(lex, vec), topK = Bm25TopK)
         .select(col("query_id"), col("id"),
-          col("rrf").cast("decimal(38,12)").as("rrf"), col("legs"),
+          col("rrf").as("rrf_p"), col("legs"),
           col("hybrid_rank"))
         .orderBy("query_id", "id")
     })

@@ -232,11 +232,11 @@ class PipelineSpec extends AnyFunSuite {
   test("quality classifier: map weights reproduce the rule, labels threshold at 0") {
     val d = Tables.df(spark, sf, "documents").limit(100)
     val rule = Classifier.scoreRule(d, "doc_id", "text").collect()
-      .map(r => (r.getLong(0), (r.getDecimal(1), r.getBoolean(2)))).toMap
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
     assert(rule.nonEmpty)
     // keep is exactly score >= 0
     rule.values.foreach { case (s, keep) =>
-      assert(keep == (s.signum >= 0))
+      assert(keep == (s >= 0))
     }
     // a weight map materializing the rule gives identical scores
     val w = (0 until PipelineParams.QcBuckets).map { b =>
@@ -245,7 +245,7 @@ class PipelineSpec extends AnyFunSuite {
       b -> raw.toDouble / (PipelineParams.QcWeightMod / 2.0)
     }.toMap
     val mapped = Classifier.scoreLinear(d, "doc_id", "text", w).collect()
-      .map(r => (r.getLong(0), (r.getDecimal(1), r.getBoolean(2)))).toMap
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
     assert(mapped == rule)
   }
 
@@ -793,7 +793,7 @@ class PipelineSpec extends AnyFunSuite {
     // doc 1 matches both terms (one rare) -> top rank
     assert(top.head.getLong(1) == 1L && top.head.getLong(3) == 1L)
     // scores weakly decrease with rank
-    val sds = top.map(_.getDecimal(2).doubleValue())
+    val sds = top.map(_.getLong(2))
     assert(sds.sameElements(sds.sorted.reverse))
   }
 
@@ -935,10 +935,10 @@ class PipelineSpec extends AnyFunSuite {
     val score = Seq((10L, "a b c d"), (11L, "a b q")).toDF("doc_id", "text")
     val out = LangModel.perplexity(score, "doc_id", "text", m)
       .collect().map(r => r.getAs[Long]("id") ->
-        (r.getAs[Long]("n_scored"), r.getAs[java.math.BigDecimal]("logprob")
-          .doubleValue())).toMap
+        (r.getAs[Long]("n_scored"),
+          r.getAs[Long]("logprob_u").toDouble / 1e6)).toMap
     // "a b c d": trigram "a b c" = 3/3 = 1, "b c d" = 1/3 (each
-    // contribution quantized to 1e-6 before the sum)
+    // contribution floor(ln·1e6+0.5)-quantized before the BIGINT sum)
     assert(out(10L)._1 == 2L)
     assert(math.abs(out(10L)._2 - math.log(1.0 / 3)) < 1e-5)
     // "a b q": trigram, suffix bigram, and unigram "q" all unseen →
@@ -1065,10 +1065,11 @@ class PipelineSpec extends AnyFunSuite {
     val out = d.select(col("doc_id"),
         TextOps.charEntropy(col("text")).as("e"))
       .collect().map(r => r.getLong(0) ->
-        Option(r.getAs[java.math.BigDecimal]("e"))).toMap
-    // H("aaab") = ln 4 − q6(3·ln 3)/4, all at 6-decimal quantization
-    assert(out(1L).get == new java.math.BigDecimal("0.562335"))
-    assert(out(2L).get == new java.math.BigDecimal("0.000000"))
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // entropy_lu("aaab") = lnµ(4)·4 − 3·lnµ(3) − 1·lnµ(1)
+    //   = 1386294·4 − 3·1098612 = 2249340  (H = 2249340/(4·1e6) ≈ 0.5623)
+    assert(out(1L).get == 2249340L)
+    assert(out(2L).get == 0L)
     assert(out(3L).isEmpty)
   }
 
@@ -1114,7 +1115,7 @@ class PipelineSpec extends AnyFunSuite {
     val lam = Dsir.importanceTable(target, d, "text", buckets = B)
     val out = Dsir.select(d, "doc_id", "text", lam, keep = 2, buckets = B)
       .collect().map(r => r.getAs[Long]("id") ->
-        (r.getAs[java.math.BigDecimal]("importance").doubleValue(),
+        (r.getAs[Long]("importance_u"),
           r.getAs[Boolean]("selected"))).toMap
     // reference: plain-scala replay of counts, smoothing, quantize
     def bigrams(t: String) = t.toLowerCase.split(" ", -1).toSeq
@@ -1126,16 +1127,14 @@ class PipelineSpec extends AnyFunSuite {
     val tc = tgtG.groupBy(p => bucket(p._2, B)).map { case (b, g) =>
       b -> g.size.toLong }
     val (nt, nr) = (tgtG.size.toLong, rawG.size.toLong)
-    def q6(x: Double): Double =
-      new java.math.BigDecimal(x).setScale(6,
-        java.math.RoundingMode.HALF_UP).doubleValue()
-    def lamOf(b: Long): Double = q6(
+    def lamOf(b: Long): Long = math.floor((
       math.log((tc.getOrElse(b, 0L) + 1).toDouble / (nt + B)) -
         math.log((rc.getOrElse(b, 0L) + 1).toDouble / (nr + B)))
+      * 1e6 + 0.5).toLong
     val want = rawG.groupBy(_._1).map { case (id, gs) =>
       id -> gs.map(p => lamOf(bucket(p._2, B))).sum }
     want.foreach { case (id, imp) =>
-      assert(math.abs(out(id)._1 - imp) < 1e-9, s"doc $id")
+      assert(out(id)._1 == imp, s"doc $id")
     }
     // the two target docs must be the two selected at keep=2
     assert(out(0L)._2 && out(3L)._2 && !out(1L)._2 && !out(2L)._2)
@@ -1150,7 +1149,7 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("is_target", col("id") %
         PipelineParams.DsirTargetStride === PipelineParams.DsirTargetSel)
     val means = out.groupBy("is_target")
-      .agg(avg(col("importance").cast("double")).as("m"))
+      .agg(avg(col("importance_u").cast("double")).as("m"))
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(means(true) > means(false),
       s"target mean ${means(true)} not above raw mean ${means(false)}")
@@ -1160,17 +1159,17 @@ class PipelineSpec extends AnyFunSuite {
     val d = Tables.df(spark, sf, "documents")
     val m = LangModel.trainBackoff(d, "text")
     val agg = LangModel.perplexity(d, "doc_id", "text", m)
-      .select(col("id"), col("n_scored"), col("logprob"))
+      .select(col("id"), col("n_scored"), col("logprob_u"))
     val local = d
       .withColumn("sc",
         LangModel.scoreLocal(col("text"), LangModel.collectModel(m)))
       .select(col("doc_id").as("id"), col("sc.n_scored").as("n2"),
-        col("sc.logprob").as("lp2"))
+        col("sc.logprob_u").as("lp2"))
       .filter(col("n2") > 0)
     val joined = agg.join(local, "id")
     assert(joined.count() == agg.count() && agg.count() > 0)
     assert(joined.filter(col("n_scored") =!= col("n2") ||
-      col("logprob") =!= col("lp2")).count() == 0)
+      col("logprob_u") =!= col("lp2")).count() == 0)
   }
 
   test("ppl_bucket equals a serial NTILE over the same ordering") {

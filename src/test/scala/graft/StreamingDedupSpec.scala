@@ -126,13 +126,13 @@ class StreamingDedupSpec extends AnyFunSuite {
     val avgs = docs.toDF("doc_id", "text")
       .withColumn("sc", LangModel.scoreLocal(col("text"), model))
       .filter(col("sc.n_scored") > 0)
-      .select((col("sc.logprob").cast("double") / col("sc.n_scored"))
+      .select((col("sc.logprob_u").cast("double") / col("sc.n_scored"))
         .as("a")).as[Double].collect().sorted
     val tau = avgs(avgs.length / 2)
     def gate(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("sc", LangModel.scoreLocal(col("text"), model))
       .filter(col("sc.n_scored") > 0 &&
-        col("sc.logprob").cast("double") / col("sc.n_scored") >= tau)
+        col("sc.logprob_u").cast("double") / col("sc.n_scored") >= tau)
       .drop("sc")
 
     val input = MemoryStream[(Long, String)]
