@@ -106,6 +106,15 @@ object Stats {
     * sketch (`approx_percentile`), not per-group selection. Rows whose
     * group or value is NULL are excluded (PERCENTILE_CONT semantics;
     * callers wanting the null group should bucket it explicitly).
+    *
+    * Memory posture: the narrow `(group, value)` projection — two
+    * columns, not the input rows — is cached across the count and
+    * selection passes and unpersisted before returning; it is
+    * range-partitioned over `partitions` partitions, so per-executor
+    * residency is ~rows/partitions × 16 bytes and spills gracefully
+    * under memory pressure (MEMORY_AND_DISK default). Raise
+    * `partitions` with input size. The returned frame is driver-built
+    * but bounded at `maxGroups`×|qs| doubles by the cardinality guard.
     */
   def exactQuantilesBy(df: DataFrame, groupCol: String, colName: String,
       qs: Seq[Double], maxGroups: Int = 64,

@@ -200,12 +200,13 @@ object Aggregates {
       val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
       val by = graft.operators.Stats.exactQuantilesBy(
         li, "l_linestatus", "l_extendedprice", qs)
-      by.collect().toSeq.flatMap { r =>
-        val g = r.getString(0)
-        qs.zip(r.getSeq[Double](1)).map { case (q, v) => (g, q, v) }
-      }.toDF("l_linestatus", "q", "value")
-        .select(col("l_linestatus"), col("q"),
-          round(col("value"), 6).as("value"))
+      // unnest the per-group quantile vector WITHOUT a driver collect:
+      // posexplode pairs each value with its q by position
+      val qlit = array(qs.map(lit): _*)
+      by.select(col("l_linestatus"), posexplode(col("quantiles")))
+        .select(col("l_linestatus"),
+          element_at(qlit, col("pos").cast("int") + 1).as("q"),
+          round(col("col"), 6).as("value"))
         .orderBy("l_linestatus", "q")
     },
 

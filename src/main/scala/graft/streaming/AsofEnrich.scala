@@ -33,14 +33,19 @@ object AsofEnrich {
   /** Per-key state: the latest reference row (micros, id, value). */
   case class LastRef(tsUs: Long, id: Long, value: Double)
 
-  /** Full-microsecond conversions (Timestamp.getTime floors to ms —
-    * the batch twin compares unix_micros, so sub-ms must survive).
+  /** Full-microsecond conversions. getTime already includes the
+    * sub-second millis carried in nanos, so seconds must come from a
+    * FLOOR division (floorDiv, not `/` which truncates toward zero) or
+    * pre-1970 timestamps would land up to 1 s off the batch operator's
+    * unix_micros; nanos then supply the exact sub-second micros.
     */
-  private[streaming] def toUs(t: Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000
-  private[streaming] def toTs(us: Long): Timestamp = {
-    val t = new Timestamp(us / 1000000 * 1000)
-    t.setNanos((us % 1000000).toInt * 1000)
+  private[graft] def toUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private[graft] def toTs(us: Long): Timestamp = {
+    // floorDiv/floorMod: truncation would hand setNanos a NEGATIVE
+    // sub-second for pre-1970 instants (IllegalArgumentException)
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
     t
   }
 

@@ -28,7 +28,10 @@ object DistinctSketch {
     import spark.implicits._
     val windowMs = windowMinutes * 60000L
 
-    in.groupByKey(e => e.ts.getTime / windowMs)
+    // floorDiv: `/` truncates toward zero, which would shift pre-1970
+    // event times into the NEXT window and collide two windows at the
+    // epoch boundary (the batch twin uses floor-based window())
+    in.groupByKey(e => Math.floorDiv(e.ts.getTime, windowMs))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (wk: Long, it: Iterator[In], state: GroupState[OpenWindow]) =>

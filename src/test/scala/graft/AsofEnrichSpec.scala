@@ -82,4 +82,28 @@ class AsofEnrichSpec extends AnyFunSuite {
         (2L, 105L, None, None)))
     } finally query.stop()
   }
+
+  test("toUs floors pre-1970 timestamps like unix_micros") {
+    import graft.streaming.AsofEnrich.{toTs, toUs}
+    // -1 ms = 1969-12-31 23:59:59.999: getTime = -1, nanos = 999000000.
+    // unix_micros = -1000; a truncating getTime/1000 would give 999000
+    val t = new java.sql.Timestamp(-1L)
+    assert(toUs(t) == -1000L, s"got ${toUs(t)}")
+    // round-trip + agreement with Spark's own unix_micros on a sweep
+    // of negative and positive epoch offsets with sub-ms precision
+    import spark.implicits._
+    val samples = Seq(-1L, -999L, -1000L, -86400000L + 123L, 0L, 1L,
+      999L, 86400000L + 456L)
+    val ts = samples.map { ms =>
+      val t = new java.sql.Timestamp(ms)
+      t.setNanos(((Math.floorMod(ms, 1000L)) * 1000000L + 789000L).toInt)
+      t
+    }
+    val sparkUs = ts.toDF("t")
+      .select(org.apache.spark.sql.functions.unix_micros(org.apache.spark
+        .sql.functions.col("t")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts.map(toUs) == sparkUs)
+    ts.foreach(t => assert(toTs(toUs(t)) == t))
+  }
 }

@@ -91,7 +91,7 @@ class HllSpec extends AnyFunSuite {
         .sortBy(_._1).toSeq
 
       val batch = rows.toDF("ts", "value")
-        .groupBy(((unix_millis(col("ts").cast("timestamp")) /
+        .groupBy((floor(unix_millis(col("ts").cast("timestamp")) /
           lit(1800000L)).cast("long") * 1800000L).as("w"))
         .agg(count(lit(1)).as("n"), sk(col("value")).as("s"))
         .collect().map { r =>
