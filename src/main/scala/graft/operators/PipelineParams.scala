@@ -92,6 +92,15 @@ object PipelineParams {
     Seq.fill(count)(Seq.fill(EmbeddingDim)(rnd.nextDouble() * 2 - 1))
   }
 
+  /** The judged WIDE LSH shape: exactly
+    * [[graft.operators.Similarity.lshAutoParams]](4096) — the
+    * auto-sizer's pick one power of two past the exact-join cutoff —
+    * pinned here so the judged artifact and the production path share
+    * a shape (asserted in PipelineSpec).
+    */
+  val LshWideBands = 9
+  val LshWideRows = 8
+
   /** Target expected LSH bucket occupancy for the auto-sized path:
     * candidate volume per band is (occupancy² / 2) × keys, so holding
     * occupancy constant as the corpus grows is what keeps the banded

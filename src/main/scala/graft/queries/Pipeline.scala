@@ -78,6 +78,27 @@ object Pipeline {
       s"((($a >> $shift) & $mask) = (($b >> $shift) & $mask))"
     }.mkString("(", " OR ", ")")
 
+  /** Per-band LSH key list at an arbitrary (bands × rowsPerBand)
+    * shape — dialect twin of [[graft.functions.LshBandKeys]]: band j's
+    * key packs the sign bits of planes j·r .. j·r+r−1 (bit i weighted
+    * 2^i), planes from the same seed-7 prefix stream rendered as
+    * double literals, dots folded left-to-right.
+    */
+  private def duckBandKeyList(v: String, bands: Int, rows: Int): String = {
+    val planes = PipelineParams.hyperplanesN(bands * rows)
+    (0 until bands).map { j =>
+      (0 until rows).map { i =>
+        val p = planes(j * rows + i)
+        val plit = p.map(_.toString).mkString("[", ",", "]")
+        s"(CASE WHEN ${duckDot(v, plit)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ",\n", "]")
+  }
+
+  /** ≥1 shared band between two key lists of `bands` entries. */
+  private def duckBandListMatch(a: String, b: String, bands: Int): String =
+    s"len(list_filter(range(1, ${bands + 1}), j -> ($a)[j] = ($b)[j])) > 0"
+
   private def duckStopRatio(ws: String, list: Seq[String]): String =
     s"len(list_filter($ws, w -> list_contains(${duckStringList(list)}, w)))::DOUBLE / len($ws)"
 
@@ -382,6 +403,31 @@ object Pipeline {
          |  AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= $CosineNearDup
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       Similarity.lshCosinePairs(embs(s, dir), "vec_id", "embedding")
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- WIDE auto-shape LSH: the same banded join judged at the
+    // shape the auto-sizer actually picks at corpus scale —
+    // lshAutoParams(4096) = (9 bands × 8 bits), pinned by
+    // PipelineSpec — so the graded artifact covers the production
+    // path (cosinePairsAuto), not just the fixed 4×4 contract whose
+    // 16-value key space goes quadratic past ~10k vectors. Oracle =
+    // brute force over the identical 72-plane band keys. ------------
+    QueryDef(
+      "q_dedup_embedding_lsh_wide",
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding,
+         |    ${duckBandKeyList("embedding", LshWideBands, LshWideRows)}
+         |      AS bks
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+         |WHERE ${duckBandListMatch("a.bks", "b.bks", LshWideBands)}
+         |  AND round(${duckCos("a.embedding", "b.embedding")}, 6) >= $CosineNearDup
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      Similarity.lshCosinePairsScaled(embs(s, dir), "vec_id", "embedding",
+          CosineNearDup, LshWideBands, LshWideRows)
         .orderBy("a_id", "b_id")
     },
 

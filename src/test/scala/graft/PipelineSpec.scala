@@ -159,6 +159,35 @@ class PipelineSpec extends AnyFunSuite {
       rows(Similarity.lshCosinePairs(e, "vec_id", "embedding", 0.4)))
   }
 
+  test("judged wide LSH shape IS the auto-sizer's pick at n=4096") {
+    // the q_dedup_embedding_lsh_wide contract: its pinned shape must
+    // stay exactly what cosinePairsAuto would run one power of two
+    // past the exact-join cutoff — if lshAutoParams changes, this
+    // fails and the judged constants must move with it
+    assert(Similarity.lshAutoParams(4096L) ==
+      ((PipelineParams.LshWideBands, PipelineParams.LshWideRows)))
+    // and the wide banded join stays sound on the fixture: subset of
+    // exact, with recall measured WHERE THE SHAPE PROMISES IT — the
+    // auto-sizer's S-curve designs ≥95% detection at cos≈0.9; pairs
+    // near a loose threshold are sacrificed for linear candidate
+    // volume (that's the whole trade), so the bound is on high-cos
+    // pairs, not the 0.4 tail
+    val e = Tables.df(spark, sf, "embeddings")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairs(Similarity.cosinePairs(e, "vec_id", "embedding", 0.4))
+    val wide = pairs(Similarity.lshCosinePairsScaled(e, "vec_id",
+      "embedding", 0.4, PipelineParams.LshWideBands,
+      PipelineParams.LshWideRows))
+    assert(wide.keySet.subsetOf(exact.keySet))
+    val high = exact.filter(_._2 >= 0.8).keySet
+    if (high.nonEmpty)
+      assert((high & wide.keySet).size.toDouble / high.size >= 0.9,
+        s"high-cos recall ${(high & wide.keySet).size.toDouble / high.size}" +
+          s" over ${high.size} pairs")
+  }
+
   test("lshAutoParams holds bucket occupancy and recall as n grows") {
     // occupancy bound: n / 2^rows <= targetBucket until the rows cap
     for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)) {
