@@ -219,5 +219,157 @@ object ClickBench {
           |    * 1000000 // count(*) / 1e6, 6) AS err_rate
           |FROM events
           |GROUP BY date_trunc('day', ts)
-          |ORDER BY d""".stripMargin))
+          |ORDER BY d""".stripMargin),
+
+    // CB LIKE-filter shape (URL/referrer matching, adapted to the
+    // props JSON string)
+    QueryDef.sql(
+      "q_cb_like",
+      """SELECT event_type, count(*) AS cnt
+        |FROM events
+        |WHERE props LIKE '%"k": 4%'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+
+    // CB whole-table arithmetic aggregates: decimal-exact sum and the
+    // derived average on cents-grid values
+    QueryDef.sql(
+      "q_cb_sum_avg",
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value
+        |FROM events
+        |WHERE event_type <> 'error'""".stripMargin),
+
+    // CB minute-resolution histogram on a filtered event class
+    QueryDef.sql(
+      "q_cb_minutes",
+      """SELECT date_trunc('minute', ts) AS m, count(*) AS cnt
+        |FROM events
+        |WHERE event_type = 'click'
+        |GROUP BY date_trunc('minute', ts)
+        |ORDER BY m""".stripMargin),
+
+    // CB multi-column grouped top-k (the user x type breakdown)
+    QueryDef.sql(
+      "q_cb_top_pairs",
+      """SELECT user_id, event_type, count(*) AS cnt
+        |FROM events
+        |GROUP BY user_id, event_type
+        |ORDER BY cnt DESC, user_id, event_type
+        |LIMIT 20""".stripMargin),
+
+    // CB first/last event per user via two opposed row_number windows
+    // joined back (the entry/exit-page shape)
+    QueryDef.sql(
+      "q_cb_first_last",
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM events)
+        |SELECT a.user_id, a.event_type AS first_type,
+        |  d.event_type AS last_type
+        |FROM o a JOIN o d ON a.user_id = d.user_id
+        |WHERE a.ra = 1 AND d.rd = 1
+        |ORDER BY a.user_id""".stripMargin),
+
+    // Sessionization report: 30-minute-gap session counts per user,
+    // histogrammed (lag + epoch arithmetic; dialect twin for epoch)
+    QueryDef.sql(
+      "q_cb_sessions",
+      """WITH d AS (
+        |  SELECT user_id,
+        |    unix_seconds(CAST(ts AS TIMESTAMP))
+        |      - lag(unix_seconds(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (WHERE gap IS NULL OR gap > 1800)
+        |      AS sessions,
+        |    count(*) AS n_events
+        |  FROM d GROUP BY user_id)
+        |SELECT sessions, count(*) AS users,
+        |  CAST(SUM(n_events) AS BIGINT) AS events
+        |FROM s GROUP BY sessions
+        |ORDER BY sessions""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT user_id,
+          |    CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT))
+          |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          |  FROM events),
+          |s AS (
+          |  SELECT user_id,
+          |    count(*) FILTER (WHERE gap IS NULL OR gap > 1800)
+          |      AS sessions,
+          |    count(*) AS n_events
+          |  FROM d GROUP BY user_id)
+          |SELECT sessions, count(*) AS users,
+          |  CAST(SUM(n_events) AS BIGINT) AS events
+          |FROM s GROUP BY sessions
+          |ORDER BY sessions""".stripMargin),
+
+    // CB day x type value pivot via CASE decimal sums
+    QueryDef.sql(
+      "q_cb_day_pivot",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS purchase_value,
+        |  CAST(SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(value AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS click_value
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY d""".stripMargin),
+
+    // Day-of-week activity profile (Monday = 0 on both sides via the
+    // dialect twin: Spark weekday vs DuckDB isodow - 1)
+    QueryDef.sql(
+      "q_cb_dow",
+      """SELECT CAST(weekday(ts) AS INT) AS dow, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY weekday(ts)
+        |ORDER BY dow""".stripMargin,
+      oracle =
+        """SELECT CAST(isodow(ts) - 1 AS INT) AS dow, count(*) AS cnt,
+          |  count(DISTINCT user_id) AS users
+          |FROM events
+          |GROUP BY isodow(ts) - 1
+          |ORDER BY dow""".stripMargin),
+
+    // JSON-property cardinality per event class (distinct extraction)
+    QueryDef.sql(
+      "q_cb_props_card",
+      """SELECT event_type,
+        |  count(DISTINCT GET_JSON_OBJECT(props, '$.k')) AS k_values,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+      oracle =
+        """SELECT event_type,
+          |  count(DISTINCT JSON_EXTRACT_STRING(props, '$.k')) AS k_values,
+          |  count(DISTINCT user_id) AS users
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin),
+
+    // CB paginated raw-scan shape: ORDER BY a non-key column with
+    // LIMIT + OFFSET (top-N pagination over the raw table)
+    QueryDef.sql(
+      "q_cb_paginate",
+      """SELECT event_id, user_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+        |FROM events
+        |ORDER BY value DESC, event_id
+        |LIMIT 25 OFFSET 50""".stripMargin))
 }

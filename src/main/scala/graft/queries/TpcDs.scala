@@ -246,5 +246,263 @@ object TpcDs {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_1998
         |FROM orders
         |WHERE year(o_orderdate) = 1998
-        |  AND o_custkey IN (SELECT o_custkey FROM freq)""".stripMargin))
+        |  AND o_custkey IN (SELECT o_custkey FROM freq)""".stripMargin),
+
+    // DS q1/q30/q81 shape: entities compared against 1.2x their
+    // group's average — the correlated-scalar-subquery staple,
+    // decorrelated as a group-average join. Decimals stay exact
+    // through both aggregation levels; the only double ops are the
+    // terminal division/comparison on engine-identical values.
+    QueryDef.sql(
+      "q_tpcds_over_avg",
+      """WITH s AS (
+        |  SELECT o_custkey, c_nationkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY o_custkey, c_nationkey),
+        |a AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(sd) AS DOUBLE) / count(*) AS avg_spend
+        |  FROM s GROUP BY c_nationkey)
+        |SELECT s.o_custkey, round(CAST(s.sd AS DOUBLE), 2) AS spend,
+        |  round(a.avg_spend, 2) AS nation_avg
+        |FROM s JOIN a ON s.c_nationkey = a.c_nationkey
+        |WHERE CAST(s.sd AS DOUBLE) > 1.2 * a.avg_spend
+        |ORDER BY s.o_custkey""".stripMargin),
+
+    // DS q11/q74 shape: year-over-year growth ratios per customer,
+    // kept when growth accelerates (the two-ratio comparison that
+    // exercises correlated multi-year self-joins)
+    QueryDef.sql(
+      "q_tpcds_yoy_growth",
+      """WITH y AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997, 1998)
+        |  GROUP BY o_custkey, year(o_orderdate))
+        |SELECT a.o_custkey,
+        |  round(CAST(b.sd AS DOUBLE) / CAST(a.sd AS DOUBLE), 6) AS g97,
+        |  round(CAST(c.sd AS DOUBLE) / CAST(b.sd AS DOUBLE), 6) AS g98
+        |FROM y a
+        |JOIN y b ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+        |JOIN y c ON a.o_custkey = c.o_custkey AND c.yr = 1998
+        |WHERE CAST(a.sd AS DOUBLE) > 0
+        |  AND CAST(c.sd AS DOUBLE) / CAST(b.sd AS DOUBLE)
+        |    > CAST(b.sd AS DOUBLE) / CAST(a.sd AS DOUBLE)
+        |ORDER BY a.o_custkey""".stripMargin),
+
+    // DS q31 shape: quarter-over-quarter growth at the geography
+    // grain, kept where growth accelerates across Q1->Q2->Q3
+    QueryDef.sql(
+      "q_tpcds_qoq",
+      """WITH q AS (
+        |  SELECT c_nationkey, quarter(o_orderdate) AS qt,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1997
+        |  GROUP BY c_nationkey, quarter(o_orderdate))
+        |SELECT a.c_nationkey,
+        |  round(CAST(b.sd AS DOUBLE) / CAST(a.sd AS DOUBLE), 6) AS g_q2,
+        |  round(CAST(c.sd AS DOUBLE) / CAST(b.sd AS DOUBLE), 6) AS g_q3
+        |FROM q a
+        |JOIN q b ON a.c_nationkey = b.c_nationkey AND a.qt = 1 AND b.qt = 2
+        |JOIN q c ON a.c_nationkey = c.c_nationkey AND c.qt = 3
+        |WHERE CAST(a.sd AS DOUBLE) > 0
+        |  AND CAST(c.sd AS DOUBLE) / CAST(b.sd AS DOUBLE)
+        |    > CAST(b.sd AS DOUBLE) / CAST(a.sd AS DOUBLE)
+        |ORDER BY a.c_nationkey""".stripMargin),
+
+    // DS q44 shape: best and worst performers via two ranked
+    // subqueries joined rank-to-rank
+    QueryDef.sql(
+      "q_tpcds_best_worst",
+      s"""WITH s AS (
+         |  SELECT p_brand, CAST(SUM($rev) AS DOUBLE) AS rev
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY p_brand),
+         |hi AS (SELECT p_brand, rev,
+         |  row_number() OVER (ORDER BY rev DESC, p_brand) AS rk FROM s),
+         |lo AS (SELECT p_brand, rev,
+         |  row_number() OVER (ORDER BY rev ASC, p_brand) AS rk FROM s)
+         |SELECT hi.rk, hi.p_brand AS best_brand,
+         |  round(hi.rev, 2) AS best_rev,
+         |  lo.p_brand AS worst_brand, round(lo.rev, 2) AS worst_rev
+         |FROM hi JOIN lo ON hi.rk = lo.rk
+         |WHERE hi.rk <= 5
+         |ORDER BY hi.rk""".stripMargin),
+
+    // DS q51 shape: per-channel cumulative revenue over months, FULL
+    // OUTER aligned, reporting months where the express channel's
+    // running total leads (window cumsum over exact decimals)
+    QueryDef.sql(
+      "q_tpcds_cumulative",
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 'express' ELSE 'standard' END AS ch,
+        |    date_trunc('month', o_orderdate) AS mo,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT ch, mo,
+        |    CAST(SUM(sd) OVER (PARTITION BY ch ORDER BY mo) AS DOUBLE)
+        |      AS cum
+        |  FROM m),
+        |e AS (SELECT mo, cum FROM c WHERE ch = 'express'),
+        |t AS (SELECT mo, cum FROM c WHERE ch = 'standard')
+        |SELECT CAST(coalesce(e.mo, t.mo) AS DATE) AS mo,
+        |  e.cum AS express_cum, t.cum AS standard_cum,
+        |  coalesce(e.cum, CAST(0 AS DOUBLE))
+        |    > coalesce(t.cum, CAST(0 AS DOUBLE)) AS express_leads
+        |FROM e FULL OUTER JOIN t ON e.mo = t.mo
+        |ORDER BY mo""".stripMargin),
+
+    // DS q10/q35 shape: EXISTS plus NOT EXISTS correlated gates on the
+    // same dimension row
+    QueryDef.sql(
+      "q_tpcds_exists",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND year(o.o_orderdate) = 1997)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    // DS q36/q70 shape: rollup lattice with rank WITHIN each grouping
+    // level (GROUPING() distinguishes detail/subtotal/total rows)
+    QueryDef.sql(
+      "q_tpcds_grouping_rank",
+      """WITH s AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(GROUPING(c_nationkey) + GROUPING(c_mktsegment) AS INT)
+        |      AS lvl,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS rev
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY ROLLUP(c_nationkey, c_mktsegment))
+        |SELECT c_nationkey, c_mktsegment, lvl, round(rev, 2) AS rev, rk
+        |FROM (
+        |  SELECT c_nationkey, c_mktsegment, lvl, rev,
+        |    rank() OVER (PARTITION BY lvl
+        |      ORDER BY rev DESC, c_nationkey NULLS FIRST,
+        |        c_mktsegment NULLS FIRST) AS rk
+        |  FROM s) t
+        |WHERE rk <= 5
+        |ORDER BY lvl, rk,
+        |  c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin),
+
+    // DS q39 shape: mean/variance gate per (brand, month) — stdev from
+    // EXACT decimal sums (sqrt is IEEE-correctly-rounded everywhere,
+    // unlike ln), keeping the volatile cells
+    QueryDef.sql(
+      "q_tpcds_stddev",
+      """WITH m AS (
+        |  SELECT p_brand, month(l_shipdate) AS mo, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_size <= 15
+        |  GROUP BY p_brand, month(l_shipdate)),
+        |v AS (
+        |  SELECT p_brand, mo, n,
+        |    CAST(sx AS DOUBLE) / n AS mean_q,
+        |    sqrt((n * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (n * (n - 1))) AS stdev_q
+        |  FROM m WHERE n > 1)
+        |SELECT p_brand, mo, n, round(mean_q, 6) AS mean_q,
+        |  round(stdev_q, 6) AS stdev_q
+        |FROM v
+        |WHERE mean_q > 0 AND stdev_q / mean_q > 0.5
+        |ORDER BY p_brand, mo""".stripMargin),
+
+    // DS q58 shape: same-brand revenue from two adjacent periods kept
+    // when within a +/-50% band of each other
+    QueryDef.sql(
+      "q_tpcds_period_compare",
+      s"""WITH a AS (
+         |  SELECT p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 3
+         |  GROUP BY p_brand),
+         |b AS (
+         |  SELECT p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 4
+         |  GROUP BY p_brand)
+         |SELECT a.p_brand, CAST(a.sd AS DOUBLE) AS rev_mar,
+         |  CAST(b.sd AS DOUBLE) AS rev_apr,
+         |  round(CAST(a.sd AS DOUBLE) / CAST(b.sd AS DOUBLE), 6) AS ratio
+         |FROM a JOIN b ON a.p_brand = b.p_brand
+         |WHERE CAST(b.sd AS DOUBLE) > 0
+         |  AND CAST(a.sd AS DOUBLE)
+         |    BETWEEN 0.5 * CAST(b.sd AS DOUBLE)
+         |        AND 1.5 * CAST(b.sd AS DOUBLE)
+         |ORDER BY a.p_brand""".stripMargin),
+
+    // DS q34/q73 shape: order-size band cohort (HAVING on the order
+    // grain) joined back to the customer grain
+    QueryDef.sql(
+      "q_tpcds_count_band",
+      """WITH big AS (
+        |  SELECT l_orderkey, count(*) AS items
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING count(*) BETWEEN 5 AND 7)
+        |SELECT o_custkey, count(*) AS big_orders,
+        |  CAST(SUM(items) AS BIGINT) AS items
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 2
+        |ORDER BY o_custkey""".stripMargin),
+
+    // DS q25/q29 shape: parts present in BOTH the returned and the
+    // kept stream, netted per brand across the two self-joined legs
+    QueryDef.sql(
+      "q_tpcds_three_channel",
+      s"""WITH r AS (
+         |  SELECT l_partkey, SUM($rev) AS rd
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey),
+         |k AS (
+         |  SELECT l_partkey, SUM($rev) AS kd
+         |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_partkey)
+         |SELECT p_brand, count(*) AS parts,
+         |  CAST(SUM(r.rd) AS DOUBLE) AS returned_rev,
+         |  CAST(SUM(k.kd) AS DOUBLE) AS kept_rev
+         |FROM r JOIN k ON r.l_partkey = k.l_partkey
+         |JOIN part ON p_partkey = r.l_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin),
+
+    // DS q49 shape: two independent ratio rankings, the report is the
+    // union of either top-10 with both ranks shown
+    QueryDef.sql(
+      "q_tpcds_two_rank",
+      s"""WITH s AS (
+         |  SELECT p_brand,
+         |    SUM(CASE WHEN l_returnflag = 'R'
+         |        THEN CAST(l_quantity AS DECIMAL(18,2))
+         |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS rq,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq,
+         |    SUM(CASE WHEN l_returnflag = 'R' THEN $rev
+         |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS ra,
+         |    SUM($rev) AS ta
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY p_brand),
+         |r AS (
+         |  SELECT p_brand,
+         |    round(CAST(rq AS DOUBLE) / CAST(tq AS DOUBLE), 6) AS qty_ratio,
+         |    round(CAST(ra AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS amt_ratio,
+         |    rank() OVER (ORDER BY CAST(rq AS DOUBLE) / CAST(tq AS DOUBLE)
+         |      DESC, p_brand) AS qrk,
+         |    rank() OVER (ORDER BY CAST(ra AS DOUBLE) / CAST(ta AS DOUBLE)
+         |      DESC, p_brand) AS ark
+         |  FROM s
+         |  WHERE CAST(tq AS DOUBLE) > 0 AND CAST(ta AS DOUBLE) > 0)
+         |SELECT p_brand, qty_ratio, amt_ratio, qrk, ark
+         |FROM r WHERE qrk <= 10 OR ark <= 10
+         |ORDER BY p_brand""".stripMargin))
 }
