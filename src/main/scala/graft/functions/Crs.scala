@@ -115,6 +115,21 @@ private[graft] object Crs {
     tx = -446.448, ty = 125.157, tz = -542.060,
     rxSec = -0.1502, rySec = -0.2470, rzSec = -0.8421, ppm = 20.4894)
 
+  val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+
+  /** CH1903+ (LV95 frame): translation-only Helmert, the published
+    * towgs84 = (674.374, 15.056, 405.346) negated to the WGS84→datum
+    * convention used here.
+    */
+  val Ch1903Plus: Datum = Helmert7(Bessel1841,
+    tx = -674.374, ty = -15.056, tz = -405.346,
+    rxSec = 0, rySec = 0, rzSec = 0, ppm = 0)
+
+  /** CH1903 (LV03 frame): towgs84 = (674.4, 15.1, 405.3), negated. */
+  val Ch1903: Datum = Helmert7(Bessel1841,
+    tx = -674.4, ty = -15.1, tz = -405.3,
+    rxSec = 0, rySec = 0, rzSec = 0, ppm = 0)
+
   // ---- projections -------------------------------------------------
 
   sealed trait Projection {
@@ -399,6 +414,76 @@ private[graft] object Crs {
     }
   }
 
+  /** Swiss Oblique Cylindrical (EPSG method 9814 — the CH1903/LV03 and
+    * CH1903+/LV95 projection; EPSG Guidance Note 7-2 formulas): a
+    * double projection — conformal sphere at the projection centre,
+    * then an oblique equatorial Mercator on that sphere. The oblique
+    * member of the projection registry (Hotine variants share the
+    * rotated-sphere machinery but their published zone azimuths are
+    * not reproducible here without the EPSG database, so they stay
+    * refused rather than approximated).
+    */
+  final case class SwissOblique(ell: Ellipsoid, latc: Double,
+      lonc: Double, fe: Double, fn: Double) extends Projection {
+    private val phi0 = math.toRadians(latc)
+    private val lam0 = math.toRadians(lonc)
+    private val e = ell.e
+    private val c2 = ell.e2 / (1 - ell.e2)
+    private val alphaC =
+      math.sqrt(1 + c2 * math.pow(math.cos(phi0), 4))
+    private val b0 = math.asin(math.sin(phi0) / alphaC)
+    private val kC =
+      math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+        alphaC * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+        alphaC * e / 2 *
+          math.log((1 + e * math.sin(phi0)) / (1 - e * math.sin(phi0)))
+    private val bigR =
+      ell.a * math.sqrt(1 - ell.e2) / (1 - ell.e2 * math.sin(phi0) *
+        math.sin(phi0))
+
+    def forward(ll: Pt): Pt = {
+      val phi = math.toRadians(ll.y)
+      val sPar = alphaC * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        alphaC * e / 2 *
+          math.log((1 + e * math.sin(phi)) / (1 - e * math.sin(phi))) + kC
+      val b = 2 * (math.atan(math.exp(sPar)) - math.Pi / 4)
+      val l = alphaC * (math.toRadians(ll.x) - lam0)
+      // rotate the conformal sphere so the centre (b0, 0) lands on the
+      // pseudo-equator origin: unit-vector rotation about the y-axis
+      // (pole-safe atan2 form of the guidance note's tan expressions)
+      val bBar = math.asin(math.cos(b0) * math.sin(b) -
+        math.sin(b0) * math.cos(b) * math.cos(l))
+      val lBar = math.atan2(math.cos(b) * math.sin(l),
+        math.cos(b0) * math.cos(b) * math.cos(l) +
+          math.sin(b0) * math.sin(b))
+      Pt(fe + bigR * lBar,
+        fn + bigR / 2 *
+          math.log((1 + math.sin(bBar)) / (1 - math.sin(bBar))))
+    }
+
+    def inverse(xy: Pt): Pt = {
+      val lBar = (xy.x - fe) / bigR
+      val bBar = 2 * (math.atan(math.exp((xy.y - fn) / bigR)) - math.Pi / 4)
+      val b = math.asin(math.cos(b0) * math.sin(bBar) +
+        math.sin(b0) * math.cos(bBar) * math.cos(lBar))
+      val l = math.atan2(math.cos(bBar) * math.sin(lBar),
+        math.cos(b0) * math.cos(bBar) * math.cos(lBar) -
+          math.sin(b0) * math.sin(bBar))
+      val lam = lam0 + l / alphaC
+      // Newton fixed point for phi from the conformal latitude b
+      var phi = b
+      var i = 0
+      while (i < 20) {
+        val sPar = (math.log(math.tan(math.Pi / 4 + b / 2)) - kC) / alphaC +
+          e * math.log(math.tan(math.Pi / 4 +
+            math.asin(e * math.sin(phi)) / 2))
+        phi = 2 * math.atan(math.exp(sPar)) - math.Pi / 2
+        i += 1
+      }
+      Pt(math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Normalize a longitude into (-180, 180] — projections whose
     * central meridian is far from Greenwich (polar stereographic at
     * lon0 = -45) otherwise hand back lon0 ± 180-relative values.
@@ -485,6 +570,42 @@ private[graft] object Crs {
       case 32761 => Some(Projected(
         PolarStereo(Wgs84, -90.0, 0.0, 0.994, south = true, 2e6, 2e6),
         WgsEquivalent(Wgs84)))
+      // New Zealand: NZGD2000 geographic + NZTM2000
+      case 4167 => Some(wgsGeo)
+      case 2193 => Some(Projected(
+        TMerc(Grs80, 0.0, 173.0, 0.9996, 1600000.0, 10000000.0),
+        WgsEquivalent(Grs80)))
+      // US State Plane (metric NAD83 zones; the two projection
+      // families every SPCS zone except Alaska-1 uses)
+      // NY Long Island: LCC 2SP
+      case 32118 => Some(Projected(
+        Lcc2Sp(Grs80, 40.0 + 10.0 / 60, -74.0,
+          41.0 + 2.0 / 60, 40.0 + 40.0 / 60, 300000.0, 0.0),
+        WgsEquivalent(Grs80)))
+      // Maryland: LCC 2SP
+      case 26985 => Some(Projected(
+        Lcc2Sp(Grs80, 37.0 + 40.0 / 60, -77.0,
+          39.45, 38.3, 400000.0, 0.0),
+        WgsEquivalent(Grs80)))
+      // Texas Central: LCC 2SP
+      case 32139 => Some(Projected(
+        Lcc2Sp(Grs80, 29.0 + 40.0 / 60, -98.5,
+          31.0 + 53.0 / 60, 30.0 + 7.0 / 60, 700000.0, 3000000.0),
+        WgsEquivalent(Grs80)))
+      // Alabama East: TM
+      case 26929 => Some(Projected(
+        TMerc(Grs80, 30.5, -85.0 - 50.0 / 60, 0.99996, 200000.0, 0.0),
+        WgsEquivalent(Grs80)))
+      // Switzerland: CH1903+/LV95 and CH1903/LV03 (Swiss Oblique
+      // Cylindrical on Bessel 1841, Bern-centred)
+      case 2056 => Some(Projected(
+        SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+          7.0 + 26.0 / 60 + 22.5 / 3600, 2600000.0, 1200000.0),
+        Ch1903Plus))
+      case 21781 => Some(Projected(
+        SwissOblique(Bessel1841, 46.0 + 57.0 / 60 + 8.66 / 3600,
+          7.0 + 26.0 / 60 + 22.5 / 3600, 600000.0, 200000.0),
+        Ch1903))
       case _ => None
     }
   }

@@ -42,7 +42,14 @@ class CrsSpec extends AnyFunSuite {
       3413 -> Seq((-45.0, 75.0), (10.0, 80.0)),
       3976 -> Seq((0.0, -75.0), (170.0, -78.0)),
       32661 -> Seq((0.0, 85.0), (-120.0, 87.0)),
-      32761 -> Seq((45.0, -85.0)))
+      32761 -> Seq((45.0, -85.0)),
+      2193 -> Seq((174.78, -41.29), (172.64, -43.53), (174.76, -36.85)),
+      32118 -> Seq((-73.99, 40.71), (-72.9, 40.85)),
+      26985 -> Seq((-76.61, 39.29), (-77.04, 38.9)),
+      32139 -> Seq((-97.74, 30.27), (-98.49, 29.42)),
+      26929 -> Seq((-86.3, 32.38), (-85.39, 31.22)),
+      2056 -> Seq((8.54, 47.38), (7.44, 46.95), (6.14, 46.2)),
+      21781 -> Seq((8.54, 47.38), (9.84, 46.5)))
     for ((srid, pts) <- probes; (lon, lat) <- pts) {
       val projected = transform(pt(lon, lat, 4326), srid)
       assert(projected.srid == srid)
@@ -51,6 +58,68 @@ class CrsSpec extends AnyFunSuite {
       assert(math.abs(back.x - lon) < 1e-7 &&
         math.abs(back.y - lat) < 1e-7,
         s"EPSG:$srid round-trip ($lon,$lat) -> (${back.x},${back.y})")
+    }
+  }
+
+  test("Swiss Oblique Cylindrical: centre, offsets, and a city check") {
+    import graft.functions.Crs
+    val lv95 = Crs.projectionOf(2056).get
+    val lv03 = Crs.projectionOf(21781).get
+    // the projection centre (Bern old observatory) maps to the false
+    // origin EXACTLY in both frames
+    val cLon = 7.0 + 26.0 / 60 + 22.5 / 3600
+    val cLat = 46.0 + 57.0 / 60 + 8.66 / 3600
+    val c95 = lv95.forward(Pt(cLon, cLat))
+    assert(math.abs(c95.x - 2600000.0) < 1e-6 &&
+      math.abs(c95.y - 1200000.0) < 1e-6, s"LV95 centre $c95")
+    // LV95 = LV03 + (2 000 000, 1 000 000) by construction, everywhere
+    val z95 = lv95.forward(Pt(8.54, 47.38))
+    val z03 = lv03.forward(Pt(8.54, 47.38))
+    assert(math.abs(z95.x - z03.x - 2000000.0) < 1e-6 &&
+      math.abs(z95.y - z03.y - 1000000.0) < 1e-6)
+    // Zurich lands in the right part of the LV03 grid (sanity against
+    // gross formula/sign errors; the projection itself is pinned by
+    // the exact-centre and round-trip checks)
+    assert(math.abs(z03.x - 683000.0) < 3000 &&
+      math.abs(z03.y - 248000.0) < 3000, s"Zurich LV03 $z03")
+    // conformal: scale at the centre is 1 (numeric derivative, both
+    // axes agree to 1e-6)
+    val d = 1e-6
+    val dx = lv95.forward(Pt(cLon + d, cLat))
+    val dy = lv95.forward(Pt(cLon, cLat + d))
+    val (m, n) = radii(Crs.Bessel1841, cLat)
+    val kx = math.hypot(dx.x - c95.x, dx.y - c95.y) /
+      (math.toRadians(d) * n * math.cos(math.toRadians(cLat)))
+    val ky = math.hypot(dy.x - c95.x, dy.y - c95.y) /
+      (math.toRadians(d) * m)
+    assert(math.abs(kx - 1.0) < 1e-5 && math.abs(ky - 1.0) < 1e-5,
+      s"centre scale ($kx, $ky)")
+  }
+
+  test("NZTM and state-plane zones hold their defining invariants") {
+    import graft.functions.Crs
+    // NZTM: central-meridian scale is k0 = 0.9996 (TM invariant)
+    val nz = Crs.projectionOf(2193).get
+    val p0 = nz.forward(Pt(173.0, -41.0))
+    val p1 = nz.forward(Pt(173.0, -41.0 + 1e-6))
+    val (m, _) = radii(Crs.Grs80, -41.0)
+    val k = math.hypot(p1.x - p0.x, p1.y - p0.y) /
+      (math.toRadians(1e-6) * m)
+    assert(math.abs(k - 0.9996) < 1e-5, s"NZTM CM scale $k")
+    assert(math.abs(p0.x - 1600000.0) < 1e-6, "CM at false easting")
+    // LCC state planes: scale 1 on both standard parallels
+    for ((srid, lon0, sps) <- Seq(
+        (32118, -74.0, Seq(41.0 + 2.0 / 60, 40.0 + 40.0 / 60)),
+        (26985, -77.0, Seq(39.45, 38.3)),
+        (32139, -98.5, Seq(31.0 + 53.0 / 60, 30.0 + 7.0 / 60)));
+        sp <- sps) {
+      val pr = Crs.projectionOf(srid).get
+      val a = pr.forward(Pt(lon0, sp))
+      val b = pr.forward(Pt(lon0 + 1e-6, sp))
+      val (_, nR) = radii(Crs.Grs80, sp)
+      val kSp = math.hypot(b.x - a.x, b.y - a.y) /
+        (math.toRadians(1e-6) * nR * math.cos(math.toRadians(sp)))
+      assert(math.abs(kSp - 1.0) < 1e-5, s"EPSG:$srid k($sp) = $kSp")
     }
   }
 
