@@ -340,4 +340,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition()"),
       s"gapfill runs a global window:\n$p")
   }
+
+  test("round-9 TPC-DS/ClickBench shapes: no cartesian, no nested loop") {
+    // correlated EXISTS gates must decorrelate to hash joins; growth
+    // self-joins and cumulative FULL OUTER must stay equi-join shaped
+    for (q <- Seq("q_tpcds_over_avg", "q_tpcds_yoy_growth",
+        "q_tpcds_exists", "q_tpcds_cumulative", "q_tpcds_stddev",
+        "q_tpcds_count_band", "q_tpcds_two_rank",
+        "q_cb_sessions", "q_cb_first_last")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has nested-loop join:\n$p")
+    }
+    // the EXISTS/NOT EXISTS pair decorrelates to semi/anti hash joins
+    val pe = plan("q_tpcds_exists")
+    assert(pe.contains("LeftSemi") && pe.contains("LeftAnti"),
+      s"EXISTS gates did not decorrelate:\n$pe")
+  }
+
+  test("wide-shape LSH keeps the banded equi join, never all-pairs") {
+    val p = plan("q_dedup_embedding_lsh_wide")
+    assert(!p.contains("CartesianProduct"), s"wide LSH cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"wide LSH nested-loop:\n$p")
+  }
 }
