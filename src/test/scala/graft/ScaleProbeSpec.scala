@@ -166,6 +166,47 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("time round-9 search + wide-LSH operators sf0.1 vs sf1",
+      org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.1",
+        sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1"))) {
+      val d = Tables.df(spark, dir, "documents")
+      val e = Tables.df(spark, dir, "embeddings")
+      val n = d.count()
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"PROBE $label n=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("bm25-topk") {
+        val q = d.filter(col("doc_id") % PipelineParams.Bm25QueryStride ===
+            PipelineParams.Bm25QuerySel)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(split(lower(text), ' '), 1, 4), ' ')")
+              .as("qtext"))
+        Search.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("lsh-wide-pairs") {
+        Similarity.lshCosinePairsScaled(e, "vec_id", "embedding",
+            PipelineParams.CosineNearDup, PipelineParams.LshWideBands,
+            PipelineParams.LshWideRows)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("classifier-score") {
+        Classifier.scoreRule(d, "doc_id", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("char-entropy") {
+        d.filter(length(col("text")) > 0)
+          .select(col("doc_id"), TextOps.charEntropy(col("text")))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
   test("time temporal + spatial-join operators sf0.1 vs sf1",
       org.scalatest.Tag("probe")) {
     assume(sys.env.contains("GRAFT_SCALE_PROBE"))
