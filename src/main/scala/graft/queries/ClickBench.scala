@@ -371,5 +371,129 @@ object ClickBench {
         |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
         |FROM events
         |ORDER BY value DESC, event_id
-        |LIMIT 25 OFFSET 50""".stripMargin))
+        |LIMIT 25 OFFSET 50""".stripMargin),
+
+    // CB top-k by summed metric (not count): heaviest users by total
+    // event value, decimal-exact
+    QueryDef.sql(
+      "q_cb_top_value_users",
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS cnt
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY total DESC, user_id
+        |LIMIT 15""".stripMargin),
+
+    // CB argmax shape: each user's single highest-value event
+    // (max_by / arg_max dialect twin). The ordering key packs
+    // (cents, event_id) into ONE BIGINT — values are cents-grid, so
+    // round(value*100) is the exact integer in both engines and ties
+    // resolve to the highest event id deterministically.
+    QueryDef.sql(
+      "q_cb_argmax",
+      """SELECT user_id,
+        |  max_by(event_id, CAST(round(value * 100) AS BIGINT)
+        |    * 1000000000000 + event_id) AS top_event,
+        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS top_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+      oracle =
+        """SELECT user_id,
+          |  arg_max(event_id, CAST(round(value * 100) AS BIGINT)
+          |    * 1000000000000 + event_id) AS top_event,
+          |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS top_value
+          |FROM events
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin),
+
+    // CB per-day p95 latency report: exact ordered-set percentile per
+    // day over the value column
+    QueryDef.sql(
+      "q_cb_daily_p95",
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |  round(PERCENTILE_CONT(0.95) WITHIN GROUP (ORDER BY value), 6)
+        |    AS p95,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY d""".stripMargin),
+
+    // CB engagement distribution: per-user event counts histogrammed
+    // by power-of-two bucket (floor(log2) via bit length over BIGINT)
+    QueryDef.sql(
+      "q_cb_engagement_hist",
+      """WITH u AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT CAST(floor(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT)
+        |    AS bucket_log2,
+        |  count(*) AS users,
+        |  CAST(SUM(n) AS BIGINT) AS events
+        |FROM u
+        |GROUP BY CAST(floor(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT)
+        |ORDER BY bucket_log2""".stripMargin),
+
+    // CB sliding 7-day active-user window: per-day distinct users plus
+    // the trailing-week count via a RANGE frame over day numbers
+    QueryDef.sql(
+      "q_cb_rolling_active",
+      """WITH d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    datediff(CAST(date_trunc('day', ts) AS DATE),
+        |      DATE '1970-01-01') AS dn,
+        |    count(DISTINCT user_id) AS dau,
+        |    count(*) AS n
+        |  FROM events
+        |  GROUP BY date_trunc('day', ts))
+        |SELECT day, dau,
+        |  CAST(SUM(n) OVER (ORDER BY dn
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS events_7d
+        |FROM d ORDER BY day""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          |    date_diff('day', DATE '1970-01-01',
+          |      CAST(date_trunc('day', ts) AS DATE)) AS dn,
+          |    count(DISTINCT user_id) AS dau,
+          |    count(*) AS n
+          |  FROM events
+          |  GROUP BY date_trunc('day', ts))
+          |SELECT day, dau,
+          |  CAST(SUM(n) OVER (ORDER BY dn
+          |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS events_7d
+          |FROM d ORDER BY day""".stripMargin),
+
+    // CB distinct-pair cardinality: how many (user, day) active cells
+    // per event type (the uniq-by-multiple-columns shape)
+    QueryDef.sql(
+      "q_cb_active_cells",
+      """SELECT event_type,
+        |  count(DISTINCT struct(user_id, CAST(date_trunc('day', ts)
+        |    AS DATE))) AS user_days
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+      oracle =
+        """SELECT event_type,
+          |  count(DISTINCT (user_id, CAST(date_trunc('day', ts)
+          |    AS DATE))) AS user_days
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin),
+
+    // CB conditional-value contrast: value stats of error events vs
+    // the rest in one pass (FILTER aggregates, decimal-exact)
+    QueryDef.sql(
+      "q_cb_error_contrast",
+      """SELECT
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (WHERE event_type = 'error') AS DOUBLE) AS err_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |    FILTER (WHERE event_type <> 'error') AS DOUBLE) AS ok_value,
+        |  count(*) FILTER (WHERE event_type = 'error') AS err_n,
+        |  count(*) FILTER (WHERE event_type <> 'error') AS ok_n
+        |FROM events""".stripMargin))
 }

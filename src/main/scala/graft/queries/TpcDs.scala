@@ -504,5 +504,218 @@ object TpcDs {
          |  WHERE CAST(tq AS DOUBLE) > 0 AND CAST(ta AS DOUBLE) > 0)
          |SELECT p_brand, qty_ratio, amt_ratio, qrk, ark
          |FROM r WHERE qrk <= 10 OR ark <= 10
-         |ORDER BY p_brand""".stripMargin))
+         |ORDER BY p_brand""".stripMargin),
+
+    // DS q16/q94 shape: orders that have lines from supplier A but
+    // from NO other supplier in a band (EXISTS + NOT EXISTS at the
+    // order grain), distinct-count + decimal-sum report
+    QueryDef.sql(
+      "q_tpcds_exists_band",
+      """SELECT count(DISTINCT o.o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders o
+        |WHERE o.o_orderpriority = '2-HIGH'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_suppkey <= 50)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_suppkey > 300)"""
+        .stripMargin),
+
+    // DS q62/q99 shape: shipping-lag buckets pivoted by CASE counts
+    // per order priority (days between order date and line ship date)
+    QueryDef.sql(
+      "q_tpcds_ship_lag",
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE))
+        |      AS lag_days
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE lag_days <= 30) AS d30,
+        |  count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60) AS d60,
+        |  count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90) AS d90,
+        |  count(*) FILTER (WHERE lag_days > 90) AS d_over,
+        |  count(*) AS total
+        |FROM d
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT o_orderpriority,
+          |    date_diff('day', CAST(o_orderdate AS DATE),
+          |      CAST(l_shipdate AS DATE)) AS lag_days
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+          |SELECT o_orderpriority,
+          |  count(*) FILTER (WHERE lag_days <= 30) AS d30,
+          |  count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60) AS d60,
+          |  count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90) AS d90,
+          |  count(*) FILTER (WHERE lag_days > 90) AS d_over,
+          |  count(*) AS total
+          |FROM d
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin),
+
+    // DS q12/q20/q98 shape: revenue share of each brand within its
+    // type class via a window sum ratio over exact decimals
+    QueryDef.sql(
+      "q_tpcds_rev_share",
+      s"""WITH b AS (
+         |  SELECT p_type, p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_size BETWEEN 5 AND 20
+         |  GROUP BY p_type, p_brand)
+         |SELECT p_type, p_brand, CAST(sd AS DOUBLE) AS rev,
+         |  round(CAST(sd AS DOUBLE) * 100 /
+         |    CAST(SUM(sd) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+         |    AS revshare_pct
+         |FROM b
+         |ORDER BY p_type, p_brand""".stripMargin),
+
+    // DS q93 shape: per-customer net spend after subtracting returned
+    // lines at the line grain
+    QueryDef.sql(
+      "q_tpcds_net_after_returns",
+      s"""WITH net AS (
+         |  SELECT o_custkey,
+         |    SUM(CASE WHEN l_returnflag = 'R'
+         |        THEN CAST(0 AS DECIMAL(18,2)) ELSE $rev END) AS kept
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  GROUP BY o_custkey)
+         |SELECT o_custkey, CAST(kept AS DOUBLE) AS net_spend
+         |FROM net
+         |ORDER BY CAST(kept AS DOUBLE) DESC, o_custkey
+         |LIMIT 25""".stripMargin),
+
+    // DS q41 shape: DISTINCT dimension attributes under an
+    // OR-of-ANDs attribute filter (pure dimension scan)
+    QueryDef.sql(
+      "q_tpcds_dim_filter",
+      """SELECT DISTINCT p_brand, p_type
+        |FROM part
+        |WHERE (p_size BETWEEN 1 AND 10 AND p_type LIKE '%BRASS%')
+        |   OR (p_size BETWEEN 20 AND 30 AND p_type LIKE '%STEEL%')
+        |   OR (p_size > 40 AND p_retailprice < 1200)
+        |ORDER BY p_brand, p_type""".stripMargin),
+
+    // DS q75 shape: brand-year revenue from two channel legs UNION
+    // ALL'd, then year-over-year decline detection per brand
+    QueryDef.sql(
+      "q_tpcds_yoy_decline",
+      s"""WITH u AS (
+         |  SELECT p_brand, year(l_shipdate) AS yr, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE l_returnflag <> 'R'
+         |  GROUP BY p_brand, year(l_shipdate)
+         |  UNION ALL
+         |  SELECT p_brand, year(l_shipdate) AS yr,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(l_tax AS DECIMAL(4,2))) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY p_brand, year(l_shipdate)),
+         |y AS (SELECT p_brand, yr, CAST(SUM(sd) AS DOUBLE) AS rev
+         |  FROM u GROUP BY p_brand, yr)
+         |SELECT a.p_brand, a.rev AS rev_1997, b.rev AS rev_1998,
+         |  round(b.rev / a.rev, 6) AS ratio
+         |FROM y a JOIN y b ON a.p_brand = b.p_brand
+         |WHERE a.yr = 1997 AND b.yr = 1998 AND b.rev < a.rev
+         |ORDER BY ratio, a.p_brand""".stripMargin),
+
+    // DS q33/q56/q60 shape: three same-shape scoped sums UNION ALL'd
+    // and re-aggregated by brand
+    QueryDef.sql(
+      "q_tpcds_tri_union",
+      s"""WITH u AS (
+         |  SELECT p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE month(l_shipdate) = 1 GROUP BY p_brand
+         |  UNION ALL
+         |  SELECT p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE month(l_shipdate) = 2 GROUP BY p_brand
+         |  UNION ALL
+         |  SELECT p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE month(l_shipdate) = 3 GROUP BY p_brand)
+         |SELECT p_brand, CAST(SUM(sd) AS DOUBLE) AS q1_rev
+         |FROM u GROUP BY p_brand
+         |ORDER BY q1_rev DESC, p_brand
+         |LIMIT 15""".stripMargin),
+
+    // DS q21 shape: per-supplier late-vs-on-time line counts with a
+    // skew gate (late > half of on-time)
+    QueryDef.sql(
+      "q_tpcds_late_lines",
+      """WITH c AS (
+        |  SELECT l_suppkey,
+        |    count(*) FILTER (WHERE month(l_shipdate) >= 7) AS late,
+        |    count(*) FILTER (WHERE month(l_shipdate) < 7) AS early
+        |  FROM lineitem
+        |  GROUP BY l_suppkey)
+        |SELECT s_name, c.late, c.early
+        |FROM c JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE c.late * 2 > c.early
+        |ORDER BY s_name""".stripMargin),
+
+    // DS q90 shape: ratio of activity between two windows of the year
+    QueryDef.sql(
+      "q_tpcds_window_ratio",
+      """WITH c AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE month(o_orderdate) BETWEEN 1 AND 3)
+        |      AS w1,
+        |    count(*) FILTER (WHERE month(o_orderdate) BETWEEN 7 AND 9)
+        |      AS w2
+        |  FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT w1, w2,
+        |  round(CAST(w1 AS DOUBLE) / CAST(w2 AS DOUBLE), 6) AS ratio
+        |FROM c""".stripMargin),
+
+    // DS q6 shape: customers in nations whose average balance exceeds
+    // the global average (aggregate-vs-aggregate correlated gate)
+    QueryDef.sql(
+      "q_tpcds_agg_vs_agg",
+      """WITH nat AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS nat_avg,
+        |    count(*) AS n
+        |  FROM customer GROUP BY c_nationkey),
+        |gavg AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / count(*) AS g_avg
+        |  FROM customer)
+        |SELECT n.c_nationkey, round(n.nat_avg, 6) AS nat_avg,
+        |  CAST(n.n AS BIGINT) AS customers
+        |FROM nat n CROSS JOIN gavg g
+        |WHERE n.nat_avg > g.g_avg
+        |ORDER BY n.c_nationkey""".stripMargin),
+
+    // DS q15 shape: top-revenue customers above a fixed share of the
+    // maximum (window max comparison, no LIMIT cliff)
+    QueryDef.sql(
+      "q_tpcds_top_share",
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(sd AS DOUBLE) AS spend
+        |FROM (
+        |  SELECT o_custkey, sd,
+        |    CAST(MAX(sd) OVER () AS DOUBLE) AS mx
+        |  FROM s) t
+        |WHERE CAST(sd AS DOUBLE) > 0.8 * mx
+        |ORDER BY o_custkey""".stripMargin),
+
+    // DS q37/q82 shape: dimension band filter semi-joined against the
+    // fact's activity window
+    QueryDef.sql(
+      "q_tpcds_dim_semi",
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part
+        |WHERE p_retailprice BETWEEN 900 AND 1100
+        |  AND p_partkey IN (
+        |    SELECT l_partkey FROM lineitem
+        |    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 2)
+        |ORDER BY p_partkey""".stripMargin))
 }
