@@ -123,10 +123,15 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
-  private def foreignFrame(path: String, format: Option[String],
+  private def foreignFrame(path0: String, format: Option[String],
       options: Map[String, String],
       schema: Option[StructType]): DataFrame = {
-    val fmt = format.getOrElse(inferFormat(path))
+    // remote URLs (http/hf/s3, incl. wildcards) stage through the
+    // content-addressed cache first — s3:// adds bucket-region routing
+    val remote = path0.matches("^(https?|hf|s3a?)://.*")
+    val path = if (remote) sources.HttpSource.stageAll(path0) else path0
+    val fmt = format.getOrElse(inferFormat(
+      if (remote) sources.HttpSource.pathPart(path0) else path))
     val declared = schema.orElse(options.get("columns").map(parseColumns))
     var reader = spark.read.options(options - "columns")
     declared.foreach(s => reader = reader.schema(s))

@@ -78,6 +78,8 @@ object HttpSource {
     * (Link-header pagination followed). Non-glob URLs pass through.
     */
   def expand(url: String): Seq[String] = {
+    if (S3Source.parse(url).isDefined)
+      return S3Source.expandWildcard(url, u => fetch(u)._1)
     if (!url.startsWith("hf://") || !url.contains("*")) return Seq(url)
     val ref = parseHf(url)
     // list recursively from the deepest fixed directory prefix
@@ -156,7 +158,14 @@ object HttpSource {
       .digest(resolved.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(24)
     FileCache.getOrFetch(digest, ext) { (tmp, cond) =>
-      download(resolved, tmp, cond)
+      S3Source.parse(resolved) match {
+        // cache key = the region-independent s3 URL; the REGIONAL
+        // https URL is chosen (and re-learned on RegionMoved) at
+        // fetch time only
+        case Some(ref) =>
+          S3Source.withRegionRouting(ref)(u => download(u, tmp, cond))
+        case None => download(resolved, tmp, cond)
+      }
     }.toString
   }
 
@@ -177,9 +186,28 @@ object HttpSource {
     while (conn.getResponseCode / 100 == 3 &&
         conn.getResponseCode != 304 && redirects < 5) {
       val loc = conn.getHeaderField("Location")
+      // S3's wrong-region 301 has x-amz-bucket-region and usually NO
+      // Location: surface the region so S3Source can re-route the
+      // bucket instead of NPE-ing on a null redirect target
+      val region = Option(conn.getHeaderField("x-amz-bucket-region"))
+      if (loc == null) {
+        conn.disconnect()
+        region match {
+          case Some(r) => throw S3Source.RegionMoved(r)
+          case None => throw new java.io.IOException(
+            s"GET $url -> redirect without Location")
+        }
+      }
       conn.disconnect()
       conn = open(loc)
       redirects += 1
+    }
+    if (conn.getResponseCode == 400 &&
+        conn.getHeaderField("x-amz-bucket-region") != null) {
+      // AuthorizationHeaderMalformed-style wrong-region answer
+      val r = conn.getHeaderField("x-amz-bucket-region")
+      conn.disconnect()
+      throw S3Source.RegionMoved(r)
     }
     if (conn.getResponseCode != 200 && conn.getResponseCode != 304)
       throw new java.io.IOException(

@@ -1,0 +1,158 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HttpSource, S3Source}
+
+/** Region-aware s3:// routing (sources/S3Source): the reference's
+  * caching filesystem switches a bucket's endpoint when S3 answers a
+  * wrong-region 301 carrying `x-amz-bucket-region` (and NO Location),
+  * then remembers the bucket→region mapping so later requests go
+  * direct — its e2e is test_region_switch.py. This spec drives the
+  * same protocol against a local two-"region" fixture, plus
+  * ListObjectsV2 wildcard expansion with continuation-token paging.
+  */
+class S3SourceSpec extends AnyFunSuite {
+
+  /** Path-style fixture: /{region}/{bucket}/{key}. Requests to the
+    * wrong region answer 301 + x-amz-bucket-region (no Location), the
+    * home region serves objects and ListObjectsV2.
+    */
+  private class TwoRegions(home: String, wrong: String,
+      objects: Map[String, Array[Byte]], pageSize: Int = 1000) {
+    val wrongHits = new AtomicInteger(0)
+    val homeHits = new AtomicInteger(0)
+    val server: HttpServer =
+      HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+    private def respond(ex: HttpExchange, code: Int,
+        body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+
+    server.createContext(s"/$wrong/", { ex =>
+      wrongHits.incrementAndGet()
+      ex.getResponseHeaders.set("x-amz-bucket-region", home)
+      respond(ex, 301, Array.empty)
+    })
+    server.createContext(s"/$home/", { ex =>
+      homeHits.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      if (q.contains("list-type=2")) {
+        val params = q.split("&").map(_.split("=", 2))
+          .map(a => a(0) -> (if (a.length > 1)
+            java.net.URLDecoder.decode(a(1), "UTF-8") else "")).toMap
+        val prefix = params.getOrElse("prefix", "")
+        val all = objects.keys.toSeq.sorted.filter(_.startsWith(prefix))
+        val from = params.get("continuation-token")
+          .map(_.toInt).getOrElse(0)
+        val page = all.slice(from, from + pageSize)
+        val next = if (from + pageSize < all.size)
+          s"<NextContinuationToken>${from + pageSize}" +
+            "</NextContinuationToken>"
+        else ""
+        val xml = ("<?xml version=\"1.0\"?><ListBucketResult>" +
+          page.map(k => s"<Key>$k</Key>").mkString + next +
+          "</ListBucketResult>").getBytes("UTF-8")
+        respond(ex, 200, xml)
+      } else {
+        // strip /{region}/{bucket}/
+        val key = ex.getRequestURI.getPath.split("/", 4)(3)
+        objects.get(key) match {
+          case Some(b) => respond(ex, 200, b)
+          case None => respond(ex, 404, Array.empty)
+        }
+      }
+    })
+    server.start()
+    def endpoint: String =
+      s"http://127.0.0.1:${server.getAddress.getPort}/{region}"
+  }
+
+  private def withS3(objects: Map[String, Array[Byte]],
+      pageSize: Int = 1000)(body: TwoRegions => Unit): Unit = {
+    val f = new TwoRegions("eu-west-1", "us-east-1", objects, pageSize)
+    val dir = Files.createTempDirectory("graft-s3-spec")
+    System.setProperty("graft.http.cache.dir", dir.toString)
+    System.setProperty("graft.s3.endpoint", f.endpoint)
+    S3Source.clearRegionCache()
+    try body(f)
+    finally {
+      f.server.stop(0)
+      System.clearProperty("graft.http.cache.dir")
+      System.clearProperty("graft.s3.endpoint")
+      S3Source.clearRegionCache()
+    }
+  }
+
+  test("urlFor: virtual-hosted vs path-style from the template") {
+    val ref = S3Source.S3Ref("b", "d/k.parquet")
+    System.clearProperty("graft.s3.endpoint")
+    assert(S3Source.urlFor(ref, "eu-west-1") ==
+      "https://b.s3.eu-west-1.amazonaws.com/d/k.parquet")
+    System.setProperty("graft.s3.endpoint", "http://h:1/{region}")
+    try assert(S3Source.urlFor(ref, "r1") == "http://h:1/r1/b/d/k.parquet")
+    finally System.clearProperty("graft.s3.endpoint")
+  }
+
+  test("wrong-region 301 reroutes via x-amz-bucket-region and is remembered") {
+    val objs = Map("a.csv" -> "x,y\n1,2\n".getBytes("UTF-8"),
+      "b.csv" -> "x,y\n3,4\n".getBytes("UTF-8"))
+    withS3(objs) { f =>
+      val p1 = HttpSource.stage("s3://bkt/a.csv")
+      assert(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(p1)), "UTF-8") == "x,y\n1,2\n")
+      // exactly one wrong-region round trip to learn the region
+      assert(f.wrongHits.get() == 1, s"wrong hits ${f.wrongHits.get()}")
+      // a second key in the same bucket goes DIRECT — no new 301
+      val p2 = HttpSource.stage("s3://bkt/b.csv")
+      assert(new String(Files.readAllBytes(
+        java.nio.file.Paths.get(p2)), "UTF-8") == "x,y\n3,4\n")
+      assert(f.wrongHits.get() == 1,
+        s"region not remembered: ${f.wrongHits.get()} wrong-region hits")
+    }
+  }
+
+  test("wildcard expansion via ListObjectsV2 with continuation paging") {
+    val objs = Map(
+      "data/part-0.parquet" -> Array[Byte](1),
+      "data/part-1.parquet" -> Array[Byte](2),
+      "data/part-2.parquet" -> Array[Byte](3),
+      "data/notes.txt" -> Array[Byte](4),
+      "other/part-9.parquet" -> Array[Byte](5))
+    withS3(objs, pageSize = 2) { f =>
+      val urls = HttpSource.expand("s3://bkt/data/*.parquet")
+      assert(urls == Seq(
+        "s3://bkt/data/part-0.parquet",
+        "s3://bkt/data/part-1.parquet",
+        "s3://bkt/data/part-2.parquet"))
+      // paging: 3 matching keys at pageSize 2 → at least 2 list calls
+      assert(f.homeHits.get() >= 2)
+      // ** crosses path segments, * does not
+      assert(HttpSource.expand("s3://bkt/**/part-9.parquet") ==
+        Seq("s3://bkt/other/part-9.parquet"))
+      intercept[IllegalArgumentException] {
+        HttpSource.expand("s3://bkt/data/*.json")
+      }
+    }
+  }
+
+  test("stageAll links a wildcard's shards into one directory") {
+    val objs = Map(
+      "d/p0.bin" -> Array[Byte](10),
+      "d/p1.bin" -> Array[Byte](11))
+    withS3(objs) { _ =>
+      val dir = HttpSource.stageAll("s3://bkt/d/p*.bin")
+      val names = Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString.split("/").last).sorted
+      assert(names.length == 2, names.mkString(","))
+    }
+  }
+}
