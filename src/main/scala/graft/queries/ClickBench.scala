@@ -300,7 +300,8 @@ object ClickBench {
       oracle =
         """WITH d AS (
           |  SELECT user_id,
-          |    CAST(epoch(ts) AS BIGINT) - lag(CAST(epoch(ts) AS BIGINT))
+          |    CAST(floor(epoch(ts)) AS BIGINT)
+          |      - lag(CAST(floor(epoch(ts)) AS BIGINT))
           |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           |  FROM events),
           |s AS (
@@ -385,28 +386,24 @@ object ClickBench {
         |ORDER BY total DESC, user_id
         |LIMIT 15""".stripMargin),
 
-    // CB argmax shape: each user's single highest-value event
-    // (max_by / arg_max dialect twin). The ordering key packs
-    // (cents, event_id) into ONE BIGINT — values are cents-grid, so
-    // round(value*100) is the exact integer in both engines and ties
-    // resolve to the highest event id deterministically.
+    // CB argmax shape: each user's single highest-value event. A
+    // top-1 window over (DECIMAL value desc, event_id desc) — exact
+    // decimal ordering, deterministic ties, and no packed-BIGINT key
+    // that could overflow/collide as values or ids grow (a
+    // cents*10^12+id key wraps silently in Spark but raises in
+    // DuckDB — the engines would diverge instead of failing together)
     QueryDef.sql(
       "q_cb_argmax",
-      """SELECT user_id,
-        |  max_by(event_id, CAST(round(value * 100) AS BIGINT)
-        |    * 1000000000000 + event_id) AS top_event,
-        |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS top_value
-        |FROM events
-        |GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
-      oracle =
-        """SELECT user_id,
-          |  arg_max(event_id, CAST(round(value * 100) AS BIGINT)
-          |    * 1000000000000 + event_id) AS top_event,
-          |  CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS top_value
-          |FROM events
-          |GROUP BY user_id
-          |ORDER BY user_id""".stripMargin),
+      """SELECT user_id, event_id AS top_event,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS top_value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id DESC)
+        |      AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin),
 
     // CB per-day p95 latency report: exact ordered-set percentile per
     // day over the value column
@@ -421,17 +418,19 @@ object ClickBench {
         |ORDER BY d""".stripMargin),
 
     // CB engagement distribution: per-user event counts histogrammed
-    // by power-of-two bucket (floor(log2) via bit length over BIGINT)
+    // by power-of-two bucket. floor(log2(n)) = length(bin(n)) - 1 —
+    // pure integer/string arithmetic in BOTH dialects; an ln-based
+    // floor would park every exact power of two on a libm rounding
+    // boundary (the r8 failure class the integer contracts eliminate)
     QueryDef.sql(
       "q_cb_engagement_hist",
       """WITH u AS (
         |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
-        |SELECT CAST(floor(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT)
-        |    AS bucket_log2,
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket_log2,
         |  count(*) AS users,
         |  CAST(SUM(n) AS BIGINT) AS events
         |FROM u
-        |GROUP BY CAST(floor(ln(CAST(n AS DOUBLE)) / ln(2.0)) AS BIGINT)
+        |GROUP BY CAST(length(bin(n)) - 1 AS BIGINT)
         |ORDER BY bucket_log2""".stripMargin),
 
     // CB sliding 7-day active-user window: per-day distinct users plus

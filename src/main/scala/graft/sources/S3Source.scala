@@ -68,7 +68,22 @@ object S3Source {
     val base = tpl.replace("{bucket}", ref.bucket)
       .replace("{region}", region)
     val pathStyle = !tpl.contains("{bucket}")
-    s"$base/${if (pathStyle) ref.bucket + "/" else ""}${ref.key}"
+    s"$base/${if (pathStyle) ref.bucket + "/" else ""}${encodeKey(ref.key)}"
+  }
+
+  /** RFC 3986 path encoding of an object key, '/' preserved — legal
+    * S3 keys may contain spaces, '?', '#', '%', or non-ASCII, which
+    * would otherwise break URI parsing or silently truncate the path
+    * into query/fragment.
+    */
+  private[graft] def encodeKey(key: String): String = {
+    val sb = new StringBuilder
+    key.getBytes("UTF-8").foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || "-._~/".contains(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
   }
 
   /** Raised by the HTTP layer when S3 answers 301/400 with an
@@ -136,13 +151,29 @@ object S3Source {
       token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
         .findFirstMatchIn(base).map(m => xmlUnescape(m.group(1)))
       pages += 1
-    } while (token.isDefined && pages < 1000)
+      // no silent caps: an unfinished listing must fail loudly, not
+      // return a partial shard set that reads as complete
+      require(token.isEmpty || pages < 10000,
+        s"s3 wildcard listing exceeded $pages pages: $url")
+    } while (token.isDefined)
     val res = out.result()
     require(res.nonEmpty, s"s3 wildcard matched no keys: $url")
     res
   }
 
-  private def xmlUnescape(s: String): String = s
-    .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
-    .replace("&#39;", "'").replace("&amp;", "&")
+  private def xmlUnescape(s: String): String = {
+    // numeric entities first (S3 emits e.g. &#xD; for CR in keys),
+    // &amp; last so it can't re-introduce entities
+    val num = "&#(x[0-9a-fA-F]+|[0-9]+);".r
+    val n = num.replaceAllIn(s, m => {
+      val g = m.group(1)
+      val cp = if (g.startsWith("x") || g.startsWith("X"))
+        Integer.parseInt(g.substring(1), 16)
+      else Integer.parseInt(g)
+      java.util.regex.Matcher.quoteReplacement(
+        new String(Character.toChars(cp)))
+    })
+    n.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&amp;", "&")
+  }
 }

@@ -144,6 +144,22 @@ class S3SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("keys with spaces / reserved chars percent-encode per RFC 3986") {
+    assert(S3Source.encodeKey("data/a b.parquet") == "data/a%20b.parquet")
+    assert(S3Source.encodeKey("report?v2.csv") == "report%3Fv2.csv")
+    assert(S3Source.encodeKey("x#y%z") == "x%23y%25z")
+    assert(S3Source.encodeKey("ünïcode/ok-._~") ==
+      "%C3%BCn%C3%AFcode/ok-._~")
+    // staging end-to-end: the fixture's HttpServer decodes the path,
+    // so a spaced key round-trips through the encoded URL
+    val objs = Map("d/a b.bin" -> Array[Byte](7))
+    withS3(objs) { _ =>
+      val p = HttpSource.stage("s3://bkt/d/a b.bin")
+      assert(Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq ==
+        Seq(7.toByte))
+    }
+  }
+
   test("stageAll links a wildcard's shards into one directory") {
     val objs = Map(
       "d/p0.bin" -> Array[Byte](10),
