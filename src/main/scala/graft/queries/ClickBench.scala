@@ -494,5 +494,78 @@ object ClickBench {
         |    FILTER (WHERE event_type <> 'error') AS DOUBLE) AS ok_value,
         |  count(*) FILTER (WHERE event_type = 'error') AS err_n,
         |  count(*) FILTER (WHERE event_type <> 'error') AS ok_n
-        |FROM events""".stripMargin))
+        |FROM events""".stripMargin),
+
+    // CB substring-grouping shape (URL-prefix reports adapted to the
+    // props JSON text)
+    QueryDef.sql(
+      "q_cb_substr_group",
+      """SELECT substring(props, 1, 8) AS prefix, count(*) AS cnt
+        |FROM events
+        |GROUP BY substring(props, 1, 8)
+        |ORDER BY cnt DESC, prefix
+        |LIMIT 10""".stripMargin),
+
+    // CB dimension-matrix shape: event type x k-decile with distinct
+    // users per cell
+    QueryDef.sql(
+      "q_cb_type_k_matrix",
+      """SELECT event_type,
+        |  CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) DIV 25
+        |    AS k_quartile,
+        |  count(*) AS cnt, count(DISTINCT user_id) AS users
+        |FROM events
+        |GROUP BY event_type,
+        |  CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) DIV 25
+        |ORDER BY event_type, k_quartile""".stripMargin,
+      oracle =
+        """SELECT event_type,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 25
+          |    AS k_quartile,
+          |  count(*) AS cnt, count(DISTINCT user_id) AS users
+          |FROM events
+          |GROUP BY event_type,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) // 25
+          |ORDER BY event_type, k_quartile""".stripMargin),
+
+    // CB hour-of-day band filter (the business-hours slice)
+    QueryDef.sql(
+      "q_cb_hour_band",
+      """SELECT hour(ts) AS h, event_type, count(*) AS cnt
+        |FROM events
+        |WHERE hour(ts) BETWEEN 9 AND 17
+        |GROUP BY hour(ts), event_type
+        |ORDER BY h, event_type""".stripMargin),
+
+    // CB hottest-minutes leaderboard
+    QueryDef.sql(
+      "q_cb_top_minutes",
+      """SELECT date_trunc('minute', ts) AS m, count(*) AS cnt
+        |FROM events
+        |GROUP BY date_trunc('minute', ts)
+        |ORDER BY cnt DESC, m
+        |LIMIT 10""".stripMargin),
+
+    // CB fixed-width value histogram (floor bucketing — floor, not a
+    // bare int cast, whose rounding differs between the engines)
+    QueryDef.sql(
+      "q_cb_value_hist",
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY CAST(floor(value / 50.0) AS BIGINT)
+        |ORDER BY bucket""".stripMargin),
+
+    // CB weekly uniques trend with week-over-week delta via lag
+    QueryDef.sql(
+      "q_cb_weekly_trend",
+      """WITH w AS (
+        |  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    count(DISTINCT user_id) AS wau
+        |  FROM events
+        |  GROUP BY date_trunc('week', ts))
+        |SELECT wk, wau,
+        |  wau - lag(wau) OVER (ORDER BY wk) AS delta
+        |FROM w ORDER BY wk""".stripMargin))
 }

@@ -717,5 +717,212 @@ object TpcDs {
         |  AND p_partkey IN (
         |    SELECT l_partkey FROM lineitem
         |    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 2)
-        |ORDER BY p_partkey""".stripMargin))
+        |ORDER BY p_partkey""".stripMargin),
+
+    // DS q4 shape: per-customer spend ratio between two periods in
+    // two "channels" (priority classes), customers where the express
+    // ratio outgrows the standard ratio
+    QueryDef.sql(
+      "q_tpcds_channel_growth",
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'e' ELSE 's' END AS ch,
+        |    year(o_orderdate) AS yr,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+        |  GROUP BY 1, 2, 3)
+        |SELECT e1.o_custkey,
+        |  round(CAST(e2.sd AS DOUBLE) / CAST(e1.sd AS DOUBLE), 6)
+        |    AS e_growth,
+        |  round(CAST(s2.sd AS DOUBLE) / CAST(s1.sd AS DOUBLE), 6)
+        |    AS s_growth
+        |FROM s e1 JOIN s e2
+        |  ON e1.o_custkey = e2.o_custkey AND e1.ch = 'e' AND e2.ch = 'e'
+        |    AND e1.yr = 1997 AND e2.yr = 1998
+        |JOIN s s1 ON s1.o_custkey = e1.o_custkey AND s1.ch = 's'
+        |  AND s1.yr = 1997
+        |JOIN s s2 ON s2.o_custkey = e1.o_custkey AND s2.ch = 's'
+        |  AND s2.yr = 1998
+        |WHERE CAST(e1.sd AS DOUBLE) > 0 AND CAST(s1.sd AS DOUBLE) > 0
+        |  AND CAST(e2.sd AS DOUBLE) / CAST(e1.sd AS DOUBLE)
+        |    > CAST(s2.sd AS DOUBLE) / CAST(s1.sd AS DOUBLE)
+        |ORDER BY e1.o_custkey""".stripMargin),
+
+    // DS q14 shape: parts sold in BOTH periods (item-set intersection
+    // via semi joins), reported only when above the cross-period
+    // average revenue
+    QueryDef.sql(
+      "q_tpcds_cross_items",
+      s"""WITH p1 AS (
+         |  SELECT l_partkey, SUM($rev) AS sd FROM lineitem
+         |  WHERE year(l_shipdate) = 1996 GROUP BY l_partkey),
+         |p2 AS (
+         |  SELECT l_partkey, SUM($rev) AS sd FROM lineitem
+         |  WHERE year(l_shipdate) = 1997 GROUP BY l_partkey),
+         |both_p AS (
+         |  SELECT p1.l_partkey, p1.sd AS sd1, p2.sd AS sd2
+         |  FROM p1 JOIN p2 ON p1.l_partkey = p2.l_partkey),
+         |a AS (
+         |  SELECT CAST(SUM(sd1) + SUM(sd2) AS DOUBLE)
+         |    / (2 * count(*)) AS avg_rev FROM both_p)
+         |SELECT b.l_partkey, CAST(b.sd1 AS DOUBLE) AS rev_1996,
+         |  CAST(b.sd2 AS DOUBLE) AS rev_1997
+         |FROM both_p b CROSS JOIN a
+         |WHERE CAST(b.sd1 AS DOUBLE) + CAST(b.sd2 AS DOUBLE)
+         |  > 2 * a.avg_rev
+         |ORDER BY b.l_partkey""".stripMargin),
+
+    // DS q27 shape: averages over a (nation, segment) ROLLUP — the
+    // multi-dim demographic report (exact decimal sum / exact count)
+    QueryDef.sql(
+      "q_tpcds_rollup_avg",
+      """SELECT c_nationkey, c_mktsegment,
+        |  count(*) AS n,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_bal
+        |FROM customer
+        |GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST"""
+        .stripMargin),
+
+    // DS q43 shape: weekday activity pivot (Monday=0 via the
+    // weekday/isodow twin) over ship activity
+    QueryDef.sql(
+      "q_tpcds_weekday_pivot",
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) = 0) AS mon,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) = 1) AS tue,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) = 2) AS wed,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) = 3) AS thu,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) = 4) AS fri,
+        |  count(*) FILTER (WHERE weekday(l_shipdate) >= 5) AS weekend
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+      oracle =
+        """SELECT l_returnflag,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 = 0) AS mon,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 = 1) AS tue,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 = 2) AS wed,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 = 3) AS thu,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 = 4) AS fri,
+          |  count(*) FILTER (WHERE isodow(l_shipdate) - 1 >= 5) AS weekend
+          |FROM lineitem
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin),
+
+    // DS q65 shape: per-supplier parts whose revenue sits below 90%
+    // of that supplier's average part revenue
+    QueryDef.sql(
+      "q_tpcds_below_avg",
+      s"""WITH sp AS (
+         |  SELECT l_suppkey, l_partkey, SUM($rev) AS sd
+         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+         |sa AS (
+         |  SELECT l_suppkey,
+         |    CAST(SUM(sd) AS DOUBLE) / count(*) AS avg_sd
+         |  FROM sp GROUP BY l_suppkey)
+         |SELECT sp.l_suppkey, sp.l_partkey, CAST(sp.sd AS DOUBLE) AS rev
+         |FROM sp JOIN sa ON sp.l_suppkey = sa.l_suppkey
+         |WHERE CAST(sp.sd AS DOUBLE) < 0.2 * sa.avg_sd
+         |ORDER BY sp.l_suppkey, sp.l_partkey""".stripMargin),
+
+    // DS q87 shape: EXCEPT-chained distinct-customer count (bought in
+    // 1997, not in 1998, not urgent)
+    QueryDef.sql(
+      "q_tpcds_except_chain",
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1997
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) = 1998
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderpriority = '1-URGENT') t""".stripMargin),
+
+    // DS q92 shape: lines whose revenue exceeds 1.3x their part's
+    // average line revenue (correlated-average excess report)
+    QueryDef.sql(
+      "q_tpcds_excess",
+      s"""WITH pa AS (
+         |  SELECT l_partkey,
+         |    CAST(SUM($rev) AS DOUBLE) / count(*) AS avg_rev
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT CAST(count(*) AS BIGINT) AS excess_lines,
+         |  CAST(SUM($rev) AS DOUBLE) AS excess_rev
+         |FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+         |WHERE CAST($rev AS DOUBLE) > 1.3 * pa.avg_rev""".stripMargin),
+
+    // DS q76 shape: UNION ALL of differently-shaped legs with literal
+    // NULL columns, counted by source tag
+    QueryDef.sql(
+      "q_tpcds_null_union",
+      """WITH u AS (
+        |  SELECT 'orders' AS src, o_orderpriority AS attr,
+        |    CAST(NULL AS STRING) AS flag
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT 'lineitem' AS src, CAST(NULL AS STRING) AS attr,
+        |    l_returnflag AS flag
+        |  FROM lineitem WHERE l_linestatus = 'F')
+        |SELECT src, attr, flag, count(*) AS n
+        |FROM u
+        |GROUP BY src, attr, flag
+        |ORDER BY src, attr NULLS FIRST, flag NULLS FIRST""".stripMargin),
+
+    // DS q96 shape: narrow count through a two-dimension join gate
+    QueryDef.sql(
+      "q_tpcds_gated_count",
+      """SELECT count(*) AS n
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size BETWEEN 10 AND 20
+        |  AND s_nationkey < 10
+        |  AND month(l_shipdate) = 6""".stripMargin),
+
+    // DS q52/q55 shape: simple brand-month revenue leaderboard
+    QueryDef.sql(
+      "q_tpcds_brand_month",
+      s"""SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo, p_brand,
+         |  CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 11
+         |GROUP BY year(l_shipdate), month(l_shipdate), p_brand
+         |ORDER BY rev DESC, p_brand
+         |LIMIT 10""".stripMargin),
+
+    // DS q69 shape: customers active in the express channel but not
+    // the standard channel, counted by segment with balance stats
+    QueryDef.sql(
+      "q_tpcds_channel_exclusive",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    // DS q46/q68 shape: nation-pair purchase flows (customer nation x
+    // supplier nation) with per-pair revenue
+    QueryDef.sql(
+      "q_tpcds_nation_pairs",
+      s"""SELECT c.c_nationkey AS cust_nation,
+         |  s.s_nationkey AS supp_nation,
+         |  count(*) AS lines, CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer c ON c.c_custkey = o_custkey
+         |JOIN supplier s ON s.s_suppkey = l_suppkey
+         |WHERE c.c_nationkey < 5 AND s.s_nationkey < 5
+         |GROUP BY c.c_nationkey, s.s_nationkey
+         |ORDER BY cust_nation, supp_nation""".stripMargin))
 }
