@@ -59,13 +59,12 @@ object Multimodal {
     Row(id, width, height, 3, mean)
   }
 
-  /** REAL decode for binary PPM (P6) — the container-free image format
-    * needs no codec library: ASCII header `P6 <w> <h> <maxval>` with
-    * `#` comments, then `w*h` RGB byte triples. Returns None when the
-    * payload is not a well-formed P6 image.
+  /** Parsed P6 header: (width, height, maxval, pixel-data offset,
+    * bytes per sample). None when the payload is not well-formed P6
+    * with a complete pixel block.
     */
-  private[operators] def decodePpm(id: Long,
-      payload: Array[Byte]): Option[Row] = {
+  private[operators] def ppmHeader(
+      payload: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
     if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6')
       return None
     var i = 2
@@ -90,7 +89,18 @@ object Multimodal {
       if w > 0 && h > 0 && maxv > 0 && maxv < 65536 && i < payload.length &&
         { i += 1 /* single whitespace after maxval */
           payload.length - i >= w.toLong * h * 3 * bytesPerSample }
-    } yield {
+    } yield (w, h, maxv, i, bytesPerSample)
+  }
+
+  /** REAL decode for binary PPM (P6) — the container-free image format
+    * needs no codec library: ASCII header `P6 <w> <h> <maxval>` with
+    * `#` comments, then `w*h` RGB byte triples. Returns None when the
+    * payload is not a well-formed P6 image.
+    */
+  private[operators] def decodePpm(id: Long,
+      payload: Array[Byte]): Option[Row] = {
+    ppmHeader(payload).map { case (w, h, _, off, bytesPerSample) =>
+      val i = off
       // maxval > 255 means 2-byte big-endian samples (PPM spec)
       var sum = 0L
       val n = w * h * 3
@@ -105,6 +115,62 @@ object Multimodal {
         }
       Row(id, w, h, 3, sum.toDouble / n)
     }
+  }
+
+  val resizedPpmSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("payload", BinaryType)))
+
+  /** REAL image resize for P6 payloads: nearest-neighbor sampling on
+    * the ACTUAL pixel grid — source pixel (x·w ÷ outW, y·h ÷ outH)
+    * (integer division; the standard NN rule) per output pixel and
+    * channel — re-emitted as a well-formed P6 payload, so the result
+    * COMPOSES with [[decodeImageStub]] / further resizes (the
+    * thumbnail-pipeline shape). Iterator-in/iterator-out partition
+    * streaming like the other media ops: constant memory in the number
+    * of rows, one output row per well-formed input (flatMap — non-PPM
+    * payloads drop, the dirty-collection posture of [[decodeWav]]).
+    * 2-byte-per-sample images (maxval > 255) resize sample-wise.
+    */
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resize dimensions must be positive")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        ppmHeader(payload).map { case (w, h, maxv, off, bps) =>
+          val header = s"P6\n$outW $outH\n$maxv\n".getBytes("US-ASCII")
+          val out = new Array[Byte](header.length + outW * outH * 3 * bps)
+          System.arraycopy(header, 0, out, 0, header.length)
+          var y = 0
+          var o = header.length
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x * w / outW
+              val src = off + ((sy * w + sx) * 3) * bps
+              var c = 0
+              while (c < 3 * bps) {
+                out(o) = payload(src + c)
+                o += 1; c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(idIdx), w, h, out)
+        }
+      }
+    }(Encoders.row(resizedPpmSchema))
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        col("payload"),
+        struct(lit("image/ppm").as("format"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit("resize").as("source")).as("meta"))
   }
 
   /** Batch decode over partitions: one decode per row, iterator in /

@@ -1967,6 +1967,49 @@ object Pipeline {
       Multimodal.decodeImageStub(media).orderBy("media_id")
     },
 
+    // ---- REAL nearest-neighbor image resize, composed end-to-end:
+    // the same constructed P6 payloads resize on the ACTUAL pixel
+    // grid (source pixel (x·w÷outW, y·h÷outH), integer division) to a
+    // well-formed 3×2 P6, which the production decoder then re-parses
+    // — the oracle replays the exact NN index arithmetic over the
+    // construction rule, so header re-emission, sampling indices, and
+    // the re-decode are all differentially proven. Integer byte sums
+    // over a constant 18 samples ⇒ the mean is the same IEEE division
+    // in both engines. -------------------------------------------------
+    QueryDef(
+      "q_multimodal_resize",
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+        |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+        |    substring(repeat(text, 4), 1,
+        |      CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT)) AS pix
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels,
+        |  list_sum(list_transform(range(0, 18), i ->
+        |    ord(substring(pix,
+        |      CAST((((i // 3) // 3 * h // 2) * w
+        |        + ((i // 3) % 3 * w // 3)) * 3 + (i % 3) + 1 AS INT),
+        |      1))))::DOUBLE / 18 AS mean_intensity
+        |FROM src
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val ppm = docs(s, dir).selectExpr("doc_id",
+        """concat('P6
+',
+          |  cast(4 + doc_id % 5 as string), ' ',
+          |  cast(3 + doc_id % 4 as string), '
+255
+',
+          |  substring(repeat(text, 4), 1,
+          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
+          |  as ppm""".stripMargin)
+      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
+      Multimodal.decodeImageStub(Multimodal.resizePpm(media, 3, 2))
+        .orderBy("media_id")
+    },
+
     // ---- WAV twin of the above: text bytes become little-endian
     // 16-bit PCM samples inside a spec-correct RIFF container (44-byte
     // header built via hex/unhex, 64 Hz mono). Every per-sample square

@@ -377,6 +377,48 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("real PPM nearest-neighbor resize: hand pixels, 2-byte, non-PPM") {
+    import spark.implicits._
+    def ppm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++
+        px.map(_.toByte)).toArray
+    // 2x2 RGB image with distinct corner values; NN to 1x1 keeps the
+    // TOP-LEFT pixel (src index x*w/outW = 0)
+    val px22 = Seq(
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val media = Multimodal.asMedia(
+      Seq((1L, ppm(2, 2, px22)),
+        (2L, "not a ppm".getBytes("US-ASCII")))
+        .toDF("doc_id", "payload"), "doc_id", "payload", "image/ppm")
+    val out = Multimodal.resizePpm(media, 1, 1).collect()
+    // non-PPM payload drops (flatMap posture)
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    val body = out(0).getAs[Array[Byte]]("payload")
+    assert(new String(body.take(8), "US-ASCII") == "P6\n1 1\n2")
+    assert(body.takeRight(3).toSeq == Seq[Byte](10, 11, 12))
+    // and the resized payload re-decodes with the production decoder
+    val dec = Multimodal.decodeImageStub(
+      Multimodal.resizePpm(media, 1, 1)).collect()
+    assert(dec.length == 1 && dec(0).getInt(1) == 1 &&
+      dec(0).getInt(2) == 1 && dec(0).getDouble(4) == 11.0)
+    // 4x1 -> 2x1 picks source columns 0 and 2
+    val px41 = Seq(1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4)
+    val m41 = Multimodal.asMedia(Seq((3L, ppm(4, 1, px41)))
+      .toDF("doc_id", "payload"), "doc_id", "payload", "image/ppm")
+    val r41 = Multimodal.resizePpm(m41, 2, 1).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(r41.takeRight(6).toSeq == Seq[Byte](1, 1, 1, 3, 3, 3))
+    // 2-byte samples (maxval > 255): sample pairs move intact
+    val hdr16 = "P6\n2 1\n300\n".getBytes("US-ASCII").toSeq
+    val px16 = Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12).map(_.toByte)
+    val m16 = Multimodal.asMedia(Seq((4L, (hdr16 ++ px16).toArray))
+      .toDF("doc_id", "payload"), "doc_id", "payload", "image/ppm")
+    val r16 = Multimodal.resizePpm(m16, 1, 1).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(r16.takeRight(6).toSeq == px16.take(6))
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
