@@ -2055,6 +2055,41 @@ object Pipeline {
       Multimodal.decodeWav(media).orderBy("media_id")
     },
 
+    // ---- video-shaped composition: a 4-frame "video" of constant-
+    // size P6 frames (11-byte header + 4×3×3 pixels = 47 bytes/frame)
+    // is frame-sampled at stride 2 and every kept frame REALLY decoded
+    // — frame slicing, header re-parse, and per-frame means all
+    // differentially proven against the construction rule. ------------
+    QueryDef(
+      "q_multimodal_video",
+      """SELECT doc_id AS media_id, CAST(f // 2 AS INT) AS frame_no,
+        |  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+        |  list_sum(list_transform(range(0, 36), i ->
+        |    ord(substring(repeat(text, 8),
+        |      CAST(f * 36 + i + 1 AS INT), 1))))::DOUBLE / 36
+        |    AS mean_intensity
+        |FROM documents, unnest([0, 2]) AS t(f)
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, dir) =>
+      val video = docs(s, dir).selectExpr("doc_id",
+        """concat_ws('', transform(sequence(0, 3), f ->
+          |  concat('P6
+4 3
+255
+',
+          |    substring(repeat(text, 8), f * 36 + 1, 36)))) as vid"""
+          .stripMargin)
+      val media = Multimodal.asMedia(video, "doc_id", "vid", "video/fake")
+      val frames = Multimodal.frameSample(media, frameBytes = 47, stride = 2)
+      val perFrame = frames.select(
+        (col("media_id") * lit(10L) + col("frame_no")).as("media_id"),
+        col("frame").as("payload"))
+      Multimodal.decodeImageStub(perFrame)
+        .select((col("media_id") / lit(10L)).cast("long").as("media_id"),
+          (col("media_id") % lit(10L)).cast("int").as("frame_no"),
+          col("width"), col("height"), col("mean_intensity"))
+        .orderBy("media_id", "frame_no")
+    },
+
     // ---- frame sampling: the chunk/stride/tail arithmetic is fully
     // SQL-expressible, so the formerly rows-only check is now a real
     // differential (frame_no = index within the kept stride, tail
