@@ -81,7 +81,11 @@ object Multimodal {
       skipWs()
       val start = i
       while (i < payload.length && payload(i).toChar.isDigit) i += 1
-      if (i == start) None else Some(new String(payload, start, i - start).toInt)
+      // >9 digits cannot be a sane PPM dimension/maxval — treat as
+      // malformed (None), not NumberFormatException: the drop-dirty
+      // posture must hold for arbitrarily broken payloads
+      if (i == start || i - start > 9) None
+      else Some(new String(payload, start, i - start).toInt)
     }
     for {
       w <- int(); h <- int(); maxv <- int()
@@ -136,23 +140,34 @@ object Multimodal {
     */
   def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0, "resize dimensions must be positive")
+    // the product bound, not just the factors: 40000×40000×3 wraps a
+    // 32-bit Int and would allocate a too-small buffer
+    require(16L + outW.toLong * outH * 3 * 2 <= Int.MaxValue,
+      s"resize target $outW x $outH exceeds a single-array payload")
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        ppmHeader(payload).map { case (w, h, maxv, off, bps) =>
+        // NULL payloads drop like any other non-PPM row (dirty media
+        // tables carry them routinely)
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        (if (payload == null) None else ppmHeader(payload)).map {
+          case (w, h, maxv, off, bps) =>
           val header = s"P6\n$outW $outH\n$maxv\n".getBytes("US-ASCII")
           val out = new Array[Byte](header.length + outW * outH * 3 * bps)
           System.arraycopy(header, 0, out, 0, header.length)
           var y = 0
           var o = header.length
           while (y < outH) {
-            val sy = y * h / outH
+            // Long arithmetic: y·h / x·w overflow Int for megapixel
+            // sources (h = 3e6 wraps at y ≈ 716)
+            val sy = (y.toLong * h / outH).toInt
             var x = 0
             while (x < outW) {
-              val sx = x * w / outW
-              val src = off + ((sy * w + sx) * 3) * bps
+              val sx = (x.toLong * w / outW).toInt
+              val src = off + ((sy.toLong * w + sx) * 3 * bps).toInt
               var c = 0
               while (c < 3 * bps) {
                 out(o) = payload(src + c)
@@ -186,7 +201,9 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
-        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](payloadIdx)
         decodePpm(id, payload).getOrElse(decodeOne(id, payload))
       }
     }(Encoders.row(decodedSchema))
@@ -213,7 +230,8 @@ object Multimodal {
     val payloadIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeWavOne(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx))
+        if (r.isNullAt(payloadIdx)) None
+        else decodeWavOne(r.getLong(idIdx), r.getAs[Array[Byte]](payloadIdx))
       }
     }(Encoders.row(wavSchema))
   }

@@ -812,8 +812,8 @@ object TpcDs {
           |GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin),
 
-    // DS q65 shape: per-supplier parts whose revenue sits below 90%
-    // of that supplier's average part revenue
+    // DS q65 shape: per-supplier parts whose revenue sits below 20%
+    // of that supplier's average part revenue (deep-underperformer cut)
     QueryDef.sql(
       "q_tpcds_below_avg",
       s"""WITH sp AS (

@@ -419,6 +419,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r16.takeRight(6).toSeq == px16.take(6))
   }
 
+  test("resize/decode robustness: null payloads, dirty headers, megapixel") {
+    import spark.implicits._
+    // NULL payload and an absurd digit run must DROP, not throw
+    val dirty = Multimodal.asMedia(
+      Seq((1L, null.asInstanceOf[Array[Byte]]),
+        (2L, "P6 99999999999 2 255 xxxxxx".getBytes("US-ASCII")))
+        .toDF("doc_id", "payload"), "doc_id", "payload", "image/ppm")
+    assert(Multimodal.resizePpm(dirty, 2, 2).count() == 0)
+    assert(Multimodal.decodeWav(dirty).count() == 0)
+    // decodeImageStub falls back to the stub instead of crashing
+    assert(Multimodal.decodeImageStub(dirty).count() == 2)
+    // tall megapixel image: y*h overflows Int32 unless the NN index
+    // math is done in Long (h = 3e6 wraps at y ≈ 716)
+    val h = 3000000
+    val big = (s"P6\n1 $h\n255\n").getBytes("US-ASCII") ++
+      Array.fill(h * 3)(7.toByte)
+    val bm = Multimodal.asMedia(Seq((3L, big)).toDF("doc_id", "payload"),
+      "doc_id", "payload", "image/ppm")
+    val out = Multimodal.resizePpm(bm, 1, 2000).collect()(0)
+      .getAs[Array[Byte]]("payload")
+    assert(out.takeRight(2000 * 3).forall(_ == 7.toByte))
+    // oversized target product is refused loudly up front
+    intercept[IllegalArgumentException] {
+      Multimodal.resizePpm(bm, 40000, 40000)
+    }
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
