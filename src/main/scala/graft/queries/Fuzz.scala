@@ -354,6 +354,139 @@ object Fuzz {
              |FROM orders
              |WHERE o_orderkey < 500
              |ORDER BY o_orderkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_predicates", {
+          // predicate grammar over the int expressions: comparisons,
+          // BETWEEN, IN lists, IS [NOT] NULL on nullif-made nulls,
+          // AND/OR/NOT composition — three-valued logic is under
+          // differential test both as projected booleans and as one
+          // WHERE filter
+          val rndP = new Random(Seed + 10)
+          def pred(depth: Int): String =
+            if (depth >= 2) leafPred(rndP)
+            else rndP.nextInt(6) match {
+              case 0 => leafPred(rndP)
+              case 1 => s"(NOT ${pred(depth + 1)})"
+              case 2 => s"(${pred(depth + 1)} AND ${pred(depth + 1)})"
+              case 3 => s"(${pred(depth + 1)} OR ${pred(depth + 1)})"
+              case 4 => s"(nullif(${gen(rndP, 2)}, ${gen(rndP, 2)}) " +
+                "IS NULL)"
+              case 5 => s"(nullif(${gen(rndP, 2)}, ${gen(rndP, 2)}) " +
+                "IS NOT NULL)"
+            }
+          def leafPred(r: Random): String = r.nextInt(4) match {
+            case 0 => s"(${gen(r, 2)} ${Seq("<", "<=", "=", "<>", ">",
+              ">=")(r.nextInt(6))} ${gen(r, 2)})"
+            case 1 => s"(${gen(r, 2)} BETWEEN ${gen(r, 2)} " +
+              s"AND ${gen(r, 2)})"
+            case 2 => s"(${gen(r, 2)} IN (${r.nextInt(5)}, " +
+              s"${r.nextInt(9)}, ${gen(r, 2)}))"
+            case 3 => s"(nullif(${gen(r, 2)}, ${r.nextInt(9)}) " +
+              s"> ${gen(r, 2)})"
+          }
+          val colsP = (0 until 100)
+            .map(i => s"  ${pred(0)} AS p$i").mkString(",\n")
+          val where = pred(1)
+          s"""SELECT n_nationkey,
+             |$colsP
+             |FROM nation
+             |WHERE ($where) OR n_nationkey >= 0
+             |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_grouping_sets", {
+          // grouping-set planning over fuzzed aggregates: the full
+          // lattice ((g1,g2),(g1),(g2),()) with GROUPING() markers and
+          // exact sums — partial aggregation, NULL grouping keys, and
+          // the marker arithmetic all under differential test
+          val rndG = new Random(Seed + 11)
+          val aggs = (0 until 24).map { i =>
+            val e = gen(rndG, 1)
+            rndG.nextInt(4) match {
+              case 0 => s"  CAST(sum($e) AS BIGINT) AS g$i"
+              case 1 => s"  min($e) AS g$i"
+              case 2 => s"  max($e) AS g$i"
+              case 3 => s"  count(nullif($e, ${rndG.nextInt(9)})) AS g$i"
+            }
+          }.mkString(",\n")
+          s"""SELECT n_regionkey, n_nationkey % 3 AS k2,
+             |  CAST(GROUPING(n_regionkey) AS INT) AS gr,
+             |  CAST(GROUPING(n_nationkey % 3) AS INT) AS gk,
+             |$aggs,
+             |  count(*) AS g_rows
+             |FROM nation
+             |GROUP BY GROUPING SETS ((n_regionkey, n_nationkey % 3),
+             |  (n_regionkey), (n_nationkey % 3), ())
+             |ORDER BY gr, gk, n_regionkey NULLS FIRST, k2 NULLS FIRST"""
+            .stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_range_frames", {
+          // RANGE-frame window aggregates ordered by NON-unique fuzzed
+          // expressions: peer-row inclusion, numeric offsets, and
+          // unbounded edges — the frame semantics the ROWS fuzz can't
+          // reach (HUGEINT-widening CAST as elsewhere)
+          val rndR = new Random(Seed + 12)
+          val wins = (0 until 30).map { i =>
+            val e = gen(rndR, 1)
+            val v = gen(rndR, 1)
+            val part =
+              if (rndR.nextBoolean()) "PARTITION BY n_regionkey " else ""
+            val frame = rndR.nextInt(3) match {
+              case 0 => s"RANGE BETWEEN ${1 + rndR.nextInt(5)} PRECEDING " +
+                s"AND ${rndR.nextInt(5)} FOLLOWING"
+              case 1 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+              case 2 => s"RANGE BETWEEN CURRENT ROW AND " +
+                s"${1 + rndR.nextInt(6)} FOLLOWING"
+            }
+            rndR.nextInt(3) match {
+              case 0 => s"  CAST(sum($v) OVER (${part}ORDER BY $e $frame) " +
+                s"AS BIGINT) AS r$i"
+              case 1 => s"  min($v) OVER (${part}ORDER BY $e $frame) AS r$i"
+              case 2 => s"  count(*) OVER (${part}ORDER BY $e $frame) AS r$i"
+            }
+          }.mkString(",\n")
+          s"""SELECT n_nationkey,
+             |$wins
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_decimal", {
+          // fixed-scale DECIMAL(18,3) grammar closed under + and -
+          // (scale-preserving ⇒ exact in both engines; × and ÷ scale
+          // rules DIFFER between engines and stay out by design),
+          // with abs/negate/greatest/least/CASE — decimal comparison
+          // and arithmetic under differential test, output re-cast to
+          // one declared type so schemas agree
+          val rndC = new Random(Seed + 13)
+          def genC(depth: Int): String = {
+            val leaves = Seq(
+              () => "CAST(n_nationkey AS DECIMAL(18,3))",
+              () => "CAST(n_regionkey AS DECIMAL(18,3))",
+              () => s"CAST('${Seq("0.125", "2.500", "3.750", "1.001",
+                "7.333")(rndC.nextInt(5))}' AS DECIMAL(18,3))")
+            if (depth >= 3) leaves(rndC.nextInt(leaves.size))()
+            else rndC.nextInt(8) match {
+              case 0 | 1 => leaves(rndC.nextInt(leaves.size))()
+              case 2 => s"abs(${genC(depth + 1)})"
+              case 3 => s"(- ${genC(depth + 1)})"
+              case 4 => s"(${genC(depth + 1)} + ${genC(depth + 1)})"
+              case 5 => s"(${genC(depth + 1)} - ${genC(depth + 1)})"
+              case 6 => s"greatest(${genC(depth + 1)}, ${genC(depth + 1)})"
+              case 7 => s"(CASE WHEN ${genC(depth + 1)} < " +
+                s"${genC(depth + 1)} THEN ${genC(depth + 1)} " +
+                s"ELSE ${genC(depth + 1)} END)"
+            }
+          }
+          val colsC = (0 until 100)
+            .map(i => s"  CAST(${genC(0)} AS DECIMAL(38,3)) AS c$i")
+            .mkString(",\n")
+          s"""SELECT n_nationkey,
+             |$colsC
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
         }))
   }
 }
