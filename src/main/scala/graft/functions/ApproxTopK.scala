@@ -26,26 +26,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns `array<struct<item string, count long>>` sorted by
   * (count desc, item) — deterministic output for the differential.
   */
-/** The Misra-Gries counter step, shared between the batch aggregate
-  * and the streaming windowed sketch so both faces apply the
-  * IDENTICAL rule (with k ≥ distinct items no decrement ever fires
-  * and counts are exact — the equality contract the twins assert).
-  */
-object MisraGries {
-  def add(buf: mutable.LinkedHashMap[String, Long], key: String,
-      k: Int): Unit =
-    buf.get(key) match {
-      case Some(c) => buf.update(key, c + 1)
-      case None if buf.size < k => buf.update(key, 1L)
-      case None =>
-        // decrement-all; drop zeros (classic Misra-Gries step)
-        val dead = mutable.ArrayBuffer.empty[String]
-        buf.foreach { case (kk, c) =>
-          if (c == 1L) dead += kk else buf.update(kk, c - 1) }
-        dead.foreach(buf.remove)
-    }
-}
-
 case class ApproxTopKAgg(
     child: Expression,
     k: Int,
@@ -115,4 +95,24 @@ case class ApproxTopKAgg(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): Expression = copy(child = c.head)
+}
+
+/** The Misra-Gries counter step, shared between the batch aggregate
+  * and the streaming windowed sketch so both faces apply the
+  * IDENTICAL rule (with k ≥ distinct items no decrement ever fires
+  * and counts are exact — the equality contract the twins assert).
+  */
+object MisraGries {
+  def add(buf: mutable.LinkedHashMap[String, Long], key: String,
+      k: Int): Unit =
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1)
+      case None if buf.size < k => buf.update(key, 1L)
+      case None =>
+        // decrement-all; drop zeros (classic Misra-Gries step)
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.foreach { case (kk, c) =>
+          if (c == 1L) dead += kk else buf.update(kk, c - 1) }
+        dead.foreach(buf.remove)
+    }
 }

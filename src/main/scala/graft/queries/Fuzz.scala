@@ -387,11 +387,17 @@ object Fuzz {
           }
           val colsP = (0 until 100)
             .map(i => s"  ${pred(0)} AS p$i").mkString(",\n")
-          val where = pred(1)
+          // filter-POSITION coverage without starving the projected
+          // columns: all 25 rows keep evaluating p0..p99, while three
+          // scalar-subquery counts run generated predicates in a real
+          // WHERE — a filter-evaluation divergence changes w_cnt*
+          val wcs = (0 until 3)
+            .map(i => s"  (SELECT count(*) FROM nation n2 " +
+              s"WHERE ${pred(1)}) AS w_cnt$i").mkString(",\n")
           s"""SELECT n_nationkey,
-             |$colsP
+             |$colsP,
+             |$wcs
              |FROM nation
-             |WHERE ($where) OR n_nationkey >= 0
              |ORDER BY n_nationkey""".stripMargin
         }),
       QueryDef.sql(

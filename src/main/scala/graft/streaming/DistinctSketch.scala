@@ -24,6 +24,7 @@ object DistinctSketch {
   case class OpenWindow(regs: Array[Byte], n: Long)
 
   def stream(in: Dataset[In], windowMinutes: Int): Dataset[Out] = {
+    require(windowMinutes > 0, "windowMinutes must be positive")
     val spark = in.sparkSession
     import spark.implicits._
     val windowMs = windowMinutes * 60000L

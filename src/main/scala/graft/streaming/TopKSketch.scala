@@ -37,6 +37,7 @@ object TopKSketch {
       .map { case (kk, c) => ItemCount(kk, c) }
 
   def stream(in: Dataset[In], windowMinutes: Int, k: Int): Dataset[Out] = {
+    require(windowMinutes > 0, "windowMinutes must be positive")
     require(k > 0 && k <= 65536, "k must be in [1, 65536]")
     val spark = in.sparkSession
     import spark.implicits._
@@ -58,9 +59,10 @@ object TopKSketch {
             Iterator.empty
           } else {
             val w = state.getOption.getOrElse(OpenWindow(Map.empty, 0L))
+            // rehydration order is irrelevant: the MG step treats
+            // entries uniformly and toItems sorts the output
             val buf = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-            w.counts.toSeq.sortBy { case (kk, c) => (-c, kk) }
-              .foreach { case (kk, c) => buf.update(kk, c) }
+            w.counts.foreach { case (kk, c) => buf.update(kk, c) }
             var n = w.n
             it.foreach { e =>
               // nulls skip the counter but count the row, exactly
