@@ -380,6 +380,84 @@ object Multimodal {
     }(Encoders.row(waveformSchema))
   }
 
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("dhash", LongType)))
+
+  /** REAL perceptual image hash (difference hash / dHash) over P6
+    * payloads: nearest-neighbor downsample to a 9×8 luminance grid
+    * (gray = (r+g+b)/3, integer), then bit b = y·8+x set iff
+    * g(x,y) > g(x+1,y) — 63 bits (the last comparison is dropped so
+    * the hash stays strictly below 2^63; DuckDB's left shift refuses
+    * 1<<63, and 63 bits lose nothing measurable). Perceptually-equal
+    * images (crops aside) land within a few bits, exact re-encodes at
+    * distance 0. Scan-local; non-PPM payloads drop.
+    */
+  def dHash(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        (if (payload == null) None else ppmHeader(payload)).map {
+          case (w, h, _, off, bps) =>
+            def sample(idx: Int): Int =
+              if (bps == 1) payload(off + idx) & 0xff
+              else ((payload(off + 2 * idx) & 0xff) << 8) |
+                (payload(off + 2 * idx + 1) & 0xff)
+            def gray(gx: Int, gy: Int): Int = {
+              val sx = (gx.toLong * w / 9).toInt
+              val sy = (gy.toLong * h / 8).toInt
+              val base = (sy.toLong * w + sx).toInt * 3
+              (sample(base) + sample(base + 1) + sample(base + 2)) / 3
+            }
+            var hash = 0L
+            var b = 0
+            while (b < 63) {
+              val x = b % 8; val y = b / 8
+              if (gray(x, y) > gray(x + 1, y)) hash |= 1L << b
+              b += 1
+            }
+            Row(r.getLong(idIdx), hash)
+        }
+      }
+    }(Encoders.row(dhashSchema))
+  }
+
+  /** Near-duplicate image pairs by dHash hamming distance — EXACT for
+    * `maxHamming` ≤ 3 by pigeonhole: the 63 bits split into 4 disjoint
+    * bands (16+16+16+15), so ≤3 differing bits leave ≥1 band
+    * untouched and every qualifying pair meets on an EQUI band key
+    * (shuffle join, no n² product — the [[graft.operators.Dedup]]
+    * banding shape applied to images); exact popcount verification
+    * re-filters. Output (a_id, b_id, hamming).
+    */
+  def dhashPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3]: 4 bands guarantee exactness " +
+        "only up to 3 differing bits")
+    val banded = hashes.select(col("media_id").as("id"), col("dhash"),
+      posexplode(array(
+        shiftright(col("dhash"), 0) bitwiseAND lit(65535L),
+        shiftright(col("dhash"), 16) bitwiseAND lit(65535L),
+        shiftright(col("dhash"), 32) bitwiseAND lit(65535L),
+        shiftright(col("dhash"), 48) bitwiseAND lit(32767L)))
+        .as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Frame-sampling stub for video-shaped payloads: split the payload
     * into `frameBytes` chunks and emit every `stride`-th chunk with its
     * index — the partition-parallel explode shape a real frame sampler

@@ -2055,6 +2055,59 @@ object Pipeline {
       Multimodal.decodeWav(media).orderBy("media_id")
     },
 
+    // ---- perceptual image near-dup (difference hash): each
+    // constructed P6 image NN-downsamples to a 9×8 luminance grid
+    // whose 63 adjacent-pixel comparisons pack into a BIGINT; pairs
+    // within hamming ≤ 3 meet on the 4-band pigeonhole equi join
+    // (EXACT — ≤3 flipped bits leave ≥1 of 4 disjoint bands equal).
+    // The oracle brute-forces every hash and every pair from the
+    // construction rule, so banding recall is proven, not assumed. --
+    QueryDef(
+      "q_multimodal_dhash", {
+        def g(gx: String, gy: String): String = {
+          val base = s"((($gy) * h // 8) * w + (($gx) * w // 9)) * 3"
+          s"""((ord(substring(pix, CAST($base + 1 AS INT), 1))
+             |  + ord(substring(pix, CAST($base + 2 AS INT), 1))
+             |  + ord(substring(pix, CAST($base + 3 AS INT), 1))) // 3)"""
+            .stripMargin
+        }
+        s"""WITH src AS (
+           |  SELECT doc_id,
+           |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+           |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+           |    substring(repeat(text, 4), 1,
+           |      CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INT))
+           |      AS pix
+           |  FROM documents),
+           |hs AS (
+           |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(0, 63), b -> CASE WHEN
+           |      ${g("b % 8", "b // 8")} > ${g("b % 8 + 1", "b // 8")}
+           |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+           |      ELSE CAST(0 AS BIGINT) END)),
+           |    (a, v) -> a | v) AS dh
+           |  FROM src)
+           |SELECT p.doc_id AS a_id, q.doc_id AS b_id,
+           |  CAST(bit_count(xor(p.dh, q.dh)) AS INT) AS hamming
+           |FROM hs p JOIN hs q ON p.doc_id < q.doc_id
+           |WHERE bit_count(xor(p.dh, q.dh)) <= 3
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      val ppm = docs(s, dir).selectExpr("doc_id",
+        """concat('P6
+',
+          |  cast(4 + doc_id % 5 as string), ' ',
+          |  cast(3 + doc_id % 4 as string), '
+255
+',
+          |  substring(repeat(text, 4), 1,
+          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
+          |  as ppm""".stripMargin)
+      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
+      Multimodal.dhashPairs(Multimodal.dHash(media), maxHamming = 3)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- video-shaped composition: a 4-frame "video" of constant-
     // size P6 frames (11-byte header + 4×3×3 pixels = 47 bytes/frame)
     // is frame-sampled at stride 2 and every kept frame REALLY decoded

@@ -446,6 +446,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: identical images at 0, banding equals brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    def ppm(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed)
+      ("P6\n10 9\n255\n".getBytes("US-ASCII").toSeq ++
+        Seq.fill(10 * 9 * 3)(r.nextInt(256).toByte)).toArray
+    }
+    // 30 random images, a few exact duplicates planted
+    val imgs = (0 until 30).map(i => (i.toLong, ppm(i % 25)))
+    val media = Multimodal.asMedia(imgs.toDF("doc_id", "payload"),
+      "doc_id", "payload", "image/ppm")
+    val hashes = Multimodal.dHash(media)
+    val hmap = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact duplicates hash identically
+    assert(hmap(0L) == hmap(25L) && hmap(4L) == hmap(29L))
+    val got = Multimodal.dhashPairs(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // pigeonhole exactness: banded join == brute-force hamming scan
+    val want = (for {
+      a <- imgs.map(_._1); b <- imgs.map(_._1) if a < b
+      d = java.lang.Long.bitCount(hmap(a) ^ hmap(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == want, s"banded $got vs brute $want")
+    assert(got.exists(_._3 == 0), "planted duplicates missing")
+    val _ = rnd
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
