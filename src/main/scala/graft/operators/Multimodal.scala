@@ -277,6 +277,83 @@ object Multimodal {
       rms, peak))
   }
 
+  val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("afp", LongType)))
+
+  /** REAL acoustic fingerprint over PCM16 WAV payloads (the audio twin
+    * of [[dHash]]): the data chunk's signed samples split into 64
+    * equal windows, per-window energy Σ s² accumulated as EXACT Long
+    * integers, and bit w (0..62) set iff energy(w) > energy(w+1) — a
+    * 63-bit signature robust to gain-preserving re-encodes, engine-
+    * exact by construction (pure integer arithmetic, no floats).
+    * Pairs within a small hamming distance come from [[dhashPairs]]
+    * (the banded join is signature-agnostic). Mono or interleaved
+    * multi-channel both fold every sample; non-PCM16 payloads drop.
+    */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val b =
+          if (r.isNullAt(payloadIdx)) null
+          else r.getAs[Array[Byte]](payloadIdx)
+        if (b == null || b.length < 44) None
+        else {
+          def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+          if (tag(0) != "RIFF" || tag(8) != "WAVE") None
+          else {
+            var off = 12
+            var bits = 0; var fmtOk = false
+            var dataOff = -1; var dataLen = 0L
+            var bad = false
+            while (!bad && off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+              val id4 = tag(off); val len = u32(off + 4)
+              if (id4 == "fmt " && off + 24 <= b.length) {
+                fmtOk = u16(off + 8) == 1
+                bits = u16(off + 22)
+              } else if (id4 == "data") { dataOff = off + 8; dataLen = len }
+              if (len > Int.MaxValue - 8L) bad = true
+              else off += 8 + len.toInt + (len.toInt & 1)
+            }
+            if (bad || !fmtOk || bits != 16 || dataOff < 0) None
+            else {
+              val avail = math.min(dataLen, (b.length - dataOff).toLong)
+              val ns = (avail / 2).toInt
+              val e = new Array[Long](64)
+              var w = 0
+              while (w < 64) {
+                val from = (w.toLong * ns / 64).toInt
+                val to = ((w + 1).toLong * ns / 64).toInt
+                var acc = 0L
+                var i = from
+                while (i < to) {
+                  val s = ((b(dataOff + 2 * i) & 0xff) |
+                    (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
+                  acc += s * s
+                  i += 1
+                }
+                e(w) = acc
+                w += 1
+              }
+              var afp = 0L
+              var k = 0
+              while (k < 63) {
+                if (e(k) > e(k + 1)) afp |= 1L << k
+                k += 1
+              }
+              Some(Row(r.getLong(idIdx), afp))
+            }
+          }
+        }
+      }
+    }(Encoders.row(audioFpSchema))
+  }
+
   val resizedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("payload", BinaryType),

@@ -2055,6 +2055,53 @@ object Pipeline {
       Multimodal.decodeWav(media).orderBy("media_id")
     },
 
+    // ---- acoustic fingerprint (audio twin of the dHash): the same
+    // spec-correct WAV payloads split into 64 equal sample windows,
+    // per-window energy summed as EXACT integers, 63 adjacent-window
+    // comparisons packed into a BIGINT — the oracle recomputes every
+    // window energy and every bit from the construction rule --------
+    QueryDef(
+      "q_multimodal_audiofp",
+      """WITH p AS (
+        |  SELECT doc_id, least(length(text), 400) // 2 AS ns,
+        |    regexp_extract_all(substring(text, 1,
+        |      (least(length(text), 400) // 2) * 2), '[\s\S]') AS cs
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, list_transform(range(0, 64), w ->
+        |    coalesce(list_sum(list_transform(
+        |      range(ns * w // 64, ns * (w + 1) // 64), i ->
+        |        (ord(cs[2*i+1]) + 256 * ord(cs[2*i+2]))
+        |          * (ord(cs[2*i+1]) + 256 * ord(cs[2*i+2])))),
+        |      0)) AS es
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 63), k -> CASE
+        |      WHEN es[k + 1] > es[k + 2]
+        |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+        |      ELSE CAST(0 AS BIGINT) END)),
+        |    (a, v) -> a | v) AS afp
+        |FROM e ORDER BY media_id""".stripMargin) { (s, dir) =>
+      val wav = docs(s, dir)
+        .selectExpr("doc_id",
+          "least(length(text), 400) div 2 as ns",
+          "substring(text, 1, (least(length(text), 400) div 2) * 2) as smp")
+        .selectExpr("doc_id",
+          """unhex(concat(
+            |  '52494646',
+            |  format_string('%02x%02x0000',
+            |    (36 + ns * 2) % 256, ((36 + ns * 2) div 256) % 256),
+            |  '57415645666d7420100000000100010040000000800000000200100064617461',
+            |  format_string('%02x%02x0000',
+            |    (ns * 2) % 256, ((ns * 2) div 256) % 256),
+            |  hex(cast(smp as binary)))) as wav""".stripMargin)
+      val media = Multimodal.asMedia(wav, "doc_id", "wav", "audio/wav")
+      Multimodal.audioFingerprint(media)
+        .select(col("media_id"), col("afp"))
+        .orderBy("media_id")
+    },
+
     // ---- perceptual image near-dup (difference hash): each
     // constructed P6 image NN-downsamples to a 9×8 luminance grid
     // whose 63 adjacent-pixel comparisons pack into a BIGINT; pairs
