@@ -475,6 +475,42 @@ class PipelineSpec extends AnyFunSuite {
     val _ = rnd
   }
 
+  test("audio fingerprint: identical wavs equal, dirty payloads drop") {
+    import spark.implicits._
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val ns = samples.size
+      val bb = java.nio.ByteBuffer.allocate(44 + ns * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + ns * 2).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(64).putInt(128).putShort(2).putShort(16)
+      bb.put("data".getBytes).putInt(ns * 2)
+      samples.foreach(v => bb.putShort(v.toShort))
+      bb.array()
+    }
+    val loudThenQuiet = (0 until 128).map(i => if (i < 64) 2000 else 10)
+    val rows = Seq(
+      (1L, wav(loudThenQuiet)),
+      (2L, wav(loudThenQuiet)),            // exact duplicate
+      (3L, wav(loudThenQuiet.reverse)),    // mirrored energy profile
+      (4L, "garbage".getBytes("US-ASCII")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val media = Multimodal.asMedia(rows.toDF("doc_id", "payload"),
+      "doc_id", "payload", "audio/wav")
+    val fp = Multimodal.audioFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.keySet == Set(1L, 2L, 3L), s"got ${fp.keySet}")
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L), "mirror must flip energy-step bits")
+    // pairs machinery is signature-agnostic: the exact duplicate
+    // surfaces at hamming 0
+    val pairs = Multimodal.dhashPairs(
+        Multimodal.audioFingerprint(media)
+          .withColumnRenamed("afp", "dhash"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("multimodal resize + feature extraction + waveform stats") {
     val docs = Tables.df(spark, sf, "documents").limit(20).repartition(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text", "img/fake")
