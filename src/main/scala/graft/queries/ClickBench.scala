@@ -567,5 +567,94 @@ object ClickBench {
         |  GROUP BY date_trunc('week', ts))
         |SELECT wk, wau,
         |  wau - lag(wau) OVER (ORDER BY wk) AS delta
-        |FROM w ORDER BY wk""".stripMargin))
+        |FROM w ORDER BY wk""".stripMargin),
+
+    // CB regexp-extraction shape (URL-component pulls adapted to the
+    // props JSON text; same regexp_extract signature both dialects)
+    QueryDef.sql(
+      "q_cb_regex_extract",
+      """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |    AS k_val,
+        |  count(*) AS cnt
+        |FROM events
+        |WHERE event_type = 'view'
+        |GROUP BY CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+        |ORDER BY cnt DESC, k_val
+        |LIMIT 15""".stripMargin),
+
+    // CB raw multi-column sort scan with LIMIT
+    QueryDef.sql(
+      "q_cb_multi_sort",
+      """SELECT event_id, user_id, event_type, ts
+        |FROM events
+        |ORDER BY user_id, ts DESC, event_id
+        |LIMIT 30""".stripMargin),
+
+    // CB complex OR-of-ANDs count (the multi-condition traffic slice)
+    QueryDef.sql(
+      "q_cb_count_or",
+      """SELECT count(*) AS n,
+        |  count(DISTINCT user_id) AS users
+        |FROM events
+        |WHERE (event_type = 'click' AND value > 100)
+        |   OR (event_type = 'purchase' AND value > 300)
+        |   OR (event_type = 'error' AND hour(ts) < 6)""".stripMargin),
+
+    // CB device-split analogue: k-parity x type count matrix
+    QueryDef.sql(
+      "q_cb_dim_split",
+      """SELECT event_type,
+        |  CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) % 2 AS k_parity,
+        |  count(*) AS cnt
+        |FROM events
+        |GROUP BY event_type,
+        |  CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) % 2
+        |ORDER BY event_type, k_parity""".stripMargin,
+      oracle =
+        """SELECT event_type,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 2
+          |    AS k_parity,
+          |  count(*) AS cnt
+          |FROM events
+          |GROUP BY event_type,
+          |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 2
+          |ORDER BY event_type, k_parity""".stripMargin),
+
+    // CB traffic-share report: each type's share of total events via
+    // a window sum over exact counts
+    QueryDef.sql(
+      "q_cb_share",
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS cnt FROM events
+        |  GROUP BY event_type)
+        |SELECT event_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) * 100 /
+        |    CAST(SUM(cnt) OVER () AS DOUBLE), 6) AS share_pct
+        |FROM c
+        |ORDER BY event_type""".stripMargin),
+
+    // CB exclusion-filter shape: non-view events of high-value users
+    QueryDef.sql(
+      "q_cb_excluding",
+      """WITH hv AS (
+        |  SELECT user_id FROM events
+        |  GROUP BY user_id
+        |  HAVING CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) > 5000)
+        |SELECT e.event_type, count(*) AS cnt
+        |FROM events e JOIN hv ON e.user_id = hv.user_id
+        |WHERE e.event_type <> 'view'
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin),
+
+    // CB engagement-breadth histogram: users by how many distinct
+    // event types they touched
+    QueryDef.sql(
+      "q_cb_type_breadth",
+      """WITH u AS (
+        |  SELECT user_id, count(DISTINCT event_type) AS kinds
+        |  FROM events GROUP BY user_id)
+        |SELECT kinds, count(*) AS users
+        |FROM u
+        |GROUP BY kinds
+        |ORDER BY kinds""".stripMargin))
 }
