@@ -719,6 +719,184 @@ object TpcDs {
         |    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) <= 2)
         |ORDER BY p_partkey""".stripMargin),
 
+    // DS q9 shape: one-row wide report — five quantity bands, each
+    // with count + exact decimal revenue + derived mean, one scan
+    QueryDef.sql(
+      "q_tpcds_wide_report",
+      s"""SELECT
+         |  count(*) FILTER (WHERE l_quantity BETWEEN 1 AND 10) AS n1,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev1,
+         |  count(*) FILTER (WHERE l_quantity BETWEEN 11 AND 20) AS n2,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev2,
+         |  count(*) FILTER (WHERE l_quantity BETWEEN 21 AND 30) AS n3,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev3,
+         |  count(*) FILTER (WHERE l_quantity BETWEEN 31 AND 40) AS n4,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev4,
+         |  count(*) FILTER (WHERE l_quantity BETWEEN 41 AND 50) AS n5,
+         |  CAST(SUM(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN $rev
+         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS rev5
+         |FROM lineitem""".stripMargin),
+
+    // DS q17 shape: same-brand quantity statistics from two periods
+    // joined — mean/stdev from exact decimal sums on each side
+    QueryDef.sql(
+      "q_tpcds_period_stats",
+      """WITH st AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY p_brand, year(l_shipdate))
+        |SELECT a.p_brand,
+        |  round(CAST(a.sx AS DOUBLE) / a.n, 6) AS mean_1996,
+        |  round(CAST(b.sx AS DOUBLE) / b.n, 6) AS mean_1997,
+        |  round(sqrt((a.n * CAST(a.sxx AS DOUBLE)
+        |    - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE))
+        |    / (a.n * (a.n - 1))), 6) AS stdev_1996
+        |FROM st a JOIN st b ON a.p_brand = b.p_brand
+        |WHERE a.yr = 1996 AND b.yr = 1997 AND a.n > 1
+        |ORDER BY a.p_brand""".stripMargin),
+
+    // DS q28 shape: independent banded DISTINCT counts fused into one
+    // scan (distinct parts and suppliers per discount band)
+    QueryDef.sql(
+      "q_tpcds_banded_distinct",
+      """SELECT
+        |  count(DISTINCT l_partkey)
+        |    FILTER (WHERE l_discount < 0.03) AS p_lo,
+        |  count(DISTINCT l_suppkey)
+        |    FILTER (WHERE l_discount < 0.03) AS s_lo,
+        |  count(DISTINCT l_partkey)
+        |    FILTER (WHERE l_discount BETWEEN 0.03 AND 0.06) AS p_mid,
+        |  count(DISTINCT l_suppkey)
+        |    FILTER (WHERE l_discount BETWEEN 0.03 AND 0.06) AS s_mid,
+        |  count(DISTINCT l_partkey)
+        |    FILTER (WHERE l_discount > 0.06) AS p_hi,
+        |  count(DISTINCT l_suppkey)
+        |    FILTER (WHERE l_discount > 0.06) AS s_hi
+        |FROM lineitem""".stripMargin),
+
+    // DS q40 shape: per-brand revenue before/after a pivot date,
+    // returns excluded after the split (catalog-return analysis)
+    QueryDef.sql(
+      "q_tpcds_pivot_date",
+      s"""SELECT p_brand,
+         |  CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01'
+         |    THEN $rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS before_rev,
+         |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01'
+         |      AND l_returnflag <> 'R'
+         |    THEN $rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    AS after_net_rev
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE year(l_shipdate) = 1997
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin),
+
+    // DS q47/q57 extended: monthly brand revenue with its lag/lead
+    // neighbors alongside the deviation from the yearly mean
+    QueryDef.sql(
+      "q_tpcds_neighbor_months",
+      s"""WITH m AS (
+         |  SELECT p_brand, month(l_shipdate) AS mo, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE year(l_shipdate) = 1997 AND p_size <= 8
+         |  GROUP BY p_brand, month(l_shipdate))
+         |SELECT p_brand, mo, CAST(sd AS DOUBLE) AS rev,
+         |  CAST(lag(sd) OVER (PARTITION BY p_brand ORDER BY mo)
+         |    AS DOUBLE) AS prev_rev,
+         |  CAST(lead(sd) OVER (PARTITION BY p_brand ORDER BY mo)
+         |    AS DOUBLE) AS next_rev,
+         |  round(CAST(sd AS DOUBLE) - CAST(SUM(sd)
+         |    OVER (PARTITION BY p_brand) AS DOUBLE)
+         |    / COUNT(*) OVER (PARTITION BY p_brand), 6) AS dev
+         |FROM m
+         |ORDER BY p_brand, mo""".stripMargin),
+
+    // DS q53/q63 shape: manufacturer (type-prefix) monthly revenue vs
+    // its yearly monthly average, volatile months kept
+    QueryDef.sql(
+      "q_tpcds_mfr_volatility",
+      s"""WITH m AS (
+         |  SELECT split_part(p_type, ' ', 1) AS mfr,
+         |    month(l_shipdate) AS mo, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE year(l_shipdate) = 1996
+         |  GROUP BY split_part(p_type, ' ', 1), month(l_shipdate)),
+         |v AS (
+         |  SELECT mfr, mo, CAST(sd AS DOUBLE) AS rev,
+         |    CAST(SUM(sd) OVER (PARTITION BY mfr) AS DOUBLE)
+         |      / COUNT(*) OVER (PARTITION BY mfr) AS avg_rev
+         |  FROM m)
+         |SELECT mfr, mo, round(rev, 2) AS rev,
+         |  round(avg_rev, 2) AS avg_rev
+         |FROM v
+         |WHERE avg_rev > 0 AND abs(rev - avg_rev) / avg_rev > 0.1
+         |ORDER BY mfr, mo""".stripMargin),
+
+    // DS q59 extended: weekday revenue pivot self-joined year over
+    // year, per-day ratios (the dow-matrix comparison)
+    QueryDef.sql(
+      "q_tpcds_dow_wow",
+      s"""WITH d AS (
+         |  SELECT year(l_shipdate) AS yr,
+         |    CAST(SUM(CASE WHEN weekday(l_shipdate) = 0 THEN $rev
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS mon_rev,
+         |    CAST(SUM(CASE WHEN weekday(l_shipdate) = 4 THEN $rev
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fri_rev,
+         |    CAST(SUM(CASE WHEN weekday(l_shipdate) >= 5 THEN $rev
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS wkd_rev
+         |  FROM lineitem
+         |  WHERE year(l_shipdate) IN (1996, 1997)
+         |  GROUP BY year(l_shipdate))
+         |SELECT round(b.mon_rev / a.mon_rev, 6) AS mon_ratio,
+         |  round(b.fri_rev / a.fri_rev, 6) AS fri_ratio,
+         |  round(b.wkd_rev / a.wkd_rev, 6) AS wkd_ratio
+         |FROM d a CROSS JOIN d b
+         |WHERE a.yr = 1996 AND b.yr = 1997""".stripMargin,
+      oracle =
+        s"""WITH d AS (
+           |  SELECT year(l_shipdate) AS yr,
+           |    CAST(SUM(CASE WHEN isodow(l_shipdate) - 1 = 0 THEN $rev
+           |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS mon_rev,
+           |    CAST(SUM(CASE WHEN isodow(l_shipdate) - 1 = 4 THEN $rev
+           |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fri_rev,
+           |    CAST(SUM(CASE WHEN isodow(l_shipdate) - 1 >= 5 THEN $rev
+           |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS wkd_rev
+           |  FROM lineitem
+           |  WHERE year(l_shipdate) IN (1996, 1997)
+           |  GROUP BY year(l_shipdate))
+           |SELECT round(b.mon_rev / a.mon_rev, 6) AS mon_ratio,
+           |  round(b.fri_rev / a.fri_rev, 6) AS fri_ratio,
+           |  round(b.wkd_rev / a.wkd_rev, 6) AS wkd_ratio
+           |FROM d a CROSS JOIN d b
+           |WHERE a.yr = 1996 AND b.yr = 1997""".stripMargin),
+
+    // DS q31 customer-count variant: distinct buyers per quarter,
+    // nations where buyer growth accelerates Q1->Q2->Q3
+    QueryDef.sql(
+      "q_tpcds_buyer_growth",
+      """WITH q AS (
+        |  SELECT c_nationkey, quarter(o_orderdate) AS qt,
+        |    count(DISTINCT o_custkey) AS buyers
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1997
+        |  GROUP BY c_nationkey, quarter(o_orderdate))
+        |SELECT a.c_nationkey, a.buyers AS q1_buyers,
+        |  b.buyers AS q2_buyers, c.buyers AS q3_buyers
+        |FROM q a
+        |JOIN q b ON a.c_nationkey = b.c_nationkey AND a.qt = 1 AND b.qt = 2
+        |JOIN q c ON a.c_nationkey = c.c_nationkey AND c.qt = 3
+        |WHERE CAST(c.buyers AS DOUBLE) * a.buyers
+        |  > CAST(b.buyers AS DOUBLE) * b.buyers
+        |ORDER BY a.c_nationkey""".stripMargin),
+
     // DS q4 shape: per-customer spend ratio between two periods in
     // two "channels" (priority classes), customers where the express
     // ratio outgrows the standard ratio
