@@ -236,30 +236,44 @@ object Multimodal {
     }(Encoders.row(wavSchema))
   }
 
-  private[operators] def decodeWavOne(id: Long,
-      b: Array[Byte]): Option[Row] = {
+  /** Parsed PCM16 RIFF layout: (channels, sampleRate, dataOff,
+    * dataLen). The chunk walk advances a LONG offset — a crafted
+    * 32-bit chunk length near Int.MaxValue must overflow the walk off
+    * the end of the buffer, never wrap negative into a crash (dirty
+    * media buckets are the expected input). None for anything that is
+    * not well-formed 16-bit PCM.
+    */
+  private[operators] def pcm16Layout(
+      b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
     def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
     def tag(o: Int) = new String(b, o, 4, "US-ASCII")
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
+    var off = 12L
     var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
     var dataOff = -1; var dataLen = 0L
     while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
-      val id4 = tag(off); val len = u32(off + 4)
+      val o = off.toInt
+      val id4 = tag(o); val len = u32(o + 4)
       if (id4 == "fmt " && off + 24 <= b.length) {
-        fmtOk = u16(off + 8) == 1 // PCM only
-        channels = u16(off + 10); rate = u32(off + 12).toInt
-        bits = u16(off + 22)
-      } else if (id4 == "data") { dataOff = off + 8; dataLen = len }
-      // a corrupt 32-bit length (e.g. 0xFFFFFFF8) must not stall or
-      // rewind the walk — dirty media buckets are the expected input
-      if (len > Int.MaxValue - 8L) return None
-      off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        fmtOk = u16(o + 8) == 1 // PCM only
+        channels = u16(o + 10); rate = u32(o + 12).toInt
+        bits = u16(o + 22)
+      } else if (id4 == "data") { dataOff = o + 8; dataLen = len }
+      off += 8L + len + (len & 1) // word-aligned; Long: cannot wrap
     }
     if (!fmtOk || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0)
-      return None
+      None
+    else Some((channels, rate, dataOff, dataLen))
+  }
+
+  private[operators] def decodeWavOne(id: Long,
+      b: Array[Byte]): Option[Row] = {
+    val (channels, rate, dataOff, dataLen) = pcm16Layout(b) match {
+      case Some(t) => t
+      case None => return None
+    }
     val avail = math.min(dataLen, (b.length - dataOff).toLong)
     val nSamples = avail / 2 / channels
     var acc = 0.0; var peak = 0.0
@@ -299,29 +313,11 @@ object Multimodal {
         val b =
           if (r.isNullAt(payloadIdx)) null
           else r.getAs[Array[Byte]](payloadIdx)
-        if (b == null || b.length < 44) None
-        else {
-          def u16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-          def u32(o: Int) = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
-            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
-          def tag(o: Int) = new String(b, o, 4, "US-ASCII")
-          if (tag(0) != "RIFF" || tag(8) != "WAVE") None
-          else {
-            var off = 12
-            var bits = 0; var fmtOk = false
-            var dataOff = -1; var dataLen = 0L
-            var bad = false
-            while (!bad && off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
-              val id4 = tag(off); val len = u32(off + 4)
-              if (id4 == "fmt " && off + 24 <= b.length) {
-                fmtOk = u16(off + 8) == 1
-                bits = u16(off + 22)
-              } else if (id4 == "data") { dataOff = off + 8; dataLen = len }
-              if (len > Int.MaxValue - 8L) bad = true
-              else off += 8 + len.toInt + (len.toInt & 1)
-            }
-            if (bad || !fmtOk || bits != 16 || dataOff < 0) None
-            else {
+        if (b == null) None
+        else pcm16Layout(b) match {
+          case None => None
+          case Some((_, _, dataOff, dataLen)) =>
+            {
               val avail = math.min(dataLen, (b.length - dataOff).toLong)
               val ns = (avail / 2).toInt
               val e = new Array[Long](64)
@@ -348,7 +344,6 @@ object Multimodal {
               }
               Some(Row(r.getLong(idIdx), afp))
             }
-          }
         }
       }
     }(Encoders.row(audioFpSchema))

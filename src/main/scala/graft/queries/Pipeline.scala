@@ -105,6 +105,42 @@ object Pipeline {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "documents")
 
+  /** The constructed-P6 media fixture shared by the image judged
+    * queries (decode / resize / dHash): doc text bytes laid out as a
+    * well-formed binary PPM with doc-dependent dimensions. ONE
+    * builder — the oracles replay this rule, so it must not fork.
+    */
+  private def ppmDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).selectExpr("doc_id",
+      """concat('P6
+',
+        |  cast(4 + doc_id % 5 as string), ' ',
+        |  cast(3 + doc_id % 4 as string), '
+255
+',
+        |  substring(repeat(text, 4), 1,
+        |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
+        |  as ppm""".stripMargin)
+
+  /** The constructed-WAV media fixture shared by the audio judged
+    * queries (decode / fingerprint): text bytes as little-endian PCM16
+    * inside a spec-correct 44-byte RIFF container.
+    */
+  private def wavDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .selectExpr("doc_id",
+        "least(length(text), 400) div 2 as ns",
+        "substring(text, 1, (least(length(text), 400) div 2) * 2) as smp")
+      .selectExpr("doc_id",
+        """unhex(concat(
+          |  '52494646',
+          |  format_string('%02x%02x0000',
+          |    (36 + ns * 2) % 256, ((36 + ns * 2) div 256) % 256),
+          |  '57415645666d7420100000000100010040000000800000000200100064617461',
+          |  format_string('%02x%02x0000',
+          |    (ns * 2) % 256, ((ns * 2) div 256) % 256),
+          |  hex(cast(smp as binary)))) as wav""".stripMargin)
+
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
 
@@ -1956,14 +1992,8 @@ object Pipeline {
         |    / ((4 + doc_id % 5) * (3 + doc_id % 4) * 3) AS mean_intensity
         |FROM documents
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val ppm = docs(s, dir).selectExpr("doc_id",
-        """concat('P6\n',
-          |  cast(4 + doc_id % 5 as string), ' ',
-          |  cast(3 + doc_id % 4 as string), '\n255\n',
-          |  substring(repeat(text, 4), 1,
-          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
-          |  as ppm""".stripMargin)
-      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
+      val media = Multimodal.asMedia(ppmDocs(s, dir), "doc_id", "ppm",
+        "image/ppm")
       Multimodal.decodeImageStub(media).orderBy("media_id")
     },
 
@@ -1995,17 +2025,8 @@ object Pipeline {
         |      1))))::DOUBLE / 18 AS mean_intensity
         |FROM src
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val ppm = docs(s, dir).selectExpr("doc_id",
-        """concat('P6
-',
-          |  cast(4 + doc_id % 5 as string), ' ',
-          |  cast(3 + doc_id % 4 as string), '
-255
-',
-          |  substring(repeat(text, 4), 1,
-          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
-          |  as ppm""".stripMargin)
-      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
+      val media = Multimodal.asMedia(ppmDocs(s, dir), "doc_id", "ppm",
+        "image/ppm")
       Multimodal.decodeImageStub(Multimodal.resizePpm(media, 3, 2))
         .orderBy("media_id")
     },
@@ -2038,20 +2059,8 @@ object Pipeline {
         |  list_max(sm) AS peak
         |FROM s
         |ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val wav = docs(s, dir)
-        .selectExpr("doc_id",
-          "least(length(text), 400) div 2 as ns",
-          "substring(text, 1, (least(length(text), 400) div 2) * 2) as smp")
-        .selectExpr("doc_id",
-          """unhex(concat(
-            |  '52494646',
-            |  format_string('%02x%02x0000',
-            |    (36 + ns * 2) % 256, ((36 + ns * 2) div 256) % 256),
-            |  '57415645666d7420100000000100010040000000800000000200100064617461',
-            |  format_string('%02x%02x0000',
-            |    (ns * 2) % 256, ((ns * 2) div 256) % 256),
-            |  hex(cast(smp as binary)))) as wav""".stripMargin)
-      val media = Multimodal.asMedia(wav, "doc_id", "wav", "audio/wav")
+      val media = Multimodal.asMedia(wavDocs(s, dir), "doc_id", "wav",
+        "audio/wav")
       Multimodal.decodeWav(media).orderBy("media_id")
     },
 
@@ -2083,20 +2092,8 @@ object Pipeline {
         |      ELSE CAST(0 AS BIGINT) END)),
         |    (a, v) -> a | v) AS afp
         |FROM e ORDER BY media_id""".stripMargin) { (s, dir) =>
-      val wav = docs(s, dir)
-        .selectExpr("doc_id",
-          "least(length(text), 400) div 2 as ns",
-          "substring(text, 1, (least(length(text), 400) div 2) * 2) as smp")
-        .selectExpr("doc_id",
-          """unhex(concat(
-            |  '52494646',
-            |  format_string('%02x%02x0000',
-            |    (36 + ns * 2) % 256, ((36 + ns * 2) div 256) % 256),
-            |  '57415645666d7420100000000100010040000000800000000200100064617461',
-            |  format_string('%02x%02x0000',
-            |    (ns * 2) % 256, ((ns * 2) div 256) % 256),
-            |  hex(cast(smp as binary)))) as wav""".stripMargin)
-      val media = Multimodal.asMedia(wav, "doc_id", "wav", "audio/wav")
+      val media = Multimodal.asMedia(wavDocs(s, dir), "doc_id", "wav",
+        "audio/wav")
       Multimodal.audioFingerprint(media)
         .select(col("media_id"), col("afp"))
         .orderBy("media_id")
@@ -2140,17 +2137,8 @@ object Pipeline {
            |WHERE bit_count(xor(p.dh, q.dh)) <= 3
            |ORDER BY a_id, b_id""".stripMargin
       }) { (s, dir) =>
-      val ppm = docs(s, dir).selectExpr("doc_id",
-        """concat('P6
-',
-          |  cast(4 + doc_id % 5 as string), ' ',
-          |  cast(3 + doc_id % 4 as string), '
-255
-',
-          |  substring(repeat(text, 4), 1,
-          |    cast((4 + doc_id % 5) * (3 + doc_id % 4) * 3 as int)))
-          |  as ppm""".stripMargin)
-      val media = Multimodal.asMedia(ppm, "doc_id", "ppm", "image/ppm")
+      val media = Multimodal.asMedia(ppmDocs(s, dir), "doc_id", "ppm",
+        "image/ppm")
       Multimodal.dhashPairs(Multimodal.dHash(media), maxHamming = 3)
         .orderBy("a_id", "b_id")
     },

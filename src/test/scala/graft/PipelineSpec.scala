@@ -448,7 +448,6 @@ class PipelineSpec extends AnyFunSuite {
 
   test("dHash: identical images at 0, banding equals brute force") {
     import spark.implicits._
-    val rnd = new scala.util.Random(99)
     def ppm(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed)
       ("P6\n10 9\n255\n".getBytes("US-ASCII").toSeq ++
@@ -472,7 +471,6 @@ class PipelineSpec extends AnyFunSuite {
     } yield (a, b, d)).toSet
     assert(got == want, s"banded $got vs brute $want")
     assert(got.exists(_._3 == 0), "planted duplicates missing")
-    val _ = rnd
   }
 
   test("audio fingerprint: identical wavs equal, dirty payloads drop") {
