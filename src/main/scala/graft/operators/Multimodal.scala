@@ -141,8 +141,12 @@ object Multimodal {
   def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0, "resize dimensions must be positive")
     // the product bound, not just the factors: 40000×40000×3 wraps a
-    // 32-bit Int and would allocate a too-small buffer
-    require(16L + outW.toLong * outH * 3 * 2 <= Int.MaxValue,
+    // 32-bit Int and would allocate a too-small buffer. The header
+    // budget must cover the worst emitted "P6\n$outW $outH\n$maxv\n"
+    // (≤ 32 bytes: 3 + 10+1+10 + 1 + 5 + 1), not a bare 16 — an
+    // undersized budget lets the Int sum wrap negative at the edge and
+    // throw NegativeArraySizeException instead of this loud require
+    require(32L + outW.toLong * outH * 3 * 2 <= Int.MaxValue,
       s"resize target $outW x $outH exceeds a single-array payload")
     val idIdx = media.schema.fieldIndex("media_id")
     val payloadIdx = media.schema.fieldIndex("payload")

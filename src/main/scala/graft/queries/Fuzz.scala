@@ -486,8 +486,14 @@ object Fuzz {
                 s"ELSE ${genC(depth + 1)} END)"
             }
           }
+          // output re-cast stays at precision 18: DECIMAL(18,3) is
+          // int64-backed in DuckDB while 38 is int128-backed, and the
+          // int128 rendering path hashes differently across DuckDB
+          // builds (observed driver-side); grammar values are tiny
+          // (≤ depth-bounded sums of n_nationkey ≤ 24 and literals),
+          // so precision 18 is lossless
           val colsC = (0 until 100)
-            .map(i => s"  CAST(${genC(0)} AS DECIMAL(38,3)) AS c$i")
+            .map(i => s"  CAST(${genC(0)} AS DECIMAL(18,3)) AS c$i")
             .mkString(",\n")
           s"""SELECT n_nationkey,
              |$colsC

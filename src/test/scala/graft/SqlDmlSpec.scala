@@ -199,6 +199,27 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(total >= 1 && kept <= total)
   }
 
+  test("INSERT ... SELECT scans its source exactly once") {
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "region")
+    e.createTableAsSelect("r_once", LakeEngine.tempLocation("once"), src)
+
+    // per-row accumulator on the INSERT source: a count()+append would
+    // run the SELECT twice and double it
+    val seen = spark.sparkContext.longAccumulator("rows_seen")
+    spark.createDataFrame(
+        src.rdd.map { r => seen.add(1); r }, src.schema)
+      .createOrReplaceTempView("r_once_src")
+
+    val n = e.sql("INSERT INTO r_once SELECT * FROM r_once_src")
+      .head.getLong(0)
+    assert(n == src.count())
+    assert(seen.value == src.count(),
+      s"source scanned ${seen.value} rows for ${src.count()}-row insert")
+    assert(e.sql("SELECT count(*) FROM r_once").head.getLong(0)
+      == 2 * src.count())
+  }
+
   test("csv option matrix: delimiter, no-header, quotes, gzip") {
     val e = LakeEngine(spark)
     val dir = java.nio.file.Files.createTempDirectory("csvopt")
