@@ -1102,5 +1102,456 @@ object TpcDs {
          |JOIN supplier s ON s.s_suppkey = l_suppkey
          |WHERE c.c_nationkey < 5 AND s.s_nationkey < 5
          |GROUP BY c.c_nationkey, s.s_nationkey
-         |ORDER BY cust_nation, supp_nation""".stripMargin))
+         |ORDER BY cust_nation, supp_nation""".stripMargin),
+
+    // DS q23 shape: frequent items CTE x best-customers CTE (spend
+    // above a fraction of the max customer spend — scalar subquery
+    // over an aggregate of aggregates), semi-joined into a grand total
+    QueryDef.sql(
+      "q_tpcds_best_customers",
+      s"""WITH freq_items AS (
+         |  SELECT l_partkey FROM lineitem
+         |  WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+         |  GROUP BY l_partkey HAVING count(*) > 25),
+         |cust_spend AS (
+         |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+         |  FROM orders GROUP BY o_custkey),
+         |best_cust AS (
+         |  SELECT o_custkey FROM cust_spend
+         |  WHERE CAST(sd AS DOUBLE) >
+         |    0.5 * (SELECT CAST(max(sd) AS DOUBLE) FROM cust_spend))
+         |SELECT CAST(count(*) AS BIGINT) AS line_count,
+         |  CAST(SUM($rev) AS DOUBLE) AS total_rev
+         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |WHERE year(o_orderdate) = 1998
+         |  AND l_partkey IN (SELECT l_partkey FROM freq_items)
+         |  AND o_custkey IN (SELECT o_custkey FROM best_cust)"""
+        .stripMargin),
+
+    // DS q64 shape: per-(item, year) revenue self-joined on consecutive
+    // years — item pairs with a strong decline, dimension joined back
+    QueryDef.sql(
+      "q_tpcds_item_pair_decline",
+      s"""WITH s AS (
+         |  SELECT l_partkey, year(l_shipdate) AS yr, SUM($rev) AS sd
+         |  FROM lineitem GROUP BY l_partkey, year(l_shipdate))
+         |SELECT p_brand, a.l_partkey AS partkey, a.yr AS yr1,
+         |  CAST(a.sd AS DOUBLE) AS rev1, CAST(b.sd AS DOUBLE) AS rev2
+         |FROM s a JOIN s b
+         |  ON a.l_partkey = b.l_partkey AND b.yr = a.yr + 1
+         |JOIN part ON p_partkey = a.l_partkey
+         |WHERE CAST(b.sd AS DOUBLE) < 0.2 * CAST(a.sd AS DOUBLE)
+         |ORDER BY p_brand, partkey, yr1""".stripMargin),
+
+    // DS q95 shape: orders shipped by at least two distinct suppliers
+    // (EXISTS over a correlated self-join) with no returned line
+    // (NOT EXISTS) — the repeat-shipper staple
+    QueryDef.sql(
+      "q_tpcds_repeat_shippers",
+      """SELECT count(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = o.o_orderkey
+        |      AND l3.l_returnflag = 'R')""".stripMargin),
+
+    // DS q72 shape: null-preserving LEFT JOIN whose ON carries
+    // compound non-key date conditions; matched vs total per priority
+    QueryDef.sql(
+      "q_tpcds_promo_window",
+      """SELECT o_orderpriority,
+        |  count(*) AS join_rows,
+        |  count(l.l_orderkey) AS matched_lines
+        |FROM orders o LEFT JOIN lineitem l
+        |  ON l.l_orderkey = o.o_orderkey
+        |  AND month(l.l_shipdate) = month(o.o_orderdate)
+        |  AND year(l.l_shipdate) = year(o.o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // DS q24 shape: deep dimension join chain aggregated, HAVING-style
+    // gate against a scalar subquery over the same aggregate CTE
+    QueryDef.sql(
+      "q_tpcds_store_net",
+      s"""WITH t AS (
+         |  SELECT s_nationkey, p_brand, SUM($rev) AS sd
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  WHERE l_returnflag = 'R'
+         |  GROUP BY s_nationkey, p_brand)
+         |SELECT s_nationkey, p_brand, CAST(sd AS DOUBLE) AS net_rev
+         |FROM t
+         |WHERE CAST(sd AS DOUBLE) >
+         |  (SELECT 1.5 * CAST(SUM(sd) AS DOUBLE) / count(*) FROM t)
+         |ORDER BY s_nationkey, p_brand""".stripMargin),
+
+    // DS q4/q11 shape: 4-way self-join of one channel-year spend CTE —
+    // customers whose express-channel growth beats standard growth
+    QueryDef.sql(
+      "q_tpcds_channel_yoy_ratio",
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'e' ELSE 's' END AS ch,
+        |    year(o_orderdate) AS yr,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders WHERE year(o_orderdate) IN (1997, 1998)
+        |  GROUP BY 1, 2, 3)
+        |SELECT count(*) AS cust_count FROM (
+        |  SELECT e1.o_custkey
+        |  FROM s e1 JOIN s e2 ON e1.o_custkey = e2.o_custkey
+        |    AND e1.ch = 'e' AND e2.ch = 'e'
+        |    AND e1.yr = 1997 AND e2.yr = 1998
+        |  JOIN s t1 ON t1.o_custkey = e1.o_custkey
+        |    AND t1.ch = 's' AND t1.yr = 1997
+        |  JOIN s t2 ON t2.o_custkey = e1.o_custkey
+        |    AND t2.ch = 's' AND t2.yr = 1998
+        |  WHERE CAST(e2.sd AS DOUBLE) / CAST(e1.sd AS DOUBLE)
+        |      > CAST(t2.sd AS DOUBLE) / CAST(t1.sd AS DOUBLE)) q"""
+        .stripMargin),
+
+    // DS q14 shape: cross-channel item INTERSECT feeding a rollup
+    // report restricted to items present in both channels
+    QueryDef.sql(
+      "q_tpcds_cross_channel_brands",
+      s"""WITH both_items AS (
+         |  SELECT l_partkey FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |  INTERSECT
+         |  SELECT l_partkey FROM lineitem
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         |SELECT p_brand, year(l_shipdate) AS yr,
+         |  CAST(SUM($rev) AS DOUBLE) AS rev
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_partkey IN (SELECT l_partkey FROM both_items)
+         |GROUP BY ROLLUP(p_brand, year(l_shipdate))
+         |ORDER BY p_brand NULLS FIRST, yr NULLS FIRST""".stripMargin),
+
+    // DS q39 shape: per-(item, month) quantity coefficient of
+    // variation from exact sums (variance via n·Σx² − (Σx)² on
+    // engine-identical doubles), consecutive-month pairs both volatile
+    QueryDef.sql(
+      "q_tpcds_quantity_cov",
+      """WITH s AS (
+        |  SELECT p_brand, month(l_shipdate) AS mo,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS sum_q,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q2
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE year(l_shipdate) = 1997
+        |  GROUP BY p_brand, month(l_shipdate)),
+        |c AS (
+        |  SELECT p_brand, mo,
+        |    sqrt(greatest((sum_q2 - sum_q * sum_q / n) / n,
+        |      CAST(0 AS DOUBLE))) / (sum_q / n) AS cov
+        |  FROM s WHERE n >= 5 AND sum_q > 0)
+        |SELECT a.p_brand, a.mo AS mo1,
+        |  round(a.cov, 6) AS cov1, round(b.cov, 6) AS cov2
+        |FROM c a JOIN c b
+        |  ON a.p_brand = b.p_brand AND b.mo = a.mo + 1
+        |WHERE a.cov > 0.55 AND b.cov > 0.55
+        |ORDER BY a.p_brand, mo1""".stripMargin),
+
+    // DS q31 shape: quarter-over-quarter growth per nation compared
+    // ACROSS channels (web growth > store growth), 4-way CTE self-join
+    QueryDef.sql(
+      "q_tpcds_nation_growth",
+      """WITH s AS (
+        |  SELECT c_nationkey AS nat,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 'e' ELSE 's' END AS ch,
+        |    quarter(o_orderdate) AS q,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  WHERE year(o_orderdate) = 1997 AND quarter(o_orderdate) <= 2
+        |  GROUP BY 1, 2, 3)
+        |SELECT e1.nat AS nation,
+        |  round(CAST(e2.sd AS DOUBLE) / CAST(e1.sd AS DOUBLE), 6)
+        |    AS express_growth,
+        |  round(CAST(s2.sd AS DOUBLE) / CAST(s1.sd AS DOUBLE), 6)
+        |    AS standard_growth
+        |FROM s e1 JOIN s e2 ON e1.nat = e2.nat
+        |  AND e1.ch = 'e' AND e2.ch = 'e' AND e1.q = 1 AND e2.q = 2
+        |JOIN s s1 ON s1.nat = e1.nat AND s1.ch = 's' AND s1.q = 1
+        |JOIN s s2 ON s2.nat = e1.nat AND s2.ch = 's' AND s2.q = 2
+        |WHERE CAST(e2.sd AS DOUBLE) / CAST(e1.sd AS DOUBLE)
+        |    > CAST(s2.sd AS DOUBLE) / CAST(s1.sd AS DOUBLE)
+        |ORDER BY nation""".stripMargin),
+
+    // DS q41 shape: DISTINCT names through a correlated EXISTS with
+    // OR-of-ANDs attribute bands on the same dimension
+    QueryDef.sql(
+      "q_tpcds_attr_exists",
+      """SELECT DISTINCT p_name FROM part p1
+        |WHERE p_size BETWEEN 1 AND 15
+        |  AND EXISTS (SELECT 1 FROM part p2
+        |    WHERE p2.p_brand = p1.p_brand
+        |      AND ((p2.p_type LIKE '%PROMO%'
+        |              AND p2.p_size BETWEEN 5 AND 10)
+        |        OR (p2.p_type LIKE '%ECONOMY%'
+        |              AND p2.p_size BETWEEN 10 AND 20)))
+        |ORDER BY p_name
+        |LIMIT 50""".stripMargin),
+
+    // DS q54 shape: cohort (bought a category in H1) → their H2 spend
+    // → histogram over spend buckets
+    QueryDef.sql(
+      "q_tpcds_spend_buckets",
+      """WITH cohort AS (
+        |  SELECT DISTINCT o_custkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type LIKE '%PROMO%'
+        |    AND year(o_orderdate) = 1997 AND month(o_orderdate) <= 6),
+        |spend AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS sd
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) > 6
+        |    AND o_custkey IN (SELECT o_custkey FROM cohort)
+        |  GROUP BY o_custkey)
+        |SELECT CAST(floor(CAST(sd AS DOUBLE) / 100000) AS BIGINT)
+        |  AS bucket, count(*) AS n
+        |FROM spend GROUP BY 1
+        |ORDER BY bucket""".stripMargin),
+
+    // DS q58 shape: items whose revenue is balanced across all three
+    // return-flag segments (each within 30% of the 3-segment average)
+    QueryDef.sql(
+      "q_tpcds_equal_channels",
+      s"""WITH s AS (
+         |  SELECT l_partkey, l_returnflag AS f, SUM($rev) AS sd
+         |  FROM lineitem GROUP BY l_partkey, l_returnflag),
+         |p3 AS (
+         |  SELECT a.l_partkey, CAST(a.sd AS DOUBLE) AS ra,
+         |    CAST(b.sd AS DOUBLE) AS rn, CAST(c.sd AS DOUBLE) AS rr
+         |  FROM s a JOIN s b ON a.l_partkey = b.l_partkey
+         |  JOIN s c ON a.l_partkey = c.l_partkey
+         |  WHERE a.f = 'A' AND b.f = 'N' AND c.f = 'R')
+         |-- raw doubles, not round(): the sums are exact decimals cast
+         |-- to engine-identical doubles, while round-to-cents lands on
+         |-- half-boundaries (x.xx5) where the engines' tie rules differ
+         |SELECT l_partkey AS partkey, ra AS rev_a,
+         |  rn AS rev_n, rr AS rev_r
+         |FROM p3
+         |WHERE ra BETWEEN 0.7 * (ra + rn + rr) / 3
+         |        AND 1.3 * (ra + rn + rr) / 3
+         |  AND rn BETWEEN 0.7 * (ra + rn + rr) / 3
+         |        AND 1.3 * (ra + rn + rr) / 3
+         |  AND rr BETWEEN 0.7 * (ra + rn + rr) / 3
+         |        AND 1.3 * (ra + rn + rr) / 3
+         |ORDER BY partkey""".stripMargin),
+
+    // DS q88 shape: eight independently-scoped scalar counts
+    // cross-joined into one wide row
+    QueryDef.sql(
+      "q_tpcds_timeband_matrix",
+      """SELECT * FROM
+        |  (SELECT count(*) AS m1 FROM orders
+        |    WHERE month(o_orderdate) = 1) a CROSS JOIN
+        |  (SELECT count(*) AS m2 FROM orders
+        |    WHERE month(o_orderdate) = 2) b CROSS JOIN
+        |  (SELECT count(*) AS m3 FROM orders
+        |    WHERE month(o_orderdate) = 3) c CROSS JOIN
+        |  (SELECT count(*) AS m4 FROM orders
+        |    WHERE month(o_orderdate) = 4) d CROSS JOIN
+        |  (SELECT count(*) AS m5 FROM orders
+        |    WHERE month(o_orderdate) = 5) e CROSS JOIN
+        |  (SELECT count(*) AS m6 FROM orders
+        |    WHERE month(o_orderdate) = 6) f CROSS JOIN
+        |  (SELECT count(*) AS m7 FROM orders
+        |    WHERE month(o_orderdate) = 7) g CROSS JOIN
+        |  (SELECT count(*) AS m8 FROM orders
+        |    WHERE month(o_orderdate) = 8) h""".stripMargin),
+
+    // DS q25/q29 shape: sold → returned later → re-sold after that,
+    // three passes over the same (customer, item) timeline
+    QueryDef.sql(
+      "q_tpcds_sold_returned_resold",
+      """WITH cp AS (
+        |  SELECT o_custkey AS ck, l_partkey AS pk,
+        |    month(o_orderdate) AS mo, l_returnflag AS f
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT count(*) AS resold_count FROM (
+        |  SELECT DISTINCT s1.ck, s1.pk
+        |  FROM cp s1 JOIN cp r ON r.ck = s1.ck AND r.pk = s1.pk
+        |    AND r.f = 'R' AND r.mo > s1.mo
+        |  JOIN cp s2 ON s2.ck = s1.ck AND s2.pk = s1.pk
+        |    AND s2.f <> 'R' AND s2.mo > r.mo
+        |  WHERE s1.f <> 'R') t""".stripMargin),
+
+    // DS q65 shape: brands selling at or below half their supplier's
+    // average brand revenue (agg joined to avg-of-agg per group)
+    QueryDef.sql(
+      "q_tpcds_low_brands",
+      s"""WITH sb AS (
+         |  SELECT l_suppkey, p_brand, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  GROUP BY l_suppkey, p_brand),
+         |sa AS (
+         |  SELECT l_suppkey, CAST(SUM(sd) AS DOUBLE) / count(*)
+         |    AS avg_rev
+         |  FROM sb GROUP BY l_suppkey)
+         |SELECT s_name, p_brand, CAST(sb.sd AS DOUBLE) AS rev
+         |FROM sb JOIN sa ON sb.l_suppkey = sa.l_suppkey
+         |JOIN supplier ON s_suppkey = sb.l_suppkey
+         |WHERE CAST(sb.sd AS DOUBLE) <= 0.5 * sa.avg_rev
+         |ORDER BY s_name, p_brand""".stripMargin),
+
+    // DS q75 shape: two channel legs UNION ALL'd into per-(brand,
+    // year) counts + quantity, consecutive-year pairs where BOTH
+    // declined
+    QueryDef.sql(
+      "q_tpcds_count_decline_pairs",
+      """WITH u AS (
+        |  SELECT p_brand, year(l_shipdate) AS yr, count(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag = 'N' GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT p_brand, year(l_shipdate) AS yr, count(*) AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_returnflag <> 'N' GROUP BY 1, 2),
+        |y AS (
+        |  SELECT p_brand, yr, CAST(SUM(cnt) AS BIGINT) AS cnt,
+        |    CAST(SUM(qd) AS DOUBLE) AS qty
+        |  FROM u GROUP BY 1, 2)
+        |SELECT a.p_brand, a.yr AS prev_yr, a.cnt AS prev_cnt,
+        |  b.cnt AS curr_cnt, a.qty AS prev_qty, b.qty AS curr_qty
+        |FROM y a JOIN y b ON a.p_brand = b.p_brand AND b.yr = a.yr + 1
+        |WHERE b.cnt < a.cnt AND b.qty < a.qty
+        |ORDER BY a.p_brand, prev_yr""".stripMargin),
+
+    // DS q49 shape: per-channel return-ratio ranking, top 10 per
+    // channel, union'd report (rank ties broken on the item key)
+    QueryDef.sql(
+      "q_tpcds_return_rank_union",
+      """WITH r AS (
+        |  SELECT l_linestatus AS ch, l_partkey,
+        |    count(*) FILTER (WHERE l_returnflag = 'R') AS ret,
+        |    count(*) AS tot
+        |  FROM lineitem GROUP BY 1, 2),
+        |k AS (
+        |  SELECT ch, l_partkey, ret, tot,
+        |    round(CAST(ret AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |      AS ratio,
+        |    rank() OVER (PARTITION BY ch
+        |      ORDER BY CAST(ret AS DOUBLE) / CAST(tot AS DOUBLE) DESC,
+        |        l_partkey) AS rk
+        |  FROM r WHERE tot >= 10)
+        |SELECT ch, l_partkey AS partkey, CAST(ret AS BIGINT) AS ret,
+        |  CAST(tot AS BIGINT) AS tot, ratio
+        |FROM k WHERE rk <= 10
+        |ORDER BY ch, ratio DESC, partkey""".stripMargin),
+
+    // DS q34/q73 shape: big-basket orders (line count band via
+    // HAVING) joined back to the customer dimension
+    QueryDef.sql(
+      "q_tpcds_big_baskets",
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey, count(*) AS cnt
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_custkey HAVING count(*) >= 6)
+        |SELECT c_name, b.o_orderkey AS orderkey,
+        |  CAST(b.cnt AS BIGINT) AS cnt
+        |FROM b JOIN customer ON c_custkey = b.o_custkey
+        |ORDER BY c_name, orderkey""".stripMargin),
+
+    // DS q83 shape: items returned in each of three separate months —
+    // triple CTE join through JOIN USING
+    QueryDef.sql(
+      "q_tpcds_three_month_returns",
+      """WITH r1 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R' AND month(l_shipdate) = 3),
+        |r2 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R' AND month(l_shipdate) = 6),
+        |r3 AS (SELECT DISTINCT l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R' AND month(l_shipdate) = 9)
+        |SELECT count(*) AS parts_all3
+        |FROM r1 JOIN r2 USING (l_partkey) JOIN r3 USING (l_partkey)"""
+        .stripMargin),
+
+    // DS q22 shape: average-quantity report over a 3-level ROLLUP,
+    // ordered by the measure first (the q22 signature ordering)
+    QueryDef.sql(
+      "q_tpcds_qty_rollup_order",
+      """SELECT p_brand, p_type, p_size,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY ROLLUP(p_brand, p_type, p_size)
+        |ORDER BY avg_qty, p_brand NULLS FIRST, p_type NULLS FIRST,
+        |  p_size NULLS FIRST
+        |LIMIT 100""".stripMargin),
+
+    // DS q87-adjacent shape: symmetric difference of two cohorts via
+    // nested UNION / INTERSECT / EXCEPT composition
+    QueryDef.sql(
+      "q_tpcds_symdiff",
+      """SELECT count(*) AS symdiff FROM (
+        |  SELECT o_custkey FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |    UNION
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |  ) u
+        |  EXCEPT
+        |  SELECT o_custkey FROM (
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |  ) i) t""".stripMargin),
+
+    // first-order cohort report: min-date per customer re-aggregated
+    // into monthly new-customer counts (the acquisition-curve shape)
+    QueryDef.sql(
+      "q_tpcds_first_cohort",
+      """WITH f AS (
+        |  SELECT o_custkey, min(o_orderdate) AS first_dt
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT year(first_dt) AS yr, month(first_dt) AS mo,
+        |  count(*) AS new_customers
+        |FROM f GROUP BY 1, 2
+        |ORDER BY yr, mo""".stripMargin),
+
+    // per-group top-k: lifetime value rank within nation, top 3 per
+    // nation (decimal-exact ordering, name tiebreak)
+    QueryDef.sql(
+      "q_tpcds_top_per_group",
+      """WITH s AS (
+        |  SELECT c_nationkey, c_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sd
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY c_nationkey, c_name)
+        |SELECT c_nationkey, rk, c_name, CAST(sd AS DOUBLE) AS ltv
+        |FROM (
+        |  SELECT c_nationkey, c_name, sd,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY sd DESC, c_name) AS rk
+        |  FROM s) t WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin),
+
+    // all-or-nothing gate: suppliers whose every 1997 line avoided
+    // returns — HAVING equates a FILTERed count with the total
+    QueryDef.sql(
+      "q_tpcds_all_or_nothing",
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS lines
+        |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY s_name
+        |HAVING count(*) = count(*) FILTER (WHERE l_returnflag <> 'R')
+        |ORDER BY s_name""".stripMargin))
 }
