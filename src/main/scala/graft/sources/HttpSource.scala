@@ -79,7 +79,7 @@ object HttpSource {
     */
   def expand(url: String): Seq[String] = {
     if (S3Source.parse(url).isDefined)
-      return S3Source.expandWildcard(url, u => fetch(u)._1)
+      return S3Source.expandWildcard(url, (u, h) => fetch(u, h)._1)
     if (!url.startsWith("hf://") || !url.contains("*")) return Seq(url)
     val ref = parseHf(url)
     // list recursively from the deepest fixed directory prefix
@@ -163,7 +163,11 @@ object HttpSource {
         // https URL is chosen (and re-learned on RegionMoved) at
         // fetch time only
         case Some(ref) =>
-          S3Source.withRegionRouting(ref)(u => download(u, tmp, cond))
+          // signing headers computed per attempt: a RegionMoved retry
+          // must re-sign with the learned region, not replay the old
+          // Authorization
+          S3Source.withRegionRouting(ref)(u =>
+            download(u, tmp, cond ++ S3Source.signingHeaders(ref, u)))
         case None => download(resolved, tmp, cond)
       }
     }.toString
@@ -238,8 +242,9 @@ object HttpSource {
   /** GET to memory; returns (body, next-page URL from the Link
     * header's rel="next", if any — the HF tree API paginates).
     */
-  private def fetch(url: String): (Array[Byte], Option[String]) = {
-    val conn = connect(url)
+  private def fetch(url: String, headers: Map[String, String] = Map.empty)
+      : (Array[Byte], Option[String]) = {
+    val conn = connect(url, headers)
     try {
       val body = conn.getInputStream.readAllBytes()
       val next = Option(conn.getHeaderField("Link")).flatMap { l =>

@@ -13,11 +13,12 @@ import java.util.concurrent.ConcurrentHashMap
   * cache key stays the REGION-INDEPENDENT `s3://bucket/key` URL, so a
   * region move never duplicates cached bytes.
   *
-  * Scope: anonymous (unsigned) requests only — public buckets and
-  * S3-compatible stores. There are no credentials in this environment
-  * to test SigV4 against, so signing is refused loudly rather than
-  * shipped blind (set no `graft.s3.endpoint` and request a private
-  * bucket: the 403 surfaces as-is).
+  * Requests are anonymous by default (public buckets, S3-compatible
+  * stores); configuring credentials (`graft.s3.access_key_id` /
+  * `graft.s3.secret_access_key` properties or the standard AWS env
+  * names) switches every request to SigV4-signed via [[SigV4]] —
+  * verified egress-free against a fixture that recomputes the
+  * signature server-side from the same secret (S3SourceSpec).
   *
   * Endpoint template: `graft.s3.endpoint` system property (falling
   * back to env `GRAFT_S3_ENDPOINT`, then the AWS virtual-hosted
@@ -76,15 +77,44 @@ object S3Source {
     * would otherwise break URI parsing or silently truncate the path
     * into query/fragment.
     */
-  private[graft] def encodeKey(key: String): String = {
+  private[graft] def encodeKey(key: String): String =
+    rfc3986(key, keepSlash = true)
+
+  /** RFC 3986 encoding for query-parameter values: like [[encodeKey]]
+    * but '/' is encoded too, and — unlike form encoding — space
+    * becomes %20, never '+' (strict S3-compatible stores decode '+'
+    * literally and would miss keys whose prefix contains spaces).
+    * This is also exactly AWS SigV4's canonical query encoding, so
+    * signed list requests canonicalize to the bytes on the wire.
+    */
+  private[graft] def encodeQuery(v: String): String =
+    rfc3986(v, keepSlash = false)
+
+  private def rfc3986(s: String, keepSlash: Boolean): String = {
     val sb = new StringBuilder
-    key.getBytes("UTF-8").foreach { b =>
+    s.getBytes("UTF-8").foreach { b =>
       val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit && c < 128 || "-._~/".contains(c)) sb.append(c)
+      if (c.isLetterOrDigit && c < 128 || "-._~".contains(c) ||
+          (keepSlash && c == '/')) sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
     sb.toString
   }
+
+  /** SigV4 headers for a GET of `url` when credentials are configured;
+    * empty (anonymous) otherwise. The signing region is the bucket's
+    * current best-known region — on a wrong guess S3 answers 400
+    * AuthorizationHeaderMalformed WITH `x-amz-bucket-region`, which
+    * the HTTP layer already surfaces as [[RegionMoved]], so the retry
+    * re-signs with the learned region.
+    */
+  def signingHeaders(ref: S3Ref, url: String,
+      method: String = "GET"): Map[String, String] =
+    SigV4.credentials match {
+      case Some(c) =>
+        SigV4.signHeaders(method, url, regionOf(ref.bucket), "s3", c)
+      case None => Map.empty
+    }
 
   /** Raised by the HTTP layer when S3 answers 301/400 with an
     * `x-amz-bucket-region` header (S3's wrong-region responses carry
@@ -120,7 +150,8 @@ object S3Source {
     * wildcard-free URL returns itself.
     */
   def expandWildcard(url: String,
-      fetch: String => Array[Byte]): Seq[String] = {
+      fetch: (String, Map[String, String]) => Array[Byte])
+      : Seq[String] = {
     val ref = parse(url).getOrElse(return Seq(url))
     if (!ref.key.contains('*')) return Seq(url)
     val prefix = ref.key.takeWhile(_ != '*')
@@ -135,13 +166,15 @@ object S3Source {
     do {
       val listRef = S3Ref(ref.bucket, "")
       val base = withRegionRouting(listRef) { u =>
-        // probe routing with the list URL itself
+        // probe routing with the list URL itself; query values use
+        // strict RFC 3986 (space → %20, not '+'), which doubles as
+        // SigV4's canonical query encoding
         val q = new StringBuilder(u.stripSuffix("/"))
-        q.append("/?list-type=2&prefix=")
-          .append(java.net.URLEncoder.encode(prefix, "UTF-8"))
+        q.append("/?list-type=2&prefix=").append(encodeQuery(prefix))
         token.foreach(t => q.append("&continuation-token=")
-          .append(java.net.URLEncoder.encode(t, "UTF-8")))
-        new String(fetch(q.toString), "UTF-8")
+          .append(encodeQuery(t)))
+        val qs = q.toString
+        new String(fetch(qs, signingHeaders(listRef, qs)), "UTF-8")
       }
       val keyRe = "<Key>([^<]*)</Key>".r
       keyRe.findAllMatchIn(base).foreach { m =>
