@@ -484,6 +484,86 @@ private[graft] object Crs {
     }
   }
 
+  /** Hotine Oblique Mercator (EPSG methods 9812 "variant A" /
+    * 9815 "variant B"; EPSG Guidance Note 7-2 formulas, Snyder
+    * pp. 66-75). The initial line runs at azimuth `alphaDeg` through
+    * the projection centre; `gammaDeg` is the rectified-to-skew
+    * angle (defaults to the azimuth in published zones). Variant B
+    * (`noUoff = false`, PROJ's plain `+proj=omerc`) references false
+    * easting/northing to the projection CENTRE; variant A
+    * (`+no_uoff`) to the aposphere's natural origin.
+    *
+    * Unlike the fixed registry entries, Hotine zones carry their
+    * constants in the EPSG database — so this projection is reached
+    * through [[registerCustom]] with caller-supplied constants
+    * rather than a baked-in SRID table.
+    */
+  final case class Omerc(ell: Ellipsoid, latc: Double, lonc: Double,
+      alphaDeg: Double, gammaDeg: Double, k: Double, fe: Double,
+      fn: Double, noUoff: Boolean) extends Projection {
+    private val e = ell.e
+    private val e2 = ell.e2
+    private val phiC = math.toRadians(latc)
+    private val lamC = math.toRadians(lonc)
+    private val alC = math.toRadians(alphaDeg)
+    private val gaC = math.toRadians(gammaDeg)
+    private val sgn = if (phiC < 0) -1.0 else 1.0
+    private val cosPhiC = math.cos(phiC)
+    private val sinPhiC = math.sin(phiC)
+    private val bB =
+      math.sqrt(1 + e2 * math.pow(cosPhiC, 4) / (1 - e2))
+    private val aA = ell.a * bB * k * math.sqrt(1 - e2) /
+      (1 - e2 * sinPhiC * sinPhiC)
+    private val t0 = tOf(ell, phiC)
+    private val dD = bB * math.sqrt(1 - e2) /
+      (cosPhiC * math.sqrt(1 - e2 * sinPhiC * sinPhiC))
+    private val dD2 = math.max(dD * dD, 1.0)
+    private val fF = dD + math.sqrt(dD2 - 1.0) * sgn
+    private val hH = fF * math.pow(t0, bB)
+    private val gG = (fF - 1.0 / fF) / 2.0
+    private val ga0 = math.asin(math.sin(alC) / dD)
+    private val lam0 = lamC - math.asin(gG * math.tan(ga0)) / bB
+    /** centre offset along the initial line (variant B only) */
+    private val uc =
+      if (noUoff) 0.0
+      else if (math.abs(alphaDeg) == 90.0) aA * (lamC - lam0)
+      else aA / bB * math.atan2(math.sqrt(dD2 - 1.0), math.cos(alC)) * sgn
+
+    def forward(ll: Pt): Pt = {
+      val phi = math.toRadians(ll.y)
+      val t = tOf(ell, phi)
+      val q = hH / math.pow(t, bB)
+      val s = (q - 1.0 / q) / 2.0
+      val tt = (q + 1.0 / q) / 2.0
+      val dl = bB * (math.toRadians(ll.x) - lam0)
+      val v = math.sin(dl)
+      val u = (-v * math.cos(ga0) + s * math.sin(ga0)) / tt
+      val vv = aA * math.log((1 - u) / (1 + u)) / (2.0 * bB)
+      val uu = aA * math.atan2(
+        s * math.cos(ga0) + v * math.sin(ga0), math.cos(dl)) / bB -
+        math.abs(uc) * sgn
+      Pt(vv * math.cos(gaC) + uu * math.sin(gaC) + fe,
+        uu * math.cos(gaC) - vv * math.sin(gaC) + fn)
+    }
+
+    def inverse(xy: Pt): Pt = {
+      val vv = (xy.x - fe) * math.cos(gaC) - (xy.y - fn) * math.sin(gaC)
+      val uu = (xy.y - fn) * math.cos(gaC) +
+        (xy.x - fe) * math.sin(gaC) + math.abs(uc) * sgn
+      val q = math.exp(-bB * vv / aA)
+      val s = (q - 1.0 / q) / 2.0
+      val tt = (q + 1.0 / q) / 2.0
+      val v = math.sin(bB * uu / aA)
+      val u = (v * math.cos(ga0) + s * math.sin(ga0)) / tt
+      val t = math.pow(hH / math.sqrt((1 + u) / (1 - u)), 1.0 / bB)
+      val phi = phiFromT(ell, t)
+      val lam = lam0 - math.atan2(
+        s * math.cos(ga0) - v * math.sin(ga0),
+        math.cos(bB * uu / aA)) / bB
+      Pt(normLon(math.toDegrees(lam)), math.toDegrees(phi))
+    }
+  }
+
   /** Normalize a longitude into (-180, 180] — projections whose
     * central meridian is far from Greenwich (polar stereographic at
     * lon0 = -45) otherwise hand back lon0 ± 180-relative values.
@@ -516,7 +596,122 @@ private[graft] object Crs {
   private[graft] def projectionOf(srid: Int): Option[Projection] =
     forSrid(srid).collect { case Projected(p, _) => p }
 
-  def forSrid(srid: Int): Option[Crs] = {
+  // ---- caller-parameterized registrations --------------------------
+
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[Int, Crs]()
+
+  /** Register a caller-supplied CRS under `srid` from PROJ-string-style
+    * constants — the escape hatch for any projection whose zone
+    * parameters live in the EPSG database rather than this registry
+    * (Hotine RSO zones, exotic national grids). Supported `+proj`
+    * values: longlat, tmerc, utm, lcc (2SP), aea, laea, stere
+    * (polar), somerc, omerc; ellipsoid via `+ellps` (WGS84, GRS80,
+    * airy, bessel, intl, clrk66, krass, evrst30, evrstSS) or explicit
+    * `+a`/`+rf`; datum via `+towgs84` (3- or 7-parameter, the
+    * published datum→WGS84 convention — negated internally).
+    *
+    * The registry is per-JVM. On a multi-executor cluster, either
+    * call this from executor-side init (a SparkPlugin), or set the
+    * system property `graft.crs.<srid>` to the PROJ string in the
+    * executor JVM options — [[forSrid]] lazily parses it in whichever
+    * JVM first needs the zone, so driver and executors resolve
+    * identically with no state shipping.
+    */
+  def registerCustom(srid: Int, projString: String): Unit =
+    custom.put(srid, parseProj(projString))
+
+  private[graft] def unregisterCustom(srid: Int): Unit =
+    custom.remove(srid)
+
+  private def customFor(srid: Int): Option[Crs] =
+    Option(custom.get(srid)).orElse(
+      sys.props.get(s"graft.crs.$srid").map { ps =>
+        val c = parseProj(ps)
+        custom.putIfAbsent(srid, c)
+        c
+      })
+
+  /** PROJ-string parser for [[registerCustom]] — constants only, no
+    * grids, no EPSG lookups.
+    */
+  private[graft] def parseProj(s: String): Crs = {
+    val kv: Map[String, String] = s.trim.split("\\s+").toSeq
+      .filter(_.startsWith("+")).map(_.stripPrefix("+")).map { tok =>
+        tok.split("=", 2) match {
+          case Array(k) => k -> ""
+          case Array(k, v) => k -> v
+        }
+      }.toMap
+    def d(k: String, default: Double = 0.0): Double =
+      kv.get(k).map(_.toDouble).getOrElse(default)
+    val ell = kv.get("ellps").map {
+      case "WGS84" => Wgs84
+      case "GRS80" => Grs80
+      case "airy" => Airy1830
+      case "bessel" => Bessel1841
+      case "intl" => Ellipsoid(6378388.0, 297.0)
+      case "clrk66" => Ellipsoid(6378206.4, 294.9786982)
+      case "krass" => Ellipsoid(6378245.0, 298.3)
+      case "evrst30" => Ellipsoid(6377276.345, 300.8017)
+      case "evrstSS" => Ellipsoid(6377298.556, 300.8017)
+      case other => throw new IllegalArgumentException(
+        s"unknown +ellps=$other (pass +a=/+rf= instead)")
+    }.getOrElse {
+      if (kv.contains("a") && kv.contains("rf")) Ellipsoid(d("a"), d("rf"))
+      else Wgs84
+    }
+    val datum: Datum = kv.get("towgs84").map { t =>
+      val p = t.split(",").map(_.trim.toDouble).padTo(7, 0.0)
+      // PROJ's towgs84 is datum→WGS84; Helmert7 here applies
+      // WGS84→datum, so the position-vector parameters negate
+      Helmert7(ell, -p(0), -p(1), -p(2), -p(3), -p(4), -p(5), -p(6))
+    }.getOrElse(WgsEquivalent(ell))
+    val fe = d("x_0"); val fn = d("y_0")
+    val k0 = kv.get("k").orElse(kv.get("k_0")).map(_.toDouble)
+      .getOrElse(1.0)
+    kv.getOrElse("proj", "") match {
+      case "longlat" => Geographic(datum)
+      case "tmerc" => Projected(
+        TMerc(ell, d("lat_0"), d("lon_0"), k0, fe, fn), datum)
+      case "utm" =>
+        val z = kv.getOrElse("zone",
+          throw new IllegalArgumentException("+proj=utm needs +zone")).toInt
+        Projected(TMerc(ell, 0.0, z * 6.0 - 183.0, 0.9996, 500000.0,
+          if (kv.contains("south")) 1e7 else 0.0), datum)
+      case "lcc" =>
+        require(kv.contains("lat_1"), "+proj=lcc needs +lat_1 (2SP form)")
+        Projected(Lcc2Sp(ell, d("lat_0"), d("lon_0"), d("lat_1"),
+          d("lat_2", d("lat_1")), fe, fn), datum)
+      case "aea" => Projected(
+        Albers(ell, d("lat_0"), d("lon_0"), d("lat_1"), d("lat_2"),
+          fe, fn), datum)
+      case "laea" => Projected(
+        Laea(ell, d("lat_0"), d("lon_0"), fe, fn), datum)
+      case "stere" =>
+        val lat0 = d("lat_0")
+        require(math.abs(lat0) == 90.0,
+          "+proj=stere: only the polar aspect is supported")
+        Projected(PolarStereo(ell, d("lat_ts", lat0), d("lon_0"), k0,
+          south = lat0 < 0, fe, fn), datum)
+      case "somerc" => Projected(
+        SwissOblique(ell, d("lat_0"), d("lon_0"), fe, fn), datum)
+      case "omerc" =>
+        val alpha = d("alpha", 90.0)
+        Projected(Omerc(ell, d("lat_0"), d("lonc", d("lon_0")), alpha,
+          d("gamma", alpha), k0, fe, fn,
+          noUoff = kv.contains("no_uoff") || kv.contains("no_off")),
+          datum)
+      case other => throw new IllegalArgumentException(
+        s"unsupported +proj=$other (supported: longlat tmerc utm lcc " +
+          "aea laea stere somerc omerc)")
+    }
+  }
+
+  def forSrid(srid: Int): Option[Crs] =
+    customFor(srid).orElse(builtinFor(srid))
+
+  private def builtinFor(srid: Int): Option[Crs] = {
     val wgsGeo = Geographic(WgsEquivalent(Wgs84))
     srid match {
       case 4326 => Some(wgsGeo)

@@ -226,6 +226,79 @@ class CrsSpec extends AnyFunSuite {
     assert(math.hypot(nad.x - w2.x, nad.y - w2.y) < 1e-3)
   }
 
+  test("Hotine omerc matches the EPSG worked example (Timbalai RSO Borneo)") {
+    // EPSG Guidance Note 7-2 §Hotine variant B worked example:
+    // Timbalai 1948 / RSO Borneo (m), Everest 1830 (1967 definition)
+    val rso = "+proj=omerc +lat_0=4 " +
+      s"+lonc=115 +alpha=${53.0 + 18.0 / 60 + 56.9537 / 3600} " +
+      s"+gamma=${53.0 + 7.0 / 60 + 48.3685 / 3600} +k=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS"
+    val crs = Crs.parseProj(rso)
+    val proj = crs.asInstanceOf[Crs.Projected].proj
+    val lon = 115.0 + 48.0 / 60 + 19.8196 / 3600
+    val lat = 5.0 + 23.0 / 60 + 14.1129 / 3600
+    val p = proj.forward(Pt(lon, lat))
+    assert(math.abs(p.x - 679245.73) < 0.05, s"E=${p.x}")
+    assert(math.abs(p.y - 596562.78) < 0.05, s"N=${p.y}")
+    // inverse round-trips the worked example to sub-mm in degrees
+    val back = proj.inverse(p)
+    assert(math.abs(back.x - lon) < 1e-8 && math.abs(back.y - lat) < 1e-8)
+  }
+
+  test("registerCustom: Hotine zone round-trips and is conformal") {
+    val rso = "+proj=omerc +lat_0=4 +lonc=115 " +
+      s"+alpha=${53.0 + 18.0 / 60 + 56.9537 / 3600} " +
+      s"+gamma=${53.0 + 7.0 / 60 + 48.3685 / 3600} +k=0.99984 " +
+      "+x_0=590476.87 +y_0=442857.65 +ellps=evrstSS " +
+      "+towgs84=-679,669,-48"
+    Crs.registerCustom(29873, rso)
+    try {
+      // st_transform now resolves the zone end-to-end
+      val g = transform(pt(115.5, 4.5, 4326), 29873)
+      val b = xy(transform(g, 4326))
+      assert(math.abs(b.x - 115.5) < 1e-6 && math.abs(b.y - 4.5) < 1e-6)
+      // conformality: local scale isotropy h ≈ k at in-domain points
+      val proj = Crs.projectionOf(29873).get
+      val ell = Crs.Ellipsoid(6377298.556, 300.8017)
+      for ((lon, lat) <- Seq((114.0, 2.0), (116.5, 6.0), (115.0, 4.0))) {
+        val (mM, nN) = radii(ell, lat)
+        val d = 1e-6
+        val p0 = proj.forward(Pt(lon, lat))
+        val pE = proj.forward(Pt(lon + d, lat))
+        val pN = proj.forward(Pt(lon, lat + d))
+        val dr = math.toRadians(d)
+        val kLon = math.hypot(pE.x - p0.x, pE.y - p0.y) /
+          (nN * math.cos(math.toRadians(lat)) * dr)
+        val kLat = math.hypot(pN.x - p0.x, pN.y - p0.y) / (mM * dr)
+        assert(math.abs(kLon / kLat - 1.0) < 1e-4,
+          s"anisotropy at ($lon,$lat): $kLon vs $kLat")
+        // scale on the initial line stays near kc
+        assert(kLon > 0.9997 && kLon < 1.0008, s"scale $kLon")
+      }
+    } finally Crs.unregisterCustom(29873)
+    // unregistered again: refusal is restored
+    intercept[UnsupportedOperationException] {
+      transform(pt(115.5, 4.5, 4326), 29873)
+    }
+  }
+
+  test("graft.crs.<srid> property registers a zone lazily per-JVM") {
+    System.setProperty("graft.crs.906901",
+      "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +ellps=GRS80")
+    try {
+      val b = xy(transform(transform(pt(9.5, 48.0, 4326), 906901), 4326))
+      assert(math.abs(b.x - 9.5) < 1e-7 && math.abs(b.y - 48.0) < 1e-7)
+      // matches the equivalent built-in ETRS89 / UTM32N to sub-mm
+      val custom = xy(transform(pt(9.5, 48.0, 4326), 906901))
+      val utm = xy(transform(pt(9.5, 48.0, 4326), 25832))
+      assert(math.abs(custom.x - utm.x) < 1e-3 &&
+        math.abs(custom.y - utm.y) < 1e-3)
+    } finally {
+      System.clearProperty("graft.crs.906901")
+      Crs.unregisterCustom(906901)
+    }
+  }
+
   test("unknown CRS still refuses loudly, both directions") {
     intercept[UnsupportedOperationException] {
       transform(pt(1.0, 1.0, 4326), 999999)
