@@ -30,15 +30,39 @@ object LakeSink {
     else { table.append(batch, commitProps = Map(key -> batchId.toString)); () }
   }
 
-  /** Continuous append: each micro-batch commits one snapshot. */
+  /** Micro-batch maintenance cadence: streaming appends land one or
+    * more SMALL files per micro-batch, which at 100 TB scale
+    * accumulates millions of files — the reference's autovacuum
+    * compacts managed tables on a 10-minute timer
+    * (pg_lake_table/src/ddl/vacuum.c:94-98). The Spark-native
+    * analogue rides the batch counter: every `every` committed
+    * micro-batches the sink folds small files into target-size ones.
+    * [[LakeTable.compact]] is CAS-guarded, retrying, and
+    * row-preserving, so it is safe against concurrent appenders (the
+    * ConcurrencySpec race family) and a replayed batch id re-triggers
+    * at most a no-op (fewer than two small files ⇒ skip). `every <= 0`
+    * disables the cadence for callers running their own maintenance.
+    */
+  private def maybeCompact(tables: Seq[LakeTable], batchId: Long,
+      every: Int): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      tables.foreach { t => t.compact(); () }
+
+  /** Continuous append: each micro-batch commits one snapshot;
+    * every `compactEvery` batches the sink compacts small files.
+    */
   def append(stream: DataFrame, table: LakeTable,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16): StreamingQuery = {
     val streamKey = Integer.toHexString(checkpoint.hashCode)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch(processBatch(table, streamKey) _)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(table, streamKey)(batch, batchId)
+        maybeCompact(Seq(table), batchId, compactEvery)
+      }
       .start()
   }
 
@@ -82,7 +106,8 @@ object LakeSink {
       sigTable: LakeTable, idCol: String, textCol: String,
       checkpoint: String,
       minJaccard: Double = graft.operators.PipelineParams.MinhashJaccard,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16): StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, TextOps}
     val streamKey = Integer.toHexString(checkpoint.hashCode)
@@ -126,6 +151,7 @@ object LakeSink {
             processBatch(sigTable, s"$streamKey-sigs")(newSigs, batchId)
           } finally { survivors.unpersist(); () }
         }
+        maybeCompact(Seq(docTable, sigTable), batchId, compactEvery)
       }
       .start()
   }
@@ -150,7 +176,8 @@ object LakeSink {
       statsTable: LakeTable, idCol: String,
       lines: org.apache.spark.sql.Column, checkpoint: String,
       maxDocs: Long = 1, lineSep: String = "\n",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16): StreamingQuery = {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
     val streamKey = Integer.toHexString(checkpoint.hashCode)
@@ -167,6 +194,10 @@ object LakeSink {
           processBatch(docTable, streamKey)(cleaned, batchId)
           processBatch(statsTable, s"$streamKey-stats")(newStats, batchId)
         }
+        // file-level compaction is row-preserving, so the stats
+        // table's increment rows survive it — readers re-aggregate
+        // by line hash exactly as before, just over fewer files
+        maybeCompact(Seq(docTable, statsTable), batchId, compactEvery)
       }
       .start()
   }
@@ -174,12 +205,13 @@ object LakeSink {
   def appendWindowed(stream: DataFrame, table: LakeTable,
       checkpoint: String, keyCols: Seq[String],
       trigger: Trigger = Trigger.AvailableNow(),
-      maxPredicateKeys: Int = 10000): StreamingQuery =
+      maxPredicateKeys: Int = 10000,
+      compactEvery: Int = 16): StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           import org.apache.spark.sql.functions.{col, lit}
           val keys = batch.select(keyCols.map(col): _*).distinct()
@@ -209,6 +241,7 @@ object LakeSink {
             ()
           }
         }
+        maybeCompact(Seq(table), batchId, compactEvery)
       }
       .start()
 }

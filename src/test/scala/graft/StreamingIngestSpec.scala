@@ -114,4 +114,57 @@ class StreamingIngestSpec extends AnyFunSuite {
     // lines: alpha(2 docs), footer(2), beta(1), gamma(1), delta(1)
     assert(statDocs == Seq(1L, 1L, 1L, 2L, 2L), s"got $statDocs")
   }
+
+  test("compaction cadence folds streaming small files; appenders race safely") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = LakeTable.create(spark, LakeEngine.tempLocation("ingc"),
+      "evts", StructType(Seq(
+        StructField("id", LongType), StructField("v", LongType))))
+    val input = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("compact-ckpt").toString
+
+    // direct appenders racing the streaming sink's compaction cadence
+    // (the ConcurrencySpec cluster-vs-append pattern): compaction is
+    // CAS-guarded + retrying, so appends always land and compaction
+    // rewrites only the files it read
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until 2).foreach { a =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          (0 until 4).foreach { i =>
+            table.append(Seq((10000L + a * 100 + i, 1L)).toDF("id", "v"))
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+
+    // 6 micro-batches at compactEvery = 2 → the sink compacts on
+    // batch ids 2 and 4 while the appenders run
+    (0 until 6).foreach { b =>
+      input.addData((0 until 20).map(i => (b * 100L + i, 0L)): _*)
+      LakeSink.append(input.toDF().toDF("id", "v"), table, ckpt,
+        compactEvery = 2).awaitTermination()
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120,
+      java.util.concurrent.TimeUnit.SECONDS), "appenders timed out")
+    assert(failures.isEmpty,
+      s"appender failed: ${Option(failures.peek())}")
+
+    // no lost rows from either writer
+    assert(table.read().filter(col("v") === 0L).count() == 6 * 20)
+    assert(table.read().filter(col("v") === 1L).count() == 2 * 4)
+    // the cadence actually folded files: without compaction the
+    // stream + appenders leave >= 14 files (one per commit); after
+    // two compactions the live file count must be clearly below that
+    val live = table.meta.currentSnapshot.get.files.size
+    assert(live < 10, s"compaction never folded: $live live files")
+    // every live file still exists on disk (no compaction data loss)
+    table.meta.currentSnapshot.get.files.foreach(f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path)),
+        s"lost file ${f.path}"))
+  }
 }
