@@ -1553,5 +1553,252 @@ object TpcDs {
         |WHERE year(l_shipdate) = 1997
         |GROUP BY s_name
         |HAVING count(*) = count(*) FILTER (WHERE l_returnflag <> 'R')
-        |ORDER BY s_name""".stripMargin))
+        |ORDER BY s_name""".stripMargin),
+
+    // DS q78 shape: per-(customer, item, year) sales LEFT JOINed to
+    // the matching returns aggregate, null-gated to unreturned combos
+    QueryDef.sql(
+      "q_tpcds_unreturned_ratio",
+      s"""WITH sales AS (
+         |  SELECT o_custkey AS ck, l_partkey AS pk,
+         |    year(o_orderdate) AS yr,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+         |    SUM($rev) AS rev
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE l_returnflag <> 'R'
+         |  GROUP BY 1, 2, 3),
+         |rets AS (
+         |  SELECT o_custkey AS ck, l_partkey AS pk,
+         |    year(o_orderdate) AS yr,
+         |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS rqty
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  WHERE l_returnflag = 'R'
+         |  GROUP BY 1, 2, 3)
+         |SELECT s.yr, s.ck, s.pk, CAST(s.qty AS DOUBLE) AS qty,
+         |  CAST(s.rev AS DOUBLE) AS rev
+         |FROM sales s LEFT JOIN rets r
+         |  ON s.ck = r.ck AND s.pk = r.pk AND s.yr = r.yr
+         |WHERE r.rqty IS NULL AND CAST(s.qty AS DOUBLE) >= 40
+         |ORDER BY s.yr, s.ck, s.pk""".stripMargin),
+
+    // DS q9 shape: five CASE branches each choosing between two
+    // scalar subqueries on a count threshold — one wide row
+    QueryDef.sql(
+      "q_tpcds_case_buckets", {
+        def bucket(i: Int, lo: Int, hi: Int, threshold: Int): String =
+          s"""  CASE WHEN (SELECT count(*) FROM lineitem
+             |      WHERE l_quantity BETWEEN $lo AND $hi) > $threshold
+             |    THEN (SELECT
+             |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |          AS DOUBLE) / count(*)
+             |      FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi)
+             |    ELSE (SELECT
+             |        CAST(SUM(CAST(l_discount AS DECIMAL(4,2)))
+             |          AS DOUBLE) / count(*)
+             |      FROM lineitem WHERE l_quantity BETWEEN $lo AND $hi)
+             |  END AS b$i""".stripMargin
+        // alternating thresholds so both branches execute at sf0.01
+        Seq(bucket(1, 1, 10, 2000), bucket(2, 11, 20, 100000000),
+          bucket(3, 21, 30, 2000), bucket(4, 31, 40, 100000000),
+          bucket(5, 41, 50, 2000))
+          .mkString("SELECT\n", ",\n", "")
+      }),
+
+    // DS q10/q35 shape: disjunction of correlated EXISTS gates
+    // (either-channel activity), aggregated per segment
+    QueryDef.sql(
+      "q_tpcds_exists_or",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS nations
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND year(o.o_orderdate) = 1996)
+        |  OR EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND year(o.o_orderdate) = 1998)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    // DS q94 shape: multi-supplier orders shipped promptly (non-equi
+    // correlated date predicate inside the EXISTS), none returned
+    QueryDef.sql(
+      "q_tpcds_fast_shippers",
+      """SELECT count(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |      AND l1.l_suppkey <> l2.l_suppkey
+        |    WHERE l1.l_orderkey = o.o_orderkey
+        |      AND datediff(CAST(l1.l_shipdate AS DATE),
+        |        CAST(o.o_orderdate AS DATE)) <= 30)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = o.o_orderkey
+        |      AND l3.l_returnflag = 'R')""".stripMargin,
+      oracle =
+        """SELECT count(*) AS order_count,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          |    ON l1.l_orderkey = l2.l_orderkey
+          |      AND l1.l_suppkey <> l2.l_suppkey
+          |    WHERE l1.l_orderkey = o.o_orderkey
+          |      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+          |        CAST(l1.l_shipdate AS DATE)) <= 30)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |    WHERE l3.l_orderkey = o.o_orderkey
+          |      AND l3.l_returnflag = 'R')""".stripMargin),
+
+    // DS q21/q40 shape: before/after half-year quantity pivot per
+    // (supplier, item), kept when the ratio stays inside a band
+    QueryDef.sql(
+      "q_tpcds_before_after",
+      """WITH w AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CASE WHEN month(l_shipdate) < 7
+        |      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS before_q,
+        |    SUM(CASE WHEN month(l_shipdate) >= 7
+        |      THEN CAST(l_quantity AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS after_q
+        |  FROM lineitem WHERE year(l_shipdate) = 1997
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS items_in_band
+        |FROM w JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE CAST(before_q AS DOUBLE) > 0
+        |  AND CAST(after_q AS DOUBLE) / CAST(before_q AS DOUBLE)
+        |    BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin),
+
+    // DS q45 shape: OR across a dimension-attribute predicate and an
+    // IN-subquery — the disjunct the optimizer cannot push as a join
+    QueryDef.sql(
+      "q_tpcds_attr_or_list",
+      """SELECT c_nationkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS rev
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WHERE substring(c_name, length(c_name) - 1, 2)
+        |    IN ('01', '19', '33', '57', '88')
+        |  OR o_custkey IN (SELECT o_custkey FROM orders
+        |      WHERE o_totalprice > 400000)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+
+    // DS q93 shape: effective sales — each line's quantity reduced by
+    // its own returned quantity via a self LEFT JOIN on line identity
+    QueryDef.sql(
+      "q_tpcds_effective_sales",
+      """WITH ret AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS rq
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_custkey,
+        |  CAST(SUM((CAST(l.l_quantity AS DECIMAL(18,2))
+        |      - coalesce(r.rq, CAST(0 AS DECIMAL(18,2))))
+        |    * CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS act_sales
+        |FROM lineitem l
+        |LEFT JOIN ret r ON r.l_orderkey = l.l_orderkey
+        |  AND r.l_linenumber = l.l_linenumber
+        |JOIN orders ON o_orderkey = l.l_orderkey
+        |GROUP BY o_custkey
+        |ORDER BY act_sales, o_custkey
+        |LIMIT 100""".stripMargin),
+
+    // DS q50/q62/q99 shape: per-entity ship-lag bucket matrix (the
+    // per-priority version is q_tpcds_ship_lag; this is the fact-to-
+    // fact per-supplier variant the DS trio uses)
+    QueryDef.sql(
+      "q_tpcds_supplier_lag_matrix",
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    datediff(CAST(l_shipdate AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS lag_days
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE year(o_orderdate) = 1997)
+        |SELECT s_name,
+        |  count(*) FILTER (WHERE lag_days <= 30) AS d30,
+        |  count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60)
+        |    AS d60,
+        |  count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90)
+        |    AS d90,
+        |  count(*) FILTER (WHERE lag_days > 90) AS d_over
+        |FROM d JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
+      oracle =
+        """WITH d AS (
+          |  SELECT l_suppkey,
+          |    date_diff('day', CAST(o_orderdate AS DATE),
+          |      CAST(l_shipdate AS DATE)) AS lag_days
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  WHERE year(o_orderdate) = 1997)
+          |SELECT s_name,
+          |  count(*) FILTER (WHERE lag_days <= 30) AS d30,
+          |  count(*) FILTER (WHERE lag_days > 30 AND lag_days <= 60)
+          |    AS d60,
+          |  count(*) FILTER (WHERE lag_days > 60 AND lag_days <= 90)
+          |    AS d90,
+          |  count(*) FILTER (WHERE lag_days > 90) AS d_over
+          |FROM d JOIN supplier ON s_suppkey = l_suppkey
+          |GROUP BY s_name
+          |ORDER BY s_name""".stripMargin),
+
+    // DS q17 shape: mean + stdev of three quantity populations (two
+    // sale years and the returned set) joined per brand — exact-sum
+    // moment arithmetic, no engine-ordered float accumulation
+    QueryDef.sql(
+      "q_tpcds_three_pop_stats", {
+        def pop(name: String, pred: String): String =
+          s"""$name AS (
+             |  SELECT p_brand, count(*) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS s,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE $pred
+             |  GROUP BY p_brand)""".stripMargin
+        def stats(a: String, tag: String): String =
+          s"""  round($a.s / $a.n, 6) AS mean_$tag,
+             |  round(sqrt(greatest($a.s2 / $a.n
+             |    - ($a.s / $a.n) * ($a.s / $a.n), CAST(0 AS DOUBLE))),
+             |    6) AS sd_$tag""".stripMargin
+        s"""WITH ${pop("p1", "year(l_shipdate) = 1996 AND l_returnflag <> 'R'")},
+           |${pop("p2", "year(l_shipdate) = 1997 AND l_returnflag <> 'R'")},
+           |${pop("p3", "year(l_shipdate) = 1997 AND l_returnflag = 'R'")}
+           |SELECT p1.p_brand,
+           |${stats("p1", "96")},
+           |${stats("p2", "97")},
+           |${stats("p3", "ret")}
+           |FROM p1 JOIN p2 ON p1.p_brand = p2.p_brand
+           |JOIN p3 ON p1.p_brand = p3.p_brand
+           |WHERE p1.n >= 20 AND p2.n >= 20 AND p3.n >= 10
+           |ORDER BY p1.p_brand""".stripMargin
+      }),
+
+    // DS q89 shape: each brand's peak month found by windowed MAX
+    // equality, reported with its share of the windowed annual total
+    QueryDef.sql(
+      "q_tpcds_peak_month_share",
+      s"""WITH m AS (
+         |  SELECT p_brand, month(l_shipdate) AS mo, SUM($rev) AS sd
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE year(l_shipdate) = 1997
+         |  GROUP BY 1, 2),
+         |w AS (
+         |  SELECT p_brand, mo, CAST(sd AS DOUBLE) AS rev,
+         |    CAST(MAX(sd) OVER (PARTITION BY p_brand) AS DOUBLE)
+         |      AS best,
+         |    CAST(SUM(sd) OVER (PARTITION BY p_brand) AS DOUBLE)
+         |      AS annual
+         |  FROM m)
+         |SELECT p_brand, mo, rev, round(best / annual, 6) AS peak_share
+         |FROM w WHERE rev = best
+         |ORDER BY p_brand, mo""".stripMargin))
 }
