@@ -1547,6 +1547,35 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- dataset-level overlap report: per source-pair distinct-
+    // shingle Jaccard + both containments — the "how much do these two
+    // datasets overlap" number a curator reads before mixing crawls or
+    // diffing dataset versions. Exact path judged here; the KMV-sketch
+    // scale path is spec-pinned against it (CorpusOverlapSpec) --------
+    QueryDef(
+      "q_corpus_overlap",
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source AS slice, unnest(${duckShingles(W)}) AS g
+         |  FROM documents),
+         |sizes AS (SELECT slice, count(*) AS n FROM sh GROUP BY slice),
+         |inter AS (
+         |  SELECT a.slice AS a_slice, b.slice AS b_slice,
+         |    count(*) AS common
+         |  FROM sh a JOIN sh b USING (g) WHERE a.slice < b.slice
+         |  GROUP BY 1, 2)
+         |SELECT a_slice, b_slice,
+         |  CAST(sa.n AS BIGINT) AS a_size, CAST(sb.n AS BIGINT) AS b_size,
+         |  CAST(common AS BIGINT) AS common,
+         |  round(common::DOUBLE / (sa.n + sb.n - common), 6) AS jaccard,
+         |  round(common::DOUBLE / sa.n, 6) AS containment_a,
+         |  round(common::DOUBLE / sb.n, 6) AS containment_b
+         |FROM inter
+         |JOIN sizes sa ON sa.slice = a_slice
+         |JOIN sizes sb ON sb.slice = b_slice
+         |ORDER BY a_slice, b_slice""".stripMargin) { (s, dir) =>
+      CorpusOverlap.overlapExact(docs(s, dir), "source", "text")
+    },
+
     // ---- train/eval split leakage audit: near-dup pairs (exact
     // jaccard ≥ threshold, found via the banded MinHash join) that
     // cross the deterministic hash split — each row is a contaminated
