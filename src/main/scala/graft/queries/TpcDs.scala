@@ -18,11 +18,12 @@ import graft.QueryDef
   * Coverage map: each shape's comment tags the TPC-DS query numbers
   * whose plan mechanics it reproduces ("DS q5/q77/q80 shape: …").
   * Across the suite the tags cover all 99 reference-harness queries —
-  * 94 judged shapes, several standing in for families the generator
-  * parameterizes into multiple query numbers (the same position the
-  * reference takes by running dsdgen templates). Every shape is
-  * differential-verified against DuckDB on both checkers at sf0.01
-  * with a nonempty result.
+  * 99 judged shapes, matching the reference harness's query count
+  * (pg_lake_benchmark/src/tpcds.c:59); a few tags list several DS
+  * numbers where dsdgen parameterizes one template into multiple
+  * queries, and conversely those template families also contribute
+  * extra distinct shapes. Every shape is differential-verified against
+  * DuckDB on both checkers at sf0.01 with a nonempty result.
   */
 object TpcDs {
 
@@ -1879,5 +1880,113 @@ object TpcDs {
         |WHERE c_acctbal BETWEEN 1000 AND 3000
         |  AND r_name IN ('ASIA', 'EUROPE')
         |ORDER BY c_name
-        |LIMIT 60""".stripMargin))
+        |LIMIT 60""".stripMargin),
+
+    // DS q79 shape: best visit per customer — two-level aggregate
+    // (per-order totals) then per-customer argmax via ranked window,
+    // deterministic tiebreak on the order key
+    QueryDef.sql(
+      "q_tpcds_best_visit",
+      s"""WITH visit AS (
+         |  SELECT o_custkey, l_orderkey,
+         |    SUM($rev) AS amt, count(*) AS items
+         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         |  GROUP BY o_custkey, l_orderkey),
+         |best AS (
+         |  SELECT o_custkey, l_orderkey, amt, items,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY amt DESC, l_orderkey) AS rk
+         |  FROM visit)
+         |SELECT c_name, l_orderkey AS best_order,
+         |  CAST(amt AS DOUBLE) AS amt, items
+         |FROM best JOIN customer ON c_custkey = o_custkey
+         |WHERE rk = 1
+         |ORDER BY c_name
+         |LIMIT 100""".stripMargin),
+
+    // DS q19 shape: locality-mismatch revenue — the join predicate
+    // compares attributes of TWO dimensions reached through the fact
+    // (customer nation <> supplier nation = DS's customer-zip <>
+    // store-zip), brand report
+    QueryDef.sql(
+      "q_tpcds_locality_mismatch",
+      s"""SELECT p_brand, CAST(SUM($rev) AS DOUBLE) AS ex_rev,
+         |  count(*) AS n
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE c_nationkey <> s_nationkey
+         |  AND year(l_shipdate) = 1997
+         |GROUP BY p_brand
+         |ORDER BY ex_rev DESC, p_brand
+         |LIMIT 40""".stripMargin),
+
+    // DS q85 shape: returned lines gated by OR-of-ANDs bands that span
+    // the fact AND two joined dimensions (quantity × discount ×
+    // customer balance — DS's reason × refund × demographic bands),
+    // per-priority refund report
+    QueryDef.sql(
+      "q_tpcds_return_reasons",
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+         |    AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  CAST(SUM($rev) AS DOUBLE) AS refunded
+         |FROM lineitem
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |WHERE l_returnflag = 'R' AND (
+         |     (l_quantity BETWEEN 1 AND 15 AND l_discount < 0.04
+         |       AND c_acctbal < 3000)
+         |  OR (l_quantity BETWEEN 16 AND 35
+         |       AND l_discount BETWEEN 0.04 AND 0.07
+         |       AND c_acctbal BETWEEN 2000 AND 7000)
+         |  OR (l_quantity BETWEEN 36 AND 50 AND l_discount > 0.07
+         |       AND c_acctbal > 5000))
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin),
+
+    // DS q18 shape: multi-measure average report over a rollup lattice
+    // — several avg measures from exact decimal sums, explicit NULLS
+    // placement on the subtotal rows
+    QueryDef.sql(
+      "q_tpcds_avg_rollup",
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 6) AS avg_order
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin),
+
+    // DS q35 shape: EXISTS-gated grouped statistics — the q10 gate
+    // (activity EXISTS and an OR of channel EXISTS) feeding per-group
+    // avg/max/sum demographic measures rather than a count page
+    QueryDef.sql(
+      "q_tpcds_exists_stats",
+      """SELECT n_name, c_mktsegment, count(*) AS cnt,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    AS DOUBLE) / count(*), 6) AS avg_bal,
+        |  CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND year(o_orderdate) = 1996)
+        |  AND (EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND year(o_orderdate) = 1997 AND o_orderstatus = 'O')
+        |   OR EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |      AND year(o_orderdate) = 1997 AND o_orderstatus = 'F'))
+        |GROUP BY n_name, c_mktsegment
+        |ORDER BY n_name, c_mktsegment""".stripMargin))
 }
