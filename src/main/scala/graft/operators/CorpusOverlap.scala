@@ -129,6 +129,16 @@ object CorpusOverlap {
           .as("n_distinct_est"))
   }
 
+  /** Merge two KMV sketches: bottom-k of the union. Bottom-k sketches
+    * are mergeable EXACTLY — merge(sketch(A), sketch(B)) equals
+    * sketch(A ∪ B) value-for-value (spec-pinned) — so per-partition,
+    * per-day, or per-ingest sketches can be folded incrementally and
+    * datasets diffed without ever rescanning the corpus: the natural
+    * companion to the streaming ingest path at 100 TB.
+    */
+  def mergeSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
   /** Sketch-estimated pairwise overlap report — same columns as
     * [[overlapExact]] with `_est` metrics. Estimation is the standard
     * KMV merge: U = bottom-k of sketch(A) ∪ sketch(B); jaccard ≈
@@ -145,7 +155,7 @@ object CorpusOverlap {
       col("sketch").as("sa"), col("n_distinct_est").as("na"))
     val b = sk.select(col("slice").as("b_slice"),
       col("sketch").as("sb"), col("n_distinct_est").as("nb"))
-    val u = slice(array_sort(array_union(col("sa"), col("sb"))), 1, k)
+    val u = mergeSketch(col("sa"), col("sb"), k)
     val matched = size(array_intersect(
       array_intersect(col("u"), col("sa")), col("sb")))
     val unionEst =

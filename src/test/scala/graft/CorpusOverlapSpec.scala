@@ -83,6 +83,29 @@ class CorpusOverlapSpec extends AnyFunSuite {
       "fixture too small for the k=1024 sketch to estimate")
   }
 
+  test("kmv sketches merge exactly: merge(sk(A), sk(B)) == sk(A union B)") {
+    // split the corpus arbitrarily; the slice label is shared so the
+    // merged per-part sketches must equal the whole-corpus sketch
+    val k = 256
+    val whole = docs.withColumn("sl", col("lang"))
+    val partA = whole.where(col("doc_id") % 2 === 0)
+    val partB = whole.where(col("doc_id") % 2 =!= 0)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      CorpusOverlap.kmvSketches(df, "sl", "text", k = k)
+        .select(col("slice"), col("sketch"))
+    val merged = sk(partA).toDF("slice", "sa")
+      .join(sk(partB).toDF("slice", "sb"), Seq("slice"), "full")
+      .select(col("slice"),
+        CorpusOverlap.mergeSketch(
+          coalesce(col("sa"), array()), coalesce(col("sb"), array()), k)
+          .as("sketch"))
+    val direct = sk(whole)
+    assert(merged.join(direct.toDF("slice", "expect"), "slice")
+      .where(col("sketch") =!= col("expect")).isEmpty,
+      "merged per-part sketches differ from the whole-corpus sketch")
+    assert(direct.count() == merged.count())
+  }
+
   test("exact report plan: size joins broadcast, no cartesian") {
     val p = CorpusOverlap.overlapExact(docs, "source", "text")
       .queryExecution.executedPlan.toString
