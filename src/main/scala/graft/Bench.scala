@@ -60,6 +60,7 @@ object Bench {
       // exact quadratic-candidate twins stay judged in Verify
       "q_dedup_ngram_capped", "q_dedup_embedding_lsh_wide",
       "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+      "q_corpus_overlap",
       "q_text_stats", "q_text_tfidf", "q_sessionize",
       "q_pipeline_curate", "q_pipeline_train", "q_dedup_incremental",
       "q_cb_funnel",
