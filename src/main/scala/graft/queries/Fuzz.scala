@@ -307,6 +307,36 @@ object Fuzz {
              |ORDER BY n_nationkey""".stripMargin
         }),
       QueryDef.sql(
+        "q_fn_fuzz_exists", {
+          // correlated-EXISTS dimension: each projected column is a
+          // correlated [NOT] EXISTS against region whose correlation
+          // predicate mixes fuzzed inner and outer expressions —
+          // EXISTS decorrelation (semi/anti-join rewrites, including
+          // under NOT) is under differential test both projected and
+          // as one WHERE gate combining both polarities
+          val rndE = new Random(Seed + 14)
+          val rL: Seq[Random => String] = Seq(
+            _ => "CAST(r.r_regionkey AS BIGINT)",
+            rr => rr.nextInt(10).toString)
+          val cols = (0 until 16).map { i =>
+            val er = gen(rndE, 2, rL)
+            val en = gen(rndE, 2)
+            val neg = if (rndE.nextBoolean()) "NOT " else ""
+            s"""  ${neg}EXISTS (SELECT 1 FROM region r
+               |    WHERE ($er % 4) = (($en) % 4)) AS e$i""".stripMargin
+          }.mkString(",\n")
+          val (g1, g2) = (gen(rndE, 2, rL), gen(rndE, 2))
+          val (g3, g4) = (gen(rndE, 2, rL), gen(rndE, 2))
+          s"""SELECT n_nationkey,
+             |$cols
+             |FROM nation
+             |WHERE EXISTS (SELECT 1 FROM region r
+             |    WHERE ($g1 % 2) = (($g2) % 2))
+             |  OR NOT EXISTS (SELECT 1 FROM region r
+             |    WHERE ($g3 % 5) = (($g4) % 5))
+             |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
         "q_fn_fuzz_setops", {
           // set-operation dimension: UNION / INTERSECT / EXCEPT over
           // fuzzed BIGINT pair projections — distinct-semantics
