@@ -266,4 +266,28 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("time corpus-overlap exact vs kmv sketch sf0.1 vs sf1",
+      org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import org.apache.spark.sql.functions._
+    for (dir <- Seq("/root/testdata/sf0.1",
+        sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1"))) {
+      val d = Tables.df(spark, dir, "documents")
+      val n = d.count()
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"PROBE $label n=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("overlap-exact") {
+        CorpusOverlap.overlapExact(d, "source", "text")
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("overlap-kmv") {
+        CorpusOverlap.overlapSketch(d, "source", "text", k = 1024)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
 }
