@@ -754,7 +754,7 @@ final class LakeEngine(val spark: SparkSession) {
         val cs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty)
         table(name).cluster(cs); refresh(name)
         Seq(cs.mkString(", ")).toDF("clustered_by")
-      case _ => spark.sql(q)
+      case _ => QueryDef.pgSql(spark, q)
     }
   }
 

@@ -38,7 +38,23 @@ object QueryDef {
       (s: SparkSession, dir: String) => {
         graft.functions.PgFunctions.register(s)
         Tables.registerAll(s, dir)
-        s.sql(sparkSql)
+        pgSql(s, sparkSql)
       },
       Some(Option(oracle).getOrElse(sparkSql)))
+
+  /** `spark.sql` with reference (PG/DuckDB) semantics restored where
+    * stock Spark diverges: quantified comparisons (`op ANY/ALL/SOME
+    * (subquery)`, unparseable by Spark) expand via
+    * [[graft.plans.QuantifiedSubqueries]] before parsing, and
+    * value-position `[NOT] IN (subquery)` gets the standard's
+    * three-valued result via [[graft.plans.NullAwareIn]] on the
+    * analyzed plan. Plans without either pass through untouched.
+    */
+  def pgSql(s: SparkSession, text: String): org.apache.spark.sql.DataFrame = {
+    val df = s.sql(graft.plans.QuantifiedSubqueries.rewrite(text))
+    val analyzed = df.queryExecution.analyzed
+    val fixed = graft.plans.NullAwareIn(analyzed)
+    if (fixed.fastEquals(analyzed)) df
+    else org.apache.spark.sql.GraftBridge.ofRows(s, fixed)
+  }
 }

@@ -1,0 +1,205 @@
+package graft.plans
+
+import scala.annotation.tailrec
+
+/** Quantified comparison subqueries — `x op ANY (SELECT …)`,
+  * `x op ALL (SELECT …)`, `SOME` as the ANY synonym — are core PG
+  * surface the reference's own pushdown tests exercise
+  * (`pg_lake_table/tests/pytests/test_cte_subquery_pushdown.py:41`
+  * correlated `<= ALL`, `test_set_operation_pushdown.py:60`
+  * `= ANY`), but Spark's parser rejects the syntax outright. This
+  * shim rewrites the quantified comparison into its standard-SQL
+  * expansion — the same three-valued CASE/EXISTS form
+  * [[NullAwareIn]] uses for IN — before the text reaches
+  * `spark.sql`:
+  *
+  * {{{
+  *   x op ANY (q)  ==>  CASE WHEN EXISTS (q' WHERE x op v)           THEN TRUE
+  *                           WHEN EXISTS (q' WHERE (x op v) IS NULL) THEN NULL
+  *                           ELSE FALSE END
+  *   x op ALL (q)  ==>  CASE WHEN EXISTS (q' WHERE NOT (x op v))     THEN FALSE
+  *                           WHEN EXISTS (q' WHERE (x op v) IS NULL) THEN NULL
+  *                           ELSE TRUE END
+  * }}}
+  *
+  * where `q'` is `q` as a column-aliased derived table. The
+  * expansion preserves UNKNOWN exactly (NULL probe, NULL members,
+  * empty sets) and keeps correlation intact — outer references
+  * inside `q` or `x` resolve through the EXISTS like any correlated
+  * subquery, which Spark decorrelates into semi joins.
+  *
+  * Token-level, not regex: a real tokenizer (string literals, quoted
+  * identifiers, comments, nesting) finds the pattern
+  * `<comparison-op> ANY|ALL|SOME ( SELECT`, takes the left operand
+  * as the longest balanced token run back to an expression boundary
+  * (AND/OR/NOT/clause keyword/comma at depth 0), and splices the
+  * expansion in place. Texts without the pattern pass through
+  * byte-identical; `UNION ALL`, `count(ALL x)`, and `ANY(array)`
+  * never match (no comparison operator / no SELECT). Operand shapes
+  * the scan cannot bound (a bare `CASE … END` immediately left of
+  * the operator) fail loudly in Spark's parser rather than silently
+  * mis-associating.
+  */
+object QuantifiedSubqueries {
+
+  private final case class Tok(start: Int, end: Int, kind: Char, up: String)
+
+  private val CompareOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
+  private val Quantifiers = Set("ANY", "ALL", "SOME")
+  /** Expression boundaries for the backward operand scan (depth 0). */
+  private val Boundary = Set(
+    "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE", "ON", "HAVING",
+    "SELECT", "FROM", "CASE", "END", "IN", "IS", "LIKE", "ILIKE",
+    "BETWEEN", "ANY", "ALL", "SOME", "EXISTS", "BY", "AS", "JOIN",
+    "SET", "VALUES", "DISTINCT", "UNION", "INTERSECT", "EXCEPT")
+
+  private def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val e = sql.indexOf("*/", i + 2)
+        i = if (e < 0) n else e + 2
+      } else if (c == '\'') {
+        val s = i; i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'')
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          else i += 1
+        }
+        out += Tok(s, i, 's', "")
+      } else if (c == '"') {
+        val s = i; i += 1
+        while (i < n && sql.charAt(i) != '"') i += 1
+        i = math.min(i + 1, n)
+        out += Tok(s, i, 'q', "")
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+        out += Tok(s, i, 'w', sql.substring(s, i).toUpperCase)
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit ||
+          sql.charAt(i) == '.')) i += 1
+        out += Tok(s, i, 'n', "")
+      } else {
+        // multi-char comparison operators first
+        val two = if (i + 1 < n) sql.substring(i, i + 2) else ""
+        if (Set("<=", ">=", "<>", "!=", "||").contains(two)) {
+          out += Tok(i, i + 2, 'o', two); i += 2
+        } else { out += Tok(i, i + 1, 'o', c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  /** Index of the token holding the subquery's matching ')', given
+    * the index of its '('.
+    */
+  private def matchParen(ts: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var j = open
+    while (j < ts.length) {
+      val t = ts(j)
+      if (t.kind == 'o' && t.up == "(") depth += 1
+      else if (t.kind == 'o' && t.up == ")") {
+        depth -= 1
+        if (depth == 0) return j
+      }
+      j += 1
+    }
+    -1
+  }
+
+  /** Start token index of the left operand: longest balanced run
+    * ending at `opIdx - 1`. Returns -1 when no operand can be bounded.
+    */
+  private def operandStart(ts: Vector[Tok], opIdx: Int): Int = {
+    var j = opIdx - 1
+    var depth = 0
+    var last = -1
+    while (j >= 0) {
+      val t = ts(j)
+      if (t.kind == 'o' && t.up == ")") depth += 1
+      else if (t.kind == 'o' && t.up == "(") {
+        if (depth == 0) return last
+        depth -= 1
+      } else if (depth == 0 &&
+        ((t.kind == 'w' && Boundary.contains(t.up)) ||
+          (t.kind == 'o' && (t.up == "," || t.up == ";")))) return last
+      last = j
+      j -= 1
+    }
+    last
+  }
+
+  private def freshAlias(sql: String): String = {
+    var i = 0
+    while (sql.contains(s"__qv$i")) i += 1
+    s"__qv$i"
+  }
+
+  private def rewriteOnce(sql: String): Option[String] = {
+    val ts = tokenize(sql)
+    var i = 1
+    while (i < ts.length - 2) {
+      val t = ts(i)
+      if (t.kind == 'w' && Quantifiers.contains(t.up) &&
+        ts(i - 1).kind == 'o' && CompareOps.contains(ts(i - 1).up) &&
+        ts(i + 1).kind == 'o' && ts(i + 1).up == "(") {
+        // require a subquery: first word token inside the parens is
+        // SELECT (possibly through further parens)
+        var k = i + 2
+        while (k < ts.length && ts(k).kind == 'o' && ts(k).up == "(") k += 1
+        if (k < ts.length && ts(k).kind == 'w' &&
+          (ts(k).up == "SELECT" || ts(k).up == "WITH")) {
+          val close = matchParen(ts, i + 1)
+          val lhsTok = operandStart(ts, i - 1)
+          if (close >= 0 && lhsTok >= 0) {
+            val lhs = sql.substring(ts(lhsTok).start, ts(i - 1).start).trim
+            val op = ts(i - 1).up
+            val sub = sql.substring(ts(i + 1).start, ts(close).end)
+            val a = freshAlias(sql)
+            val v = s"${a}_v"
+            def exists(pred: String) =
+              s"EXISTS (SELECT 1 FROM $sub AS $a($v) WHERE $pred)"
+            val cmp = s"($lhs) $op $v"
+            val rep =
+              if (t.up == "ALL")
+                s"(CASE WHEN ${exists(s"NOT ($cmp)")} THEN FALSE " +
+                  s"WHEN ${exists(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                  "ELSE TRUE END)"
+              else
+                s"(CASE WHEN ${exists(cmp)} THEN TRUE " +
+                  s"WHEN ${exists(s"($cmp) IS NULL")} THEN CAST(NULL AS BOOLEAN) " +
+                  "ELSE FALSE END)"
+            return Some(sql.substring(0, ts(lhsTok).start) + rep +
+              sql.substring(ts(close).end))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Expand every quantified comparison subquery in `sql`; text
+    * without the pattern is returned unchanged (same instance).
+    */
+  @tailrec
+  def rewrite(sql: String): String =
+    if (!sql.toUpperCase.contains("ANY") && !sql.toUpperCase.contains("ALL") &&
+      !sql.toUpperCase.contains("SOME")) sql
+    else rewriteOnce(sql) match {
+      case Some(s2) => rewrite(s2)
+      case None => sql
+    }
+}

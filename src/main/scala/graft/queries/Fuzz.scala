@@ -529,6 +529,64 @@ object Fuzz {
              |$colsC
              |FROM nation
              |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_in", {
+          // [NOT] IN subquery dimension — the NULL-aware semi/anti
+          // join rewrites the EXISTS dimension can't reach. Four
+          // 3VL traps, each in both polarities:
+          //   - inner set carrying a NULL (nullif on the inner value):
+          //     no-match goes UNKNOWN, so NOT IN is never TRUE;
+          //   - NULL probe against a sometimes-EMPTY correlated set
+          //     (NULL IN empty = FALSE, NULL IN nonempty = NULL);
+          //   - correlated membership (outer expression in the inner
+          //     WHERE), the decorrelation-to-null-aware-join path;
+          //   - literal IN lists containing NULL.
+          // Columns project the raw nullable BOOLEAN; the WHERE gate
+          // combines both polarities without filtering to empty.
+          val rndI = new Random(Seed + 15)
+          val rL: Seq[Random => String] = Seq(
+            _ => "CAST(r.r_regionkey AS BIGINT)",
+            rr => rr.nextInt(10).toString)
+          val cols = (0 until 16).map { i =>
+            val neg = if (rndI.nextBoolean()) "NOT " else ""
+            val body = rndI.nextInt(4) match {
+              case 0 => // inner NULL via nullif, uncorrelated set
+                val en = gen(rndI, 2)
+                val er = gen(rndI, 2, rL)
+                val k = rndI.nextInt(5)
+                s"""(($en) % 7) ${neg}IN (SELECT
+                   |    nullif(($er) % 7, $k) FROM region r)""".stripMargin
+              case 1 => // NULL probe vs sometimes-empty correlated set
+                val en = gen(rndI, 2)
+                val eg = gen(rndI, 2)
+                val er = gen(rndI, 2, rL)
+                val k = 1 + rndI.nextInt(4)
+                s"""nullif(($en) % 5, $k) ${neg}IN (SELECT ($er) % 5
+                   |    FROM region r
+                   |    WHERE (($er) % 6) = (($eg) % 6))""".stripMargin
+              case 2 => // correlated membership, plain values
+                val en = gen(rndI, 2)
+                val eg = gen(rndI, 2)
+                val er = gen(rndI, 2, rL)
+                val ew = gen(rndI, 2, rL)
+                s"""(($en) % 4) ${neg}IN (SELECT ($er) % 4 FROM region r
+                   |    WHERE (($ew) % 2) = (($eg) % 2))""".stripMargin
+              case 3 => // literal list with NULL member
+                val en = gen(rndI, 2)
+                val lits = Seq.fill(3)(rndI.nextInt(9).toString) :+ "NULL"
+                s"(($en) % 9) ${neg}IN (${lits.mkString(", ")})"
+            }
+            s"  ($body) AS i$i"
+          }.mkString(",\n")
+          val (w1, w2) = (gen(rndI, 2), gen(rndI, 2, rL))
+          val (w3, w4) = (gen(rndI, 2), gen(rndI, 2, rL))
+          s"""SELECT n_nationkey,
+             |$cols
+             |FROM nation
+             |WHERE (($w1) % 3) IN (SELECT ($w2) % 3 FROM region r)
+             |   OR (($w3) % 8) NOT IN (SELECT ($w4) % 4 FROM region r)
+             |ORDER BY n_nationkey""".stripMargin
         }))
   }
 }

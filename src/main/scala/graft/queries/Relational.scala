@@ -336,5 +336,37 @@ object Relational {
         .select(col("r_regionkey").cast("bigint").as("r_regionkey"),
           col("r_name"))
         .orderBy("r_regionkey")
-    })
+    },
+
+    // ---- quantified comparison subqueries (§2.2): `op ANY/ALL
+    // (SELECT …)` is PG surface the reference's own pushdown tests
+    // exercise (test_cte_subquery_pushdown.py:41 correlated `<= ALL`,
+    // test_set_operation_pushdown.py:60 `= ANY`); Spark's parser
+    // rejects the syntax, so the engine expands it to the standard
+    // CASE/EXISTS form (plans/QuantifiedSubqueries) — the DuckDB
+    // oracle runs the original text natively, so the expansion's full
+    // 3VL (NULL members, empty correlated sets) is differentially
+    // judged, not just spec-pinned
+    QueryDef.sql(
+      "q_quantified_all",
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  p_size < ALL (SELECT nullif(p4.p_size, 25) FROM part p4
+        |                WHERE p4.p_brand = part.p_brand
+        |                  AND p4.p_partkey <> part.p_partkey)
+        |    AS smallest_unless_null
+        |FROM part
+        |WHERE p_retailprice >= ALL (SELECT p2.p_retailprice FROM part p2
+        |                            WHERE p2.p_brand = part.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin),
+    QueryDef.sql(
+      "q_quantified_any",
+      """SELECT c_custkey, c_acctbal,
+        |  c_acctbal < ANY (SELECT s_acctbal FROM supplier s
+        |                   WHERE s.s_nationkey = customer.c_nationkey)
+        |    AS below_some_supplier,
+        |  c_nationkey = ANY (SELECT nullif(s2.s_nationkey, 7)
+        |                     FROM supplier s2) AS nation_has_supplier
+        |FROM customer
+        |WHERE c_custkey <= 300
+        |ORDER BY c_custkey""".stripMargin))
 }
