@@ -40,11 +40,14 @@ import org.apache.spark.sql.types.BooleanType
   * is true only when the AND is UNKNOWN, not when it is FALSE with a
   * NULL leg).
   *
-  * Scale posture: the expansion costs one extra semi join per
-  * endangered IN versus the single ExistenceJoin — both sides are
-  * the same subquery, so the exchange is reused, and non-nullable
-  * probes/sets (the common analytics case: key IN (SELECT key …))
-  * keep Spark's native single-join plan untouched.
+  * Scale posture: the expansion costs one extra existence join per
+  * endangered IN versus Spark's single ExistenceJoin. The match side
+  * stays an equi (hash) join; the UNKNOWN side for scalar probes is
+  * decomposed into `(v IS NULL AND EXISTS q) OR EXISTS (q WHERE x IS
+  * NULL)` — no per-row probe coupling, so no nested-loop join on an
+  * `isnull(v = x)` theta condition. Non-nullable probes/sets (the
+  * common analytics case: key IN (SELECT key …)) keep Spark's native
+  * single-join plan untouched.
   *
   * Applied to ANALYZED plans (before optimization) via
   * [[graft.QueryDef.pgSql]] / `LakeEngine.sql`; re-analysis after the
@@ -78,14 +81,27 @@ object NullAwareIn {
     val q = in.query
     val outer = (q.outerAttrs ++
       in.values.flatMap(_.references.toSeq)).distinct
-    val matched = Exists(
-      Filter(matchPredicate(in.values, q.plan), q.plan),
-      outer, NamedExpression.newExprId, Seq.empty, q.hint)
-    val unknown = Exists(
-      Filter(IsNull(matchPredicate(in.values, q.plan)), q.plan),
-      outer, NamedExpression.newExprId, Seq.empty, q.hint)
+    def exists(plan: LogicalPlan, oa: Seq[Expression]) =
+      Exists(plan, oa, NamedExpression.newExprId, Seq.empty, q.hint)
+    val matched = exists(
+      Filter(matchPredicate(in.values, q.plan), q.plan), outer)
+    // "some comparison is UNKNOWN": for a single scalar probe this
+    // decomposes into probe-NULL × set-nonempty plus a-NULL-member —
+    // two EXISTS with NO per-row probe coupling (hash/scalar shapes at
+    // scale, vs a nested-loop join on `isnull(v = x)`). Multi-column
+    // probes keep the general IsNull(pred) form: the conjunction can
+    // go FALSE with a NULL leg, so UNKNOWN is not leg-decomposable.
+    val unknown = in.values match {
+      case Seq(v) =>
+        Or(
+          And(IsNull(v), exists(q.plan, q.outerAttrs)),
+          exists(Filter(IsNull(q.plan.output.head), q.plan), q.outerAttrs))
+      case _ =>
+        exists(Filter(IsNull(matchPredicate(in.values, q.plan)), q.plan),
+          outer)
+    }
     CaseWhen(
-      Seq(matched -> Literal(true),
+      Seq((matched: Expression) -> Literal(true),
         unknown -> Literal.create(null, BooleanType)),
       Some(Literal(false)))
   }

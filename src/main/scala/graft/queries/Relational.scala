@@ -368,5 +368,23 @@ object Relational {
         |                     FROM supplier s2) AS nation_has_supplier
         |FROM customer
         |WHERE c_custkey <= 300
-        |ORDER BY c_custkey""".stripMargin))
+        |ORDER BY c_custkey""".stripMargin),
+    // PG's array-quantified form (ScalarArrayOpExpr, shipped verbatim
+    // by the reference's deparser): Spark side maps onto 3VL
+    // exists()/forall() lambdas, DuckDB runs its native ARRAY[] form —
+    // NULL members and computed probes under differential test
+    QueryDef.sql(
+      "q_quantified_array",
+      """SELECT n_nationkey, n_name,
+        |  n_regionkey = ANY (array(0, 2, nullif(n_nationkey % 3, 2)))
+        |    AS hit_or_unknown,
+        |  n_nationkey >= ALL (array(0, n_regionkey * 5)) AS dominates
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+      oracle = """SELECT n_nationkey, n_name,
+        |  n_regionkey = ANY (ARRAY[0, 2, nullif(n_nationkey % 3, 2)])
+        |    AS hit_or_unknown,
+        |  n_nationkey >= ALL (ARRAY[0, n_regionkey * 5]) AS dominates
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin))
 }

@@ -365,4 +365,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"wide LSH nested-loop:\n$p")
   }
+
+  test("quantified ANY stays hash-shaped: scalar aggregates, no theta join") {
+    // the op-aware expansion must plan the correlated `< ANY` as a
+    // per-key max aggregate joined by hash, and the NULL-member /
+    // set-nonempty checks as scalar subqueries or hash existence
+    // joins — a BroadcastNestedLoopJoin here means the expansion
+    // regressed to per-row theta coupling
+    val p = plan("q_quantified_any")
+    assert(p.contains("ExistenceJoin"), s"expansion missing:\n$p")
+    assert(p.contains("max("), s"order-op did not collapse to max():\n$p")
+    assert(!p.contains("CartesianProduct"), s"quantified ANY cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"quantified ANY nested-loop:\n$p")
+  }
+
+  test("expanded NOT IN never theta-couples the UNKNOWN branch") {
+    // the fuzz grammar's degenerate correlation predicates (a literal
+    // inner leaf: `0 = outer % 6`) legitimately plan as nested-loop
+    // existence joins over the 5-row region table — the regression
+    // signature specific to the IN expansion is a nested-loop join
+    // whose CONDITION is the fused `isnull(v = x)` probe coupling,
+    // which the scalar decomposition exists to prevent
+    val p = plan("q_fn_fuzz_in")
+    assert(p.contains("ExistenceJoin"), s"expansion missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"fuzz_in cartesian:\n$p")
+    val coupled = p.linesIterator.filter(l =>
+      l.contains("BroadcastNestedLoopJoin") && l.contains("isnull(("))
+    assert(coupled.isEmpty,
+      s"fuzz_in theta-coupled unknown branch:\n${coupled.mkString("\n")}")
+  }
 }

@@ -22,10 +22,30 @@ class QuantifiedSubqueriesSpec extends AnyFunSuite {
     for (s <- Seq(
       "SELECT 1 UNION ALL SELECT 2",
       "SELECT count(ALL x) FROM t",
-      "SELECT * FROM t WHERE x = ANY(arr)", // array form, no SELECT
       "SELECT 'op = ANY (SELECT literal inside string)'",
       "SELECT x FROM t -- y = ANY (SELECT z FROM w)\nWHERE x > 0"))
       assert(rewrite(s) eq s, s)
+  }
+
+  test("array form: op ANY/ALL (array) maps onto 3VL exists/forall") {
+    assert(col("SELECT 3 = ANY (array(1, 2, 3))") === Seq(Some(true)))
+    assert(col("SELECT 5 = ANY (array(1, 2, CAST(NULL AS INT)))") === Seq(None))
+    assert(col("SELECT 5 > ALL (array(1, 2, CAST(NULL AS INT)))") === Seq(None))
+    assert(col("SELECT 0 > ALL (array(1, 2, CAST(NULL AS INT)))")
+      === Seq(Some(false)))
+    assert(col("SELECT 5 > ALL (array(1, 2))") === Seq(Some(true)))
+    // empty array: ANY FALSE, ALL TRUE
+    assert(col("SELECT 5 = ANY (array())") === Seq(Some(false)))
+    assert(col("SELECT 5 > ALL (array())") === Seq(Some(true)))
+    // PG nuance: NULL array yields NULL (DuckDB says FALSE — the PG
+    // side of the reference is the contract)
+    assert(col("SELECT 5 = ANY (CAST(NULL AS ARRAY<INT>))") === Seq(None))
+    // column-valued arrays with a computed probe
+    val r = QueryDef.pgSql(spark,
+      """SELECT v + 1 = ANY (a) AS m
+        |FROM VALUES (1, array(2, 9)), (5, array(2, 9)) s(v, a)
+        |ORDER BY v""".stripMargin).collect().map(_.getBoolean(0)).toSeq
+    assert(r === Seq(true, false))
   }
 
   test("ALL truth table: TRUE / FALSE / UNKNOWN / empty-set TRUE") {
