@@ -587,6 +587,50 @@ object Fuzz {
              |WHERE (($w1) % 3) IN (SELECT ($w2) % 3 FROM region r)
              |   OR (($w3) % 8) NOT IN (SELECT ($w4) % 4 FROM region r)
              |ORDER BY n_nationkey""".stripMargin
+        }),
+      QueryDef.sql(
+        "q_fn_fuzz_quantified", {
+          // quantified-comparison dimension: `op ANY/ALL (SELECT …)`
+          // across all six comparison operators, correlated and not,
+          // with nullif-made NULL members — DuckDB executes the
+          // native quantified syntax, Spark goes through the
+          // QuantifiedSubqueries expansion (operand extraction,
+          // min/max collapse for order ops, decomposed UNKNOWN
+          // branch), so the whole rewrite path is under differential
+          // test on generated shapes, not just the hand-picked specs
+          val rndQ = new Random(Seed + 16)
+          val rL: Seq[Random => String] = Seq(
+            _ => "CAST(r.r_regionkey AS BIGINT)",
+            rr => rr.nextInt(10).toString)
+          val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+          val cols = (0 until 14).map { i =>
+            val quant = if (rndQ.nextBoolean()) "ALL" else "ANY"
+            val op = ops(rndQ.nextInt(ops.size))
+            val eo = gen(rndQ, 2)
+            val ei = gen(rndQ, 2, rL)
+            val inner =
+              if (rndQ.nextBoolean())
+                s"nullif(($ei) % 7, ${rndQ.nextInt(5)})"
+              else s"($ei) % 7"
+            val corr = rndQ.nextInt(3) match {
+              case 0 => ""
+              case 1 =>
+                val (ew, eg) = (gen(rndQ, 2, rL), gen(rndQ, 2))
+                s" WHERE (($ew) % 2) = (($eg) % 2)"
+              case 2 => // sometimes-empty correlated set
+                val (ew, eg) = (gen(rndQ, 2, rL), gen(rndQ, 2))
+                s" WHERE (($ew) % 5) = (($eg) % 5)"
+            }
+            s"  ((($eo) % 7) $op $quant (SELECT $inner" +
+              s" FROM region r$corr)) AS a$i"
+          }.mkString(",\n")
+          val (g1, g2) = (gen(rndQ, 2), gen(rndQ, 2, rL))
+          s"""SELECT n_nationkey,
+             |$cols
+             |FROM nation
+             |WHERE (($g1) % 3) <= ANY (SELECT ($g2) % 4 FROM region r)
+             |   OR n_nationkey < 5
+             |ORDER BY n_nationkey""".stripMargin
         }))
   }
 }
