@@ -369,6 +369,24 @@ object Relational {
         |FROM customer
         |WHERE c_custkey <= 300
         |ORDER BY c_custkey""".stripMargin),
+    // ---- WITH RECURSIVE (§2.6): PG core surface (the reference's CTE
+    // pushdown suite exercises CTE shapes; recursion executes PG-side
+    // there). Spark 4 runs recursive CTEs natively — a bounded walk
+    // over the nation keyspace, same text on both engines, proves the
+    // fixpoint execution differentially (iteration count, cycle
+    // revisits, and the aggregate over the whole closure)
+    QueryDef.sql(
+      "q_recursive_cte",
+      """WITH RECURSIVE chain(k, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), c.depth + 1
+        |  FROM nation n JOIN chain c ON n.n_nationkey = (c.k * 2 + 1) % 25
+        |  WHERE c.depth < 40
+        |)
+        |SELECT k, MIN(depth) AS first_depth, COUNT(*) AS visits
+        |FROM chain GROUP BY k ORDER BY k""".stripMargin),
+
     // PG's array-quantified form (ScalarArrayOpExpr, shipped verbatim
     // by the reference's deparser): Spark side maps onto 3VL
     // exists()/forall() lambdas, DuckDB runs its native ARRAY[] form —

@@ -122,6 +122,48 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // GROUPS frames (SURVEY §2.5): the third SQL-standard frame mode —
+    // PG ships it, Spark has only ROWS and RANGE. A GROUPS frame with
+    // offsets (p, f) contains exactly the rows whose peer-group INDEX
+    // lies in [g−p, g+f], and dense_rank() IS the peer-group index —
+    // so GROUPS over `ORDER BY k` is a RANGE frame over dense_rank(k)
+    // with the same offsets, exactly (including the peer-aligned
+    // CURRENT ROW bound). The GROUPS ≡ dense-rank-RANGE identity is
+    // pinned against hand-computed GROUPS truth in
+    // WindowGroupsSpec (this DuckDB build's parser lacks GROUPS, so
+    // the oracle differentials the same dense-rank formulation).
+    QueryDef(
+      "q_window_groups_frame",
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_custkey % 8 AS grp,
+        |             CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+        |           FROM orders WHERE o_custkey <= 120),
+        |d AS (SELECT *, dense_rank() OVER
+        |        (PARTITION BY grp ORDER BY mon) AS dr FROM t)
+        |SELECT o_orderkey, grp, mon,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY grp ORDER BY dr
+        |     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS g_sum,
+        |  COUNT(*) OVER
+        |    (PARTITION BY grp ORDER BY dr
+        |     RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS g_cnt
+        |FROM d
+        |ORDER BY grp, o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Tables.df(s, dir, "orders")
+        .filter(col("o_custkey") <= 120)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_custkey") % 8).as("grp"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      val withDr = base.withColumn("dr",
+        dense_rank().over(Window.partitionBy("grp").orderBy("mon")))
+      val wg = Window.partitionBy("grp").orderBy("dr")
+      withDr.select(col("o_orderkey"), col("grp"), col("mon"),
+        sum(dec(col("o_totalprice")))
+          .over(wg.rangeBetween(-2, Window.currentRow))
+          .cast("double").as("g_sum"),
+        count(lit(1)).over(wg.rangeBetween(-1, 1)).as("g_cnt"))
+        .orderBy("grp", "o_orderkey")
+    },
+
     // frame EXCLUDE CURRENT ROW / GROUP / TIES (SURVEY §2.5; reference
     // ships these via DuckDB, test_window_function_pushdown.py). Spark has
     // no EXCLUDE clause, so we emulate it compositionally. The emulation
