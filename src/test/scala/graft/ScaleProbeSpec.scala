@@ -290,4 +290,40 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("time quantified/3VL rewrite layer at sf1",
+    org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env("GRAFT_SCALE_PROBE")
+    graft.functions.PgFunctions.register(spark)
+    Tables.registerAll(spark, dir)
+    def time(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      println(f"PROBE $label t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // full-table quantified projection: correlated < ANY collapses to
+    // per-nation max + broadcast hash join, = ANY to hash existence +
+    // scalar null-member subquery — should scale with customer count
+    time("quantified-any-full") {
+      QueryDef.pgSql(spark,
+        """SELECT c_custkey,
+          |  c_acctbal < ANY (SELECT s_acctbal FROM supplier s
+          |                   WHERE s.s_nationkey = customer.c_nationkey)
+          |    AS below_some_supplier,
+          |  c_nationkey = ANY (SELECT nullif(s2.s_nationkey, 7)
+          |                     FROM supplier s2) AS nation_has_supplier
+          |FROM customer""".stripMargin)
+    }
+    // projected NOT IN over a NULL-bearing big-side subquery: match
+    // leg is a hash existence join orders×customer, UNKNOWN leg is a
+    // scalar null-member check — no nested-loop coupling
+    time("not-in-null-aware-full") {
+      QueryDef.pgSql(spark,
+        """SELECT o_orderkey,
+          |  o_custkey NOT IN (SELECT nullif(c_custkey, 7) FROM customer
+          |                    WHERE c_acctbal > 0) AS nonmember
+          |FROM orders""".stripMargin)
+    }
+  }
 }
