@@ -590,9 +590,15 @@ final class LakeEngine(val spark: SparkSession) {
     */
   def sql(q: String): DataFrame = {
     val trimmed = q.trim
-    val insertRe = "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+)$".r
-    val deleteRe = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
-    val updateRe = "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
+    // DML carries an optional PG RETURNING list (the reference's
+    // write tests use it throughout, e.g.
+    // pg_lake_table/tests/pytests/test_writable_table_update.py)
+    val insertRe =
+      "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+?)(?:\\s+RETURNING\\s+(.+))?$".r
+    val deleteRe = ("(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?" +
+      "(?:\\s+RETURNING\\s+(.+))?$").r
+    val updateRe = ("(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)" +
+      "(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+))?$").r
     val ctasRe = ("(?is)^CREATE\\s+TABLE\\s+(\\w+)" +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "(?:\\s+LOCATION\\s+'([^']*)')?" +
@@ -622,7 +628,7 @@ final class LakeEngine(val spark: SparkSession) {
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = createTableAsSelect(name, loc, spark.sql(select), spec)
         Seq(t.read().count()).toDF("rows_inserted")
-      case insertRe(name, rest) if tables.contains(name) =>
+      case insertRe(name, rest, retOrNull) if tables.contains(name) =>
         val df = spark.sql(rest)
         val target = table(name).meta.sparkSchema.fieldNames.toSeq
         // VALUES lists arrive as col1..colN: align by position
@@ -636,22 +642,61 @@ final class LakeEngine(val spark: SparkSession) {
         val insObs = new org.apache.spark.sql.Observation()
         table(name).append(aligned.observe(insObs, count(lit(1)).as("n")))
         refresh(name)
-        Seq(insObs.get.get("n").flatMap(Option(_))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
-      case deleteRe(name, whereOrNull) if tables.contains(name) =>
+        Option(retOrNull) match {
+          case Some(ret) =>
+            // RETURNING projects the inserted rows AS TABLE-TYPED
+            // values (a VALUES literal 77 comes back as the column's
+            // BIGINT, like PG); re-plans the source — deterministic
+            // sources only, like the rest of the SQL surface
+            val schema = table(name).meta.sparkSchema
+            val typed = aligned.select(schema.fields.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+            typed.selectExpr(splitTopLevel(ret).map(_.trim): _*)
+          case None =>
+            Seq(insObs.get.get("n").flatMap(Option(_))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
+        }
+      case deleteRe(name, whereOrNull, retOrNull) if tables.contains(name) =>
+        val t = table(name)
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
-        val n = table(name).delete(pred)
+        val beforeSnap = t.meta.currentSnapshot.map(_.id)
+        val n = t.delete(pred)
         refresh(name)
-        Seq(n).toDF("rows_deleted")
-      case updateRe(name, setList, whereOrNull) if tables.contains(name) =>
+        Option(retOrNull) match {
+          case Some(ret) =>
+            // RETURNING projects the DELETED rows, read from the
+            // pre-delete snapshot (copy-on-write keeps its files
+            // until expiry, so the read is immutable)
+            beforeSnap.map(t.readAsOf).getOrElse(t.read())
+              .filter(coalesce(pred, lit(false)))
+              .selectExpr(splitTopLevel(ret).map(_.trim): _*)
+          case None => Seq(n).toDF("rows_deleted")
+        }
+      case updateRe(name, setList, whereOrNull, retOrNull)
+          if tables.contains(name) =>
         val assignments = splitTopLevel(setList).map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim -> expr(e.trim)
         }.toMap
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
-        val n = table(name).update(pred, assignments)
+        val t = table(name)
+        val beforeSnap = t.meta.currentSnapshot.map(_.id)
+        val n = t.update(pred, assignments)
         refresh(name)
-        Seq(n).toDF("rows_updated")
+        Option(retOrNull) match {
+          case Some(ret) =>
+            // RETURNING sees the NEW row: replay the assignments over
+            // the affected rows of the pre-update snapshot — all
+            // assignments evaluate over the OLD row simultaneously,
+            // matching the update path's PG semantics
+            val base = beforeSnap.map(t.readAsOf).getOrElse(t.read())
+              .filter(coalesce(pred, lit(false)))
+            val updated = base.select(base.columns.map { c =>
+              assignments.get(c).map(_.as(c)).getOrElse(col(c))
+            }.toSeq: _*)
+            updated.selectExpr(splitTopLevel(ret).map(_.trim): _*)
+          case None => Seq(n).toDF("rows_updated")
+        }
       case snapshotsRe(name) if tables.contains(name) =>
         table(name).snapshots
       case filesRe(name) if tables.contains(name) =>

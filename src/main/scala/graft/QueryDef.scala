@@ -51,7 +51,9 @@ object QueryDef {
     * analyzed plan. Plans without either pass through untouched.
     */
   def pgSql(s: SparkSession, text: String): org.apache.spark.sql.DataFrame = {
-    val df = s.sql(graft.plans.QuantifiedSubqueries.rewrite(text))
+    graft.functions.PgFunctions.register(s) // idempotent; rewrites emit them
+    val df = s.sql(graft.plans.SimilarToRewrite.rewrite(
+      graft.plans.QuantifiedSubqueries.rewrite(text)))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

@@ -159,6 +159,25 @@ object PgFunctions {
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
     f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
 
+    // --- SIMILAR TO support: PG itself rewrites `a SIMILAR TO b` as a
+    // regex match on similar_to_escape(b); this is that translation
+    // (plans/SimilarToRewrite emits `a RLIKE similar_to_regex(b)`).
+    // Literal patterns fold to a constant regex here, keeping the
+    // match on the codegen'd RLike fast path.
+    def similarRegex(p: Expression, esc: Char): Expression = p match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Literal.create(SimilarTo.toRegex(s.toString, esc), StringType)
+      case other => SimilarToRegex(other, esc)
+    }
+    f("similar_to_regex") {
+      case Seq(p) => similarRegex(p, '\\')
+      case Seq(p, Literal(e: org.apache.spark.unsafe.types.UTF8String,
+          StringType)) if e.toString.length == 1 =>
+        similarRegex(p, e.toString.charAt(0))
+      case other => throw new IllegalArgumentException(
+        s"similar_to_regex(pattern[, escape-literal]): got $other")
+    }
+
     // --- normalize(text [, form]) — PG Unicode normalization (PG passes
     //     the form as a keyword; here a string literal). Native codegen'd
     //     expression over the JDK normalizer ---

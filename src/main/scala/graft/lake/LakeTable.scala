@@ -287,11 +287,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val obs = new org.apache.spark.sql.Observation()
     val src = readFiles(m, candidates).observe(obs,
       sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("n"))
-    val updatedDf = assignments.foldLeft(src: DataFrame) {
-      case (acc, (name, value)) =>
-        acc.withColumn(name,
-          when(coalesce(pred, lit(false)), value).otherwise(col(name)))
-    }
+    // all assignments evaluate over the OLD row simultaneously (PG
+    // semantics: `SET a = b, b = a` swaps) — a sequential withColumn
+    // fold would let later assignments see earlier NEW values
+    val updatedDf = src.select(src.columns.map { name =>
+      assignments.get(name) match {
+        case Some(value) =>
+          when(coalesce(pred, lit(false)), value).otherwise(col(name))
+            .as(name)
+        case None => col(name)
+      }
+    }.toSeq: _*)
     val entries = writeData(m, updatedDf, None)
     commitMerge("update", candidates.map(_.path).toSet, entries)
     obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])

@@ -53,18 +53,18 @@ import scala.annotation.tailrec
   */
 object QuantifiedSubqueries {
 
-  private final case class Tok(start: Int, end: Int, kind: Char, up: String)
+  private[plans] final case class Tok(start: Int, end: Int, kind: Char, up: String)
 
   private val CompareOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
   private val Quantifiers = Set("ANY", "ALL", "SOME")
   /** Expression boundaries for the backward operand scan (depth 0). */
-  private val Boundary = Set(
+  private[plans] val Boundary = Set(
     "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE", "ON", "HAVING",
     "SELECT", "FROM", "CASE", "END", "IN", "IS", "LIKE", "ILIKE",
     "BETWEEN", "ANY", "ALL", "SOME", "EXISTS", "BY", "AS", "JOIN",
     "SET", "VALUES", "DISTINCT", "UNION", "INTERSECT", "EXCEPT")
 
-  private def tokenize(sql: String): Vector[Tok] = {
+  private[plans] def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = sql.length
@@ -115,7 +115,7 @@ object QuantifiedSubqueries {
   /** Index of the token holding the subquery's matching ')', given
     * the index of its '('.
     */
-  private def matchParen(ts: Vector[Tok], open: Int): Int = {
+  private[plans] def matchParen(ts: Vector[Tok], open: Int): Int = {
     var depth = 0
     var j = open
     while (j < ts.length) {
@@ -133,7 +133,7 @@ object QuantifiedSubqueries {
   /** Start token index of the left operand: longest balanced run
     * ending at `opIdx - 1`. Returns -1 when no operand can be bounded.
     */
-  private def operandStart(ts: Vector[Tok], opIdx: Int): Int = {
+  private[plans] def operandStart(ts: Vector[Tok], opIdx: Int): Int = {
     var j = opIdx - 1
     var depth = 0
     var last = -1

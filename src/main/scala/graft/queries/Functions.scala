@@ -447,5 +447,42 @@ object Functions {
           |  COUNT(*) AS n
           |FROM orders
           |GROUP BY 1
-          |ORDER BY bucket""".stripMargin))
+          |ORDER BY bucket""".stripMargin),
+
+    // ---- SIMILAR TO (§2.7): PG pattern language (the reference's
+    // compat suite runs it PG-side, test_postgres_compat_sql.py:63) —
+    // % and _ are wildcards, regex |*+?(){}[] keep their meaning, but
+    // '.' is LITERAL, the match is anchored, and ESCAPE quotes the
+    // next character. Spark has no SIMILAR TO (plans/SimilarToRewrite
+    // expands it onto RLIKE); DuckDB HAS one but it deviates from PG
+    // ('.' is a metachar, '%' is not a wildcard — plain full-regex
+    // match), so the oracle uses regexp_full_match with the PG
+    // translation derived by hand from the PG docs, independently of
+    // the engine's translator.
+    QueryDef.sql(
+      "q_fn_similar_to",
+      """SELECT n_nationkey, n_name,
+        |  n_name SIMILAR TO '%(IA|IL)' AS ends_ia_il,
+        |  n_name SIMILAR TO 'UNITED_%' AS united_x,
+        |  n_name SIMILAR TO '[A-F]%' AS first_a_f,
+        |  n_name NOT SIMILAR TO '%A%' AS no_a,
+        |  n_name SIMILAR TO '[A-Z]{4}' AS four_caps,
+        |  'U.S.' SIMILAR TO 'U.S.' AS lit_dot_hit,
+        |  'UXSY' SIMILAR TO 'U.S.' AS lit_dot_miss,
+        |  'A_B' SIMILAR TO '%!_%' ESCAPE '!' AS esc_underscore,
+        |  'AxB' SIMILAR TO '%!_%' ESCAPE '!' AS esc_underscore_miss
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+      oracle = """SELECT n_nationkey, n_name,
+        |  regexp_full_match(n_name, '.*(IA|IL)') AS ends_ia_il,
+        |  regexp_full_match(n_name, 'UNITED..*') AS united_x,
+        |  regexp_full_match(n_name, '[A-F].*') AS first_a_f,
+        |  NOT regexp_full_match(n_name, '.*A.*') AS no_a,
+        |  regexp_full_match(n_name, '[A-Z]{4}') AS four_caps,
+        |  regexp_full_match('U.S.', 'U\.S\.') AS lit_dot_hit,
+        |  regexp_full_match('UXSY', 'U\.S\.') AS lit_dot_miss,
+        |  regexp_full_match('A_B', '.*_.*') AS esc_underscore,
+        |  regexp_full_match('AxB', '.*_.*') AS esc_underscore_miss
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin))
 }

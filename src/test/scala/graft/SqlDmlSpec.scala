@@ -241,4 +241,47 @@ class SqlDmlSpec extends AnyFunSuite {
     val back = e.createLakeTable("csv_gz", out, format = Some("csv"))
     assert(back.count() == 25)
   }
+
+  test("DML RETURNING: inserted rows, new update values, deleted rows") {
+    val e = LakeEngine(spark)
+    val src = Tables.df(spark, sf, "region")
+    e.createTableAsSelect("r_ret", LakeEngine.tempLocation("ret"), src)
+
+    // INSERT ... RETURNING projects the inserted rows
+    val ins = e.sql(
+      "INSERT INTO r_ret VALUES (77, 'LEMURIA') RETURNING r_name, r_regionkey * 2")
+      .collect()
+    assert(ins.length == 1 && ins.head.getString(0) == "LEMURIA" &&
+      ins.head.getInt(1) == 154)
+
+    // UPDATE ... RETURNING sees the NEW values (reference shape:
+    // test_writable_table_update.py "RETURNING age" after SET age=31)
+    val upd = e.sql("UPDATE r_ret SET r_name = concat(r_name, '?') " +
+      "WHERE r_regionkey = 77 RETURNING r_name AS new_name").collect()
+    assert(upd.map(_.getString(0)).toSeq == Seq("LEMURIA?"))
+    assert(e.sql("SELECT r_name FROM r_ret WHERE r_regionkey = 77")
+      .head.getString(0) == "LEMURIA?")
+
+    // DELETE ... RETURNING projects the removed rows
+    val del = e.sql("DELETE FROM r_ret WHERE r_regionkey = 77 RETURNING *")
+      .collect()
+    assert(del.length == 1 && del.head.getString(1) == "LEMURIA?")
+    assert(e.sql("SELECT count(*) FROM r_ret").head.getLong(0) == src.count())
+
+    // no RETURNING → unchanged count surface
+    assert(e.sql("DELETE FROM r_ret WHERE r_regionkey = -1")
+      .head.getLong(0) == 0)
+  }
+
+  test("UPDATE assignments all read the OLD row (PG swap semantics)") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("r_swap", LakeEngine.tempLocation("swap"),
+      spark.range(1).selectExpr("1L AS a", "2L AS b"))
+    val ret = e.sql(
+      "UPDATE r_swap SET a = b, b = a RETURNING a, b").collect()
+    assert(ret.head.getLong(0) == 2 && ret.head.getLong(1) == 1,
+      "swap must use old values for both assignments")
+    val row = e.sql("SELECT a, b FROM r_swap").head
+    assert(row.getLong(0) == 2 && row.getLong(1) == 1)
+  }
 }
