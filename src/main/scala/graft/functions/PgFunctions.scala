@@ -217,12 +217,54 @@ object PgFunctions {
     // --- to_hex ---
     f("to_hex") { case Seq(x) => Lower(Hex(x)) }
 
-    // --- generate_series: inclusive sequence, ints or timestamps
-    //     (reference shim RewriteFuncExprGenerateSeries,
-    //     rewrite_query.c:157; used with explode() in FROM position) ---
+    // --- generate_series: PG SET-RETURNING function (inclusive
+    //     bounds, ints or timestamps) — a Generator, so it works both
+    //     in the select list (`SELECT generate_series(1,10), *`) and
+    //     in FROM position (`FROM t, generate_series(0,10) g(s)`),
+    //     the two shapes the reference's compat suite runs
+    //     (test_postgres_compat_sql.py; shim
+    //     RewriteFuncExprGenerateSeries, rewrite_query.c:157). For
+    //     the plain array, use sequence(). ---
     f("generate_series") {
-      case Seq(a, b) => new Sequence(a, b)
-      case Seq(a, b, step) => new Sequence(a, b, step)
+      case Seq(a, b) => Explode(new Sequence(a, b))
+      case Seq(a, b, step) => Explode(new Sequence(a, b, step))
+    }
+
+    // --- ROW(a, b, …) constructor (PG spelling of struct) ---
+    f("row") { exprs => CreateStruct(exprs) }
+
+    // FROM-position resolution goes through the separate
+    // TableFunctionRegistry — register the set-returning pair there
+    // too, so `FROM t, generate_series(0,10) g(s)` and
+    // `JOIN unnest(ARRAY[1,2]) g(s)` (compat-suite shapes) plan as
+    // ordinary generators over a one-row relation
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, OneRowRelation}
+    val tvf = spark.sessionState.tableFunctionRegistry
+    def tf(name: String)(builder: Seq[Expression] => Generator): Unit =
+      tvf.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) =>
+          Generate(builder(args), Nil, outer = false, None, Nil,
+            OneRowRelation()),
+        "scala_udf")
+    tf("generate_series") {
+      case Seq(a, b) => Explode(new Sequence(a, b))
+      case Seq(a, b, step) => Explode(new Sequence(a, b, step))
+    }
+    tf("unnest") { case Seq(a) => Explode(a) }
+
+    // --- array_agg KEEPS NULL inputs (PG and DuckDB semantics; Spark
+    // aliases it to collect_list, which silently DROPS them — a
+    // compat-suite shape: array_agg(value) over a NULL-bearing
+    // column). Wrap each value in a struct (never null) for the
+    // collection, then unwrap with a lambda — the same trick PG users
+    // can't need but Spark does. Unordered, like PG without ORDER BY.
+    f("array_agg") { case Seq(x) =>
+      val v = UnresolvedNamedLambdaVariable(Seq("__aa"))
+      ArrayTransform(
+        aggregate.CollectList(CreateNamedStruct(Seq(Literal("v"), x)))
+          .toAggregateExpression(),
+        LambdaFunction(org.apache.spark.sql.catalyst.analysis
+          .UnresolvedExtractValue(v, Literal("v")), Seq(v)))
     }
 
     // --- date_bin(stride, ts, origin): PG/DuckDB temporal binning.

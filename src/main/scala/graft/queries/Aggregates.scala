@@ -234,6 +234,33 @@ object Aggregates {
         .orderBy("r_regionkey")
     },
 
+    // array_agg keeps NULL inputs (PG + DuckDB semantics; stock Spark
+    // aliases it to collect_list which drops them — PgFunctions
+    // re-registers the PG-faithful struct-wrapped form). n_kept ==
+    // n_rows is the retention proof; the sorted value arrays pin the
+    // contents exactly (both engines sort NULLS FIRST here).
+    QueryDef.sql(
+      "q_agg_array_nulls",
+      """SELECT c_nationkey,
+        |  CAST(size(array_agg(nullif(c_mktsegment, 'BUILDING'))) AS BIGINT)
+        |    AS n_kept,
+        |  count(*) AS n_rows,
+        |  sort_array(array_agg(nullif(c_custkey % 5, 2))) AS vals
+        |FROM customer
+        |WHERE c_custkey <= 100
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+      oracle = """SELECT c_nationkey,
+        |  CAST(len(array_agg(nullif(c_mktsegment, 'BUILDING'))) AS BIGINT)
+        |    AS n_kept,
+        |  count(*) AS n_rows,
+        |  list_sort(array_agg(nullif(c_custkey % 5, 2)), 'ASC', 'NULLS FIRST')
+        |    AS vals
+        |FROM customer
+        |WHERE c_custkey <= 100
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin),
+
     // mode() — single clear winner per group in the fixture
     QueryDef.sql(
       "q_agg_mode",

@@ -244,9 +244,9 @@ object Functions {
       "q_fn_datebin_series",
       """SELECT g.d AS bucket_start,
         |  COUNT(e.event_id) AS n_events
-        |FROM (SELECT EXPLODE(GENERATE_SERIES(
+        |FROM (SELECT GENERATE_SERIES(
         |        TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
-        |        INTERVAL '1' DAY)) AS d) g
+        |        INTERVAL '1' DAY) AS d) g
         |LEFT JOIN events e
         |  ON DATE_BIN(INTERVAL '1' DAY, e.ts, TIMESTAMP '2024-01-01') = g.d
         |GROUP BY g.d

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's PG-compat SQL suite
+  * (`pg_lake_table/tests/pytests/test_postgres_compat_sql.py`)
+  * replayed against the engine's SQL surface on the same 5-row
+  * fixture it builds (`id` 1..5, `value` NULL for id ≤ 3 else
+  * `id*100` as text). Each shape asserts the PG result.
+  */
+class PgCompatSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def fixture(): Unit = {
+    QueryDef.pgSql(spark,
+      """CREATE OR REPLACE TEMP VIEW compat_t AS
+        |SELECT id, CASE WHEN id > 3 THEN CAST(id * 100 AS STRING) END AS value
+        |FROM range(1, 6) r(id)""".stripMargin)
+    ()
+  }
+
+  private def sql(q: String) = QueryDef.pgSql(spark, q)
+
+  test("projection, row constructor, CASE, concat, coalesce") {
+    fixture()
+    assert(sql("SELECT t1.* FROM compat_t AS t1 ORDER BY 1").count() === 5)
+    val rows = sql("SELECT row(id, value) AS r FROM compat_t ORDER BY 1")
+      .collect()
+    assert(rows.length === 5 && rows.head.getStruct(0).getLong(0) === 1L)
+    assert(sql("""SELECT id, CASE WHEN id > 3 THEN 'High' ELSE 'Low' END
+      AS c FROM compat_t ORDER BY 1""").collect()
+      .map(_.getString(1)).toSeq === Seq("Low", "Low", "Low", "High", "High"))
+    // || with NULL → NULL (PG)
+    val info = sql("""SELECT 'Name: ' || value || ', Age: ' || id AS u
+      FROM compat_t ORDER BY id""").collect()
+    assert(info.take(3).forall(_.isNullAt(0)) &&
+      info(3).getString(0) === "Name: 400, Age: 4")
+    assert(sql("""SELECT COALESCE(value, 'No description provided.') AS v
+      FROM compat_t ORDER BY id""").collect().head.getString(0)
+      === "No description provided.")
+  }
+
+  test("set-returning generate_series: FROM position and select list") {
+    fixture()
+    // FROM t, generate_series(0,10) g(s) WHERE s = id
+    val j = sql("""SELECT id, s FROM compat_t, generate_series(0, 10) AS g(s)
+      WHERE s = id ORDER BY 1""").collect()
+    assert(j.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // JOIN ... ON form
+    assert(sql("""SELECT id, s FROM compat_t
+      JOIN generate_series(1, 2) AS g(s) ON s = id ORDER BY 1""")
+      .count() === 2)
+    // SRF in the select list cross-joins against each row (PG shape:
+    // SELECT generate_series(1,10) AS series, * FROM t)
+    assert(sql("""SELECT generate_series(1, 10) AS series, id
+      FROM compat_t ORDER BY 1, 2""").count() === 50)
+  }
+
+  test("unnest and ARRAY[...] literals in FROM, projections, quantifiers") {
+    fixture()
+    val u = sql("""SELECT id, s FROM compat_t
+      JOIN unnest(ARRAY[1, 2]) AS g(s) ON s = id ORDER BY 1""").collect()
+    assert(u.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(sql("""SELECT DISTINCT id FROM compat_t
+      JOIN unnest(ARRAY[1, 2]) AS g(id) USING (id) ORDER BY 1""")
+      .count() === 2)
+    val arr = sql("""SELECT ARRAY[id] AS a, ARRAY[s] AS b
+      FROM compat_t, generate_series(0, 10) AS g(s)
+      WHERE s = id ORDER BY 1""").collect()
+    assert(arr.length === 5 && arr.head.getSeq[Long](0) === Seq(1L))
+    // = any(array[1,2,3]) — the ScalarArrayOpExpr form composed with
+    // the ARRAY literal shim
+    assert(sql("""SELECT id FROM compat_t
+      WHERE id = any(ARRAY[1, 2, 3]) ORDER BY 1""").count() === 3)
+    // nested constructor
+    assert(sql("SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]] AS m").collect()
+      .head.getSeq[Seq[Int]](0).length === 2)
+  }
+
+  test("VALUES joins, LATERAL correlated aggregate, IS NULL projection") {
+    fixture()
+    assert(sql("""SELECT id, s FROM compat_t, (VALUES (1), (2)) AS g(s)
+      WHERE s = id ORDER BY 1""").count() === 2)
+    assert(sql("""SELECT DISTINCT id FROM compat_t
+      JOIN (VALUES (1), (2)) AS g(id) USING (id) ORDER BY 1""").count() === 2)
+    val lat = sql("""SELECT t1.id, t2.aggregated_value FROM compat_t t1,
+      LATERAL (SELECT SUM(id) AS aggregated_value FROM compat_t t2
+               WHERE t2.id = t1.id) t2 ORDER BY 1""").collect()
+    assert(lat.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sql("""SELECT id, (value IS NULL) AS active FROM compat_t
+      ORDER BY 1""").collect().count(_.getBoolean(1)) === 3)
+  }
+
+  test("SIMILAR TO gate from the compat suite") {
+    fixture()
+    // CASE WHEN value SIMILAR TO '%(SQL|PostgreSQL)%' — NULL value
+    // makes SIMILAR TO NULL, so the CASE falls to ELSE (PG behavior)
+    val m = sql("""SELECT id, CASE WHEN value SIMILAR TO '%(00|700)%'
+      THEN TRUE ELSE FALSE END AS matches FROM compat_t ORDER BY 1""")
+      .collect()
+    assert(m.map(_.getBoolean(1)).toSeq ===
+      Seq(false, false, false, true, true))
+  }
+}
