@@ -91,6 +91,18 @@ class PgCompatSpec extends AnyFunSuite {
       ORDER BY 1""").collect().count(_.getBoolean(1)) === 3)
   }
 
+  test("failure compat: division by zero raises, like PG") {
+    // the suite's failure half asserts fdw and heap THROW identically;
+    // Spark 4 runs ANSI by default, so id/0 raises rather than
+    // returning NULL — the PG-compatible posture
+    fixture()
+    val e = intercept[Exception] {
+      sql("SELECT id/0 AS x FROM compat_t").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("DIVIDE_BY_ZERO") ||
+      e.getMessage.toLowerCase.contains("division by zero"), e.getMessage)
+  }
+
   test("SIMILAR TO gate from the compat suite") {
     fixture()
     // CASE WHEN value SIMILAR TO '%(SQL|PostgreSQL)%' — NULL value
