@@ -52,9 +52,10 @@ object QueryDef {
     */
   def pgSql(s: SparkSession, text: String): org.apache.spark.sql.DataFrame = {
     graft.functions.PgFunctions.register(s) // idempotent; rewrites emit them
-    val df = s.sql(graft.plans.SimilarToRewrite.rewrite(
-      graft.plans.QuantifiedSubqueries.rewrite(
-        graft.plans.ArrayLiteralRewrite.rewrite(text))))
+    val df = s.sql(graft.plans.PosixRegexRewrite.rewrite(
+      graft.plans.SimilarToRewrite.rewrite(
+        graft.plans.QuantifiedSubqueries.rewrite(
+          graft.plans.ArrayLiteralRewrite.rewrite(text)))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

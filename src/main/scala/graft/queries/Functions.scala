@@ -484,5 +484,42 @@ object Functions {
         |  regexp_full_match('A_B', '.*_.*') AS esc_underscore,
         |  regexp_full_match('AxB', '.*_.*') AS esc_underscore_miss
         |FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // ---- POSIX regex operators + regex SUBSTRING (§2.7): PG's
+    // `~ ~* !~ !~*` substring-match family and
+    // `SUBSTRING(x FROM 'pat')` (reference text-search suite,
+    // test_regex_text_search.py). DuckDB's own `~` is
+    // regexp_full_match (NOT PG's substring search) and it has no
+    // `~*` or regex-FROM substring — so the oracle spells
+    // regexp_matches/regexp_extract with the PG semantics
+    // (group-1-if-parenthesized, NULL on no match) explicitly.
+    QueryDef.sql(
+      "q_fn_posix_regex",
+      """SELECT n_nationkey, n_name,
+        |  n_name ~ 'A.*A' AS re_hit,
+        |  n_name ~* 'united.*' AS ci_hit,
+        |  n_name !~ '[AEIOU]$' AS no_vowel_end,
+        |  concat('id-', CAST(n_nationkey AS STRING)) ~ '^id-[0-9]+$'
+        |    AS id_like,
+        |  SUBSTRING(concat('n', CAST(n_nationkey * 7 AS STRING), 'x')
+        |    FROM '[0-9]+') AS digits,
+        |  SUBSTRING(n_name FROM '([A-Z]+) ') AS first_word
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+      oracle = """SELECT n_nationkey, n_name,
+        |  regexp_matches(n_name, 'A.*A') AS re_hit,
+        |  regexp_matches(n_name, '(?i)united.*') AS ci_hit,
+        |  NOT regexp_matches(n_name, '[AEIOU]$') AS no_vowel_end,
+        |  regexp_matches(concat('id-', CAST(n_nationkey AS VARCHAR)),
+        |    '^id-[0-9]+$') AS id_like,
+        |  CASE WHEN regexp_matches(
+        |      concat('n', CAST(n_nationkey * 7 AS VARCHAR), 'x'), '[0-9]+')
+        |    THEN regexp_extract(
+        |      concat('n', CAST(n_nationkey * 7 AS VARCHAR), 'x'),
+        |      '[0-9]+', 0) END AS digits,
+        |  CASE WHEN regexp_matches(n_name, '([A-Z]+) ')
+        |    THEN regexp_extract(n_name, '([A-Z]+) ', 1) END AS first_word
+        |FROM nation
         |ORDER BY n_nationkey""".stripMargin))
 }
