@@ -189,7 +189,17 @@ final class LakeEngine(val spark: SparkSession) {
     case "bool" | "boolean" => "boolean"
     case "timestamp" | "timestamp without time zone" => "timestamp_ntz"
     case "timestamptz" | "timestamp with time zone" => "timestamp"
-    case s if s.startsWith("numeric") => s.replace("numeric", "decimal")
+    // unbounded numeric and precision > 38 store as DOUBLE (the
+    // reference's unsupported-numeric-as-double default,
+    // test_special_numeric.py / test_unbounded_numeric.py — DOUBLE
+    // accepts the NaN/±Inf values PG numerics can carry)
+    case "numeric" | "decimal" => "double"
+    case s if s.startsWith("numeric") || s.startsWith("decimal") =>
+      val w = "\\((\\d+)\\s*(?:,\\s*(\\d+))?\\)".r.findFirstMatchIn(s)
+      w match {
+        case Some(g) if g.group(1).toInt > 38 => "double"
+        case _ => s.replace("numeric", "decimal")
+      }
     case other => other // already Spark DDL
   }
 
@@ -517,6 +527,34 @@ final class LakeEngine(val spark: SparkSession) {
       .toDF("path", "size_bytes", "modified_ms")
   }
 
+  /** `lake_file.preview(url [, format])` (reference
+    * pg_lake_table/tests/pytests/test_file_preview.py): one
+    * (column_name, column_type) row per column the file would produce
+    * if a table were created from it — parquet footer / CSV sniff+infer
+    * / JSON sample, wildcards included. Types are reported in PG
+    * spelling, the same contract `columns = {}` accepts on the way in.
+    * Nested structs get a deterministic generated type name like the
+    * reference's `lake_struct.<fields>_<hash>`.
+    */
+  def preview(url: String, format: Option[String] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*".r
+    url match {
+      case scheme(s) if !Set("http", "https", "hf", "s3", "s3a", "file")
+          .contains(s.toLowerCase) =>
+        throw new IllegalArgumentException(s"unsupported URL scheme $s://")
+      case _ => ()
+    }
+    format.foreach { f =>
+      if (!Set("parquet", "csv", "json").contains(f.toLowerCase))
+        throw new IllegalArgumentException(s"format '$f' is not recognized")
+    }
+    val df = foreignFrame(url, format, options, None)
+    df.schema.fields.map(f => (f.name, LakeEngine.pgTypeOf(f.dataType)))
+      .toSeq.toDF("column_name", "column_type")
+  }
+
   private def inferFormat(path: String): String = {
     val p = path.toLowerCase.stripSuffix(".gz").stripSuffix(".zst")
       .stripSuffix(".gzip").stripSuffix(".snappy")
@@ -589,16 +627,26 @@ final class LakeEngine(val spark: SparkSession) {
     * DML row count as a 1-row frame for writes.
     */
   def sql(q: String): DataFrame = {
-    val trimmed = q.trim
+    // the PG dialect rewrites (ARRAY[…], quantified comparisons,
+    // SIMILAR TO, POSIX regex ops) apply to the WHOLE statement before
+    // DML routing, so they work inside INSERT sources, SET/WHERE
+    // expressions, and RETURNING lists too — all four are idempotent,
+    // so the SELECT fallthrough's pgSql pass is a no-op re-visit
+    val trimmed = plans.PosixRegexRewrite.rewrite(
+      plans.SimilarToRewrite.rewrite(
+        plans.QuantifiedSubqueries.rewrite(
+          plans.ArrayLiteralRewrite.rewrite(
+            plans.PgCastRewrite.rewrite(q))))).trim
     // DML carries an optional PG RETURNING list (the reference's
     // write tests use it throughout, e.g.
-    // pg_lake_table/tests/pytests/test_writable_table_update.py)
-    val insertRe =
-      "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+?)(?:\\s+RETURNING\\s+(.+))?$".r
-    val deleteRe = ("(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+?))?" +
-      "(?:\\s+RETURNING\\s+(.+))?$").r
-    val updateRe = ("(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)" +
-      "(?:\\s+WHERE\\s+(.+?))?(?:\\s+RETURNING\\s+(.+))?$").r
+    // pg_lake_table/tests/pytests/test_writable_table_update.py).
+    // The clause is split off TOKEN-WISE before the regexes run, so a
+    // string literal containing the word "returning" (DELETE ... WHERE
+    // msg LIKE '%not returning%') never splits the statement.
+    val insertRe = "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(.+)$".r
+    val deleteRe = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
+    val updateRe =
+      "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+))?$".r
     val ctasRe = ("(?is)^CREATE\\s+TABLE\\s+(\\w+)" +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "(?:\\s+LOCATION\\s+'([^']*)')?" +
@@ -611,7 +659,31 @@ final class LakeEngine(val spark: SparkSession) {
       "\\s+WITH\\s*\\(\\s*(load_from|definition_from)\\s*=\\s*" +
       "'([^']+)'\\s*\\)\\s*;?\\s*$").r
     import spark.implicits._
-    trimmed match {
+    // token-wise RETURNING split for DML statements: the clause is the
+    // trailing depth-0 RETURNING keyword (never one inside a string
+    // literal or parenthesized subquery)
+    val isDml = "(?is)^(INSERT|UPDATE|DELETE)\\b.*".r
+      .pattern.matcher(trimmed).matches()
+    val (dmlText, retClause): (String, Option[String]) =
+      if (!isDml) (trimmed, None)
+      else {
+        val ts = graft.plans.QuantifiedSubqueries.tokenize(trimmed)
+        var depth = 0
+        var found: Option[(Int, Int)] = None
+        ts.foreach { t =>
+          if (t.kind == 'o' && t.up == "(") depth += 1
+          else if (t.kind == 'o' && t.up == ")") depth -= 1
+          else if (depth == 0 && t.kind == 'w' && t.up == "RETURNING")
+            found = Some((t.start, t.end))
+        }
+        found match {
+          case Some((s, e)) =>
+            (trimmed.substring(0, s).trim,
+              Some(trimmed.substring(e).trim).filter(_.nonEmpty))
+          case None => (trimmed, None)
+        }
+      }
+    dmlText match {
       case createFromRe(name, specOrNull, locOrNull, mode, url) =>
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
@@ -628,7 +700,7 @@ final class LakeEngine(val spark: SparkSession) {
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = createTableAsSelect(name, loc, spark.sql(select), spec)
         Seq(t.read().count()).toDF("rows_inserted")
-      case insertRe(name, rest, retOrNull) if tables.contains(name) =>
+      case insertRe(name, rest) if tables.contains(name) =>
         val df = spark.sql(rest)
         val target = table(name).meta.sparkSchema.fieldNames.toSeq
         // VALUES lists arrive as col1..colN: align by position
@@ -642,7 +714,7 @@ final class LakeEngine(val spark: SparkSession) {
         val insObs = new org.apache.spark.sql.Observation()
         table(name).append(aligned.observe(insObs, count(lit(1)).as("n")))
         refresh(name)
-        Option(retOrNull) match {
+        retClause match {
           case Some(ret) =>
             // RETURNING projects the inserted rows AS TABLE-TYPED
             // values (a VALUES literal 77 comes back as the column's
@@ -656,13 +728,13 @@ final class LakeEngine(val spark: SparkSession) {
             Seq(insObs.get.get("n").flatMap(Option(_))
               .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
         }
-      case deleteRe(name, whereOrNull, retOrNull) if tables.contains(name) =>
+      case deleteRe(name, whereOrNull) if tables.contains(name) =>
         val t = table(name)
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
         val beforeSnap = t.meta.currentSnapshot.map(_.id)
         val n = t.delete(pred)
         refresh(name)
-        Option(retOrNull) match {
+        retClause match {
           case Some(ret) =>
             // RETURNING projects the DELETED rows, read from the
             // pre-delete snapshot (copy-on-write keeps its files
@@ -672,8 +744,7 @@ final class LakeEngine(val spark: SparkSession) {
               .selectExpr(splitTopLevel(ret).map(_.trim): _*)
           case None => Seq(n).toDF("rows_deleted")
         }
-      case updateRe(name, setList, whereOrNull, retOrNull)
-          if tables.contains(name) =>
+      case updateRe(name, setList, whereOrNull) if tables.contains(name) =>
         val assignments = splitTopLevel(setList).map { a =>
           val Array(c, e) = a.split("=", 2)
           c.trim -> expr(e.trim)
@@ -683,7 +754,7 @@ final class LakeEngine(val spark: SparkSession) {
         val beforeSnap = t.meta.currentSnapshot.map(_.id)
         val n = t.update(pred, assignments)
         refresh(name)
-        Option(retOrNull) match {
+        retClause match {
           case Some(ret) =>
             // RETURNING sees the NEW row: replay the assignments over
             // the affected rows of the pre-update snapshot — all
@@ -691,8 +762,11 @@ final class LakeEngine(val spark: SparkSession) {
             // matching the update path's PG semantics
             val base = beforeSnap.map(t.readAsOf).getOrElse(t.read())
               .filter(coalesce(pred, lit(false)))
+            val byLower = assignments.map { case (k, v) =>
+              k.toLowerCase -> v
+            }
             val updated = base.select(base.columns.map { c =>
-              assignments.get(c).map(_.as(c)).getOrElse(col(c))
+              byLower.get(c.toLowerCase).map(_.as(c)).getOrElse(col(c))
             }.toSeq: _*)
             updated.selectExpr(splitTopLevel(ret).map(_.trim): _*)
           case None => Seq(n).toDF("rows_updated")
@@ -703,6 +777,8 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).files
       case fileListRe(glob) =>
         listFiles(glob)
+      case previewRe(url, fmtOrNull) =>
+        preview(url, Option(fmtOrNull))
       // COPY ... TO/FROM — the reference's SQL import/export surface
       // (pg_lake_copy/src/copy/copy.c; format + compression from the
       // target name, PG-style WITH (option value, ...) list)
@@ -799,7 +875,7 @@ final class LakeEngine(val spark: SparkSession) {
         val cs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty)
         table(name).cluster(cs); refresh(name)
         Seq(cs.mkString(", ")).toDF("clustered_by")
-      case _ => QueryDef.pgSql(spark, q)
+      case _ => QueryDef.pgSql(spark, trimmed)
     }
   }
 
@@ -814,6 +890,11 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
   private val fileListRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // lake_file.preview(url [, format]) — column name/type inspection
+  // before creating a table (reference test_file_preview.py)
+  private val previewRe =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file\\.preview\\s*\\(\\s*" +
+      "'([^']+)'(?:\\s*,\\s*'(\\w+)')?\\s*\\)\\s*;?\\s*$").r
   // the query group is greedy-with-backtracking (not a depth-limited
   // paren matcher): arbitrarily nested SELECTs route correctly, and the
   // trailing TO '...' anchor disambiguates the closing paren
@@ -909,4 +990,36 @@ object LakeEngine {
   /** Fresh working directory for ephemeral tables (tests / queries). */
   def tempLocation(prefix: String): String =
     Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Spark type → PG spelling (the inverse of the `columns = {}`
+    * contract; SURVEY §1.2 storage conventions). Struct columns get a
+    * deterministic generated name like the reference's
+    * `lake_struct.<fields>_<hash>` (describe.c's generated composite
+    * types).
+    */
+  def pgTypeOf(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ShortType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case FloatType => "real"
+      case DoubleType => "double precision"
+      case BooleanType => "boolean"
+      case StringType => "text"
+      case BinaryType => "bytea"
+      case DateType => "date"
+      case TimestampNTZType => "timestamp without time zone"
+      case TimestampType => "timestamp with time zone"
+      case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+      case ArrayType(e, _) => s"${pgTypeOf(e)}[]"
+      case MapType(k, v, _) => s"map(${pgTypeOf(k)},${pgTypeOf(v)})"
+      case s: StructType =>
+        val names = s.fieldNames.mkString("_")
+        val h = Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(s.catalogString))
+        s"lake_struct.${names}_$h"
+      case other => other.typeName
+    }
+  }
 }

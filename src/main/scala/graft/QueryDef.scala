@@ -55,7 +55,8 @@ object QueryDef {
     val df = s.sql(graft.plans.PosixRegexRewrite.rewrite(
       graft.plans.SimilarToRewrite.rewrite(
         graft.plans.QuantifiedSubqueries.rewrite(
-          graft.plans.ArrayLiteralRewrite.rewrite(text)))))
+          graft.plans.ArrayLiteralRewrite.rewrite(
+            graft.plans.PgCastRewrite.rewrite(text))))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

@@ -252,20 +252,13 @@ object PgFunctions {
     }
     tf("unnest") { case Seq(a) => Explode(a) }
 
-    // --- array_agg KEEPS NULL inputs (PG and DuckDB semantics; Spark
-    // aliases it to collect_list, which silently DROPS them — a
-    // compat-suite shape: array_agg(value) over a NULL-bearing
-    // column). Wrap each value in a struct (never null) for the
-    // collection, then unwrap with a lambda — the same trick PG users
-    // can't need but Spark does. Unordered, like PG without ORDER BY.
-    f("array_agg") { case Seq(x) =>
-      val v = UnresolvedNamedLambdaVariable(Seq("__aa"))
-      ArrayTransform(
-        aggregate.CollectList(CreateNamedStruct(Seq(Literal("v"), x)))
-          .toAggregateExpression(),
-        LambdaFunction(org.apache.spark.sql.catalyst.analysis
-          .UnresolvedExtractValue(v, Literal("v")), Seq(v)))
-    }
+    // --- array_agg KEEPS NULL inputs and yields NULL on an empty
+    // group (PG and DuckDB semantics; Spark aliases it to
+    // collect_list, which drops NULLs and returns []). Registered as
+    // a bare AggregateFunction so the analyzer's DISTINCT handling
+    // still applies — array_agg(DISTINCT x) keeps one NULL, like PG.
+    // Unordered, like PG without ORDER BY.
+    f("array_agg") { case Seq(x) => ArrayAggPg(x) }
 
     // --- date_bin(stride, ts, origin): PG/DuckDB temporal binning.
     //     bin = ts - positive_mod(ts - origin, stride), all in epoch

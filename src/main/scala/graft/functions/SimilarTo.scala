@@ -21,12 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the next character literal — emitted as `\x{H}` which is safe
   *    both inside and outside character classes;
   *  - the whole pattern is anchored (`\A(?: )\z`): SIMILAR TO matches
-  *    the ENTIRE string, while Spark's RLIKE substring-matches.
+  *    the ENTIRE string, while Spark's RLIKE substring-matches — and
+  *    runs in DOTALL mode (`(?s)`): PG's `%`/`.` cross newlines.
   */
 object SimilarTo {
 
   def toRegex(pattern: String, escape: Char = '\\'): String = {
-    val sb = new StringBuilder("\\A(?:")
+    val sb = new StringBuilder("(?s)\\A(?:")
     var inClass = false
     var i = 0
     def hex(c: Char): Unit = { sb.append(f"\\x{${c.toInt}%X}"); () }

@@ -128,7 +128,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * group to the current schema BY FIELD ID (renames are metadata-only;
     * columns added later read as NULL from older files).
     */
-  private def readFiles(m: TableMetadata, files: Seq[FileEntry]): DataFrame = {
+  private def readFiles(m: TableMetadata, files: Seq[FileEntry],
+      withPos: Boolean = false): DataFrame = {
     val cur = m.currentSchema
     if (files.isEmpty) return emptyFrame(m.sparkSchema)
     files.groupBy(_.schemaVersion).map { case (v, group) =>
@@ -148,10 +149,49 @@ final class LakeTable(val spark: SparkSession, val location: String) {
             .map(d => expr(d).cast(target).as(cf.name))
             .getOrElse(lit(null).cast(target).as(cf.name))
         }
-      }
+      } ++ (if (withPos)
+        Seq(col("_metadata.file_path").as("__rid_fp"),
+          col("_metadata.row_index").as("__rid_ri"))
+      else Nil)
       spark.read.schema(physical).parquet(group.map(_.path): _*)
         .select(projection: _*)
     }.reduce(_ unionAll _)
+  }
+
+  /** Table rows plus the stable `_row_id` column (row-ids tables only;
+    * reference row_ids.c — ids survive copy-on-write rewrites and
+    * compaction). Reconstructed from the metadata range table with a
+    * broadcast join on (file, row position) — the materialized column
+    * in rewritten files is never needed for reads, it exists for
+    * external-reader parity.
+    */
+  def readWithRowIds(): DataFrame = {
+    val m = meta
+    require(m.rowIdsEnabled, s"row_ids is not enabled on ${m.name}")
+    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    readFilesWithRowIds(m, files)
+  }
+
+  private def readFilesWithRowIds(m: TableMetadata,
+      files: Seq[FileEntry]): DataFrame = {
+    if (files.isEmpty)
+      return emptyFrame(m.sparkSchema.add(RowIds.Col,
+        org.apache.spark.sql.types.LongType))
+    RowIds.attachRowIds(spark, readFiles(m, files, withPos = true), files)
+  }
+
+  /** The row-id range catalog as a DataFrame
+    * (`lake_table.row_id_mappings` equivalent; end-exclusive like the
+    * reference's int8range).
+    */
+  def rowIdMappings: DataFrame = {
+    val m = meta
+    import spark.implicits._
+    m.currentSnapshot.map(_.files).getOrElse(Nil)
+      .flatMap(f => f.ranges.map(r => (f.path, r.rowIdStart,
+        r.rowIdStart + r.numRows, r.numRows, r.rowNumberStart)))
+      .toDF("path", "row_id_start", "row_id_end", "num_rows",
+        "row_number_start")
   }
 
   private def emptyFrame(schema: StructType): DataFrame =
@@ -257,11 +297,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     var deletedRows = dropped.map(_.rows).sum
     val rewritten: Seq[FileEntry] = if (rewrite.nonEmpty) {
       val before = rewrite.map(_.rows).sum
-      val keepDf = readFiles(m, rewrite)
+      // row-ids tables: survivors keep their ids — the rewrite
+      // materializes _row_id and the new files' ranges are re-derived
+      // as consecutive-id runs (reference row_ids.c:362-520)
+      val keepDf = (if (m.rowIdsEnabled) readFilesWithRowIds(m, rewrite)
+        else readFiles(m, rewrite))
         .filter(!coalesce(pred, lit(false))) // DELETE removes pred IS TRUE
-      val entries = writeData(m, keepDf, None)
+      val entries = writeData(m, keepDf, None,
+        extraCols = if (m.rowIdsEnabled) Seq(RowIds.Col) else Nil)
       deletedRows += before - entries.map(_.rows).sum
-      entries
+      if (m.rowIdsEnabled) RowIds.attachDerived(entries,
+        RowIds.deriveRanges(spark, entries.map(_.path)))
+      else entries
     } else Nil
 
     if (deletedRows > 0 || dropped.nonEmpty)
@@ -282,26 +329,54 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val candidates = classified.collect { case (f, d) if d != Pruning.Skip => f }
     if (candidates.isEmpty) 0L else {
 
-    // the matched-row count rides the rewrite job as an observed
-    // metric — candidate files are scanned ONCE, not count()+rewrite
-    val obs = new org.apache.spark.sql.Observation()
-    val src = readFiles(m, candidates).observe(obs,
-      sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("n"))
     // all assignments evaluate over the OLD row simultaneously (PG
     // semantics: `SET a = b, b = a` swaps) — a sequential withColumn
-    // fold would let later assignments see earlier NEW values
-    val updatedDf = src.select(src.columns.map { name =>
-      assignments.get(name) match {
-        case Some(value) =>
-          when(coalesce(pred, lit(false)), value).otherwise(col(name))
-            .as(name)
-        case None => col(name)
-      }
-    }.toSeq: _*)
-    val entries = writeData(m, updatedDf, None)
-    commitMerge("update", candidates.map(_.path).toSet, entries)
-    obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
-      .getOrElse(0L)
+    // fold would let later assignments see earlier NEW values. Lookup
+    // is case-insensitive like column resolution (SET R_NAME = … must
+    // hit r_name, as withColumn did).
+    val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
+    require(byLower.size == assignments.size,
+      s"update: duplicate assignment targets in ${assignments.keys}")
+    def applyAssignments(src: DataFrame, cols: Seq[String]): DataFrame =
+      src.select(cols.map { name =>
+        byLower.get(name.toLowerCase) match {
+          case Some(value) =>
+            when(coalesce(pred, lit(false)), value).otherwise(col(name))
+              .as(name)
+          case None => col(name)
+        }
+      }: _*)
+
+    if (m.rowIdsEnabled) {
+      // row-ids: an updated row is a NEW row version — it lands in a
+      // fresh file with a fresh id, exactly the reference's
+      // position-delete + append shape; untouched rows keep their ids
+      // through the materialized survivor rewrite. The updated-row
+      // count is the new files' row sum — free, no extra scan.
+      val tableCols = m.sparkSchema.fieldNames.toSeq
+      val src = readFilesWithRowIds(m, candidates)
+      val survivors = src.filter(!coalesce(pred, lit(false)))
+        .select((tableCols :+ RowIds.Col).map(col): _*)
+      val updatedRows = applyAssignments(
+        src.filter(coalesce(pred, lit(false))), tableCols)
+      val kept0 = writeData(m, survivors, None, extraCols = Seq(RowIds.Col))
+      val kept = RowIds.attachDerived(kept0,
+        RowIds.deriveRanges(spark, kept0.map(_.path)))
+      val fresh = writeData(m, updatedRows, None) // hook assigns ids
+      commitMerge("update", candidates.map(_.path).toSet, kept ++ fresh)
+      fresh.map(_.rows).sum
+    } else {
+      // the matched-row count rides the rewrite job as an observed
+      // metric — candidate files are scanned ONCE, not count()+rewrite
+      val obs = new org.apache.spark.sql.Observation()
+      val src = readFiles(m, candidates).observe(obs,
+        sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("n"))
+      val entries = writeData(m, applyAssignments(src, src.columns.toSeq),
+        None)
+      commitMerge("update", candidates.map(_.path).toSet, entries)
+      obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+    }
   } }
 
   /** Metadata-only truncate (postgresExecForeignTruncate equivalent). */
@@ -330,7 +405,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     if (small.size < 2) this else {
       val total = small.map(_.bytes).sum
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-      val merged = readFiles(m, small)
+      val rowIds = m.rowIdsEnabled
+      val merged = if (rowIds) readFilesWithRowIds(m, small)
+        else readFiles(m, small)
       // clustering-aware: a z-ordered table's compaction re-sorts the
       // merged rows along the recorded curve — a plain repartition
       // would scramble min/max tightness on the clustered columns and
@@ -338,9 +415,21 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       val shaped = m.properties.get("cluster.by") match {
         case Some(cols) if cols.nonEmpty =>
           zorder(m, merged, cols.split(",").toSeq, n)
+        case _ if rowIds =>
+          // order by _row_id so surviving ids form maximal runs: the
+          // range table stays O(delete-holes + files), not O(rows) —
+          // the reference gets the same effect by reading input files
+          // in order (its ids are position-correlated); a round-robin
+          // repartition here would shatter runs into per-row mappings
+          merged.repartitionByRange(n, col(RowIds.Col))
+            .sortWithinPartitions(RowIds.Col)
         case _ => merged.repartition(n)
       }
-      val entries = writeData(m, shaped, None)
+      val entries0 = writeData(m, shaped, None,
+        extraCols = if (rowIds) Seq(RowIds.Col) else Nil)
+      val entries = if (rowIds) RowIds.attachDerived(entries0,
+        RowIds.deriveRanges(spark, entries0.map(_.path)))
+      else entries0
       commitMerge("compact", small.map(_.path).toSet, entries)
       this
     }
@@ -368,8 +457,19 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
       if (files.isEmpty) this
       else {
-        val ordered = zorder(m, readFiles(m, files), cols, targetFiles)
-        val entries = writeData(m, ordered, None)
+        val rowIds = m.rowIdsEnabled
+        val src = if (rowIds) readFilesWithRowIds(m, files)
+          else readFiles(m, files)
+        val ordered = zorder(m, src, cols, targetFiles)
+        // row-ids survive the reorder (ids are values, not positions),
+        // but the Z-curve scatters consecutive ids across files, so
+        // the derived range table fragments toward O(rows) — the same
+        // trade the reference makes when clustering a row-ids table
+        val entries0 = writeData(m, ordered, None,
+          extraCols = if (rowIds) Seq(RowIds.Col) else Nil)
+        val entries = if (rowIds) RowIds.attachDerived(entries0,
+          RowIds.deriveRanges(spark, entries0.map(_.path)))
+        else entries0
         // record the curve so compaction keeps the clustering
         commitMerge("cluster", files.map(_.path).toSet, entries,
           Map("cluster.by" -> cols.mkString(",")))
@@ -491,7 +591,33 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * the files carry over unchanged, the merge is atomic under the CAS.
     */
   def setProperties(props: Map[String, String]): LakeTable = {
-    commitOp("set-properties", props)(cur =>
+    // row_ids routes through its dedicated paths: enabling must assign
+    // ranges to existing files; disabling is refused like the
+    // reference (alter_table.c: "currently not supported")
+    props.get("row_ids") match {
+      case Some("true") => enableRowIds()
+      case Some(_) if meta.rowIdsEnabled =>
+        throw new IllegalArgumentException(
+          "disabling row_ids is currently not supported")
+      case _ => ()
+    }
+    val rest = props - "row_ids"
+    if (rest.nonEmpty || props.isEmpty)
+      commitOp("set-properties", rest)(cur =>
+        cur.currentSnapshot.map(_.files).getOrElse(Nil))
+    this
+  }
+
+  /** Enable stable row ids (`row_ids = 'true'`, reference
+    * EnableRowIdsOnTable, row_ids.c:50-82): every existing non-empty
+    * file gets one affine range drawn from the sequence, in snapshot
+    * order; subsequent writes allocate inside their commit. Idempotent
+    * — re-enabling is a no-op, like the reference's `set row_ids
+    * 'true'` on an enabled table.
+    */
+  def enableRowIds(): LakeTable = {
+    if (meta.rowIdsEnabled) return this
+    commitOp("row_ids", Map("row_ids" -> "true"))(cur =>
       cur.currentSnapshot.map(_.files).getOrElse(Nil))
     this
   }
@@ -644,13 +770,15 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       .toDF("snapshot_id", "timestamp_ms", "operation", "n_files", "n_rows")
   }
 
-  /** File catalog (lake_iceberg.files() equivalent). */
+  /** File catalog (lake_iceberg.files() equivalent; `first_row_id`
+    * mirrors the reference's lake_table.files column, row_ids.c:80).
+    */
   def files: DataFrame = {
     val m = meta
     import spark.implicits._
     m.currentSnapshot.map(_.files).getOrElse(Nil)
-      .map(f => (f.path, f.rows, f.bytes, f.schemaVersion))
-      .toDF("path", "rows", "bytes", "schema_version")
+      .map(f => (f.path, f.rows, f.bytes, f.schemaVersion, f.firstRowId))
+      .toDF("path", "rows", "bytes", "schema_version", "first_row_id")
   }
 
   // -------------------------------------------------------- schema change
@@ -781,15 +909,28 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"table vanished at $location"))
       val snapId = cur.snapshots.map(_.id).max + 1
+      val files0 = nextFiles(cur)
+      // mergeProps runs INSIDE the CAS loop on the freshest
+      // properties — read-modify-write merges (e.g. the ingest chunk
+      // list) stay correct under commit races, where a static map
+      // computed from stale state would overwrite a racer's update
+      val merged0 = mergeProps(cur.properties ++ props)
+      // row-ids central hook: any commit that introduces range-less
+      // files (append, ingest, replace, the new-version half of an
+      // update) draws them fresh affine ranges from the sequence —
+      // atomically with the sequence bump, which is what the reference
+      // needs its sequence lock for (row_ids.c:203-240). Rewrite paths
+      // attach their preserved/derived ranges before committing and
+      // pass through untouched.
+      val (files, merged) =
+        if (merged0.get("row_ids").contains("true"))
+          RowIds.assignFresh(files0, merged0)
+        else (files0, merged0)
       cur.copy(
         snapshots = cur.snapshots :+
-          Snapshot(snapId, System.currentTimeMillis(), op, nextFiles(cur)),
+          Snapshot(snapId, System.currentTimeMillis(), op, files),
         currentSnapshotId = snapId,
-        // mergeProps runs INSIDE the CAS loop on the freshest
-        // properties — read-modify-write merges (e.g. the ingest chunk
-        // list) stay correct under commit races, where a static map
-        // computed from stale state would overwrite a racer's update
-        properties = mergeProps(cur.properties ++ props))
+        properties = merged)
     }
     // object-store catalog mode (reference object_store_catalog.c):
     // every commit re-exports current Iceberg metadata under the stable
@@ -817,13 +958,40 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * tuple the same way — partitioned_dest_receiver.c).
     */
   private def writeData(m: TableMetadata, df: DataFrame,
-      targetFiles: Option[Int]): Seq[FileEntry] = {
+      targetFiles: Option[Int], extraCols: Seq[String] = Nil)
+      : Seq[FileEntry] = {
     val cur = m.currentSchema
     val schema = m.sparkSchema
+    // NaN/±Inf can't exist in an Iceberg DECIMAL (reference
+    // iceberg_datum_validation: "NaN is not supported for Iceberg
+    // decimal", test_special_numeric.py): a float/double/string source
+    // casting to a decimal column either errors loudly (the
+    // out_of_range_values = 'error' default) or clamps to NULL —
+    // Spark's bare cast would swallow them as silent NULLs either way
+    val rangeMode = m.properties.getOrElse("out_of_range_values", "error")
+    val srcTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def castTo(f: FieldDef): Column = {
+      val target = DataType.fromDDL(f.dataType)
+      val src = col(f.name)
+      val guarded = (target, srcTypes.get(f.name)) match {
+        case (_: DecimalType,
+            Some(FloatType | DoubleType | StringType)) =>
+          val d = src.cast(DoubleType)
+          val bad = coalesce(isnan(d) ||
+            d === Double.PositiveInfinity ||
+            d === Double.NegativeInfinity, lit(false))
+          if (rangeMode == "clamp") when(bad, lit(null)).otherwise(src)
+          else when(bad, raise_error(concat(
+            lit(s"NaN is not supported for Iceberg decimal (${f.name}); " +
+              "set out_of_range_values=clamp to store NULL: "),
+            src.cast(StringType)))).otherwise(src)
+        case _ => src
+      }
+      guarded.cast(target)
+    }
     val aligned0 = applyRangePolicy(m,
-      df.select(cur.fields.map(f =>
-        col(f.name).cast(DataType.fromDDL(f.dataType))): _*)
-        .toDF(cur.fields.map(_.name): _*))
+      df.select(cur.fields.map(castTo) ++ extraCols.map(col): _*)
+        .toDF(cur.fields.map(_.name) ++ extraCols: _*))
     // on-disk representation: intervals become the 3-field struct
     val aligned1 = cur.fields.foldLeft(aligned0) { (acc, f) =>
       if (IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
@@ -841,7 +1009,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val aligned = aligned1.select(cur.fields.map { f =>
       col(f.name).as(f.name, new MetadataBuilder()
         .putLong("parquet.field.id", f.id.toLong).build())
-    }: _*)
+    } ++ extraCols.map(col): _*)
 
     val transforms = m.transforms
     val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)

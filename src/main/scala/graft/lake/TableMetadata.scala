@@ -15,10 +15,25 @@ import scala.jdk.CollectionConverters._
 final case class ColStats(min: Option[String], max: Option[String],
     nullCount: Long)
 
+/** One contiguous block of row ids mapped onto a run of positions in a
+  * data file: rows `[rowNumberStart, rowNumberStart+numRows)` of the
+  * file carry ids `[rowIdStart, rowIdStart+numRows)` (the reference's
+  * `row_id_mappings` catalog rows, pg_lake_table/src/fdw/row_ids.c —
+  * int8range semantics, end-exclusive). A freshly appended file has
+  * exactly one affine range starting at position 0; rewritten files
+  * (copy-on-write delete, compaction) carry one range per surviving
+  * consecutive-id run.
+  */
+final case class RowIdRange(
+    rowIdStart: Long,
+    numRows: Long,
+    rowNumberStart: Long)
+
 /** One data file in a snapshot. `fieldStats` is keyed by field id (as a
   * string — JSON maps want string keys); `partStats` by transform
   * valueName, holding the min/max of the transform value over the file
   * (equal min/max = file belongs to exactly one partition).
+  * `rowIdRanges` is non-empty only on row-ids tables.
   */
 final case class FileEntry(
     path: String,
@@ -26,7 +41,17 @@ final case class FileEntry(
     bytes: Long,
     schemaVersion: Int,
     fieldStats: Map[String, ColStats],
-    partStats: Map[String, ColStats])
+    partStats: Map[String, ColStats],
+    rowIdRanges: Seq[RowIdRange] = Nil) {
+
+  /** Null-safe view (Jackson leaves the field null on legacy JSON). */
+  def ranges: Seq[RowIdRange] = Option(rowIdRanges).getOrElse(Nil)
+
+  /** Iceberg v3 `first_row_id` equivalent (reference
+    * UpdateDataFileFirstRowId, row_ids.c:80).
+    */
+  def firstRowId: Option[Long] = ranges.headOption.map(_.rowIdStart)
+}
 
 /** A snapshot = complete file list after one commit (append / delete /
   * update / compact / truncate). Every write creates one
@@ -95,6 +120,18 @@ final case class TableMetadata(
 
   /** Spark StructType of the current schema (current names). */
   def sparkSchema: StructType = TableMetadata.toStruct(currentSchema)
+
+  /** Stable row-id tracking on (table option `row_ids = 'true'`,
+    * reference pg_lake_table/src/fdw/row_ids.c).
+    */
+  def rowIdsEnabled: Boolean = properties.get("row_ids").contains("true")
+
+  /** Next unallocated row id — the rowid sequence's value (reference
+    * CreateRelationRowIdSequence; ours rides the metadata CAS, so a
+    * reservation commits atomically with the files that use it).
+    */
+  def nextRowId: Long =
+    properties.get("row_ids.next").map(_.toLong).getOrElse(1L)
 }
 
 object TableMetadata {
@@ -256,13 +293,17 @@ object TableMetadata {
         case _ if s.files.isEmpty =>
           s.copy(manifests = Option(s.manifests).getOrElse(Nil))
         case _ =>
-          val want = s.files.map(_.path).toSet
+          // reuse requires ENTRY equality, not just path membership: a
+          // commit can mutate an existing file's entry in place (e.g.
+          // enableRowIds attaching ranges) and a path-keyed check would
+          // silently resurrect the stale manifest entry
+          val want = s.files.map(f => f.path -> f).toMap
           var covered = Set.empty[String]
           val reused = candidates.filter { name =>
-            val paths = readManifest(location, name).map(_.path)
-            paths.nonEmpty && paths.forall(p =>
-              want.contains(p) && !covered.contains(p)) &&
-              { covered ++= paths; true }
+            val entries = readManifest(location, name)
+            entries.nonEmpty && entries.forall(e =>
+              want.get(e.path).contains(e) && !covered.contains(e.path)) &&
+              { covered ++= entries.map(_.path); true }
           }
           val rest = s.files.filterNot(f => covered.contains(f.path))
           val refs = reused ++

@@ -129,8 +129,12 @@ object NullAwareIn {
   }
 
   /** Rewrite every endangered value-position IN in `plan` (descending
-    * into nested subqueries). Projections and aggregates are value
-    * positions; filter top-level conjuncts are exempt.
+    * into nested subqueries). Projections, aggregates,
+    * window expressions, and join conditions are value positions
+    * (join ON is top-level-exempt like Filter: Spark plans those
+    * conjuncts correctly and UNKNOWN≡FALSE for row matching, but a
+    * non-top-level IN — under coalesce/CASE — needs the expansion);
+    * filter top-level conjuncts are exempt.
     */
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUpWithSubqueries {
     case f: Filter => f.copy(condition = rewriteFilterCondition(f.condition))
@@ -139,6 +143,14 @@ object NullAwareIn {
         .map(e => rewriteExpr(e).asInstanceOf[NamedExpression]))
     case a: Aggregate =>
       a.copy(aggregateExpressions = a.aggregateExpressions
+        .map(e => rewriteExpr(e).asInstanceOf[NamedExpression]))
+    case j: Join if j.condition.isDefined =>
+      j.copy(condition = j.condition.map(rewriteFilterCondition))
+    // Sort keys cannot carry IN-subqueries at all in Spark (the
+    // analyzer rejects them before this rewrite runs — a loud error,
+    // not a silent conflation)
+    case w: Window =>
+      w.copy(windowExpressions = w.windowExpressions
         .map(e => rewriteExpr(e).asInstanceOf[NamedExpression]))
   }
 }

@@ -51,10 +51,16 @@ object PosixRegexRewrite {
     */
   private[graft] def groupIndex(pattern: String): Int = {
     var i = 0
+    var inClass = false
     while (i < pattern.length) {
       val c = pattern.charAt(i)
       if (c == '\\') i += 2
+      else if (inClass) {
+        if (c == ']') inClass = false
+        i += 1
+      } else if (c == '[') { inClass = true; i += 1 }
       else if (c == '(') {
+        // a '(' inside [...] is a literal class member, handled above
         if (i + 1 < pattern.length && pattern.charAt(i + 1) == '?') i += 1
         else return 1
       } else i += 1
@@ -78,12 +84,23 @@ object PosixRegexRewrite {
           ts(i + 1).up == "*" && ts(i + 1).start == t.end
         val opStartTok = if (neg) i - 1 else i
         val rhsFrom = if (ci) i + 2 else i + 1
-        val lhsTok = operandStart(ts, opStartTok)
+        // only INFIX '~' is the regex operator — a '~' after an
+        // operator/keyword/start of expression is Spark's unary
+        // bitwise NOT (`a + ~b`, `SELECT ~5`) and must pass through
+        val infix = opStartTok > 0 && {
+          val p = ts(opStartTok - 1)
+          p.kind == 'n' || p.kind == 's' || p.kind == 'q' ||
+            (p.kind == 'w' && !Boundary.contains(p.up)) ||
+            (p.kind == 'o' && (p.up == ")" || p.up == "]"))
+        }
+        val lhsTok = if (infix) operandStart(ts, opStartTok) else -1
         val rhsEnd = operandEnd(ts, rhsFrom)
-        if (lhsTok >= 0 && rhsEnd >= rhsFrom) {
+        if (infix && lhsTok >= 0 && rhsEnd >= rhsFrom) {
           val lhs = sql.substring(ts(lhsTok).start, ts(opStartTok).start).trim
           val rhs = sql.substring(ts(rhsFrom).start, ts(rhsEnd).end)
-          val pat = if (ci) s"concat('(?i)', ($rhs))" else s"($rhs)"
+          val pat =
+            if (ci) s"concat('(?is)', ($rhs))"
+            else s"concat('(?s)', ($rhs))" // PG: '.' crosses newlines
           val m = s"(($lhs) RLIKE $pat)"
           val rep = if (neg) s"(NOT $m)" else m
           return Some(sql.substring(0, ts(lhsTok).start) + rep +
@@ -121,8 +138,9 @@ object PosixRegexRewrite {
             val lit = sql.substring(litTok.start, litTok.end)
             val g = groupIndex(lit.substring(1, lit.length - 1)
               .replace("''", "'"))
-            val rep = s"(CASE WHEN ($inner) RLIKE $lit THEN " +
-              s"regexp_extract(($inner), $lit, $g) ELSE NULL END)"
+            val pat = s"concat('(?s)', $lit)"
+            val rep = s"(CASE WHEN ($inner) RLIKE $pat THEN " +
+              s"regexp_extract(($inner), $pat, $g) ELSE NULL END)"
             return Some(sql.substring(0, ts(i).start) + rep +
               sql.substring(ts(close).end))
           }

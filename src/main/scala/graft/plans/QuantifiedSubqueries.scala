@@ -53,7 +53,7 @@ import scala.annotation.tailrec
   */
 object QuantifiedSubqueries {
 
-  private[plans] final case class Tok(start: Int, end: Int, kind: Char, up: String)
+  private[graft] final case class Tok(start: Int, end: Int, kind: Char, up: String)
 
   private val CompareOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
   private val Quantifiers = Set("ANY", "ALL", "SOME")
@@ -64,7 +64,7 @@ object QuantifiedSubqueries {
     "BETWEEN", "ANY", "ALL", "SOME", "EXISTS", "BY", "AS", "JOIN",
     "SET", "VALUES", "DISTINCT", "UNION", "INTERSECT", "EXCEPT")
 
-  private[plans] def tokenize(sql: String): Vector[Tok] = {
+  private[graft] def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = sql.length
@@ -80,15 +80,19 @@ object QuantifiedSubqueries {
         val s = i; i += 1
         var done = false
         while (i < n && !done) {
-          if (sql.charAt(i) == '\'')
+          // Spark's default parser treats backslash as an escape
+          // inside string literals ('can\'t' is one literal) — skip
+          // the escaped character so content never leaks into SQL
+          if (sql.charAt(i) == '\\' && i + 1 < n) i += 2
+          else if (sql.charAt(i) == '\'')
             if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
             else { done = true; i += 1 }
           else i += 1
         }
         out += Tok(s, i, 's', "")
-      } else if (c == '"') {
+      } else if (c == '"' || c == '`') {
         val s = i; i += 1
-        while (i < n && sql.charAt(i) != '"') i += 1
+        while (i < n && sql.charAt(i) != c) i += 1
         i = math.min(i + 1, n)
         out += Tok(s, i, 'q', "")
       } else if (c.isLetter || c == '_') {
@@ -171,7 +175,8 @@ object QuantifiedSubqueries {
         var k = i + 2
         while (k < ts.length && ts(k).kind == 'o' && ts(k).up == "(") k += 1
         val isSubquery = k < ts.length && ts(k).kind == 'w' &&
-          (ts(k).up == "SELECT" || ts(k).up == "WITH")
+          (ts(k).up == "SELECT" || ts(k).up == "WITH" ||
+            ts(k).up == "VALUES" || ts(k).up == "TABLE")
         if (!isSubquery) {
           // PG's array form `x op ANY/ALL (array-expr)` — the
           // reference deparses ScalarArrayOpExpr verbatim

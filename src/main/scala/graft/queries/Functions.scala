@@ -521,5 +521,24 @@ object Functions {
         |  CASE WHEN regexp_matches(n_name, '([A-Z]+) ')
         |    THEN regexp_extract(n_name, '([A-Z]+) ', 1) END AS first_word
         |FROM nation
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // ---- PG cast syntax (::int2/4/8, ::float4/8, ::numeric(p,s),
+    // ::bpchar, ::text, bool::int4 — the spelling the reference's type
+    // suites use throughout; PgCastRewrite maps the names Spark-side,
+    // DuckDB accepts the PG aliases natively, so the SAME text is
+    // differentially judged) ----
+    QueryDef.sql(
+      "q_fn_pg_casts",
+      """SELECT n_nationkey,
+        |  n_nationkey::int2 AS v_i2,
+        |  n_nationkey::int8 AS v_i8,
+        |  (n_nationkey * 2)::float4 AS v_f4,
+        |  (n_nationkey / 4.0)::float8 AS v_f8,
+        |  (n_nationkey * 1.5)::numeric(10,2) AS v_num,
+        |  n_name::bpchar AS v_bp,
+        |  n_nationkey::text AS v_txt,
+        |  (n_nationkey > 10)::int4 AS v_b2i
+        |FROM nation
         |ORDER BY n_nationkey""".stripMargin))
 }

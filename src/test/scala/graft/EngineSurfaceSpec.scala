@@ -197,4 +197,34 @@ class EngineSurfaceSpec extends AnyFunSuite {
     // the merge committed ONE atomic replace snapshot, not truncate+append
     assert(t.meta.snapshots.exists(_.operation == "replace"))
   }
+
+  test("lake_file.preview: column name/type rows, wildcard, guards") {
+    val e = LakeEngine(spark)
+    val dir = Files.createTempDirectory("preview")
+    // parquet with scalar, array, struct columns
+    spark.sql("""SELECT 1 AS a, '' AS b, array(1,2,3) AS arr,
+      named_struct('x', 1, 'y', 2) AS st""")
+      .write.parquet(dir.resolve("a").toString)
+    val res = e.sql(
+      s"SELECT * FROM lake_file.preview('${dir.resolve("a")}/*.parquet')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(res("a") == "integer")
+    assert(res("b") == "text")
+    assert(res("arr") == "integer[]")
+    assert(res("st").startsWith("lake_struct.x_y_"))
+    // csv: sniffed header + inferred types
+    Files.write(dir.resolve("c.csv"), "a,b\n1,x\n2,y\n".getBytes)
+    val csv = e.preview(dir.resolve("c.csv").toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(csv == Map("a" -> "integer", "b" -> "text"))
+    // unsupported scheme and unknown format are refused loudly
+    val e1 = intercept[IllegalArgumentException] {
+      e.preview("wonka://bucket/x.parquet")
+    }
+    assert(e1.getMessage.contains("unsupported URL"))
+    val e2 = intercept[IllegalArgumentException] {
+      e.preview(dir.resolve("c.csv").toString, Some("wonka"))
+    }
+    assert(e2.getMessage.contains("not recognized"))
+  }
 }

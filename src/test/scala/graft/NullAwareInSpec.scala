@@ -104,6 +104,18 @@ class NullAwareInSpec extends AnyFunSuite {
     assert(!p.contains("CASE WHEN"), p) // exempt position: no expansion
   }
 
+  test("join ON: non-top-level NOT IN under coalesce sees the NULL") {
+    // stock Spark's ExistenceJoin path drops both rows (NOT IN
+    // conflated to FALSE, coalesce never fires); the expansion in
+    // Join conditions restores the standard 2-row result
+    val df = QueryDef.pgSql(spark,
+      """SELECT a.v, b.w FROM VALUES (1),(2) a(v)
+        |JOIN VALUES (1),(2) b(w)
+        |ON a.v = b.w AND coalesce(a.v NOT IN (SELECT x FROM
+        |  VALUES (9),(CAST(NULL AS INT)) t(x)), true)""".stripMargin)
+    assert(df.count() === 2)
+  }
+
   test("non-nullable probe and set keep the native plan") {
     val df = QueryDef.pgSql(spark,
       """SELECT v, v IN (SELECT x FROM range(3) t(x)) FROM range(5) s(v)""")

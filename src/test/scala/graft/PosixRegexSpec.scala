@@ -15,12 +15,12 @@ class PosixRegexSpec extends AnyFunSuite {
 
   test("rewrite shapes: four operators, adjacency, boundaries") {
     assert(rewrite("SELECT x ~ 'a' FROM t")
-      .contains("((x) RLIKE ('a'))"))
+      .contains("((x) RLIKE concat('(?s)', ('a')))"))
     assert(rewrite("SELECT x ~* 'a' FROM t")
-      .contains("concat('(?i)', ('a'))"))
+      .contains("concat('(?is)', ('a'))"))
     assert(rewrite("SELECT x !~ 'a' FROM t").contains("(NOT ((x)"))
     val both = rewrite("SELECT a FROM t WHERE x ~ 'p' AND y !~* 'q'")
-    assert(both.contains("AND") && both.contains("(?i)"), both)
+    assert(both.contains("AND") && both.contains("(?is)"), both)
     // positional SUBSTRING untouched
     val pos = "SELECT SUBSTRING(x FROM 2 FOR 3) FROM t"
     assert(rewrite(pos) eq pos)
@@ -34,6 +34,29 @@ class PosixRegexSpec extends AnyFunSuite {
     assert(groupIndex("a(b)c") === 1)
     assert(groupIndex("a(?:x)(b)") === 1) // non-capturing skipped
     assert(groupIndex("a\\(b") === 0)     // escaped paren is literal
+  }
+
+  test("unary bitwise NOT passes through; DOTALL matches newlines") {
+    // '~' in prefix position is Spark's bitwise NOT, not a regex op
+    val bw = "SELECT ~5 AS x"
+    assert(rewrite(bw) eq bw)
+    val bw2 = rewrite("SELECT v + ~m AS x FROM t")
+    assert(!bw2.contains("RLIKE"), bw2)
+    // but infix '~' after a value still rewrites
+    assert(rewrite("SELECT a FROM t WHERE n ~ 'x'").contains("RLIKE"))
+    // PG's '.' and '%' cross newlines (ARE default); stock Java regex
+    // would not without the emitted (?s)
+    val r = QueryDef.pgSql(spark,
+      "SELECT 'line1\\nline2' ~ 'line1.line2' AS a, " +
+        "'line1\\nline2' SIMILAR TO 'line1%' AS b").collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("bracket-class parens are not capture groups") {
+    assert(groupIndex("[(][0-9]+[)]") === 0)
+    val r = QueryDef.pgSql(spark,
+      "SELECT SUBSTRING('x(12)y' FROM '[(][0-9]+[)]') AS m").collect().head
+    assert(r.getString(0) === "(12)")
   }
 
   test("end-to-end: match semantics are PG's substring search") {

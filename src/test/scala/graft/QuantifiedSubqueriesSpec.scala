@@ -105,6 +105,20 @@ class QuantifiedSubqueriesSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
 
+  test("VALUES and literals-with-escapes are handled") {
+    // (VALUES …) is a query expression in PG — subquery path, not the
+    // array-lambda misparse
+    assert(col("SELECT 2 = ANY (VALUES (1), (2))") === Seq(Some(true)))
+    assert(col("SELECT 5 < ALL (VALUES (6), (7))") === Seq(Some(true)))
+    // a backslash-escaped quote inside a literal must not leak SQL
+    // into the tokenizer (the remainder would otherwise be rewritten)
+    val s = "SELECT 'it\\'s = ANY (SELECT 1)' AS lit"
+    assert(rewrite(s) eq s)
+    // backtick identifiers are opaque
+    val b = "SELECT `a = ANY (SELECT x)` FROM t"
+    assert(rewrite(b) eq b)
+  }
+
   test("NOT binds outside the quantified comparison") {
     val df = QueryDef.pgSql(spark,
       """SELECT v FROM VALUES (1), (2) s(v)

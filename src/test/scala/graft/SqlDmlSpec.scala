@@ -273,6 +273,28 @@ class SqlDmlSpec extends AnyFunSuite {
       .head.getLong(0) == 0)
   }
 
+  test("DML literal safety and dialect inside DML") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("r_lit", LakeEngine.tempLocation("lit"),
+      spark.range(3).selectExpr("id", "concat('msg returning ', id) AS msg"))
+    // the word "returning" inside a literal must NOT split the clause
+    assert(e.sql("DELETE FROM r_lit WHERE msg LIKE '%returning 2%'")
+      .head.getLong(0) == 1)
+    // case-insensitive SET target resolution
+    assert(e.sql("UPDATE r_lit SET MSG = 'x' WHERE id = 0 RETURNING msg")
+      .head.getString(0) == "x")
+    assert(e.sql("SELECT msg FROM r_lit WHERE id = 0").head.getString(0)
+      == "x")
+    // PG dialect constructs work inside DML texts: quantified array
+    // in WHERE, ARRAY literal + regex op in INSERT source
+    assert(e.sql("DELETE FROM r_lit WHERE id = any(ARRAY[1])")
+      .head.getLong(0) == 1)
+    assert(e.sql("""INSERT INTO r_lit SELECT 9, CASE WHEN 'ab1' ~ '[0-9]'
+      THEN 'digit' ELSE 'no' END""").head.getLong(0) == 1)
+    assert(e.sql("SELECT msg FROM r_lit WHERE id = 9").head.getString(0)
+      == "digit")
+  }
+
   test("UPDATE assignments all read the OLD row (PG swap semantics)") {
     val e = LakeEngine(spark)
     e.createTableAsSelect("r_swap", LakeEngine.tempLocation("swap"),
