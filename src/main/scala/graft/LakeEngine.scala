@@ -20,6 +20,15 @@ final class LakeEngine(val spark: SparkSession) {
 
   private val tables = TrieMap.empty[String, LakeTable]
 
+  // PREPARE name (types) AS stmt → (statement text, declared types).
+  // The reference exercises this surface over the wire protocol
+  // (test_prepared.py); here EXECUTE splices argument expressions into
+  // the $N slots (PG evaluates EXECUTE arguments before binding, so
+  // the splice is equivalent for any side-effect-free expression) and
+  // re-enters sql(), so prepared DML routes through the same
+  // transactional write path as direct DML.
+  private val prepared = TrieMap.empty[String, (String, Seq[String])]
+
   // ------------------------------------------------------ managed tables
 
   def createTable(name: String, location: String, schema: StructType,
@@ -684,6 +693,33 @@ final class LakeEngine(val spark: SparkSession) {
         }
       }
     dmlText match {
+      case prepareRe(name, typesOrNull, stmt) =>
+        val key = name.toLowerCase
+        require(!prepared.contains(key),
+          s"""prepared statement "$name" already exists""")
+        val types = Option(typesOrNull).toSeq.flatMap(splitTopLevel)
+          .map(_.trim).filter(_.nonEmpty)
+        prepared.put(key, (stmt.trim, types))
+        Seq(name).toDF("prepared")
+      case executeRe(name, argsOrNull) =>
+        val (stmt, types) = prepared.getOrElse(name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"""prepared statement "$name" does not exist"""))
+        val args = Option(argsOrNull).toSeq.flatMap(splitTopLevel)
+          .map(_.trim).filter(_.nonEmpty)
+        // PG casts each argument to its declared parameter type before
+        // binding; undeclared trailing types bind as-is
+        val castArgs = args.zipWithIndex.map { case (a, i) =>
+          if (i < types.length) s"CAST(($a) AS ${types(i)})" else a
+        }
+        sql(plans.DollarParams.bind(stmt, castArgs))
+      case deallocRe(name) =>
+        if (name.equalsIgnoreCase("ALL")) prepared.clear()
+        else {
+          require(prepared.remove(name.toLowerCase).isDefined,
+            s"""prepared statement "$name" does not exist""")
+        }
+        Seq(name).toDF("deallocated")
       case createFromRe(name, specOrNull, locOrNull, mode, url) =>
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
@@ -846,7 +882,7 @@ final class LakeEngine(val spark: SparkSession) {
         val t = LakeTable.create(spark, loc, name, schema, Nil)
         register(name, t)
         Seq(name).toDF("table_created")
-      case createColsRe(name, colList, specOrNull, locOrNull) =>
+      case createColsRe(name, colList, specOrNull, locOrNull, withOrNull) =>
         val fields = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
           .map { c =>
             val Array(cn, ct) = c.split("\\s+", 2)
@@ -857,8 +893,17 @@ final class LakeEngine(val spark: SparkSession) {
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        // PG-style WITH (k = 'v', ...) creation options — the
+        // reference's table-option surface (compatibility_mode,
+        // row_ids, out_of_range_values, ...)
+        val props = Option(withOrNull).toSeq.flatMap(splitTopLevel)
+          .map(_.trim).filter(_.nonEmpty).map { o =>
+            val Array(k, v) = o.split("=", 2)
+            k.trim.toLowerCase -> v.trim.stripPrefix("'").stripSuffix("'")
+          }.toMap
         val t = LakeTable.create(spark,
-          loc, name, org.apache.spark.sql.types.StructType(fields), spec)
+          loc, name, org.apache.spark.sql.types.StructType(fields), spec,
+          props)
         register(name, t)
         Seq(name).toDF("table_created")
       case alterRenameRe(name, from, to) if tables.contains(name) =>
@@ -942,6 +987,15 @@ final class LakeEngine(val spark: SparkSession) {
   private val icebergMetaRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_metadata\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
 
+  // PG prepared-statement surface: the inner statement is captured raw
+  // (greedy .+ with DOTALL); EXECUTE's argument list is greedy-to-last-
+  // paren so nested calls inside arguments survive, split top-level
+  private val prepareRe = ("(?is)^PREPARE\\s+(\\w+)" +
+    "(?:\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val executeRe =
+    "(?is)^EXECUTE\\s+(\\w+)(?:\\s*\\((.*)\\))?\\s*;?\\s*$".r
+  private val deallocRe =
+    "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
@@ -959,7 +1013,8 @@ final class LakeEngine(val spark: SparkSession) {
     ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(((?:[^()]|\\([^()]*\\))+)\\)" +
       "(?:\\s+USING\\s+\\w+)?" +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
-      "(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*$").r
+      "(?:\\s+LOCATION\\s+'([^']*)')?" +
+      "(?:\\s+WITH\\s*\\(([^()]*)\\))?\\s*;?\\s*$").r
   private val alterRenameRe =
     "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*;?\\s*$".r
   private val alterDropRe =

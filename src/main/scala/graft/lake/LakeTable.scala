@@ -591,6 +591,13 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * the files carry over unchanged, the merge is atomic under the CAS.
     */
   def setProperties(props: Map[String, String]): LakeTable = {
+    // compatibility_mode is immutable after creation (reference
+    // test_compatibility_mode.py: SET and ADD both rejected)
+    props.get("compatibility_mode").foreach { v =>
+      if (!meta.properties.get("compatibility_mode").contains(v))
+        throw new IllegalArgumentException(
+          "compatibility_mode cannot be changed after the table is created")
+    }
     // row_ids routes through its dedicated paths: enabling must assign
     // ranges to existing files; disabling is refused like the
     // reference (alter_table.c: "currently not supported")
@@ -787,6 +794,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   def addColumn(name: String, ddlType: String,
       default: Option[String] = None): LakeTable = {
     default.foreach(d => expr(d)) // validate the expression parses
+    if (meta.properties.get("compatibility_mode").contains("snowflake"))
+      LakeTable.rejectMaps(name, DataType.fromDDL(ddlType))
     TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.get
       val sv = cur.currentSchema
@@ -1243,12 +1252,42 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 }
 
 object LakeTable {
+
+  /** `compatibility_mode` table option (reference
+    * test_compatibility_mode.py): 'auto' or 'snowflake', validated at
+    * CREATE, immutable afterwards. Under 'snowflake' a type the target
+    * cannot represent — map columns — is rejected up front at CREATE /
+    * ADD COLUMN. Pure option layer, no storage shaping: the reference
+    * stores nested uuids as string under 'snowflake', which this
+    * engine's string uuid convention (SURVEY §1.2) already does for
+    * every mode.
+    */
+  private[lake] def validateCompatibilityMode(
+      props: Map[String, String], schema: StructType): Unit = {
+    props.get("compatibility_mode").foreach { v =>
+      require(v == "auto" || v == "snowflake",
+        s"invalid compatibility_mode '$v' (expected 'auto' or 'snowflake')")
+      if (v == "snowflake")
+        schema.fields.foreach(f => rejectMaps(f.name, f.dataType))
+    }
+  }
+
+  private[lake] def rejectMaps(name: String, dt: DataType): Unit = dt match {
+    case _: MapType => throw new IllegalArgumentException(
+      s"column $name: map types cannot be represented under " +
+        "compatibility_mode 'snowflake'")
+    case s: StructType => s.fields.foreach(f => rejectMaps(s"$name.${f.name}", f.dataType))
+    case a: ArrayType => rejectMaps(s"$name[]", a.elementType)
+    case _ => ()
+  }
+
   /** Create an empty managed table. */
   def create(spark: SparkSession, location: String, name: String,
       schema: StructType, partitionSpec: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): LakeTable = {
     require(TableMetadata.currentVersion(location).isEmpty,
       s"table already exists at $location")
+    validateCompatibilityMode(properties, schema)
     TableMetadata.commit(location, create = true)(_ =>
       TableMetadata.fromStruct(name, schema, partitionSpec)
         .copy(properties = properties))

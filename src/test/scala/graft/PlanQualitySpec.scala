@@ -395,4 +395,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(coupled.isEmpty,
       s"fuzz_in theta-coupled unknown branch:\n${coupled.mkString("\n")}")
   }
+
+  test("row-id reconstruction is a broadcast join, never a sort-merge") {
+    // the range table is O(files + delete-holes) — metadata-sized at
+    // any corpus size. A SortMergeJoin here would shuffle the full
+    // table by file path; the 100 TB plan is broadcast + residual
+    // range predicate
+    import graft.lake._
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1, 2001).coalesce(2)
+      .selectExpr("id AS x", "id % 7 AS y")
+    val t = LakeTable.create(spark, LakeEngine.tempLocation("pq_rid"),
+      "t", df.schema, properties = Map("row_ids" -> "true"))
+    t.append(df)
+    t.delete(col("x") % 5 === 0)
+    val read = t.readWithRowIds()
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"row-id join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"row-id join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -326,4 +326,36 @@ class ScaleProbeSpec extends AnyFunSuite {
           |FROM orders""".stripMargin)
     }
   }
+
+  test("time row-id lineage at 2M vs 20M rows", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import graft.lake._
+    import org.apache.spark.sql.functions._
+    // self-scaling: the lineage paths are fixture-independent. Probes
+    // the three shapes that must stay linear at 100 TB: the broadcast
+    // range-join read, the copy-on-write materialized rewrite, and the
+    // _row_id-sorted compaction + run re-derivation.
+    for (n <- Seq(2000000L, 20000000L)) {
+      val df = spark.range(1, n + 1).repartition(32)
+        .selectExpr("id AS x", "id % 97 AS y")
+      val t = LakeTable.create(spark,
+        LakeEngine.tempLocation(s"probe_rid_$n"), "t", df.schema,
+        properties = Map("row_ids" -> "true"))
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        info(f"$label%-28s n=$n%9d ${(System.nanoTime - t0) / 1e9}%8.2f s")
+      }
+      time("append")(t.append(df))
+      time("readWithRowIds.count")(assert(t.readWithRowIds().count() == n))
+      time("delete 1%")(t.delete(col("x") % 100 === 0))
+      time("compact + rederive")(
+        t.compact(smallBytes = 1L << 40, targetBytes = 1L << 40))
+      val mappings = t.rowIdMappings.count()
+      info(s"mappings after compact: $mappings (rows=${n - n / 100})")
+      // run table stays metadata-sized: ~1 run per delete hole, never
+      // O(rows)
+      assert(mappings <= n / 100 + 64, s"mapping explosion: $mappings")
+      t.drop()
+    }
+  }
 }
