@@ -29,6 +29,28 @@ final class LakeEngine(val spark: SparkSession) {
   // transactional write path as direct DML.
   private val prepared = TrieMap.empty[String, (String, Seq[String])]
 
+  // CREATE VIEW registry (reference test_view_pushdown.py): definition
+  // TEXT in insertion order. PG expands views at query time; a Spark
+  // temp view pins the plan — so every snapshot refresh re-applies the
+  // stored definitions (in creation order, so view-on-view stays
+  // consistent) and views always see the current table state.
+  private val viewDefs = new java.util.LinkedHashMap[String, String]
+  // materialized views: name → definition; the data lives in a managed
+  // lake table under the same name (the reference's matviews are heap
+  // tables — precomputed, not pushed down; ours are lake tables)
+  private val matViews = TrieMap.empty[String, String]
+  // SET/SHOW/RESET session settings. `timezone` maps onto the Spark
+  // session timezone (drives timestamptz parsing/rendering exactly
+  // like PG's GUC); dotted keys are custom GUCs per PG's rule; spark.*
+  // keys pass through to the session conf.
+  private val settings = TrieMap.empty[String, String]
+  private val initialTimeZone = spark.conf.get("spark.sql.session.timeZone")
+
+  private def reapplyViews(): Unit = viewDefs.synchronized {
+    viewDefs.forEach((n, sel) =>
+      QueryDef.pgSql(spark, sel).createOrReplaceTempView(n))
+  }
+
   // ------------------------------------------------------ managed tables
 
   def createTable(name: String, location: String, schema: StructType,
@@ -64,12 +86,15 @@ final class LakeEngine(val spark: SparkSession) {
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
     t.readIndexed().createOrReplaceTempView(name)
+    reapplyViews()
     t
   }
 
   /** Refresh the temp view after DML (snapshot pointer moved). */
-  def refresh(name: String): Unit =
+  def refresh(name: String): Unit = {
     tables.get(name).foreach(_.readIndexed().createOrReplaceTempView(name))
+    reapplyViews()
+  }
 
   /** DROP TABLE: unregister the view + delete per [[LakeTable.drop]]. */
   def dropTable(name: String, purge: Boolean = true): Unit = {
@@ -645,7 +670,8 @@ final class LakeEngine(val spark: SparkSession) {
       plans.SimilarToRewrite.rewrite(
         plans.QuantifiedSubqueries.rewrite(
           plans.ArrayLiteralRewrite.rewrite(
-            plans.PgCastRewrite.rewrite(q))))).trim
+            plans.JsonArrowRewrite.rewrite(
+              plans.PgCastRewrite.rewrite(q)))))).trim
     // DML carries an optional PG RETURNING list (the reference's
     // write tests use it throughout, e.g.
     // pg_lake_table/tests/pytests/test_writable_table_update.py).
@@ -693,6 +719,76 @@ final class LakeEngine(val spark: SparkSession) {
         }
       }
     dmlText match {
+      case explainRe(optsOrNull, rest) =>
+        val opts = Option(optsOrNull).map(_.toLowerCase).getOrElse("")
+        var body = rest.trim
+        var analyze = opts.contains("analyze")
+        var verbose = opts.contains("verbose")
+        // PG's pre-9.0 spelling: bare ANALYZE / VERBOSE keywords
+        var stripping = true
+        while (stripping) {
+          val h = body.split("\\s+", 2)
+          if (h.length == 2 && h(0).equalsIgnoreCase("ANALYZE")) {
+            analyze = true; body = h(1)
+          } else if (h.length == 2 && h(0).equalsIgnoreCase("VERBOSE")) {
+            verbose = true; body = h(1)
+          } else stripping = false
+        }
+        explainStatement(body, analyze, verbose)
+      case setTzRe(v) =>
+        setSetting("timezone", stripQuotes(v))
+        Seq(stripQuotes(v)).toDF("timezone")
+      case setRe(k, v) =>
+        setSetting(k.toLowerCase, stripQuotes(v))
+        Seq(stripQuotes(v)).toDF(k.toLowerCase)
+      case showTzRe() =>
+        Seq(spark.conf.get("spark.sql.session.timeZone")).toDF("timezone")
+      case showRe(k) =>
+        Seq(showSetting(k.toLowerCase)).toDF(k.toLowerCase)
+      case resetRe(k) =>
+        if (k.equalsIgnoreCase("ALL")) {
+          settings.clear()
+          spark.conf.set("spark.sql.session.timeZone", initialTimeZone)
+        } else if (k.equalsIgnoreCase("timezone")) {
+          settings.remove("timezone")
+          spark.conf.set("spark.sql.session.timeZone", initialTimeZone)
+        } else settings.remove(k.toLowerCase)
+        Seq(k).toDF("reset")
+      case createViewRe(orReplaceOrNull, name, sel) =>
+        require(orReplaceOrNull != null ||
+          !viewDefs.synchronized(viewDefs.containsKey(name)),
+          s"""view "$name" already exists""")
+        QueryDef.pgSql(spark, sel).createOrReplaceTempView(name)
+        viewDefs.synchronized { viewDefs.put(name, sel); () }
+        Seq(name).toDF("view_created")
+      case createMatViewRe(name, locOrNull, sel) =>
+        val df = QueryDef.pgSql(spark, sel)
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"mv_$name"))
+        createTableAsSelect(name, loc, df)
+        matViews.put(name, sel)
+        Seq(name).toDF("materialized_view_created")
+      case refreshMatViewRe(name) =>
+        val sel = matViews.getOrElse(name, throw new IllegalArgumentException(
+          s"""materialized view "$name" does not exist"""))
+        val t = table(name)
+        t.truncate()
+        t.append(QueryDef.pgSql(spark, sel))
+        refresh(name)
+        Seq(name).toDF("refreshed")
+      case dropViewRe(matOrNull, ifExistsOrNull, name) =>
+        if (matOrNull != null) {
+          val known = matViews.remove(name).isDefined
+          require(known || ifExistsOrNull != null,
+            s"""materialized view "$name" does not exist""")
+          if (known) dropTable(name)
+        } else {
+          val removed = viewDefs.synchronized(viewDefs.remove(name) != null)
+          require(removed || ifExistsOrNull != null,
+            s"""view "$name" does not exist""")
+          if (removed) spark.catalog.dropTempView(name)
+        }
+        Seq(name).toDF("view_dropped")
       case prepareRe(name, typesOrNull, stmt) =>
         val key = name.toLowerCase
         require(!prepared.contains(key),
@@ -702,17 +798,7 @@ final class LakeEngine(val spark: SparkSession) {
         prepared.put(key, (stmt.trim, types))
         Seq(name).toDF("prepared")
       case executeRe(name, argsOrNull) =>
-        val (stmt, types) = prepared.getOrElse(name.toLowerCase,
-          throw new IllegalArgumentException(
-            s"""prepared statement "$name" does not exist"""))
-        val args = Option(argsOrNull).toSeq.flatMap(splitTopLevel)
-          .map(_.trim).filter(_.nonEmpty)
-        // PG casts each argument to its declared parameter type before
-        // binding; undeclared trailing types bind as-is
-        val castArgs = args.zipWithIndex.map { case (a, i) =>
-          if (i < types.length) s"CAST(($a) AS ${types(i)})" else a
-        }
-        sql(plans.DollarParams.bind(stmt, castArgs))
+        sql(bindPrepared(name, argsOrNull))
       case deallocRe(name) =>
         if (name.equalsIgnoreCase("ALL")) prepared.clear()
         else {
@@ -924,6 +1010,109 @@ final class LakeEngine(val spark: SparkSession) {
     }
   }
 
+  /** Bind EXECUTE arguments into a prepared statement's `$N` slots.
+    * PG casts each argument to its declared parameter type before
+    * binding; undeclared trailing arguments bind as-is.
+    */
+  private def bindPrepared(name: String, argsOrNull: String): String = {
+    val (stmt, types) = prepared.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(
+        s"""prepared statement "$name" does not exist"""))
+    val args = Option(argsOrNull).toSeq.flatMap(splitTopLevel)
+      .map(_.trim).filter(_.nonEmpty)
+    val castArgs = args.zipWithIndex.map { case (a, i) =>
+      if (i < types.length) s"CAST(($a) AS ${types(i)})" else a
+    }
+    plans.DollarParams.bind(stmt, castArgs)
+  }
+
+  private def stripQuotes(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** SET surface: `timezone` drives the Spark session timezone (the
+    * timestamptz parsing/rendering GUC, reference test_timezone.py);
+    * spark.* keys pass through to the session conf; any dotted key is
+    * a custom GUC (PG's extension-namespace rule — the reference's own
+    * `pg_lake_table.enable_full_query_pushdown` class); an unknown
+    * undotted key errors like PG.
+    */
+  private def setSetting(key: String, value: String): Unit = key match {
+    case "timezone" | "time zone" =>
+      spark.conf.set("spark.sql.session.timeZone", value)
+      settings.put("timezone", value); ()
+    case k if k.startsWith("spark.") =>
+      spark.conf.set(k, value)
+      settings.put(k, value); ()
+    case k if k.contains('.') || k == "search_path" =>
+      settings.put(k, value); ()
+    case k => throw new IllegalArgumentException(
+      s"""unrecognized configuration parameter "$k"""")
+  }
+
+  private def showSetting(key: String): String = key match {
+    case "timezone" | "time zone" =>
+      spark.conf.get("spark.sql.session.timeZone")
+    case k if k.startsWith("spark.") =>
+      settings.get(k).orElse(spark.conf.getOption(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"""unrecognized configuration parameter "$k""""))
+    case k => settings.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"""unrecognized configuration parameter "$k""""))
+  }
+
+  /** EXPLAIN surface (reference test_explain.py): one `query_plan`
+    * line per row, PG-style. Without ANALYZE the statement is NEVER
+    * executed — DML explains its read side (the scan the write would
+    * drive), exactly PG's contract; with ANALYZE a SELECT runs and the
+    * row count is appended, and DML executes through the normal
+    * transactional route with its affected-count reported.
+    */
+  private def explainStatement(body0: String, analyze: Boolean,
+      verbose: Boolean): DataFrame = {
+    import spark.implicits._
+    val body = body0.trim.stripSuffix(";").trim
+    val execRe = "(?is)^EXECUTE\\s+(\\w+)(?:\\s*\\((.*)\\))?$".r
+    val insertSelRe = "(?is)^INSERT\\s+INTO\\s+\\w+\\s+(SELECT.+)$".r
+    val deleteRe2 = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r
+    val updateRe2 =
+      "(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+.+?(?:\\s+WHERE\\s+(.+?))?$".r
+    body match {
+      case execRe(name, argsOrNull) =>
+        explainStatement(bindPrepared(name, argsOrNull), analyze, verbose)
+      case _ =>
+        val isDml2 = "(?is)^(INSERT|UPDATE|DELETE)\\b.*".r
+          .pattern.matcher(body).matches()
+        val readSide = body match {
+          case insertSelRe(sel) => sel
+          case deleteRe2(t, whereOrNull) =>
+            s"SELECT * FROM $t" +
+              Option(whereOrNull).map(w => s" WHERE $w").getOrElse("")
+          case updateRe2(t, whereOrNull) =>
+            s"SELECT * FROM $t" +
+              Option(whereOrNull).map(w => s" WHERE $w").getOrElse("")
+          case _ if isDml2 => s"SELECT 1" // INSERT ... VALUES: constant source
+          case q => q
+        }
+        val df = QueryDef.pgSql(spark, readSide)
+        val mode = if (verbose) "formatted" else "simple"
+        val planText = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+        val header = if (isDml2) Seq(s"Statement: ${body.split("\\s+")(0).toUpperCase} (plan shows the scanned read side)") else Nil
+        val tail =
+          if (!analyze) Nil
+          else if (isDml2) {
+            val n = sql(body).head().getLong(0)
+            Seq(s"Rows affected: $n")
+          } else Seq(s"Rows returned: ${df.count()}")
+        (header ++ planText.linesIterator.toSeq ++ tail).toDF("query_plan")
+    }
+  }
+
   // maintenance/DDL verbs routed to the transactional table ops
   // (the reference exposes the same surface through SQL: TRUNCATE,
   // lake_table.vacuum, ALTER TABLE add/rename/drop and partition DDL)
@@ -986,6 +1175,25 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_files\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
   private val icebergMetaRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_metadata\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+
+  // EXPLAIN [(opts)] stmt / SET / SHOW / RESET / CREATE VIEW surfaces
+  private val explainRe =
+    "(?is)^EXPLAIN\\s+(?:\\(([^)]*)\\)\\s+)?(.+)$".r
+  private val setTzRe =
+    "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?TIME\\s+ZONE\\s+(.+?)\\s*;?\\s*$".r
+  private val setRe =
+    "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([\\w.]+)\\s*(?:TO|=)\\s*(.+?)\\s*;?\\s*$".r
+  private val showTzRe = "(?is)^SHOW\\s+TIME\\s+ZONE\\s*;?\\s*$".r
+  private val showRe = "(?is)^SHOW\\s+([\\w.]+)\\s*;?\\s*$".r
+  private val resetRe = "(?is)^RESET\\s+([\\w.]+|ALL)\\s*;?\\s*$".r
+  private val createViewRe =
+    "(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val createMatViewRe = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)" +
+    "(?:\\s+LOCATION\\s+'([^']*)')?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val refreshMatViewRe =
+    "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
+  private val dropViewRe = ("(?is)^DROP\\s+(MATERIALIZED\\s+)?VIEW\\s+" +
+    "(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$").r
 
   // PG prepared-statement surface: the inner statement is captured raw
   // (greedy .+ with DOTALL); EXECUTE's argument list is greedy-to-last-

@@ -56,7 +56,8 @@ object QueryDef {
       graft.plans.SimilarToRewrite.rewrite(
         graft.plans.QuantifiedSubqueries.rewrite(
           graft.plans.ArrayLiteralRewrite.rewrite(
-            graft.plans.PgCastRewrite.rewrite(text))))))
+            graft.plans.JsonArrowRewrite.rewrite(
+              graft.plans.PgCastRewrite.rewrite(text)))))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

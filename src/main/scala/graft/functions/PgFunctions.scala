@@ -154,6 +154,42 @@ object PgFunctions {
     f("jsonb_array_length") { case Seq(j) =>
       LengthOfJsonArray(j) // reference rewrites jsonb_ → json_ the same way
     }
+
+    // --- PG json operators (plans/JsonArrowRewrite emits these) ---
+    f("pg_json_field") { case Seq(j, k) => JsonArrow(j, k, asText = false) }
+    f("pg_json_field_text") { case Seq(j, k) => JsonArrow(j, k, asText = true) }
+    f("pg_json_path") { case Seq(j, p) => JsonPathExtract(j, p, asText = false) }
+    f("pg_json_path_text") { case Seq(j, p) => JsonPathExtract(j, p, asText = true) }
+
+    // --- encode/decode (reference test_encode_decode_pushdown.py:
+    // base64/hex push down onto to_/from_ pairs; escape is PG-local).
+    // hex is lowercase like PG; base64 is unwrapped (the 76-column
+    // MIME wrap PG applies is dropped exactly like the reference's
+    // pushdown path, which deparses onto the engine's to_base64) ---
+    def fmtLit(e: Expression): String = e match {
+      case Literal(s, StringType) if s != null => s.toString.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"encode/decode format must be a string literal (got $other)")
+    }
+    // a non-PG format name falls through to Spark's own charset
+    // encode/decode (str↔binary via utf-8 et al.) so shadowing the
+    // builtin name costs nothing; an unknown charset errors there
+    f("encode") { case Seq(b, fmt) =>
+      fmtLit(fmt) match {
+        case "hex" => Lower(Hex(b))
+        case "base64" => Base64(b)
+        case "escape" => PgEscapeEncode(b)
+        case _ => Encode(b, fmt)
+      }
+    }
+    f("decode") { case Seq(s, fmt) =>
+      fmtLit(fmt) match {
+        case "hex" => Unhex(s, failOnError = true)
+        case "base64" => UnBase64(s, failOnError = true)
+        case "escape" => PgEscapeDecode(s)
+        case _ => StringDecode(s, fmt)
+      }
+    }
     f("unnest") { case Seq(a) => Explode(a) }
 
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)

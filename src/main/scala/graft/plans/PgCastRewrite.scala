@@ -40,7 +40,10 @@ object PgCastRewrite {
     // TIMESTAMP mapping on the next pass — Spark's explicit
     // timestamp_ltz is the same type as timestamp and a fixed point
     "TIMESTAMPTZ" -> "timestamp_ltz",
-    "TIMESTAMP" -> "timestamp_ntz")
+    "TIMESTAMP" -> "timestamp_ntz",
+    // json/jsonb are textual in this engine (SURVEY §1.2); the cast
+    // keeps the operand a string so the arrow operators apply
+    "JSON" -> "string", "JSONB" -> "string")
 
   // parenthesized width forms: the width is kept for numeric/decimal,
   // dropped for the string family (Spark strings are unbounded)

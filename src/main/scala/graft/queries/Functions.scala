@@ -540,5 +540,84 @@ object Functions {
         |  n_nationkey::text AS v_txt,
         |  (n_nationkey > 10)::int4 AS v_b2i
         |FROM nation
-        |ORDER BY n_nationkey""".stripMargin))
+        |ORDER BY n_nationkey""".stripMargin),
+
+    // ---- PG json operators -> ->> #> #>> (§2.7 JSON; the reference's
+    // jsonb suite uses the operators directly and pushes them down,
+    // test_jsonb_pushdown.py). JsonArrowRewrite maps them onto native
+    // expressions Spark-side; DuckDB has -> and ->> natively (same
+    // compact rendering) but no #>/#>>, so the oracle spells the path
+    // forms as json_extract[_string]. Negative from-the-end indices are
+    // PG-only (DuckDB returns NULL) and stay in JsonOpsSpec. ----
+    QueryDef.sql(
+      "q_fn_json_ops",
+      """SELECT event_id,
+        |  j -> 'k' AS v_k_json,
+        |  j ->> 'k' AS v_k_text,
+        |  j -> 'obj' AS v_obj,
+        |  j -> 'obj' ->> 's' AS v_s,
+        |  j ->> 'missing' AS v_missing,
+        |  j -> 'arr' -> 0 AS v_a0,
+        |  j -> 'arr' ->> 2 AS v_a2,
+        |  j -> 'obj' ->> 'n' AS v_null,
+        |  j #> '{obj,s}' AS v_path,
+        |  j #>> '{arr,1}' AS v_path_text
+        |FROM (
+        |  SELECT event_id,
+        |    CONCAT('{"k":', CAST(event_id % 100 AS STRING),
+        |      ',"arr":[', CAST(event_id % 7 AS STRING),
+        |      ',11,12],"obj":{"s":"v', CAST(event_id % 5 AS STRING),
+        |      '","n":null}}') AS j
+        |  FROM events WHERE event_id < 300) t
+        |ORDER BY event_id""".stripMargin,
+      oracle =
+        """SELECT event_id,
+          |  CAST(j -> 'k' AS VARCHAR) AS v_k_json,
+          |  j ->> 'k' AS v_k_text,
+          |  CAST(j -> 'obj' AS VARCHAR) AS v_obj,
+          |  (j -> 'obj') ->> 's' AS v_s,
+          |  j ->> 'missing' AS v_missing,
+          |  CAST((j -> 'arr') -> 0 AS VARCHAR) AS v_a0,
+          |  (j -> 'arr') ->> 2 AS v_a2,
+          |  (j -> 'obj') ->> 'n' AS v_null,
+          |  CAST(json_extract(j, '$.obj.s') AS VARCHAR) AS v_path,
+          |  json_extract_string(j, '$.arr[1]') AS v_path_text
+          |FROM (
+          |  SELECT event_id,
+          |    CONCAT('{"k":', CAST(event_id % 100 AS VARCHAR),
+          |      ',"arr":[', CAST(event_id % 7 AS VARCHAR),
+          |      ',11,12],"obj":{"s":"v', CAST(event_id % 5 AS VARCHAR),
+          |      '","n":null}}') AS j
+          |  FROM events WHERE event_id < 300) t
+          |ORDER BY event_id""".stripMargin),
+
+    // ---- encode/decode bytea formats (§2.7; reference
+    // test_encode_decode_pushdown.py — hex/base64 push down, escape is
+    // PG-local). PG hex is lowercase; base64 unwrapped (fixture values
+    // are far under the 76-char MIME wrap). The escape column is
+    // ASCII-only here so it equals the input; octal/backslash escape
+    // behavior is pinned in JsonOpsSpec. DuckDB's own encode() is
+    // VARCHAR→BLOB (a different function), hence the hex/to_base64
+    // spellings in the oracle. ----
+    QueryDef.sql(
+      "q_fn_encode",
+      """SELECT c_custkey,
+        |  encode(c_name::bytea, 'hex') AS v_hex,
+        |  encode(c_name::bytea, 'base64') AS v_b64,
+        |  CAST(decode(encode(c_name::bytea, 'hex'), 'hex') AS STRING) AS v_rt_hex,
+        |  CAST(decode(encode(c_name::bytea, 'base64'), 'base64') AS STRING) AS v_rt_b64,
+        |  encode(c_name::bytea, 'escape') AS v_escape
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin,
+      oracle =
+        """SELECT c_custkey,
+          |  lower(hex(encode(c_name))) AS v_hex,
+          |  to_base64(encode(c_name)) AS v_b64,
+          |  decode(from_hex(lower(hex(encode(c_name))))) AS v_rt_hex,
+          |  decode(from_base64(to_base64(encode(c_name)))) AS v_rt_b64,
+          |  c_name AS v_escape
+          |FROM customer
+          |WHERE c_custkey <= 200
+          |ORDER BY c_custkey""".stripMargin))
 }

@@ -631,6 +631,81 @@ object Fuzz {
              |WHERE (($g1) % 3) <= ANY (SELECT ($g2) % 4 FROM region r)
              |   OR n_nationkey < 5
              |ORDER BY n_nationkey""".stripMargin
-        }))
+        }), {
+        // json-operator dimension: random -> / ->> / #> / #>> chains
+        // over a per-row nested document — the JsonArrowRewrite pass +
+        // JsonOps expressions under differential test on generated
+        // navigation shapes (key/index/missing/out-of-bounds/scalar
+        // traps), not just the hand-picked q_fn_json_ops columns.
+        // DuckDB has -> and ->> natively with identical semantics on
+        // every shape here; #>/#>> spell as json_extract[_string] in
+        // the oracle (path steps: digits ⇒ [i], else .key). Two PG
+        // edges stay OUT of the grammar and live in JsonOpsSpec
+        // instead: json-null leaves (PG renders `null`, DuckDB's
+        // operators return SQL NULL) and negative from-the-end
+        // indices (DuckDB has none).
+        val rndJ = new Random(Seed + 17)
+        val keys = Seq("k", "arr", "o", "s", "deep", "b", "v", "missing")
+        def chain(): (String, String) = {
+          if (rndJ.nextInt(3) == 0) {
+            // path form
+            val parts = (0 to rndJ.nextInt(3)).map { _ =>
+              if (rndJ.nextBoolean()) keys(rndJ.nextInt(keys.size))
+              else rndJ.nextInt(5).toString
+            }
+            val asText = rndJ.nextBoolean()
+            val pg = parts.mkString("{", ",", "}")
+            val duckPath = "$" + parts.map(p =>
+              if (p.forall(_.isDigit)) s"[$p]" else s".$p").mkString
+            val spark = s"(j ${if (asText) "#>>" else "#>"} '$pg')"
+            val duck =
+              if (asText) s"json_extract_string(j, '$duckPath')"
+              else s"CAST(json_extract(j, '$duckPath') AS VARCHAR)"
+            (spark, duck)
+          } else {
+            val steps = 1 + rndJ.nextInt(3)
+            var expr = "j"
+            var lastText = false
+            (0 until steps).foreach { i =>
+              val last = i == steps - 1
+              val asText = last && rndJ.nextBoolean()
+              val op = if (asText) "->>" else "->"
+              val rhs =
+                if (rndJ.nextBoolean()) s"'${keys(rndJ.nextInt(keys.size))}'"
+                else rndJ.nextInt(5).toString
+              expr = s"($expr $op $rhs)"
+              lastText = asText
+            }
+            (expr, if (lastText) expr else s"CAST($expr AS VARCHAR)")
+          }
+        }
+        val pairs = (0 until 60).map(i => (i, chain()))
+        val sparkCols = pairs.map { case (i, (s, _)) => s"  $s AS j$i" }
+          .mkString(",\n")
+        val duckCols = pairs.map { case (i, (_, d)) => s"  $d AS j$i" }
+          .mkString(",\n")
+        def doc(str: String): String =
+          s"""CONCAT('{"k":', CAST(n_nationkey AS $str),
+             |      ',"arr":[', CAST(n_nationkey % 5 AS $str),
+             |      ',', CAST(n_regionkey AS $str),
+             |      ',9,"s', CAST(n_nationkey % 3 AS $str),
+             |      '"],"o":{"s":"x', CAST(n_regionkey AS $str),
+             |      '","deep":{"v":', CAST(n_nationkey % 7 AS $str),
+             |      '},"b":[', CAST(n_regionkey AS $str),
+             |      ',2]}}') AS j""".stripMargin
+        QueryDef.sql(
+          "q_fn_fuzz_json",
+          s"""SELECT n_nationkey,
+             |$sparkCols
+             |FROM (SELECT n_nationkey, ${doc("STRING")}
+             |  FROM nation) t
+             |ORDER BY n_nationkey""".stripMargin,
+          oracle =
+            s"""SELECT n_nationkey,
+               |$duckCols
+               |FROM (SELECT n_nationkey, ${doc("VARCHAR")}
+               |  FROM nation) t
+               |ORDER BY n_nationkey""".stripMargin)
+      })
   }
 }
