@@ -192,6 +192,14 @@ object PgFunctions {
     }
     f("unnest") { case Seq(a) => Explode(a) }
 
+    // --- extract/date_part/date_trunc PG field completion
+    // (century/decade/millennium/isodow/isoyear/epoch/micro-/
+    // milliseconds/timezone*; PG-origin century/millennium trunc —
+    // reference rewrite_query.c:1262; Spark-native fields delegate) ---
+    f("extract") { case Seq(fld, x) => DateParts.part(fld, x) }
+    f("date_part") { case Seq(fld, x) => DateParts.part(fld, x) }
+    f("date_trunc") { case Seq(fld, x) => DateParts.trunc(fld, x) }
+
     // --- strpos(str, sub) — PG arg order; Spark only has locate(sub, str)
     f("strpos") { case Seq(s, sub) => StringLocate(sub, s, Literal(1)) }
 

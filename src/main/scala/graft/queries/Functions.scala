@@ -239,6 +239,55 @@ object Functions {
           |WHERE o_orderkey <= 300
           |ORDER BY o_orderkey""".stripMargin),
 
+    // ---- PG extract/date_part/date_trunc field completion (reference
+    // test_time_functions.py pushes the full set down): century/decade/
+    // millennium/isodow/isoyear/epoch/microseconds/milliseconds +
+    // PG-origin century/millennium truncation (xx01, not xx00 — the
+    // reference adds INTERVAL 1 YEAR to the engine's trunc,
+    // rewrite_query.c:1262; the oracle does the same, exact for every
+    // non-xx00 year, and the fixtures contain none). DuckDB's extract
+    // fields already match PG; its milliseconds TRUNCATES where PG
+    // keeps the fraction, so the Spark side floors for comparison
+    // (PG-faithful fractional value pinned in DatePartsSpec). epoch
+    // floors before the BIGINT cast on both sides because the engines'
+    // double→int casts round differently (Spark truncates, DuckDB
+    // rounds). ----
+    QueryDef.sql(
+      "q_fn_extract_fields",
+      """SELECT event_id,
+        |  CAST(EXTRACT(CENTURY FROM ts) AS BIGINT) AS v_century,
+        |  CAST(EXTRACT(DECADE FROM ts) AS BIGINT) AS v_decade,
+        |  CAST(EXTRACT(MILLENNIUM FROM ts) AS BIGINT) AS v_millennium,
+        |  CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS v_isodow,
+        |  CAST(EXTRACT(ISOYEAR FROM ts) AS BIGINT) AS v_isoyear,
+        |  CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS v_epoch,
+        |  CAST(EXTRACT(MICROSECONDS FROM ts) AS BIGINT) AS v_us,
+        |  CAST(FLOOR(EXTRACT(MILLISECONDS FROM ts)) AS BIGINT) AS v_ms,
+        |  CAST(DATE_PART('century', ts) AS BIGINT) AS v_century_dp,
+        |  CAST(DATE_TRUNC('century', ts) AS DATE) AS v_tc,
+        |  CAST(DATE_TRUNC('decade', ts) AS DATE) AS v_td,
+        |  CAST(DATE_TRUNC('millennium', ts) AS DATE) AS v_tm
+        |FROM events
+        |WHERE event_id < 300
+        |ORDER BY event_id""".stripMargin,
+      oracle =
+        """SELECT event_id,
+          |  CAST(EXTRACT(CENTURY FROM ts) AS BIGINT) AS v_century,
+          |  CAST(EXTRACT(DECADE FROM ts) AS BIGINT) AS v_decade,
+          |  CAST(EXTRACT(MILLENNIUM FROM ts) AS BIGINT) AS v_millennium,
+          |  CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS v_isodow,
+          |  CAST(EXTRACT(ISOYEAR FROM ts) AS BIGINT) AS v_isoyear,
+          |  CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS v_epoch,
+          |  CAST(EXTRACT(MICROSECONDS FROM ts) AS BIGINT) AS v_us,
+          |  CAST(EXTRACT(MILLISECONDS FROM ts) AS BIGINT) AS v_ms,
+          |  CAST(DATE_PART('century', ts) AS BIGINT) AS v_century_dp,
+          |  CAST(DATE_TRUNC('century', ts) + INTERVAL 1 YEAR AS DATE) AS v_tc,
+          |  CAST(DATE_TRUNC('decade', ts) AS DATE) AS v_td,
+          |  CAST(DATE_TRUNC('millennium', ts) + INTERVAL 1 YEAR AS DATE) AS v_tm
+          |FROM events
+          |WHERE event_id < 300
+          |ORDER BY event_id""".stripMargin),
+
     // ---- date_bin + generate_series + to_char (PgFunctions) ----
     QueryDef.sql(
       "q_fn_datebin_series",
