@@ -57,7 +57,8 @@ object QueryDef {
         graft.plans.QuantifiedSubqueries.rewrite(
           graft.plans.ArrayLiteralRewrite.rewrite(
             graft.plans.JsonArrowRewrite.rewrite(
-              graft.plans.PgCastRewrite.rewrite(text)))))))
+              graft.plans.CollateRewrite.rewrite(
+                graft.plans.PgCastRewrite.rewrite(text))))))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df
