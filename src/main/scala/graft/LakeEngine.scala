@@ -46,6 +46,78 @@ final class LakeEngine(val spark: SparkSession) {
   private val settings = TrieMap.empty[String, String]
   private val initialTimeZone = spark.conf.get("spark.sql.session.timeZone")
 
+  // CREATE DOMAIN registry (reference test_domain.py): base PG type +
+  // optional DEFAULT and CHECK (the CHECK references the value as
+  // `VALUE`, PG's keyword). Columns typed by a domain store the BASE
+  // type in table metadata (the test's Iceberg-field assertion);
+  // engine-side the per-table domain columns drive write-time checks
+  // and insert defaults.
+  private case class Domain(base: String, default: Option[String],
+      check: Option[String])
+  private val domains = TrieMap.empty[String, Domain]
+  // table → (column, domain name) for domain-typed columns
+  private val domainCols = TrieMap.empty[String, Seq[(String, String)]]
+  // table → (column, default SQL) for plain column DEFAULTs
+  private val colDefaults = TrieMap.empty[String, Seq[(String, String)]]
+
+  // inheritance registry (reference test_inheritance.py): child →
+  // parent. A parent's registered view is the UNION ALL of its own
+  // rows and every descendant's, projected onto the parent's columns —
+  // the reference plans the same UNION engine-side.
+  private val inheritsOf = TrieMap.empty[String, String]
+  // declarative range partitioning (test_inheritance.py
+  // test_partitioning): parent → (schema, key column); children carry
+  // [from, to) bounds (None = DEFAULT partition) and also enter
+  // inheritsOf so reads reuse the family union.
+  private case class RangePart(child: String, from: Option[String],
+      to: Option[String])
+  private val partParents = TrieMap.empty[String, (StructType, String)]
+  private val partChildren = TrieMap.empty[String, Vector[RangePart]]
+
+  private def childrenOf(name: String): Seq[String] =
+    inheritsOf.toSeq.collect { case (c, p) if p == name => c }.sorted
+
+  /** The table plus every transitive descendant. */
+  private def familyOf(name: String): Seq[String] =
+    name +: childrenOf(name).flatMap(familyOf)
+
+  /** A member's OWN rows (no descendants): lake table snapshot, a
+    * partitioned parent's empty frame, or a registered foreign view.
+    */
+  private def ownRows(name: String): DataFrame =
+    tables.get(name).map(_.readIndexed()).getOrElse {
+      partParents.get(name) match {
+        case Some((schema, _)) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        case None => spark.table(name)
+      }
+    }
+
+  /** Family view: own rows + descendants, projected onto this table's
+    * columns (PG parent scans see the parent's column set).
+    */
+  private def familyFrame(name: String): DataFrame = {
+    val self = ownRows(name)
+    val cols = self.columns.toSeq
+    childrenOf(name).foldLeft(self) { (acc, c) =>
+      acc.unionAll(familyFrame(c).select(cols.map(col): _*))
+    }
+  }
+
+  /** Re-register the views of `name`, every descendant (family DML
+    * moves their snapshots too), and every ancestor (a child's
+    * snapshot move must surface through the parents' union views).
+    */
+  private def refreshFamilyViews(name: String): Unit = {
+    val ancestors = Iterator.iterate(inheritsOf.get(name))(
+      _.flatMap(inheritsOf.get)).takeWhile(_.isDefined).flatten.toSeq
+    (familyOf(name) ++ ancestors).foreach { n =>
+      if (tables.contains(n) || partParents.contains(n))
+        familyFrame(n).createOrReplaceTempView(n)
+    }
+  }
+
   private def reapplyViews(): Unit = viewDefs.synchronized {
     viewDefs.forEach((n, sel) =>
       QueryDef.pgSql(spark, sel).createOrReplaceTempView(n))
@@ -85,23 +157,36 @@ final class LakeEngine(val spark: SparkSession) {
 
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
-    t.readIndexed().createOrReplaceTempView(name)
+    refreshFamilyViews(name)
     reapplyViews()
     t
   }
 
-  /** Refresh the temp view after DML (snapshot pointer moved). */
+  /** Refresh the temp view after DML (snapshot pointer moved); a
+    * child's move re-registers every ancestor's family union too.
+    */
   def refresh(name: String): Unit = {
-    tables.get(name).foreach(_.readIndexed().createOrReplaceTempView(name))
+    if (tables.contains(name) || partParents.contains(name))
+      refreshFamilyViews(name)
     reapplyViews()
   }
 
   /** DROP TABLE: unregister the view + delete per [[LakeTable.drop]]. */
   def dropTable(name: String, purge: Boolean = true): Unit = {
+    require(childrenOf(name).isEmpty,
+      s"cannot drop table $name because other tables inherit from it")
     tables.remove(name).foreach { t =>
       spark.catalog.dropTempView(name)
       t.drop(purge)
     }
+    // a dropped child leaves its family: detach and refresh ancestors
+    inheritsOf.remove(name).foreach { parent =>
+      partChildren.get(parent).foreach(kids =>
+        partChildren.put(parent, kids.filterNot(_.child == name)))
+      refreshFamilyViews(parent)
+    }
+    domainCols.remove(name)
+    colDefaults.remove(name)
   }
 
   /** RENAME TABLE: pure registry move — the table's location and
@@ -636,8 +721,9 @@ final class LakeEngine(val spark: SparkSession) {
   def copyFrom(tableName: String, url: String,
       options: Map[String, String] = Map.empty): Long = {
     val t = table(tableName)
-    val src = createLakeTable(s"__copy_src_$tableName", url,
-      schema = Some(t.meta.sparkSchema), options = options)
+    val src = applyDomainChecks(tableName,
+      createLakeTable(s"__copy_src_$tableName", url,
+        schema = Some(t.meta.sparkSchema), options = options))
     val obs = new org.apache.spark.sql.Observation()
     t.append(src.observe(obs, count(lit(1)).as("n")))
     refresh(tableName)
@@ -823,14 +909,64 @@ final class LakeEngine(val spark: SparkSession) {
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = createTableAsSelect(name, loc, spark.sql(select), spec)
         Seq(t.read().count()).toDF("rows_inserted")
+      case insertRe(name, rest) if partParents.contains(name) =>
+        // range-partitioned parent: route each row to its child (the
+        // reference delegates this to PG's own partitioning; here each
+        // child gets the matching slice — one filter-scan per child,
+        // partition counts are small by construction)
+        val (schema, keyCol) = partParents(name)
+        val df0 = spark.sql(rest)
+        val target = schema.fieldNames.toSeq
+        val aligned =
+          if (df0.columns.length == target.length &&
+            df0.columns.toSeq != target) df0.toDF(target: _*)
+          else df0
+        val typed = aligned.select(schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        val kids = partChildren.getOrElse(name, Vector.empty)
+        require(kids.nonEmpty, s"no partitions defined for $name")
+        val k = col(keyCol)
+        val ranged = kids.filter(_.from.isDefined)
+        def cond(rp: RangePart) = k >= expr(rp.from.get) && k < expr(rp.to.get)
+        val leftover = ranged.map(cond).reduceOption(_ || _)
+          .map(c => typed.filter(!coalesce(c, lit(false)))).getOrElse(typed)
+        val defaultKid = kids.find(_.from.isEmpty)
+        if (defaultKid.isEmpty) {
+          // stray check BEFORE any append: a routing miss aborts the
+          // whole statement with nothing written (PG aborts too)
+          val stray = leftover.count()
+          require(stray == 0,
+            s"no partition of relation $name found for $stray row(s)")
+        }
+        var total = 0L
+        def route(child: String, slice: DataFrame): Unit = {
+          val obs = new org.apache.spark.sql.Observation()
+          table(child).append(slice.observe(obs, count(lit(1)).as("n")))
+          total += obs.get.get("n").flatMap(Option(_))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
+        ranged.foreach(rp => route(rp.child, typed.filter(cond(rp))))
+        defaultKid.foreach(rp => route(rp.child, leftover))
+        refresh(name)
+        Seq(total).toDF("rows_inserted")
       case insertRe(name, rest) if tables.contains(name) =>
         val df = spark.sql(rest)
-        val target = table(name).meta.sparkSchema.fieldNames.toSeq
-        // VALUES lists arrive as col1..colN: align by position
-        val aligned =
+        val targetFields = table(name).meta.sparkSchema.fields.toSeq
+        val target = targetFields.map(_.name)
+        // VALUES lists arrive as col1..colN: align by position; a
+        // SHORTER list fills the remaining columns with their declared
+        // (or domain) DEFAULTs, PG-style
+        val aligned0 =
           if (df.columns.length == target.length && df.columns.toSeq != target)
             df.toDF(target: _*)
-          else df
+          else if (df.columns.length < target.length) {
+            val renamed = df.toDF(target.take(df.columns.length): _*)
+            targetFields.drop(df.columns.length).foldLeft(renamed) {
+              (acc, f) => acc.withColumn(f.name,
+                defaultExprFor(name, f.name, f.dataType))
+            }
+          } else df
+        val aligned = applyDomainChecks(name, aligned0)
         // the inserted-row count rides the append's write job as an
         // observed metric (the copyFrom pattern) — the SELECT feeding
         // the INSERT executes once, not count()+append
@@ -851,6 +987,22 @@ final class LakeEngine(val spark: SparkSession) {
             Seq(insObs.get.get("n").flatMap(Option(_))
               .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
         }
+      case deleteRe(name, whereOrNull)
+          if (tables.contains(name) || partParents.contains(name)) &&
+            familyOf(name).size > 1 =>
+        // inheritance/partition family: PG propagates the DELETE to
+        // every member (test_inheritance.py posture); RETURNING over a
+        // family is refused, target the members
+        require(retClause.isEmpty,
+          "DELETE ... RETURNING over an inheritance family is not " +
+            "supported; target the member tables")
+        val fam = familyOf(name)
+        require(fam.forall(m => tables.contains(m) || partParents.contains(m)),
+          s"family of $name contains foreign members: DELETE cannot propagate")
+        val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
+        val n = fam.filter(tables.contains).map(m => table(m).delete(pred)).sum
+        refresh(name)
+        Seq(n).toDF("rows_deleted")
       case deleteRe(name, whereOrNull) if tables.contains(name) =>
         val t = table(name)
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
@@ -867,6 +1019,24 @@ final class LakeEngine(val spark: SparkSession) {
               .selectExpr(splitTopLevel(ret).map(_.trim): _*)
           case None => Seq(n).toDF("rows_deleted")
         }
+      case updateRe(name, setList, whereOrNull)
+          if (tables.contains(name) || partParents.contains(name)) &&
+            familyOf(name).size > 1 =>
+        require(retClause.isEmpty,
+          "UPDATE ... RETURNING over an inheritance family is not " +
+            "supported; target the member tables")
+        val fam = familyOf(name)
+        require(fam.forall(m => tables.contains(m) || partParents.contains(m)),
+          s"family of $name contains foreign members: UPDATE cannot propagate")
+        val assignments = splitTopLevel(setList).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim -> expr(e.trim)
+        }.toMap
+        val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
+        val n = fam.filter(tables.contains)
+          .map(m => table(m).update(pred, assignments)).sum
+        refresh(name)
+        Seq(n).toDF("rows_updated")
       case updateRe(name, setList, whereOrNull) if tables.contains(name) =>
         val assignments = splitTopLevel(setList).map { a =>
           val Array(c, e) = a.split("=", 2)
@@ -957,6 +1127,100 @@ final class LakeEngine(val spark: SparkSession) {
           Option(defaultOrNull).map(_.trim))
         refresh(name)
         Seq(colName).toDF("column_added")
+      case createDomainRe(name, tail) =>
+        val key = name.toLowerCase
+        require(!domains.contains(key), s"""domain "$name" already exists""")
+        val (base, default, check) = parseDomainTail(tail)
+        // validate the base type resolves now, not at first use
+        org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(base))
+        domains.put(key, Domain(base, default, check))
+        Seq(name).toDF("domain_created")
+      case dropDomainRe(ifExistsOrNull, name) =>
+        val known = domains.remove(name.toLowerCase).isDefined
+        require(known || ifExistsOrNull != null,
+          s"""domain "$name" does not exist""")
+        Seq(name).toDF("domain_dropped")
+      case createInheritsRe(name, colsOrEmpty, parent, locOrNull) =>
+        val parentSchema =
+          if (tables.contains(parent)) table(parent).meta.sparkSchema
+          else spark.table(parent).schema
+        val colsSpec = colsOrEmpty.trim
+        // () or (LIKE parent) take the parent's columns; explicit
+        // columns append as extras (PG merges parent columns in front)
+        val likeRe = "(?is)^LIKE\\s+(\\w+)$".r
+        val extras = colsSpec match {
+          case "" => Nil
+          case likeRe(src) =>
+            val srcSchema =
+              if (tables.contains(src)) table(src).meta.sparkSchema
+              else spark.table(src).schema
+            require(srcSchema.fieldNames.map(_.toLowerCase).toSeq ==
+              parentSchema.fieldNames.map(_.toLowerCase).toSeq,
+              s"LIKE $src columns must match the inherited parent's")
+            Nil
+          case other => splitTopLevel(other).map(_.trim).filter(_.nonEmpty)
+            .map(parseColDef).map(_._1)
+        }
+        val schema = StructType(parentSchema.fields ++ extras)
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = LakeTable.create(spark, loc, name, schema, Nil)
+        inheritsOf.put(name, parent)
+        register(name, t)
+        refreshFamilyViews(parent)
+        Seq(name).toDF("table_created")
+      case alterInheritRe(name, noOrNull, parent) =>
+        if (noOrNull != null) {
+          require(inheritsOf.get(name).contains(parent),
+            s"$name does not inherit from $parent")
+          inheritsOf.remove(name)
+        } else {
+          require(!familyOf(name).contains(parent),
+            s"circular inheritance: $parent is already a descendant of $name")
+          val parentCols =
+            (if (tables.contains(parent)) table(parent).meta.sparkSchema
+             else spark.table(parent).schema).fieldNames
+              .map(_.toLowerCase).toSet
+          val childCols =
+            (if (tables.contains(name)) table(name).meta.sparkSchema
+             else spark.table(name).schema).fieldNames
+              .map(_.toLowerCase).toSet
+          require(parentCols.subsetOf(childCols),
+            s"child table $name is missing inherited columns: " +
+              (parentCols -- childCols).mkString(", "))
+          inheritsOf.put(name, parent)
+        }
+        refreshFamilyViews(parent)
+        reapplyViews()
+        Seq(name).toDF("inheritance_changed")
+      case createPartParentRe(name, colList, keyCol) =>
+        val parsed = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
+          .map(parseColDef)
+        val schema = StructType(parsed.map(_._1))
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+          s"partition key $keyCol is not a column of $name")
+        partParents.put(name, (schema, keyCol))
+        partChildren.put(name, Vector.empty)
+        refreshFamilyViews(name)
+        Seq(name).toDF("table_created")
+      case createPartChildRe(name, parent, fromOrNull, toOrNull,
+          defaultOrNull, locOrNull) =>
+        val (schema, _) = partParents.getOrElse(parent,
+          throw new IllegalArgumentException(
+            s"$parent is not a partitioned table"))
+        require(defaultOrNull == null ||
+          !partChildren(parent).exists(_.from.isEmpty),
+          s"$parent already has a DEFAULT partition")
+        val loc = Option(locOrNull)
+          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+        val t = LakeTable.create(spark, loc, name, schema, Nil)
+        partChildren.put(parent, partChildren(parent) :+
+          RangePart(name, Option(fromOrNull).map(_.trim),
+            Option(toOrNull).map(_.trim)))
+        inheritsOf.put(name, parent)
+        register(name, t)
+        refreshFamilyViews(parent)
+        Seq(name).toDF("table_created")
       case createLikeRe(name, src, locOrNull) =>
         // reference: CREATE TABLE t (LIKE lake_table) USING iceberg —
         // the log-pipeline DDL (docs/use-case-log-management.md), schema
@@ -970,12 +1234,17 @@ final class LakeEngine(val spark: SparkSession) {
         register(name, t)
         Seq(name).toDF("table_created")
       case createColsRe(name, colList, specOrNull, locOrNull, withOrNull) =>
-        val fields = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
-          .map { c =>
-            val Array(cn, ct) = c.split("\\s+", 2)
-            org.apache.spark.sql.types.StructField(cn,
-              org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(ct)))
-          }
+        val parsed = splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
+          .map(parseColDef)
+        val fields = parsed.map(_._1)
+        val domEntries = parsed.collect {
+          case (f, Some(dn), _) => f.name -> dn
+        }
+        val defEntries = parsed.collect {
+          case (f, _, Some(d)) => f.name -> d
+        }
+        if (domEntries.nonEmpty) domainCols.put(name, domEntries)
+        if (defEntries.nonEmpty) colDefaults.put(name, defEntries)
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
@@ -1026,6 +1295,123 @@ final class LakeEngine(val spark: SparkSession) {
     }
     plans.DollarParams.bind(stmt, castArgs)
   }
+
+  /** `type [DEFAULT expr] [CHECK (expr)]` → (base, default, check).
+    * Scanned at paren depth 0 so expression-internal keywords survive.
+    */
+  private def parseDomainTail(tail: String): (String, Option[String],
+      Option[String]) = {
+    val up = tail.toUpperCase
+    def topLevelIdx(kw: String): Int = {
+      var depth = 0
+      var i = 0
+      while (i < tail.length) {
+        tail.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => // skip string literal
+            i += 1
+            while (i < tail.length && tail.charAt(i) != '\'') i += 1
+          case _ if depth == 0 && up.startsWith(kw, i) &&
+            (i == 0 || !tail.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= tail.length ||
+              !tail.charAt(i + kw.length).isLetterOrDigit) => return i
+          case _ => ()
+        }
+        i += 1
+      }
+      -1
+    }
+    val checkIdx = topLevelIdx("CHECK")
+    val beforeCheck = if (checkIdx < 0) tail else tail.substring(0, checkIdx)
+    val check = if (checkIdx < 0) None else {
+      val open = tail.indexOf('(', checkIdx)
+      require(open > 0, "CREATE DOMAIN: CHECK requires a parenthesized expression")
+      var depth = 0
+      var i = open
+      var close = -1
+      while (i < tail.length && close < 0) {
+        tail.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = i
+          case _ => ()
+        }
+        i += 1
+      }
+      require(close > open, "CREATE DOMAIN: unbalanced CHECK parens")
+      Some(tail.substring(open + 1, close).trim)
+    }
+    val defIdx = {
+      val upB = beforeCheck.toUpperCase
+      val m = "(?i)\\bDEFAULT\\b".r.findFirstMatchIn(upB)
+      m.map(_.start).getOrElse(-1)
+    }
+    val base =
+      (if (defIdx < 0) beforeCheck else beforeCheck.substring(0, defIdx)).trim
+    val default =
+      if (defIdx < 0) None
+      else Some(beforeCheck.substring(defIdx + "DEFAULT".length).trim)
+        .filter(_.nonEmpty)
+    (base, default, check)
+  }
+
+  /** `name type [DEFAULT expr]` column definition, resolving domain
+    * type names onto their base type. Returns (field, domainName?,
+    * defaultSql?).
+    */
+  private def parseColDef(c: String): (org.apache.spark.sql.types.StructField,
+      Option[String], Option[String]) = {
+    val Array(cn, rest) = c.split("\\s+", 2)
+    val m = "(?is)^(.+?)(?:\\s+DEFAULT\\s+(.+))?$".r
+      .findFirstMatchIn(rest).get
+    val tyName = m.group(1).trim
+    val explicitDefault = Option(m.group(2)).map(_.trim)
+    domains.get(tyName.toLowerCase) match {
+      case Some(dom) =>
+        (org.apache.spark.sql.types.StructField(cn,
+          org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(dom.base))),
+          Some(tyName.toLowerCase),
+          explicitDefault.orElse(dom.default))
+      case None =>
+        (org.apache.spark.sql.types.StructField(cn,
+          org.apache.spark.sql.types.DataType.fromDDL(pgTypeName(tyName))),
+          None, explicitDefault)
+    }
+  }
+
+  /** Default expression for an omitted INSERT column: declared column
+    * (or domain) DEFAULT, else typed NULL.
+    */
+  private def defaultExprFor(name: String, c: String,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    colDefaults.getOrElse(name, Nil).collectFirst {
+      case (cn, d) if cn.equalsIgnoreCase(c) => expr(d).cast(dt)
+    }.getOrElse(lit(null).cast(dt))
+  }
+
+  /** Wrap a frame headed for `name` with per-row domain CHECK
+    * assertions (reference test_domain.py: COPY/INSERT must raise
+    * "value for domain X violates check constraint"). Single scan:
+    * the assertion rides the write projection, no extra count pass.
+    * NULL values pass the check (PG: a NULL check result is not a
+    * violation).
+    */
+  private def applyDomainChecks(name: String, df: DataFrame): DataFrame =
+    domainCols.get(name).filter(_.nonEmpty).map { entries =>
+      entries.foldLeft(df) { case (acc, (c, dn)) =>
+        domains.get(dn).flatMap(_.check) match {
+          case Some(chk) if acc.columns.exists(_.equalsIgnoreCase(c)) =>
+            val cond = expr(chk.replaceAll("(?i)\\bvalue\\b", c))
+            val dt = acc.schema(acc.columns
+              .find(_.equalsIgnoreCase(c)).get).dataType
+            acc.withColumn(c, when(cond.isNotNull && !cond,
+              raise_error(lit(s"value for domain $dn violates check " +
+                "constraint")).cast(dt)).otherwise(col(c)))
+          case _ => acc
+        }
+      }
+    }.getOrElse(df)
 
   private def stripQuotes(v: String): String = {
     val t = v.trim
@@ -1213,6 +1599,30 @@ final class LakeEngine(val spark: SparkSession) {
   private val alterAddRe =
     ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+" +
       "([\\w(), ]+?)(?:\\s+DEFAULT\\s+(.+?))?\\s*;?\\s*$").r
+  // CREATE DOMAIN name AS type [DEFAULT expr] [CHECK (expr)] — tail
+  // parsed manually (DEFAULT/CHECK order per PG's grammar)
+  private val createDomainRe =
+    "(?is)^CREATE\\s+DOMAIN\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val dropDomainRe =
+    "(?is)^DROP\\s+DOMAIN\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r
+  // CREATE TABLE child (cols|LIKE p|) INHERITS (parent)
+  private val createInheritsRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)" +
+      "\\s+INHERITS\\s*\\(\\s*(\\w+)\\s*\\)" +
+      "(?:\\s+USING\\s+\\w+)?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*$").r
+  private val alterInheritRe =
+    "(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+(NO\\s+)?INHERIT\\s+(\\w+)\\s*;?\\s*$".r
+  // declarative range partitioning (parent is virtual; children are
+  // lake tables with [from, to) bounds or DEFAULT)
+  private val createPartParentRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(((?:[^()]|\\([^()]*\\))+)\\)" +
+      "\\s+PARTITION\\s+BY\\s+RANGE\\s*\\(\\s*(\\w+)\\s*\\)\\s*;?\\s*$").r
+  private val createPartChildRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s+PARTITION\\s+OF\\s+(\\w+)\\s+" +
+      "(?:FOR\\s+VALUES\\s+FROM\\s*\\(([^()]*)\\)\\s*TO\\s*\\(([^()]*)\\)" +
+      "|(DEFAULT))" +
+      "(?:\\s+USING\\s+\\w+)?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*$").r
+
   // CREATE TABLE t (LIKE other) [USING iceberg] [LOCATION '...']
   private val createLikeRe =
     ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*\\(\\s*LIKE\\s+(\\w+)\\s*\\)" +

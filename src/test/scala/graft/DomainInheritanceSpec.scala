@@ -1,0 +1,147 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PG domains (reference test_domain.py), table inheritance and
+  * declarative range partitioning (test_inheritance.py) on the engine
+  * SQL surface.
+  */
+class DomainInheritanceSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def engine(): LakeEngine = LakeEngine(spark)
+
+  test("domain: base type in metadata, default applies, check enforces") {
+    val e = engine()
+    e.sql("CREATE DOMAIN year_int AS integer CHECK (value >= 1 AND value <= 9999)")
+    e.sql("CREATE DOMAIN small_float AS double precision CHECK (value > 0)")
+    e.sql("CREATE DOMAIN dtext AS text DEFAULT 'dflt'")
+    e.sql("CREATE TABLE domain_types (y year_int, d small_float, t dtext)")
+    // domain over scalar must produce the BASE type in table metadata
+    val schema = e.table("domain_types").meta.sparkSchema
+    assert(schema("y").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(schema("d").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(schema("t").dataType == org.apache.spark.sql.types.StringType)
+    e.sql("INSERT INTO domain_types VALUES (2024, 3.14, 'hello')")
+    val r = e.sql("SELECT y, d, t FROM domain_types").head
+    assert(r.getInt(0) == 2024 && math.abs(r.getDouble(1) - 3.14) < 1e-9 &&
+      r.getString(2) == "hello")
+    // short VALUES list fills the remaining columns from defaults
+    e.sql("INSERT INTO domain_types VALUES (2025, 1.5)")
+    val d = e.sql(
+      "SELECT t FROM domain_types WHERE y = 2025").head
+    assert(d.getString(0) == "dflt")
+    // check violation raises with the PG message
+    val ex = intercept[Exception](
+      e.sql("INSERT INTO domain_types VALUES (2026, -1.0, 'x')"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      m.contains("value for domain small_float violates check constraint")))
+    // NULL passes the check (PG: NULL check result is not a violation)
+    e.sql("INSERT INTO domain_types VALUES (2027, NULL, 'n')")
+    assert(e.sql("SELECT count(*) AS n FROM domain_types").head.getLong(0) == 3)
+    // duplicate create refused; drop works
+    intercept[IllegalArgumentException](
+      e.sql("CREATE DOMAIN year_int AS int"))
+    e.sql("DROP DOMAIN dtext")
+    intercept[IllegalArgumentException](e.sql("DROP DOMAIN dtext"))
+    e.sql("DROP DOMAIN IF EXISTS dtext")
+    e.dropTable("domain_types")
+  }
+
+  test("domain check enforced on COPY FROM (reference copy_from_domain)") {
+    val e = engine()
+    val dir = java.nio.file.Files.createTempDirectory("dom_copy").toString
+    spark.sql("SELECT 9 AS x, -1 AS y").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in.parquet")
+    e.sql("CREATE DOMAIN positive AS int CHECK (value > 0)")
+    e.sql("CREATE TABLE copy_dom (x int, y positive DEFAULT 2)")
+    val ex = intercept[Exception](
+      e.sql(s"COPY copy_dom FROM '$dir/in.parquet/*.parquet'"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      m.contains("value for domain positive violates check constraint")))
+    assert(e.sql("SELECT count(*) AS n FROM copy_dom").head.getLong(0) == 0)
+    e.sql("DROP DOMAIN positive")
+    e.dropTable("copy_dom")
+  }
+
+  test("inheritance: parent scans the family, joins stay per-table") {
+    val e = engine()
+    e.sql("CREATE TABLE parent_i AS SELECT id AS x, id AS y FROM RANGE(1, 11)")
+    e.sql("CREATE TABLE child_i (LIKE parent_i) INHERITS (parent_i)")
+    e.sql("CREATE TABLE grandchild_i () INHERITS (child_i)")
+    e.sql("CREATE TABLE empty_grandchild_i () INHERITS (child_i)")
+    e.sql("INSERT INTO child_i SELECT id, id FROM RANGE(11, 16)")
+    e.sql("INSERT INTO grandchild_i SELECT id, id FROM RANGE(21, 26)")
+    // a foreign sibling joins the family via ALTER ... INHERIT
+    spark.sql("SELECT id AS x, id AS y FROM RANGE(21, 31)")
+      .createOrReplaceTempView("child_pq_i")
+    e.sql("ALTER TABLE child_pq_i INHERIT parent_i")
+    assert(e.sql("SELECT count(*) AS n FROM parent_i").head.getLong(0) == 30)
+    assert(e.sql("SELECT count(*) AS n FROM child_i").head.getLong(0) == 10)
+    // child join against the foreign sibling: 5 overlapping keys
+    assert(e.sql(
+      """SELECT count(*) AS n FROM grandchild_i
+        |JOIN child_pq_i USING (x)""".stripMargin).head.getLong(0) == 5)
+    // NO INHERIT detaches the foreign sibling
+    e.sql("ALTER TABLE child_pq_i NO INHERIT parent_i")
+    assert(e.sql("SELECT count(*) AS n FROM parent_i").head.getLong(0) == 20)
+    // parent DML propagates to the (all-lake) family
+    e.sql("DELETE FROM parent_i WHERE x > 23")
+    assert(e.sql("SELECT count(*) AS n FROM child_i").head.getLong(0) == 8)
+    // 10 + 5 + (5-2 deleted) = 18
+    assert(e.sql("SELECT count(*) AS n FROM parent_i").head.getLong(0) == 18)
+    // dropping a parent with children refuses
+    intercept[IllegalArgumentException](e.dropTable("child_i"))
+    e.dropTable("grandchild_i"); e.dropTable("empty_grandchild_i")
+    e.dropTable("child_i"); e.dropTable("parent_i")
+  }
+
+  test("foreign member in family makes parent DML refuse loudly") {
+    val e = engine()
+    e.sql("CREATE TABLE parent_f AS SELECT 1 AS x")
+    spark.sql("SELECT 2 AS x").createOrReplaceTempView("foreign_f")
+    e.sql("ALTER TABLE foreign_f INHERIT parent_f")
+    val ex = intercept[IllegalArgumentException](
+      e.sql("DELETE FROM parent_f WHERE x = 2"))
+    assert(ex.getMessage.contains("foreign members"))
+    e.sql("ALTER TABLE foreign_f NO INHERIT parent_f")
+    e.dropTable("parent_f")
+  }
+
+  test("range partitioning: inserts route, default catches, reads union") {
+    val e = engine()
+    e.sql("CREATE TABLE part_p (x int, y int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_c1 PARTITION OF part_p FOR VALUES FROM (1) TO (10)")
+    e.sql("CREATE TABLE part_c2 PARTITION OF part_p DEFAULT")
+    val n = e.sql(
+      "INSERT INTO part_p SELECT id, id FROM RANGE(1, 21)").head.getLong(0)
+    assert(n == 20)
+    assert(e.sql("SELECT count(*) AS n FROM part_p").head.getLong(0) == 20)
+    // [1,10) lands in c1, the rest in the default
+    assert(e.sql("SELECT count(*) AS n FROM part_c1").head.getLong(0) == 9)
+    assert(e.sql("SELECT count(*) AS n FROM part_c2").head.getLong(0) == 11)
+    assert(e.sql("SELECT max(x) AS m FROM part_c1").head.getInt(0) == 9)
+    // family DML propagates from the virtual parent
+    e.sql("DELETE FROM part_p WHERE x >= 15")
+    assert(e.sql("SELECT count(*) AS n FROM part_p").head.getLong(0) == 14)
+    // second DEFAULT refused
+    intercept[IllegalArgumentException](
+      e.sql("CREATE TABLE part_c3 PARTITION OF part_p DEFAULT"))
+    e.dropTable("part_c1"); e.dropTable("part_c2")
+  }
+
+  test("range partitioning without default: stray rows refuse") {
+    val e = engine()
+    e.sql("CREATE TABLE part_q (x int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_q1 PARTITION OF part_q FOR VALUES FROM (0) TO (5)")
+    intercept[Exception](
+      e.sql("INSERT INTO part_q SELECT id FROM RANGE(0, 9)"))
+    // the stray check runs BEFORE any append: nothing was written
+    assert(e.sql("SELECT count(*) AS n FROM part_q1").head.getLong(0) == 0)
+    e.dropTable("part_q1")
+  }
+}
