@@ -215,6 +215,9 @@ object IcebergExport {
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))
+    // outstanding merge-on-read state exports as a real v2 delete
+    // manifest (content=1); our delete parquets already use the spec's
+    // (file_path, pos) column names
     val fields = m.currentSchema.fields
     val typesById: Map[Int, DataType] =
       fields.map(f => f.id -> DataType.fromDDL(f.dataType)).toMap
@@ -235,7 +238,7 @@ object IcebergExport {
           partAvroType(t, src).map(av => (t, src, av, 1000 + i))
         }
         val exportable = plan.size == transforms.size &&
-          snap.files.forall(fe => transforms.forall { t =>
+          snap.dataFiles.forall(fe => transforms.forall { t =>
             fe.partStats.get(t.valueName).exists(st =>
               st.min.isDefined && st.min == st.max)
           })
@@ -249,7 +252,7 @@ object IcebergExport {
     val dfSchema = eSchema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
 
-    val entries = snap.files.map { fe =>
+    val entries = snap.dataFiles.map { fe =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", 0)
       df.put("file_path", "file://" + fe.path)
@@ -317,6 +320,39 @@ object IcebergExport {
       "format-version" -> "2",
       "content" -> "data"))
 
+    // outstanding position deletes: a second manifest with content=1
+    // entries at a HIGHER sequence number, so readers apply them to
+    // every data file (spec: deletes hit data with data_seq ≤ del_seq)
+    val delSeq = seq + 1
+    val deleteManifest: Option[(String, Long)] =
+      if (snap.deleteFiles.isEmpty) None
+      else {
+        val delEntries = snap.deleteFiles.map { fe =>
+          val df = new GenericData.Record(dfSchema)
+          df.put("content", 1)
+          df.put("file_path", "file://" + fe.path)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(partSchema))
+          df.put("record_count", fe.rows)
+          df.put("file_size_in_bytes", fe.bytes)
+          val e = new GenericData.Record(eSchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", delSeq)
+          e.put("file_sequence_number", delSeq)
+          e.put("data_file", df)
+          e
+        }
+        val p = dir.resolve(s"manifest-$snapshotId-deletes.avro").toString
+        val len = writeAvro(p, eSchema, delEntries, Map(
+          "schema" -> icebergSchemaJson,
+          "partition-spec" -> specFieldsJson,
+          "partition-spec-id" -> "0",
+          "format-version" -> "2",
+          "content" -> "deletes"))
+        Some((p, len))
+      }
+
     // manifest list
     val ml = new GenericData.Record(ManifestListSchema)
     ml.put("manifest_path", "file://" + manifestPath)
@@ -326,14 +362,31 @@ object IcebergExport {
     ml.put("sequence_number", seq)
     ml.put("min_sequence_number", seq)
     ml.put("added_snapshot_id", snapshotId)
-    ml.put("added_files_count", snap.files.size)
+    ml.put("added_files_count", snap.dataFiles.size)
     ml.put("existing_files_count", 0)
     ml.put("deleted_files_count", 0)
-    ml.put("added_rows_count", snap.files.map(_.rows).sum)
+    ml.put("added_rows_count", snap.dataFiles.map(_.rows).sum)
     ml.put("existing_rows_count", 0L)
     ml.put("deleted_rows_count", 0L)
+    val mls = Seq(ml) ++ deleteManifest.map { case (p, len) =>
+      val d = new GenericData.Record(ManifestListSchema)
+      d.put("manifest_path", "file://" + p)
+      d.put("manifest_length", len)
+      d.put("partition_spec_id", 0)
+      d.put("content", 1)
+      d.put("sequence_number", delSeq)
+      d.put("min_sequence_number", delSeq)
+      d.put("added_snapshot_id", snapshotId)
+      d.put("added_files_count", snap.deleteFiles.size)
+      d.put("existing_files_count", 0)
+      d.put("deleted_files_count", 0)
+      d.put("added_rows_count", snap.deleteFiles.map(_.rows).sum)
+      d.put("existing_rows_count", 0L)
+      d.put("deleted_rows_count", 0L)
+      d
+    }
     val mlPath = dir.resolve(s"snap-$snapshotId.avro").toString
-    writeAvro(mlPath, ManifestListSchema, Seq(ml), Map(
+    writeAvro(mlPath, ManifestListSchema, mls, Map(
       "format-version" -> "2"))
 
     // name mapping: files written before field-id embedding carry no
@@ -348,7 +401,7 @@ object IcebergExport {
          |  "format-version": 2,
          |  "table-uuid": "${UUID.randomUUID()}",
          |  "location": "file://${table.location}",
-         |  "last-sequence-number": $seq,
+         |  "last-sequence-number": ${if (snap.deleteFiles.isEmpty) seq else delSeq},
          |  "last-updated-ms": $now,
          |  "last-column-id": ${m.nextFieldId - 1},
          |  "schemas": [$icebergSchemaJson],
@@ -364,7 +417,7 @@ object IcebergExport {
          |  "current-snapshot-id": $snapshotId,
          |  "snapshots": [{
          |    "snapshot-id": $snapshotId,
-         |    "sequence-number": $seq,
+         |    "sequence-number": ${if (snap.deleteFiles.isEmpty) seq else delSeq},
          |    "timestamp-ms": $now,
          |    "manifest-list": "file://$mlPath",
          |    "summary": {"operation": "append"},

@@ -26,7 +26,7 @@ final class LakeFileIndex(spark: SparkSession, meta: TableMetadata)
     extends FileIndex {
 
   private val files: Seq[FileEntry] =
-    meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    meta.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
 
   /** Observability: (kept, total) of the last listFiles call. */
   @volatile var lastPruning: (Int, Int) = (files.size, files.size)
@@ -82,6 +82,6 @@ object LakeFileIndex {
   }
 
   def singleSchemaVersion(meta: TableMetadata): Boolean =
-    meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    meta.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
       .forall(_.schemaVersion == meta.currentSchemaVersion)
 }

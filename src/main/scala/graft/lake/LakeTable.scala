@@ -60,10 +60,24 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val hasInterval = m.currentSchema.fields.exists(f =>
       IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
     if (LakeFileIndex.singleSchemaVersion(m) && !hasInterval &&
-        m.currentSnapshot.exists(_.files.nonEmpty)) {
+        m.currentSnapshot.exists(_.dataFiles.nonEmpty)) {
       val index = new LakeFileIndex(spark, m)
       lastIndex = Some(index)
-      LakeFileIndex.relationFor(spark, m, index)
+      val rel = LakeFileIndex.relationFor(spark, m, index)
+      val dels = m.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+      if (dels.isEmpty) rel else {
+        // merge-on-read: the anti join sits ABOVE the pruning relation,
+        // so file pruning and filter pushdown on the data side survive;
+        // the delete rows broadcast (they are small by the CoW
+        // threshold's construction)
+        val pos = broadcast(readDeletePositions(dels))
+        rel.withColumn("__mor_fp",
+            RowIds.normalizePath(col("_metadata.file_path")))
+          .withColumn("__mor_ri", col("_metadata.row_index"))
+          .join(pos, col("__mor_fp") === pos("file_path") &&
+            col("__mor_ri") === pos("pos"), "left_anti")
+          .drop("__mor_fp", "__mor_ri")
+      }
     } else read()
   }
 
@@ -92,7 +106,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def pruneStats(filter: Column): (Int, Int) = {
     val m = meta
-    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val files = m.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
     val kept = Pruning.keep(m, resolvePredicate(m, filter), files)
     (kept.size, files.size)
   }
@@ -116,12 +130,55 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   private def scanSnapshot(m: TableMetadata, files: Seq[FileEntry],
       filter: Option[Column]): DataFrame = {
+    val (dels, data) = files.partition(!_.isData)
     val pruned = filter match {
-      case Some(f) => Pruning.keep(m, resolvePredicate(m, f), files)
-      case None => files
+      case Some(f) => Pruning.keep(m, resolvePredicate(m, f), data)
+      case None => data
     }
-    val frame = readFiles(m, pruned)
+    val frame = readResolved(m, pruned ++ dels)
     filter.map(frame.filter).getOrElse(frame)
+  }
+
+  // ------------------------------------ merge-on-read position deletes
+
+  private val deleteSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Rows of the given position-delete files: (normalized file_path,
+    * pos). Written normalized at delete time, so read-side joins
+    * compare `RowIds.normalizePath(_metadata.file_path)` directly.
+    */
+  private def readDeletePositions(dels: Seq[FileEntry]): DataFrame =
+    if (dels.isEmpty) emptyFrame(deleteSchema)
+    else spark.read.schema(deleteSchema).parquet(dels.map(_.path): _*)
+
+  /** Read a mixed entry list with position deletes APPLIED: data files
+    * untouched by any delete file read plain (hot path unchanged);
+    * dirty files anti-join their (file, pos) pairs against the
+    * broadcast delete rows. All read paths route through here, so a
+    * merge-on-read table is indistinguishable from a rewritten one.
+    */
+  private def readResolved(m: TableMetadata, files: Seq[FileEntry],
+      withPos: Boolean = false): DataFrame = {
+    val (dels, data) = files.partition(!_.isData)
+    if (dels.isEmpty) return readFiles(m, data, withPos)
+    val dirtyPaths = dels.flatMap(_.targets).toSet
+    val (dirty, clean) = data.partition(f =>
+      dirtyPaths.contains(RowIds.normalizePathStr(f.path)))
+    val cleanDf = readFiles(m, clean, withPos)
+    if (dirty.isEmpty) cleanDf else {
+      val src = readFiles(m, dirty, withPos = true)
+      val pos = broadcast(readDeletePositions(dels))
+      val alive = src.join(pos,
+        RowIds.normalizePath(src("__rid_fp")) === pos("file_path") &&
+          src("__rid_ri") === pos("pos"), "left_anti")
+      val shaped =
+        if (withPos) alive else alive.drop("__rid_fp", "__rid_ri")
+      if (clean.isEmpty) shaped else cleanDf.unionAll(shaped)
+    }
   }
 
   /** Read a file list, grouping by schema version and projecting every
@@ -174,10 +231,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   private def readFilesWithRowIds(m: TableMetadata,
       files: Seq[FileEntry]): DataFrame = {
-    if (files.isEmpty)
+    val data = files.filter(_.isData)
+    if (data.isEmpty)
       return emptyFrame(m.sparkSchema.add(RowIds.Col,
         org.apache.spark.sql.types.LongType))
-    RowIds.attachRowIds(spark, readFiles(m, files, withPos = true), files)
+    RowIds.attachRowIds(spark, readResolved(m, files, withPos = true), data)
   }
 
   /** The row-id range catalog as a DataFrame
@@ -288,42 +346,177 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def delete(pred: Column): Long = retryOnConflict("delete") {
     val m = meta
-    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val snapFiles = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val (removed, added, n) = removeRows(m, pred, snapFiles)
+    if (n > 0 || removed.nonEmpty)
+      commitMerge("delete", removed, added)
+    n
+  }
+
+  /** Shared row-removal planner for DELETE and the delete half of
+    * UPDATE (reference writable_table.c ApplyDeleteFile). Per matched
+    * file it picks MERGE-ON-READ (write (file, pos) rows into a
+    * position-delete file, keep the data file — the 100 TB default:
+    * deleting 3 rows must not rewrite gigabytes) or COPY-ON-WRITE
+    * (rewrite survivors) by the reference's two knobs, as table
+    * properties:
+    *   - `copy_on_write_threshold` (percent, default 20): once a
+    *     file's TOTAL deleted fraction (existing position deletes +
+    *     this op) reaches it, rewriting is cheaper than carrying the
+    *     delete rows. 0 = always copy-on-write, 100 = always
+    *     merge-on-read.
+    *   - `copy_on_write_max_delete_rows` (default 10M, -1 disables):
+    *     once this op has accumulated that many position-deleted rows,
+    *     remaining files switch to copy-on-write.
+    * Returns (paths to remove incl. consumed delete files, entries to
+    * add, rows removed).
+    */
+  private def removeRows(m: TableMetadata, pred: Column,
+      snapFiles: Seq[FileEntry]): (Set[String], Seq[FileEntry], Long) = {
+    val (dels, files) = snapFiles.partition(!_.isData)
     val resolved = resolvePredicate(m, pred)
     val classified = Pruning.classify(m, resolved, files)
     val dropped = classified.collect { case (f, Pruning.Full) => f }
-    val rewrite = classified.collect { case (f, Pruning.Partial) => f }
+    val partial = classified.collect { case (f, Pruning.Partial) => f }
 
-    var deletedRows = dropped.map(_.rows).sum
-    val rewritten: Seq[FileEntry] = if (rewrite.nonEmpty) {
-      val before = rewrite.map(_.rows).sum
-      // row-ids tables: survivors keep their ids — the rewrite
-      // materializes _row_id and the new files' ranges are re-derived
-      // as consecutive-id runs (reference row_ids.c:362-520)
-      val keepDf = (if (m.rowIdsEnabled) readFilesWithRowIds(m, rewrite)
-        else readFiles(m, rewrite))
-        .filter(!coalesce(pred, lit(false))) // DELETE removes pred IS TRUE
-      val entries = writeData(m, keepDf, None,
-        extraCols = if (m.rowIdsEnabled) Seq(RowIds.Col) else Nil)
-      deletedRows += before - entries.map(_.rows).sum
-      if (m.rowIdsEnabled) RowIds.attachDerived(entries,
-        RowIds.deriveRanges(spark, entries.map(_.path)))
-      else entries
-    } else Nil
+    def norm(f: FileEntry) = RowIds.normalizePathStr(f.path)
 
-    if (deletedRows > 0 || dropped.nonEmpty)
-      commitMerge("delete", (dropped ++ rewrite).map(_.path).toSet, rewritten)
-    deletedRows
+    // per-file EXISTING position-delete counts (driver-side; delete
+    // files are threshold-bounded small)
+    val existing: Map[String, Long] =
+      if (dels.isEmpty) Map.empty
+      else readDeletePositions(dels).groupBy("file_path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def already(f: FileEntry): Long = existing.getOrElse(norm(f), 0L)
+
+    // ONE scan of the partial candidates writes every matched (file,
+    // pos) pair to a position-delete batch; the per-file counts that
+    // drive MoR-vs-CoW classification come from the WRITTEN batch (a
+    // footer-cheap re-read of the small delete parquet, not a second
+    // candidate scan)
+    val posEntries: Seq[FileEntry] =
+      if (partial.isEmpty) Nil
+      else {
+        val posDf = readResolved(m, partial ++ dels, withPos = true)
+          .filter(coalesce(pred, lit(false)))
+          .select(RowIds.normalizePath(col("__rid_fp")).as("file_path"),
+            col("__rid_ri").as("pos"))
+        writeDeleteEntries(m, posDf, partial.map(norm))
+      }
+    val matched: Map[String, Long] =
+      if (posEntries.isEmpty) Map.empty
+      else readDeletePositions(posEntries).groupBy("file_path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // object-store-catalog tables re-export Iceberg metadata on every
+    // commit and we don't emit v2 delete manifests — force copy-on-write
+    val thresholdPct =
+      if (m.properties.get("iceberg.export").contains("true")) 0
+      else m.properties.getOrElse("copy_on_write_threshold", "20").toInt
+    val maxDeleteRows = m.properties
+      .getOrElse("copy_on_write_max_delete_rows", "10000000").toLong
+
+    val fullAtRuntime = scala.collection.mutable.Buffer.empty[FileEntry]
+    val morFiles = scala.collection.mutable.Buffer.empty[FileEntry]
+    val cowFiles = scala.collection.mutable.Buffer.empty[FileEntry]
+    var accumulated = 0L
+    partial.foreach { f =>
+      val hit = matched.getOrElse(norm(f), 0L)
+      if (hit > 0) {
+        val deletedAfter = already(f) + hit
+        val overCap = maxDeleteRows >= 0 && accumulated >= maxDeleteRows
+        if (deletedAfter >= f.rows) fullAtRuntime += f
+        else if (deletedAfter * 100 >= f.rows * thresholdPct || overCap)
+          cowFiles += f
+        else { morFiles += f; accumulated += hit }
+      }
+    }
+
+    // merge-on-read half: keep the batch when classification is pure
+    // MoR; a MIXED op re-filters it to the MoR targets (a tiny job over
+    // the small delete parquet, not a candidate re-scan) so entry row
+    // counts — which drive the live-row accounting — stay exact. A
+    // pure-CoW op discards the batch.
+    def discard(entries: Seq[FileEntry]): Unit = entries.foreach(e =>
+      try Files.deleteIfExists(Paths.get(e.path)) catch {
+        case _: Exception => ()
+      })
+    val morEntries: Seq[FileEntry] =
+      if (morFiles.isEmpty) { discard(posEntries); Nil }
+      else if (fullAtRuntime.isEmpty && cowFiles.isEmpty)
+        posEntries.map(_.copy(deleteTargets = morFiles.toSeq.map(norm)))
+      else {
+        val morNorm = morFiles.toSeq.map(norm)
+        val filtered = writeDeleteEntries(m,
+          readDeletePositions(posEntries)
+            .filter(col("file_path").isin(morNorm: _*)), morNorm)
+        discard(posEntries)
+        filtered
+      }
+
+    // copy-on-write half: survivors rewritten (existing deletes
+    // applied); row-ids survive through the materialized column
+    val rewritten: Seq[FileEntry] =
+      if (cowFiles.isEmpty) Nil
+      else {
+        val keepDf = (if (m.rowIdsEnabled)
+          readFilesWithRowIds(m, cowFiles.toSeq ++ dels)
+        else readResolved(m, cowFiles.toSeq ++ dels))
+          .filter(!coalesce(pred, lit(false)))
+        val entries = writeData(m, keepDf, None,
+          extraCols = if (m.rowIdsEnabled) Seq(RowIds.Col) else Nil)
+        if (m.rowIdsEnabled) RowIds.attachDerived(entries,
+          RowIds.deriveRanges(spark, entries.map(_.path)))
+        else entries
+      }
+
+    val removedEntries = dropped ++ fullAtRuntime ++ cowFiles
+    val removedNorm = removedEntries.map(norm).toSet
+    val liveNorm = files.map(norm).toSet -- removedNorm
+    // delete files whose every target is gone (now, or dangling from an
+    // earlier rewrite) fold away with the op
+    val consumed = dels.filter(_.targets.forall(t => !liveNorm.contains(t)))
+    val deletedRows = dropped.map(f => f.rows - already(f)).sum +
+      (fullAtRuntime ++ morFiles ++ cowFiles)
+        .map(f => matched.getOrElse(norm(f), 0L)).sum
+    (removedEntries.map(_.path).toSet ++ consumed.map(_.path),
+      rewritten ++ morEntries, deletedRows)
   }
 
-  /** Copy-on-write UPDATE: candidate files are rewritten with
-    * `CASE WHEN pred THEN assignment ELSE old END`; non-candidates carry
-    * over untouched. Returns the number of rows updated.
+  /** Write position-delete rows as parquet and return their content=1
+    * entries (rows counted from the footers — no second data pass).
+    */
+  private def writeDeleteEntries(m: TableMetadata, posDf: DataFrame,
+      targets: Seq[String]): Seq[FileEntry] = {
+    val dir = Paths.get(location, "data", "del-" + UUID.randomUUID())
+    posDf.write.mode("errorifexists").parquet(dir.toString)
+    val written = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq.sorted
+      finally s.close()
+    }
+    written.map { p =>
+      val n = spark.read.parquet(p).count()
+      FileEntry(p, n, Files.size(Paths.get(p)), m.currentSchemaVersion,
+        Map.empty, Map.empty, Nil, content = 1, deleteTargets = targets)
+    }.filter(_.rows > 0)
+  }
+
+  /** UPDATE = the delete half (merge-on-read position deletes or
+    * copy-on-write survivor rewrite, per [[removeRows]]'s thresholds)
+    * plus an append of the assigned rows as NEW files — exactly the
+    * reference FDW's delete-file + insert-file shape
+    * (writable_table.c). An updated row is therefore a new row
+    * version; on row-ids tables it draws a fresh id from the commit
+    * hook while survivors keep theirs. Returns the rows updated.
     */
   def update(pred: Column, assignments: Map[String, Column]): Long =
       retryOnConflict("update") {
     val m = meta
-    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val snapFiles = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val (dels, files) = snapFiles.partition(!_.isData)
     val resolved = resolvePredicate(m, pred)
     val classified = Pruning.classify(m, resolved, files)
     val candidates = classified.collect { case (f, d) if d != Pruning.Skip => f }
@@ -337,46 +530,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }
     require(byLower.size == assignments.size,
       s"update: duplicate assignment targets in ${assignments.keys}")
-    def applyAssignments(src: DataFrame, cols: Seq[String]): DataFrame =
-      src.select(cols.map { name =>
-        byLower.get(name.toLowerCase) match {
-          case Some(value) =>
-            when(coalesce(pred, lit(false)), value).otherwise(col(name))
-              .as(name)
-          case None => col(name)
-        }
+    val tableCols = m.sparkSchema.fieldNames.toSeq
+    val updatedRows = readResolved(m, candidates ++ dels)
+      .filter(coalesce(pred, lit(false)))
+      .select(tableCols.map { name =>
+        byLower.get(name.toLowerCase).map(_.as(name)).getOrElse(col(name))
       }: _*)
-
-    if (m.rowIdsEnabled) {
-      // row-ids: an updated row is a NEW row version — it lands in a
-      // fresh file with a fresh id, exactly the reference's
-      // position-delete + append shape; untouched rows keep their ids
-      // through the materialized survivor rewrite. The updated-row
-      // count is the new files' row sum — free, no extra scan.
-      val tableCols = m.sparkSchema.fieldNames.toSeq
-      val src = readFilesWithRowIds(m, candidates)
-      val survivors = src.filter(!coalesce(pred, lit(false)))
-        .select((tableCols :+ RowIds.Col).map(col): _*)
-      val updatedRows = applyAssignments(
-        src.filter(coalesce(pred, lit(false))), tableCols)
-      val kept0 = writeData(m, survivors, None, extraCols = Seq(RowIds.Col))
-      val kept = RowIds.attachDerived(kept0,
-        RowIds.deriveRanges(spark, kept0.map(_.path)))
-      val fresh = writeData(m, updatedRows, None) // hook assigns ids
-      commitMerge("update", candidates.map(_.path).toSet, kept ++ fresh)
-      fresh.map(_.rows).sum
-    } else {
-      // the matched-row count rides the rewrite job as an observed
-      // metric — candidate files are scanned ONCE, not count()+rewrite
-      val obs = new org.apache.spark.sql.Observation()
-      val src = readFiles(m, candidates).observe(obs,
-        sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("n"))
-      val entries = writeData(m, applyAssignments(src, src.columns.toSeq),
-        None)
-      commitMerge("update", candidates.map(_.path).toSet, entries)
-      obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
-        .getOrElse(0L)
-    }
+    // new row versions first (reads only the immutable old files), then
+    // the removal plan; ONE atomic commit covers both halves
+    val fresh = writeData(m, updatedRows, None) // row-ids hook assigns ids
+    val (removed, removedAdds, n) = removeRows(m, pred, snapFiles)
+    commitMerge("update", removed, removedAdds ++ fresh)
+    n
   } }
 
   /** Metadata-only truncate (postgresExecForeignTruncate equivalent). */
@@ -400,14 +565,20 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   def compact(smallBytes: Long = 32L << 20,
       targetBytes: Long = 128L << 20): LakeTable = retryOnConflict("compact") {
     val m = meta
-    val files = m.currentSnapshot.map(_.files).getOrElse(Nil)
-    val small = files.filter(_.bytes < smallBytes)
-    if (small.size < 2) this else {
+    val snapFiles = m.currentSnapshot.map(_.files).getOrElse(Nil)
+    val (dels, files) = snapFiles.partition(!_.isData)
+    // files carrying position deletes compact regardless of size —
+    // VACUUM is what folds merge-on-read state back into clean files
+    // (the reference's vacuum consumes its delete files the same way)
+    val dirty = dels.flatMap(_.targets).toSet
+    val small = files.filter(f => f.bytes < smallBytes ||
+      dirty.contains(RowIds.normalizePathStr(f.path)))
+    if (small.size < 2 && dels.isEmpty) this else {
       val total = small.map(_.bytes).sum
       val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
       val rowIds = m.rowIdsEnabled
-      val merged = if (rowIds) readFilesWithRowIds(m, small)
-        else readFiles(m, small)
+      val merged = if (rowIds) readFilesWithRowIds(m, small ++ dels)
+        else readResolved(m, small ++ dels)
       // clustering-aware: a z-ordered table's compaction re-sorts the
       // merged rows along the recorded curve — a plain repartition
       // would scramble min/max tightness on the clustered columns and
@@ -430,7 +601,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       val entries = if (rowIds) RowIds.attachDerived(entries0,
         RowIds.deriveRanges(spark, entries0.map(_.path)))
       else entries0
-      commitMerge("compact", small.map(_.path).toSet, entries)
+      // every dirty file is in the rewrite set, so every delete file is
+      // fully consumed by this commit
+      commitMerge("compact",
+        small.map(_.path).toSet ++ dels.map(_.path), entries)
       this
     }
   }
@@ -459,7 +633,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       else {
         val rowIds = m.rowIdsEnabled
         val src = if (rowIds) readFilesWithRowIds(m, files)
-          else readFiles(m, files)
+          else readResolved(m, files)
         val ordered = zorder(m, src, cols, targetFiles)
         // row-ids survive the reorder (ids are values, not positions),
         // but the Z-curve scatters consecutive ids across files, so
@@ -756,16 +930,42 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def changes(fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val m = meta
-    def filesOf(id: Long): Map[String, FileEntry] =
+    def snapOf(id: Long): Snapshot =
       m.snapshot(id).getOrElse(throw new IllegalArgumentException(
-        s"no snapshot $id")).files.map(f => f.path -> f).toMap
-    val from = filesOf(fromSnapshotId)
-    val to = filesOf(toSnapshotId)
+        s"no snapshot $id"))
+    val fromSnap = snapOf(fromSnapshotId)
+    val toSnap = snapOf(toSnapshotId)
+    def byPath(fs: Seq[FileEntry]) = fs.map(f => f.path -> f).toMap
+    val from = byPath(fromSnap.dataFiles)
+    val to = byPath(toSnap.dataFiles)
     val added = (to.keySet -- from.keySet).toSeq.sorted.map(to(_))
     val removed = (from.keySet -- to.keySet).toSeq.sorted.map(from(_))
-    val ins = readFiles(m, added).withColumn("_change_type", lit("insert"))
-    val del = readFiles(m, removed).withColumn("_change_type", lit("delete"))
-    ins.unionAll(del)
+    // each side reads through ITS snapshot's delete files, so a
+    // compaction (raw file set changes, live rows don't) nets to
+    // insert/delete pairs that cancel row-for-row
+    val ins = readResolved(m, added ++ toSnap.deleteFiles)
+      .withColumn("_change_type", lit("insert"))
+    val del = readResolved(m, removed ++ fromSnap.deleteFiles)
+      .withColumn("_change_type", lit("delete"))
+    // merge-on-read deletes: positions added between the snapshots,
+    // targeting files live in BOTH, are removed rows of those files
+    val fromDelPaths = fromSnap.deleteFiles.map(_.path).toSet
+    val newDels = toSnap.deleteFiles.filterNot(f =>
+      fromDelPaths.contains(f.path))
+    val common = (to.keySet & from.keySet).toSeq.sorted.map(to(_))
+    val morDel =
+      if (newDels.isEmpty || common.isEmpty)
+        emptyFrame(m.sparkSchema).withColumn("_change_type", lit("delete"))
+      else {
+        val src = readFiles(m, common, withPos = true)
+        val pos = broadcast(readDeletePositions(newDels))
+        src.join(pos,
+            RowIds.normalizePath(src("__rid_fp")) === pos("file_path") &&
+              src("__rid_ri") === pos("pos"), "left_semi")
+          .drop("__rid_fp", "__rid_ri")
+          .withColumn("_change_type", lit("delete"))
+      }
+    ins.unionAll(del).unionAll(morDel)
   }
 
   /** Snapshot catalog as a DataFrame (iceberg_tables-view equivalent). */
@@ -773,7 +973,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val m = meta
     import spark.implicits._
     m.snapshots.map(s =>
-      (s.id, s.timestampMs, s.operation, s.files.size, s.files.map(_.rows).sum))
+      (s.id, s.timestampMs, s.operation, s.files.size,
+        // live rows: data rows minus outstanding position deletes
+        s.dataFiles.map(_.rows).sum - s.deleteFiles.map(_.rows).sum))
       .toDF("snapshot_id", "timestamp_ms", "operation", "n_files", "n_rows")
   }
 
@@ -784,8 +986,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     val m = meta
     import spark.implicits._
     m.currentSnapshot.map(_.files).getOrElse(Nil)
-      .map(f => (f.path, f.rows, f.bytes, f.schemaVersion, f.firstRowId))
-      .toDF("path", "rows", "bytes", "schema_version", "first_row_id")
+      .map(f => (f.path, f.rows, f.bytes, f.schemaVersion, f.firstRowId,
+        f.content))
+      .toDF("path", "rows", "bytes", "schema_version", "first_row_id",
+        "content")
   }
 
   // -------------------------------------------------------- schema change
@@ -895,6 +1099,18 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       if (missing.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$op lost ${missing.size} file(s) to a concurrent writer")
+      // a pure merge-on-read op removes NOTHING, so the removal check
+      // can't see a concurrent rewrite of its targets — positions
+      // against a vanished file would silently resurrect the rows.
+      // Verify every new delete entry's targets are still live.
+      val curNorm = curFiles.filter(_.isData)
+        .map(f => RowIds.normalizePathStr(f.path)).toSet
+      val staleTargets = added.filterNot(_.isData).flatMap(_.targets)
+        .filterNot(curNorm.contains)
+      if (staleTargets.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$op lost ${staleTargets.size} delete target(s) to a " +
+            "concurrent writer")
       curFiles.filterNot(f => removedPaths.contains(f.path)) ++ added
     }
 

@@ -50,7 +50,7 @@ object RowIds {
       : (Seq[FileEntry], Map[String, String]) = {
     var next = props.get("row_ids.next").map(_.toLong).getOrElse(1L)
     val out = entries.map { e =>
-      if (e.ranges.nonEmpty || e.rows == 0) e
+      if (e.ranges.nonEmpty || e.rows == 0 || !e.isData) e
       else {
         val r = RowIdRange(next, e.rows, 0L)
         next += e.rows

@@ -42,10 +42,21 @@ final case class FileEntry(
     schemaVersion: Int,
     fieldStats: Map[String, ColStats],
     partStats: Map[String, ColStats],
-    rowIdRanges: Seq[RowIdRange] = Nil) {
+    rowIdRanges: Seq[RowIdRange] = Nil,
+    // Iceberg content ids: 0 = data, 1 = position deletes (merge-on-
+    // read DELETE/UPDATE write these instead of rewriting data files —
+    // reference writable_table.c ApplyDeleteFile). Delete files carry
+    // (file_path, pos) rows; `deleteTargets` lists the NORMALIZED data
+    // file paths they may reference, for read-side planning.
+    content: Int = 0,
+    deleteTargets: Seq[String] = Nil) {
 
   /** Null-safe view (Jackson leaves the field null on legacy JSON). */
   def ranges: Seq[RowIdRange] = Option(rowIdRanges).getOrElse(Nil)
+
+  def targets: Seq[String] = Option(deleteTargets).getOrElse(Nil)
+
+  def isData: Boolean = content == 0
 
   /** Iceberg v3 `first_row_id` equivalent (reference
     * UpdateDataFileFirstRowId, row_ids.c:80).
@@ -78,7 +89,12 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String,
     files: Seq[FileEntry],
-    manifests: Seq[String] = Nil)
+    manifests: Seq[String] = Nil) {
+
+  def dataFiles: Seq[FileEntry] = files.filter(_.isData)
+
+  def deleteFiles: Seq[FileEntry] = files.filterNot(_.isData)
+}
 
 /** One versioned column. Columns are tracked by integer field id, never
   * by name, so renames are metadata-only (reference:

@@ -368,10 +368,12 @@ object IcebergSnapshot {
       deleteFiles: Seq[String], schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     // spec stores full URIs; the scan's _metadata.file_path is the
-    // filesystem's canonical URI — normalize the scheme prefix so
-    // file:/x, file:///x and /x all compare equal
+    // filesystem's canonical URI — drop scheme AND leading slashes on
+    // both sides so file:/x, file:///x, /x, and the engine's own
+    // scheme-less delete rows (RowIds.normalizePathStr) all compare
+    // equal
     def norm(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^file:/+", "/")
+      regexp_replace(c, "^([a-zA-Z0-9.+-]+:)?/+", "")
     val dels = spark.read.parquet(deleteFiles.map(localPath): _*)
       .select(norm(col("file_path")).as("__del_file"),
         col("pos").cast("long").as("__del_pos"))

@@ -343,8 +343,13 @@ class LakeTableSpec extends AnyFunSuite {
       while (scans.get() == 0 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       Thread.sleep(500) // absorb any straggler callback
-      assert(scans.get() == 1,
-        s"update ran ${scans.get()} scans over candidate files, want 1")
+      // merge-on-read update = exactly two candidate passes: one
+      // writes the matched (file, pos) batch, one writes the assigned
+      // new-row versions — never a count()+full-rewrite double pass,
+      // and never a rewrite of unmatched survivor bytes
+      assert(scans.get() == 2,
+        s"update ran ${scans.get()} scans over candidate files, want 2 " +
+          "(position batch + new row versions)")
     } finally spark.listenerManager.unregister(listener)
     assert(t.read().filter(col("n_name") === "PATCHED").count() == 1)
   }

@@ -31,9 +31,13 @@ class RowIdsSpec extends AnyFunSuite {
     t
   }
 
-  /** validate_row_id_mappings: mapped rows == data-file rows, per file. */
+  /** validate_row_id_mappings: mapped rows == data-file rows, per file.
+    * Position-delete files (content=1) carry no ranges by design: the
+    * affine mapping of their TARGET files stays intact, deleted
+    * positions simply never surface in reads.
+    */
   private def validateMappings(t: LakeTable): Unit = {
-    val files = t.meta.currentSnapshot.map(_.files).getOrElse(Nil)
+    val files = t.meta.currentSnapshot.map(_.dataFiles).getOrElse(Nil)
     files.foreach { f =>
       assert(f.ranges.map(_.numRows).sum == f.rows,
         s"file ${f.path}: ranges cover ${f.ranges.map(_.numRows).sum} " +

@@ -358,4 +358,38 @@ class ScaleProbeSpec extends AnyFunSuite {
       t.drop()
     }
   }
+
+  test("merge-on-read vs copy-on-write delete cost", org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    import graft.lake._
+    import org.apache.spark.sql.functions._
+    // the 100 TB argument in one number: deleting 0.1% of the rows must
+    // cost proportional to the DELETED rows (position batch), not the
+    // table bytes (full rewrite). Self-scaling, fixture-independent.
+    for (n <- Seq(2000000L, 20000000L)) {
+      def mk(props: Map[String, String]) = {
+        val df = spark.range(1, n + 1).repartition(32)
+          .selectExpr("id AS x", "CAST(id % 97 AS STRING) AS y")
+        val t = LakeTable.create(spark,
+          LakeEngine.tempLocation(s"probe_mor_$n"), "t", df.schema,
+          properties = props)
+        t.append(df)
+        t
+      }
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        info(f"$label%-28s n=$n%9d ${(System.nanoTime - t0) / 1e9}%8.2f s")
+      }
+      val mor = mk(Map.empty)
+      time("delete 0.1% merge-on-read")(mor.delete(col("x") % 1000 === 0))
+      assert(mor.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+      time("read after MoR delete")(
+        assert(mor.read().count() == n - n / 1000))
+      val cow = mk(Map("copy_on_write_threshold" -> "0"))
+      time("delete 0.1% copy-on-write")(cow.delete(col("x") % 1000 === 0))
+      time("fold deletes (compact)")(
+        mor.compact(smallBytes = 1L << 40, targetBytes = 1L << 40))
+      mor.drop(); cow.drop()
+    }
+  }
 }
