@@ -58,7 +58,8 @@ object QueryDef {
           graft.plans.ArrayLiteralRewrite.rewrite(
             graft.plans.JsonArrowRewrite.rewrite(
               graft.plans.CollateRewrite.rewrite(
-                graft.plans.PgCastRewrite.rewrite(text))))))))
+                graft.plans.PgCastRewrite.rewrite(
+                  graft.plans.DoubleQuoteRewrite.rewrite(text)))))))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

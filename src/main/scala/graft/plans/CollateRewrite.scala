@@ -27,9 +27,10 @@ object CollateRewrite {
       case 'w' =>
         val raw = sql.substring(t.start, t.end)
         Some((raw, t.up))
-      case 'q' => // double-quoted identifier: text without the quotes
+      case 'q' => // quoted identifier ("..." or, post-rewrite, `...`)
         val raw = sql.substring(t.start, t.end)
-        if (raw.length >= 2 && raw.head == '"' && raw.last == '"') {
+        if (raw.length >= 2 && (raw.head == '"' || raw.head == '`') &&
+          raw.last == raw.head) {
           val name = raw.substring(1, raw.length - 1)
           Some((name, name.toUpperCase))
         } else None

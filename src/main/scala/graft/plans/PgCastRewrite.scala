@@ -68,9 +68,18 @@ object PgCastRewrite {
     var i = 0
     while (i + 2 < ts.length) {
       val a = ts(i); val b = ts(i + 1); val ty = ts(i + 2)
+      // the type name may be bare or quoted — the reference deparses
+      // `x::"int4"` with quotes (DoubleQuoteRewrite has already turned
+      // PG double quotes into backticks by the time this pass runs)
+      val quotedWord = ty.kind == 'q' && {
+        val raw = sql.substring(ty.start, ty.end)
+        raw.length > 2 && raw.head == '`' && raw.last == '`' &&
+          raw.substring(1, raw.length - 1)
+            .forall(ch => ch.isLetterOrDigit || ch == '_' || ch == ' ')
+      }
       val isCast = a.kind == 'o' && a.up == ":" &&
         b.kind == 'o' && b.up == ":" && a.end == b.start &&
-        ty.kind == 'w'
+        (ty.kind == 'w' || quotedWord)
       if (isCast) {
         // optional (p[,s]) width suffix
         val (width, afterTy): (Option[String], Int) =
@@ -81,7 +90,9 @@ object PgCastRewrite {
               (Some(sql.substring(ts(i + 3).start, ts(close).end)), close)
             else (None, i + 2)
           } else (None, i + 2)
-        val name = ty.up
+        val name =
+          if (ty.kind == 'w') ty.up
+          else sql.substring(ty.start + 1, ty.end - 1).trim.toUpperCase
         val mapped: Option[String] =
           if (width.isEmpty && simple.contains(name)) Some(simple(name))
           else if (width.isEmpty && name == "NUMERIC") Some("decimal(38,18)")
@@ -89,6 +100,10 @@ object PgCastRewrite {
             Some("decimal" + width.get.replaceAll("\\s+", ""))
           else if (widthDrop.contains(name)) Some("string")
           else if (name == "VARCHAR" || name == "CHARACTER") Some("string")
+          // quoted-but-unmapped plain word (e.g. ::"date"): Spark's
+          // cast syntax wants a bare type name — unquote it
+          else if (ty.kind == 'q' && !name.contains(' '))
+            Some(name.toLowerCase)
           else None
         // PG array-type suffix: `::int4[]` → `::array<int>`
         val (isArray, afterAll) =
