@@ -44,6 +44,8 @@ final class LakeEngine(val spark: SparkSession) {
   // like PG's GUC); dotted keys are custom GUCs per PG's rule; spark.*
   // keys pass through to the session conf.
   private val settings = TrieMap.empty[String, String]
+  // pre-SET values of spark.* confs (None = was unset), for RESET
+  private val originalConf = TrieMap.empty[String, Option[String]]
   private val initialTimeZone = spark.conf.get("spark.sql.session.timeZone")
 
   // CREATE DOMAIN registry (reference test_domain.py): base PG type +
@@ -179,6 +181,12 @@ final class LakeEngine(val spark: SparkSession) {
       spark.catalog.dropTempView(name)
       t.drop(purge)
     }
+    // a childless range-partitioned parent is virtual: removing the
+    // registries and its view IS the drop
+    if (partParents.remove(name).isDefined) {
+      partChildren.remove(name)
+      spark.catalog.dropTempView(name)
+    }
     // a dropped child leaves its family: detach and refresh ancestors
     inheritsOf.remove(name).foreach { parent =>
       partChildren.get(parent).foreach(kids =>
@@ -198,7 +206,25 @@ final class LakeEngine(val spark: SparkSession) {
     val t = tables.remove(oldName).getOrElse(
       throw new IllegalArgumentException(s"unknown lake table $oldName"))
     spark.catalog.dropTempView(oldName)
+    // migrate every registry keyed by (or referencing) the old name:
+    // inheritance links in both roles, partition-child routing, domain
+    // columns, column defaults, matview definitions — a rename must not
+    // break family DML or silently drop CHECK/DEFAULT enforcement
+    inheritsOf.remove(oldName).foreach(p => inheritsOf.put(newName, p))
+    inheritsOf.toSeq.foreach { case (c, p) =>
+      if (p == oldName) inheritsOf.put(c, newName)
+    }
+    partChildren.toSeq.foreach { case (p, kids) =>
+      if (kids.exists(_.child == oldName))
+        partChildren.put(p, kids.map(rp =>
+          if (rp.child == oldName) rp.copy(child = newName) else rp))
+    }
+    domainCols.remove(oldName).foreach(domainCols.put(newName, _))
+    colDefaults.remove(oldName).foreach(colDefaults.put(newName, _))
+    matViews.remove(oldName).foreach(matViews.put(newName, _))
     register(newName, t)
+    // the new name's ancestors (if any) must re-union over it
+    inheritsOf.get(newName).foreach(refreshFamilyViews)
     ()
   }
 
@@ -788,24 +814,7 @@ final class LakeEngine(val spark: SparkSession) {
     val isDml = "(?is)^(INSERT|UPDATE|DELETE)\\b.*".r
       .pattern.matcher(trimmed).matches()
     val (dmlText, retClause): (String, Option[String]) =
-      if (!isDml) (trimmed, None)
-      else {
-        val ts = graft.plans.QuantifiedSubqueries.tokenize(trimmed)
-        var depth = 0
-        var found: Option[(Int, Int)] = None
-        ts.foreach { t =>
-          if (t.kind == 'o' && t.up == "(") depth += 1
-          else if (t.kind == 'o' && t.up == ")") depth -= 1
-          else if (depth == 0 && t.kind == 'w' && t.up == "RETURNING")
-            found = Some((t.start, t.end))
-        }
-        found match {
-          case Some((s, e)) =>
-            (trimmed.substring(0, s).trim,
-              Some(trimmed.substring(e).trim).filter(_.nonEmpty))
-          case None => (trimmed, None)
-        }
-      }
+      if (!isDml) (trimmed, None) else splitReturning(trimmed)
     dmlText match {
       case explainRe(optsOrNull, rest) =>
         val opts = Option(optsOrNull).map(_.toLowerCase).getOrElse("")
@@ -834,13 +843,24 @@ final class LakeEngine(val spark: SparkSession) {
       case showRe(k) =>
         Seq(showSetting(k.toLowerCase)).toDF(k.toLowerCase)
       case resetRe(k) =>
+        def restoreConf(key: String): Unit =
+          originalConf.remove(key).foreach {
+            case Some(v) => spark.conf.set(key, v)
+            case None => try spark.conf.unset(key) catch {
+              case _: Exception => () // non-removable SQLConf: leave it
+            }
+          }
         if (k.equalsIgnoreCase("ALL")) {
+          originalConf.keys.toSeq.foreach(restoreConf)
           settings.clear()
           spark.conf.set("spark.sql.session.timeZone", initialTimeZone)
         } else if (k.equalsIgnoreCase("timezone")) {
           settings.remove("timezone")
           spark.conf.set("spark.sql.session.timeZone", initialTimeZone)
-        } else settings.remove(k.toLowerCase)
+        } else {
+          restoreConf(k.toLowerCase)
+          settings.remove(k.toLowerCase)
+        }
         Seq(k).toDF("reset")
       case createViewRe(orReplaceOrNull, name, sel) =>
         require(orReplaceOrNull != null ||
@@ -922,13 +942,25 @@ final class LakeEngine(val spark: SparkSession) {
           if (df0.columns.length == target.length &&
             df0.columns.toSeq != target) df0.toDF(target: _*)
           else df0
-        val typed = aligned.select(schema.fields.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+        require(retClause.isEmpty,
+          "INSERT ... RETURNING into a partitioned parent is not " +
+            "supported; insert into the member tables")
+        val typed = applyDomainChecks(name, aligned.select(schema.fields
+          .map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*))
         val kids = partChildren.getOrElse(name, Vector.empty)
         require(kids.nonEmpty, s"no partitions defined for $name")
         val k = col(keyCol)
         val ranged = kids.filter(_.from.isDefined)
-        def cond(rp: RangePart) = k >= expr(rp.from.get) && k < expr(rp.to.get)
+        // PG's open bounds: FROM (MINVALUE) / TO (MAXVALUE)
+        def cond(rp: RangePart) = {
+          val lower =
+            if (rp.from.get.equalsIgnoreCase("MINVALUE")) lit(true)
+            else k >= expr(rp.from.get)
+          val upper =
+            if (rp.to.get.equalsIgnoreCase("MAXVALUE")) lit(true)
+            else k < expr(rp.to.get)
+          lower && upper
+        }
         val leftover = ranged.map(cond).reduceOption(_ || _)
           .map(c => typed.filter(!coalesce(c, lit(false)))).getOrElse(typed)
         val defaultKid = kids.find(_.from.isEmpty)
@@ -1029,20 +1061,14 @@ final class LakeEngine(val spark: SparkSession) {
         val fam = familyOf(name)
         require(fam.forall(m => tables.contains(m) || partParents.contains(m)),
           s"family of $name contains foreign members: UPDATE cannot propagate")
-        val assignments = splitTopLevel(setList).map { a =>
-          val Array(c, e) = a.split("=", 2)
-          c.trim -> expr(e.trim)
-        }.toMap
+        val assignments = guardedAssignments(name, setList)
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
         val n = fam.filter(tables.contains)
           .map(m => table(m).update(pred, assignments)).sum
         refresh(name)
         Seq(n).toDF("rows_updated")
       case updateRe(name, setList, whereOrNull) if tables.contains(name) =>
-        val assignments = splitTopLevel(setList).map { a =>
-          val Array(c, e) = a.split("=", 2)
-          c.trim -> expr(e.trim)
-        }.toMap
+        val assignments = guardedAssignments(name, setList)
         val pred = Option(whereOrNull).map(expr).getOrElse(lit(true))
         val t = table(name)
         val beforeSnap = t.meta.currentSnapshot.map(_.id)
@@ -1119,7 +1145,9 @@ final class LakeEngine(val spark: SparkSession) {
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
           .toDF("data_files")
       case dropTableRe(ifExists, name) =>
-        if (tables.contains(name)) { dropTable(name); Seq(name).toDF("dropped") }
+        if (tables.contains(name) || partParents.contains(name)) {
+          dropTable(name); Seq(name).toDF("dropped")
+        }
         else if (ifExists != null) Seq.empty[String].toDF("dropped")
         else throw new IllegalArgumentException(s"no such table: $name")
       case alterAddRe(name, colName, colType, defaultOrNull)
@@ -1160,9 +1188,17 @@ final class LakeEngine(val spark: SparkSession) {
               s"LIKE $src columns must match the inherited parent's")
             Nil
           case other => splitTopLevel(other).map(_.trim).filter(_.nonEmpty)
-            .map(parseColDef).map(_._1)
+            .map(parseColDef)
         }
-        val schema = StructType(parentSchema.fields ++ extras)
+        val schema = StructType(parentSchema.fields ++ extras.map(_._1))
+        // domain/default enforcement inherits from the parent and
+        // extends with the extras' own declarations
+        val cDoms = domainCols.getOrElse(parent, Nil) ++
+          extras.collect { case (f, Some(dn), _) => f.name -> dn }
+        val cDefs = colDefaults.getOrElse(parent, Nil) ++
+          extras.collect { case (f, _, Some(d)) => f.name -> d }
+        if (cDoms.nonEmpty) domainCols.put(name, cDoms)
+        if (cDefs.nonEmpty) colDefaults.put(name, cDefs)
         val loc = Option(locOrNull)
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = LakeTable.create(spark, loc, name, schema, Nil)
@@ -1200,6 +1236,10 @@ final class LakeEngine(val spark: SparkSession) {
         val schema = StructType(parsed.map(_._1))
         require(schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
           s"partition key $keyCol is not a column of $name")
+        val pDoms = parsed.collect { case (f, Some(dn), _) => f.name -> dn }
+        val pDefs = parsed.collect { case (f, _, Some(d)) => f.name -> d }
+        if (pDoms.nonEmpty) domainCols.put(name, pDoms)
+        if (pDefs.nonEmpty) colDefaults.put(name, pDefs)
         partParents.put(name, (schema, keyCol))
         partChildren.put(name, Vector.empty)
         refreshFamilyViews(name)
@@ -1212,6 +1252,18 @@ final class LakeEngine(val spark: SparkSession) {
         require(defaultOrNull == null ||
           !partChildren(parent).exists(_.from.isEmpty),
           s"$parent already has a DEFAULT partition")
+        // bounds must be constants (or MINVALUE/MAXVALUE): validate at
+        // CREATE like PG, not mid-INSERT after earlier children landed
+        Seq(fromOrNull, toOrNull).filter(_ != null).map(_.trim)
+          .filterNot(b => b.equalsIgnoreCase("MINVALUE") ||
+            b.equalsIgnoreCase("MAXVALUE"))
+          .foreach { b =>
+            try spark.range(1).select(expr(b)).head()
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"partition bound ($b) must be a constant", e)
+            }
+          }
         val loc = Option(locOrNull)
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = LakeTable.create(spark, loc, name, schema, Nil)
@@ -1414,6 +1466,52 @@ final class LakeEngine(val spark: SparkSession) {
       }
     }.getOrElse(df)
 
+  /** UPDATE assignments with each target column's domain CHECK wrapped
+    * around the new value (PG validates domains on every write path,
+    * not just INSERT — test_domain.py's posture).
+    */
+  private def guardedAssignments(name: String, setList: String)
+      : Map[String, org.apache.spark.sql.Column] = {
+    val doms = domainCols.getOrElse(name, Nil)
+      .map { case (c, d) => c.toLowerCase -> d }.toMap
+    splitTopLevel(setList).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      val target = c.trim
+      val vExpr = expr(e.trim)
+      val wrapped = doms.get(target.toLowerCase)
+        .flatMap(dn => domains.get(dn).flatMap(_.check).map(dn -> _)) match {
+        case Some((dn, chk)) =>
+          val cond = expr(chk.replaceAll("(?i)\\bvalue\\b", s"(${e.trim})"))
+          when(cond.isNotNull && !cond, raise_error(lit(
+            s"value for domain $dn violates check constraint")))
+            .otherwise(vExpr)
+        case None => vExpr
+      }
+      target -> wrapped
+    }.toMap
+  }
+
+  /** Split a depth-0 RETURNING clause off a DML statement (token-wise,
+    * so literals containing the word survive).
+    */
+  private def splitReturning(text: String): (String, Option[String]) = {
+    val ts = graft.plans.QuantifiedSubqueries.tokenize(text)
+    var depth = 0
+    var found: Option[(Int, Int)] = None
+    ts.foreach { t =>
+      if (t.kind == 'o' && t.up == "(") depth += 1
+      else if (t.kind == 'o' && t.up == ")") depth -= 1
+      else if (depth == 0 && t.kind == 'w' && t.up == "RETURNING")
+        found = Some((t.start, t.end))
+    }
+    found match {
+      case Some((s, e)) =>
+        (text.substring(0, s).trim,
+          Some(text.substring(e).trim).filter(_.nonEmpty))
+      case None => (text, None)
+    }
+  }
+
   private def stripQuotes(v: String): String = {
     val t = v.trim
     if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
@@ -1433,6 +1531,10 @@ final class LakeEngine(val spark: SparkSession) {
       spark.conf.set("spark.sql.session.timeZone", value)
       settings.put("timezone", value); ()
     case k if k.startsWith("spark.") =>
+      // remember the pre-SET value (first SET wins) so RESET restores
+      // the live conf instead of only forgetting the GUC entry
+      if (!originalConf.contains(k))
+        originalConf.put(k, spark.conf.getOption(k))
       spark.conf.set(k, value)
       settings.put(k, value); ()
     case k if k.contains('.') || k == "search_path" =>
@@ -1463,7 +1565,10 @@ final class LakeEngine(val spark: SparkSession) {
   private def explainStatement(body0: String, analyze: Boolean,
       verbose: Boolean): DataFrame = {
     import spark.implicits._
-    val body = body0.trim.stripSuffix(";").trim
+    // DML bodies may carry RETURNING: strip it here (the outer split
+    // only fires when the whole statement starts with INSERT/UPDATE/
+    // DELETE) — PG's EXPLAIN ANALYZE discards RETURNING output too
+    val body = splitReturning(body0.trim.stripSuffix(";").trim)._1
     val execRe = "(?is)^EXECUTE\\s+(\\w+)(?:\\s*\\((.*)\\))?$".r
     val insertSelRe = "(?is)^INSERT\\s+INTO\\s+\\w+\\s+(SELECT.+)$".r
     val deleteRe2 = "(?is)^DELETE\\s+FROM\\s+(\\w+)(?:\\s+WHERE\\s+(.+))?$".r

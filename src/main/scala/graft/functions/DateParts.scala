@@ -64,8 +64,7 @@ object DateParts {
       case Some("isoyear") => builtin("extract",
         Seq(Literal("YEAROFWEEK"), x))
       case Some("epoch") =>
-        Divide(Cast(UnixMicros(Cast(x, TimestampType)), DoubleType),
-          Literal(1e6))
+        Divide(Cast(PgEpochMicros(x), DoubleType), Literal(1e6))
       case Some("microseconds") | Some("microsecond") =>
         microsOfMinute(x)
       case Some("milliseconds") | Some("millisecond") =>
@@ -104,6 +103,30 @@ object DateParts {
         Cast(day, outType)
       case _ => builtin("date_trunc", Seq(fieldE, x))
     }
+}
+
+/** PG `extract(epoch from x)` micros: timestamptz counts the true
+  * instant; timestamp-WITHOUT-tz is defined "without regard to
+  * timezone" (naive value treated as UTC — which is exactly Spark's
+  * NTZ internal representation, so NO session-zone cast may touch it);
+  * a date is its UTC midnight. A session-zone `Cast(ntz → ltz)` here
+  * would shift the answer for every non-UTC session zone.
+  */
+case class PgEpochMicros(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pg_epoch_micros"
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case DateType => v.asInstanceOf[Int].toLong * 86400000000L
+    case TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(
+      s"extract(epoch …): unsupported input type $other")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PgEpochMicros =
+    copy(child = c)
 }
 
 /** Session-timezone UTC offset of an instant, in seconds/hours/minutes

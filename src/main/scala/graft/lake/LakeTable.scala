@@ -476,11 +476,24 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     // delete files whose every target is gone (now, or dangling from an
     // earlier rewrite) fold away with the op
     val consumed = dels.filter(_.targets.forall(t => !liveNorm.contains(t)))
+    val consumedPaths = consumed.map(_.path).toSet
+    // retained batches referencing ANY dead target shrink to their live
+    // rows (a tiny job over the small delete parquet, not a candidate
+    // re-scan) so entry row counts — the live-row accounting — stay
+    // exact instead of carrying stale positions until compaction
+    val toShrink = dels.filterNot(d => consumedPaths.contains(d.path))
+      .filter(_.targets.exists(t => !liveNorm.contains(t)))
+    val shrunk = toShrink.flatMap { d =>
+      val liveTargets = d.targets.filter(liveNorm.contains)
+      writeDeleteEntries(m, readDeletePositions(Seq(d))
+        .filter(col("file_path").isin(liveTargets: _*)), liveTargets)
+    }
     val deletedRows = dropped.map(f => f.rows - already(f)).sum +
       (fullAtRuntime ++ morFiles ++ cowFiles)
         .map(f => matched.getOrElse(norm(f), 0L)).sum
-    (removedEntries.map(_.path).toSet ++ consumed.map(_.path),
-      rewritten ++ morEntries, deletedRows)
+    (removedEntries.map(_.path).toSet ++ consumedPaths ++
+      toShrink.map(_.path),
+      rewritten ++ morEntries ++ shrunk, deletedRows)
   }
 
   /** Write position-delete rows as parquet and return their content=1

@@ -43,10 +43,17 @@ object CollateRewrite {
     while (i + 1 < ts.length) {
       val t = ts(i)
       if (t.kind == 'w' && t.up == "COLLATE") {
-        nameOf(sql, ts(i + 1)) match {
+        // PG deparsers qualify: COLLATE pg_catalog."C" — skip the
+        // schema qualifier before reading the collation name
+        val nameIdx =
+          if (ts(i + 1).kind == 'w' && ts(i + 1).up == "PG_CATALOG" &&
+            i + 3 < ts.length && ts(i + 2).kind == 'o' &&
+            ts(i + 2).up == ".") i + 3
+          else i + 1
+        nameOf(sql, ts(nameIdx)) match {
           case Some((_, up)) if ByteOrder.contains(up) =>
             return Some(sql.substring(0, t.start) +
-              sql.substring(ts(i + 1).end))
+              sql.substring(ts(nameIdx).end))
           case Some((n, _)) => throw new IllegalArgumentException(
             s"""collation "$n" is not supported: the engine collation is """ +
               "byte order (PG C/POSIX); locale-aware collations would sort " +

@@ -69,6 +69,21 @@ class DatePartsSpec extends AnyFunSuite {
     assert(r.getDouble(6) == 10500.4) // PG keeps the fraction
   }
 
+  test("epoch of naive timestamps ignores the session zone (PG rule)") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+      val r = one(
+        """SELECT
+          |  EXTRACT(EPOCH FROM CAST('2025-01-01 00:00:00' AS TIMESTAMP_NTZ)) AS e_ntz,
+          |  EXTRACT(EPOCH FROM DATE '2025-01-01') AS e_date""".stripMargin)
+      // PG: 'without regard to timezone' — the naive value is the UTC
+      // instant, NOT shifted by the Berlin session zone
+      assert(r.getDouble(0) == 1735689600.0)
+      assert(r.getDouble(1) == 1735689600.0)
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
   test("timezone fields track the session zone (SET TIME ZONE GUC)") {
     val before = spark.conf.get("spark.sql.session.timeZone")
     try {

@@ -134,6 +134,59 @@ class DomainInheritanceSpec extends AnyFunSuite {
     e.dropTable("part_c1"); e.dropTable("part_c2")
   }
 
+  test("UPDATE enforces domain checks; rename migrates enforcement") {
+    val e = engine()
+    e.sql("CREATE DOMAIN posint AS int CHECK (value > 0)")
+    e.sql("CREATE TABLE upd_dom (a posint, b int)")
+    e.sql("INSERT INTO upd_dom VALUES (1, 10)")
+    val ex = intercept[Exception](e.sql("UPDATE upd_dom SET a = -5"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      m.contains("value for domain posint violates check constraint")))
+    assert(e.sql("SELECT a FROM upd_dom").head.getInt(0) == 1)
+    e.sql("UPDATE upd_dom SET a = 7") // passing value still works
+    assert(e.sql("SELECT a FROM upd_dom").head.getInt(0) == 7)
+    // rename keeps the enforcement attached
+    e.renameTable("upd_dom", "upd_dom2")
+    intercept[Exception](e.sql("UPDATE upd_dom2 SET a = -1"))
+    intercept[Exception](e.sql("INSERT INTO upd_dom2 VALUES (-2, 0)"))
+    e.sql("DROP DOMAIN posint")
+    e.dropTable("upd_dom2")
+  }
+
+  test("rename of a family member keeps family reads and DML working") {
+    val e = engine()
+    e.sql("CREATE TABLE parent_r AS SELECT 1 AS x")
+    e.sql("CREATE TABLE child_r () INHERITS (parent_r)")
+    e.sql("INSERT INTO child_r VALUES (2)")
+    e.renameTable("child_r", "child_r2")
+    assert(e.sql("SELECT count(*) AS n FROM parent_r").head.getLong(0) == 2)
+    e.sql("DELETE FROM parent_r WHERE x = 2") // propagates to renamed child
+    assert(e.sql("SELECT count(*) AS n FROM child_r2").head.getLong(0) == 0)
+    e.dropTable("child_r2"); e.dropTable("parent_r")
+  }
+
+  test("partitioned parent drops once childless; MINVALUE/MAXVALUE bounds") {
+    val e = engine()
+    e.sql("CREATE TABLE part_m (x int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_m1 PARTITION OF part_m " +
+      "FOR VALUES FROM (MINVALUE) TO (0)")
+    e.sql("CREATE TABLE part_m2 PARTITION OF part_m " +
+      "FOR VALUES FROM (0) TO (MAXVALUE)")
+    e.sql("INSERT INTO part_m SELECT id - 5 FROM RANGE(0, 10)")
+    assert(e.sql("SELECT count(*) AS n FROM part_m1").head.getLong(0) == 5)
+    assert(e.sql("SELECT count(*) AS n FROM part_m2").head.getLong(0) == 5)
+    // non-constant bound refused at CREATE, before anything lands
+    intercept[IllegalArgumentException](e.sql(
+      "CREATE TABLE part_m3 PARTITION OF part_m FOR VALUES FROM (y) TO (9)"))
+    // drop: refused with children, real once childless
+    intercept[IllegalArgumentException](e.sql("DROP TABLE part_m"))
+    e.dropTable("part_m1"); e.dropTable("part_m2")
+    e.sql("DROP TABLE part_m")
+    intercept[Exception](e.sql("SELECT * FROM part_m"))
+  }
+
   test("range partitioning without default: stray rows refuse") {
     val e = engine()
     e.sql("CREATE TABLE part_q (x int) PARTITION BY RANGE (x)")

@@ -18,6 +18,34 @@ class EngineSqlSurfaceSpec extends AnyFunSuite {
     e
   }
 
+  test("RESET restores the live spark conf; EXPLAIN tolerates RETURNING") {
+    val e = engine("rst")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    e.sql("SET spark.sql.shuffle.partitions = 7")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    e.sql("RESET spark.sql.shuffle.partitions")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    e.sql("SET spark.sql.shuffle.partitions = 9")
+    e.sql("RESET ALL")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    // EXPLAIN [ANALYZE] of DML with RETURNING: plan text / real count
+    val plan = e.sql(
+      "EXPLAIN DELETE FROM reg_rst WHERE r_regionkey = 1 RETURNING r_name")
+    assert(plan.collect().exists(_.getString(0).contains("Statement: DELETE")))
+    assert(e.sql("SELECT count(*) AS n FROM reg_rst").head.getLong(0) == 5)
+    val an = e.sql(
+      "EXPLAIN ANALYZE DELETE FROM reg_rst WHERE r_regionkey = 1 RETURNING r_name")
+    assert(an.collect().exists(_.getString(0) == "Rows affected: 1"))
+    assert(e.sql("SELECT count(*) AS n FROM reg_rst").head.getLong(0) == 4)
+  }
+
+  test("COLLATE pg_catalog qualification strips like the bare form") {
+    val df = QueryDef.pgSql(spark,
+      """SELECT v FROM (SELECT 'a' AS v) t
+        |ORDER BY v COLLATE pg_catalog."C"""".stripMargin)
+    assert(df.head.getString(0) == "a")
+  }
+
   test("views see post-DML table state; view-on-view; OR REPLACE; DROP") {
     val e = engine("v1")
     e.sql("CREATE VIEW v_top AS SELECT r_regionkey, r_name FROM reg_v1 " +
