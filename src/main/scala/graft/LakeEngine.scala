@@ -115,8 +115,15 @@ final class LakeEngine(val spark: SparkSession) {
     val ancestors = Iterator.iterate(inheritsOf.get(name))(
       _.flatMap(inheritsOf.get)).takeWhile(_.isDefined).flatten.toSeq
     (familyOf(name) ++ ancestors).foreach { n =>
-      if (tables.contains(n) || partParents.contains(n))
+      if (tables.contains(n) || partParents.contains(n)) {
+        // PG `FROM ONLY parent`: the parent's OWN rows, no descendants
+        // (plans/OnlyRewrite maps the syntax onto this view; registered
+        // for childless tables too — PG's ONLY is a no-op there).
+        // Registered FIRST so the family view's pruning index is the
+        // table's LAST-built one (scanReport reads the latest index)
+        ownRows(n).createOrReplaceTempView(s"__only_$n")
         familyFrame(n).createOrReplaceTempView(n)
+      }
     }
   }
 
@@ -813,8 +820,18 @@ final class LakeEngine(val spark: SparkSession) {
     // literal or parenthesized subquery)
     val isDml = "(?is)^(INSERT|UPDATE|DELETE)\\b.*".r
       .pattern.matcher(trimmed).matches()
-    val (dmlText, retClause): (String, Option[String]) =
+    val (dmlText0, retClause): (String, Option[String]) =
       if (!isDml) (trimmed, None) else splitReturning(trimmed)
+    // PG `ONLY` on DML targets: act on the named table alone, without
+    // family propagation (SELECT-side ONLY maps to __only_ views in
+    // plans/OnlyRewrite)
+    val onlyDmlRe = "(?is)^(DELETE\\s+FROM|UPDATE)\\s+ONLY\\s+(.+)$".r
+    val (dmlText, onlyDml) = dmlText0 match {
+      case onlyDmlRe(head, rest) =>
+        (head.replaceAll("\\s+", " ") + " " +
+          plans.OnlyRewrite.rewrite(rest), true)
+      case _ => (plans.OnlyRewrite.rewrite(dmlText0), false)
+    }
     dmlText match {
       case explainRe(optsOrNull, rest) =>
         val opts = Option(optsOrNull).map(_.toLowerCase).getOrElse("")
@@ -1022,7 +1039,7 @@ final class LakeEngine(val spark: SparkSession) {
         }
       case deleteRe(name, whereOrNull)
           if (tables.contains(name) || partParents.contains(name)) &&
-            familyOf(name).size > 1 =>
+            familyOf(name).size > 1 && !onlyDml =>
         // inheritance/partition family: PG propagates the DELETE to
         // every member (test_inheritance.py posture); RETURNING over a
         // family is refused, target the members
@@ -1054,7 +1071,7 @@ final class LakeEngine(val spark: SparkSession) {
         }
       case updateRe(name, setList, whereOrNull)
           if (tables.contains(name) || partParents.contains(name)) &&
-            familyOf(name).size > 1 =>
+            familyOf(name).size > 1 && !onlyDml =>
         require(retClause.isEmpty,
           "UPDATE ... RETURNING over an inheritance family is not " +
             "supported; target the member tables")
@@ -1329,7 +1346,7 @@ final class LakeEngine(val spark: SparkSession) {
         val cs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty)
         table(name).cluster(cs); refresh(name)
         Seq(cs.mkString(", ")).toDF("clustered_by")
-      case _ => QueryDef.pgSql(spark, trimmed)
+      case _ => QueryDef.pgSql(spark, dmlText)
     }
   }
 

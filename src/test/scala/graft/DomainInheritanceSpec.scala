@@ -187,6 +187,31 @@ class DomainInheritanceSpec extends AnyFunSuite {
     intercept[Exception](e.sql("SELECT * FROM part_m"))
   }
 
+  test("ONLY: reads and DML target the parent alone (PG ddl-inherit)") {
+    val e = engine()
+    e.sql("CREATE TABLE parent_o AS SELECT 1 AS x UNION ALL SELECT 10")
+    e.sql("CREATE TABLE child_o () INHERITS (parent_o)")
+    e.sql("INSERT INTO child_o VALUES (2)")
+    assert(e.sql("SELECT count(*) AS n FROM parent_o").head.getLong(0) == 3)
+    assert(e.sql("SELECT count(*) AS n FROM ONLY parent_o")
+      .head.getLong(0) == 2)
+    // join position too
+    assert(e.sql(
+      """SELECT count(*) AS n FROM child_o c
+        |JOIN ONLY parent_o p ON p.x > c.x""".stripMargin)
+      .head.getLong(0) == 1)
+    // DML ONLY: no family propagation — child keeps its row
+    e.sql("UPDATE ONLY parent_o SET x = x + 100 WHERE x <= 2")
+    assert(e.sql("SELECT x FROM child_o").head.getInt(0) == 2)
+    assert(e.sql("SELECT count(*) AS n FROM ONLY parent_o WHERE x = 101")
+      .head.getLong(0) == 1)
+    e.sql("DELETE FROM ONLY parent_o WHERE x < 200")
+    assert(e.sql("SELECT count(*) AS n FROM ONLY parent_o")
+      .head.getLong(0) == 0)
+    assert(e.sql("SELECT count(*) AS n FROM parent_o").head.getLong(0) == 1)
+    e.dropTable("child_o"); e.dropTable("parent_o")
+  }
+
   test("range partitioning without default: stray rows refuse") {
     val e = engine()
     e.sql("CREATE TABLE part_q (x int) PARTITION BY RANGE (x)")
