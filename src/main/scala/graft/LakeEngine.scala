@@ -724,10 +724,13 @@ final class LakeEngine(val spark: SparkSession) {
     */
   def copyTo(df: DataFrame, url: String,
       options: Map[String, String] = Map.empty): Unit = {
-    val fmt = inferFormat(url)
-    val codec = compressionOf(url)
+    // WITH (format …, compression …) override the URL's extension
+    val fmt = options.get("format").map(_.toLowerCase)
+      .getOrElse(inferFormat(url))
+    val codec = options.get("compression").map(_.toLowerCase)
+      .filterNot(_ == "none").orElse(compressionOf(url))
     var w = df.write.mode(options.getOrElse("mode", "overwrite"))
-      .options(options - "mode")
+      .options(options - "mode" - "format" - "compression")
     codec.foreach(c => w = w.option("compression", c))
     fmt match {
       case "parquet" => w.parquet(url)
@@ -752,13 +755,47 @@ final class LakeEngine(val spark: SparkSession) {
     * the source is scanned once, not count()+append.
     */
   def copyFrom(tableName: String, url: String,
-      options: Map[String, String] = Map.empty): Long = {
+      options: Map[String, String] = Map.empty,
+      columns: Option[Seq[String]] = None): Long = {
     val t = table(tableName)
-    val src = applyDomainChecks(tableName,
-      createLakeTable(s"__copy_src_$tableName", url,
-        schema = Some(t.meta.sparkSchema), options = options))
+    val full = t.meta.sparkSchema
+    // PG column-subset COPY: the file carries ONLY those columns (in
+    // list order); the rest fill from declared/domain DEFAULTs
+    val readSchema = columns match {
+      case Some(cs) =>
+        StructType(cs.map(c => full(full.fieldNames
+          .find(_.equalsIgnoreCase(c)).getOrElse(throw
+            new IllegalArgumentException(
+              s"""column "$c" of $tableName does not exist""")))))
+      case None => full
+    }
+    // an explicit compression that the file extension doesn't reveal:
+    // stage a correctly-suffixed symlink so the reader's codec
+    // detection sees it (Spark infers CSV codecs from the extension)
+    val readUrl = options.get("compression") match {
+      case Some(c @ ("gzip" | "zstd")) if compressionOf(url).isEmpty =>
+        val suffix = if (c == "gzip") ".gz" else ".zst"
+        val link = Files.createTempDirectory("copyfrom")
+          .resolve(Paths.get(url).getFileName.toString + suffix)
+        Files.createSymbolicLink(link, Paths.get(url).toAbsolutePath)
+        link.toString
+      case _ => url
+    }
+    val src0 = createLakeTable(s"__copy_src_$tableName", readUrl,
+      format = options.get("format"),
+      schema = Some(readSchema), options = options - "compression")
+    val src = columns match {
+      case Some(_) =>
+        full.fields.foldLeft(src0) { (acc, f) =>
+          if (acc.columns.exists(_.equalsIgnoreCase(f.name))) acc
+          else acc.withColumn(f.name,
+            defaultExprFor(tableName, f.name, f.dataType))
+        }.select(full.fieldNames.map(col).toSeq: _*)
+      case None => src0
+    }
+    val checked = applyDomainChecks(tableName, src)
     val obs = new org.apache.spark.sql.Observation()
-    t.append(src.observe(obs, count(lit(1)).as("n")))
+    t.append(checked.observe(obs, count(lit(1)).as("n")))
     refresh(tableName)
     obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
       .getOrElse(0L)
@@ -1119,19 +1156,27 @@ final class LakeEngine(val spark: SparkSession) {
       // COPY ... TO/FROM — the reference's SQL import/export surface
       // (pg_lake_copy/src/copy/copy.c; format + compression from the
       // target name, PG-style WITH (option value, ...) list)
-      case copyToRe(src, url, optsOrNull) =>
-        val df =
-          if (src.startsWith("(")) spark.sql(src.stripPrefix("(").stripSuffix(")"))
-          else spark.table(src)
+      case copyToRe(nameOrNull, colsOrNull, subqOrNull, url, optsOrNull) =>
+        val base =
+          if (subqOrNull != null)
+            spark.sql(subqOrNull.stripPrefix("(").stripSuffix(")"))
+          else spark.table(nameOrNull)
+        // optional PG column-subset list: COPY t (a, b) TO …
+        val df = Option(colsOrNull).map(cl =>
+          base.select(splitTopLevel(cl).map(c => expr(c.trim)): _*))
+          .getOrElse(base)
         // the exported-row count rides the write job as an observed
         // metric — one scan, not count()+write
         val obs = new org.apache.spark.sql.Observation()
         copyTo(df.observe(obs, count(lit(1)).as("n")), url,
-          parseCopyOptions(optsOrNull))
+          validatedCopyOptions(optsOrNull))
         Seq(obs.get.get("n").flatMap(Option(_)).map(_.asInstanceOf[Long])
           .getOrElse(0L)).toDF("rows_exported")
-      case copyFromRe(name, url, optsOrNull) if tables.contains(name) =>
-        Seq(copyFrom(name, url, parseCopyOptions(optsOrNull)))
+      case copyFromRe(name, colsOrNull, url, optsOrNull)
+          if tables.contains(name) =>
+        val cols = Option(colsOrNull).map(splitTopLevel(_).map(
+          _.trim.stripPrefix("`").stripSuffix("`")))
+        Seq(copyFrom(name, url, validatedCopyOptions(optsOrNull), cols))
           .toDF("rows_imported")
       case lakeAtRe(name, snap) if tables.contains(name) =>
         table(name).readAsOf(snap.toLong)
@@ -1643,10 +1688,10 @@ final class LakeEngine(val spark: SparkSession) {
   // paren matcher): arbitrarily nested SELECTs route correctly, and the
   // trailing TO '...' anchor disambiguates the closing paren
   private val copyToRe =
-    ("(?is)^COPY\\s+(\\w+|\\(.+\\))\\s+TO\\s+" +
+    ("(?is)^COPY\\s+(?:(\\w+)(?:\\s*\\(([^()]*)\\))?|(\\(.+\\)))\\s+TO\\s+" +
       "'([^']+)'(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
   private val copyFromRe =
-    ("(?is)^COPY\\s+(\\w+)\\s+FROM\\s+'([^']+)'" +
+    ("(?is)^COPY\\s+(\\w+)(?:\\s*\\(([^()]*)\\))?\\s+FROM\\s+'([^']+)'" +
       "(?:\\s+WITH\\s*\\(([^)]*)\\))?\\s*;?\\s*$").r
 
   /** PG COPY option list: `format csv, header true, delimiter ','` —
@@ -1661,6 +1706,36 @@ final class LakeEngine(val spark: SparkSession) {
           parts(1).trim.stripPrefix("'").stripSuffix("'") else "true"
         (if (k == "delimiter") "sep" else k) -> v
       }.toMap
+
+  /** COPY-route option validation (reference test_csv_copy.py: an
+    * unknown option, format, or compression errors loudly — `boat '|'`
+    * must not silently pass into the reader). PG's on/off booleans
+    * normalize; `null` maps onto the reader/writer nullValue.
+    */
+  private val knownCopyOptions = Set(
+    "format", "header", "sep", "quote", "escape", "null", "nullvalue",
+    "null_padding", "force_quote", "force_not_null", "freeze",
+    "compression", "encoding", "mode", "emptyvalue", "columns")
+
+  private def validatedCopyOptions(spec: String): Map[String, String] = {
+    val opts = parseCopyOptions(spec)
+    opts.keys.find(!knownCopyOptions.contains(_)).foreach(k =>
+      throw new IllegalArgumentException(s"""option "$k" not recognized"""))
+    opts.get("format").map(_.toLowerCase).foreach(f =>
+      require(Set("csv", "parquet", "json").contains(f),
+        s"""COPY format "$f" is not supported"""))
+    opts.get("compression").map(_.toLowerCase).foreach(c =>
+      require(Set("none", "gzip", "zstd", "snappy").contains(c),
+        s"""compression "$c" is not recognized"""))
+    opts.map { case (k, v) =>
+      val nv = v.toLowerCase match {
+        case "on" => "true"
+        case "off" => "false"
+        case _ => v
+      }
+      (if (k == "null") "nullvalue" else k) -> nv
+    }
+  }
 
   // time travel as a table function (reference: point a foreign table
   // at an old metadata.json — docs/iceberg-tables.md:836-863; here the

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COPY option surface (reference pg_lake_copy test_csv_copy.py):
+  * column-subset lists, WITH-option validation, format/compression
+  * overrides, encoding.
+  */
+class CopyOptionsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("copyopt").resolve(name).toString
+
+  private def engine(tag: String): LakeEngine = {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect(s"ct_$tag", LakeEngine.tempLocation(tag),
+      spark.sql("SELECT 1 AS id, 'ab' AS v, 2.5 AS d"))
+    e
+  }
+
+  test("unknown option, bad format, bad compression all refuse loudly") {
+    val e = engine("bad")
+    val f = tmp("x.csv")
+    val e1 = intercept[IllegalArgumentException](
+      e.sql(s"COPY ct_bad TO '$f' WITH (format 'csv', boat '|')"))
+    assert(e1.getMessage.contains("boat"))
+    intercept[IllegalArgumentException](
+      e.sql(s"COPY ct_bad TO '$f' WITH (format 'xml')"))
+    intercept[IllegalArgumentException](
+      e.sql(s"COPY ct_bad TO '$f' WITH (format 'csv', compression 'zoko')"))
+  }
+
+  test("column-subset COPY TO exports just those columns, in order") {
+    val e = engine("sub")
+    val f = tmp("sub.csv")
+    val n = e.sql(s"COPY ct_sub (v, id) TO '$f' WITH (format 'csv', header on)")
+      .head.getLong(0)
+    assert(n == 1)
+    val back = spark.read.option("header", "true").csv(f)
+    assert(back.columns.toSeq == Seq("v", "id"))
+    assert(back.head.getString(0) == "ab")
+  }
+
+  test("column-subset COPY FROM fills the rest from defaults") {
+    val e = engine("from")
+    e.sql("CREATE TABLE sub_t (a int, b text DEFAULT 'dflt', c int)")
+    val f = tmp("one_col.csv")
+    e.sql(s"COPY (SELECT 41 AS a UNION ALL SELECT 42) TO '$f' " +
+      "WITH (format 'csv', header on)")
+    val n = e.sql(s"COPY sub_t (a) FROM '$f/*.csv' WITH (format 'csv')")
+      .head.getLong(0)
+    assert(n == 2)
+    val rows = e.sql("SELECT a, b, c FROM sub_t ORDER BY a").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(41, 42))
+    assert(rows.forall(_.getString(1) == "dflt"))
+    assert(rows.forall(_.isNullAt(2)))
+    // a column the table lacks refuses
+    intercept[IllegalArgumentException](
+      e.sql(s"COPY sub_t (zz) FROM '$f/*.csv'"))
+    e.dropTable("sub_t")
+  }
+
+  test("compression override: gzip despite a bare .csv name, both ways") {
+    val e = engine("gz")
+    val dir = tmp("gzdir")
+    e.sql(s"COPY ct_gz TO '$dir' WITH (format 'csv', compression 'gzip')")
+    val files = new java.io.File(dir).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".csv.gz")))
+    // read back through the engine with the explicit option on a
+    // non-.gz path (symlink staging)
+    val gz = new java.io.File(dir).listFiles
+      .find(_.getName.endsWith(".csv.gz")).get.getAbsolutePath
+    val plain = tmp("renamed_plain")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(gz),
+      java.nio.file.Paths.get(plain))
+    e.sql("CREATE TABLE gz_t (id int, v text, d double)")
+    val n = e.sql(s"COPY gz_t FROM '$plain' WITH (format 'csv', " +
+      "compression 'gzip')").head.getLong(0)
+    assert(n == 1)
+    assert(e.sql("SELECT v FROM gz_t").head.getString(0) == "ab")
+    e.dropTable("gz_t")
+  }
+
+  test("format override beats the extension; encoding passes through") {
+    val e = engine("fmt")
+    val f = tmp("data.out") // no format-revealing extension
+    e.sql(s"COPY ct_fmt TO '$f' WITH (format 'csv', header on)")
+    assert(new java.io.File(f).listFiles.exists(_.getName.endsWith(".csv")))
+    val enc = tmp("latin.csv")
+    // LATIN1 round trip of a non-ASCII value
+    e.sql(s"COPY (SELECT 'reeën' AS s) TO '$enc' " +
+      "WITH (format 'csv', encoding 'ISO-8859-1', header off)")
+    val bytes = new java.io.File(enc).listFiles
+      .filter(_.getName.endsWith(".csv")).head
+    val raw = java.nio.file.Files.readAllBytes(bytes.toPath)
+    assert(new String(raw, "ISO-8859-1").trim == "reeën")
+  }
+}
