@@ -194,6 +194,7 @@ final class LakeEngine(val spark: SparkSession) {
       partChildren.remove(name)
       spark.catalog.dropTempView(name)
     }
+    spark.catalog.dropTempView(s"__only_$name")
     // a dropped child leaves its family: detach and refresh ancestors
     inheritsOf.remove(name).foreach { parent =>
       partChildren.get(parent).foreach(kids =>
@@ -213,6 +214,7 @@ final class LakeEngine(val spark: SparkSession) {
     val t = tables.remove(oldName).getOrElse(
       throw new IllegalArgumentException(s"unknown lake table $oldName"))
     spark.catalog.dropTempView(oldName)
+    spark.catalog.dropTempView(s"__only_$oldName")
     // migrate every registry keyed by (or referencing) the old name:
     // inheritance links in both roles, partition-child routing, domain
     // columns, column defaults, matview definitions — a rename must not
@@ -727,8 +729,11 @@ final class LakeEngine(val spark: SparkSession) {
     // WITH (format …, compression …) override the URL's extension
     val fmt = options.get("format").map(_.toLowerCase)
       .getOrElse(inferFormat(url))
-    val codec = options.get("compression").map(_.toLowerCase)
-      .filterNot(_ == "none").orElse(compressionOf(url))
+    val codec = options.get("compression").map(_.toLowerCase) match {
+      case Some("none") => None // explicit override beats the extension
+      case Some(c) => Some(c)
+      case None => compressionOf(url)
+    }
     var w = df.write.mode(options.getOrElse("mode", "overwrite"))
       .options(options - "mode" - "format" - "compression")
     codec.foreach(c => w = w.option("compression", c))
@@ -773,7 +778,11 @@ final class LakeEngine(val spark: SparkSession) {
     // stage a correctly-suffixed symlink so the reader's codec
     // detection sees it (Spark infers CSV codecs from the extension)
     val readUrl = options.get("compression") match {
-      case Some(c @ ("gzip" | "zstd")) if compressionOf(url).isEmpty =>
+      case Some(c @ ("gzip" | "zstd")) if compressionOf(url).isEmpty &&
+          !url.contains("://") && !url.contains("*") &&
+          Files.isRegularFile(Paths.get(url)) =>
+        // local single file only: remote URLs and globs keep their own
+        // staging path (their readers detect codecs from real names)
         val suffix = if (c == "gzip") ".gz" else ".zst"
         val link = Files.createTempDirectory("copyfrom")
           .resolve(Paths.get(url).getFileName.toString + suffix)
@@ -1013,7 +1022,8 @@ final class LakeEngine(val spark: SparkSession) {
           val upper =
             if (rp.to.get.equalsIgnoreCase("MAXVALUE")) lit(true)
             else k < expr(rp.to.get)
-          lower && upper
+          // PG routes NULL keys to the DEFAULT partition, never a range
+          k.isNotNull && lower && upper
         }
         val leftover = ranged.map(cond).reduceOption(_ || _)
           .map(c => typed.filter(!coalesce(c, lit(false)))).getOrElse(typed)
@@ -1074,6 +1084,10 @@ final class LakeEngine(val spark: SparkSession) {
             Seq(insObs.get.get("n").flatMap(Option(_))
               .map(_.asInstanceOf[Long]).getOrElse(0L)).toDF("rows_inserted")
         }
+      case deleteRe(name, _) if onlyDml && partParents.contains(name) =>
+        Seq(0L).toDF("rows_deleted") // virtual parent holds no own rows
+      case updateRe(name, _, _) if onlyDml && partParents.contains(name) =>
+        Seq(0L).toDF("rows_updated")
       case deleteRe(name, whereOrNull)
           if (tables.contains(name) || partParents.contains(name)) &&
             familyOf(name).size > 1 && !onlyDml =>
@@ -1391,7 +1405,10 @@ final class LakeEngine(val spark: SparkSession) {
         val cs = splitTopLevel(cols).map(_.trim).filter(_.nonEmpty)
         table(name).cluster(cs); refresh(name)
         Seq(cs.mkString(", ")).toDF("clustered_by")
-      case _ => QueryDef.pgSql(spark, dmlText)
+      case _ =>
+        require(retClause.isEmpty,
+          "RETURNING is only supported on managed-table DML")
+        QueryDef.pgSql(spark, dmlText)
     }
   }
 
@@ -1543,7 +1560,8 @@ final class LakeEngine(val spark: SparkSession) {
       val wrapped = doms.get(target.toLowerCase)
         .flatMap(dn => domains.get(dn).flatMap(_.check).map(dn -> _)) match {
         case Some((dn, chk)) =>
-          val cond = expr(chk.replaceAll("(?i)\\bvalue\\b", s"(${e.trim})"))
+          val cond = expr(chk.replaceAll("(?i)\\bvalue\\b",
+            java.util.regex.Matcher.quoteReplacement(s"(${e.trim})")))
           when(cond.isNotNull && !cond, raise_error(lit(
             s"value for domain $dn violates check constraint")))
             .otherwise(vExpr)
@@ -1712,9 +1730,13 @@ final class LakeEngine(val spark: SparkSession) {
     * must not silently pass into the reader). PG's on/off booleans
     * normalize; `null` maps onto the reader/writer nullValue.
     */
+  // null_padding and freeze are genuine no-ops here (Spark's permissive
+  // CSV read already pads short rows; FREEZE is a PG heap-visibility
+  // hint); force_quote maps onto quoteAll ('*' only); force_not_null
+  // has no reader equivalent and is NOT accepted
   private val knownCopyOptions = Set(
     "format", "header", "sep", "quote", "escape", "null", "nullvalue",
-    "null_padding", "force_quote", "force_not_null", "freeze",
+    "null_padding", "force_quote", "freeze",
     "compression", "encoding", "mode", "emptyvalue", "columns")
 
   private def validatedCopyOptions(spec: String): Map[String, String] = {
@@ -1727,13 +1749,22 @@ final class LakeEngine(val spark: SparkSession) {
     opts.get("compression").map(_.toLowerCase).foreach(c =>
       require(Set("none", "gzip", "zstd", "snappy").contains(c),
         s"""compression "$c" is not recognized"""))
+    opts.get("force_quote").foreach(v =>
+      require(v.trim == "*",
+        "force_quote: only '*' (quote everything) is supported"))
     opts.map { case (k, v) =>
       val nv = v.toLowerCase match {
         case "on" => "true"
         case "off" => "false"
+        case _ if k == "format" || k == "compression" => v.toLowerCase
         case _ => v
       }
-      (if (k == "null") "nullvalue" else k) -> nv
+      val nk = k match {
+        case "null" => "nullvalue"
+        case "force_quote" => "quoteAll"
+        case other => other
+      }
+      nk -> (if (nk == "quoteAll") "true" else nv)
     }
   }
 

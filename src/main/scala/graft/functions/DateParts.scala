@@ -121,6 +121,12 @@ case class PgEpochMicros(child: Expression)
   override def nullSafeEval(v: Any): Any = child.dataType match {
     case DateType => v.asInstanceOf[Int].toLong * 86400000000L
     case TimestampType | TimestampNTZType => v.asInstanceOf[Long]
+    case StringType =>
+      // PG coerces text through timestamp-without-tz: naive = UTC
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestampWithoutTimeZone(
+          v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        .map(Long.box).orNull
     case other => throw new IllegalArgumentException(
       s"extract(epoch …): unsupported input type $other")
   }

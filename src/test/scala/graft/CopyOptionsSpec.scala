@@ -82,6 +82,41 @@ class CopyOptionsSpec extends AnyFunSuite {
     e.dropTable("gz_t")
   }
 
+  test("case-insensitive option values; none overrides extension; force_quote") {
+    val e = engine("cs")
+    val gz = tmp("up.notcsv")
+    // uppercase values validate AND act
+    e.sql(s"COPY ct_cs TO '$gz' WITH (format 'CSV', compression 'GZIP')")
+    assert(new java.io.File(gz).listFiles.exists(_.getName.endsWith(".csv.gz")))
+    // explicit none beats a compression-implying extension
+    val plain = tmp("out.csv.gz")
+    e.sql(s"COPY ct_cs TO '$plain' WITH (format 'csv', compression 'none')")
+    assert(new java.io.File(plain).listFiles
+      .exists(f => f.getName.endsWith(".csv") && !f.getName.endsWith(".gz")))
+    // force_quote '*' quotes everything; column lists refuse
+    val fq = tmp("fq.csv")
+    e.sql(s"COPY ct_cs TO '$fq' WITH (format 'csv', header off, force_quote '*')")
+    val line = scala.io.Source.fromFile(new java.io.File(fq).listFiles
+      .filter(_.getName.endsWith(".csv")).head).getLines().next()
+    assert(line.startsWith("\"1\""), line)
+    // column-list force_quote / force_not_null: loud (either the
+    // validator or, for the nested parens, the parser)
+    intercept[Exception](
+      e.sql(s"COPY ct_cs TO '$fq' WITH (format 'csv', force_quote (v))"))
+    intercept[Exception](
+      e.sql(s"COPY ct_cs TO '$fq' WITH (format 'csv', force_not_null 'v')"))
+  }
+
+  test("UPDATE of a domain column tolerates regex metacharacters") {
+    val e = engine("rx")
+    e.sql("CREATE DOMAIN dtext2 AS text CHECK (length(value) > 0)")
+    e.sql("CREATE TABLE rx_t (s dtext2)")
+    e.sql("INSERT INTO rx_t VALUES ('a')")
+    e.sql("""UPDATE rx_t SET s = concat('$1', '\\x')""")
+    assert(e.sql("SELECT s FROM rx_t").head.getString(0).startsWith("$1"))
+    e.sql("DROP DOMAIN dtext2"); e.dropTable("rx_t")
+  }
+
   test("format override beats the extension; encoding passes through") {
     val e = engine("fmt")
     val f = tmp("data.out") // no format-revealing extension

@@ -212,6 +212,23 @@ class DomainInheritanceSpec extends AnyFunSuite {
     e.dropTable("child_o"); e.dropTable("parent_o")
   }
 
+  test("NULL partition keys route to DEFAULT; ONLY on a virtual parent") {
+    val e = engine()
+    e.sql("CREATE TABLE part_n (x int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_n1 PARTITION OF part_n " +
+      "FOR VALUES FROM (MINVALUE) TO (MAXVALUE)")
+    e.sql("CREATE TABLE part_n2 PARTITION OF part_n DEFAULT")
+    e.sql("INSERT INTO part_n VALUES (1), (NULL)")
+    assert(e.sql("SELECT count(*) AS n FROM part_n1").head.getLong(0) == 1)
+    assert(e.sql("SELECT count(*) AS n FROM part_n2").head.getLong(0) == 1)
+    // DML ONLY on the virtual parent is a PG-valid 0-row no-op
+    assert(e.sql("DELETE FROM ONLY part_n").head.getLong(0) == 0)
+    assert(e.sql("SELECT count(*) AS n FROM part_n").head.getLong(0) == 2)
+    // ghost-view check: dropping everything makes ONLY reads fail too
+    e.dropTable("part_n1"); e.dropTable("part_n2"); e.sql("DROP TABLE part_n")
+    intercept[Exception](e.sql("SELECT * FROM ONLY part_n"))
+  }
+
   test("range partitioning without default: stray rows refuse") {
     val e = engine()
     e.sql("CREATE TABLE part_q (x int) PARTITION BY RANGE (x)")
