@@ -679,6 +679,8 @@ object Fuzz {
             (expr, if (lastText) expr else s"CAST($expr AS VARCHAR)")
           }
         }
+        // (json dimension continues below; the datetime-field dimension
+        // is appended after it)
         val pairs = (0 until 60).map(i => (i, chain()))
         val sparkCols = pairs.map { case (i, (s, _)) => s"  $s AS j$i" }
           .mkString(",\n")
@@ -706,6 +708,44 @@ object Fuzz {
                |FROM (SELECT n_nationkey, ${doc("VARCHAR")}
                |  FROM nation) t
                |ORDER BY n_nationkey""".stripMargin)
+      }, {
+        // datetime-field dimension: random extract-field × input-shape
+        // combos over events.ts put the DateParts completion (century/
+        // decade/millennium/isodow/isoyear/epoch/micro-/milliseconds +
+        // the delegated Spark fields) under generated differential
+        // test — DuckDB evaluates every one of these fields with PG
+        // semantics natively (probed: era grid, from-minute micros,
+        // truncating ms), so the SAME text judges both engines.
+        // Excluded by design: date_trunc('century'/'millennium') inputs
+        // (DuckDB's xx00 grid needs the reference's +1-year rewrite —
+        // pinned in q_fn_extract_fields instead) and timezone fields
+        // (session-dependent). epoch floors (engine cast rounding
+        // differs) and milliseconds is integral in DuckDB, so both
+        // wrap in FLOOR and cast BIGINT.
+        val rndT = new Random(Seed + 18)
+        val fields = Seq("century", "decade", "millennium", "isodow",
+          "isoyear", "epoch", "microseconds", "milliseconds", "year",
+          "month", "day", "quarter", "week", "doy", "hour", "minute")
+        def input(): String = rndT.nextInt(6) match {
+          case 0 => "ts"
+          case 1 => s"ts + INTERVAL ${1 + rndT.nextInt(400)} DAY"
+          case 2 => s"ts - INTERVAL ${1 + rndT.nextInt(5000)} HOUR"
+          case 3 => s"CAST(ts AS DATE) + ${rndT.nextInt(300)}"
+          case 4 => s"CAST(date_trunc('${Seq("year", "month", "day",
+            "hour")(rndT.nextInt(4))}', ts) AS TIMESTAMP)"
+          case 5 => s"ts + INTERVAL ${1 + rndT.nextInt(100000)} SECOND"
+        }
+        val colsT = (0 until 48).map { i =>
+          val f = fields(rndT.nextInt(fields.size))
+          s"  CAST(FLOOR(EXTRACT($f FROM ${input()})) AS BIGINT) AS t$i"
+        }.mkString(",\n")
+        QueryDef.sql(
+          "q_fn_fuzz_datetime",
+          s"""SELECT event_id,
+             |$colsT
+             |FROM events
+             |WHERE event_id < 500
+             |ORDER BY event_id""".stripMargin)
       })
   }
 }
