@@ -1209,8 +1209,23 @@ final class LakeEngine(val spark: SparkSession) {
         graft.sources.IcebergSnapshot.files(spark, url)
       case icebergMetaRe(url) =>
         graft.sources.IcebergSnapshot.metadataJson(spark, url)
-      case truncateRe(name) if tables.contains(name) =>
-        table(name).truncate(); refresh(name)
+      case truncateRe(onlyOrNull, name)
+          if tables.contains(name) || partParents.contains(name) =>
+        // PG: TRUNCATE on a family head empties every descendant too;
+        // TRUNCATE ONLY limits it to the named table. Foreign members
+        // refuse loudly like the other family DML.
+        val targets =
+          if (onlyOrNull != null) Seq(name).filter(tables.contains)
+          else {
+            val fam = familyOf(name)
+            require(fam.forall(m =>
+              tables.contains(m) || partParents.contains(m)),
+              s"family of $name contains foreign members: TRUNCATE " +
+                "cannot propagate")
+            fam.filter(tables.contains)
+          }
+        targets.foreach(m => table(m).truncate())
+        refresh(name)
         Seq(0L).toDF("rows_remaining")
       case vacuumRe(name) if tables.contains(name) =>
         table(name).vacuum(); refresh(name)
@@ -1820,7 +1835,8 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^EXECUTE\\s+(\\w+)(?:\\s*\\((.*)\\))?\\s*;?\\s*$".r
   private val deallocRe =
     "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?(\\w+)\\s*;?\\s*$".r
-  private val truncateRe = "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(\\w+)\\s*;?\\s*$".r
+  private val truncateRe =
+    "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(ONLY\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
   private val dropTableRe =

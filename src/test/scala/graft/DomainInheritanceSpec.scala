@@ -229,6 +229,28 @@ class DomainInheritanceSpec extends AnyFunSuite {
     intercept[Exception](e.sql("SELECT * FROM ONLY part_n"))
   }
 
+  test("TRUNCATE propagates over the family; TRUNCATE ONLY does not") {
+    val e = engine()
+    e.sql("CREATE TABLE parent_t AS SELECT 1 AS x")
+    e.sql("CREATE TABLE child_t () INHERITS (parent_t)")
+    e.sql("INSERT INTO child_t VALUES (2)")
+    e.sql("TRUNCATE ONLY parent_t")
+    assert(e.sql("SELECT count(*) AS n FROM parent_t").head.getLong(0) == 1)
+    assert(e.sql("SELECT count(*) AS n FROM child_t").head.getLong(0) == 1)
+    e.sql("INSERT INTO parent_t VALUES (3)")
+    e.sql("TRUNCATE parent_t")
+    assert(e.sql("SELECT count(*) AS n FROM parent_t").head.getLong(0) == 0)
+    assert(e.sql("SELECT count(*) AS n FROM child_t").head.getLong(0) == 0)
+    // partitioned parents truncate their children too
+    e.sql("CREATE TABLE part_t (x int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_t1 PARTITION OF part_t DEFAULT")
+    e.sql("INSERT INTO part_t VALUES (5)")
+    e.sql("TRUNCATE part_t")
+    assert(e.sql("SELECT count(*) AS n FROM part_t").head.getLong(0) == 0)
+    e.dropTable("part_t1"); e.sql("DROP TABLE part_t")
+    e.dropTable("child_t"); e.dropTable("parent_t")
+  }
+
   test("range partitioning without default: stray rows refuse") {
     val e = engine()
     e.sql("CREATE TABLE part_q (x int) PARTITION BY RANGE (x)")
