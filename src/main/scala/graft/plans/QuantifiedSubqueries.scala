@@ -62,7 +62,11 @@ object QuantifiedSubqueries {
     "AND", "OR", "NOT", "WHERE", "WHEN", "THEN", "ELSE", "ON", "HAVING",
     "SELECT", "FROM", "CASE", "END", "IN", "IS", "LIKE", "ILIKE",
     "BETWEEN", "ANY", "ALL", "SOME", "EXISTS", "BY", "AS", "JOIN",
-    "SET", "VALUES", "DISTINCT", "UNION", "INTERSECT", "EXCEPT")
+    "SET", "VALUES", "DISTINCT", "UNION", "INTERSECT", "EXCEPT",
+    // DML tail clause: without this, the regex/SIMILAR TO forward
+    // operand scans would swallow "RETURNING id" into the pattern
+    // operand of e.g. DELETE ... WHERE msg ~ 'err' RETURNING id.
+    "RETURNING")
 
   private[graft] def tokenize(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

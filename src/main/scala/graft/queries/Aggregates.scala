@@ -237,15 +237,20 @@ object Aggregates {
     // array_agg keeps NULL inputs (PG + DuckDB semantics; stock Spark
     // aliases it to collect_list which drops them — PgFunctions
     // re-registers the PG-faithful struct-wrapped form). n_kept ==
-    // n_rows is the retention proof; the sorted value arrays pin the
-    // contents exactly (both engines sort NULLS FIRST here).
+    // n_rows is the retention proof; the sorted values — rendered as a
+    // comma-joined string with explicit 'NULL' markers so the judged
+    // output schema stays scalar — pin the contents exactly (both
+    // engines sort NULLS FIRST here, and the NULL→'NULL' mapping runs
+    // after the numeric sort so ordering is engine-identical).
     QueryDef.sql(
       "q_agg_array_nulls",
       """SELECT c_nationkey,
         |  CAST(size(array_agg(nullif(c_mktsegment, 'BUILDING'))) AS BIGINT)
         |    AS n_kept,
         |  count(*) AS n_rows,
-        |  sort_array(array_agg(nullif(c_custkey % 5, 2))) AS vals
+        |  array_join(transform(
+        |      sort_array(array_agg(nullif(c_custkey % 5, 2))),
+        |      x -> coalesce(CAST(x AS STRING), 'NULL')), ',') AS vals
         |FROM customer
         |WHERE c_custkey <= 100
         |GROUP BY c_nationkey
@@ -254,8 +259,10 @@ object Aggregates {
         |  CAST(len(array_agg(nullif(c_mktsegment, 'BUILDING'))) AS BIGINT)
         |    AS n_kept,
         |  count(*) AS n_rows,
-        |  list_sort(array_agg(nullif(c_custkey % 5, 2)), 'ASC', 'NULLS FIRST')
-        |    AS vals
+        |  array_to_string(list_transform(
+        |      list_sort(array_agg(nullif(c_custkey % 5, 2)),
+        |        'ASC', 'NULLS FIRST'),
+        |      x -> coalesce(CAST(x AS VARCHAR), 'NULL')), ',') AS vals
         |FROM customer
         |WHERE c_custkey <= 100
         |GROUP BY c_nationkey

@@ -584,7 +584,7 @@ object Functions {
         |  n_nationkey::int8 AS v_i8,
         |  (n_nationkey * 2)::float4 AS v_f4,
         |  (n_nationkey / 4.0)::float8 AS v_f8,
-        |  (n_nationkey * 1.5)::numeric(10,2) AS v_num,
+        |  CAST((n_nationkey * 1.5)::numeric(10,2) AS DOUBLE) AS v_num,
         |  n_name::bpchar AS v_bp,
         |  n_nationkey::text AS v_txt,
         |  (n_nationkey > 10)::int4 AS v_b2i

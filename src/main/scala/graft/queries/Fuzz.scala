@@ -516,14 +516,18 @@ object Fuzz {
                 s"ELSE ${genC(depth + 1)} END)"
             }
           }
-          // output re-cast stays at precision 18: DECIMAL(18,3) is
-          // int64-backed in DuckDB while 38 is int128-backed, and the
-          // int128 rendering path hashes differently across DuckDB
-          // builds (observed driver-side); grammar values are tiny
-          // (≤ depth-bounded sums of n_nationkey ≤ 24 and literals),
-          // so precision 18 is lossless
+          // output leaves the decimal domain entirely: every grammar
+          // value has exact scale 3 (leaves are DECIMAL(18,3) and the
+          // grammar is closed under scale-preserving + and -), so
+          // (value * 1000) is exactly integral and CAST .. AS BIGINT
+          // is lossless in both engines — truncate-vs-round cast
+          // behavior never fires on integral inputs. A BIGINT output
+          // column sidesteps DECIMAL column decoding/rendering
+          // variation across driver builds (observed r10: the only two
+          // hash-red judged queries were exactly the two with DECIMAL
+          // output columns).
           val colsC = (0 until 100)
-            .map(i => s"  CAST(${genC(0)} AS DECIMAL(18,3)) AS c$i")
+            .map(i => s"  CAST((${genC(0)}) * 1000 AS BIGINT) AS c$i")
             .mkString(",\n")
           s"""SELECT n_nationkey,
              |$colsC
