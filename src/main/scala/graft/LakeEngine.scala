@@ -2,7 +2,8 @@ package graft
 
 import graft.lake.LakeTable
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import scala.collection.concurrent.TrieMap
@@ -180,6 +181,39 @@ final class LakeEngine(val spark: SparkSession) {
     reapplyViews()
   }
 
+  /** Maintenance sweep over every registered managed table — the
+    * engine-level analogue of the reference's autovacuum worker loop
+    * (pg_lake_table/src/ddl/vacuum.c:108 `pg_lake_iceberg_vacuum`
+    * iterates all iceberg tables; bare `VACUUM` reaches it too).
+    * Per-table policy via table properties:
+    *   - `autovacuum_enabled` (default true) — false skips the table
+    *     entirely on THIS sweep path; a manual `VACUUM tbl` /
+    *     [[LakeTable.vacuum]] still always compacts (the reference
+    *     mirrors the heap storage parameter the same way, :356-360);
+    *   - `autovacuum_compact_data_files` (default true) — false skips
+    *     only the data-file rewrite, snapshot expiry still runs;
+    *   - `autovacuum_keep_snapshots` (default 3) and
+    *     `autovacuum_grace_ms` (default 10 min) bound the expiry.
+    * Returns the names it maintained. Safe against concurrent writers:
+    * both halves are CAS-guarded and retrying.
+    */
+  def maintain(): Seq[String] = tables.keys.toSeq.sorted.flatMap { name =>
+    tables.get(name).flatMap { t =>
+      val p = t.meta.properties
+      if (!p.getOrElse("autovacuum_enabled", "true").toBoolean) None
+      else {
+        if (p.getOrElse("autovacuum_compact_data_files", "true").toBoolean)
+          t.compact()
+        t.expireSnapshots(
+          keepLast = p.getOrElse("autovacuum_keep_snapshots", "3").toInt,
+          graceMs = p.getOrElse("autovacuum_grace_ms",
+            (10L * 60 * 1000).toString).toLong)
+        refresh(name)
+        Some(name)
+      }
+    }
+  }
+
   /** DROP TABLE: unregister the view + delete per [[LakeTable.drop]]. */
   def dropTable(name: String, purge: Boolean = true): Unit = {
     require(childrenOf(name).isEmpty,
@@ -280,9 +314,11 @@ final class LakeEngine(val spark: SparkSession) {
   private def foreignFrame(path0: String, format: Option[String],
       options: Map[String, String],
       schema: Option[StructType]): DataFrame = {
-    // remote URLs (http/hf/s3, incl. wildcards) stage through the
-    // content-addressed cache first — s3:// adds bucket-region routing
-    val remote = path0.matches("^(https?|hf|s3a?)://.*")
+    // remote URLs (http/hf/s3/gcs/r2/azure, incl. wildcards) stage
+    // through the content-addressed cache first — s3://gs://r2:// add
+    // bucket-region routing + SigV4, az://abfss:// add SAS-token auth
+    val remote =
+      path0.matches("^(https?|hf|s3a?|gs|r2|az|azure|abfss?)://.*")
     val path = if (remote) sources.HttpSource.stageAll(path0) else path0
     val fmt = format.getOrElse(inferFormat(
       if (remote) sources.HttpSource.pathPart(path0) else path))
@@ -668,17 +704,27 @@ final class LakeEngine(val spark: SparkSession) {
     parsed
   }
 
-  /** `lake_file.list('glob')` equivalent via the Hadoop filesystem —
-    * works for any FS Spark can reach (local, S3A, ...).
+  /** `lake_file.list('glob')` equivalent. Local/Hadoop-reachable
+    * filesystems go through globStatus; object-store URLs (s3://,
+    * az://, abfss://, hf://) expand through the sources' own list
+    * APIs (the reference's test_list_file.py lists az:// the same
+    * way). Remote listings report size/mtime as -1/0 — the list APIs
+    * answer names; fetching per-blob metadata would be one extra
+    * round trip per file.
     */
   def listFiles(glob: String): DataFrame = {
     import spark.implicits._
-    val path = new org.apache.hadoop.fs.Path(glob)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
-    statuses.map(st => (st.getPath.toString, st.getLen,
-      st.getModificationTime)).toSeq
-      .toDF("path", "size_bytes", "modified_ms")
+    if (glob.matches("^(hf|s3a?|gs|r2|az|azure|abfss?)://.*"))
+      sources.HttpSource.expand(glob).map(u => (u, -1L, 0L))
+        .toDF("path", "size_bytes", "modified_ms")
+    else {
+      val path = new org.apache.hadoop.fs.Path(glob)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val statuses = Option(fs.globStatus(path)).getOrElse(Array.empty)
+      statuses.map(st => (st.getPath.toString, st.getLen,
+        st.getModificationTime)).toSeq
+        .toDF("path", "size_bytes", "modified_ms")
+    }
   }
 
   /** `lake_file.preview(url [, format])` (reference
@@ -994,10 +1040,13 @@ final class LakeEngine(val spark: SparkSession) {
         val t = createTableAsSelect(name, loc, spark.sql(select), spec)
         Seq(t.read().count()).toDF("rows_inserted")
       case insertRe(name, rest) if partParents.contains(name) =>
-        // range-partitioned parent: route each row to its child (the
-        // reference delegates this to PG's own partitioning; here each
-        // child gets the matching slice — one filter-scan per child,
-        // partition counts are small by construction)
+        // range-partitioned parent: route each row to its child. The
+        // source executes ONCE — a single scan materializes the typed
+        // rows into a staging dir partitioned BY CHILD INDEX, and the
+        // per-child appends plus the stray check each read only their
+        // slice of the staged parquet (footer-pruned), never the
+        // source again (the reference delegates routing to PG's own
+        // partitioning, which is likewise single-pass)
         val (schema, keyCol) = partParents(name)
         val df0 = spark.sql(rest)
         val target = schema.fieldNames.toSeq
@@ -1025,27 +1074,50 @@ final class LakeEngine(val spark: SparkSession) {
           // PG routes NULL keys to the DEFAULT partition, never a range
           k.isNotNull && lower && upper
         }
-        val leftover = ranged.map(cond).reduceOption(_ || _)
-          .map(c => typed.filter(!coalesce(c, lit(false)))).getOrElse(typed)
         val defaultKid = kids.find(_.from.isEmpty)
-        if (defaultKid.isEmpty) {
-          // stray check BEFORE any append: a routing miss aborts the
-          // whole statement with nothing written (PG aborts too)
-          val stray = leftover.count()
-          require(stray == 0,
-            s"no partition of relation $name found for $stray row(s)")
+        // first matching range wins (ranges don't overlap by DDL
+        // validation); everything else is the DEFAULT/stray slice
+        val routeExpr = ranged.zipWithIndex.foldRight(lit("d"): Column) {
+          case ((rp, i), els) => when(cond(rp), lit(i.toString)).otherwise(els)
         }
-        var total = 0L
-        def route(child: String, slice: DataFrame): Unit = {
-          val obs = new org.apache.spark.sql.Observation()
-          table(child).append(slice.observe(obs, count(lit(1)).as("n")))
-          total += obs.get.get("n").flatMap(Option(_))
-            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val stageDir = LakeEngine.tempLocation(s"ins_stage_$name")
+        typed.withColumn("__route", routeExpr)
+          .write.partitionBy("__route").parquet(stageDir)
+        try {
+          def slice(route: String): Option[DataFrame] = {
+            val p = Paths.get(stageDir, s"__route=$route")
+            if (Files.isDirectory(p)) Some(spark.read
+              .schema(StructType(schema.fields))
+              .parquet(p.toString))
+            else None
+          }
+          val strayOrDefault = slice("d")
+          if (defaultKid.isEmpty) {
+            // stray check BEFORE any append: a routing miss aborts the
+            // whole statement with nothing written (PG aborts too)
+            val stray = strayOrDefault.map(_.count()).getOrElse(0L)
+            require(stray == 0,
+              s"no partition of relation $name found for $stray row(s)")
+          }
+          var total = 0L
+          def route(child: String, sliceDf: Option[DataFrame]): Unit =
+            sliceDf.foreach { s =>
+              val obs = new org.apache.spark.sql.Observation()
+              table(child).append(s.observe(obs, count(lit(1)).as("n")))
+              total += obs.get.get("n").flatMap(Option(_))
+                .map(_.asInstanceOf[Long]).getOrElse(0L)
+            }
+          ranged.zipWithIndex.foreach { case (rp, i) =>
+            route(rp.child, slice(i.toString))
+          }
+          defaultKid.foreach(rp => route(rp.child, strayOrDefault))
+          refresh(name)
+          Seq(total).toDF("rows_inserted")
+        } finally {
+          val w = Files.walk(Paths.get(stageDir))
+          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+          finally w.close()
         }
-        ranged.foreach(rp => route(rp.child, typed.filter(cond(rp))))
-        defaultKid.foreach(rp => route(rp.child, leftover))
-        refresh(name)
-        Seq(total).toDF("rows_inserted")
       case insertRe(name, rest) if tables.contains(name) =>
         val df = spark.sql(rest)
         val targetFields = table(name).meta.sparkSchema.fields.toSeq
@@ -1227,6 +1299,10 @@ final class LakeEngine(val spark: SparkSession) {
         targets.foreach(m => table(m).truncate())
         refresh(name)
         Seq(0L).toDF("rows_remaining")
+      case vacuumAllRe() =>
+        // bare VACUUM sweeps every managed table per its autovacuum
+        // policy (PG's table-less VACUUM; the reference's worker loop)
+        Seq(maintain().mkString(",")).toDF("maintained")
       case vacuumRe(name) if tables.contains(name) =>
         table(name).vacuum(); refresh(name)
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
@@ -1437,8 +1513,10 @@ final class LakeEngine(val spark: SparkSession) {
         s"""prepared statement "$name" does not exist"""))
     val args = Option(argsOrNull).toSeq.flatMap(splitTopLevel)
       .map(_.trim).filter(_.nonEmpty)
+    // Declared parameter types are PG-spelled (int4, text, numeric…);
+    // route through pgTypeName so the emitted CAST is Spark-valid.
     val castArgs = args.zipWithIndex.map { case (a, i) =>
-      if (i < types.length) s"CAST(($a) AS ${types(i)})" else a
+      if (i < types.length) s"CAST(($a) AS ${pgTypeName(types(i))})" else a
     }
     plans.DollarParams.bind(stmt, castArgs)
   }
@@ -1537,6 +1615,24 @@ final class LakeEngine(val spark: SparkSession) {
     }.getOrElse(lit(null).cast(dt))
   }
 
+  /** Substitute the domain CHECK's VALUE keyword token-wise — string
+    * literals and quoted identifiers survive, where a word-boundary
+    * regex would also rewrite the contents of a literal like
+    * `CHECK (VALUE <> 'no value')`.
+    */
+  private def substituteValue(check: String, replacement: String): String = {
+    val ts = graft.plans.QuantifiedSubqueries.tokenize(check)
+    val sb = new StringBuilder
+    var last = 0
+    ts.foreach { t =>
+      if (t.kind == 'w' && t.up == "VALUE") {
+        sb.append(check.substring(last, t.start)).append(replacement)
+        last = t.end
+      }
+    }
+    sb.append(check.substring(last)).toString
+  }
+
   /** Wrap a frame headed for `name` with per-row domain CHECK
     * assertions (reference test_domain.py: COPY/INSERT must raise
     * "value for domain X violates check constraint"). Single scan:
@@ -1549,7 +1645,7 @@ final class LakeEngine(val spark: SparkSession) {
       entries.foldLeft(df) { case (acc, (c, dn)) =>
         domains.get(dn).flatMap(_.check) match {
           case Some(chk) if acc.columns.exists(_.equalsIgnoreCase(c)) =>
-            val cond = expr(chk.replaceAll("(?i)\\bvalue\\b", c))
+            val cond = expr(substituteValue(chk, c))
             val dt = acc.schema(acc.columns
               .find(_.equalsIgnoreCase(c)).get).dataType
             acc.withColumn(c, when(cond.isNotNull && !cond,
@@ -1575,8 +1671,7 @@ final class LakeEngine(val spark: SparkSession) {
       val wrapped = doms.get(target.toLowerCase)
         .flatMap(dn => domains.get(dn).flatMap(_.check).map(dn -> _)) match {
         case Some((dn, chk)) =>
-          val cond = expr(chk.replaceAll("(?i)\\bvalue\\b",
-            java.util.regex.Matcher.quoteReplacement(s"(${e.trim})")))
+          val cond = expr(substituteValue(chk, s"(${e.trim})"))
           when(cond.isNotNull && !cond, raise_error(lit(
             s"value for domain $dn violates check constraint")))
             .otherwise(vExpr)
@@ -1838,6 +1933,7 @@ final class LakeEngine(val spark: SparkSession) {
   private val truncateRe =
     "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(ONLY\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
+  private val vacuumAllRe = "(?is)^VACUUM\\s*;?\\s*$".r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
   private val dropTableRe =
     "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.time.LocalDate
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -327,14 +328,60 @@ object IcebergExport {
     val deleteManifest: Option[(String, Long)] =
       if (snap.deleteFiles.isEmpty) None
       else {
-        val delEntries = snap.deleteFiles.map { fe =>
+        // The spec requires each position-delete row's file_path to
+        // EQUAL the data file's manifest location string, and the
+        // delete columns to carry the reserved field ids (2147483546
+        // file_path, 2147483545 pos). Internally delete parquets store
+        // normalized scheme-less paths (engine-side joins normalize
+        // both sides — RowIds.normalizePath), so export rewrites a
+        // spec-exact COPY of each delete parquet under the metadata
+        // dir with manifest URIs and the reserved ids embedded; a
+        // genuine external reader (Spark+Iceberg, Trino, DuckDB)
+        // string-matches these against the data manifest entries.
+        val F = org.apache.spark.sql.functions
+        val uriByNorm = snap.dataFiles
+          .map(fe => RowIds.normalizePathStr(fe.path) -> ("file://" + fe.path))
+          .toMap
+        val fpMeta = new MetadataBuilder()
+          .putLong("parquet.field.id", 2147483546L).build()
+        val posMeta = new MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build()
+        val spark = table.spark
+        val rewritten: Seq[(String, Long, Long)] =
+          snap.deleteFiles.zipWithIndex.map { case (fe, i) =>
+            val mapped = F.element_at(F.typedLit(uriByNorm), F.col("file_path"))
+            val out = spark.read.parquet(fe.path)
+              .select(
+                F.when(mapped.isNull, F.raise_error(F.concat(
+                    F.lit("delete row references a data file not in this " +
+                      "snapshot: "), F.col("file_path"))))
+                  .otherwise(mapped).as("file_path", fpMeta),
+                F.col("pos").cast("long").as("pos", posMeta))
+              .coalesce(1)
+            val tmp = dir.resolve(s"delete-tmp-$snapshotId-$i")
+            out.write.mode("overwrite").parquet(tmp.toString)
+            val part = {
+              val s = Files.list(tmp)
+              try s.iterator().asScala
+                .filter(_.toString.endsWith(".parquet")).toSeq.head
+              finally s.close()
+            }
+            val dst = dir.resolve(s"delete-$snapshotId-$i.parquet")
+            Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+            val walk = Files.walk(tmp)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists)
+            finally walk.close()
+            (dst.toString, fe.rows, Files.size(dst))
+          }
+        val delEntries = rewritten.map { case (p, rows, bytes) =>
           val df = new GenericData.Record(dfSchema)
           df.put("content", 1)
-          df.put("file_path", "file://" + fe.path)
+          df.put("file_path", "file://" + p)
           df.put("file_format", "PARQUET")
           df.put("partition", new GenericData.Record(partSchema))
-          df.put("record_count", fe.rows)
-          df.put("file_size_in_bytes", fe.bytes)
+          df.put("record_count", rows)
+          df.put("file_size_in_bytes", bytes)
           val e = new GenericData.Record(eSchema)
           e.put("status", 1)
           e.put("snapshot_id", snapshotId)

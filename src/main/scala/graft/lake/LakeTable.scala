@@ -269,6 +269,46 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     commitOp("append", commitProps) { cur =>
       cur.currentSnapshot.map(_.files).getOrElse(Nil) ++ entries
     }
+    maintainIfDue()
+    this
+  }
+
+  /** Ride-along autovacuum for batch tables: the reference runs a
+    * background worker that compacts every table on a timer
+    * (pg_lake_table/src/ddl/vacuum.c:108 `pg_lake_iceberg_vacuum`,
+    * `autovacuum_enabled` table option :346 — default ON). Spark has
+    * no resident worker, so the trigger rides the write path instead:
+    * once `autovacuum_commit_interval` commits (default 16, `<= 0`
+    * disables) have accumulated since the last compaction, the
+    * appending writer folds small files + outstanding merge-on-read
+    * state before returning. Stateless by construction — the counter
+    * is the snapshot log itself — so concurrent appenders can both
+    * decide "due" and race into [[compact]], which is CAS-guarded and
+    * retrying (at worst one of them no-ops). Respects the reference's
+    * `autovacuum_compact_data_files=false` (skip the data-file rewrite
+    * but keep the table checked), while manual [[vacuum]] always
+    * compacts, mirroring the heap-level storage parameter.
+    */
+  def maintainIfDue(): LakeTable = {
+    val m = meta
+    val p = m.properties
+    val enabled = p.getOrElse("autovacuum_enabled", "true").toBoolean
+    val every = p.getOrElse("autovacuum_commit_interval", "16").toInt
+    if (enabled && every > 0) {
+      val since = m.snapshots.reverse.iterator
+        .takeWhile(_.operation != "compact").size
+      if (since >= every &&
+        p.getOrElse("autovacuum_compact_data_files", "true").toBoolean)
+        // the append that tripped the trigger has already committed —
+        // a maintenance failure must warn, never fail the foreground
+        // write (the reference's worker wraps each vacuum the same
+        // way, END_TRANSACTION_NO_THROW(WARNING))
+        try compact()
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"ride-along compaction of $location failed: $e")
+        }
+    }
     this
   }
 

@@ -750,6 +750,150 @@ object Fuzz {
              |FROM events
              |WHERE event_id < 500
              |ORDER BY event_id""".stripMargin)
+      }, {
+        // dimension 20: the dialect-rewrite chain ITSELF under
+        // composition fuzz. Every prior dimension exercises ONE
+        // surface; this one generates random compositions of
+        // double-quoted identifiers + ::casts + json arrows +
+        // quantified predicates + SIMILAR TO + POSIX regex + 3VL IN
+        // inside single expressions, with string literals stuffed
+        // with operator LOOKALIKES ('a::b -> c', 'ANY (SELECT 1',
+        // doubled quotes) that the 8-pass token chain must carry as
+        // content. DuckDB parses the same text natively (it speaks
+        // the PG dialect), so a composition bug in any rewrite —
+        // operand scans crossing each other's splices, literal
+        // leakage, precedence mis-association — lands as a parse
+        // error or a hash mismatch here.
+        // The generator emits LOCKSTEP (spark, duck) twins: every node
+        // is textually identical on both sides EXCEPT the PG operators
+        // DuckDB evaluates with different semantics — `~` family
+        // (DuckDB: full match; PG/us: search) and SIMILAR TO (DuckDB:
+        // raw regex; PG/us: %/_ wildcards) — which the duck twin
+        // spells as regexp_matches / regexp_full_match with the
+        // translated pattern, exactly like the hand-written
+        // q_fn_posix_regex / q_fn_similar_to oracles.
+        val rndX = new Random(Seed + 19)
+        val lits = Seq("a::b -> c", "x ~ y!", "SIMILAR TO",
+          "ANY (SELECT 1", "it''s \"fine\"", "%_%", "NOT IN (1,",
+          "-> ->> end")
+        val rePats = Seq("A.*A", "[AEIOU]$", "::", "->", "N", "v[0-9]")
+        // (PG SIMILAR TO pattern, equivalent full-match regex)
+        val simPats = Seq(
+          ("%(A|I)N%", ".*(A|I)N.*"), ("__%", "...*"),
+          ("%::%", ".*::.*"), ("%v_%", ".*v..*"))
+        def lit(): (String, String) = {
+          val l = s"'${lits(rndX.nextInt(lits.size))}'"
+          (l, l)
+        }
+        def qnum(): (String, String) = {
+          val c = Seq("\"n_nationkey\"", "n_nationkey",
+            "\"n_regionkey\"", "n_regionkey")(rndX.nextInt(4))
+          (c, c)
+        }
+        def pair(f: String => String)(e: (String, String))
+            : (String, String) = (f(e._1), f(e._2))
+        def pair2(f: (String, String) => String)(a: (String, String),
+            b: (String, String)): (String, String) =
+          (f(a._1, b._1), f(a._2, b._2))
+        def numLeaf(): (String, String) = {
+          val k = rndX.nextInt(5)
+          pair(c => s"($c + $k)::int8")(qnum())
+        }
+        def num(d: Int): (String, String) =
+          if (d >= 3) numLeaf()
+          else rndX.nextInt(5) match {
+            case 0 => numLeaf()
+            case 1 =>
+              val k = 1 + rndX.nextInt(3)
+              pair(e => s"(($e) * $k)::int8")(num(d + 1))
+            case 2 =>
+              val z = rndX.nextInt(9)
+              pair(c => s"(concat('{\"k\":', $c::text, " +
+                s"',\"z\":$z}') ->> 'k')::int8")(qnum())
+            case 3 =>
+              val (b, t, e) = (bool(d + 1), num(d + 1), num(d + 1))
+              (s"(CASE WHEN ${b._1} THEN ${t._1} ELSE ${e._1} END)",
+                s"(CASE WHEN ${b._2} THEN ${t._2} ELSE ${e._2} END)")
+            case 4 =>
+              val k = 2 + rndX.nextInt(6)
+              pair(c => s"($c::int4 % $k)::int8")(qnum())
+          }
+        def txt(d: Int): (String, String) =
+          if (d >= 3) (if (rndX.nextBoolean())
+            ("\"n_name\"", "\"n_name\"") else lit())
+          else rndX.nextInt(5) match {
+            case 0 => ("\"n_name\"", "\"n_name\"")
+            case 1 => lit()
+            case 2 => pair(e => s"($e)::text")(num(d + 1))
+            case 3 => pair2((a, b) => s"concat($a, '|', $b)")(
+              txt(d + 1), txt(d + 1))
+            case 4 => pair(c => s"(concat('{\"s\":\"v', $c::text, " +
+              s"'\"}') ->> 's')")(qnum())
+          }
+        def bool(d: Int): (String, String) =
+          if (d >= 3) {
+            val k = rndX.nextInt(20)
+            pair(c => s"($c > $k)")(qnum())
+          } else rndX.nextInt(8) match {
+            case 0 =>
+              val s = txt(d + 1)
+              val p = rePats(rndX.nextInt(rePats.size))
+              rndX.nextInt(4) match {
+                case 0 => (s"(${s._1} ~ '$p')",
+                  s"regexp_matches(${s._2}, '$p')")
+                case 1 => (s"(${s._1} ~* '$p')",
+                  s"regexp_matches(${s._2}, '(?i)$p')")
+                case 2 => (s"(${s._1} !~ '$p')",
+                  s"(NOT regexp_matches(${s._2}, '$p'))")
+                case 3 => (s"(${s._1} !~* '$p')",
+                  s"(NOT regexp_matches(${s._2}, '(?i)$p'))")
+              }
+            case 1 =>
+              val s = txt(d + 1)
+              val (pg, rx) = simPats(rndX.nextInt(simPats.size))
+              if (rndX.nextBoolean())
+                (s"(${s._1} SIMILAR TO '$pg')",
+                  s"regexp_full_match(${s._2}, '$rx')")
+              else
+                (s"(${s._1} NOT SIMILAR TO '$pg')",
+                  s"(NOT regexp_full_match(${s._2}, '$rx'))")
+            case 2 =>
+              val neg = if (rndX.nextBoolean()) "" else "NOT "
+              val k = rndX.nextInt(20)
+              pair(e => s"(($e) ${neg}IN (1, NULL, $k))")(num(d + 1))
+            case 3 =>
+              val op = Seq("=", "<>", "<", ">=")(rndX.nextInt(4))
+              val q = if (rndX.nextBoolean()) "ANY" else "ALL"
+              val k = 1 + rndX.nextInt(4)
+              pair(e => s"(($e) $op $q (SELECT r_regionkey * " +
+                s"$k FROM region))")(num(d + 1))
+            case 4 =>
+              val (k1, k2) = (rndX.nextInt(9), rndX.nextInt(30))
+              pair(e => s"(($e) = ANY (ARRAY[$k1, NULL, $k2]))")(
+                num(d + 1))
+            case 5 => pair2((a, b) => s"($a AND $b)")(
+              bool(d + 1), bool(d + 1))
+            case 6 => pair2((a, b) => s"($a OR $b)")(
+              bool(d + 1), bool(d + 1))
+            case 7 => pair(e => s"(NOT $e)")(bool(d + 1))
+          }
+        val colsX = (0 until 36).map { i =>
+          val e = rndX.nextInt(3) match {
+            case 0 => num(0)
+            case 1 => txt(0)
+            case 2 => bool(0)
+          }
+          (s"  ${e._1} AS x$i", s"  ${e._2} AS x$i")
+        }
+        def stmt(cols: Seq[String]): String =
+          s"""SELECT n_nationkey, "n_name" AS "Nation Name",
+             |${cols.mkString(",\n")}
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin
+        QueryDef.sql(
+          "q_fn_fuzz_dialect",
+          stmt(colsX.map(_._1)),
+          oracle = stmt(colsX.map(_._2)))
       })
   }
 }

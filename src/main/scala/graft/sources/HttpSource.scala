@@ -80,6 +80,8 @@ object HttpSource {
   def expand(url: String): Seq[String] = {
     if (S3Source.parse(url).isDefined)
       return S3Source.expandWildcard(url, (u, h) => fetch(u, h)._1)
+    if (AzSource.parse(url).isDefined)
+      return AzSource.expandWildcard(url, (u, h) => fetch(u, h)._1)
     if (!url.startsWith("hf://") || !url.contains("*")) return Seq(url)
     val ref = parseHf(url)
     // list recursively from the deepest fixed directory prefix
@@ -168,7 +170,12 @@ object HttpSource {
           // Authorization
           S3Source.withRegionRouting(ref)(u =>
             download(u, tmp, cond ++ S3Source.signingHeaders(ref, u)))
-        case None => download(resolved, tmp, cond)
+        case None => AzSource.parse(resolved) match {
+          // cache key = the SAS-independent az:// URL; the SAS-bearing
+          // https URL is built at fetch time only
+          case Some(az) => download(AzSource.urlFor(az), tmp, cond)
+          case None => download(resolved, tmp, cond)
+        }
       }
     }.toString
   }

@@ -28,13 +28,28 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object S3Source {
 
-  final case class S3Ref(bucket: String, key: String)
+  /** `scheme` distinguishes the S3-DIALECT stores the reference's
+    * caching filesystem accepts alongside s3://
+    * (duckdb_pglake/src/fs/file_cache_manager.cpp:223-231): `gs://`
+    * (GCS XML interop API against storage.googleapis.com — exactly how
+    * the reference drives it, pgduck_server/src/duckdb/duckdb.c:398-403
+    * creates a GCS secret with that endpoint) and `r2://` (Cloudflare
+    * R2, S3-compatible, account-scoped endpoint — no public default,
+    * `graft.r2.endpoint` is required). Both speak ListObjectsV2 +
+    * SigV4, so everything below is shared; only the endpoint template
+    * and credential properties switch on the scheme.
+    */
+  final case class S3Ref(bucket: String, key: String,
+      scheme: String = "s3")
 
-  /** `s3://bucket/key` (also `s3a://`); None for anything else. */
+  /** `s3://bucket/key` (also `s3a://`, `gs://`, `r2://`); None for
+    * anything else.
+    */
   def parse(url: String): Option[S3Ref] = {
-    val m = "^s3a?://([^/]+)/(.*)$".r
+    val m = "^(s3a?|gs|r2)://([^/]+)/(.*)$".r
     url match {
-      case m(b, k) if b.nonEmpty => Some(S3Ref(b, k))
+      case m(sch, b, k) if b.nonEmpty =>
+        Some(S3Ref(b, k, if (sch.startsWith("s3")) "s3" else sch))
       case _ => None
     }
   }
@@ -42,12 +57,27 @@ object S3Source {
   private def prop(name: String, env: String, default: String): String =
     sys.props.get(name).orElse(sys.env.get(env)).getOrElse(default)
 
-  private def endpointTemplate: String =
-    prop("graft.s3.endpoint", "GRAFT_S3_ENDPOINT",
+  private def endpointTemplate(scheme: String): String = scheme match {
+    case "gs" => prop("graft.gs.endpoint", "GRAFT_GS_ENDPOINT",
+      // path-style against the XML interop endpoint (the reference's
+      // own GCS endpoint choice)
+      "https://storage.googleapis.com")
+    case "r2" => sys.props.get("graft.r2.endpoint")
+      .orElse(sys.env.get("GRAFT_R2_ENDPOINT"))
+      .getOrElse(throw new IllegalArgumentException(
+        "r2:// needs graft.r2.endpoint (account-scoped, e.g. " +
+          "https://<account-id>.r2.cloudflarestorage.com)"))
+    case _ => prop("graft.s3.endpoint", "GRAFT_S3_ENDPOINT",
       "https://{bucket}.s3.{region}.amazonaws.com")
+  }
 
-  private def defaultRegion: String =
-    prop("graft.s3.region", "GRAFT_S3_REGION", "us-east-1")
+  private def defaultRegion(scheme: String): String = scheme match {
+    // GCS interop and R2 both sign with the fixed region "auto"
+    // unless overridden
+    case "gs" => prop("graft.gs.region", "GRAFT_GS_REGION", "auto")
+    case "r2" => prop("graft.r2.region", "GRAFT_R2_REGION", "auto")
+    case _ => prop("graft.s3.region", "GRAFT_S3_REGION", "us-east-1")
+  }
 
   /** Process-wide bucket → region cache, learned from 301 responses.
     * Mirrors the reference's in-memory bucket-region map: one wrong-
@@ -57,15 +87,17 @@ object S3Source {
 
   private[graft] def clearRegionCache(): Unit = regions.clear()
 
-  def regionOf(bucket: String): String =
-    regions.getOrDefault(bucket, defaultRegion)
+  def regionOf(bucket: String): String = regionOf(bucket, "s3")
 
-  /** The https URL of `ref` at `region` under the endpoint template:
-    * virtual-hosted when the template names `{bucket}`, path-style
-    * (bucket as the first path segment) otherwise.
+  def regionOf(bucket: String, scheme: String): String =
+    regions.getOrDefault(bucket, defaultRegion(scheme))
+
+  /** The https URL of `ref` at `region` under the scheme's endpoint
+    * template: virtual-hosted when the template names `{bucket}`,
+    * path-style (bucket as the first path segment) otherwise.
     */
   def urlFor(ref: S3Ref, region: String): String = {
-    val tpl = endpointTemplate
+    val tpl = endpointTemplate(ref.scheme)
     val base = tpl.replace("{bucket}", ref.bucket)
       .replace("{region}", region)
     val pathStyle = !tpl.contains("{bucket}")
@@ -110,11 +142,31 @@ object S3Source {
     */
   def signingHeaders(ref: S3Ref, url: String,
       method: String = "GET"): Map[String, String] =
-    SigV4.credentials match {
+    credentialsFor(ref.scheme) match {
       case Some(c) =>
-        SigV4.signHeaders(method, url, regionOf(ref.bucket), "s3", c)
+        SigV4.signHeaders(method, url,
+          regionOf(ref.bucket, ref.scheme), "s3", c)
       case None => Map.empty
     }
+
+  /** Per-scheme HMAC credentials (`graft.gs.*` / `graft.r2.*` props,
+    * `GS_`/`R2_` env), falling back to the shared s3 set — GCS interop
+    * and R2 both accept AWS-shaped HMAC keys, and a single-store
+    * deployment typically configures just the shared pair.
+    */
+  private def credentialsFor(scheme: String): Option[SigV4.Credentials] = {
+    def get(p: String, e: String): Option[String] =
+      sys.props.get(p).orElse(sys.env.get(e)).filter(_.nonEmpty)
+    val own =
+      if (scheme == "s3") None
+      else for {
+        id <- get(s"graft.$scheme.access_key_id",
+          s"${scheme.toUpperCase}_ACCESS_KEY_ID")
+        sec <- get(s"graft.$scheme.secret_access_key",
+          s"${scheme.toUpperCase}_SECRET_ACCESS_KEY")
+      } yield SigV4.Credentials(id, sec, None)
+    own.orElse(SigV4.credentials)
+  }
 
   /** Raised by the HTTP layer when S3 answers 301/400 with an
     * `x-amz-bucket-region` header (S3's wrong-region responses carry
@@ -132,7 +184,7 @@ object S3Source {
   def withRegionRouting[T](ref: S3Ref)(body: String => T): T = {
     var attempt = 0
     while (true) {
-      val url = urlFor(ref, regionOf(ref.bucket))
+      val url = urlFor(ref, regionOf(ref.bucket, ref.scheme))
       try return body(url)
       catch {
         case RegionMoved(r) if attempt < 2 =>
@@ -164,7 +216,7 @@ object S3Source {
     var token: Option[String] = None
     var pages = 0
     do {
-      val listRef = S3Ref(ref.bucket, "")
+      val listRef = S3Ref(ref.bucket, "", ref.scheme)
       val base = withRegionRouting(listRef) { u =>
         // probe routing with the list URL itself; query values use
         // strict RFC 3986 (space → %20, not '+'), which doubles as
@@ -179,7 +231,8 @@ object S3Source {
       val keyRe = "<Key>([^<]*)</Key>".r
       keyRe.findAllMatchIn(base).foreach { m =>
         val k = xmlUnescape(m.group(1))
-        if (rx.matcher(k).matches()) out += s"s3://${ref.bucket}/$k"
+        if (rx.matcher(k).matches())
+          out += s"${ref.scheme}://${ref.bucket}/$k"
       }
       token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
         .findFirstMatchIn(base).map(m => xmlUnescape(m.group(1)))
@@ -194,7 +247,7 @@ object S3Source {
     res
   }
 
-  private def xmlUnescape(s: String): String = {
+  private[sources] def xmlUnescape(s: String): String = {
     // numeric entities first (S3 emits e.g. &#xD; for CR in keys),
     // &amp; last so it can't re-introduce entities
     val num = "&#(x[0-9a-fA-F]+|[0-9]+);".r

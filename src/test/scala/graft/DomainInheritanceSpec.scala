@@ -68,6 +68,34 @@ class DomainInheritanceSpec extends AnyFunSuite {
     e.dropTable("copy_dom")
   }
 
+  test("domain CHECK: VALUE inside a string literal is content") {
+    // CHECK (VALUE <> 'no value') — a regex word-boundary substitution
+    // would rewrite the literal's contents too ('no <col>'), silently
+    // changing which rows pass; the token-wise splice must not.
+    val e = engine()
+    e.sql("CREATE DOMAIN msgd AS text CHECK (VALUE <> 'no value')")
+    e.sql("CREATE TABLE dom_lit (id int, m msgd)")
+    e.sql("INSERT INTO dom_lit VALUES (1, 'some value')")
+    assert(e.sql("SELECT m FROM dom_lit WHERE id = 1")
+      .head.getString(0) == "some value")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val exIns = intercept[Exception](
+      e.sql("INSERT INTO dom_lit VALUES (2, 'no value')"))
+    assert(msgs(exIns).exists(m => m != null &&
+      m.contains("value for domain msgd violates check constraint")))
+    // UPDATE path uses the same substitution (guardedAssignments)
+    val exUpd = intercept[Exception](
+      e.sql("UPDATE dom_lit SET m = 'no value' WHERE id = 1"))
+    assert(msgs(exUpd).exists(m => m != null &&
+      m.contains("value for domain msgd violates check constraint")))
+    e.sql("UPDATE dom_lit SET m = 'fine' WHERE id = 1")
+    assert(e.sql("SELECT m FROM dom_lit WHERE id = 1")
+      .head.getString(0) == "fine")
+    e.sql("DROP DOMAIN msgd")
+    e.dropTable("dom_lit")
+  }
+
   test("inheritance: parent scans the family, joins stay per-table") {
     val e = engine()
     e.sql("CREATE TABLE parent_i AS SELECT id AS x, id AS y FROM RANGE(1, 11)")
@@ -132,6 +160,52 @@ class DomainInheritanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       e.sql("CREATE TABLE part_c3 PARTITION OF part_p DEFAULT"))
     e.dropTable("part_c1"); e.dropTable("part_c2")
+  }
+
+  test("partitioned-parent INSERT executes the source exactly once") {
+    // K children used to mean K+1 filter-scans of the source (one per
+    // child + the stray check); the staged-routing path must scan it
+    // once regardless of partition count.
+    val e = engine()
+    e.sql("CREATE TABLE part_1s (x int, y int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_1s_a PARTITION OF part_1s FOR VALUES FROM (0) TO (10)")
+    e.sql("CREATE TABLE part_1s_b PARTITION OF part_1s FOR VALUES FROM (10) TO (20)")
+    e.sql("CREATE TABLE part_1s_c PARTITION OF part_1s FOR VALUES FROM (20) TO (30)")
+    e.sql("CREATE TABLE part_1s_d PARTITION OF part_1s DEFAULT")
+    val src = spark.range(0, 40).selectExpr("CAST(id AS INT) AS x",
+      "CAST(id * 2 AS INT) AS y")
+    val seen = spark.sparkContext.longAccumulator("part_rows_seen")
+    spark.createDataFrame(
+        src.rdd.map { r => seen.add(1); r }, src.schema)
+      .createOrReplaceTempView("part_1s_src")
+    val n = e.sql("INSERT INTO part_1s SELECT * FROM part_1s_src")
+      .head.getLong(0)
+    assert(n == 40)
+    assert(seen.value == 40,
+      s"source scanned ${seen.value} rows for a 40-row insert " +
+        "across 4 partitions — must be exactly one pass")
+    assert(e.sql("SELECT count(*) AS n FROM part_1s_a").head.getLong(0) == 10)
+    assert(e.sql("SELECT count(*) AS n FROM part_1s_b").head.getLong(0) == 10)
+    assert(e.sql("SELECT count(*) AS n FROM part_1s_c").head.getLong(0) == 10)
+    assert(e.sql("SELECT count(*) AS n FROM part_1s_d").head.getLong(0) == 10)
+
+    // stray check without a DEFAULT partition also rides the staged
+    // frame: still one source scan, statement aborts, nothing written
+    e.sql("CREATE TABLE part_1t (x int) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_1t_a PARTITION OF part_1t FOR VALUES FROM (0) TO (10)")
+    val seen2 = spark.sparkContext.longAccumulator("stray_rows_seen")
+    val src2 = spark.range(0, 20).selectExpr("CAST(id AS INT) AS x")
+    spark.createDataFrame(
+        src2.rdd.map { r => seen2.add(1); r }, src2.schema)
+      .createOrReplaceTempView("part_1t_src")
+    intercept[Exception](
+      e.sql("INSERT INTO part_1t SELECT * FROM part_1t_src"))
+    assert(seen2.value == 20,
+      s"stray-check path scanned ${seen2.value} rows, not one pass")
+    assert(e.sql("SELECT count(*) AS n FROM part_1t_a").head.getLong(0) == 0)
+    e.dropTable("part_1s_a"); e.dropTable("part_1s_b")
+    e.dropTable("part_1s_c"); e.dropTable("part_1s_d")
+    e.dropTable("part_1t_a")
   }
 
   test("UPDATE enforces domain checks; rename migrates enforcement") {

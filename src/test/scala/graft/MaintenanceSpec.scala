@@ -1,0 +1,132 @@
+package graft
+
+import graft.lake.LakeTable
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Background/maintenance compaction for BATCH tables — the reference's
+  * autovacuum posture (pg_lake_table/src/ddl/vacuum.c:108
+  * `pg_lake_iceberg_vacuum` worker loop; `autovacuum_enabled` table
+  * option :346, `autovacuum_compact_data_files` :356) re-expressed
+  * without a resident worker: a commit-count trigger rides the write
+  * path ([[LakeTable.maintainIfDue]]) and [[LakeEngine.maintain]] is
+  * the engine-level sweep. The 100 TB design point: many small
+  * streaming/batch commits must converge to a bounded file count
+  * WITHOUT anyone calling VACUUM, or scans drown in file-open overhead.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def freshLoc(): String =
+    Files.createTempDirectory("maint").toString + "/t"
+
+  private def dataFileCount(t: LakeTable): Int =
+    t.meta.currentSnapshot.map(_.dataFiles.size).getOrElse(0)
+
+  test("many small commits converge to bounded files without VACUUM") {
+    import spark.implicits._
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "auto_conv",
+      Seq((0L, "v0")).toDF("k", "v"))
+    // 40 one-row appends: the ride-along trigger (default interval 16)
+    // must fire at least twice; without it this table ends at 41 files
+    (1 to 40).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t.read().count() == 41)
+    val files = dataFileCount(t)
+    assert(files <= 16,
+      s"41 single-row commits left $files data files — ride-along " +
+        "compaction never fired")
+    assert(t.meta.snapshots.exists(_.operation == "compact"))
+  }
+
+  test("autovacuum_enabled=false disables the ride-along; manual compacts") {
+    import spark.implicits._
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "auto_off",
+      Seq(0L).toDF("k"),
+      properties = Map("autovacuum_enabled" -> "false"))
+    (1 to 20).foreach(i => t.append(Seq(i.toLong).toDF("k")))
+    assert(dataFileCount(t) == 21,
+      "autovacuum_enabled=false must leave every appended file in place")
+    assert(!t.meta.snapshots.exists(_.operation == "compact"))
+    // manual VACUUM always compacts, mirroring the heap storage param
+    t.vacuum()
+    assert(dataFileCount(t) < 21)
+  }
+
+  test("autovacuum_compact_data_files=false skips only the rewrite") {
+    import spark.implicits._
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "auto_nodf",
+      Seq(0L).toDF("k"),
+      properties = Map("autovacuum_compact_data_files" -> "false"))
+    (1 to 20).foreach(i => t.append(Seq(i.toLong).toDF("k")))
+    assert(dataFileCount(t) == 21)
+    assert(!t.meta.snapshots.exists(_.operation == "compact"))
+  }
+
+  test("engine maintain() sweeps per policy: compact + expire; skip off") {
+    import spark.implicits._
+    val e = LakeEngine(spark)
+    val a = e.createTableAsSelect("m_on", LakeEngine.tempLocation("m_on"),
+      Seq(1L).toDF("k"))
+    a.setProperties(Map("autovacuum_commit_interval" -> "0",
+      "autovacuum_grace_ms" -> "0"))
+    (2 to 9).foreach(i => a.append(Seq(i.toLong).toDF("k")))
+    val b = e.createTableAsSelect("m_off", LakeEngine.tempLocation("m_off"),
+      Seq(1L).toDF("k"))
+    b.setProperties(Map("autovacuum_enabled" -> "false"))
+    (2 to 9).foreach(i => b.append(Seq(i.toLong).toDF("k")))
+
+    val swept = e.maintain()
+    assert(swept.contains("m_on") && !swept.contains("m_off"))
+    assert(dataFileCount(e.table("m_on")) < 8)
+    // expiry honored the keep policy (default 3) with zero grace
+    assert(e.table("m_on").meta.snapshots.size <= 3)
+    assert(dataFileCount(e.table("m_off")) == 9)
+    // the swept table still reads correctly through the engine
+    assert(e.sql("SELECT count(*) AS n FROM m_on").head.getLong(0) == 9)
+    // bare VACUUM reaches the same sweep
+    val out = e.sql("VACUUM").head.getString(0)
+    assert(out.contains("m_on") && !out.contains("m_off"))
+    e.dropTable("m_on"); e.dropTable("m_off")
+  }
+
+  test("maintenance races concurrent appenders: no lost rows") {
+    import spark.implicits._
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "auto_race",
+      Seq((-1L, "seed")).toDF("k", "v"),
+      // short interval so the trigger fires DURING the race
+      properties = Map("autovacuum_commit_interval" -> "4"))
+    val nAppenders = 3
+    val appendsEach = 8
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(nAppenders + 1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (0 until nAppenders).foreach { a =>
+      pool.submit(new Runnable {
+        override def run(): Unit = try {
+          start.await()
+          (0 until appendsEach).foreach { i =>
+            val k = (a * appendsEach + i).toLong
+            t.append(Seq((k, s"w$a-$i")).toDF("k", "v"))
+          }
+        } catch { case th: Throwable => failures.add(th) }
+      })
+    }
+    // one dedicated maintainer hammering the sweep while they append
+    pool.submit(new Runnable {
+      override def run(): Unit = try {
+        start.await()
+        (0 until 6).foreach { _ => t.compact(); Thread.sleep(20) }
+      } catch { case th: Throwable => failures.add(th) }
+    })
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.isEmpty, s"worker failed: ${failures.peek()}")
+    val rows = t.read().select("k").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (-1L until (nAppenders * appendsEach)).toSeq,
+      "maintenance lost or duplicated committed rows")
+    assert(dataFileCount(t) <= nAppenders * appendsEach / 2)
+  }
+}

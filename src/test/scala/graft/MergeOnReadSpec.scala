@@ -169,4 +169,47 @@ class MergeOnReadSpec extends AnyFunSuite {
     val dels = graft.sources.IcebergSnapshot.deleteFiles(path)
     assert(dels.nonEmpty && dels.forall(_.content == 1))
   }
+
+  test("exported position deletes are spec-exact for external readers") {
+    // The Iceberg spec requires (a) each delete row's file_path to
+    // EQUAL the data file's manifest location string — external
+    // engines string-match, they do not normalize — and (b) the
+    // reserved field ids 2147483546 (file_path) / 2147483545 (pos)
+    // in the delete parquet schema. Checked against the raw exported
+    // artifacts, not through this repo's own normalizing reader.
+    val t = threeFileTable()
+    t.delete(col("id").isin(9, 120))
+    val path = graft.lake.IcebergExport.export(t)
+
+    val dataUris = graft.sources.IcebergSnapshot.files(spark, path)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(dataUris.forall(_.startsWith("file://")))
+
+    val dels = graft.sources.IcebergSnapshot.deleteFiles(path)
+    assert(dels.nonEmpty)
+    for (d <- dels) {
+      val rows = spark.read.parquet(d.path).collect()
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val fp = r.getAs[String]("file_path")
+        assert(dataUris.contains(fp),
+          s"delete row file_path '$fp' not an exact manifest data " +
+            s"location; locations: $dataUris")
+      }
+      // footer-level reserved field ids (what Trino/Spark+Iceberg read)
+      val local = d.path.replaceFirst("^file:/+", "/")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(local), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val mt = reader.getFooter.getFileMetaData.getSchema
+        def id(n: String) = Option(mt.getType(Seq(n): _*).getId)
+          .map(_.intValue()).getOrElse(-1)
+        assert(id("file_path") == 2147483546,
+          s"file_path field id ${id("file_path")}")
+        assert(id("pos") == 2147483545, s"pos field id ${id("pos")}")
+      } finally reader.close()
+    }
+  }
 }

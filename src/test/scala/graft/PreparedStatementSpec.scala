@@ -48,6 +48,28 @@ class PreparedStatementSpec extends AnyFunSuite {
     assert(row.head.getString(0) == "123")
   }
 
+  test("PG-spelled declared parameter types route through pgTypeName") {
+    // PREPARE p(int4), p(text), p(numeric) are the reference's own
+    // spellings (test_prepared.py uses PG type names throughout) —
+    // the emitted CAST must be Spark-valid, not the raw PG name.
+    val e = engine()
+    e.sql("PREPARE pg_typed(int4, text, numeric) AS " +
+      "SELECT $1 AS a, $2 AS b, $3 AS c")
+    val r = e.sql("EXECUTE pg_typed(5, 'x', 1.5)")
+    assert(r.schema("a").dataType.typeName == "integer")
+    assert(r.schema("b").dataType.typeName == "string")
+    assert(r.schema("c").dataType.typeName == "double")
+    val h = r.head
+    assert(h.getInt(0) == 5 && h.getString(1) == "x" &&
+      math.abs(h.getDouble(2) - 1.5) < 1e-12)
+    e.sql("PREPARE pg_typed2(int8, float4, bool) AS " +
+      "SELECT $1 AS a, $2 AS b, $3 AS c")
+    val r2 = e.sql("EXECUTE pg_typed2(6, 2.5, true)")
+    assert(r2.schema("a").dataType.typeName == "long")
+    assert(r2.schema("b").dataType.typeName == "float")
+    assert(r2.head.getBoolean(2))
+  }
+
   test("parameter reuse, unused, out-of-order, $10 (test_prepared.py:332+)") {
     val e = engine()
     // repeated parameter in expressions

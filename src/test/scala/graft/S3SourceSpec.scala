@@ -253,6 +253,61 @@ class S3SourceSpec extends AnyFunSuite {
     }
   }
 
+  test("gs:// routes through the S3 dialect with its own endpoint") {
+    // the reference drives GCS as an S3-dialect store against
+    // storage.googleapis.com (pgduck_server/src/duckdb/duckdb.c:398);
+    // here the endpoint template points at the fixture's home region
+    // path-style, anonymous
+    val objs = Map("g/a.bin" -> Array[Byte](5),
+      "g/b.parquet" -> Array[Byte](6), "g/c.parquet" -> Array[Byte](7))
+    withS3(objs) { f =>
+      val home = s"http://127.0.0.1:${f.server.getAddress.getPort}/eu-west-1"
+      System.setProperty("graft.gs.endpoint", home)
+      try {
+        assert(S3Source.parse("gs://bkt/g/a.bin") ==
+          Some(S3Source.S3Ref("bkt", "g/a.bin", "gs")))
+        val p = HttpSource.stage("gs://bkt/g/a.bin")
+        assert(Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq ==
+          Seq(5.toByte))
+        // wildcard listing keeps the gs:// spelling
+        assert(HttpSource.expand("gs://bkt/g/*.parquet") == Seq(
+          "gs://bkt/g/b.parquet", "gs://bkt/g/c.parquet"))
+      } finally System.clearProperty("graft.gs.endpoint")
+    }
+  }
+
+  test("r2:// requires an account endpoint; signs with its own creds") {
+    // no public default endpoint exists for R2 — a bare use must
+    // refuse loudly with the property name
+    val ex = intercept[IllegalArgumentException](
+      S3Source.urlFor(S3Source.S3Ref("b", "k", "r2"), "auto"))
+    assert(ex.getMessage.contains("graft.r2.endpoint"))
+
+    val objs = Map("rr/a.bin" -> Array[Byte](9))
+    withS3(objs, auth = Some(("R2KEYID", "r2-secret"))) { f =>
+      val home = s"http://127.0.0.1:${f.server.getAddress.getPort}/eu-west-1"
+      System.setProperty("graft.r2.endpoint", home)
+      System.setProperty("graft.r2.access_key_id", "R2KEYID")
+      System.setProperty("graft.r2.secret_access_key", "r2-secret")
+      try {
+        // server-side signature recomputation must accept the r2-cred
+        // signed GET (region 'auto' rides the signed headers)
+        val p = HttpSource.stage("r2://bkt/rr/a.bin")
+        assert(Files.readAllBytes(java.nio.file.Paths.get(p)).toSeq ==
+          Seq(9.toByte))
+        // and a wrong r2 secret fails loudly
+        System.setProperty("graft.r2.secret_access_key", "wrong")
+        val e = intercept[java.io.IOException] {
+          HttpSource.stage("r2://bkt/rr/missing-from-cache.bin")
+        }
+        assert(e.getMessage.contains("403"), e.getMessage)
+      } finally {
+        Seq("graft.r2.endpoint", "graft.r2.access_key_id",
+          "graft.r2.secret_access_key").foreach(System.clearProperty)
+      }
+    }
+  }
+
   test("stageAll links a wildcard's shards into one directory") {
     val objs = Map(
       "d/p0.bin" -> Array[Byte](10),

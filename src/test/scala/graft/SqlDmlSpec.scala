@@ -273,6 +273,24 @@ class SqlDmlSpec extends AnyFunSuite {
       .head.getLong(0) == 0)
   }
 
+  test("RETURNING survives the dialect rewrites (regex/SIMILAR TO WHERE)") {
+    // The text rewrites run on the whole DML statement before the
+    // RETURNING split; their forward operand scans must stop at the
+    // RETURNING keyword instead of swallowing it into the pattern.
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("r_rrx", LakeEngine.tempLocation("rrx"),
+      spark.range(4).selectExpr("id",
+        "CASE WHEN id = 2 THEN 'fatal error' ELSE concat('ok ', id) END AS msg"))
+    val del = e.sql("DELETE FROM r_rrx WHERE msg ~ 'err' RETURNING id")
+      .collect()
+    assert(del.map(_.getLong(0)).toSeq == Seq(2L))
+    val upd = e.sql("UPDATE r_rrx SET msg = 'seen' " +
+      "WHERE msg SIMILAR TO 'ok (0|1)' RETURNING id").collect()
+    assert(upd.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    assert(e.sql("SELECT count(*) FROM r_rrx WHERE msg = 'seen'")
+      .head.getLong(0) == 2)
+  }
+
   test("DML literal safety and dialect inside DML") {
     val e = LakeEngine(spark)
     e.createTableAsSelect("r_lit", LakeEngine.tempLocation("lit"),
