@@ -200,10 +200,14 @@ final class LakeEngine(val spark: SparkSession) {
   def maintain(): Seq[String] = tables.keys.toSeq.sorted.flatMap { name =>
     tables.get(name).flatMap { t =>
       val p = t.meta.properties
-      if (!p.getOrElse("autovacuum_enabled", "true").toBoolean) None
+      if (!LakeTable.pgBool(p.getOrElse("autovacuum_enabled", "true"),
+        "autovacuum_enabled")) None
       else {
-        if (p.getOrElse("autovacuum_compact_data_files", "true").toBoolean)
+        if (LakeTable.pgBool(
+          p.getOrElse("autovacuum_compact_data_files", "true"),
+          "autovacuum_compact_data_files"))
           t.compact()
+        t.mergeManifests()
         t.expireSnapshots(
           keepLast = p.getOrElse("autovacuum_keep_snapshots", "3").toInt,
           graceMs = p.getOrElse("autovacuum_grace_ms",
@@ -706,16 +710,16 @@ final class LakeEngine(val spark: SparkSession) {
 
   /** `lake_file.list('glob')` equivalent. Local/Hadoop-reachable
     * filesystems go through globStatus; object-store URLs (s3://,
-    * az://, abfss://, hf://) expand through the sources' own list
-    * APIs (the reference's test_list_file.py lists az:// the same
-    * way). Remote listings report size/mtime as -1/0 — the list APIs
-    * answer names; fetching per-blob metadata would be one extra
-    * round trip per file.
+    * gs://, r2://, az://, abfss://, hf://) expand through the
+    * sources' own list APIs (the reference's test_list_file.py lists
+    * az:// the same way), which carry per-object sizes (S3 `<Size>`,
+    * Azure `<Content-Length>`; hf reports -1). Remote mtimes report 0
+    * — fetching per-blob metadata would be a round trip per file.
     */
   def listFiles(glob: String): DataFrame = {
     import spark.implicits._
     if (glob.matches("^(hf|s3a?|gs|r2|az|azure|abfss?)://.*"))
-      sources.HttpSource.expand(glob).map(u => (u, -1L, 0L))
+      sources.HttpSource.list(glob).map { case (u, size) => (u, size, 0L) }
         .toDF("path", "size_bytes", "modified_ms")
     else {
       val path = new org.apache.hadoop.fs.Path(glob)
@@ -1299,6 +1303,15 @@ final class LakeEngine(val spark: SparkSession) {
         targets.foreach(m => table(m).truncate())
         refresh(name)
         Seq(0L).toDF("rows_remaining")
+      case addFilesRe(name, arr) if tables.contains(name) =>
+        // zero-copy adoption (reference CALL lake_iceberg.
+        // add_files_to_table, test_iceberg_add_table.py)
+        val paths = splitTopLevel(arr).map(_.trim)
+          .map(p => p.stripPrefix("'").stripSuffix("'"))
+          .filter(_.nonEmpty)
+        table(name).addFiles(paths)
+        refresh(name)
+        Seq(paths.size.toLong).toDF("files_added")
       case vacuumAllRe() =>
         // bare VACUUM sweeps every managed table per its autovacuum
         // policy (PG's table-less VACUUM; the reference's worker loop)
@@ -1934,6 +1947,13 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(ONLY\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
   private val vacuumAllRe = "(?is)^VACUUM\\s*;?\\s*$".r
+  // matched AFTER the dialect rewrites, so both the PG spelling
+  // ('t'::regclass, ARRAY['p']) and the rewritten form
+  // (CAST('t' AS regclass), array('p')) must parse
+  private val addFilesRe = ("(?is)^CALL\\s+lake_iceberg\\." +
+    "add_files_to_table\\s*\\(\\s*(?:CAST\\s*\\(\\s*)?'([\\w.]+)'" +
+    "(?:\\s*::\\s*regclass|\\s+AS\\s+regclass\\s*\\))?" +
+    "\\s*,\\s*ARRAY\\s*[\\[(](.*?)[\\])]\\s*\\)\\s*;?\\s*$").r
   private val optimizeRe = "(?is)^OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
   private val dropTableRe =
     "(?is)^DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$".r

@@ -273,6 +273,77 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Zero-copy adoption of EXISTING parquet files into this table —
+    * the reference's `CALL lake_iceberg.add_files_to_table(tbl,
+    * ARRAY[urls])` (test_iceberg_add_table.py): the files are
+    * registered in place as a new snapshot, never rewritten or copied.
+    * This is THE bulk-migration path at scale — adopting 100 TB of
+    * existing parquet costs one footer read per file, not a rewrite.
+    *
+    * Validation is loud, up front, and per file: parquet only (the
+    * reference rejects csv/json by extension the same way), every
+    * current-schema column must exist in the file with a same-or-
+    * upcastable type (a silent `cast` of an incompatible column would
+    * null it out), and a file already in the table refuses (the
+    * reference's pkey on table/file_path). Adopted entries carry the
+    * footer's true row count but no min/max stats — pruning treats
+    * stat-less files as always-keep, so scans stay correct and the
+    * first VACUUM rewrite re-establishes stats. Refused on row_ids
+    * tables (ranges would need assignment) and partitioned tables
+    * (adopted files have no partition tuple), both loudly.
+    */
+  def addFiles(paths: Seq[String]): LakeTable = {
+    require(paths.nonEmpty, "no files to add")
+    val m0 = meta
+    require(!m0.rowIdsEnabled,
+      "add_files_to_table on a row_ids table is currently not supported")
+    require(m0.transforms.isEmpty,
+      "add_files_to_table on a partitioned table is currently not " +
+        "supported (adopted files carry no partition tuple)")
+    paths.foreach(p => require(p.toLowerCase.endsWith(".parquet"),
+      s"add_files_to_table only accepts parquet files, got: $p"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cur = m0.sparkSchema
+    val entries = paths.map { p =>
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      val fs = hPath.getFileSystem(conf)
+      require(fs.exists(hPath), s"no such file: $p")
+      val status = fs.getFileStatus(hPath)
+      // one driver-side footer read per file: row count + schema
+      val fileSchema = spark.read.parquet(p).schema
+      val byName = fileSchema.fields
+        .map(f => f.name.toLowerCase -> f).toMap
+      cur.fields.foreach { cf =>
+        val ff = byName.getOrElse(cf.name.toLowerCase,
+          throw new IllegalArgumentException(
+            s"file $p lacks column ${cf.name} required by the table " +
+              "schema"))
+        val ok = ff.dataType == cf.dataType ||
+          org.apache.spark.sql.GraftBridge.canUpCast(ff.dataType,
+            cf.dataType)
+        require(ok, s"file $p column ${cf.name}: ${ff.dataType.simpleString}" +
+          s" cannot be safely read as ${cf.dataType.simpleString}")
+      }
+      val rows = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(hPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      FileEntry(p, rows, status.getLen, m0.currentSchemaVersion,
+        Map.empty, Map.empty)
+    }
+    commitOp("add-files") { curM =>
+      val existing = curM.currentSnapshot.map(_.files).getOrElse(Nil)
+      val have = existing.map(f => RowIds.normalizePathStr(f.path)).toSet
+      entries.foreach(e => require(
+        !have.contains(RowIds.normalizePathStr(e.path)),
+        s"file already belongs to the table: ${e.path}"))
+      existing ++ entries
+    }
+    this
+  }
+
   /** Ride-along autovacuum for batch tables: the reference runs a
     * background worker that compacts every table on a timer
     * (pg_lake_table/src/ddl/vacuum.c:108 `pg_lake_iceberg_vacuum`,
@@ -289,16 +360,42 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * but keep the table checked), while manual [[vacuum]] always
     * compacts, mirroring the heap-level storage parameter.
     */
+  /** Merge the current snapshot's manifest refs per table policy
+    * (`manifest_min_count_to_merge` default 100,
+    * `target_manifest_size_kb` default 8192 — the reference's GUC
+    * defaults, manifest_merge.h:28-31). Safe to call any time;
+    * no-ops below the threshold.
+    */
+  def mergeManifests(): Boolean = {
+    val p = meta.properties
+    TableMetadata.mergeManifests(location,
+      p.getOrElse("manifest_min_count_to_merge", "100").trim.toInt,
+      p.getOrElse("target_manifest_size_kb", "8192").trim.toLong * 1024L)
+  }
+
   def maintainIfDue(): LakeTable = {
     val m = meta
     val p = m.properties
-    val enabled = p.getOrElse("autovacuum_enabled", "true").toBoolean
-    val every = p.getOrElse("autovacuum_commit_interval", "16").toInt
+    // manifest merge-on-write (reference
+    // enable_manifest_merge_on_write default true): cheap count check
+    // per commit, a real merge only past min-count
+    if (LakeTable.pgBool(
+        p.getOrElse("enable_manifest_merge_on_write", "true"),
+        "enable_manifest_merge_on_write"))
+      try mergeManifests()
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"manifest merge of $location failed: $e")
+      }
+    val enabled = LakeTable.pgBool(
+      p.getOrElse("autovacuum_enabled", "true"), "autovacuum_enabled")
+    val every = p.getOrElse("autovacuum_commit_interval", "16").trim.toInt
     if (enabled && every > 0) {
       val since = m.snapshots.reverse.iterator
         .takeWhile(_.operation != "compact").size
-      if (since >= every &&
-        p.getOrElse("autovacuum_compact_data_files", "true").toBoolean)
+      if (since >= every && LakeTable.pgBool(
+        p.getOrElse("autovacuum_compact_data_files", "true"),
+        "autovacuum_compact_data_files"))
         // the append that tripped the trigger has already committed —
         // a maintenance failure must warn, never fail the foreground
         // write (the reference's worker wraps each vacuum the same
@@ -818,6 +915,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * the files carry over unchanged, the merge is atomic under the CAS.
     */
   def setProperties(props: Map[String, String]): LakeTable = {
+    LakeTable.validateMaintenanceOptions(props)
     // compatibility_mode is immutable after creation (reference
     // test_compatibility_mode.py: SET and ADD both rejected)
     props.get("compatibility_mode").foreach { v =>
@@ -1531,6 +1629,39 @@ object LakeTable {
     * engine's string uuid convention (SURVEY §1.2) already does for
     * every mode.
     */
+  /** PG boolean spellings for table options (defGetBoolean's set —
+    * the reference's autovacuum option validator accepts true/false/
+    * on/off and rejects garbage at DDL time with "requires a Boolean
+    * value", test_autovacuum_compact_data_files.py).
+    */
+  private[graft] def pgBool(v: String, opt: String): Boolean =
+    v.trim.toLowerCase match {
+      case "true" | "on" | "yes" | "1" | "t" => true
+      case "false" | "off" | "no" | "0" | "f" => false
+      case _ => throw new IllegalArgumentException(
+        s"$opt requires a Boolean value")
+    }
+
+  /** Validate maintenance/autovacuum options at DDL/SET time, not
+    * lazily at the first sweep (the reference's validator posture).
+    */
+  private[lake] def validateMaintenanceOptions(
+      props: Map[String, String]): Unit = {
+    Seq("autovacuum_enabled", "autovacuum_compact_data_files",
+      "enable_manifest_merge_on_write")
+      .foreach(k => props.get(k).foreach(v => pgBool(v, k)))
+    Seq("autovacuum_commit_interval", "autovacuum_keep_snapshots",
+      "manifest_min_count_to_merge", "target_manifest_size_kb")
+      .foreach(k => props.get(k).foreach { v =>
+        require(scala.util.Try(v.trim.toInt).isSuccess,
+          s"$k requires an integer value")
+      })
+    props.get("autovacuum_grace_ms").foreach { v =>
+      require(scala.util.Try(v.trim.toLong).isSuccess,
+        "autovacuum_grace_ms requires an integer value")
+    }
+  }
+
   private[lake] def validateCompatibilityMode(
       props: Map[String, String], schema: StructType): Unit = {
     props.get("compatibility_mode").foreach { v =>
@@ -1557,6 +1688,7 @@ object LakeTable {
     require(TableMetadata.currentVersion(location).isEmpty,
       s"table already exists at $location")
     validateCompatibilityMode(properties, schema)
+    validateMaintenanceOptions(properties)
     TableMetadata.commit(location, create = true)(_ =>
       TableMetadata.fromStruct(name, schema, partitionSpec)
         .copy(properties = properties))

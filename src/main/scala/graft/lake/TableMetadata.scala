@@ -329,6 +329,68 @@ object TableMetadata {
     })
   }
 
+  /** Merge the CURRENT snapshot's manifest references into
+    * target-size groups — the reference's manifest merge
+    * (pg_lake_iceberg/src/iceberg/operations/manifest_merge.c
+    * MergeDataManifests; knobs init.c:231-252, defaults 8 MB target /
+    * min-count 100). Without it a table of large appends accumulates
+    * one manifest PER COMMIT forever, and at 100 TB scale opening the
+    * table means thousands of small metadata reads — the merge keeps
+    * metadata O(files / target-size).
+    *
+    * Metadata-only and identity-preserving: the snapshot id and its
+    * file SET are unchanged (group members concatenate in reference
+    * order), so time travel and readers observe nothing; older
+    * snapshots keep their original (immutable, shared) manifests,
+    * which the existing GC reaps once expiry drops the last reference.
+    * Sequential greedy bin-packing stands in for the reference's
+    * best-fit — same bound, simpler invariants. Returns true when a
+    * merge committed, false when below `minCount` or the CAS lost
+    * every retry (harmless: the next write re-triggers).
+    */
+  def mergeManifests(location: String, minCount: Int,
+      targetBytes: Long): Boolean = {
+    var attempts = 0
+    while (attempts < 50) {
+      val baseV = currentVersion(location)
+      if (baseV.isEmpty) return false
+      val cur = loadVersion(location, baseV.get)
+      val snap = cur.currentSnapshot.getOrElse(return false)
+      val refs = Option(snap.manifests).getOrElse(Nil)
+      if (refs.size < math.max(2, minCount)) return false
+      val dir = metaDir(location)
+      val sized = refs.map(n => n -> Files.size(dir.resolve(n)))
+      // sequential greedy grouping preserves entry order across the
+      // concatenation, so the merged manifest is a reorder-free fold
+      val groups = sized.foldLeft(Vector.empty[Vector[(String, Long)]]) {
+        case (acc, e @ (_, sz)) =>
+          acc.lastOption match {
+            case Some(g) if g.map(_._2).sum + sz <= targetBytes =>
+              acc.init :+ (g :+ e)
+            case _ => acc :+ Vector(e)
+          }
+      }
+      if (groups.size == refs.size) return false // nothing coalesces
+      val newRefs = groups.map { g =>
+        if (g.size == 1) g.head._1
+        else writeManifest(location, g.flatMap(e =>
+          readManifest(location, e._1)))
+      }
+      // stored form by hand: dehydrate would restore the base's refs
+      // for an unchanged snapshot id, undoing the merge
+      val stored = cur.copy(snapshots = cur.snapshots.map { s =>
+        val sRefs = Option(s.manifests).getOrElse(Nil)
+        if (s.id == snap.id) s.copy(files = Nil, manifests = newRefs)
+        else if (sRefs.nonEmpty) s.copy(files = Nil, manifests = sRefs)
+        else s
+      })
+      if (tryCommit(location, stored, baseV.get + 1)) return true
+      attempts += 1
+      Thread.sleep(math.min(200L, 5L << math.min(attempts, 5)))
+    }
+    false
+  }
+
   /** Manifest names referenced by any snapshot of `m` (for GC). */
   def referencedManifests(m: TableMetadata): Set[String] =
     m.snapshots.flatMap(s => Option(s.manifests).getOrElse(Nil)).toSet

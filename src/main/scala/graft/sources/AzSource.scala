@@ -95,6 +95,19 @@ object AzSource {
       : Seq[String] = {
     val ref = parse(url).getOrElse(return Seq(url))
     if (!ref.key.contains('*')) return Seq(url)
+    listWildcard(url, fetch).map(_._1)
+  }
+
+  /** Like [[expandWildcard]] but keeps each blob's size from the
+    * listing's `<Content-Length>` property (the reference's
+    * `lake_file.list` reports sizes); a wildcard-free URL lists its
+    * exact blob name.
+    */
+  def listWildcard(url: String,
+      fetch: (String, Map[String, String]) => Array[Byte])
+      : Seq[(String, Long)] = {
+    val ref = parse(url).getOrElse(
+      throw new IllegalArgumentException(s"not an azure URL: $url"))
     val head = url.substring(0, url.length - ref.key.length)
     val prefix = ref.key.takeWhile(_ != '*')
     val rx = java.util.regex.Pattern.compile(
@@ -102,7 +115,7 @@ object AzSource {
         _.split("\\*", -1).map(java.util.regex.Pattern.quote)
           .mkString("[^/]*"))
         .mkString(".*"))
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     var marker: Option[String] = None
     var pages = 0
     do {
@@ -112,10 +125,18 @@ object AzSource {
       marker.foreach(m => q.append("&marker=")
         .append(S3Source.encodeQuery(m)))
       val body = new String(fetch(withSas(q.toString), Map.empty), "UTF-8")
-      "<Name>([^<]*)</Name>".r.findAllMatchIn(body).foreach { m =>
-        val k = S3Source.xmlUnescape(m.group(1))
-        if (rx.matcher(k).matches()) out += head + k
-      }
+      // per-blob scope: Name and Content-Length pair inside one <Blob>
+      val blobRe = "(?s)<Blob>(.*?)</Blob>".r
+      val blobs = blobRe.findAllMatchIn(body).map(_.group(1)).toSeq
+      def keep(k: String, size: Long): Unit =
+        if (rx.matcher(k).matches()) out += ((head + k, size))
+      if (blobs.nonEmpty) blobs.foreach { blk =>
+        for (nm <- "<Name>([^<]*)</Name>".r.findFirstMatchIn(blk))
+          keep(S3Source.xmlUnescape(nm.group(1)),
+            "<Content-Length>(\\d+)</Content-Length>".r
+              .findFirstMatchIn(blk).map(_.group(1).toLong).getOrElse(-1L))
+      } else "<Name>([^<]*)</Name>".r.findAllMatchIn(body)
+        .foreach(m => keep(S3Source.xmlUnescape(m.group(1)), -1L))
       marker = "<NextMarker>([^<]*)</NextMarker>".r
         .findFirstMatchIn(body).map(m => S3Source.xmlUnescape(m.group(1)))
         .filter(_.nonEmpty)

@@ -82,6 +82,24 @@ object HttpSource {
       return S3Source.expandWildcard(url, (u, h) => fetch(u, h)._1)
     if (AzSource.parse(url).isDefined)
       return AzSource.expandWildcard(url, (u, h) => fetch(u, h)._1)
+    expandHf(url)
+  }
+
+  /** [[expand]] with per-entry sizes where the listing API carries
+    * them (S3-dialect `<Size>`, Azure `<Content-Length>`; hf:// and
+    * wildcard-free passthroughs report -1 = unknown). Backs
+    * `lake_file.list` — the reference's list surface reports sizes
+    * (test_list_file.py zero-size cases).
+    */
+  def list(url: String): Seq[(String, Long)] = {
+    if (S3Source.parse(url).isDefined)
+      return S3Source.listWildcard(url, (u, h) => fetch(u, h)._1)
+    if (AzSource.parse(url).isDefined)
+      return AzSource.listWildcard(url, (u, h) => fetch(u, h)._1)
+    expandHf(url).map(u => (u, -1L))
+  }
+
+  private def expandHf(url: String): Seq[String] = {
     if (!url.startsWith("hf://") || !url.contains("*")) return Seq(url)
     val ref = parseHf(url)
     // list recursively from the deepest fixed directory prefix

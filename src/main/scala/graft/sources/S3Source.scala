@@ -206,13 +206,27 @@ object S3Source {
       : Seq[String] = {
     val ref = parse(url).getOrElse(return Seq(url))
     if (!ref.key.contains('*')) return Seq(url)
+    listWildcard(url, fetch).map(_._1)
+  }
+
+  /** Like [[expandWildcard]] but keeps each object's size from the
+    * listing's `<Size>` (the reference's `lake_file.list` reports
+    * sizes, test_list_file.py's zero-size cases included). A
+    * wildcard-free URL lists its exact key — one prefix round trip —
+    * so single-object listings carry the true size too.
+    */
+  def listWildcard(url: String,
+      fetch: (String, Map[String, String]) => Array[Byte])
+      : Seq[(String, Long)] = {
+    val ref = parse(url).getOrElse(
+      throw new IllegalArgumentException(s"not an object-store URL: $url"))
     val prefix = ref.key.takeWhile(_ != '*')
     val rx = java.util.regex.Pattern.compile(
       ref.key.split("\\*\\*", -1).map(
         _.split("\\*", -1).map(java.util.regex.Pattern.quote)
           .mkString("[^/]*"))
         .mkString(".*"))
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     var token: Option[String] = None
     var pages = 0
     do {
@@ -228,12 +242,22 @@ object S3Source {
         val qs = q.toString
         new String(fetch(qs, signingHeaders(listRef, qs)), "UTF-8")
       }
-      val keyRe = "<Key>([^<]*)</Key>".r
-      keyRe.findAllMatchIn(base).foreach { m =>
-        val k = xmlUnescape(m.group(1))
+      // per-entry scope: Key and Size live in the same <Contents>
+      // block; a flat <Key> scan would mis-pair sizes across entries.
+      // Minimal stores that omit the <Contents> wrapper fall back to
+      // a flat key scan with unknown (-1) sizes.
+      val contentsRe = "(?s)<Contents>(.*?)</Contents>".r
+      val entries = contentsRe.findAllMatchIn(base).map(_.group(1)).toSeq
+      def keep(k: String, size: Long): Unit =
         if (rx.matcher(k).matches())
-          out += s"${ref.scheme}://${ref.bucket}/$k"
-      }
+          out += ((s"${ref.scheme}://${ref.bucket}/$k", size))
+      if (entries.nonEmpty) entries.foreach { blk =>
+        for (km <- "<Key>([^<]*)</Key>".r.findFirstMatchIn(blk))
+          keep(xmlUnescape(km.group(1)),
+            "<Size>(\\d+)</Size>".r.findFirstMatchIn(blk)
+              .map(_.group(1).toLong).getOrElse(-1L))
+      } else "<Key>([^<]*)</Key>".r.findAllMatchIn(base)
+        .foreach(m => keep(xmlUnescape(m.group(1)), -1L))
       token = "<NextContinuationToken>([^<]*)</NextContinuationToken>".r
         .findFirstMatchIn(base).map(m => xmlUnescape(m.group(1)))
       pages += 1

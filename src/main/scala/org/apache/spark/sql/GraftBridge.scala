@@ -22,4 +22,12 @@ object GraftBridge {
 
   def classicSession(spark: SparkSession): classic.SparkSession =
     spark.asInstanceOf[classic.SparkSession]
+
+  /** Catalyst's loss-free implicit-cast test (`Cast.canUpCast`,
+    * private[sql] surface area): true when `from` values are always
+    * representable in `to` without truncation or null-out.
+    */
+  def canUpCast(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
 }

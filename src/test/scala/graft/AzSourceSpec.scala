@@ -61,7 +61,9 @@ class AzSourceSpec extends AnyFunSuite {
         val next = if (from + pageSize < all.size)
           s"<NextMarker>${from + pageSize}</NextMarker>" else ""
         val xml = ("<?xml version=\"1.0\"?><EnumerationResults><Blobs>" +
-          page.map(k => s"<Blob><Name>$k</Name></Blob>").mkString
+          page.map(k => s"<Blob><Name>$k</Name><Properties>" +
+            s"<Content-Length>${blobs(k).length}</Content-Length>" +
+            "</Properties></Blob>").mkString
           + "</Blobs>" + next + "</EnumerationResults>").getBytes("UTF-8")
         respond(ex, 200, xml)
       } else {
@@ -183,9 +185,16 @@ class AzSourceSpec extends AnyFunSuite {
         format = Some("csv"))
       assert(c.count() == 1)
       val listed = e.listFiles("az://cont1/t/*")
-        .select("path").collect().map(_.getString(0)).toSet
-      assert(listed == Set("az://cont1/t/part-0.parquet",
-        "az://cont1/t/c.csv"))
+        .select("path", "size_bytes").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(listed == Map(
+        "az://cont1/t/part-0.parquet" -> blobs("t/part-0.parquet").length.toLong,
+        "az://cont1/t/c.csv" -> blobs("t/c.csv").length.toLong),
+        s"listing must carry true blob sizes: $listed")
+      // wildcard-free listing answers the exact blob with its size
+      val one = e.listFiles("az://cont1/t/c.csv").collect()
+      assert(one.length == 1 &&
+        one.head.getLong(1) == blobs("t/c.csv").length.toLong)
     }
   }
 }

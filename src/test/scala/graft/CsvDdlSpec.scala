@@ -116,4 +116,23 @@ class CsvDdlSpec extends AnyFunSuite {
     // registered: immediately queryable through SQL
     assert(e.sql("SELECT count(*) FROM sql_region").head.getLong(0) == n)
   }
+
+  test("US-style date STRING in a text column never poisons a date column") {
+    // reference regression test_csv_date_format.py: a '12/25/2020'
+    // text value on the same row as a real ISO date column must not
+    // flip the reader's date format for the whole file — the text
+    // column keeps its bytes, the date column parses ISO
+    val e = LakeEngine(spark)
+    val dir = java.nio.file.Files.createTempDirectory("csvdate")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      "txt,d\n12/25/2020,2021-03-10\n01/02/2003,1999-12-31\n"
+        .getBytes("UTF-8"))
+    val t = e.createLakeTable("csv_usdate", dir.resolve("d.csv").toString,
+      format = Some("csv"),
+      options = Map("header" -> "true", "columns" -> "txt text, d date"))
+    val rows = t.orderBy("d").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("01/02/2003", "12/25/2020"))
+    assert(rows.map(_.getDate(1).toString).toSeq ==
+      Seq("1999-12-31", "2021-03-10"))
+  }
 }

@@ -301,4 +301,42 @@ class IcebergInteropSpec extends AnyFunSuite {
       "commit did not advance the exported catalog pointer")
     assert(IcebergSnapshot.read(spark, hint2.get).count() == r.count() - 1)
   }
+
+  test("empty table exports and attaches (reference test_iceberg_empty_table)") {
+    import org.apache.spark.sql.types._
+    val t = LakeTable.create(spark, LakeEngine.tempLocation("empt"),
+      "empty_t", StructType(Seq(StructField("a", IntegerType),
+        StructField("b", StringType))))
+    val meta = graft.lake.IcebergExport.export(t)
+    val back = IcebergSnapshot.read(spark, meta)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"))
+    // the inspection surfaces answer sanely on an empty snapshot
+    assert(IcebergSnapshot.files(spark, meta).count() == 0)
+    assert(IcebergSnapshot.deleteFiles(meta).isEmpty)
+  }
+
+  test("external FT pinned to its metadata path until repointed") {
+    // reference test_iceberg_alter_external_path.py happy path: a
+    // foreign table over a metadata.json stays at THAT snapshot while
+    // the source table moves on; ALTER (here: re-register with the
+    // new path) picks up the new state
+    import spark.implicits._
+    val e = LakeEngine(spark)
+    val t = LakeTable.createAsSelect(spark,
+      LakeEngine.tempLocation("extpin"), "ext_pin_src",
+      Seq(1L, 2L).toDF("a"))
+    val meta1 = graft.lake.IcebergExport.export(t)
+    e.createExternalIceberg("ext_pin", meta1)
+    assert(spark.sql("SELECT count(*) FROM ext_pin").head.getLong(0) == 2)
+
+    t.append(Seq(3L, 4L, 5L).toDF("a"))
+    val meta2 = graft.lake.IcebergExport.export(t)
+    assert(meta2 != meta1, "export must version the metadata files")
+    // still pinned to the old snapshot until the path is updated
+    assert(spark.sql("SELECT count(*) FROM ext_pin").head.getLong(0) == 2)
+    // repoint: the ALTER FOREIGN TABLE ... OPTIONS (SET path) analogue
+    e.createExternalIceberg("ext_pin", meta2)
+    assert(spark.sql("SELECT count(*) FROM ext_pin").head.getLong(0) == 5)
+  }
 }

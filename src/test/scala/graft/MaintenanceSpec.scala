@@ -91,6 +91,87 @@ class MaintenanceSpec extends AnyFunSuite {
     e.dropTable("m_on"); e.dropTable("m_off")
   }
 
+  test("manifest merge folds per-commit manifests; readers unaffected") {
+    import spark.implicits._
+    import graft.lake.TableMetadata
+    // low thresholds so the merge fires inside the test (reference
+    // defaults are min-count 100 / 8 MB, manifest_merge.h:28-31)
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "mm_t",
+      Seq((0L, "s")).toDF("k", "v"),
+      properties = Map(
+        "manifest_min_count_to_merge" -> "6",
+        // big target: everything coalesces into ONE manifest
+        "target_manifest_size_kb" -> "1024",
+        // isolate from data compaction so the count is deterministic
+        "autovacuum_enabled" -> "false"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    def refs(m: graft.lake.TableMetadata = t.meta) =
+      m.currentSnapshot.get.manifests.size
+    assert(refs() == 5, s"expected one manifest per commit, got ${refs()}")
+    val preMergeSnap = t.meta.currentSnapshotId
+
+    // 6th commit crosses min-count: merge-on-write folds to one
+    t.append(Seq((5L, "v5")).toDF("k", "v"))
+    assert(refs() == 1,
+      s"merge-on-write did not fold the manifest refs: ${refs()}")
+    // identity-preserving: same snapshot CONTENT, readers see all rows
+    assert(t.read().count() == 6)
+    assert(t.read().select("v").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("s", "v1", "v2", "v3", "v4", "v5"))
+    // time travel to a pre-merge snapshot still resolves (old
+    // snapshots keep their original manifests)
+    assert(t.readAsOf(preMergeSnap).count() == 5)
+
+    // a bounded target splits into multiple groups instead of one
+    val t2 = LakeTable.createAsSelect(spark, freshLoc(), "mm_t2",
+      Seq((0L, "s")).toDF("k", "v"),
+      properties = Map("autovacuum_enabled" -> "false",
+        "enable_manifest_merge_on_write" -> "false"))
+    (1 to 9).foreach(i => t2.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(t2.meta.currentSnapshot.get.manifests.size == 10)
+    val single = java.nio.file.Files.size(TableMetadata
+      .metaDir(t2.location)
+      .resolve(t2.meta.currentSnapshot.get.manifests.head))
+    // target of ~3 manifests per group
+    assert(TableMetadata.mergeManifests(t2.location, 2, single * 3))
+    val after = t2.meta.currentSnapshot.get.manifests.size
+    assert(after >= 3 && after < 10, s"expected partial grouping: $after")
+    assert(t2.read().count() == 10)
+  }
+
+  test("option validator: PG boolean spellings accepted, garbage rejected") {
+    import spark.implicits._
+    // accepted spellings, at CREATE and at SET (reference
+    // test_autovacuum_compact_data_files.py validator tests)
+    for (v <- Seq("true", "false", "on", "off", "1", "0")) {
+      val t = LakeTable.createAsSelect(spark, freshLoc(), s"val_$v",
+        Seq(1L).toDF("k"),
+        properties = Map("autovacuum_compact_data_files" -> v))
+      t.setProperties(Map("autovacuum_enabled" -> v))
+    }
+    // garbage must be rejected AT DDL TIME with the PG message
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.createAsSelect(spark, freshLoc(), "val_bad",
+        Seq(1L).toDF("k"),
+        properties = Map("autovacuum_compact_data_files" -> "maybe"))
+    }
+    assert(ex.getMessage.toLowerCase.contains("boolean"), ex.getMessage)
+    val t2 = LakeTable.createAsSelect(spark, freshLoc(), "val_set",
+      Seq(1L).toDF("k"))
+    val ex2 = intercept[IllegalArgumentException](
+      t2.setProperties(Map("autovacuum_enabled" -> "banana")))
+    assert(ex2.getMessage.toLowerCase.contains("boolean"))
+    val ex3 = intercept[Exception](
+      t2.setProperties(Map("autovacuum_commit_interval" -> "soon")))
+    assert(ex3.getMessage.toLowerCase.contains("integer"))
+    // the "on" spelling actually drives behavior, not just validation
+    val t3 = LakeTable.createAsSelect(spark, freshLoc(), "val_on",
+      Seq(0L).toDF("k"),
+      properties = Map("autovacuum_enabled" -> "off"))
+    (1 to 20).foreach(i => t3.append(Seq(i.toLong).toDF("k")))
+    assert(dataFileCount(t3) == 21, "'off' must disable the ride-along")
+  }
+
   test("maintenance races concurrent appenders: no lost rows") {
     import spark.implicits._
     val t = LakeTable.createAsSelect(spark, freshLoc(), "auto_race",

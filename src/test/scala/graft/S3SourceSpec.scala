@@ -97,8 +97,9 @@ class S3SourceSpec extends AnyFunSuite {
             "</NextContinuationToken>"
         else ""
         val xml = ("<?xml version=\"1.0\"?><ListBucketResult>" +
-          page.map(k => s"<Key>$k</Key>").mkString + next +
-          "</ListBucketResult>").getBytes("UTF-8")
+          page.map(k => s"<Contents><Key>$k</Key>" +
+            s"<Size>${objects(k).length}</Size></Contents>").mkString +
+          next + "</ListBucketResult>").getBytes("UTF-8")
         respond(ex, 200, xml)
       } else {
         // strip /{region}/{bucket}/
