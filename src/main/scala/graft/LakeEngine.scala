@@ -784,11 +784,43 @@ final class LakeEngine(val spark: SparkSession) {
       case Some(c) => Some(c)
       case None => compressionOf(url)
     }
+    if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*")) {
+      // COPY TO an object store (reference test_s3_copy / test_gcs_copy
+      // / test_r2_copy): PG COPY produces ONE file at the key, so the
+      // frame coalesces to a single part written locally and uploaded
+      // via the store's authenticated PUT
+      val tmp = Files.createTempDirectory("copyto")
+      try {
+        writeLocal(df.coalesce(1), tmp.resolve("out").toString, fmt,
+          codec, options)
+        val part = {
+          val s = Files.walk(tmp)
+          try s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.startsWith("part-"))
+            .toSeq match {
+            case Seq(one) => one
+            case many => throw new IllegalStateException(
+              s"expected one part file, found ${many.size}")
+          }
+          finally s.close()
+        }
+        sources.HttpSource.upload(url, part)
+      } finally {
+        val w = Files.walk(tmp)
+        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
+        finally w.close()
+      }
+    } else writeLocal(df, url, fmt, codec, options)
+  }
+
+  private def writeLocal(df: DataFrame, path: String, fmt: String,
+      codec: Option[String], options: Map[String, String]): Unit = {
     var w = df.write.mode(options.getOrElse("mode", "overwrite"))
       .options(options - "mode" - "format" - "compression")
     codec.foreach(c => w = w.option("compression", c))
     fmt match {
-      case "parquet" => w.parquet(url)
+      case "parquet" => w.parquet(path)
       case "csv" => w
         .option("header", options.getOrElse("header", "true"))
         // PG COPY csv conventions (reference csv_writer.c follows
@@ -800,8 +832,8 @@ final class LakeEngine(val spark: SparkSession) {
           options.getOrElse("quote", "\"")))
         .option("nullValue", options.getOrElse("nullValue", ""))
         .option("emptyValue", options.getOrElse("emptyValue", "\"\""))
-        .csv(url)
-      case "json" => w.json(url)
+        .csv(path)
+      case "json" => w.json(path)
     }
   }
 

@@ -247,6 +247,67 @@ object HttpSource {
   /** GET `url` into `to` with the cache's conditional headers; None on
     * 304 Not Modified, response validators otherwise.
     */
+  /** Upload a local file to an object-store URL — the write half of
+    * `COPY … TO 's3://…'` (reference test_s3_copy.py / test_gcs_copy
+    * / test_r2_copy / az in test_writable_tables): S3-dialect PUTs
+    * are SigV4-signed over the REAL payload hash (the fixture
+    * recomputes the body hash server-side, so a content mismatch is
+    * a 400, not silent corruption); Azure PUTs carry the SAS token +
+    * `x-ms-blob-type: BlockBlob`. Streaming with a fixed length —
+    * the file is hashed in one pass and streamed in a second, never
+    * buffered in memory.
+    */
+  def upload(url: String, local: Path): Unit = {
+    val size = Files.size(local)
+    S3Source.parse(url) match {
+      case Some(ref) =>
+        val hash = sha256Hex(local)
+        S3Source.withRegionRouting(ref) { u =>
+          putFile(u, local, size,
+            S3Source.signingHeaders(ref, u, "PUT", hash) +
+              ("x-amz-content-sha256" -> hash))
+        }
+      case None => AzSource.parse(url) match {
+        case Some(az) => putFile(AzSource.urlFor(az), local, size,
+          Map("x-ms-blob-type" -> "BlockBlob"))
+        case None => throw new IllegalArgumentException(
+          s"cannot upload to $url (not an object-store URL)")
+      }
+    }
+  }
+
+  private def sha256Hex(p: Path): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def putFile(url: String, local: Path, size: Long,
+      headers: Map[String, String]): Unit = {
+    val conn = new URI(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("PUT")
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    conn.setDoOutput(true)
+    conn.setFixedLengthStreamingMode(size)
+    val out = conn.getOutputStream
+    try Files.copy(local, out) finally out.close()
+    val code = conn.getResponseCode
+    val region = Option(conn.getHeaderField("x-amz-bucket-region"))
+    conn.disconnect()
+    if ((code == 301 || code == 400) && region.isDefined)
+      throw S3Source.RegionMoved(region.get)
+    if (code / 100 != 2)
+      throw new java.io.IOException(s"PUT $url -> HTTP $code")
+  }
+
   private def download(url: String, to: Path,
       cond: Map[String, String]): Option[FileCache.Fetched] = {
     val conn = connect(url, cond)

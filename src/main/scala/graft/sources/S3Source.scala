@@ -141,11 +141,13 @@ object S3Source {
     * re-signs with the learned region.
     */
   def signingHeaders(ref: S3Ref, url: String,
-      method: String = "GET"): Map[String, String] =
+      method: String = "GET",
+      payloadHash: String = SigV4.EmptyPayloadHash): Map[String, String] =
     credentialsFor(ref.scheme) match {
       case Some(c) =>
         SigV4.signHeaders(method, url,
-          regionOf(ref.bucket, ref.scheme), "s3", c)
+          regionOf(ref.bucket, ref.scheme), "s3", c,
+          payloadHash = payloadHash)
       case None => Map.empty
     }
 

@@ -29,6 +29,8 @@ class AzSourceSpec extends AnyFunSuite {
       pageSize: Int = 1000) {
     val hits = new AtomicInteger(0)
     val denied = new AtomicInteger(0)
+    val store = new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    store ++= blobs
     val server: HttpServer =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -52,9 +54,14 @@ class AzSourceSpec extends AnyFunSuite {
         want.forall { case (k, v) => params.get(k).contains(v) }
       }
       if (!authed) { denied.incrementAndGet(); respond(ex, 403, Array.empty) }
-      else if (params.get("comp").contains("list")) {
+      else if (ex.getRequestMethod == "PUT") {
+        val key = ex.getRequestURI.getPath
+          .stripPrefix(s"/$account/$container").stripPrefix("/")
+        store.put(key, ex.getRequestBody.readAllBytes())
+        respond(ex, 201, Array.empty)
+      } else if (params.get("comp").contains("list")) {
         val prefix = params.getOrElse("prefix", "")
-        val all = blobs.keys.toSeq.sorted.filter(_.startsWith(prefix))
+        val all = store.keys.toSeq.sorted.filter(_.startsWith(prefix))
         val from = params.get("marker").filter(_.nonEmpty)
           .map(_.toInt).getOrElse(0)
         val page = all.slice(from, from + pageSize)
@@ -62,14 +69,14 @@ class AzSourceSpec extends AnyFunSuite {
           s"<NextMarker>${from + pageSize}</NextMarker>" else ""
         val xml = ("<?xml version=\"1.0\"?><EnumerationResults><Blobs>" +
           page.map(k => s"<Blob><Name>$k</Name><Properties>" +
-            s"<Content-Length>${blobs(k).length}</Content-Length>" +
+            s"<Content-Length>${store(k).length}</Content-Length>" +
             "</Properties></Blob>").mkString
           + "</Blobs>" + next + "</EnumerationResults>").getBytes("UTF-8")
         respond(ex, 200, xml)
       } else {
         val key = ex.getRequestURI.getPath
           .stripPrefix(s"/$account/$container").stripPrefix("/")
-        blobs.get(key) match {
+        store.get(key) match {
           case Some(b) => respond(ex, 200, b)
           case None => respond(ex, 404, Array.empty)
         }
@@ -155,6 +162,32 @@ class AzSourceSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         HttpSource.expand("az://cont1/data/*.json")
       }
+    }
+  }
+
+  test("COPY TO az:// uploads one blob with the SAS; bad token refused") {
+    import spark.implicits._
+    withAz(Map.empty) { f =>
+      val e = LakeEngine(spark)
+      e.copyTo(Seq((1L, "x"), (2L, "y")).toDF("id", "s"),
+        "az://cont1/exports/out.csv")
+      // round-trip: the uploaded blob reads back as the same table
+      val back = e.createLakeTable("az_up", "az://cont1/exports/out.csv",
+        format = Some("csv"))
+      assert(back.count() == 2)
+      assert(back.filter(back("id") === 2).select("s")
+        .head.getString(0) == "y")
+      assert(f.store.contains("exports/out.csv"))
+    }
+    withAz(Map.empty, clientSas = Some("sv=2024-01-01&sig=WRONG")) { f =>
+      val e = LakeEngine(spark)
+      val ex = intercept[Exception](e.copyTo(
+        Seq(1L).toDF("id"), "az://cont1/exports/nope.csv"))
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(ex).exists(_.contains("403")), msgs(ex).toString)
+      assert(!f.store.contains("exports/nope.csv"))
     }
   }
 

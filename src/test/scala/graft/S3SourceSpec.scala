@@ -28,6 +28,8 @@ class S3SourceSpec extends AnyFunSuite {
       auth: Option[(String, String)] = None) {
     val wrongHits = new AtomicInteger(0)
     val homeHits = new AtomicInteger(0)
+    val store = new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    store ++= objects
     val server: HttpServer =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -83,12 +85,25 @@ class S3SourceSpec extends AnyFunSuite {
       if (!sigOk(ex)) respond(ex, 403, Array.empty)
       else {
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      if (q.contains("list-type=2")) {
+      if (ex.getRequestMethod == "PUT") {
+        // store the object; verify the signed payload hash against the
+        // REAL body bytes (a client signing anything other than what it
+        // streams fails here)
+        val key = ex.getRequestURI.getPath.split("/", 4)(3)
+        val body = ex.getRequestBody.readAllBytes()
+        val declared = Option(
+          ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
+        val actual = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(body).map("%02x".format(_)).mkString
+        if (declared.exists(d => d != actual &&
+            d != "UNSIGNED-PAYLOAD")) respond(ex, 400, Array.empty)
+        else { store.put(key, body); respond(ex, 200, Array.empty) }
+      } else if (q.contains("list-type=2")) {
         val params = q.split("&").map(_.split("=", 2))
           .map(a => a(0) -> (if (a.length > 1)
             java.net.URLDecoder.decode(a(1), "UTF-8") else "")).toMap
         val prefix = params.getOrElse("prefix", "")
-        val all = objects.keys.toSeq.sorted.filter(_.startsWith(prefix))
+        val all = store.keys.toSeq.sorted.filter(_.startsWith(prefix))
         val from = params.get("continuation-token")
           .map(_.toInt).getOrElse(0)
         val page = all.slice(from, from + pageSize)
@@ -98,13 +113,13 @@ class S3SourceSpec extends AnyFunSuite {
         else ""
         val xml = ("<?xml version=\"1.0\"?><ListBucketResult>" +
           page.map(k => s"<Contents><Key>$k</Key>" +
-            s"<Size>${objects(k).length}</Size></Contents>").mkString +
+            s"<Size>${store(k).length}</Size></Contents>").mkString +
           next + "</ListBucketResult>").getBytes("UTF-8")
         respond(ex, 200, xml)
       } else {
         // strip /{region}/{bucket}/
         val key = ex.getRequestURI.getPath.split("/", 4)(3)
-        objects.get(key) match {
+        store.get(key) match {
           case Some(b) => respond(ex, 200, b)
           case None => respond(ex, 404, Array.empty)
         }
@@ -247,6 +262,36 @@ class S3SourceSpec extends AnyFunSuite {
           HttpSource.stage("s3://bkt/sec/b.bin")
         }
         assert(e.getMessage.contains("403"), e.getMessage)
+      } finally {
+        System.clearProperty("graft.s3.access_key_id")
+        System.clearProperty("graft.s3.secret_access_key")
+      }
+    }
+  }
+
+  test("COPY TO s3:// PUTs with a body-true signed payload hash") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    withS3(Map.empty, auth = Some(("AKIDTEST", "test-secret-key"))) { f =>
+      System.setProperty("graft.s3.access_key_id", "AKIDTEST")
+      System.setProperty("graft.s3.secret_access_key", "test-secret-key")
+      try {
+        val e = LakeEngine(spark)
+        // PUT-first: the wrong-region 301 on the upload itself must
+        // reroute and re-sign, like GETs do
+        e.copyTo(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+          "s3://bkt/exp/out.csv")
+        assert(f.store.contains("exp/out.csv"))
+        // server verified BOTH the signature and the actual body hash;
+        // now the round trip (parse the uploaded CSV back)
+        val back = e.createLakeTable("s3_up", "s3://bkt/exp/out.csv",
+          format = Some("csv"))
+        assert(back.count() == 2)
+        // signed parquet upload round-trips bytes exactly
+        e.copyTo(Seq((7L, "z")).toDF("id", "s"),
+          "s3://bkt/exp/out.parquet")
+        val pq = e.createLakeTable("s3_up_pq", "s3://bkt/exp/out.parquet")
+        assert(pq.head.getLong(0) == 7L)
       } finally {
         System.clearProperty("graft.s3.access_key_id")
         System.clearProperty("graft.s3.secret_access_key")
