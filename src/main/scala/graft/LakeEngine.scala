@@ -1977,7 +1977,11 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^DEALLOCATE\\s+(?:PREPARE\\s+)?(\\w+)\\s*;?\\s*$".r
   private val truncateRe =
     "(?is)^TRUNCATE\\s+(?:TABLE\\s+)?(ONLY\\s+)?(\\w+)\\s*;?\\s*$".r
-  private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)\\s*;?\\s*$".r
+  // accepts the reference's option spellings too: VACUUM (ICEBERG) t
+  // (vacuum.c ProcessVacuumPgLakeIcebergFlag) and PG's VACUUM FULL t —
+  // both run the same compact+expire here
+  private val vacuumRe =
+    "(?is)^VACUUM\\s+(?:\\(\\s*ICEBERG\\s*\\)\\s+|FULL\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumAllRe = "(?is)^VACUUM\\s*;?\\s*$".r
   // matched AFTER the dialect rewrites, so both the PG spelling
   // ('t'::regclass, ARRAY['p']) and the rewritten form

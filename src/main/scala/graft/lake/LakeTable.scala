@@ -344,6 +344,19 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     this
   }
 
+  /** Merge the current snapshot's manifest refs per table policy
+    * (`manifest_min_count_to_merge` default 100,
+    * `target_manifest_size_kb` default 8192 — the reference's GUC
+    * defaults, manifest_merge.h:28-31). Safe to call any time;
+    * no-ops below the threshold.
+    */
+  def mergeManifests(): Boolean = {
+    val p = meta.properties
+    TableMetadata.mergeManifests(location,
+      p.getOrElse("manifest_min_count_to_merge", "100").trim.toInt,
+      p.getOrElse("target_manifest_size_kb", "8192").trim.toLong * 1024L)
+  }
+
   /** Ride-along autovacuum for batch tables: the reference runs a
     * background worker that compacts every table on a timer
     * (pg_lake_table/src/ddl/vacuum.c:108 `pg_lake_iceberg_vacuum`,
@@ -360,19 +373,6 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * but keep the table checked), while manual [[vacuum]] always
     * compacts, mirroring the heap-level storage parameter.
     */
-  /** Merge the current snapshot's manifest refs per table policy
-    * (`manifest_min_count_to_merge` default 100,
-    * `target_manifest_size_kb` default 8192 — the reference's GUC
-    * defaults, manifest_merge.h:28-31). Safe to call any time;
-    * no-ops below the threshold.
-    */
-  def mergeManifests(): Boolean = {
-    val p = meta.properties
-    TableMetadata.mergeManifests(location,
-      p.getOrElse("manifest_min_count_to_merge", "100").trim.toInt,
-      p.getOrElse("target_manifest_size_kb", "8192").trim.toLong * 1024L)
-  }
-
   def maintainIfDue(): LakeTable = {
     val m = meta
     val p = m.properties

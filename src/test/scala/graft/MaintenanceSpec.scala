@@ -88,6 +88,10 @@ class MaintenanceSpec extends AnyFunSuite {
     // bare VACUUM reaches the same sweep
     val out = e.sql("VACUUM").head.getString(0)
     assert(out.contains("m_on") && !out.contains("m_off"))
+    // the reference's option spellings are accepted — and manual
+    // VACUUM always compacts, even on the autovacuum-disabled table
+    assert(e.sql("VACUUM (ICEBERG) m_off").head.getInt(0) < 9)
+    assert(e.sql("VACUUM FULL m_on").schema.fieldNames.head == "data_files")
     e.dropTable("m_on"); e.dropTable("m_off")
   }
 
