@@ -894,6 +894,60 @@ object Fuzz {
           "q_fn_fuzz_dialect",
           stmt(colsX.map(_._1)),
           oracle = stmt(colsX.map(_._2)))
+      }, {
+        // dimension 21: string-function composition — the text half of
+        // the 330-entry scalar contract under generated differential
+        // test. Grammar restricted to the PG∩Spark∩DuckDB-identical
+        // subset (positions ≥ 1, non-negative lengths, ASCII inputs):
+        // upper/lower/trim family, replace, substr, lpad/rpad, left/
+        // right, reverse, repeat, translate, split_part, concat/`||`,
+        // and length/ascii/strpos as the numeric leaves. One text
+        // judges both engines.
+        val rndS = new Random(Seed + 20)
+        val litsS = Seq("Abc", "  pad  ", "x-y-z", "QQ", "a,b,c", "Zz0")
+        def slit(): String = s"'${litsS(rndS.nextInt(litsS.size))}'"
+        def sbase(): String =
+          if (rndS.nextBoolean()) "n_name" else slit()
+        def stx(d: Int): String =
+          if (d >= 3) sbase()
+          else rndS.nextInt(12) match {
+            case 0 => s"upper(${stx(d + 1)})"
+            case 1 => s"lower(${stx(d + 1)})"
+            case 2 => Seq("trim", "ltrim", "rtrim")(rndS.nextInt(3)) +
+              s"(${stx(d + 1)})"
+            case 3 => s"replace(${stx(d + 1)}, '${Seq("A", "N", "-", " ")(
+              rndS.nextInt(4))}', '${Seq("", "_", "xx")(rndS.nextInt(3))}')"
+            case 4 => s"substr(${stx(d + 1)}, ${1 + rndS.nextInt(4)}, " +
+              s"${rndS.nextInt(8)})"
+            case 5 => Seq("lpad", "rpad")(rndS.nextInt(2)) +
+              s"(${stx(d + 1)}, ${rndS.nextInt(16)}, " +
+              s"'${Seq(".", "ab", "*")(rndS.nextInt(3))}')"
+            case 6 => Seq("left", "right")(rndS.nextInt(2)) +
+              s"(${stx(d + 1)}, ${rndS.nextInt(6)})"
+            case 7 => s"reverse(${stx(d + 1)})"
+            case 8 => s"repeat(${stx(d + 1)}, ${rndS.nextInt(3)})"
+            case 9 => s"translate(${stx(d + 1)}, 'ANE', " +
+              s"'${Seq("xyz", "12", "")(rndS.nextInt(3))}')"
+            case 10 => s"split_part(${stx(d + 1)}, '-', " +
+              s"${1 + rndS.nextInt(3)})"
+            case 11 => s"concat(${stx(d + 1)}, ${stx(d + 1)})"
+          }
+        def snum(d: Int): String = rndS.nextInt(3) match {
+          case 0 => s"CAST(length(${stx(d)}) AS BIGINT)"
+          case 1 => s"CAST(ascii(substr(${stx(d)} || 'Q', 1, 1)) AS BIGINT)"
+          case 2 => s"CAST(strpos(${stx(d)}, '${Seq("A", "N", "z")(
+            rndS.nextInt(3))}') AS BIGINT)"
+        }
+        val colsS = (0 until 40).map { i =>
+          if (rndS.nextInt(4) == 3) s"  ${snum(1)} AS s$i"
+          else s"  ${stx(0)} AS s$i"
+        }.mkString(",\n")
+        QueryDef.sql(
+          "q_fn_fuzz_strings",
+          s"""SELECT n_nationkey,
+             |$colsS
+             |FROM nation
+             |ORDER BY n_nationkey""".stripMargin)
       })
   }
 }
