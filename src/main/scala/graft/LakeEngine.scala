@@ -323,6 +323,35 @@ final class LakeEngine(val spark: SparkSession) {
     // bucket-region routing + SigV4, az://abfss:// add SAS-token auth
     val remote =
       path0.matches("^(https?|hf|s3a?|gs|r2|az|azure|abfss?)://.*")
+    // table-format sources (reference test_iceberg_copy.py /
+    // test_delta_copy.py: definition_from/load_from/COPY accept an
+    // Iceberg metadata.json or a Delta table dir): route through the
+    // snapshot readers — the JSON reader would otherwise "succeed" on
+    // a metadata.json and hand back metadata rows as data. Explicit
+    // `format` wins; otherwise detect by the metadata.json suffix /
+    // a _delta_log dir. Multi-file table metadata cannot stage
+    // through the single-file cache, so remote URLs refuse loudly.
+    val fmtOpt = format.map(_.toLowerCase)
+    // the `.metadata.json` / bare `metadata.json` CONVENTION only — a
+    // data file named e.g. sales_metadata.json must stay a JSON source
+    def icebergName(p: String): Boolean = {
+      val f = p.substring(p.lastIndexOf('/') + 1)
+      f == "metadata.json" || f.endsWith(".metadata.json")
+    }
+    val icebergSrc = fmtOpt.contains("iceberg") ||
+      (fmtOpt.isEmpty && icebergName(sources.HttpSource.pathPart(path0)))
+    val deltaSrc = fmtOpt.contains("delta") ||
+      (fmtOpt.isEmpty && !remote &&
+        Files.isDirectory(Paths.get(path0, "_delta_log")))
+    if (icebergSrc || deltaSrc) {
+      require(!remote, s"$path0: iceberg/delta sources are multi-file " +
+        "table metadata — point at a local/Hadoop-reachable path")
+      val base =
+        if (icebergSrc) sources.IcebergSnapshot.read(spark, path0)
+        else sources.DeltaSnapshot.read(spark, path0)
+      return schema.map(s => base.select(s.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)).getOrElse(base)
+    }
     val path = if (remote) sources.HttpSource.stageAll(path0) else path0
     val fmt = format.getOrElse(inferFormat(
       if (remote) sources.HttpSource.pathPart(path0) else path))
@@ -776,6 +805,22 @@ final class LakeEngine(val spark: SparkSession) {
     */
   def copyTo(df: DataFrame, url: String,
       options: Map[String, String] = Map.empty): Unit = {
+    // table formats are read-only through COPY (reference
+    // test_iceberg_copy.py / test_delta_copy.py pin both messages;
+    // an un-formatted COPY TO a metadata.json is the iceberg case)
+    options.get("format").map(_.toLowerCase) match {
+      case Some("iceberg") => throw new IllegalArgumentException(
+        "COPY TO in Iceberg format is not supported")
+      case Some("delta") => throw new IllegalArgumentException(
+        "COPY TO in Delta format is not supported")
+      case None if {
+        val p = sources.HttpSource.pathPart(url)
+        val f = p.substring(p.lastIndexOf('/') + 1)
+        f == "metadata.json" || f.endsWith(".metadata.json")
+      } => throw new IllegalArgumentException(
+        "COPY TO in Iceberg format is not supported")
+      case _ => ()
+    }
     // WITH (format …, compression …) override the URL's extension
     val fmt = options.get("format").map(_.toLowerCase)
       .getOrElse(inferFormat(url))
@@ -936,12 +981,16 @@ final class LakeEngine(val spark: SparkSession) {
       "(?:\\s+LOCATION\\s+'([^']*)')?" +
       "\\s+AS\\s+(SELECT.+)$").r
     // reference DDL: create table t () using iceberg with (load_from=…)
+    // WITH accepts an optional format='…' on either side of the
+    // load/definition option (reference test_delta_copy.py:
+    // `with (definition_from = '…', format = 'delta')`)
     val createFromRe = ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s*(?:\\(\\s*\\))?" +
       "(?:\\s+USING\\s+\\w+)?" +
       "(?:\\s+PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\))?" +
       "(?:\\s+LOCATION\\s+'([^']*)')?" +
-      "\\s+WITH\\s*\\(\\s*(load_from|definition_from)\\s*=\\s*" +
-      "'([^']+)'\\s*\\)\\s*;?\\s*$").r
+      "\\s+WITH\\s*\\(\\s*(?:format\\s*=\\s*'(\\w+)'\\s*,\\s*)?" +
+      "(load_from|definition_from)\\s*=\\s*'([^']+)'" +
+      "(?:\\s*,\\s*format\\s*=\\s*'(\\w+)')?\\s*\\)\\s*;?\\s*$").r
     import spark.implicits._
     // token-wise RETURNING split for DML statements: the clause is the
     // trailing depth-0 RETURNING keyword (never one inside a string
@@ -1059,13 +1108,16 @@ final class LakeEngine(val spark: SparkSession) {
             s"""prepared statement "$name" does not exist""")
         }
         Seq(name).toDF("deallocated")
-      case createFromRe(name, specOrNull, locOrNull, mode, url) =>
+      case createFromRe(name, specOrNull, locOrNull, fmtPre, mode, url,
+          fmtPost) =>
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
           .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
         val t = createTableFrom(name, loc, url,
-          load = mode.equalsIgnoreCase("load_from"), partitionBy = spec)
+          load = mode.equalsIgnoreCase("load_from"),
+          format = Option(fmtPre).orElse(Option(fmtPost)),
+          partitionBy = spec)
         register(name, t)
         Seq(t.read().count()).toDF("rows_loaded")
       case ctasRe(name, specOrNull, locOrNull, select) =>
@@ -1899,7 +1951,7 @@ final class LakeEngine(val spark: SparkSession) {
     opts.keys.find(!knownCopyOptions.contains(_)).foreach(k =>
       throw new IllegalArgumentException(s"""option "$k" not recognized"""))
     opts.get("format").map(_.toLowerCase).foreach(f =>
-      require(Set("csv", "parquet", "json").contains(f),
+      require(Set("csv", "parquet", "json", "iceberg", "delta").contains(f),
         s"""COPY format "$f" is not supported"""))
     opts.get("compression").map(_.toLowerCase).foreach(c =>
       require(Set("none", "gzip", "zstd", "snappy").contains(c),

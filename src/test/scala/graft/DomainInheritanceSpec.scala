@@ -208,6 +208,33 @@ class DomainInheritanceSpec extends AnyFunSuite {
     e.dropTable("part_1t_a")
   }
 
+  test("partitioned INSERT: domain violation aborts during staging") {
+    // the staged single-scan write evaluates domain CHECKs while
+    // materializing — a violation must abort with NOTHING landed in
+    // any child (before, the first K-1 children could commit first)
+    val e = engine()
+    e.sql("CREATE DOMAIN pos_y AS int CHECK (value > 0)")
+    e.sql("CREATE TABLE part_dv (x int, y pos_y) PARTITION BY RANGE (x)")
+    e.sql("CREATE TABLE part_dv_a PARTITION OF part_dv FOR VALUES FROM (0) TO (10)")
+    e.sql("CREATE TABLE part_dv_b PARTITION OF part_dv DEFAULT")
+    val ex = intercept[Exception](e.sql(
+      "INSERT INTO part_dv SELECT id, CAST(id - 15 AS INT) " +
+        "FROM RANGE(0, 20)"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(_.contains(
+      "value for domain pos_y violates check constraint")))
+    assert(e.sql("SELECT count(*) AS n FROM part_dv_a").head.getLong(0) == 0)
+    assert(e.sql("SELECT count(*) AS n FROM part_dv_b").head.getLong(0) == 0)
+    // a clean insert still routes
+    assert(e.sql("INSERT INTO part_dv SELECT id, CAST(id + 1 AS INT) " +
+      "FROM RANGE(0, 20)").head.getLong(0) == 20)
+    assert(e.sql("SELECT count(*) AS n FROM part_dv_a").head.getLong(0) == 10)
+    e.dropTable("part_dv_a"); e.dropTable("part_dv_b")
+    e.sql("DROP DOMAIN pos_y")
+  }
+
   test("UPDATE enforces domain checks; rename migrates enforcement") {
     val e = engine()
     e.sql("CREATE DOMAIN posint AS int CHECK (value > 0)")
