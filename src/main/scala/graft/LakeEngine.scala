@@ -412,6 +412,13 @@ final class LakeEngine(val spark: SparkSession) {
     case "bool" | "boolean" => "boolean"
     case "timestamp" | "timestamp without time zone" => "timestamp_ntz"
     case "timestamptz" | "timestamp with time zone" => "timestamp"
+    // SURVEY §1.2 storage conventions for PG types Spark lacks:
+    // time/timetz → micros-of-day BIGINT; uuid → canonical string;
+    // json/jsonb → string + JSON functions; bytea → binary
+    case "time" | "time without time zone" | "timetz" |
+         "time with time zone" => "bigint"
+    case "uuid" | "json" | "jsonb" => "string"
+    case "bytea" => "binary"
     // unbounded numeric and precision > 38 store as DOUBLE (the
     // reference's unsupported-numeric-as-double default,
     // test_special_numeric.py / test_unbounded_numeric.py — DOUBLE

@@ -113,4 +113,26 @@ class PgCompatSpec extends AnyFunSuite {
     assert(m.map(_.getBoolean(1)).toSeq ===
       Seq(false, false, false, true, true))
   }
+
+  test("DDL accepts the SURVEY §1.2 PG type conventions") {
+    // time/timetz → micros-of-day BIGINT; uuid/json/jsonb → string;
+    // bytea → binary — the reference's type suites declare columns in
+    // these spellings (operator_pushdown/test_time/timetz/bytea/json)
+    import org.apache.spark.sql.types._
+    val e = LakeEngine(SparkTestSession.spark)
+    e.sql("CREATE TABLE conv_t (t time, tz timetz, u uuid, " +
+      "j jsonb, b bytea)")
+    val s = e.table("conv_t").meta.sparkSchema
+    assert(s("t").dataType == LongType && s("tz").dataType == LongType)
+    assert(s("u").dataType == StringType && s("j").dataType == StringType)
+    assert(s("b").dataType == BinaryType)
+    e.sql("INSERT INTO conv_t VALUES (45296000000, 0, " +
+      "'a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11', '{\"k\":1}', " +
+      "CAST('ab' AS BINARY))")
+    val r = e.sql("SELECT t, u, j ->> 'k' AS k FROM conv_t").head
+    assert(r.getLong(0) == 45296000000L)
+    assert(r.getString(1).startsWith("a0eebc99"))
+    assert(r.getString(2) == "1")
+    e.dropTable("conv_t")
+  }
 }
