@@ -199,6 +199,7 @@ final class LakeEngine(val spark: SparkSession) {
     */
   def maintain(): Seq[String] = tables.keys.toSeq.sorted.flatMap { name =>
     tables.get(name).flatMap { t =>
+      try {
       val p = t.meta.properties
       if (!LakeTable.pgBool(p.getOrElse("autovacuum_enabled", "true"),
         "autovacuum_enabled")) None
@@ -208,12 +209,25 @@ final class LakeEngine(val spark: SparkSession) {
           "autovacuum_compact_data_files"))
           t.compact()
         t.mergeManifests()
+        // trimmed like the DDL-time validator (which accepts ' 5 '):
+        // a whitespace-padded SET value must not crash the sweep
         t.expireSnapshots(
-          keepLast = p.getOrElse("autovacuum_keep_snapshots", "3").toInt,
+          keepLast = p.getOrElse("autovacuum_keep_snapshots", "3")
+            .trim.toInt,
           graceMs = p.getOrElse("autovacuum_grace_ms",
-            (10L * 60 * 1000).toString).toLong)
+            (10L * 60 * 1000).toString).trim.toLong)
         refresh(name)
         Some(name)
+      }
+      } catch {
+        // per-table isolation: one broken table (corrupt metadata,
+        // bad property) must not leave the rest of the sweep
+        // unmaintained — the reference worker wraps each table's
+        // vacuum in END_TRANSACTION_NO_THROW(WARNING) and continues
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"maintenance of $name failed: $e")
+          None
       }
     }
   }

@@ -377,12 +377,26 @@ object TableMetadata {
           readManifest(location, e._1)))
       }
       // stored form by hand: dehydrate would restore the base's refs
-      // for an unchanged snapshot id, undoing the merge
+      // for an unchanged snapshot id, undoing the merge. `cur` is
+      // HYDRATED (files = inline ++ manifest entries), and legacy JSON
+      // may carry BOTH inline files and manifests on one snapshot —
+      // zeroing `files` against the refs alone would permanently drop
+      // the inline entries, so any inline remainder (paths no manifest
+      // covers) folds into its own manifest first.
       val stored = cur.copy(snapshots = cur.snapshots.map { s =>
         val sRefs = Option(s.manifests).getOrElse(Nil)
-        if (s.id == snap.id) s.copy(files = Nil, manifests = newRefs)
-        else if (sRefs.nonEmpty) s.copy(files = Nil, manifests = sRefs)
-        else s
+        if (sRefs.isEmpty) s // pure-inline legacy snapshot: unchanged
+        else {
+          val covered = sRefs.flatMap(readManifest(location, _))
+            .map(_.path).toSet
+          val inline = Option(s.files).getOrElse(Nil)
+            .filterNot(f => covered.contains(f.path))
+          val baseRefs = if (s.id == snap.id) newRefs else sRefs
+          val full = baseRefs ++
+            (if (inline.nonEmpty) Seq(writeManifest(location, inline))
+             else Nil)
+          s.copy(files = Nil, manifests = full)
+        }
       })
       if (tryCommit(location, stored, baseV.get + 1)) return true
       attempts += 1

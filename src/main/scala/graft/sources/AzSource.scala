@@ -101,10 +101,14 @@ object AzSource {
   /** Like [[expandWildcard]] but keeps each blob's size from the
     * listing's `<Content-Length>` property (the reference's
     * `lake_file.list` reports sizes); a wildcard-free URL lists its
-    * exact blob name.
+    * exact blob name. `allowEmpty` = the `lake_file.list` surface:
+    * zero rows for a nonexistent blob / non-matching wildcard
+    * (reference test_list_file.py), while read-staging keeps the
+    * loud guard.
     */
   def listWildcard(url: String,
-      fetch: (String, Map[String, String]) => Array[Byte])
+      fetch: (String, Map[String, String]) => Array[Byte],
+      allowEmpty: Boolean = false)
       : Seq[(String, Long)] = {
     val ref = parse(url).getOrElse(
       throw new IllegalArgumentException(s"not an azure URL: $url"))
@@ -147,7 +151,8 @@ object AzSource {
         s"azure wildcard listing exceeded $pages pages: $url")
     } while (marker.isDefined)
     val res = out.result()
-    require(res.nonEmpty, s"azure wildcard matched no blobs: $url")
+    require(allowEmpty || res.nonEmpty,
+      s"azure wildcard matched no blobs: $url")
     res
   }
 }

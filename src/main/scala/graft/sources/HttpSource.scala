@@ -92,10 +92,15 @@ object HttpSource {
     * (test_list_file.py zero-size cases).
     */
   def list(url: String): Seq[(String, Long)] = {
+    // allowEmpty: the list surface reports zero rows for a missing
+    // key / non-matching wildcard (reference test_list_file.py),
+    // unlike read staging where zero shards is a loud error
     if (S3Source.parse(url).isDefined)
-      return S3Source.listWildcard(url, (u, h) => fetch(u, h)._1)
+      return S3Source.listWildcard(url, (u, h) => fetch(u, h)._1,
+        allowEmpty = true)
     if (AzSource.parse(url).isDefined)
-      return AzSource.listWildcard(url, (u, h) => fetch(u, h)._1)
+      return AzSource.listWildcard(url, (u, h) => fetch(u, h)._1,
+        allowEmpty = true)
     expandHf(url).map(u => (u, -1L))
   }
 

@@ -216,9 +216,18 @@ object S3Source {
     * sizes, test_list_file.py's zero-size cases included). A
     * wildcard-free URL lists its exact key — one prefix round trip —
     * so single-object listings carry the true size too.
+    *
+    * `allowEmpty` splits the two callers: the read-staging path keeps
+    * the loud no-match guard (a scan over zero shards is a user
+    * error), while `lake_file.list` returns an EMPTY listing for a
+    * nonexistent key or a non-matching wildcard — the reference's
+    * list surface does exactly that (test_list_file.py
+    * test_list_files_does_not_exist / _wildcard), matching the local
+    * globStatus branch.
     */
   def listWildcard(url: String,
-      fetch: (String, Map[String, String]) => Array[Byte])
+      fetch: (String, Map[String, String]) => Array[Byte],
+      allowEmpty: Boolean = false)
       : Seq[(String, Long)] = {
     val ref = parse(url).getOrElse(
       throw new IllegalArgumentException(s"not an object-store URL: $url"))
@@ -269,7 +278,8 @@ object S3Source {
         s"s3 wildcard listing exceeded $pages pages: $url")
     } while (token.isDefined)
     val res = out.result()
-    require(res.nonEmpty, s"s3 wildcard matched no keys: $url")
+    require(allowEmpty || res.nonEmpty,
+      s"s3 wildcard matched no keys: $url")
     res
   }
 

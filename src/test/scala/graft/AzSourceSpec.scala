@@ -228,6 +228,16 @@ class AzSourceSpec extends AnyFunSuite {
       val one = e.listFiles("az://cont1/t/c.csv").collect()
       assert(one.length == 1 &&
         one.head.getLong(1) == blobs("t/c.csv").length.toLong)
+      // list parity with the reference (test_list_file.py
+      // test_list_files_does_not_exist / _wildcard): a nonexistent
+      // blob and a non-matching wildcard are EMPTY listings, not
+      // errors — matching the local globStatus branch
+      assert(e.listFiles("az://cont1/t/does_not_exist.csv").count() == 0)
+      assert(e.listFiles("az://cont1/t/does_not_exist*").count() == 0)
+      // …while READ staging keeps the loud no-match guard
+      intercept[IllegalArgumentException] {
+        HttpSource.expand("az://cont1/t/does_not_exist*")
+      }
     }
   }
 }

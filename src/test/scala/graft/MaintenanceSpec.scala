@@ -143,6 +143,75 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t2.read().count() == 10)
   }
 
+  test("manifest merge keeps a mixed-form snapshot's inline entries") {
+    import spark.implicits._
+    import graft.lake.TableMetadata
+    // legacy metadata may carry BOTH inline files and manifest refs on
+    // one snapshot (hydrate supports the form; current writers never
+    // emit it) — the merge must fold the inline remainder into a
+    // manifest, not silently drop those file references
+    val t = LakeTable.createAsSelect(spark, freshLoc(), "mm_mixed",
+      Seq((0L, "s")).toDF("k", "v"),
+      properties = Map("autovacuum_enabled" -> "false",
+        "enable_manifest_merge_on_write" -> "false"))
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // doctor the stored form: current snapshot's FIRST manifest's
+    // entries move inline, the ref disappears — the mixed legacy shape
+    val loc = t.location
+    val v = TableMetadata.currentVersion(loc).get
+    val raw = TableMetadata.deserialize(new String(java.nio.file.Files
+      .readAllBytes(TableMetadata.metaDir(loc).resolve(s"v$v.json"))))
+    val curId = raw.currentSnapshotId
+    val doctored = raw.copy(snapshots = raw.snapshots.map { s =>
+      if (s.id == curId) {
+        val refs = Option(s.manifests).getOrElse(Nil)
+        s.copy(files = TableMetadata.readManifest(loc, refs.head),
+          manifests = refs.tail)
+      } else s
+    })
+    assert(TableMetadata.tryCommit(loc, doctored, v + 1))
+    assert(t.read().count() == 6, "doctored mixed form must read whole")
+    // merge everything into one group; the inline entry must survive
+    assert(TableMetadata.mergeManifests(loc, 2, 1024L * 1024))
+    val after = TableMetadata.load(loc)
+    assert(after.currentSnapshot.get.files.size == 6,
+      "inline entries dropped by manifest merge")
+    assert(t.read().count() == 6)
+    assert(t.read().select("v").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("s", "v1", "v2", "v3", "v4", "v5"))
+  }
+
+  test("maintain() isolates broken tables and trims padded options") {
+    import spark.implicits._
+    val e = LakeEngine(spark)
+    // "a_*" sorts first, so the sweep must CONTINUE past the breakage
+    val broken = e.createTableAsSelect("a_broken",
+      LakeEngine.tempLocation("a_broken"), Seq(1L).toDF("k"))
+    (2 to 4).foreach(i => broken.append(Seq(i.toLong).toDF("k")))
+    val ok = e.createTableAsSelect("z_ok",
+      LakeEngine.tempLocation("z_ok"), Seq(1L).toDF("k"))
+    // whitespace-padded values pass the DDL validator (it trims), so
+    // the sweep must trim too instead of crashing on ' 5 '.toInt
+    ok.setProperties(Map("autovacuum_keep_snapshots" -> " 5 ",
+      "autovacuum_grace_ms" -> " 0 "))
+    (2 to 9).foreach(i => ok.append(Seq(i.toLong).toDF("k")))
+    // corrupt the broken table's latest metadata so t.meta throws
+    import graft.lake.TableMetadata
+    val bv = TableMetadata.currentVersion(broken.location).get
+    java.nio.file.Files.write(
+      TableMetadata.metaDir(broken.location).resolve(s"v${bv + 1}.json"),
+      "{ not json".getBytes)
+    val swept = e.maintain()
+    assert(!swept.contains("a_broken"), "broken table must be skipped")
+    assert(swept.contains("z_ok"),
+      s"sweep aborted instead of continuing past the broken table: $swept")
+    assert(e.table("z_ok").meta.snapshots.size <= 5)
+    // cleanup: remove the corrupt version so dropTable can load
+    java.nio.file.Files.delete(
+      TableMetadata.metaDir(broken.location).resolve(s"v${bv + 1}.json"))
+    e.dropTable("a_broken"); e.dropTable("z_ok")
+  }
+
   test("option validator: PG boolean spellings accepted, garbage rejected") {
     import spark.implicits._
     // accepted spellings, at CREATE and at SET (reference

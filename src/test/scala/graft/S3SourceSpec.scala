@@ -198,6 +198,12 @@ class S3SourceSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         HttpSource.expand("s3://bkt/data/*.json")
       }
+      // list parity with the reference (test_list_file.py
+      // test_list_files_does_not_exist / _wildcard): the LIST surface
+      // answers empty for a missing key or non-matching wildcard —
+      // only read staging (above) treats zero shards as an error
+      assert(HttpSource.list("s3://bkt/data/*.json").isEmpty)
+      assert(HttpSource.list("s3://bkt/data/does_not_exist.csv").isEmpty)
     }
   }
 
