@@ -850,40 +850,51 @@ final class LakeEngine(val spark: SparkSession) {
       case Some(c) => Some(c)
       case None => compressionOf(url)
     }
-    if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*")) {
+    // `directory 'true'` (beyond-ref COPY option): the big-export
+    // split — df.write lands STRAIGHT at the target as a directory of
+    // parts, every executor shipping its own file; no coalesce(1), no
+    // staging hop, no one-machine funnel. PG COPY's single-file shape
+    // stays the default. An object-store target takes this path
+    // through the cluster's Hadoop connector for the scheme (s3
+    // spells s3a there); the native signed-PUT path below backs only
+    // the single-object shape.
+    val asDirectory = options.get("directory")
+      .exists(v => lake.LakeTable.pgBool(v, "directory"))
+    if (asDirectory) {
+      val hadoopUrl =
+        if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://")
+        else url
+      writeLocal(df, hadoopUrl, fmt, codec, options)
+    } else if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*")) {
       // COPY TO an object store (reference test_s3_copy / test_gcs_copy
       // / test_r2_copy): PG COPY produces ONE file at the key, so the
-      // frame coalesces to a single part written locally and uploaded
-      // via the store's authenticated PUT
-      val tmp = Files.createTempDirectory("copyto")
+      // frame coalesces to a single part staged on the CLUSTER
+      // filesystem (graft.staging.dir) and streamed out via the
+      // store's authenticated PUT — never a driver-local temp hop, so
+      // the executor that wrote the part and the driver that uploads
+      // it see the same bytes on a real cluster
+      val stage = LakeEngine.stagingLocation(spark, "copyto")
       try {
-        writeLocal(df.coalesce(1), tmp.resolve("out").toString, fmt,
+        writeLocal(df.coalesce(1), lake.LakeFs.child(stage, "out"), fmt,
           codec, options)
-        val part = {
-          val s = Files.walk(tmp)
-          try s.iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.getFileName.toString.startsWith("part-"))
-            .toSeq match {
-            case Seq(one) => one
-            case many => throw new IllegalStateException(
-              s"expected one part file, found ${many.size}")
-          }
-          finally s.close()
+        val part = lake.LakeFs.listFilesRecursive(stage)
+          .filter { case (p, _) =>
+            p.substring(p.lastIndexOf('/') + 1).startsWith("part-")
+          } match {
+          case Seq(one) => one
+          case many => throw new IllegalStateException(
+            s"expected one part file, found ${many.size}")
         }
-        sources.HttpSource.upload(url, part)
-      } finally {
-        val w = Files.walk(tmp)
-        try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-        finally w.close()
-      }
+        sources.HttpSource.upload(url, part._2,
+          () => lake.LakeFs.open(part._1))
+      } finally lake.LakeFs.deleteRecursive(stage)
     } else writeLocal(df, url, fmt, codec, options)
   }
 
   private def writeLocal(df: DataFrame, path: String, fmt: String,
       codec: Option[String], options: Map[String, String]): Unit = {
     var w = df.write.mode(options.getOrElse("mode", "overwrite"))
-      .options(options - "mode" - "format" - "compression")
+      .options(options - "mode" - "format" - "compression" - "directory")
     codec.foreach(c => w = w.option("compression", c))
     fmt match {
       case "parquet" => w.parquet(path)
@@ -1087,7 +1098,7 @@ final class LakeEngine(val spark: SparkSession) {
       case createMatViewRe(name, locOrNull, sel) =>
         val df = QueryDef.pgSql(spark, sel)
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"mv_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         createTableAsSelect(name, loc, df)
         matViews.put(name, sel)
         Seq(name).toDF("materialized_view_created")
@@ -1134,7 +1145,7 @@ final class LakeEngine(val spark: SparkSession) {
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         val t = createTableFrom(name, loc, url,
           load = mode.equalsIgnoreCase("load_from"),
           format = Option(fmtPre).orElse(Option(fmtPost)),
@@ -1145,7 +1156,7 @@ final class LakeEngine(val spark: SparkSession) {
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         val t = createTableAsSelect(name, loc, spark.sql(select), spec)
         Seq(t.read().count()).toDF("rows_inserted")
       case insertRe(name, rest) if partParents.contains(name) =>
@@ -1189,15 +1200,20 @@ final class LakeEngine(val spark: SparkSession) {
         val routeExpr = ranged.zipWithIndex.foldRight(lit("d"): Column) {
           case ((rp, i), els) => when(cond(rp), lit(i.toString)).otherwise(els)
         }
-        val stageDir = LakeEngine.tempLocation(s"ins_stage_$name")
+        // staged through the CLUSTER filesystem (graft.staging.dir /
+        // warehouse-dir default): executors write the routed slices
+        // and the per-child appends read them back, so the dir must
+        // be visible beyond the driver — existence checks go through
+        // the Hadoop FileSystem API, never java.nio
+        val stageDir = LakeEngine.stagingLocation(spark, s"ins_stage_$name")
         typed.withColumn("__route", routeExpr)
           .write.partitionBy("__route").parquet(stageDir)
         try {
           def slice(route: String): Option[DataFrame] = {
-            val p = Paths.get(stageDir, s"__route=$route")
-            if (Files.isDirectory(p)) Some(spark.read
+            val p = graft.lake.LakeFs.child(stageDir, s"__route=$route")
+            if (graft.lake.LakeFs.exists(p)) Some(spark.read
               .schema(StructType(schema.fields))
-              .parquet(p.toString))
+              .parquet(p))
             else None
           }
           val strayOrDefault = slice("d")
@@ -1222,11 +1238,7 @@ final class LakeEngine(val spark: SparkSession) {
           defaultKid.foreach(rp => route(rp.child, strayOrDefault))
           refresh(name)
           Seq(total).toDF("rows_inserted")
-        } finally {
-          val w = Files.walk(Paths.get(stageDir))
-          try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists)
-          finally w.close()
-        }
+        } finally graft.lake.LakeFs.deleteRecursive(stageDir)
       case insertRe(name, rest) if tables.contains(name) =>
         val df = spark.sql(rest)
         val targetFields = table(name).meta.sparkSchema.fields.toSeq
@@ -1485,7 +1497,7 @@ final class LakeEngine(val spark: SparkSession) {
         if (cDoms.nonEmpty) domainCols.put(name, cDoms)
         if (cDefs.nonEmpty) colDefaults.put(name, cDefs)
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         val t = LakeTable.create(spark, loc, name, schema, Nil)
         inheritsOf.put(name, parent)
         register(name, t)
@@ -1550,7 +1562,7 @@ final class LakeEngine(val spark: SparkSession) {
             }
           }
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         val t = LakeTable.create(spark, loc, name, schema, Nil)
         partChildren.put(parent, partChildren(parent) :+
           RangePart(name, Option(fromOrNull).map(_.trim),
@@ -1567,7 +1579,7 @@ final class LakeEngine(val spark: SparkSession) {
           if (tables.contains(src)) table(src).meta.sparkSchema
           else spark.table(src).schema
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         val t = LakeTable.create(spark, loc, name, schema, Nil)
         register(name, t)
         Seq(name).toDF("table_created")
@@ -1586,7 +1598,7 @@ final class LakeEngine(val spark: SparkSession) {
         val spec = Option(specOrNull).toSeq
           .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty)
         val loc = Option(locOrNull)
-          .getOrElse(LakeEngine.tempLocation(s"sql_$name"))
+          .getOrElse(LakeEngine.defaultTableLocation(spark, name))
         // PG-style WITH (k = 'v', ...) creation options — the
         // reference's table-option surface (compatibility_mode,
         // row_ids, out_of_range_values, ...)
@@ -1965,7 +1977,8 @@ final class LakeEngine(val spark: SparkSession) {
   private val knownCopyOptions = Set(
     "format", "header", "sep", "quote", "escape", "null", "nullvalue",
     "null_padding", "force_quote", "freeze",
-    "compression", "encoding", "mode", "emptyvalue", "columns")
+    "compression", "encoding", "mode", "emptyvalue", "columns",
+    "directory")
 
   private def validatedCopyOptions(spec: String): Map[String, String] = {
     val opts = parseCopyOptions(spec)
@@ -2131,9 +2144,58 @@ final class LakeEngine(val spark: SparkSession) {
 object LakeEngine {
   def apply(spark: SparkSession): LakeEngine = new LakeEngine(spark)
 
-  /** Fresh working directory for ephemeral tables (tests / queries). */
+  /** Fresh working directory for ephemeral tables — TEST/driver-local
+    * convenience only. Engine statement paths never use it: default
+    * table locations come from [[defaultTableLocation]] (under the
+    * warehouse dir) and transient write staging from
+    * [[stagingLocation]] (a cluster-visible filesystem), because a
+    * driver-local `/tmp` is not the executors' `/tmp` on a real
+    * cluster.
+    */
   def tempLocation(prefix: String): String =
     Files.createTempDirectory(prefix).toString + "/t"
+
+  /** `file:` URIs normalize to plain local paths (identical java.nio
+    * behavior to the pre-warehouse default); any other scheme is kept
+    * verbatim for the Hadoop FileSystem layer.
+    */
+  private def normalizeDir(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    if (u.getScheme == "file" && (u.getAuthority == null ||
+      u.getAuthority.isEmpty)) u.getPath
+    else p
+  }
+
+  /** Root for transient write staging (partitioned-INSERT routing,
+    * COPY-to-object-store assembly): `graft.staging.dir` session conf
+    * when set, else `<spark.sql.warehouse.dir>/_graft_staging`. Must
+    * be a filesystem EVERY executor can reach — executors write the
+    * staged parquet and the driver (or later tasks) read it back, so
+    * a driver-local temp dir would silently stage per-machine on a
+    * real cluster.
+    */
+  def stagingRoot(spark: SparkSession): String =
+    normalizeDir(spark.conf.getOption("graft.staging.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/_graft_staging"))
+
+  /** Fresh unique staging directory under [[stagingRoot]]. */
+  def stagingLocation(spark: SparkSession, prefix: String): String = {
+    val dir = stagingRoot(spark).stripSuffix("/") +
+      s"/$prefix-${java.util.UUID.randomUUID()}"
+    graft.lake.LakeFs.mkdirs(stagingRoot(spark))
+    dir
+  }
+
+  /** Default location for a managed table created without LOCATION
+    * (CTAS, CREATE TABLE, materialized views): a unique directory
+    * under the warehouse dir — the cluster-shared place Spark managed
+    * tables live — never a driver-local temp dir.
+    */
+  def defaultTableLocation(spark: SparkSession, name: String): String =
+    normalizeDir(spark.conf.get("spark.sql.warehouse.dir"))
+      .stripSuffix("/") +
+      s"/${name.toLowerCase}_${java.util.UUID.randomUUID().toString.take(8)}"
 
   /** Spark type → PG spelling (the inverse of the `columns = {}`
     * contract; SURVEY §1.2 storage conventions). Struct columns get a

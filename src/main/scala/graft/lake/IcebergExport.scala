@@ -213,6 +213,16 @@ object IcebergExport {
     * export.
     */
   def export(table: LakeTable): String = {
+    // the exported metadata embeds file:// URIs (what external readers
+    // string-match), so export is defined for local / POSIX-shared
+    // locations; a remote-scheme table refuses loudly rather than
+    // exporting URIs no external engine could resolve. Remote tables
+    // publish through the REST catalog surface instead.
+    if (LakeFs.isRemote(table.location))
+      throw new UnsupportedOperationException(
+        "iceberg export of a table at a remote-scheme location is not " +
+          s"supported (location: ${table.location}); use the REST " +
+          "catalog export or a shared POSIX mount")
     val m = table.meta
     val snap = m.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))

@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -278,7 +277,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * ARRAY[urls])` (test_iceberg_add_table.py): the files are
     * registered in place as a new snapshot, never rewritten or copied.
     * This is THE bulk-migration path at scale — adopting 100 TB of
-    * existing parquet costs one footer read per file, not a rewrite.
+    * existing parquet costs one footer read per file, not a rewrite,
+    * and the footer reads run as a DISTRIBUTED Spark job over the
+    * path list (schema and row count from the same open), so a
+    * thousand-file adoption validates in parallel instead of a serial
+    * driver loop.
     *
     * Validation is loud, up front, and per file: parquet only (the
     * reference rejects csv/json by extension the same way), every
@@ -302,35 +305,68 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         "supported (adopted files carry no partition tuple)")
     paths.foreach(p => require(p.toLowerCase.endsWith(".parquet"),
       s"add_files_to_table only accepts parquet files, got: $p"))
-    val conf = spark.sparkContext.hadoopConfiguration
-    val cur = m0.sparkSchema
+    // DISTRIBUTED validation: a Spark job over the path list opens ONE
+    // footer per file, supplying BOTH schema and row count — a
+    // million-file migration validates in parallel on the executors,
+    // not as an O(files) serial driver loop with a datasource
+    // resolution per file. Errors stay loud and collect across the
+    // whole list; nothing commits if ANY file fails.
+    val serConf = org.apache.spark.sql.GraftBridge
+      .serializableConf(spark.sparkContext.hadoopConfiguration)
+    val wantJson = m0.sparkSchema.fields
+      .map(f => (f.name, f.dataType.json)).toSeq
+    val slices = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism * 4))
+    val results: Map[String, Either[String, (Long, Long)]] =
+      spark.sparkContext.parallelize(paths, slices).map { p =>
+        val conf = serConf.value
+        try {
+          val hPath = new org.apache.hadoop.fs.Path(p)
+          val fs = hPath.getFileSystem(conf)
+          if (!fs.exists(hPath)) p -> Left(s"no such file: $p")
+          else {
+            val bytes = fs.getFileStatus(hPath).getLen
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(hPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val (rows, msgType) =
+              try (r.getRecordCount,
+                r.getFooter.getFileMetaData.getSchema)
+              finally r.close()
+            val fileSchema = org.apache.spark.sql.GraftBridge
+              .parquetSchemaToSpark(msgType)
+            val byName = fileSchema.fields
+              .map(f => f.name.toLowerCase -> f).toMap
+            val errs = wantJson.flatMap { case (name, typeJson) =>
+              val want = org.apache.spark.sql.types.DataType
+                .fromJson(typeJson)
+              byName.get(name.toLowerCase) match {
+                case None => Some(
+                  s"file $p lacks column $name required by the table " +
+                    "schema")
+                case Some(ff)
+                    if ff.dataType != want &&
+                      !org.apache.spark.sql.GraftBridge
+                        .canUpCast(ff.dataType, want) => Some(
+                  s"file $p column $name: ${ff.dataType.simpleString}" +
+                    s" cannot be safely read as ${want.simpleString}")
+                case _ => None
+              }
+            }
+            if (errs.nonEmpty) p -> Left(errs.mkString("; "))
+            else p -> Right((rows, bytes))
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            p -> Left(s"file $p failed validation: ${e.getMessage}")
+        }
+      }.collect().toMap
+    val errors = paths.flatMap(p => results(p).left.toOption)
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(errors.mkString("\n"))
     val entries = paths.map { p =>
-      val hPath = new org.apache.hadoop.fs.Path(p)
-      val fs = hPath.getFileSystem(conf)
-      require(fs.exists(hPath), s"no such file: $p")
-      val status = fs.getFileStatus(hPath)
-      // one driver-side footer read per file: row count + schema
-      val fileSchema = spark.read.parquet(p).schema
-      val byName = fileSchema.fields
-        .map(f => f.name.toLowerCase -> f).toMap
-      cur.fields.foreach { cf =>
-        val ff = byName.getOrElse(cf.name.toLowerCase,
-          throw new IllegalArgumentException(
-            s"file $p lacks column ${cf.name} required by the table " +
-              "schema"))
-        val ok = ff.dataType == cf.dataType ||
-          org.apache.spark.sql.GraftBridge.canUpCast(ff.dataType,
-            cf.dataType)
-        require(ok, s"file $p column ${cf.name}: ${ff.dataType.simpleString}" +
-          s" cannot be safely read as ${cf.dataType.simpleString}")
-      }
-      val rows = {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(hPath, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }
-      FileEntry(p, rows, status.getLen, m0.currentSchemaVersion,
+      val (rows, bytes) = results(p).toOption.get
+      FileEntry(p, rows, bytes, m0.currentSchemaVersion,
         Map.empty, Map.empty)
     }
     commitOp("add-files") { curM =>
@@ -437,8 +473,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     def chunksOf(p: Map[String, String]): Seq[String] =
       p.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
     def readChunk(name: String): Seq[String] =
-      new String(java.nio.file.Files.readAllBytes(
-        TableMetadata.metaDir(location).resolve(name)),
+      new String(LakeFs.readAllBytes(
+        LakeFs.child(TableMetadata.metaDir(location), name)),
         java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").filter(_.nonEmpty).toSeq
     val baseChunks = chunksOf(meta.properties)
@@ -455,8 +491,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       // corrupts the processed set
       val chunkName = s"ingest-$pipeline-${java.util.UUID.randomUUID()}.json"
       val dir = TableMetadata.metaDir(location)
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve(chunkName),
+      LakeFs.mkdirs(dir)
+      LakeFs.writeAtomic(LakeFs.child(dir, chunkName),
         fresh.mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
       val m = meta
@@ -575,7 +611,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     // counts — which drive the live-row accounting — stay exact. A
     // pure-CoW op discards the batch.
     def discard(entries: Seq[FileEntry]): Unit = entries.foreach(e =>
-      try Files.deleteIfExists(Paths.get(e.path)) catch {
+      try LakeFs.deleteIfExists(e.path) catch {
         case _: Exception => ()
       })
     val morEntries: Seq[FileEntry] =
@@ -638,18 +674,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   private def writeDeleteEntries(m: TableMetadata, posDf: DataFrame,
       targets: Seq[String]): Seq[FileEntry] = {
-    val dir = Paths.get(location, "data", "del-" + UUID.randomUUID())
-    posDf.write.mode("errorifexists").parquet(dir.toString)
-    val written = {
-      val s = Files.walk(dir)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-      finally s.close()
-    }
-    written.map { p =>
+    val dir = LakeFs.child(location, "data/del-" + UUID.randomUUID())
+    posDf.write.mode("errorifexists").parquet(dir)
+    LakeFs.listFilesRecursive(dir, ".parquet").map { case (p, bytes) =>
       val n = spark.read.parquet(p).count()
-      FileEntry(p, n, Files.size(Paths.get(p)), m.currentSchemaVersion,
+      FileEntry(p, n, bytes, m.currentSchemaVersion,
         Map.empty, Map.empty, Nil, content = 1, deleteTargets = targets)
     }.filter(_.rows > 0)
   }
@@ -864,29 +893,26 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     }
     val onDisk = TableMetadata.load(location)
     val now = System.currentTimeMillis()
-    def inGrace(p: Path): Boolean =
-      graceMs > 0 &&
-        now - Files.getLastModifiedTime(p).toMillis < graceMs
-    val referenced = onDisk.snapshots.flatMap(_.files).map(_.path).toSet
-    val dataDir = Paths.get(location, "data")
-    if (Files.exists(dataDir)) {
-      Files.walk(dataDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => referenced.contains(p.toString))
-        .filterNot(inGrace)
-        .foreach(Files.delete)
-    }
+    def inGrace(p: String): Boolean =
+      graceMs > 0 && now - LakeFs.mtime(p) < graceMs
+    val referenced = onDisk.snapshots.flatMap(_.files)
+      .map(f => LakeFs.pathKey(f.path)).toSet
+    val dataDir = LakeFs.child(location, "data")
+    LakeFs.listFilesRecursive(dataDir, ".parquet")
+      .map(_._1)
+      .filterNot(p => referenced.contains(LakeFs.pathKey(p)))
+      .filterNot(inGrace)
+      .foreach(LakeFs.deleteIfExists)
     // manifests referenced by no surviving snapshot (expired snapshots,
     // lost CAS races) — same sweep semantics as the data files above
     val liveManifests = TableMetadata.referencedManifests(onDisk)
     val metaDir = TableMetadata.metaDir(location)
-    if (Files.exists(metaDir)) {
-      Files.list(metaDir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("manifest-"))
-        .filterNot(p => liveManifests.contains(p.getFileName.toString))
-        .filterNot(inGrace)
-        .foreach(Files.delete)
-    }
+    LakeFs.listNames(metaDir)
+      .filter(_.startsWith("manifest-"))
+      .filterNot(liveManifests.contains)
+      .map(LakeFs.child(metaDir, _))
+      .filterNot(inGrace)
+      .foreach(LakeFs.deleteIfExists)
     // ingest chunks referenced by no pipeline property (batches whose
     // commit aborted or lost its CAS race) — the live set is exactly
     // the union of every ingest.<pipeline>.chunks list
@@ -894,13 +920,12 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       case (k, v) if k.startsWith("ingest.") && k.endsWith(".chunks") =>
         v.split(",").toSeq
     }.flatten.toSet
-    if (Files.exists(metaDir)) {
-      Files.list(metaDir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("ingest-"))
-        .filterNot(p => liveChunks.contains(p.getFileName.toString))
-        .filterNot(inGrace)
-        .foreach(Files.delete)
-    }
+    LakeFs.listNames(metaDir)
+      .filter(_.startsWith("ingest-"))
+      .filterNot(liveChunks.contains)
+      .map(LakeFs.child(metaDir, _))
+      .filterNot(inGrace)
+      .foreach(LakeFs.deleteIfExists)
     this
   }
 
@@ -1195,15 +1220,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * goes and data files are left for external readers.
     */
   def drop(purge: Boolean = true): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(location)
-    if (!Files.exists(root)) return
-    val target = if (purge) root else root.resolve("_meta")
-    if (Files.exists(target)) {
-      Files.walk(target).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-    }
+    if (!LakeFs.exists(location)) return
+    LakeFs.deleteRecursive(
+      if (purge) location else TableMetadata.metaDir(location))
   }
 
   /** ALTER TABLE ... SET PARTITIONED BY — metadata-only partition-spec
@@ -1388,7 +1407,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     } ++ extraCols.map(col): _*)
 
     val transforms = m.transforms
-    val commitDir = Paths.get(location, "data", UUID.randomUUID().toString)
+    val commitDir = LakeFs.child(location, s"data/${UUID.randomUUID()}")
 
     if (transforms.nonEmpty) {
       if (!writePartitioned(m, aligned, targetFiles, commitDir)) return Nil
@@ -1412,16 +1431,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         val rows = aligned.count()
         w = w.option("maxRecordsPerFile", math.max(1L, (rows + n - 1) / n))
       }
-      w.parquet(commitDir.toString)
+      w.parquet(commitDir)
     }
 
-    val written = {
-      val s = Files.walk(commitDir)
-      try s.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .map(_.toString).toSeq.sorted
-      finally s.close()
-    }
+    val written = LakeFs.listFilesRecursive(commitDir, ".parquet")
     if (written.isEmpty) return Nil
 
     collectStats(m, written)
@@ -1482,7 +1495,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * columns.
     */
   private def writePartitioned(m: TableMetadata, aligned: DataFrame,
-      targetFiles: Option[Int], commitDir: Path): Boolean = {
+      targetFiles: Option[Int], commitDir: String): Boolean = {
     val schema = m.sparkSchema
     val transforms = m.transforms
     val valueNames = transforms.map(_.valueName)
@@ -1504,7 +1517,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         .select((schema.fieldNames.map(col) :+ col("__bucket")).toIndexedSeq: _*)
       out.repartition(nBuckets, col("__bucket"))
         .write.mode("errorifexists").partitionBy("__bucket")
-        .parquet(commitDir.toString)
+        .parquet(commitDir)
       return true
     }
 
@@ -1548,7 +1561,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     // exactly one file per bucket (collisions just co-locate buckets)
     out.repartition(nBuckets, col("__bucket"))
       .write.mode("errorifexists").partitionBy("__bucket")
-      .parquet(commitDir.toString)
+      .parquet(commitDir)
     true
   }
 
@@ -1558,7 +1571,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * through the same Cast, so the round trip is exact.
     */
   private def collectStats(m: TableMetadata,
-      paths: Seq[String]): Seq[FileEntry] = {
+      files: Seq[(String, Long)]): Seq[FileEntry] = {
+    val paths = files.map(_._1)
+    val sizeOf = files.toMap
     val cur = m.currentSchema
     val schema = TableMetadata.physicalStruct(cur)
     val transforms = m.transforms
@@ -1590,16 +1605,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
 
-    // key by full path: partitionBy writes can reuse a basename across
-    // __bucket=N subdirectories within one task
+    // key by full scheme-independent path: partitionBy writes can
+    // reuse a basename across __bucket=N subdirectories within one
+    // task, and input_file_name() is a (possibly percent-encoded) URI
+    // while the listing carries plain path strings
     val byPath = statRows.map(r =>
-      Paths.get(new java.net.URI(r.getAs[String]("__file")).getPath)
-        .toString -> r).toMap
+      new java.net.URI(r.getAs[String]("__file")).getPath -> r).toMap
 
     // a path with no stats row is a zero-row file (e.g. Spark writes one
     // empty part file for an empty frame) — skip it, never commit it
     paths.flatMap { p =>
-      byPath.get(Paths.get(p).toString).map { r =>
+      byPath.get(LakeFs.pathKey(p)).map { r =>
       def s(col: String): Option[String] =
         if (r.schema.fieldNames.contains(col)) Option(r.getAs[String](col))
         else None
@@ -1611,7 +1627,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         t.valueName -> ColStats(s(s"pmin_${t.valueName}"),
           s(s"pmax_${t.valueName}"), 0L)
       }.toMap
-      FileEntry(p, r.getAs[Long]("__rows"), Files.size(Paths.get(p)),
+      FileEntry(p, r.getAs[Long]("__rows"), sizeOf(p),
         cur.version, fieldStats, partStats)
       }
     }

@@ -2,7 +2,6 @@ package graft.lake
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
 
@@ -207,32 +206,33 @@ object TableMetadata {
   // Like the reference's metadata.json + catalog-row CAS
   // (pg_lake_iceberg/src/iceberg/catalog.c:304-398): a commit is an
   // atomic put-if-absent of the immutable _meta/v{N}.json where N =
-  // base-version-read + 1. The successor is fully written to a temp
-  // file first and published via hard-link (POSIX link(2) fails if the
-  // target exists and is atomic — rename would silently replace), so
-  // the commit point is the link creation and readers can never observe
-  // a partial file. Losing the CAS ⇒ a concurrent writer committed on
+  // base-version-read + 1 — [[LakeFs.createExclusive]]: locally a
+  // temp file published via hard-link (POSIX link(2) fails if the
+  // target exists and is atomic — rename would silently replace); on
+  // a cluster filesystem `create(overwrite=false)` (HDFS's namenode
+  // arbitrates). Losing the CAS ⇒ a concurrent writer committed on
   // the SAME base; the caller reloads, reapplies, retries. On object
-  // storage this maps to put-if-absent / a catalog-service CAS.
+  // storage a catalog-service CAS arbitrates instead ([[RestCatalog]]
+  // CommitTable), matching the reference's catalog-row approach.
 
-  def metaDir(location: String): Path = Paths.get(location, "_meta")
+  /** `<location>/_meta` in the location's own scheme — all access
+    * below goes through [[LakeFs]], so a table location on a cluster
+    * filesystem (hdfs:// or any Hadoop scheme) works end to end; local
+    * paths keep their java.nio fast path.
+    */
+  def metaDir(location: String): String =
+    LakeFs.child(location, "_meta")
 
   /** Latest committed version = max vN.json present (the link is the
     * commit point; no separate pointer file to race on).
     */
   def currentVersion(location: String): Option[Int] = {
-    val dir = metaDir(location)
-    if (!Files.exists(dir)) return None
     val vPat = "v(\\d+)\\.json".r
-    val s = Files.list(dir)
-    try {
-      val vs = s.iterator().asScala.flatMap(p =>
-        p.getFileName.toString match {
-          case vPat(n) => Some(n.toInt)
-          case _ => None
-        }).toSeq
-      if (vs.isEmpty) None else Some(vs.max)
-    } finally s.close()
+    val vs = LakeFs.listNames(metaDir(location)).flatMap {
+      case vPat(n) => Some(n.toInt)
+      case _ => None
+    }
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   def load(location: String): TableMetadata =
@@ -240,8 +240,8 @@ object TableMetadata {
       throw new IllegalStateException(s"no lake table at $location")))
 
   private def loadVersion(location: String, v: Int): TableMetadata =
-    hydrate(location, deserialize(new String(Files.readAllBytes(
-      metaDir(location).resolve(s"v$v.json")))))
+    hydrate(location, deserialize(new String(LakeFs.readAllBytes(
+      LakeFs.child(metaDir(location), s"v$v.json")))))
 
   // ---- manifest files ---------------------------------------------------
   //
@@ -258,16 +258,15 @@ object TableMetadata {
   def readManifest(location: String, name: String): Seq[FileEntry] =
     manifestCache.getOrElseUpdate((location, name),
       mapper.readValue(
-        Files.readAllBytes(metaDir(location).resolve(name)),
+        LakeFs.readAllBytes(LakeFs.child(metaDir(location), name)),
         classOf[ManifestDoc]).entries)
 
   def writeManifest(location: String, entries: Seq[FileEntry]): String = {
     val name = s"manifest-${java.util.UUID.randomUUID()}.json"
     val dir = metaDir(location)
-    Files.createDirectories(dir)
-    val tmp = Files.createTempFile(dir, "manifest", ".tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(ManifestDoc(entries)))
-    Files.move(tmp, dir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    LakeFs.mkdirs(dir)
+    LakeFs.writeAtomic(LakeFs.child(dir, name),
+      mapper.writeValueAsBytes(ManifestDoc(entries)))
     manifestCache.put((location, name), entries)
     name
   }
@@ -359,7 +358,7 @@ object TableMetadata {
       val refs = Option(snap.manifests).getOrElse(Nil)
       if (refs.size < math.max(2, minCount)) return false
       val dir = metaDir(location)
-      val sized = refs.map(n => n -> Files.size(dir.resolve(n)))
+      val sized = refs.map(n => n -> LakeFs.size(LakeFs.child(dir, n)))
       // sequential greedy grouping preserves entry order across the
       // concatenation, so the merged manifest is a reorder-free fold
       val groups = sized.foldLeft(Vector.empty[Vector[(String, Long)]]) {
@@ -414,15 +413,9 @@ object TableMetadata {
     */
   def tryCommit(location: String, next: TableMetadata, v: Int): Boolean = {
     val dir = metaDir(location)
-    Files.createDirectories(dir)
-    val target = dir.resolve(s"v$v.json")
-    if (Files.exists(target)) return false
-    val tmp = Files.createTempFile(dir, s"v$v", ".tmp")
-    try {
-      Files.write(tmp, serialize(next).getBytes)
-      try { Files.createLink(target, tmp); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } finally Files.deleteIfExists(tmp)
+    LakeFs.mkdirs(dir)
+    LakeFs.createExclusive(LakeFs.child(dir, s"v$v.json"),
+      serialize(next).getBytes)
   }
 
   /** Commit with optimistic retry: `apply` maps the freshly-loaded

@@ -262,28 +262,232 @@ object HttpSource {
     * the file is hashed in one pass and streamed in a second, never
     * buffered in memory.
     */
-  def upload(url: String, local: Path): Unit = {
-    val size = Files.size(local)
+  def upload(url: String, local: Path): Unit =
+    upload(url, Files.size(local), () => Files.newInputStream(local))
+
+  /** Upload part size AND single-PUT threshold:
+    * `graft.upload.part_size` bytes (default 64 MiB). At or below one
+    * part the object goes up as a single PUT; above it the upload
+    * switches to the store's native chunked protocol — S3 multipart /
+    * Azure blocks — because a single PUT hard-caps at the store's
+    * limit (5 GiB on S3) and funnels the whole export through one
+    * request. The reference reaches the same behavior through DuckDB
+    * httpfs, which multiparts at its own threshold.
+    */
+  private def uploadPartSize: Long =
+    sys.props.get("graft.upload.part_size").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Upload from any re-openable byte source — the COPY path streams
+    * straight from the CLUSTER filesystem staging part (Hadoop input
+    * stream), never via a driver-local copy. The source is read twice
+    * for single-PUT S3-dialect targets (one hashing pass — SigV4
+    * signs the true payload hash — and one streaming pass); multipart
+    * reads once, hashing and shipping a part at a time.
+    */
+  def upload(url: String, size: Long,
+      open: () => InputStream): Unit = {
     S3Source.parse(url) match {
       case Some(ref) =>
-        val hash = sha256Hex(local)
-        S3Source.withRegionRouting(ref) { u =>
-          putFile(u, local, size,
-            S3Source.signingHeaders(ref, u, "PUT", hash) +
-              ("x-amz-content-sha256" -> hash))
+        if (size > uploadPartSize) s3Multipart(ref, open, uploadPartSize)
+        else {
+          val hash = sha256Hex(open)
+          S3Source.withRegionRouting(ref) { u =>
+            putStream(u, open, size,
+              S3Source.signingHeaders(ref, u, "PUT", hash) +
+                ("x-amz-content-sha256" -> hash))
+          }
         }
       case None => AzSource.parse(url) match {
-        case Some(az) => putFile(AzSource.urlFor(az), local, size,
-          Map("x-ms-blob-type" -> "BlockBlob"))
+        case Some(az) =>
+          if (size > uploadPartSize) azBlocks(az, open, uploadPartSize)
+          else putStream(AzSource.urlFor(az), open, size,
+            Map("x-ms-blob-type" -> "BlockBlob"))
         case None => throw new IllegalArgumentException(
           s"cannot upload to $url (not an object-store URL)")
       }
     }
   }
 
-  private def sha256Hex(p: Path): String = {
+  private def sha256HexBytes(b: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Read up to `n` bytes (exactly `n` unless the stream ends). */
+  private def readChunk(in: InputStream, n: Long): Array[Byte] = {
+    val buf = new Array[Byte](n.toInt)
+    var off = 0
+    var r = in.read(buf, 0, buf.length)
+    while (r > 0) {
+      off += r
+      if (off == buf.length) return buf
+      r = in.read(buf, off, buf.length - off)
+    }
+    java.util.Arrays.copyOf(buf, off)
+  }
+
+  private final case class Resp(code: Int, body: Array[Byte],
+      headers: Map[String, String])
+
+  /** One-shot request with an in-memory body; surfaces S3's
+    * wrong-region answers as [[S3Source.RegionMoved]].
+    */
+  private def request(method: String, url: String,
+      headers: Map[String, String],
+      body: Array[Byte] = Array.empty): Resp = {
+    val conn = new URI(url).toURL.openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(120000)
+    if (method == "PUT" || method == "POST") {
+      conn.setDoOutput(true)
+      conn.setFixedLengthStreamingMode(body.length.toLong)
+      val out = conn.getOutputStream
+      try out.write(body) finally out.close()
+    }
+    val code = conn.getResponseCode
+    val respBody = {
+      val s = if (code / 100 == 2) conn.getInputStream
+        else conn.getErrorStream
+      if (s == null) Array.empty[Byte]
+      else try s.readAllBytes() finally s.close()
+    }
+    val hdrs = {
+      import scala.jdk.CollectionConverters._
+      conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null && !vs.isEmpty =>
+          k.toLowerCase -> vs.get(0)
+      }.toMap
+    }
+    conn.disconnect()
+    if ((code == 301 || code == 400) &&
+        hdrs.contains("x-amz-bucket-region"))
+      throw S3Source.RegionMoved(hdrs("x-amz-bucket-region"))
+    Resp(code, respBody, hdrs)
+  }
+
+  /** S3 multipart (public protocol: CreateMultipartUpload → UploadPart
+    * ×N → CompleteMultipartUpload; AbortMultipartUpload on failure so
+    * the store reclaims staged parts). Every request is SigV4-signed
+    * over its REAL payload hash with the existing [[SigV4]] machinery;
+    * the fixture recomputes both signature and body hash server-side.
+    * Region routing happens on the initiate — parts and complete reuse
+    * the learned region.
+    */
+  private def s3Multipart(ref: S3Source.S3Ref,
+      open: () => InputStream, partSize: Long): Unit = {
+    def sign(method: String, u: String, hash: String) =
+      S3Source.signingHeaders(ref, u, method, hash) +
+        ("x-amz-content-sha256" -> hash)
+    def require2xx(r: Resp, what: String): Resp = {
+      if (r.code / 100 != 2) throw new java.io.IOException(
+        s"$what -> HTTP ${r.code}")
+      r
+    }
+    val uploadId = S3Source.withRegionRouting(ref) { base =>
+      val u = s"$base?uploads"
+      val r = require2xx(
+        request("POST", u, sign("POST", u, SigV4.EmptyPayloadHash)),
+        "multipart initiate")
+      "<UploadId>([^<]+)</UploadId>".r
+        .findFirstMatchIn(new String(r.body, "UTF-8")).map(_.group(1))
+        .getOrElse(throw new java.io.IOException(
+          "multipart initiate response carried no UploadId"))
+    }
+    val base = S3Source.urlFor(ref,
+      S3Source.regionOf(ref.bucket, ref.scheme))
+    val idQ = S3Source.encodeQuery(uploadId)
+    try {
+      val etags = Seq.newBuilder[(Int, String)]
+      val in = open()
+      try {
+        var n = 1
+        var more = true
+        while (more) {
+          val chunk = readChunk(in, partSize)
+          // an empty trailing read only happens when size was an exact
+          // multiple of the part size — nothing left to ship
+          if (chunk.nonEmpty) {
+            val u = s"$base?partNumber=$n&uploadId=$idQ"
+            val r = require2xx(
+              request("PUT", u, sign("PUT", u, sha256HexBytes(chunk)),
+                chunk), s"multipart part $n")
+            etags += ((n, r.headers.getOrElse("etag", "")))
+            n += 1
+          }
+          more = chunk.length == partSize
+        }
+      } finally in.close()
+      val xml = ("<CompleteMultipartUpload>" + etags.result().map {
+        case (n, e) => s"<Part><PartNumber>$n</PartNumber>" +
+          s"<ETag>$e</ETag></Part>"
+      }.mkString + "</CompleteMultipartUpload>").getBytes("UTF-8")
+      val cu = s"$base?uploadId=$idQ"
+      require2xx(request("POST", cu,
+        sign("POST", cu, sha256HexBytes(xml)), xml),
+        "multipart complete")
+      ()
+    } catch {
+      case e: Throwable =>
+        // abort so the store reclaims the staged parts; best effort —
+        // the original failure is what surfaces
+        val au = s"$base?uploadId=$idQ"
+        try request("DELETE", au,
+          sign("DELETE", au, SigV4.EmptyPayloadHash))
+        catch { case _: Exception => () }
+        throw e
+    }
+  }
+
+  /** Azure Block Blob chunked upload (public protocol: Put Block ×N +
+    * Put Block List). Blocks carry the SAS like every other request;
+    * uncommitted blocks expire server-side if the commit never lands,
+    * so there is no explicit abort call.
+    */
+  private def azBlocks(az: AzSource.AzRef,
+      open: () => InputStream, partSize: Long): Unit = {
+    val blobUrl = AzSource.urlFor(az)
+    def withQ(extra: String) =
+      blobUrl + (if (blobUrl.contains('?')) "&" else "?") + extra
+    def require2xx(r: Resp, what: String): Resp = {
+      if (r.code / 100 != 2) throw new java.io.IOException(
+        s"$what -> HTTP ${r.code}")
+      r
+    }
+    val ids = Seq.newBuilder[String]
+    val in = open()
+    try {
+      var n = 0
+      var more = true
+      while (more) {
+        val chunk = readChunk(in, partSize)
+        if (chunk.nonEmpty) {
+          // fixed-width ids: Azure requires every block id in a blob
+          // to be the same length pre-encoding
+          val id = java.util.Base64.getEncoder
+            .encodeToString(f"block-$n%08d".getBytes("UTF-8"))
+          require2xx(request("PUT",
+            withQ(s"comp=block&blockid=${S3Source.encodeQuery(id)}"),
+            Map.empty, chunk), s"az block $n")
+          ids += id
+          n += 1
+        }
+        more = chunk.length == partSize
+      }
+    } finally in.close()
+    val xml = ("<?xml version=\"1.0\" encoding=\"utf-8\"?><BlockList>" +
+      ids.result().map(i => s"<Latest>$i</Latest>").mkString +
+      "</BlockList>").getBytes("UTF-8")
+    require2xx(request("PUT", withQ("comp=blocklist"), Map.empty, xml),
+      "az block list")
+    ()
+  }
+
+  private def sha256Hex(open: () => InputStream): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    val in = Files.newInputStream(p)
+    val in = open()
     try {
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
@@ -292,7 +496,7 @@ object HttpSource {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def putFile(url: String, local: Path, size: Long,
+  private def putStream(url: String, open: () => InputStream, size: Long,
       headers: Map[String, String]): Unit = {
     val conn = new URI(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
@@ -303,7 +507,10 @@ object HttpSource {
     conn.setDoOutput(true)
     conn.setFixedLengthStreamingMode(size)
     val out = conn.getOutputStream
-    try Files.copy(local, out) finally out.close()
+    try {
+      val in = open()
+      try in.transferTo(out) finally in.close()
+    } finally out.close()
     val code = conn.getResponseCode
     val region = Option(conn.getHeaderField("x-amz-bucket-region"))
     conn.disconnect()

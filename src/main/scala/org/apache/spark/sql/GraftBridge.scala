@@ -30,4 +30,22 @@ object GraftBridge {
   def canUpCast(from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
+
+  /** Parquet footer MessageType → Spark StructType, the converter the
+    * parquet datasource itself uses (`private[sql]`); lets bulk file
+    * adoption read schema AND row count from ONE footer open per file
+    * on the executors instead of a full `spark.read` resolution per
+    * file on the driver.
+    */
+  def parquetSchemaToSpark(schema: org.apache.parquet.schema.MessageType)
+      : org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter().convert(schema)
+
+  /** Serializable wrapper for a Hadoop Configuration (`private[spark]`)
+    * so per-file validation jobs can open footers executor-side.
+    */
+  def serializableConf(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
 }

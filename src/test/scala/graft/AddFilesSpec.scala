@@ -96,6 +96,55 @@ class AddFilesSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("bulk adoption (1k files) validates as ONE parallel Spark job") {
+    // the 100 TB migration probe: ~1k files must validate via a
+    // distributed job over the path list (footer opens on executors),
+    // never an O(files) serial driver loop
+    val dir = Files.createTempDirectory("addbulk")
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartition(1000).write.mode("overwrite").parquet(dir.toString)
+    val parts = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally s.close()
+    }
+    // round-robin repartition leaves some slots empty — anything in
+    // the hundreds exercises the distributed path
+    assert(parts.size >= 500, s"only ${parts.size} fixture files")
+
+    val t = LakeTable.createAsSelect(spark,
+      Files.createTempDirectory("addbt").toString + "/t", "add_bulk",
+      Seq((-1L, "seed")).toDF("id", "v"))
+
+    // watch the validation run as a distributed job with many tasks
+    val maxTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          s: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+          : Unit = {
+        maxTasks.updateAndGet(m => math.max(m, s.stageInfo.numTasks))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      t.addFiles(parts)
+      // stage-submitted events land synchronously enough for the
+      // assert, but give the bus a moment to drain
+      Thread.sleep(500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(maxTasks.get() >= 4,
+      s"validation ran with ${maxTasks.get()} task(s) — looks like a " +
+        "driver loop, not a distributed job")
+    // every row of every adopted file is readable; counts footer-true
+    assert(t.read().count() == 1001)
+    val entries = t.meta.currentSnapshot.get.dataFiles
+    assert(entries.size == parts.size + 1)
+    assert(entries.map(_.rows).sum == 1001)
+  }
+
   test("engine CALL surface: PG spelling with ::regclass and ARRAY[]") {
     val e = LakeEngine(spark)
     e.sql("CREATE TABLE add_sql AS SELECT CAST(id AS BIGINT) AS id, " +

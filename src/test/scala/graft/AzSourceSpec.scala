@@ -29,7 +29,10 @@ class AzSourceSpec extends AnyFunSuite {
       pageSize: Int = 1000) {
     val hits = new AtomicInteger(0)
     val denied = new AtomicInteger(0)
+    val blockPuts = new AtomicInteger(0)
     val store = new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    private val blocks = new scala.collection.concurrent.TrieMap[
+      (String, String), Array[Byte]]()
     store ++= blobs
     val server: HttpServer =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -54,7 +57,31 @@ class AzSourceSpec extends AnyFunSuite {
         want.forall { case (k, v) => params.get(k).contains(v) }
       }
       if (!authed) { denied.incrementAndGet(); respond(ex, 403, Array.empty) }
-      else if (ex.getRequestMethod == "PUT") {
+      else if (ex.getRequestMethod == "PUT" &&
+          params.get("comp").contains("block")) {
+        // Put Block: staged under (blob, blockid), SAS-checked above
+        val key = ex.getRequestURI.getPath
+          .stripPrefix(s"/$account/$container").stripPrefix("/")
+        blockPuts.incrementAndGet()
+        blocks.put((key, params("blockid")),
+          ex.getRequestBody.readAllBytes())
+        respond(ex, 201, Array.empty)
+      } else if (ex.getRequestMethod == "PUT" &&
+          params.get("comp").contains("blocklist")) {
+        // Put Block List: commit in the client's declared order,
+        // refusing ids never staged
+        val key = ex.getRequestURI.getPath
+          .stripPrefix(s"/$account/$container").stripPrefix("/")
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val ids = "<Latest>([^<]+)</Latest>".r
+          .findAllMatchIn(body).map(_.group(1)).toSeq
+        if (ids.isEmpty || ids.exists(i => !blocks.contains((key, i))))
+          respond(ex, 400, Array.empty)
+        else {
+          store.put(key, ids.flatMap(i => blocks((key, i))).toArray)
+          respond(ex, 201, Array.empty)
+        }
+      } else if (ex.getRequestMethod == "PUT") {
         val key = ex.getRequestURI.getPath
           .stripPrefix(s"/$account/$container").stripPrefix("/")
         store.put(key, ex.getRequestBody.readAllBytes())
@@ -188,6 +215,41 @@ class AzSourceSpec extends AnyFunSuite {
           Option(x.getMessage).toSeq ++ msgs(x.getCause))
       assert(msgs(ex).exists(_.contains("403")), msgs(ex).toString)
       assert(!f.store.contains("exports/nope.csv"))
+    }
+  }
+
+  test("block upload: ≥3 SAS-carrying blocks commit byte-identically") {
+    val payload = Array.tabulate[Byte](100)(i => ((i * 11 + 5) % 249).toByte)
+    withAz(Map.empty) { f =>
+      System.setProperty("graft.upload.part_size", "32")
+      try {
+        HttpSource.upload("az://cont1/mp/big.bin", payload.length.toLong,
+          () => new java.io.ByteArrayInputStream(payload))
+        assert(f.blockPuts.get() == 4,
+          s"expected 4 block PUTs, saw ${f.blockPuts.get()}")
+        assert(f.store.get("mp/big.bin").map(_.toSeq)
+          .contains(payload.toSeq),
+          "committed blob differs from the source bytes")
+        assert(f.denied.get() == 0, "every block must carry the SAS")
+        // at/below the threshold: single Put Blob, no blocks
+        val small = payload.take(16)
+        HttpSource.upload("az://cont1/mp/small.bin", small.length.toLong,
+          () => new java.io.ByteArrayInputStream(small))
+        assert(f.blockPuts.get() == 4)
+        assert(f.store.get("mp/small.bin").map(_.toSeq)
+          .contains(small.toSeq))
+      } finally System.clearProperty("graft.upload.part_size")
+    }
+    // a bad SAS refuses the very first block — nothing commits
+    withAz(Map.empty, clientSas = Some("sv=2024-01-01&sig=WRONG")) { f =>
+      System.setProperty("graft.upload.part_size", "32")
+      try {
+        intercept[java.io.IOException] {
+          HttpSource.upload("az://cont1/mp/nope.bin", 100L,
+            () => new java.io.ByteArrayInputStream(new Array[Byte](100)))
+        }
+        assert(!f.store.contains("mp/nope.bin"))
+      } finally System.clearProperty("graft.upload.part_size")
     }
   }
 

@@ -22,7 +22,7 @@ class ConcurrencySpec extends AnyFunSuite {
     Files.createTempDirectory("conc").toString + "/t"
 
   private def manifestsOnDisk(loc: String): Set[String] = {
-    val dir = TableMetadata.metaDir(loc)
+    val dir = java.nio.file.Paths.get(TableMetadata.metaDir(loc))
     val s = Files.list(dir)
     try s.iterator().asScala.map(_.getFileName.toString)
       .filter(_.startsWith("manifest-")).toSet
@@ -161,10 +161,10 @@ class ConcurrencySpec extends AnyFunSuite {
     val inline = cur.copy(snapshots = cur.snapshots.map(s =>
       s.copy(files = s.files, manifests = Nil)))
     val v = TableMetadata.currentVersion(loc).get + 1
-    Files.write(TableMetadata.metaDir(loc).resolve(s"v$v.json"),
+    Files.write(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(s"v$v.json"),
       TableMetadata.serialize(inline).getBytes)
     manifestsOnDisk(loc).foreach(m =>
-      Files.delete(TableMetadata.metaDir(loc).resolve(m)))
+      Files.delete(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(m)))
 
     // expireSnapshots both migrates (commit dehydrates inline lists to
     // fresh manifests) and sweeps — the sweep must be computed from the
@@ -177,7 +177,7 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(refs.subsetOf(manifestsOnDisk(loc)),
       s"GC deleted just-written manifests: ${refs -- manifestsOnDisk(loc)}")
     refs.foreach(m => assert(
-      Files.exists(TableMetadata.metaDir(loc).resolve(m))))
+      Files.exists(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(m))))
     assert(t.read().count() == 50)
   }
 
@@ -307,10 +307,10 @@ class ConcurrencySpec extends AnyFunSuite {
       s"$loc/data/in-flight.parquet", 1L, 10L, 1,
       Map("1" -> ColStats(Some("1"), Some("1"), 0)), Map.empty)))
     t.expireSnapshots(keepLast = 1)
-    assert(Files.exists(TableMetadata.metaDir(loc).resolve(staged)),
+    assert(Files.exists(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(staged)),
       "grace period must protect a pre-CAS staged manifest")
     // zero grace reclaims it once it is provably orphaned
     t.expireSnapshots(keepLast = 1, graceMs = 0L)
-    assert(!Files.exists(TableMetadata.metaDir(loc).resolve(staged)))
+    assert(!Files.exists(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(staged)))
   }
 }

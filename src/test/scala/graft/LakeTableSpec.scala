@@ -251,7 +251,7 @@ class LakeTableSpec extends AnyFunSuite {
         Snapshot(1, System.currentTimeMillis(), "append", entries),
         currentSnapshotId = 1)
     }
-    val metaDir = TableMetadata.metaDir(loc)
+    val metaDir = java.nio.file.Paths.get(TableMetadata.metaDir(loc))
     def vSize(v: Int) = java.nio.file.Files.size(metaDir.resolve(s"v$v.json"))
     def manifests() = java.nio.file.Files.list(metaDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("manifest-")).toSeq
@@ -451,7 +451,8 @@ class LakeTableSpec extends AnyFunSuite {
 
     // orphaned chunk (aborted batch) is swept; live chunks survive and
     // bookkeeping still dedups after the sweep
-    val metaDir = graft.lake.TableMetadata.metaDir(t.location)
+    val metaDir = java.nio.file.Paths.get(
+      graft.lake.TableMetadata.metaDir(t.location))
     val orphan = metaDir.resolve("ingest-logs-orphan.json")
     java.nio.file.Files.write(orphan, "bogus".getBytes)
     t.expireSnapshots(keepLast = 50, graceMs = 0)

@@ -133,9 +133,9 @@ class MaintenanceSpec extends AnyFunSuite {
         "enable_manifest_merge_on_write" -> "false"))
     (1 to 9).foreach(i => t2.append(Seq((i.toLong, s"v$i")).toDF("k", "v")))
     assert(t2.meta.currentSnapshot.get.manifests.size == 10)
-    val single = java.nio.file.Files.size(TableMetadata
-      .metaDir(t2.location)
-      .resolve(t2.meta.currentSnapshot.get.manifests.head))
+    val single = java.nio.file.Files.size(
+      java.nio.file.Paths.get(TableMetadata.metaDir(t2.location))
+        .resolve(t2.meta.currentSnapshot.get.manifests.head))
     // target of ~3 manifests per group
     assert(TableMetadata.mergeManifests(t2.location, 2, single * 3))
     val after = t2.meta.currentSnapshot.get.manifests.size
@@ -160,7 +160,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val loc = t.location
     val v = TableMetadata.currentVersion(loc).get
     val raw = TableMetadata.deserialize(new String(java.nio.file.Files
-      .readAllBytes(TableMetadata.metaDir(loc).resolve(s"v$v.json"))))
+      .readAllBytes(java.nio.file.Paths.get(TableMetadata.metaDir(loc)).resolve(s"v$v.json"))))
     val curId = raw.currentSnapshotId
     val doctored = raw.copy(snapshots = raw.snapshots.map { s =>
       if (s.id == curId) {
@@ -199,7 +199,7 @@ class MaintenanceSpec extends AnyFunSuite {
     import graft.lake.TableMetadata
     val bv = TableMetadata.currentVersion(broken.location).get
     java.nio.file.Files.write(
-      TableMetadata.metaDir(broken.location).resolve(s"v${bv + 1}.json"),
+      java.nio.file.Paths.get(TableMetadata.metaDir(broken.location)).resolve(s"v${bv + 1}.json"),
       "{ not json".getBytes)
     val swept = e.maintain()
     assert(!swept.contains("a_broken"), "broken table must be skipped")
@@ -208,7 +208,7 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(e.table("z_ok").meta.snapshots.size <= 5)
     // cleanup: remove the corrupt version so dropTable can load
     java.nio.file.Files.delete(
-      TableMetadata.metaDir(broken.location).resolve(s"v${bv + 1}.json"))
+      java.nio.file.Paths.get(TableMetadata.metaDir(broken.location)).resolve(s"v${bv + 1}.json"))
     e.dropTable("a_broken"); e.dropTable("z_ok")
   }
 

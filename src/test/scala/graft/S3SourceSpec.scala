@@ -28,7 +28,12 @@ class S3SourceSpec extends AnyFunSuite {
       auth: Option[(String, String)] = None) {
     val wrongHits = new AtomicInteger(0)
     val homeHits = new AtomicInteger(0)
+    val partPuts = new AtomicInteger(0)
+    val initiated = new AtomicInteger(0)
+    val aborted = new AtomicInteger(0)
     val store = new scala.collection.concurrent.TrieMap[String, Array[Byte]]()
+    private val uploads = new scala.collection.concurrent.TrieMap[
+      String, scala.collection.concurrent.TrieMap[Int, Array[Byte]]]()
     store ++= objects
     val server: HttpServer =
       HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -85,19 +90,77 @@ class S3SourceSpec extends AnyFunSuite {
       if (!sigOk(ex)) respond(ex, 403, Array.empty)
       else {
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      if (ex.getRequestMethod == "PUT") {
-        // store the object; verify the signed payload hash against the
-        // REAL body bytes (a client signing anything other than what it
-        // streams fails here)
-        val key = ex.getRequestURI.getPath.split("/", 4)(3)
+      val params = q.split("&").filter(_.nonEmpty).map(_.split("=", 2))
+        .map(a => a(0) -> (if (a.length > 1)
+          java.net.URLDecoder.decode(a(1), "UTF-8") else "")).toMap
+      def key = ex.getRequestURI.getPath.split("/", 4)(3)
+      /** payload-hash check shared by every body-bearing request: the
+        * client must have SIGNED the bytes it actually streamed
+        */
+      def bodyChecked(): Option[Array[Byte]] = {
         val body = ex.getRequestBody.readAllBytes()
         val declared = Option(
           ex.getRequestHeaders.getFirst("x-amz-content-sha256"))
         val actual = java.security.MessageDigest.getInstance("SHA-256")
           .digest(body).map("%02x".format(_)).mkString
-        if (declared.exists(d => d != actual &&
-            d != "UNSIGNED-PAYLOAD")) respond(ex, 400, Array.empty)
-        else { store.put(key, body); respond(ex, 200, Array.empty) }
+        if (declared.exists(d => d != actual && d != "UNSIGNED-PAYLOAD"))
+          None
+        else Some(body)
+      }
+      if (ex.getRequestMethod == "POST" && params.contains("uploads")) {
+        // CreateMultipartUpload
+        ex.getRequestBody.readAllBytes()
+        val id = s"up-${initiated.incrementAndGet()}"
+        uploads.put(id, new scala.collection.concurrent.TrieMap())
+        respond(ex, 200,
+          ("<?xml version=\"1.0\"?><InitiateMultipartUploadResult>" +
+            s"<UploadId>$id</UploadId></InitiateMultipartUploadResult>")
+            .getBytes("UTF-8"))
+      } else if (ex.getRequestMethod == "PUT" &&
+          params.contains("uploadId")) {
+        // UploadPart: hash-verified like a plain PUT, stored per part
+        (bodyChecked(), uploads.get(params("uploadId"))) match {
+          case (Some(body), Some(parts)) =>
+            partPuts.incrementAndGet()
+            val n = params("partNumber").toInt
+            parts.put(n, body)
+            ex.getResponseHeaders.set("ETag", "\"etag-" + n + "\"")
+            respond(ex, 200, Array.empty)
+          case _ => respond(ex, 400, Array.empty)
+        }
+      } else if (ex.getRequestMethod == "POST" &&
+          params.contains("uploadId")) {
+        // CompleteMultipartUpload: assemble in the ORDER THE CLIENT
+        // DECLARED, refusing unknown parts
+        (bodyChecked(), uploads.remove(params("uploadId"))) match {
+          case (Some(body), Some(parts)) =>
+            val declared = "<PartNumber>(\\d+)</PartNumber>".r
+              .findAllMatchIn(new String(body, "UTF-8"))
+              .map(_.group(1).toInt).toSeq
+            if (declared.isEmpty ||
+                declared.exists(n => !parts.contains(n)))
+              respond(ex, 400, Array.empty)
+            else {
+              store.put(key, declared.flatMap(parts(_)).toArray)
+              respond(ex, 200,
+                "<CompleteMultipartUploadResult/>".getBytes("UTF-8"))
+            }
+          case _ => respond(ex, 400, Array.empty)
+        }
+      } else if (ex.getRequestMethod == "DELETE" &&
+          params.contains("uploadId")) {
+        aborted.incrementAndGet()
+        uploads.remove(params("uploadId"))
+        respond(ex, 204, Array.empty)
+      } else if (ex.getRequestMethod == "PUT") {
+        // store the object; verify the signed payload hash against the
+        // REAL body bytes (a client signing anything other than what it
+        // streams fails here)
+        bodyChecked() match {
+          case None => respond(ex, 400, Array.empty)
+          case Some(body) =>
+            store.put(key, body); respond(ex, 200, Array.empty)
+        }
       } else if (q.contains("list-type=2")) {
         val params = q.split("&").map(_.split("=", 2))
           .map(a => a(0) -> (if (a.length > 1)
@@ -301,6 +364,52 @@ class S3SourceSpec extends AnyFunSuite {
       } finally {
         System.clearProperty("graft.s3.access_key_id")
         System.clearProperty("graft.s3.secret_access_key")
+      }
+    }
+  }
+
+  test("multipart upload: ≥3 signed parts reassemble byte-identically") {
+    // deterministic 100-byte payload; part size 32 → parts of
+    // 32+32+32+4. Every part is SigV4-signed over its own body hash
+    // and the fixture recomputes both server-side.
+    val payload = Array.tabulate[Byte](100)(i => ((i * 7 + 3) % 251).toByte)
+    withS3(Map.empty, auth = Some(("AKIDTEST", "test-secret-key"))) { f =>
+      System.setProperty("graft.s3.access_key_id", "AKIDTEST")
+      System.setProperty("graft.s3.secret_access_key", "test-secret-key")
+      System.setProperty("graft.upload.part_size", "32")
+      try {
+        HttpSource.upload("s3://bkt/mp/big.bin", payload.length.toLong,
+          () => new java.io.ByteArrayInputStream(payload))
+        assert(f.initiated.get() == 1, "multipart never initiated")
+        assert(f.partPuts.get() == 4,
+          s"expected 4 part PUTs, saw ${f.partPuts.get()}")
+        assert(f.store.get("mp/big.bin").map(_.toSeq)
+          .contains(payload.toSeq),
+          "reassembled object differs from the source bytes")
+        assert(f.aborted.get() == 0)
+
+        // at/below the threshold stays a SINGLE PUT — no initiate
+        val small = payload.take(32)
+        HttpSource.upload("s3://bkt/mp/small.bin", small.length.toLong,
+          () => new java.io.ByteArrayInputStream(small))
+        assert(f.initiated.get() == 1,
+          "small object must not go through multipart")
+        assert(f.store.get("mp/small.bin").map(_.toSeq)
+          .contains(small.toSeq))
+
+        // an exact multiple of the part size ships no empty part
+        val exact = Array.tabulate[Byte](64)(_.toByte)
+        HttpSource.upload("s3://bkt/mp/exact.bin", exact.length.toLong,
+          () => new java.io.ByteArrayInputStream(exact))
+        assert(f.partPuts.get() == 6,
+          s"64 bytes at part 32 must be exactly 2 parts " +
+            s"(total ${f.partPuts.get() - 4})")
+        assert(f.store.get("mp/exact.bin").map(_.toSeq)
+          .contains(exact.toSeq))
+      } finally {
+        System.clearProperty("graft.s3.access_key_id")
+        System.clearProperty("graft.s3.secret_access_key")
+        System.clearProperty("graft.upload.part_size")
       }
     }
   }
