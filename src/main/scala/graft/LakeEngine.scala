@@ -861,6 +861,15 @@ final class LakeEngine(val spark: SparkSession) {
     val asDirectory = options.get("directory")
       .exists(v => lake.LakeTable.pgBool(v, "directory"))
     if (asDirectory) {
+      // az:// lacks the account a Hadoop connector URL needs and
+      // r2:// has no Hadoop connector at all — refuse loudly rather
+      // than surface Hadoop's opaque "No FileSystem for scheme";
+      // their single-object shape (native SAS/SigV4 PUT) still works
+      if (url.matches("^(az|azure|r2)://.*"))
+        throw new IllegalArgumentException(
+          "COPY ... WITH (directory 'true') needs a Hadoop-connector " +
+            s"URL; spell the target as abfss:// (Azure) or via an " +
+            s"S3-dialect endpoint instead of: $url")
       val hadoopUrl =
         if (url.startsWith("s3://")) "s3a://" + url.stripPrefix("s3://")
         else url

@@ -137,21 +137,26 @@ object LakeFs {
     */
   def createExclusive(p: String, bytes: Array[Byte]): Boolean =
     if (remote(p)) {
+      // fully write a same-directory temp, then RENAME it to the
+      // final name: rename is content-atomic (a reader listing the
+      // directory either sees the complete file or nothing — never
+      // half-written commit bytes), and on HDFS rename onto an
+      // existing destination FAILS, which is exactly the
+      // put-if-absent CAS. Local-wrapper schemes (tests) overwrite on
+      // rename, so the exists pre-checks narrow that window; on
+      // eventual-consistency object stores a catalog CAS should
+      // arbitrate instead ([[RestCatalog]] CommitTable).
       val (fs, hp) = fsOf(p)
       if (fs.exists(hp)) return false
-      val out =
-        try fs.create(hp, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-            return false
-          case _: java.io.IOException if fs.exists(hp) => return false
-        }
-      try { out.write(bytes); out.close(); true }
-      catch {
-        case e: Throwable =>
-          try { out.close(); fs.delete(hp, false) } catch { case _: Exception => () }
-          throw e
+      val tmp = new HPath(hp.getParent,
+        s".tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(hp) || !fs.rename(tmp, hp)) {
+        fs.delete(tmp, false)
+        return false
       }
+      true
     } else {
       val lp = local(p)
       if (Files.exists(lp)) return false

@@ -311,8 +311,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     // not as an O(files) serial driver loop with a datasource
     // resolution per file. Errors stay loud and collect across the
     // whole list; nothing commits if ANY file fails.
-    val serConf = org.apache.spark.sql.GraftBridge
-      .serializableConf(spark.sparkContext.hadoopConfiguration)
+    val serConf = org.apache.spark.sql.GraftBridge.serializableConf(
+      org.apache.spark.sql.GraftBridge.sessionHadoopConf(spark))
     val wantJson = m0.sparkSchema.fields
       .map(f => (f.name, f.dataType.json)).toSeq
     val slices = math.max(1, math.min(paths.size,
@@ -334,7 +334,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
                 r.getFooter.getFileMetaData.getSchema)
               finally r.close()
             val fileSchema = org.apache.spark.sql.GraftBridge
-              .parquetSchemaToSpark(msgType)
+              .parquetSchemaToSpark(msgType, conf)
             val byName = fileSchema.fields
               .map(f => f.name.toLowerCase -> f).toMap
             val errs = wantJson.flatMap { case (name, typeJson) =>

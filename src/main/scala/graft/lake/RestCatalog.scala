@@ -242,9 +242,13 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
             org.apache.spark.sql.types.StructField(f.name,
               org.apache.spark.sql.types.DataType.fromDDL(f.dataType),
               f.nullable)))
+          // no client location → warehouse dir, like every engine
+          // default (driver-local /tmp is invisible to executors on a
+          // real cluster)
           val loc = Option(body.get("location")).map(_.asText())
             .filter(_.nonEmpty)
-            .getOrElse(graft.LakeEngine.tempLocation(s"rest_$name"))
+            .getOrElse(graft.LakeEngine.defaultTableLocation(
+              engine.spark, s"rest_$name"))
           val key = engineKey(ns, name)
           val t = LakeTable.create(engine.spark, loc, key, schema)
           engine.register(key, t)

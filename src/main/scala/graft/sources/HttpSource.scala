@@ -274,9 +274,23 @@ object HttpSource {
     * request. The reference reaches the same behavior through DuckDB
     * httpfs, which multiparts at its own threshold.
     */
-  private def uploadPartSize: Long =
-    sys.props.get("graft.upload.part_size").map(_.toLong)
+  private def uploadPartSize: Long = {
+    val v = sys.props.get("graft.upload.part_size").map(_.toLong)
       .getOrElse(64L << 20)
+    // parts buffer in memory for per-part hashing; S3's own part
+    // ceiling is 5 GiB but a JVM array caps below 2 GiB
+    require(v > 0 && v <= (1L << 30),
+      s"graft.upload.part_size must be in (0, 1 GiB], got $v")
+    // real S3 rejects non-final multipart parts under 5 MiB at the
+    // COMPLETE call (EntityTooSmall) — after all bytes shipped. Warn
+    // up front instead of failing the local fixtures that shrink
+    // parts to force multi-part coverage.
+    if (v < (5L << 20))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.upload.part_size=$v is below S3's 5 MiB multipart " +
+          "minimum; AWS S3 will reject the upload at complete time")
+    v
+  }
 
   /** Upload from any re-openable byte source — the COPY path streams
     * straight from the CLUSTER filesystem staging part (Hadoop input
@@ -414,7 +428,12 @@ object HttpSource {
             val r = require2xx(
               request("PUT", u, sign("PUT", u, sha256HexBytes(chunk)),
                 chunk), s"multipart part $n")
-            etags += ((n, r.headers.getOrElse("etag", "")))
+            // fail FAST on a 2xx without an ETag: complete would die
+            // later with InvalidPart pointing at the wrong request
+            val etag = r.headers.getOrElse("etag",
+              throw new java.io.IOException(
+                s"multipart part $n accepted but no ETag returned"))
+            etags += ((n, etag))
             n += 1
           }
           more = chunk.length == partSize

@@ -35,12 +35,39 @@ object GraftBridge {
     * parquet datasource itself uses (`private[sql]`); lets bulk file
     * adoption read schema AND row count from ONE footer open per file
     * on the executors instead of a full `spark.read` resolution per
-    * file on the driver.
+    * file on the driver. Takes the SESSION-merged Hadoop conf (see
+    * [[sessionHadoopConf]]) so binaryAsString / int96AsTimestamp /
+    * NTZ inference resolve exactly as the table's reads will.
     */
-  def parquetSchemaToSpark(schema: org.apache.parquet.schema.MessageType)
+  def parquetSchemaToSpark(schema: org.apache.parquet.schema.MessageType,
+      conf: org.apache.hadoop.conf.Configuration)
       : org.apache.spark.sql.types.StructType =
     new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter().convert(schema)
+      .ParquetToSparkSchemaConverter(conf).convert(schema)
+
+  /** The session's Hadoop conf WITH its SQLConf merged in
+    * (`sessionState.newHadoopConf()`, `private[sql]`) — what the
+    * datasource paths hand their readers; `sparkContext
+    * .hadoopConfiguration` alone misses session-level SQL settings.
+    * The parquet-schema-resolution booleans are pinned explicitly:
+    * the merge only carries keys with SET values, while
+    * [[parquetSchemaToSpark]]'s Configuration constructor requires
+    * them present (it reads with no default).
+    */
+  def sessionHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val ss = classicSession(spark).sessionState
+    val c = ss.newHadoopConf()
+    Seq(SQLConf.PARQUET_BINARY_AS_STRING,
+      SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+      SQLConf.CASE_SENSITIVE,
+      SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).foreach { e =>
+      c.set(e.key, ss.conf.getConf(e).toString)
+    }
+    c
+  }
 
   /** Serializable wrapper for a Hadoop Configuration (`private[spark]`)
     * so per-file validation jobs can open footers executor-side.
