@@ -195,9 +195,30 @@ final class LakeEngine(val spark: SparkSession) {
     *   - `autovacuum_keep_snapshots` (default 3) and
     *     `autovacuum_grace_ms` (default 10 min) bound the expiry.
     * Returns the names it maintained. Safe against concurrent writers:
-    * both halves are CAS-guarded and retrying.
+    * both halves are CAS-guarded and retrying. The sweep also reclaims
+    * abandoned staging directories under [[LakeEngine.stagingRoot]]
+    * older than `graft.staging.grace_ms` (default 10 min) — orphans a
+    * crashed driver left mid-statement.
     */
-  def maintain(): Seq[String] = tables.keys.toSeq.sorted.flatMap { name =>
+  def maintain(): Seq[String] = {
+    // sweep abandoned staging dirs first (a driver crash mid
+    // partitioned-INSERT / COPY leaves its staging dir behind; live
+    // staging is created and deleted within ONE statement, so
+    // anything older than the grace is an orphan). Same grace default
+    // as snapshot expiry; per-entry isolation like the table sweep.
+    try {
+      val grace = spark.conf.getOption("graft.staging.grace_ms")
+        .map(_.trim.toLong).getOrElse(10L * 60 * 1000)
+      val root = LakeEngine.stagingRoot(spark)
+      val now = System.currentTimeMillis()
+      lake.LakeFs.listNames(root).foreach { n =>
+        val p = lake.LakeFs.child(root, n)
+        try if (now - lake.LakeFs.mtime(p) > grace)
+          lake.LakeFs.deleteRecursive(p)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    tables.keys.toSeq.sorted.flatMap { name =>
     tables.get(name).flatMap { t =>
       try {
       val p = t.meta.properties
@@ -229,6 +250,7 @@ final class LakeEngine(val spark: SparkSession) {
             .warn(s"maintenance of $name failed: $e")
           None
       }
+    }
     }
   }
 

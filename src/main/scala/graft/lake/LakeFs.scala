@@ -137,37 +137,47 @@ object LakeFs {
     */
   def createExclusive(p: String, bytes: Array[Byte]): Boolean =
     if (remote(p)) {
-      // fully write a same-directory temp, then RENAME it to the
-      // final name: rename is content-atomic (a reader listing the
-      // directory either sees the complete file or nothing — never
-      // half-written commit bytes), and on HDFS rename onto an
-      // existing destination FAILS, which is exactly the
-      // put-if-absent CAS. Local-wrapper schemes (tests) overwrite on
-      // rename, so the exists pre-checks narrow that window; on
-      // eventual-consistency object stores a catalog CAS should
-      // arbitrate instead ([[RestCatalog]] CommitTable).
       val (fs, hp) = fsOf(p)
-      if (fs.exists(hp)) return false
-      val tmp = new HPath(hp.getParent,
-        s".tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(bytes) finally out.close()
-      if (fs.exists(hp) || !fs.rename(tmp, hp)) {
-        fs.delete(tmp, false)
-        return false
+      fs match {
+        case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          // wrapper scheme over local disk (tests, mounted cluster
+          // FS): POSIX link(2) gives the genuinely atomic
+          // put-if-absent — RawLocal's rename would silently
+          // OVERWRITE an existing destination
+          localExclusive(Paths.get(hp.toUri.getPath), bytes)
+        case _ =>
+          // fully write a same-directory temp, then RENAME it in:
+          // rename is content-atomic (a reader never sees
+          // half-written commit bytes), and on HDFS rename onto an
+          // existing destination FAILS — exactly the put-if-absent
+          // CAS. On eventual-consistency object stores a catalog CAS
+          // should arbitrate instead ([[RestCatalog]] CommitTable).
+          if (fs.exists(hp)) return false
+          val tmp = new HPath(hp.getParent,
+            s".tmp-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(bytes) finally out.close()
+          if (fs.exists(hp) || !fs.rename(tmp, hp)) {
+            fs.delete(tmp, false)
+            return false
+          }
+          true
       }
-      true
-    } else {
-      val lp = local(p)
-      if (Files.exists(lp)) return false
-      val tmp = Files.createTempFile(lp.getParent,
-        "." + lp.getFileName.toString, ".tmp")
-      try {
-        Files.write(tmp, bytes)
-        try { Files.createLink(lp, tmp); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally Files.deleteIfExists(tmp)
-    }
+    } else localExclusive(local(p), bytes)
+
+  /** POSIX hard-link put-if-absent (link(2) is atomic and fails on an
+    * existing target — rename would silently replace).
+    */
+  private def localExclusive(lp: Path, bytes: Array[Byte]): Boolean = {
+    if (Files.exists(lp)) return false
+    val tmp = Files.createTempFile(lp.getParent,
+      "." + lp.getFileName.toString, ".tmp")
+    try {
+      Files.write(tmp, bytes)
+      try { Files.createLink(lp, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } finally Files.deleteIfExists(tmp)
+  }
 
   /** Immediate child names of `dir` (files and directories). */
   def listNames(dir: String): Seq[String] =

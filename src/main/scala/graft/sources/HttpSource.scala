@@ -413,8 +413,17 @@ object HttpSource {
     val base = S3Source.urlFor(ref,
       S3Source.regionOf(ref.bucket, ref.scheme))
     val idQ = S3Source.encodeQuery(uploadId)
+    // parts ship CONCURRENTLY (the reference's httpfs uploads parts in
+    // parallel the same way): the source streams once, sequentially;
+    // a semaphore bounds read-ahead so in-flight memory stays at
+    // parallelism × part size
+    val parallelism = math.max(1,
+      sys.props.get("graft.upload.parallelism").map(_.toInt).getOrElse(4))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    val slots = new java.util.concurrent.Semaphore(parallelism)
     try {
-      val etags = Seq.newBuilder[(Int, String)]
+      val futs = Seq.newBuilder[
+        java.util.concurrent.Future[(Int, String)]]
       val in = open()
       try {
         var n = 1
@@ -424,22 +433,38 @@ object HttpSource {
           // an empty trailing read only happens when size was an exact
           // multiple of the part size — nothing left to ship
           if (chunk.nonEmpty) {
-            val u = s"$base?partNumber=$n&uploadId=$idQ"
-            val r = require2xx(
-              request("PUT", u, sign("PUT", u, sha256HexBytes(chunk)),
-                chunk), s"multipart part $n")
-            // fail FAST on a 2xx without an ETag: complete would die
-            // later with InvalidPart pointing at the wrong request
-            val etag = r.headers.getOrElse("etag",
-              throw new java.io.IOException(
-                s"multipart part $n accepted but no ETag returned"))
-            etags += ((n, etag))
+            val partN = n
+            slots.acquire()
+            futs += pool.submit(
+              new java.util.concurrent.Callable[(Int, String)] {
+                override def call(): (Int, String) = try {
+                  val u = s"$base?partNumber=$partN&uploadId=$idQ"
+                  val r = require2xx(
+                    request("PUT", u,
+                      sign("PUT", u, sha256HexBytes(chunk)), chunk),
+                    s"multipart part $partN")
+                  // fail FAST on a 2xx without an ETag: complete would
+                  // die later with InvalidPart at the wrong request
+                  val etag = r.headers.getOrElse("etag",
+                    throw new java.io.IOException(
+                      s"multipart part $partN accepted but no ETag " +
+                        "returned"))
+                  (partN, etag)
+                } finally slots.release()
+              })
             n += 1
           }
           more = chunk.length == partSize
         }
       } finally in.close()
-      val xml = ("<CompleteMultipartUpload>" + etags.result().map {
+      val etags = futs.result().map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }.sortBy(_._1)
+      val xml = ("<CompleteMultipartUpload>" + etags.map {
         case (n, e) => s"<Part><PartNumber>$n</PartNumber>" +
           s"<ETag>$e</ETag></Part>"
       }.mkString + "</CompleteMultipartUpload>").getBytes("UTF-8")
@@ -457,7 +482,7 @@ object HttpSource {
           sign("DELETE", au, SigV4.EmptyPayloadHash))
         catch { case _: Exception => () }
         throw e
-    }
+    } finally pool.shutdownNow()
   }
 
   /** Azure Block Blob chunked upload (public protocol: Put Block ×N +

@@ -83,6 +83,37 @@ class ClusterFsSpec extends AnyFunSuite {
     }
   }
 
+  test("racing appenders on a mockfs table: rename-CAS loses no rows") {
+    import spark.implicits._
+    // the REMOTE commit path publishes via write-temp + rename
+    // (create-no-overwrite CAS); under contention every loser must
+    // reload and retry, never overwrite — the ConcurrencySpec
+    // guarantee, re-proven on the Hadoop branch
+    val t = LakeTable.createAsSelect(spark, freshBase("cfs-race") + "/t",
+      "cfs_race", Seq(0L).toDF("k"),
+      properties = Map("autovacuum_enabled" -> "false"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to 8).foreach { i =>
+      pool.execute { () =>
+        try {
+          latch.await()
+          t.append(Seq(i.toLong).toDF("k"))
+        } catch { case e: Throwable => errs.add(e) }
+      }
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120,
+      java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"appenders failed: ${errs.peek()}")
+    assert(t.read().count() == 9, "a racing commit lost rows")
+    assert(t.read().select("k").collect().map(_.getLong(0)).sorted
+      .toSeq == (0L to 8L))
+    t.drop()
+  }
+
   test("iceberg export of a remote-scheme table refuses loudly") {
     import spark.implicits._
     val t = LakeTable.createAsSelect(spark, freshBase("cfs-exp") + "/t",

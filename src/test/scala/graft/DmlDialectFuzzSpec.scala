@@ -36,7 +36,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     if (d >= 3) {
       val k = rnd.nextInt(40)
       P(s"(\"id\" > $k)", col("id") > k)
-    } else rnd.nextInt(8) match {
+    } else rnd.nextInt(10) match {
       case 0 =>
         val p = rePats(rnd.nextInt(rePats.size))
         rnd.nextInt(3) match {
@@ -80,6 +80,23 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       case 7 =>
         val a = pred(d + 1)
         P(s"(NOT ${a.text})", !a.col)
+      case 8 =>
+        // to_char through the chain: the literal format string holds
+        // '-'-separators and pattern letters operand scans must not
+        // touch; ::casts compose around it. Twin = date_format with
+        // the translated Java pattern, no SQL text anywhere.
+        val k = rnd.nextInt(5)
+        P("(to_char(('2024-01-01'::date + (\"id\" % 5)::int4)" +
+          f"::timestamp, 'DD') = '${k + 1}%02d')",
+          date_format(date_add(lit("2024-01-01").cast("date"),
+            (col("id") % 5).cast("int")), "dd") === f"${k + 1}%02d")
+      case 9 =>
+        // COLLATE "C" strip + quantified ARRAY form
+        val (k1, k2) = (rnd.nextInt(40), rnd.nextInt(40))
+        if (rnd.nextBoolean())
+          P(s"""((msg COLLATE "C") > 'm')""", col("msg") > "m")
+        else
+          P(s"(id = ANY (ARRAY[$k1, $k2]))", col("id").isin(k1, k2))
     }
 
   // ---- driver-maintained expected state ------------------------------

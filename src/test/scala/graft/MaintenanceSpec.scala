@@ -212,6 +212,32 @@ class MaintenanceSpec extends AnyFunSuite {
     e.dropTable("a_broken"); e.dropTable("z_ok")
   }
 
+  test("maintain() reclaims orphaned staging dirs past the grace") {
+    val e = LakeEngine(spark)
+    val root = java.nio.file.Paths.get(LakeEngine.stagingRoot(spark))
+    java.nio.file.Files.createDirectories(root)
+    // an "orphan" from a crashed statement: old mtime
+    val orphan = root.resolve("ins_stage_crashed-xyz")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0"), "x".getBytes)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    java.nio.file.Files.setLastModifiedTime(root.resolve(
+      "ins_stage_crashed-xyz"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000))
+    // a live staging dir (fresh mtime) must survive the sweep
+    val live = root.resolve("copyto-live-abc")
+    java.nio.file.Files.createDirectories(live)
+    e.maintain()
+    assert(!java.nio.file.Files.exists(orphan),
+      "stale staging dir not reclaimed")
+    assert(java.nio.file.Files.exists(live),
+      "grace must protect an in-flight staging dir")
+    java.nio.file.Files.deleteIfExists(live)
+  }
+
   test("option validator: PG boolean spellings accepted, garbage rejected") {
     import spark.implicits._
     // accepted spellings, at CREATE and at SET (reference
