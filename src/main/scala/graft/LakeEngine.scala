@@ -351,9 +351,12 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
-  private def foreignFrame(path0: String, format: Option[String],
+  private def foreignFrame(pathIn: String, format: Option[String],
       options: Map[String, String],
       schema: Option[StructType]): DataFrame = {
+    // @STAGE/ resolves before anything else — scheme detection,
+    // staging, format inference (reference resolution-order test)
+    val path0 = resolveStage(pathIn)
     // remote URLs (http/hf/s3/gcs/r2/azure, incl. wildcards) stage
     // through the content-addressed cache first — s3://gs://r2:// add
     // bucket-region routing + SigV4, az://abfss:// add SAS-token auth
@@ -788,8 +791,62 @@ final class LakeEngine(val spark: SparkSession) {
     * Azure `<Content-Length>`; hf reports -1). Remote mtimes report 0
     * — fetching per-blob metadata would be a round trip per file.
     */
-  def listFiles(glob: String): DataFrame = {
+  /** `@STAGE/` prefix resolution (reference ResolveStageURL,
+    * copy_format.c:459): a path starting with `@STAGE/`
+    * (case-insensitive, slash required, start-of-string only)
+    * resolves against the `pg_lake.stage_location` GUC; unset GUC is
+    * a loud error with the reference's hint. Anything else passes
+    * through untouched (`@STAGEx`, `s3://b/@STAGE/...`).
+    */
+  private def resolveStage(path: String): String = {
+    val prefix = "@STAGE/"
+    if (path == null ||
+      !path.regionMatches(true, 0, prefix, 0, prefix.length)) path
+    else {
+      val base = settings.get("pg_lake.stage_location").getOrElse(
+        throw new IllegalArgumentException(
+          "@STAGE/ URL prefix used but pg_lake.stage_location is not " +
+            "configured. Set pg_lake.stage_location to your bucket URL " +
+            "(e.g., SET pg_lake.stage_location TO 's3://my-bucket/prefix')"))
+      base.stripSuffix("/") + "/" + path.substring(prefix.length)
+    }
+  }
+
+  /** `lake_file.size(path)` (reference pg_lake_file_size): the true
+    * byte size of one object/file; `@STAGE/` resolves first. Missing
+    * files error loudly.
+    */
+  def fileSize(url0: String): Long = {
+    val url = resolveStage(url0)
+    if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*")) {
+      val hits = sources.HttpSource.list(url)
+      val size = hits.collectFirst { case (u, s) if u == url => s }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such file: $url"))
+      require(size >= 0, s"size unknown for $url")
+      size
+    } else {
+      val p = new org.apache.hadoop.fs.Path(url)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getFileStatus(p).getLen
+    }
+  }
+
+  /** `lake_file.exists(path)` (reference pg_lake_file_exists). */
+  def fileExists(url0: String): Boolean = {
+    val url = resolveStage(url0)
+    if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*"))
+      sources.HttpSource.list(url).exists(_._1 == url)
+    else {
+      val p = new org.apache.hadoop.fs.Path(url)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p)
+    }
+  }
+
+  def listFiles(glob0: String): DataFrame = {
     import spark.implicits._
+    val glob = resolveStage(glob0)
     if (glob.matches("^(hf|s3a?|gs|r2|az|azure|abfss?)://.*"))
       sources.HttpSource.list(glob).map { case (u, size) => (u, size, 0L) }
         .toDF("path", "size_bytes", "modified_ms")
@@ -812,12 +869,14 @@ final class LakeEngine(val spark: SparkSession) {
     * Nested structs get a deterministic generated type name like the
     * reference's `lake_struct.<fields>_<hash>`.
     */
-  def preview(url: String, format: Option[String] = None,
+  def preview(url0: String, format: Option[String] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
+    val url = resolveStage(url0)
     val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*)://.*".r
     url match {
-      case scheme(s) if !Set("http", "https", "hf", "s3", "s3a", "file")
+      case scheme(s) if !Set("http", "https", "hf", "s3", "s3a", "file",
+          "gs", "r2", "az", "azure", "abfs", "abfss")
           .contains(s.toLowerCase) =>
         throw new IllegalArgumentException(s"unsupported URL scheme $s://")
       case _ => ()
@@ -846,8 +905,9 @@ final class LakeEngine(val spark: SparkSession) {
   /** `COPY (query) TO 'url'` (pg_lake_copy/src/copy/copy.c):
     * format + compression inferred from the target name.
     */
-  def copyTo(df: DataFrame, url: String,
+  def copyTo(df: DataFrame, url0: String,
       options: Map[String, String] = Map.empty): Unit = {
+    val url = resolveStage(url0)
     // table formats are read-only through COPY (reference
     // test_iceberg_copy.py / test_delta_copy.py pin both messages;
     // an un-formatted COPY TO a metadata.json is the iceberg case)
@@ -949,9 +1009,10 @@ final class LakeEngine(val spark: SparkSession) {
     * row count rides the append's write job as an observed metric, so
     * the source is scanned once, not count()+append.
     */
-  def copyFrom(tableName: String, url: String,
+  def copyFrom(tableName: String, url0: String,
       options: Map[String, String] = Map.empty,
       columns: Option[Seq[String]] = None): Long = {
+    val url = resolveStage(url0)
     val t = table(tableName)
     val full = t.meta.sparkSchema
     // PG column-subset COPY: the file carries ONLY those columns (in
@@ -1387,8 +1448,14 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).snapshots
       case filesRe(name) if tables.contains(name) =>
         table(name).files
-      case fileListRe(glob) =>
-        listFiles(glob)
+      case fileListRe(proj, glob) =>
+        val all = listFiles(glob)
+        if (proj.trim == "*") all
+        else all.select(splitTopLevel(proj).map(c => col(c.trim)): _*)
+      case fileSizeRe(url) =>
+        Seq(fileSize(url)).toDF("size")
+      case fileExistsRe(url) =>
+        Seq(fileExists(url)).toDF("exists")
       case previewRe(url, fmtOrNull) =>
         preview(url, Option(fmtOrNull))
       // COPY ... TO/FROM — the reference's SQL import/export surface
@@ -1881,6 +1948,23 @@ final class LakeEngine(val spark: SparkSession) {
     case "timezone" | "time zone" =>
       spark.conf.set("spark.sql.session.timeZone", value)
       settings.put("timezone", value); ()
+    case "pg_lake.stage_location" =>
+      // reference PgLakeStageLocationCheckHook (init.c): cloud-storage
+      // URL only (http/https rejected), no query parameters; SET TO
+      // DEFAULT unsets. The value is stored VERBATIM (trailing slash
+      // preserved — SHOW echoes it); resolution strips it.
+      if (value.equalsIgnoreCase("DEFAULT")) { settings.remove(key); () }
+      else {
+        def bad(detail: String): Nothing = throw new IllegalArgumentException(
+          s"""invalid value for parameter "pg_lake.stage_location": """ +
+            detail)
+        if (!value.matches("^(s3a?|gs|r2|az|azure|abfss?)://.+"))
+          bad("pg_lake.stage_location must be a valid cloud storage " +
+            "URL (s3://, gs://, az://, azure://, or abfss://)")
+        if (value.contains('?'))
+          bad("pg_lake.stage_location cannot contain query parameters (?)")
+        settings.put(key, value); ()
+      }
     case k if k.startsWith("spark.") =>
       // remember the pre-SET value (first SET wins) so RESET restores
       // the live conf instead of only forgetting the GUC entry
@@ -1967,7 +2051,15 @@ final class LakeEngine(val spark: SparkSession) {
   private val filesRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_files\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
   private val fileListRe =
-    "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_file_list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+    ("(?is)^SELECT\\s+(\\*|path|path\\s*,\\s*size_bytes)\\s+FROM\\s+" +
+      "lake_file[._]list\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$").r
+  // lake_file.size / lake_file.exists scalar surfaces (reference
+  // pg_lake_file_size/exists; @STAGE/ paths resolve first —
+  // test_stage_location_integration.py)
+  private val fileSizeRe =
+    "(?is)^SELECT\\s+lake_file\\.size\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  private val fileExistsRe =
+    "(?is)^SELECT\\s+lake_file\\.exists\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
   // lake_file.preview(url [, format]) — column name/type inspection
   // before creating a table (reference test_file_preview.py)
   private val previewRe =
