@@ -165,6 +165,29 @@ final class LakeEngine(val spark: SparkSession) {
       tokenTtlMillis: Long = 3600L * 1000): lake.RestCatalog =
     new lake.RestCatalog(this, port, credentials, tokenTtlMillis)
 
+  /** Foreign table over a table an EXTERNAL Iceberg REST catalog
+    * serves (the reference's Polaris-attach direction,
+    * rest_catalog_ops.c + test_polaris_catalog.py): one LoadTable
+    * round trip resolves the current metadata location, then the scan
+    * reads the snapshot like any external-Iceberg foreign table —
+    * pinned at THAT snapshot until re-attached, data reads never
+    * touch the catalog again. OAuth2 + the 419/429/503 retry ladder
+    * live in [[lake.RestCatalogClient]].
+    */
+  def createRestCatalogTable(name: String, catalogUri: String,
+      namespace: String, table: String,
+      clientId: Option[String] = None,
+      clientSecret: Option[String] = None,
+      oauthUri: Option[String] = None): DataFrame = {
+    val client = new lake.RestCatalogClient(catalogUri, clientId,
+      clientSecret, oauthUri)
+    val metaLoc = client.loadTableMetadataLocation(namespace, table)
+    val df = sources.IcebergSnapshot.read(spark,
+      metaLoc.stripPrefix("file://"))
+    df.createOrReplaceTempView(name)
+    df
+  }
+
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
     refreshFamilyViews(name)
@@ -232,11 +255,15 @@ final class LakeEngine(val spark: SparkSession) {
         t.mergeManifests()
         // trimmed like the DDL-time validator (which accepts ' 5 '):
         // a whitespace-padded SET value must not crash the sweep
+        val grace = p.getOrElse("autovacuum_grace_ms",
+          (10L * 60 * 1000).toString).trim.toLong
         t.expireSnapshots(
           keepLast = p.getOrElse("autovacuum_keep_snapshots", "3")
             .trim.toInt,
-          graceMs = p.getOrElse("autovacuum_grace_ms",
-            (10L * 60 * 1000).toString).trim.toLong)
+          graceMs = grace)
+        // the age-based retention policy the reference worker passes
+        // into every vacuum (table option > GUC > 1800 s default)
+        t.expireSnapshotsByAge(t.effectiveMaxSnapshotAgeSecs, grace)
         refresh(name)
         Some(name)
       }
@@ -344,16 +371,66 @@ final class LakeEngine(val spark: SparkSession) {
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
       filenameColumn: Boolean = false): DataFrame = {
-    val base = foreignFrame(path, format, options, schema)
-    val df = if (filenameColumn) base.withColumn("filename", input_file_name())
-    else base
+    // a declared schema lists `_filename text` explicitly (reference
+    // create_table.c ErrorIfInvalidFilenameColumn), but the column is
+    // computed, never read from the file
+    val readSchema =
+      if (filenameColumn) schema.map(filenameReadSchema) else schema
+    val (base, staged) = foreignFrameStaged(path, format, options, readSchema)
+    val df = if (filenameColumn) {
+      // `_filename` carries the URL the user named (test_filename.py
+      // asserts string equality with the s3 URL): remote scans map the
+      // cache's content-addressed basenames back to their source URLs;
+      // local scans strip input_file_name's file: scheme
+      val fn =
+        if (staged.nonEmpty)
+          element_at(typedLit(staged.toMap),
+            regexp_extract(input_file_name(), "[^/]+$", 0))
+        else regexp_replace(input_file_name(), "^file:/+", "/")
+      base.withColumn("_filename", coalesce(fn, input_file_name()))
+    } else base
     df.createOrReplaceTempView(name)
     df
   }
 
+  /** `lake_file_cache.add/remove` accept exactly one remote object
+    * (reference test_caching.py test_invalid_url: local paths and
+    * unknown schemes are "URL cannot be cached", globs are
+    * "cannot cache paths with wildcard").
+    */
+  private def validateCacheableUrl(url: String): Unit = {
+    require(!url.exists(c => c == '*' || c == '[' || c == ']'),
+      s"cannot cache paths with wildcard: $url")
+    require(url.matches("^(https?|hf|s3a?|gs|r2|az|azure|abfss?)://.*"),
+      s"URL cannot be cached: $url")
+  }
+
+  /** Validate a declared schema under `filename 'true'` and return the
+    * file-read part (everything but `_filename`). Messages follow the
+    * reference (create_table.c:509-556): the column must exist and be
+    * text.
+    */
+  private def filenameReadSchema(s: StructType): StructType = {
+    val f = s.fields.find(_.name == "_filename").getOrElse(
+      throw new IllegalArgumentException("no _filename column found: " +
+        "when using the filename option, the last column must be " +
+        "_filename text"))
+    require(f.dataType == org.apache.spark.sql.types.StringType,
+      "_filename column must have type text")
+    StructType(s.fields.filterNot(_.name == "_filename"))
+  }
+
   private def foreignFrame(pathIn: String, format: Option[String],
       options: Map[String, String],
-      schema: Option[StructType]): DataFrame = {
+      schema: Option[StructType]): DataFrame =
+    foreignFrameStaged(pathIn, format, options, schema)._1
+
+  /** [[foreignFrame]] plus, for remote sources, the staged-basename →
+    * original-URL pairs [[createLakeTable]]'s `_filename` column needs.
+    */
+  private def foreignFrameStaged(pathIn: String, format: Option[String],
+      options: Map[String, String],
+      schema: Option[StructType]): (DataFrame, Seq[(String, String)]) = {
     // @STAGE/ resolves before anything else — scheme detection,
     // staging, format inference (reference resolution-order test)
     val path0 = resolveStage(pathIn)
@@ -388,16 +465,19 @@ final class LakeEngine(val spark: SparkSession) {
       val base =
         if (icebergSrc) sources.IcebergSnapshot.read(spark, path0)
         else sources.DeltaSnapshot.read(spark, path0)
-      return schema.map(s => base.select(s.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)).getOrElse(base)
+      return (schema.map(s => base.select(s.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)).getOrElse(base),
+        Seq.empty)
     }
-    val path = if (remote) sources.HttpSource.stageAll(path0) else path0
+    val (path, staged) =
+      if (remote) sources.HttpSource.stageAllMapped(path0)
+      else (path0, Seq.empty[(String, String)])
     val fmt = format.getOrElse(inferFormat(
       if (remote) sources.HttpSource.pathPart(path0) else path))
     val declared = schema.orElse(options.get("columns").map(parseColumns))
     var reader = spark.read.options(options - "columns")
     declared.foreach(s => reader = reader.schema(s))
-    fmt match {
+    val frame = fmt match {
       case "parquet" => reader.parquet(path)
       case "csv" =>
         val dialectKeys = Seq("header", "delimiter", "sep", "quote", "escape")
@@ -427,6 +507,7 @@ final class LakeEngine(val spark: SparkSession) {
       case other =>
         throw new IllegalArgumentException(s"unsupported format $other")
     }
+    (frame, staged)
   }
 
   /** `columns = "a int4, b text, ..."` → StructType (PG names map to
@@ -1456,6 +1537,22 @@ final class LakeEngine(val spark: SparkSession) {
         Seq(fileSize(url)).toDF("size")
       case fileExistsRe(url) =>
         Seq(fileExists(url)).toDF("exists")
+      case cacheAddRe(urlRaw) =>
+        val url = resolveStage(urlRaw)
+        validateCacheableUrl(url)
+        Seq(sources.HttpSource.cacheAdd(url)).toDF("add")
+      case cacheRemoveRe(urlRaw) =>
+        val url = resolveStage(urlRaw)
+        validateCacheableUrl(url)
+        Seq(sources.HttpSource.cacheRemove(url)).toDF("remove")
+      case cacheListRe(proj, whereUrlOrNull) =>
+        val all = sources.FileCache.list().toDF("path", "file_size")
+        val filtered = Option(whereUrlOrNull)
+          .map(u => all.filter(col("path") === resolveStage(u)))
+          .getOrElse(all)
+        if (proj.trim == "*") filtered
+        else filtered.select(
+          splitTopLevel(proj).map(c => col(c.trim)): _*)
       case previewRe(url, fmtOrNull) =>
         preview(url, Option(fmtOrNull))
       // COPY ... TO/FROM — the reference's SQL import/export surface
@@ -1500,6 +1597,33 @@ final class LakeEngine(val spark: SparkSession) {
         graft.sources.IcebergSnapshot.files(spark, url)
       case icebergMetaRe(url) =>
         graft.sources.IcebergSnapshot.metadataJson(spark, url)
+      case urlEncodeRe(text) =>
+        Seq(lake.UrlEncode.path(text.replace("''", "'")))
+          .toDF("url_encode_path")
+      case fileDeleteRe(urlRaw) =>
+        // the reference's exact refusal (s3_file_utils.c:278): deletion
+        // is opt-in per session, SET pg_lake_table.
+        // enable_delete_file_function TO on
+        val enabled = settings.get("pg_lake_table.enable_delete_file_function")
+          .exists(v => lake.LakeTable.pgBool(v,
+            "pg_lake_table.enable_delete_file_function"))
+        require(enabled, "delete_file: file deletion has been disabled " +
+          "by the administrator")
+        val url = resolveStage(urlRaw)
+        if (url.matches("^(s3a?|gs|r2|az|azure|abfss?)://.*"))
+          sources.HttpSource.deleteObject(url)
+        else lake.LakeFs.deleteIfExists(url)
+        Seq(url).toDF("deleted")
+      case tableSizeRe(name) if tables.contains(name) =>
+        Seq(table(name).meta.currentSnapshot
+          .map(_.files.map(_.bytes).sum).getOrElse(0L)).toDF("table_size")
+      case lakeVersionRe() =>
+        Seq(LakeEngine.Version).toDF("version")
+      case referencedFilesRe(url) =>
+        sources.IcebergSnapshot.referencedFiles(resolveStage(url))
+          .toDF("path")
+      case dataFileStatsRe(url) =>
+        sources.IcebergSnapshot.dataFileStats(spark, resolveStage(url))
       case truncateRe(onlyOrNull, name)
           if tables.contains(name) || partParents.contains(name) =>
         // PG: TRUNCATE on a family head empties every descendant too;
@@ -1972,6 +2096,16 @@ final class LakeEngine(val spark: SparkSession) {
         originalConf.put(k, spark.conf.getOption(k))
       spark.conf.set(k, value)
       settings.put(k, value); ()
+    case k @ "pg_lake_iceberg.max_snapshot_age" =>
+      // reference GUC (init.c:254): seconds, non-negative; 0 turns on
+      // expire-on-write. Lives in the session conf so the table layer
+      // (LakeTable.effectiveMaxSnapshotAgeSecs) sees it.
+      require(scala.util.Try(value.trim.toLong).toOption.exists(_ >= 0),
+        s"""invalid value for parameter "$k": $value""")
+      if (!originalConf.contains(k))
+        originalConf.put(k, spark.conf.getOption(k))
+      spark.conf.set(k, value.trim)
+      settings.put(k, value.trim); ()
     case k if k.contains('.') || k == "search_path" =>
       settings.put(k, value); ()
     case k => throw new IllegalArgumentException(
@@ -2058,6 +2192,16 @@ final class LakeEngine(val spark: SparkSession) {
   // test_stage_location_integration.py)
   private val fileSizeRe =
     "(?is)^SELECT\\s+lake_file\\.size\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // file-cache control (reference test_caching.py: pre-warm / evict /
+  // inspect the local staging cache)
+  private val cacheAddRe =
+    "(?is)^SELECT\\s+lake_file_cache\\.add\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  private val cacheRemoveRe =
+    "(?is)^SELECT\\s+lake_file_cache\\.remove\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  private val cacheListRe =
+    ("(?is)^SELECT\\s+(\\*|path|file_size|path\\s*,\\s*file_size)\\s+FROM\\s+" +
+      "lake_file_cache\\.list\\s*\\(\\s*\\)" +
+      "(?:\\s+WHERE\\s+path\\s*=\\s*'([^']+)')?\\s*;?\\s*$").r
   private val fileExistsRe =
     "(?is)^SELECT\\s+lake_file\\.exists\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
   // lake_file.preview(url [, format]) — column name/type inspection
@@ -2155,6 +2299,28 @@ final class LakeEngine(val spark: SparkSession) {
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_files\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
   private val icebergMetaRe =
     "(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg_metadata\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // reference lake_iceberg.url_encode_path (test_iceberg_url_encode.py)
+  private val urlEncodeRe =
+    ("(?is)^SELECT\\s+lake_iceberg\\.url_encode_path\\s*\\(\\s*" +
+      "'((?:[^']|'')*)'\\s*\\)\\s*;?\\s*$").r
+  // lake_file.delete (reference s3_file_utils.c, test_delete_file.py):
+  // gated by pg_lake_table.enable_delete_file_function (default off)
+  private val fileDeleteRe =
+    "(?is)^SELECT\\s+lake_file\\.delete\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$".r
+  // lake_iceberg.table_size (test_iceberg_table_size.py)
+  private val tableSizeRe =
+    "(?is)^SELECT\\s+lake_iceberg\\.table_size\\s*\\(\\s*'(\\w+)'\\s*\\)\\s*;?\\s*$".r
+  // lake.version (extension version surface)
+  private val lakeVersionRe =
+    "(?is)^SELECT\\s+lake\\.version\\s*\\(\\s*\\)\\s*;?\\s*$".r
+  // external-metadata inspection (test_iceberg_referenced_files.py,
+  // test_iceberg_data_file_stats.py)
+  private val referencedFilesRe =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg\\.find_all_referenced_files" +
+      "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$").r
+  private val dataFileStatsRe =
+    ("(?is)^SELECT\\s+\\*\\s+FROM\\s+lake_iceberg\\.data_file_stats" +
+      "\\s*\\(\\s*'([^']+)'\\s*\\)\\s*;?\\s*$").r
 
   // EXPLAIN [(opts)] stmt / SET / SHOW / RESET / CREATE VIEW surfaces
   private val explainRe =
@@ -2267,6 +2433,11 @@ final class LakeEngine(val spark: SparkSession) {
 object LakeEngine {
   def apply(spark: SparkSession): LakeEngine = new LakeEngine(spark)
 
+  /** `lake.version()` surface (the reference extension's version
+    * function).
+    */
+  val Version = "graft 0.12"
+
   /** Fresh working directory for ephemeral tables — TEST/driver-local
     * convenience only. Engine statement paths never use it: default
     * table locations come from [[defaultTableLocation]] (under the
@@ -2318,7 +2489,11 @@ object LakeEngine {
   def defaultTableLocation(spark: SparkSession, name: String): String =
     normalizeDir(spark.conf.get("spark.sql.warehouse.dir"))
       .stripSuffix("/") +
-      s"/${name.toLowerCase}_${java.util.UUID.randomUUID().toString.take(8)}"
+      // the name segment is URL-encoded like the reference's default
+      // location (create_table.c:1717 URLEncodePath(tableName)) so a
+      // quoted identifier with spaces/& stays a clean object key
+      s"/${lake.UrlEncode.path(name.toLowerCase)}_" +
+      java.util.UUID.randomUUID().toString.take(8)
 
   /** Spark type → PG spelling (the inverse of the `columns = {}`
     * contract; SURVEY §1.2 storage conventions). Struct columns get a

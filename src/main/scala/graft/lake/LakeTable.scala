@@ -442,6 +442,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
             .warn(s"ride-along compaction of $location failed: $e")
         }
     }
+    // auto-expire old snapshots during writes when the effective
+    // max_snapshot_age is 0 (reference
+    // track_iceberg_metadata_changes.c:956-964 — only the 0 setting
+    // triggers on the write path; non-zero ages apply at VACUUM)
+    try {
+      if (effectiveMaxSnapshotAgeSecs == 0 && meta.snapshots.size > 1)
+        expireSnapshotsByAge(0)
+    } catch { case scala.util.control.NonFatal(e) =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ride-along snapshot expiry of $location failed: $e")
+    }
     this
   }
 
@@ -891,6 +902,49 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         cur.currentSnapshotId
       cur.copy(snapshots = cur.snapshots.filter(s => keepIds.contains(s.id)))
     }
+    sweepUnreferencedFiles(graceMs)
+    this
+  }
+
+  /** Age-based snapshot expiry — the reference's retention policy
+    * (pg_lake_iceberg/src/iceberg/api/table_metadata.c
+    * RemoveOldSnapshotsFromMetadata): snapshots older than `ageSecs`
+    * expire, the current snapshot always survives (at least one
+    * snapshot is always retained). `ageSecs = 0` keeps only the
+    * current snapshot — the expire-on-write setting
+    * (test_max_snapshot_age_option.py).
+    */
+  def expireSnapshotsByAge(ageSecs: Long,
+      graceMs: Long = 10L * 60 * 1000): LakeTable = {
+    val cutoff = System.currentTimeMillis() - ageSecs * 1000
+    TableMetadata.commit(location) { curOpt =>
+      val cur = curOpt.get
+      val kept = cur.snapshots.filter(s =>
+        s.id == cur.currentSnapshotId || s.timestampMs >= cutoff)
+      cur.copy(snapshots =
+        if (kept.nonEmpty) kept else cur.snapshots.takeRight(1))
+    }
+    sweepUnreferencedFiles(graceMs)
+    this
+  }
+
+  /** Per-table option overriding the session GUC
+    * `pg_lake_iceberg.max_snapshot_age`, overriding the reference's
+    * compiled default of 1800 s
+    * (track_iceberg_metadata_changes.c GetEffectiveMaxSnapshotAgeInSecs;
+    * init.c DEFAULT_MAX_SNAPSHOT_AGE).
+    */
+  private[graft] def effectiveMaxSnapshotAgeSecs: Long =
+    meta.properties.get("max_snapshot_age").map(_.trim.toLong)
+      .orElse(spark.conf.getOption("pg_lake_iceberg.max_snapshot_age")
+        .map(_.trim.toLong))
+      .getOrElse(LakeTable.DefaultMaxSnapshotAgeSecs)
+
+  /** Sweep files no retained snapshot references (see
+    * [[expireSnapshots]]'s doc for why the live set comes from the
+    * ON-DISK metadata and why young files are graced).
+    */
+  private def sweepUnreferencedFiles(graceMs: Long): Unit = {
     val onDisk = TableMetadata.load(location)
     val now = System.currentTimeMillis()
     def inGrace(p: String): Boolean =
@@ -926,13 +980,17 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       .map(LakeFs.child(metaDir, _))
       .filterNot(inGrace)
       .foreach(LakeFs.deleteIfExists)
-    this
+    ()
   }
 
   def vacuum(smallBytes: Long = 32L << 20, keepLast: Int = 3,
       graceMs: Long = 10L * 60 * 1000): LakeTable = {
     compact(smallBytes)
     expireSnapshots(keepLast, graceMs)
+    // the reference's VACUUM also applies the age-based retention
+    // policy (test_max_snapshot_age_option.py: VACUUM with
+    // max_snapshot_age '0' leaves one snapshot)
+    expireSnapshotsByAge(effectiveMaxSnapshotAgeSecs, graceMs)
   }
 
   /** Set table properties (write-path policies like
@@ -1384,9 +1442,9 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       }
       guarded.cast(target)
     }
-    val aligned0 = applyRangePolicy(m,
+    val aligned0 = applyRangePolicy(m, SnowflakeCaps(
       df.select(cur.fields.map(castTo) ++ extraCols.map(col): _*)
-        .toDF(cur.fields.map(_.name) ++ extraCols: _*))
+        .toDF(cur.fields.map(_.name) ++ extraCols: _*), m.properties))
     // on-disk representation: intervals become the 3-field struct
     val aligned1 = cur.fields.foldLeft(aligned0) { (acc, f) =>
       if (IntervalStorage.isInterval(DataType.fromDDL(f.dataType)))
@@ -1636,6 +1694,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
 object LakeTable {
 
+  /** Reference DEFAULT_MAX_SNAPSHOT_AGE
+    * (pg_lake_iceberg/include/pg_lake/iceberg/api/table_metadata.h:26).
+    */
+  val DefaultMaxSnapshotAgeSecs = 1800L
+
   /** `compatibility_mode` table option (reference
     * test_compatibility_mode.py): 'auto' or 'snowflake', validated at
     * CREATE, immutable afterwards. Under 'snowflake' a type the target
@@ -1672,6 +1735,11 @@ object LakeTable {
         require(scala.util.Try(v.trim.toInt).isSuccess,
           s"$k requires an integer value")
       })
+    // reference option.c:770-777: validated at DDL time, non-negative
+    props.get("max_snapshot_age").foreach { v =>
+      require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+        "option \"max_snapshot_age\" must be non-negative")
+    }
     props.get("autovacuum_grace_ms").foreach { v =>
       require(scala.util.Try(v.trim.toLong).isSuccess,
         "autovacuum_grace_ms requires an integer value")

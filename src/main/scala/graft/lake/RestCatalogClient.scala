@@ -1,0 +1,172 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Iceberg REST catalog CLIENT — consume tables an external catalog
+  * (Polaris et al.) serves, the other half of [[RestCatalog]] (our
+  * server). Mirrors the reference's client stack
+  * (pg_lake_iceberg/src/rest_catalog/):
+  *
+  *   - OAuth2 client-credentials exchange against `oauthUri` (default:
+  *     Polaris' `<base>/v1/oauth/tokens` — rest_catalog_auth.c:252),
+  *     token cached and refreshed when within a minute of expiry
+  *     (rest_catalog_auth.c:195).
+  *   - Retry classification (rest_catalog_http.c
+  *     ClassifyRestCatalogRequestRetry, max 3 retries): 429 backs off
+  *     short, 503 backs off long, 419 (token expired) FORCE-refreshes
+  *     the token and patches the Authorization header before retrying
+  *     (test_token_refresh_on_retry.py), anything else stops.
+  *   - Error envelope `{"error":{"message":...,"type":...,"code":...}}`
+  *     surfaces in the thrown message (ReportHTTPError).
+  *   - Namespace/table path segments URL-encode through [[UrlEncode]]
+  *     exactly like the reference client
+  *     (track_iceberg_metadata_changes.c:785-789).
+  *
+  * Scale posture: the catalog serves METADATA only — a loadTable is
+  * one small request; data reads go straight to object storage from
+  * the returned metadata location.
+  */
+final class RestCatalogClient(
+    baseUri: String,
+    clientId: Option[String] = None,
+    clientSecret: Option[String] = None,
+    oauthUri: Option[String] = None,
+    maxRetry: Int = 3,
+    backoffMs: Long = 25) {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+  private val base = baseUri.stripSuffix("/")
+
+  /** (token, fetchedAt + expiresIn millis). */
+  @volatile private var cached: Option[(String, Long)] = None
+
+  private def tokenEndpoint: String =
+    oauthUri.getOrElse(s"$base/v1/oauth/tokens")
+
+  /** Access token, re-exchanged when absent, expiring within a
+    * minute, or `force`d (the 419 branch).
+    */
+  private def accessToken(force: Boolean): Option[String] = {
+    if (clientId.isEmpty) return None
+    val now = System.currentTimeMillis()
+    cached match {
+      case Some((tok, exp)) if !force && exp - now > 60 * 1000 => Some(tok)
+      case _ =>
+        def enc(s: String) = java.net.URLEncoder.encode(s, UTF_8)
+        val form = s"grant_type=client_credentials" +
+          s"&client_id=${enc(clientId.get)}" +
+          s"&client_secret=${enc(clientSecret.getOrElse(""))}" +
+          "&scope=PRINCIPAL_ROLE:ALL"
+        val req = HttpRequest.newBuilder(URI.create(tokenEndpoint))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+        // no retry-on-419 here: the token fetch itself must not
+        // recurse (rest_catalog_auth.c:291)
+        val res = http.send(req, HttpResponse.BodyHandlers.ofString())
+        if (res.statusCode() != 200)
+          throw new java.io.IOException(
+            s"Rest Catalog OAuth token request failed (HTTP ${res.statusCode()})")
+        val body = mapper.readTree(res.body())
+        val tok = Option(body.get("access_token")).map(_.asText()).getOrElse(
+          throw new java.io.IOException(
+            "key \"access_token\" missing in json response"))
+        val ttlMs = Option(body.get("expires_in"))
+          .map(_.asLong() * 1000).getOrElse(3600L * 1000)
+        cached = Some((tok, System.currentTimeMillis() + ttlMs))
+        Some(tok)
+    }
+  }
+
+  /** One catalog request with the reference's retry classification.
+    * Returns the parsed body; non-2xx after retries throws with the
+    * REST error envelope's message.
+    */
+  def request(method: String, path: String,
+      body: Option[String] = None): JsonNode = {
+    var attempt = 0
+    var force = false
+    while (true) {
+      val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      accessToken(force).foreach(t =>
+        b.header("Authorization", s"Bearer $t"))
+      body.foreach(_ => b.header("Content-Type", "application/json"))
+      val req = (method match {
+        case "GET" => b.GET()
+        case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+        case "DELETE" => b.DELETE()
+        case m => b.method(m, HttpRequest.BodyPublishers.ofString(
+          body.getOrElse("")))
+      }).build()
+      val res = http.send(req, HttpResponse.BodyHandlers.ofString())
+      val status = res.statusCode()
+      if (status / 100 == 2)
+        return if (res.body() == null || res.body().isEmpty)
+          mapper.createObjectNode()
+        else mapper.readTree(res.body())
+      // ClassifyRestCatalogRequestRetry: 429 short, 503 long, 419
+      // refresh-auth; anything else (or retries exhausted) stops
+      attempt += 1
+      val retriable = status == 429 || status == 503 || status == 419
+      if (!retriable || attempt > maxRetry) {
+        val msg = try {
+          Option(mapper.readTree(res.body()).path("error").path("message")
+            .asText(null)).getOrElse(res.body())
+        } catch { case scala.util.control.NonFatal(_) => res.body() }
+        throw new java.io.IOException(
+          s"REST catalog $method $path failed (HTTP $status): $msg")
+      }
+      status match {
+        case 429 => Thread.sleep(backoffMs)
+        case 503 => Thread.sleep(backoffMs * 4)
+        case 419 => force = true // refresh + patched header next loop
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def seg(s: String): String = UrlEncode.path(s)
+
+  def config(warehouse: Option[String] = None): JsonNode =
+    request("GET", "/v1/config" +
+      warehouse.map(w => s"?warehouse=${seg(w)}").getOrElse(""))
+
+  def listNamespaces(): Seq[String] = {
+    val arr = request("GET", "/v1/namespaces").path("namespaces")
+    (0 until arr.size()).map { i =>
+      val parts = arr.get(i)
+      (0 until parts.size()).map(parts.get(_).asText()).mkString(".")
+    }
+  }
+
+  def createNamespace(ns: String): Unit = {
+    val root = mapper.createObjectNode()
+    root.putArray("namespace").add(ns)
+    root.putObject("properties")
+    request("POST", "/v1/namespaces",
+      Some(mapper.writeValueAsString(root)))
+    ()
+  }
+
+  def listTables(ns: String): Seq[String] = {
+    val arr = request("GET", s"/v1/namespaces/${seg(ns)}/tables")
+      .path("identifiers")
+    (0 until arr.size()).map(i => arr.get(i).path("name").asText())
+  }
+
+  def tableExists(ns: String, table: String): Boolean =
+    try { request("HEAD", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}")
+      true } catch { case _: java.io.IOException => false }
+
+  /** LoadTableResult → the table's current metadata location. */
+  def loadTableMetadataLocation(ns: String, table: String): String = {
+    val res = request("GET",
+      s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}")
+    Option(res.get("metadata-location")).map(_.asText()).getOrElse(
+      throw new java.io.IOException(
+        s"LoadTableResult for $ns.$table has no metadata-location"))
+  }
+}

@@ -53,7 +53,7 @@ object FileCache {
     * returns the response metadata, or returns None when the server
     * answered 304 Not Modified to the conditional headers.
     */
-  def getOrFetch(key: String, ext: String)(
+  def getOrFetch(key: String, ext: String, url: String = "")(
       fetch: (Path, Map[String, String]) => Option[Fetched]): Path = {
     val target = dir.resolve(s"$key$ext")
     val metaPath = dir.resolve(s"$key$ext.meta")
@@ -74,12 +74,12 @@ object FileCache {
           case None => // 304: bytes unchanged, restart the TTL clock
             writeMeta(metaPath, Fetched(
               Option(meta.getProperty("etag")),
-              Option(meta.getProperty("lastModified"))))
+              Option(meta.getProperty("lastModified"))), url)
             touch(target)
           case Some(f) =>
             Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
               StandardCopyOption.ATOMIC_MOVE)
-            writeMeta(metaPath, f)
+            writeMeta(metaPath, f, url)
             // a revalidation can REPLACE the entry with larger bytes;
             // without this the bound only applies on misses and a
             // fixed key set with growing objects fills the disk
@@ -97,7 +97,7 @@ object FileCache {
         s"304 response for $key$ext with no cached copy"))
       try {
         Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-        writeMeta(metaPath, f)
+        writeMeta(metaPath, f, url)
       } catch {
         // concurrent fetch of the same key won the race — use theirs
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -148,13 +148,41 @@ object FileCache {
     props
   }
 
-  private def writeMeta(p: Path, f: Fetched): Unit = {
+  private def writeMeta(p: Path, f: Fetched, url: String = ""): Unit = {
     val props = new java.util.Properties()
     f.etag.foreach(props.setProperty("etag", _))
     f.lastModified.foreach(props.setProperty("lastModified", _))
+    if (url.nonEmpty) props.setProperty("url", url)
     props.setProperty("fetchedAt", System.currentTimeMillis().toString)
     val out = Files.newOutputStream(p)
     try props.store(out, null) finally out.close()
+  }
+
+  /** Evict one entry by cache key; returns the bytes freed (0 when the
+    * entry was not cached). Backs `lake_file_cache.remove`
+    * (reference test_caching.py).
+    */
+  def remove(key: String, ext: String): Long = synchronized {
+    val target = dir.resolve(s"$key$ext")
+    val freed = if (Files.exists(target)) Files.size(target) else 0L
+    Files.deleteIfExists(target)
+    Files.deleteIfExists(dir.resolve(s"$key$ext.meta"))
+    freed
+  }
+
+  /** (source URL, cached size) for every live entry whose sidecar
+    * recorded its URL. Backs `lake_file_cache.list()`.
+    */
+  def list(): Seq[(String, Long)] = {
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".meta"))
+      .flatMap { metaPath =>
+        val entry = metaPath.resolveSibling(
+          metaPath.getFileName.toString.stripSuffix(".meta"))
+        val url = Option(readMeta(metaPath).getProperty("url"))
+        url.filter(_ => Files.exists(entry))
+          .map(u => (u, Files.size(entry)))
+      }.toSeq.sortBy(_._1)
   }
 
   private implicit class JIter[T](it: java.util.Iterator[T]) {

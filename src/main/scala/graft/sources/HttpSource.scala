@@ -138,8 +138,21 @@ object HttpSource {
     * content-addressed cache and hard-link them into one directory, so
     * the scan sees a single multi-file table.
     */
-  def stageAll(url: String): String = {
-    if (!url.contains("*")) return stage(url)
+  def stageAll(url: String): String = stageAllMapped(url)._1
+
+  /** [[stageAll]] plus the staged-basename → original-URL pairs. The
+    * cache names files by content address, so a scan over the staged
+    * copies loses the URL the user named; the `filename 'true'`
+    * surface (reference test_filename.py — `_filename` must carry the
+    * source URL, not an engine-internal path) reverses the mapping
+    * with these pairs. Basenames are unique: each is the SHA-256 of
+    * its own URL.
+    */
+  def stageAllMapped(url: String): (String, Seq[(String, String)]) = {
+    if (!url.contains("*")) {
+      val local = stage(url)
+      return (local, Seq(Paths.get(local).getFileName.toString -> url))
+    }
     val shards = expand(url)
     // key the set directory by the RESOLVED shard list, not the
     // wildcard URL: the same pattern resolving to a different shard
@@ -150,14 +163,15 @@ object HttpSource {
       .map("%02x".format(_)).mkString.take(24)
     val dir = cacheDir.resolve(s"set-$digest")
     Files.createDirectories(dir)
-    shards.foreach { s =>
+    val pairs = shards.map { s =>
       val local = Paths.get(stage(s))
       val link = dir.resolve(local.getFileName)
       if (!Files.exists(link))
         try Files.createLink(link, local)
         catch { case _: java.nio.file.FileAlreadyExistsException => }
+      local.getFileName.toString -> s
     }
-    dir.toString
+    (dir.toString, pairs)
   }
 
   /** URL without query string / fragment — what extension-based format
@@ -171,7 +185,11 @@ object HttpSource {
     * revalidation (conditional GET), and stale-if-error live in
     * [[FileCache]].
     */
-  def stage(url: String): String = {
+  /** The content-addressed cache key of `url`: (digest, extension).
+    * Keyed on the RESOLVED credential-independent URL so the add /
+    * remove / read surfaces all land on the same entry.
+    */
+  private def cacheKey(url: String): (String, String) = {
     val resolved = resolveUrl(url)
     val path = pathPart(resolved)
     val name = path.substring(path.lastIndexOf('/') + 1)
@@ -182,7 +200,38 @@ object HttpSource {
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(resolved.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(24)
-    FileCache.getOrFetch(digest, ext) { (tmp, cond) =>
+    (digest, ext)
+  }
+
+  /** Pre-warm the cache with `url` (reference `lake_file_cache.add`,
+    * test_caching.py) — a plain stage, but a missing object reports
+    * the reference's NOT FOUND wording instead of a raw 404. Returns
+    * the cached size.
+    */
+  def cacheAdd(url: String): Long = {
+    val local = try stage(url) catch {
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains("404")) =>
+        throw new IllegalArgumentException(s"$url: NOT FOUND")
+    }
+    Files.size(Paths.get(local))
+  }
+
+  /** Evict `url`'s cache entry; bytes freed (0 = was not cached).
+    * Reference `lake_file_cache.remove`. Every successful [[upload]]
+    * calls this too — a COPY TO over a previously read URL must not
+    * keep serving the stale bytes (test_caching.py
+    * test_pg_lake_copy_twice).
+    */
+  def cacheRemove(url: String): Long = {
+    val (digest, ext) = cacheKey(url)
+    FileCache.remove(digest, ext)
+  }
+
+  def stage(url: String): String = {
+    val resolved = resolveUrl(url)
+    val (digest, ext) = cacheKey(url)
+    FileCache.getOrFetch(digest, ext, resolved) { (tmp, cond) =>
       S3Source.parse(resolved) match {
         // cache key = the region-independent s3 URL; the REGIONAL
         // https URL is chosen (and re-learned on RegionMoved) at
@@ -321,6 +370,10 @@ object HttpSource {
           s"cannot upload to $url (not an object-store URL)")
       }
     }
+    // write-through invalidation: a reader that cached this URL must
+    // see the new bytes, not the TTL-fresh stale entry
+    cacheRemove(url)
+    ()
   }
 
   private def sha256HexBytes(b: Array[Byte]): String =
@@ -342,6 +395,36 @@ object HttpSource {
 
   private final case class Resp(code: Int, body: Array[Byte],
       headers: Map[String, String])
+
+  /** Delete one remote object (reference `lake_file.delete` →
+    * s3_file_utils.c DeleteRemoteFile): S3-dialect DELETE SigV4-signed
+    * over the empty payload (region-rerouted like every other verb),
+    * Azure Delete Blob with the SAS. The cache entry evicts too — a
+    * deleted object must not keep serving from the cache. A missing
+    * object is not an error (S3 DELETE answers 204 either way).
+    */
+  def deleteObject(url: String): Unit = {
+    S3Source.parse(url) match {
+      case Some(ref) =>
+        S3Source.withRegionRouting(ref) { u =>
+          val r = request("DELETE", u,
+            S3Source.signingHeaders(ref, u, "DELETE"))
+          if (r.code / 100 != 2 && r.code != 404)
+            throw new java.io.IOException(s"DELETE $u -> HTTP ${r.code}")
+        }
+      case None => AzSource.parse(url) match {
+        case Some(az) =>
+          val u = AzSource.urlFor(az)
+          val r = request("DELETE", u, Map.empty)
+          if (r.code / 100 != 2 && r.code != 404)
+            throw new java.io.IOException(s"DELETE blob -> HTTP ${r.code}")
+        case None => throw new IllegalArgumentException(
+          s"cannot delete $url (not an object-store URL)")
+      }
+    }
+    cacheRemove(url)
+    ()
+  }
 
   /** One-shot request with an in-memory body; surfaces S3's
     * wrong-region answers as [[S3Source.RegionMoved]].

@@ -297,6 +297,64 @@ object IcebergSnapshot {
         "spec_id", "record_count", "file_size_in_bytes")
   }
 
+  /** `lake_iceberg.find_all_referenced_files(metadata_location)`
+    * (reference test_iceberg_referenced_files.py; the VACUUM GC's live
+    * set): every file the metadata still references, in the
+    * reference's order — the metadata.json itself, then manifest
+    * lists, then manifests (data AND delete), then data/delete files —
+    * across ALL retained snapshots, deduplicated. Entries with status
+    * DELETED are no longer referenced and are excluded.
+    */
+  def referencedFiles(metadataPath: String): Seq[String] = {
+    val root = metadata(metadataPath)
+    val lists = root.get("snapshots").elements().asScala.toSeq
+      .flatMap { s =>
+        if (s.has("manifest-list")) Seq(s.get("manifest-list").asText())
+        else Seq.empty // v1 inline manifests handled below
+      }.distinct
+    val v1Manifests = root.get("snapshots").elements().asScala.toSeq
+      .flatMap { s =>
+        if (s.has("manifests"))
+          s.get("manifests").elements().asScala.map(_.asText()).toSeq
+        else Seq.empty
+      }
+    val manifests = (lists.flatMap(lp =>
+      readAvro(lp).map(_.get("manifest_path").toString)) ++ v1Manifests)
+      .distinct
+    val leaves = manifests.flatMap { mp =>
+      readAvro(mp).flatMap { entry =>
+        val status = opt(entry, "status").map(_.toString.toInt).getOrElse(1)
+        if (status == 2) None
+        else Some(entry.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+      }
+    }.distinct
+    Seq(metadataPath) ++ lists ++ manifests ++ leaves
+  }
+
+  /** `lake_iceberg.data_file_stats(metadata_location)` (reference
+    * pg_lake_read_data_file_stats): per data file of the current
+    * snapshot, the sequence number and the DECODED lower/upper bounds
+    * as JSON objects keyed by field id.
+    */
+  def dataFileStats(spark: SparkSession, metadataPath: String)
+      : DataFrame = {
+    import spark.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def boundsJson(stats: Map[String, graft.lake.ColStats],
+        pick: graft.lake.ColStats => Option[String]): String = {
+      val node = mapper.createObjectNode()
+      stats.toSeq.sortBy(_._1.toInt).foreach { case (id, cs) =>
+        pick(cs).foreach(v => node.put(id, v))
+      }
+      mapper.writeValueAsString(node)
+    }
+    dataFiles(metadataPath)
+      .map(f => (f.path, f.seq,
+        boundsJson(f.stats, _.min), boundsJson(f.stats, _.max)))
+      .toDF("path", "sequence_number", "lower_bounds", "upper_bounds")
+  }
+
   /** `lake_iceberg.metadata(url)` equivalent: the raw table-metadata
     * JSON (Iceberg spec §table-metadata) as one row — compose with the
     * JSON functions the way the reference composes it with jsonb ops

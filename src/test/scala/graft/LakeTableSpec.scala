@@ -371,7 +371,11 @@ class LakeTableSpec extends AnyFunSuite {
     // foreign table over parquet with filename column
     val ft = e.createLakeTable("li_ft", s"$sf/lineitem.parquet",
       filenameColumn = true)
-    assert(ft.filter(col("filename").contains("lineitem")).count() == ft.count())
+    // reference spelling `_filename` (test_filename.py), scheme-free
+    // for local paths
+    assert(ft.filter(col("_filename").contains("lineitem")).count() ==
+      ft.count())
+    assert(!ft.select("_filename").first().getString(0).startsWith("file:"))
     // COPY TO csv.gz, foreign table over it, counts match
     val out = LakeEngine.tempLocation("copy") + ".csv.gz"
     e.copyTo(Tables.df(spark, sf, "region"), out)
