@@ -188,6 +188,123 @@ final class LakeEngine(val spark: SparkSession) {
     df
   }
 
+  /** The WRITABLE rest-catalog direction (reference `WITH
+    * (catalog='rest')` tables, test_polaris_catalog_writable.py):
+    * register a new table in the external catalog from a Spark
+    * schema. Returns the catalog's LoadTableResult metadata location.
+    */
+  def createRestTable(catalogUri: String, namespace: String,
+      table: String, schema: StructType,
+      clientId: Option[String] = None,
+      clientSecret: Option[String] = None,
+      oauthUri: Option[String] = None): String = {
+    val client = new lake.RestCatalogClient(catalogUri, clientId,
+      clientSecret, oauthUri)
+    val res = client.createTable(namespace, table, schema)
+    res.get("metadata-location").asText()
+  }
+
+  /** Append `df` to a table an EXTERNAL REST catalog owns — the
+    * commit is arbitrated by the CATALOG, not by us (the reference's
+    * writable-rest flow: the writer stages data + Iceberg metadata,
+    * only CommitTable goes through the catalog;
+    * track_iceberg_metadata_changes.c records the REST requests the
+    * same way). Protocol: LoadTable → align + write parquet under the
+    * table's own location → export a real Avro manifest list → POST
+    * add-snapshot with assert-ref-snapshot-id. A 409 (another writer
+    * landed first) retries with a FRESH requirement — the staged
+    * files are untouched, only the requirement re-resolves, so a
+    * retry is one metadata round trip, never a data rewrite. This is
+    * the multi-writer story at scale: N engines appending to one
+    * catalog-arbitrated table, losers retrying cheaply.
+    */
+  def insertIntoRestTable(catalogUri: String, namespace: String,
+      table: String, df: DataFrame,
+      clientId: Option[String] = None,
+      clientSecret: Option[String] = None,
+      oauthUri: Option[String] = None,
+      maxCommitRetries: Int = 3): Long = {
+    val client = new lake.RestCatalogClient(catalogUri, clientId,
+      clientSecret, oauthUri)
+    val load0 = client.loadTable(namespace, table)
+    val metaLoc0 = load0.get("metadata-location").asText()
+    val localMeta = metaLoc0.stripPrefix("file://")
+    // schema/location from the LoadTableResult's INLINE metadata —
+    // no file round trip, immune to a concurrent re-export of the
+    // metadata file
+    val meta0 = Option(load0.get("metadata")).getOrElse(
+      sources.IcebergSnapshot.metadata(localMeta))
+    val defs = sources.IcebergSnapshot.fieldDefsOfMetadata(meta0)
+    // stats in the staged manifests key by OUR field ids; refuse
+    // loudly when the target's ids aren't the fresh 1..n sequence
+    // (an evolved table would silently mis-key bounds otherwise)
+    require(defs.zipWithIndex.forall { case (f, i) => f.id == i + 1 },
+      s"$namespace.$table has evolved field ids " +
+        s"(${defs.map(_.id).mkString(",")}): the REST append path " +
+        "only supports tables with fresh sequential ids")
+    val aligned = df.select(defs.map(f =>
+      col(f.name).cast(org.apache.spark.sql.types.DataType
+        .fromDDL(f.dataType)).as(f.name)): _*)
+    val tableLoc = Option(meta0.get("location"))
+      .map(_.asText().stripPrefix("file://"))
+      .getOrElse(java.nio.file.Paths.get(localMeta)
+        .getParent.getParent.toString)
+    // data files live under the TABLE's location (the reference
+    // writer does the same) — readers resolve absolute paths from
+    // the manifests, vacuum sweeps see them
+    val stageLoc = lake.LakeFs.child(tableLoc,
+      s"_ext/${java.util.UUID.randomUUID()}")
+    val scratch = lake.LakeTable.createAsSelect(spark, stageLoc,
+      s"__rest_stage_$table", aligned)
+    val stagedMeta = lake.IcebergExport.export(scratch)
+    val stagedList = sources.IcebergSnapshot.metadata(stagedMeta)
+      .get("snapshots").elements().asScala.toSeq.last
+      .get("manifest-list").asText()
+    val rows = scratch.meta.currentSnapshot
+      .map(_.files.map(_.rows).sum).getOrElse(0L)
+    val snapId = java.util.UUID.randomUUID()
+      .getMostSignificantBits & Long.MaxValue
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      val cur = client.loadTable(namespace, table)
+      val curMeta = Option(cur.get("metadata"))
+      val curSnapId = curMeta
+        .flatMap(m => Option(m.get("current-snapshot-id")))
+        .map(_.asLong()).filter(_ >= 0)
+      // an Iceberg snapshot's manifest list is the table's FULL
+      // state: an append carries the target's CURRENT manifests
+      // alongside the staged one. Recomputed per attempt — a 409
+      // means the current list moved.
+      val curList = for {
+        m <- curMeta
+        sid <- curSnapId
+        snaps = m.get("snapshots").elements().asScala.toSeq
+        s <- snaps.find(_.get("snapshot-id").asLong() == sid)
+        ml <- Option(s.get("manifest-list"))
+      } yield ml.asText()
+      val listPath = curList match {
+        case Some(base) =>
+          val merged = lake.LakeFs.child(stageLoc,
+            s"merged-list-$attempt.avro")
+          lake.IcebergExport.concatManifestLists(base, stagedList, merged)
+          merged
+        case None => stagedList
+      }
+      try {
+        client.commitAddSnapshot(namespace, table, listPath, snapId,
+          curSnapId)
+        committed = true
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("409") &&
+              attempt < maxCommitRetries =>
+          attempt += 1 // another writer landed; re-resolve and retry
+      }
+    }
+    rows
+  }
+
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
     refreshFamilyViews(name)
@@ -371,6 +488,7 @@ final class LakeEngine(val spark: SparkSession) {
       options: Map[String, String] = Map.empty,
       schema: Option[StructType] = None,
       filenameColumn: Boolean = false): DataFrame = {
+    validateForeignOptions(format, options)
     // a declared schema lists `_filename text` explicitly (reference
     // create_table.c ErrorIfInvalidFilenameColumn), but the column is
     // computed, never read from the file
@@ -391,6 +509,65 @@ final class LakeEngine(val spark: SparkSession) {
     } else base
     df.createOrReplaceTempView(name)
     df
+  }
+
+  /** DDL-time foreign-table option validation — the reference's FDW
+    * validator (pg_lake_table/src/fdw/option.c:230-441,
+    * test_csv_options.py): bad options fail at CREATE, before any
+    * file is touched, with the reference's exact messages. Booleans
+    * follow PG's defGetBoolean (unambiguous prefixes of true/false/
+    * on/off, or 0/1 — 'yes' is NOT accepted).
+    */
+  private[graft] def validateForeignOptions(format: Option[String],
+      options: Map[String, String]): Unit = {
+    def defBool(opt: String): Unit = options.get(opt).foreach { v =>
+      val s = v.trim.toLowerCase
+      val ok = s == "0" || s == "1" || (s.nonEmpty && s != "o" &&
+        ("true".startsWith(s) || "false".startsWith(s) ||
+          "on".startsWith(s) || "off".startsWith(s)))
+      require(ok, s"$opt requires a Boolean value")
+    }
+    defBool("header")
+    defBool("null_padding")
+    def singleByte(opt: String): Unit = options.get(opt).foreach { v =>
+      require(v.getBytes("UTF-8").length == 1,
+        s"$opt must be a single one-byte character")
+    }
+    singleByte("delimiter")
+    singleByte("quote")
+    singleByte("escape")
+    def noEol(opt: String): Unit = options.get(opt).foreach { v =>
+      require(!v.contains('\n') && !v.contains('\r'),
+        s"$opt cannot be newline or carriage return")
+    }
+    noEol("delimiter")
+    noEol("null")
+    options.get("new_line").foreach { v =>
+      require(Seq("\\n", "\\r\\n", "\\r").contains(v),
+        "new_line must be one of \\n, \\r\\n, or \\r")
+    }
+    // cross-option checks against the effective (provided-or-default)
+    // dialect
+    val delim = options.getOrElse("delimiter",
+      options.getOrElse("sep", ","))
+    val quote = options.getOrElse("quote", "\"")
+    options.get("null").foreach { nul =>
+      require(!nul.contains(delim),
+        "CSV delimiter character must not appear in the NULL specification")
+      require(!nul.contains(quote),
+        "CSV quote character must not appear in the NULL specification")
+    }
+    if (options.contains("delimiter") || options.contains("quote"))
+      require(delim != quote, "CSV delimiter and quote must be different")
+    // csv dialect options demand csv format (option.c:422)
+    val csvOnly = Seq("header", "delimiter", "quote", "escape",
+      "new_line", "null", "null_padding")
+    if (format.exists(f => f.toLowerCase != "csv") &&
+        csvOnly.exists(options.contains))
+      throw new IllegalArgumentException(
+        "\"header\", \"delimiter\", \"quote\", \"escape\", \"new_line\", " +
+          "\"null\" and \"null_padding\" options are only supported for " +
+          "csv format tables")
   }
 
   /** `lake_file_cache.add/remove` accept exactly one remote object
@@ -485,9 +662,17 @@ final class LakeEngine(val spark: SparkSession) {
           if (dialectKeys.forall(options.contains)) None
           else Some(sources.CsvSniffer.sniff(path,
             spark.sparkContext.hadoopConfiguration))
-        val header = options.getOrElse("header",
+        // PG boolean spellings ('t', 'off', '1', ...) normalize to
+        // Spark's true/false before reaching the reader
+        def pgBoolNorm(v: String): String = {
+          val s = v.trim.toLowerCase
+          val t = s == "1" || (s.nonEmpty && ("true".startsWith(s) ||
+            "on".startsWith(s) && s != "o"))
+          t.toString
+        }
+        val header = options.get("header").map(pgBoolNorm).getOrElse(
           sniffed.map(_.header.toString).getOrElse("true"))
-        val df0 = reader
+        var rdr = reader
           .option("header", header)
           .option("sep", options.getOrElse("delimiter",
             options.getOrElse("sep", sniffed.map(_.delimiter).getOrElse(","))))
@@ -497,7 +682,12 @@ final class LakeEngine(val spark: SparkSession) {
             sniffed.map(_.escape).getOrElse("\"")))
           .option("inferSchema", options.getOrElse("inferSchema",
             declared.isEmpty.toString))
-          .csv(path)
+        // the reference's PG-spelled csv dialect options map onto
+        // Spark's reader names (option.c `null` / `new_line`)
+        options.get("null").foreach(v => rdr = rdr.option("nullValue", v))
+        options.get("new_line").foreach(v => rdr = rdr.option("lineSep",
+          v.replace("\\r", "\r").replace("\\n", "\n")))
+        val df0 = rdr.csv(path)
         // headerless + undeclared: stable generated names, the
         // column0..columnN surface the reference exposes
         if (header == "false" && declared.isEmpty)

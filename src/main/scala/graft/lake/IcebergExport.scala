@@ -184,12 +184,61 @@ object IcebergExport {
 
   private def writeAvro(path: String, schema: Schema,
       records: Seq[GenericRecord], meta: Map[String, String]): Long = {
+    // write-temp + atomic rename: concurrent exports of the same
+    // snapshot rewrite the same manifest paths, and a concurrent
+    // reader (REST-append client walking the current list) must never
+    // see a torn avro
+    val target = Paths.get(path)
+    val tmp = Files.createTempFile(target.getParent, "avro", ".tmp")
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     meta.foreach { case (k, v) => w.setMeta(k, v) }
-    w.create(schema, new File(path))
+    w.create(schema, tmp.toFile)
     records.foreach(w.append)
     w.close()
-    Files.size(Paths.get(path))
+    Files.move(tmp, target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Files.size(target)
+  }
+
+  /** Concatenate two manifest-list files into `out` — the REST-append
+    * client's union step: an Iceberg snapshot's manifest list is the
+    * table's FULL state, so an append commit must carry the target's
+    * current manifests alongside the freshly staged one
+    * ([[graft.LakeEngine.insertIntoRestTable]]). Records copy field-
+    * by-name onto `add`'s schema; a base entry with a field the add
+    * schema lacks refuses loudly rather than dropping metadata.
+    */
+  def concatManifestLists(base: String, add: String, out: String): Unit = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.GenericDatumReader
+    def readAll(p: String): (Schema, Seq[GenericRecord]) = {
+      val r = new DataFileReader(new File(p.stripPrefix("file://")),
+        new GenericDatumReader[GenericRecord]())
+      val recs = Seq.newBuilder[GenericRecord]
+      while (r.hasNext) recs += r.next()
+      val s = r.getSchema
+      r.close()
+      (s, recs.result())
+    }
+    val (addSchema, addRecs) = readAll(add)
+    val (baseSchema, baseRecs) = readAll(base)
+    val addFields = addSchema.getFields.asScala.map(_.name()).toSet
+    val rebased = baseRecs.map { r =>
+      baseSchema.getFields.asScala.foreach { f =>
+        require(addFields.contains(f.name()) || r.get(f.name()) == null,
+          s"manifest-list entry field ${f.name()} of $base cannot be " +
+            "represented in the staged list's schema")
+      }
+      val n = new GenericData.Record(addSchema)
+      addSchema.getFields.asScala.foreach { f =>
+        if (baseSchema.getField(f.name()) != null)
+          n.put(f.name(), r.get(f.name()))
+      }
+      n
+    }
+    writeAvro(out.stripPrefix("file://"), addSchema,
+      addRecs ++ rebased, Map.empty)
+    ()
   }
 
   /** Build one key→value avro "map" (array of kv records). */
@@ -484,7 +533,13 @@ object IcebergExport {
          |  "metadata-log": []
          |}""".stripMargin
     val metaPath = dir.resolve(s"v$snapshotId.metadata.json")
-    Files.write(metaPath, metadataJson.getBytes)
+    // atomic publish: concurrent exports of the same snapshot (two
+    // REST LoadTable calls racing) must never expose a torn file to a
+    // concurrent reader
+    val metaTmp = Files.createTempFile(dir, "meta", ".tmp")
+    Files.write(metaTmp, metadataJson.getBytes)
+    Files.move(metaTmp, metaPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     // stable attach point (HadoopTables / object-store catalog
     // convention): version-hint.text names the current metadata file
     val hintTmp = Files.createTempFile(dir, "hint", ".tmp")

@@ -169,4 +169,86 @@ final class RestCatalogClient(
       throw new java.io.IOException(
         s"LoadTableResult for $ns.$table has no metadata-location"))
   }
+
+  /** Full LoadTableResult. */
+  def loadTable(ns: String, table: String): JsonNode =
+    request("GET", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}")
+
+  /** CreateTable from a Spark schema (the writable direction —
+    * reference rest_catalog_ops.c FinishStageRestCatalogIcebergTable
+    * CreateRestRequest; test_polaris_catalog_writable.py): field ids
+    * assign 1..n in declaration order, exactly how the engine's own
+    * tables number a fresh schema. Flat scalar schemas only — the
+    * append path maps per-file stats by field id and refuses anything
+    * it can't map loudly rather than mis-keying bounds.
+    */
+  def createTable(ns: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): JsonNode = {
+    val root = mapper.createObjectNode()
+    root.put("name", table)
+    val sch = root.putObject("schema")
+    sch.put("type", "struct")
+    val fields = sch.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val n = fields.addObject()
+      n.put("id", i + 1)
+      n.put("name", f.name)
+      n.put("type", RestCatalogClient.icebergTypeName(f.dataType, f.name))
+      n.put("required", !f.nullable)
+    }
+    request("POST", s"/v1/namespaces/${seg(ns)}/tables",
+      Some(mapper.writeValueAsString(root)))
+  }
+
+  /** CommitTable with one add-snapshot update (spec UpdateTable):
+    * `requiredSnapshot` becomes an assert-ref-snapshot-id requirement
+    * so a commit racing another writer 409s instead of clobbering.
+    */
+  def commitAddSnapshot(ns: String, table: String,
+      manifestList: String, snapshotId: Long,
+      requiredSnapshot: Option[Long]): JsonNode = {
+    val root = mapper.createObjectNode()
+    val reqs = root.putArray("requirements")
+    requiredSnapshot.foreach { s =>
+      val r = reqs.addObject()
+      r.put("type", "assert-ref-snapshot-id")
+      r.put("ref", "main")
+      r.put("snapshot-id", s)
+    }
+    val upd = root.putArray("updates").addObject()
+    upd.put("action", "add-snapshot")
+    val snap = upd.putObject("snapshot")
+    snap.put("snapshot-id", snapshotId)
+    snap.put("manifest-list", manifestList)
+    request("POST", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}",
+      Some(mapper.writeValueAsString(root)))
+  }
+}
+
+object RestCatalogClient {
+
+  /** Spark → Iceberg primitive type names (spec §primitive-types);
+    * nested/unmappable types refuse loudly — the writable path must
+    * not guess.
+    */
+  private[lake] def icebergTypeName(
+      dt: org.apache.spark.sql.types.DataType, col: String): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType | ShortType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case TimestampNTZType => "timestamp"
+      case BinaryType => "binary"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"column $col: cannot map ${other.simpleString} onto an " +
+          "Iceberg primitive for a REST-catalog table")
+    }
+  }
 }

@@ -81,8 +81,13 @@ object IcebergSnapshot {
     }
 
   /** Top-level Iceberg fields with their ids (for stats keying). */
-  def fieldDefs(metadataPath: String): Seq[graft.lake.FieldDef] = {
-    val root = metadata(metadataPath)
+  def fieldDefs(metadataPath: String): Seq[graft.lake.FieldDef] =
+    fieldDefsOfMetadata(metadata(metadataPath))
+
+  /** [[fieldDefs]] over an already-parsed table-metadata node (e.g. a
+    * LoadTableResult's inline `metadata` — no file round trip).
+    */
+  def fieldDefsOfMetadata(root: JsonNode): Seq[graft.lake.FieldDef] = {
     val schemaNode =
       if (root.has("schemas")) {
         val cur = root.get("current-schema-id").asInt(0)
