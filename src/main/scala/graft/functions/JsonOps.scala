@@ -57,28 +57,53 @@ object JsonOps {
 }
 
 /** `json -> key` / `json ->> key`: integer-typed keys index arrays,
-  * string keys select object fields (PG's operator overloads).
+  * string keys select object fields (PG's operator overloads). A MAP
+  * left operand dispatches to map lookup instead (the pg_map
+  * extension's `map_col -> 'key'` operator, test_map_extract.py —
+  * SURVEY §1.2 stores pg_map values as native MapType), returning the
+  * map's value type.
   */
 case class JsonArrow(left: Expression, right: Expression, asText: Boolean)
     extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = StringType
+  override def dataType: DataType = left.dataType match {
+    case MapType(_, vt, _) => vt
+    case _ => StringType
+  }
   override def nullable: Boolean = true
   override def prettyName: String = if (asText) "pg_json_field_text" else "pg_json_field"
 
-  override def nullSafeEval(j: Any, k: Any): Any = {
-    val root = JsonOps.parse(j.toString)
-    if (root == null) return null
-    val node = right.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        if (!root.isArray) null
-        else {
-          val idx = k.asInstanceOf[Number].intValue
-          val i = if (idx < 0) root.size + idx else idx
-          if (i < 0 || i >= root.size) null else root.get(i)
-        }
-      case _ => if (root.isObject) root.get(k.toString) else null
-    }
-    JsonOps.render(node, asText)
+  override def nullSafeEval(j: Any, k: Any): Any = left.dataType match {
+    case MapType(kt, vt, _) =>
+      val m = j.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray()
+      val key = kt match {
+        // a literal key may arrive under a different-but-castable
+        // type spelling; normalize strings, leave others as-is
+        case StringType => org.apache.spark.unsafe.types.UTF8String
+          .fromString(k.toString)
+        case _ => k
+      }
+      var i = 0
+      var out: Any = null
+      while (i < m.numElements() && out == null) {
+        if (keys.get(i, kt) == key) out = m.valueArray().get(i, vt)
+        i += 1
+      }
+      out
+    case _ =>
+      val root = JsonOps.parse(j.toString)
+      if (root == null) return null
+      val node = right.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          if (!root.isArray) null
+          else {
+            val idx = k.asInstanceOf[Number].intValue
+            val i = if (idx < 0) root.size + idx else idx
+            if (i < 0 || i >= root.size) null else root.get(i)
+          }
+        case _ => if (root.isObject) root.get(k.toString) else null
+      }
+      JsonOps.render(node, asText)
   }
 
   override protected def withNewChildrenInternal(

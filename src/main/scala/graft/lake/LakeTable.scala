@@ -1202,15 +1202,24 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     ins.unionAll(del).unionAll(morDel)
   }
 
-  /** Snapshot catalog as a DataFrame (iceberg_tables-view equivalent). */
+  /** Snapshot catalog as a DataFrame (iceberg_tables-view equivalent;
+    * reference test_iceberg_functions.py asserts lake_iceberg.snapshots
+    * carries sequence-number and parent-snapshot-id lineage — the
+    * sequence is the snapshot's 1-based position in the log, the
+    * parent is the previous entry, exactly how the Iceberg export
+    * writes them).
+    */
   def snapshots: DataFrame = {
     val m = meta
     import spark.implicits._
-    m.snapshots.map(s =>
+    m.snapshots.zipWithIndex.map { case (s, i) =>
       (s.id, s.timestampMs, s.operation, s.files.size,
         // live rows: data rows minus outstanding position deletes
-        s.dataFiles.map(_.rows).sum - s.deleteFiles.map(_.rows).sum))
-      .toDF("snapshot_id", "timestamp_ms", "operation", "n_files", "n_rows")
+        s.dataFiles.map(_.rows).sum - s.deleteFiles.map(_.rows).sum,
+        i + 1L,
+        if (i == 0) None else Some(m.snapshots(i - 1).id))
+    }.toDF("snapshot_id", "timestamp_ms", "operation", "n_files",
+      "n_rows", "sequence_number", "parent_snapshot_id")
   }
 
   /** File catalog (lake_iceberg.files() equivalent; `first_row_id`
@@ -1221,9 +1230,16 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     import spark.implicits._
     m.currentSnapshot.map(_.files).getOrElse(Nil)
       .map(f => (f.path, f.rows, f.bytes, f.schemaVersion, f.firstRowId,
-        f.content))
+        f.content,
+        // the reference's lake_iceberg.files spells content as a
+        // label (test_iceberg_functions.py asserts POSITION_DELETES)
+        f.content match {
+          case 0 => "DATA"
+          case 1 => "POSITION_DELETES"
+          case _ => "EQUALITY_DELETES"
+        }))
       .toDF("path", "rows", "bytes", "schema_version", "first_row_id",
-        "content")
+        "content", "content_type")
   }
 
   // -------------------------------------------------------- schema change

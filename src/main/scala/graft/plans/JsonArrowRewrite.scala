@@ -68,8 +68,12 @@ object JsonArrowRewrite {
             k -= 1
           }
           if (opener < 0) return j
-          // function-call / subscript suffix: include the name before
-          if (opener > 0 && (ts(opener - 1).kind == 'w' ||
+          // function-call / subscript suffix: include the name before —
+          // but a KEYWORD before the opener (SELECT (x->'a') ->> 'b',
+          // WHERE/AND/THEN/...) is clause syntax, not a call name;
+          // swallowing it produced pg_json_field_text(SELECT (...), ...)
+          if (opener > 0 && ((ts(opener - 1).kind == 'w' &&
+              !QuantifiedSubqueries.Boundary.contains(ts(opener - 1).up)) ||
             ts(opener - 1).kind == 'q')) j = opener - 1
           else return opener
         case 'w' | 'q' =>

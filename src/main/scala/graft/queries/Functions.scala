@@ -470,6 +470,34 @@ object Functions {
           |      FROM events WHERE event_id < 100) t
           |ORDER BY event_id""".stripMargin),
 
+    // ---- pg_map operator + map_type.* spellings (reference pg_map
+    //      extension, test_map_extract.py: `map_col -> 'key'` and
+    //      map_type.extract/cardinality/entries; MapTypeRewrite +
+    //      JsonArrow's MAP dispatch) ----
+    QueryDef.sql(
+      "q_fn_map_ops",
+      """SELECT event_id,
+        |  (m -> 'type') AS v_arrow,
+        |  map_type.extract(m, 'k') AS v_extract,
+        |  map_type.extract(m, 'missing') AS v_missing,
+        |  CAST(map_type.cardinality(m) AS INT) AS v_card,
+        |  CAST(SIZE(map_type.entries(m)) AS INT) AS v_entries
+        |FROM (SELECT event_id,
+        |        MAP('type', event_type, 'k', GET_JSON_OBJECT(props, '$.k')) AS m
+        |      FROM events WHERE event_id < 100) t
+        |ORDER BY event_id""".stripMargin,
+      oracle =
+        """SELECT event_id,
+          |  ELEMENT_AT(m, 'type')[1] AS v_arrow,
+          |  ELEMENT_AT(m, 'k')[1] AS v_extract,
+          |  CAST(NULL AS VARCHAR) AS v_missing,
+          |  CAST(CARDINALITY(m) AS INT) AS v_card,
+          |  CAST(LEN(MAP_ENTRIES(m)) AS INT) AS v_entries
+          |FROM (SELECT event_id,
+          |        MAP(['type', 'k'], [event_type, JSON_EXTRACT_STRING(props, '$.k')]) AS m
+          |      FROM events WHERE event_id < 100) t
+          |ORDER BY event_id""".stripMargin),
+
     // ---- VALUES list (§2.6) ----
     QueryDef.sql(
       "q_values",

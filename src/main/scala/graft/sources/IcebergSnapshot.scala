@@ -302,6 +302,19 @@ object IcebergSnapshot {
         "spec_id", "record_count", "file_size_in_bytes")
   }
 
+  /** Interop probes over standalone manifest files (the reference's
+    * test_common/sample/iceberg fixtures — real files other writers
+    * produced): the manifest paths of a manifest list, and one
+    * manifest's data-file paths.
+    */
+  def manifestsOf(listPath: String): Seq[String] =
+    dataManifestsOf(listPath).map(_._1)
+
+  def manifestFilePaths(manifestPath: String): Seq[String] =
+    readAvro(manifestPath).flatMap(e =>
+      Option(e.get("data_file")).map(
+        _.asInstanceOf[GenericRecord].get("file_path").toString))
+
   /** `lake_iceberg.find_all_referenced_files(metadata_location)`
     * (reference test_iceberg_referenced_files.py; the VACUUM GC's live
     * set): every file the metadata still references, in the

@@ -142,6 +142,25 @@ class InspectionSurfaceSpec extends AnyFunSuite {
     assert(uppers.contains("\"1\":\"42\""), uppers)
   }
 
+  test("snapshots carry sequence + parent lineage; files carry labels") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("lin_t", freshLoc(), Seq(1, 2).toDF("id"))
+    e.table("lin_t").append(Seq(3).toDF("id"))
+    // reference test_iceberg_functions.py: sequence-number is the log
+    // position, parent-snapshot-id chains to the previous snapshot
+    val snaps = e.table("lin_t").snapshots
+      .orderBy("sequence_number").collect()
+    assert(snaps.map(_.getAs[Long]("sequence_number")).toSeq ==
+      (1L to snaps.length).toSeq)
+    snaps.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("parent_snapshot_id") ==
+        a.getAs[Long]("snapshot_id"))
+    }
+    assert(snaps.head.isNullAt(snaps.head.fieldIndex("parent_snapshot_id")))
+    assert(e.table("lin_t").files.select("content_type").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("DATA"))
+  }
+
   test("lake.version answers") {
     val e = LakeEngine(spark)
     assert(e.sql("SELECT lake.version()").first().getString(0).nonEmpty)
