@@ -1360,8 +1360,9 @@ final class LakeEngine(val spark: SparkSession) {
             plans.JsonArrowRewrite.rewrite(
               plans.CollateRewrite.rewrite(
                 plans.PgCastRewrite.rewrite(
-                  plans.MapTypeRewrite.rewrite(
-                    plans.DoubleQuoteRewrite.rewrite(q))))))))).trim
+                  plans.RowCompareRewrite.rewrite(
+                    plans.MapTypeRewrite.rewrite(
+                      plans.DoubleQuoteRewrite.rewrite(q)))))))))).trim
     // DML carries an optional PG RETURNING list (the reference's
     // write tests use it throughout, e.g.
     // pg_lake_table/tests/pytests/test_writable_table_update.py).

@@ -59,8 +59,9 @@ object QueryDef {
             graft.plans.JsonArrowRewrite.rewrite(
               graft.plans.CollateRewrite.rewrite(
                 graft.plans.PgCastRewrite.rewrite(
-                  graft.plans.MapTypeRewrite.rewrite(
-                    graft.plans.DoubleQuoteRewrite.rewrite(text))))))))))
+                  graft.plans.RowCompareRewrite.rewrite(
+                    graft.plans.MapTypeRewrite.rewrite(
+                      graft.plans.DoubleQuoteRewrite.rewrite(text)))))))))))
     val analyzed = df.queryExecution.analyzed
     val fixed = graft.plans.NullAwareIn(analyzed)
     if (fixed.fastEquals(analyzed)) df

@@ -498,6 +498,23 @@ object Functions {
           |      FROM events WHERE event_id < 100) t
           |ORDER BY event_id""".stripMargin),
 
+    // ---- PG row-wise comparison + IS DISTINCT FROM (reference
+    //      test_select_expressions.py: ROW(a,b,c) > ROW(...) and
+    //      IS DISTINCT FROM compose in pushdown-shaped selects) ----
+    QueryDef.sql(
+      "q_fn_row_compare",
+      """SELECT o_orderkey,
+        |  (ROW(o_custkey, o_totalprice) > ROW(500, 100000.0)) AS row_gt,
+        |  (ROW(o_orderstatus, o_orderpriority) =
+        |   ROW('O', '1-URGENT')) AS row_eq,
+        |  (ROW(o_custkey, o_totalprice) <= ROW(o_custkey, 50000.0)) AS row_le,
+        |  (ROW(o_orderstatus, o_custkey) <> ROW('F', 10)) AS row_ne,
+        |  (o_orderstatus IS DISTINCT FROM 'O') AS isdf,
+        |  (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS nullsafe
+        |FROM orders
+        |WHERE o_orderkey < 300
+        |ORDER BY o_orderkey""".stripMargin),
+
     // ---- VALUES list (§2.6) ----
     QueryDef.sql(
       "q_values",

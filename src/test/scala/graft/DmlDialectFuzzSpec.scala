@@ -36,7 +36,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     if (d >= 3) {
       val k = rnd.nextInt(40)
       P(s"(\"id\" > $k)", col("id") > k)
-    } else rnd.nextInt(10) match {
+    } else rnd.nextInt(11) match {
       case 0 =>
         val p = rePats(rnd.nextInt(rePats.size))
         rnd.nextInt(3) match {
@@ -97,6 +97,18 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
           P(s"""((msg COLLATE "C") > 'm')""", col("msg") > "m")
         else
           P(s"(id = ANY (ARRAY[$k1, $k2]))", col("id").isin(k1, k2))
+      case 10 =>
+        // row-wise comparison through the chain (RowCompareRewrite):
+        // twin = the standard's lexicographic expansion as Columns
+        val k = rnd.nextInt(40)
+        val m = 'a' + rnd.nextInt(26)
+        val ms = m.toChar.toString
+        if (rnd.nextBoolean())
+          P(s"(ROW(\"id\", msg) > ROW($k, '$ms'))",
+            col("id") > k || (col("id") === k && col("msg") > ms))
+        else
+          P(s"(ROW(id, msg) = ROW($k, '$ms'))",
+            col("id") === k && col("msg") === ms)
     }
 
   // ---- driver-maintained expected state ------------------------------
