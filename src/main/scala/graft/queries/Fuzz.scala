@@ -1002,6 +1002,57 @@ object Fuzz {
           "q_fn_fuzz_tochar",
           stmtF(colsF.map(_._1)),
           oracle = stmtF(colsF.map(_._2)))
+      }, {
+        // dimension 23: generated ROW-wise comparisons — ONE text on
+        // both engines. DuckDB evaluates row comparison natively, we
+        // via RowCompareRewrite's lexicographic expansion, so every
+        // column is a direct differential of the expansion INCLUDING
+        // the standard's 3VL (probed: DuckDB's NULL row semantics
+        // match the standard — (1,NULL)<(2,0) is true, (1,NULL)=(1,2)
+        // is null). Per position the two sides stay type-compatible;
+        // NULLIF-made nulls land on either side.
+        val rndR = new Random(Seed + 22)
+        // (lhs pool, rhs pool) per element type
+        val pools: Seq[(Seq[String], Seq[String])] = Seq(
+          (Seq("o_orderkey", "o_custkey", "100", "2500"),
+            Seq("o_custkey", "o_orderkey", "500", "NULLIF(o_custkey, 370)")),
+          (Seq("o_totalprice", "100000.0", "NULLIF(o_totalprice, 0.0)"),
+            Seq("o_totalprice", "150000.0", "50000.0")),
+          (Seq("o_orderstatus", "'O'", "NULLIF(o_orderstatus, 'F')"),
+            Seq("o_orderstatus", "'F'", "'P'")),
+          (Seq("o_orderpriority", "'3-MEDIUM'"),
+            Seq("o_orderpriority", "'1-URGENT'")))
+        val ops = Seq("=", "<>", "<", "<=", ">", ">=")
+        val colsR = (0 until 30).map { i =>
+          val n = 2 + rndR.nextInt(2)
+          val picks = Seq.fill(n)(pools(rndR.nextInt(pools.size)))
+          val op = ops(rndR.nextInt(ops.size))
+          // =/<> restrict to null-free elements: PG's any-pair-decides
+          // rule for row =/<> ((NULL,1) <> ('a',2) is TRUE) diverges
+          // from DuckDB's strict lexicographic NULL short-circuit
+          // (NULL) — we implement PG, so those combinations can't
+          // share one judged text. Ordered comparisons stop at the
+          // first unequal-or-null pair in BOTH engines and keep their
+          // NULLIF elements.
+          def pick(side: Seq[String]): String = {
+            val cand =
+              if (op == "=" || op == "<>")
+                side.filterNot(_.contains("NULLIF"))
+              else side
+            cand(rndR.nextInt(cand.size))
+          }
+          val lhs = picks.map(p => pick(p._1))
+          val rhs = picks.map(p => pick(p._2))
+          s"  (ROW(${lhs.mkString(", ")}) $op " +
+            s"ROW(${rhs.mkString(", ")})) AS r$i"
+        }
+        QueryDef.sql(
+          "q_fn_fuzz_rowcmp",
+          s"""SELECT o_orderkey,
+             |${colsR.mkString(",\n")}
+             |FROM orders
+             |WHERE o_orderkey < 400
+             |ORDER BY o_orderkey""".stripMargin)
       })
   }
 }

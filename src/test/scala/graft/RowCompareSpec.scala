@@ -47,5 +47,12 @@ class RowCompareSpec extends AnyFunSuite {
     // mixed types compare element-wise (the case Spark's struct
     // comparison refuses outright)
     assert(one("ROW(1, 'b') < ROW(2, 'a')") == true)
+    // PG's any-pair-decides rule for row =/<> (PG docs §9.24.5: rows
+    // are unequal if ANY corresponding members are non-null and
+    // unequal) — probed: DuckDB diverges here (strict lexicographic
+    // NULL short-circuit answers NULL for both), which is why the
+    // rowcmp fuzz keeps NULLIF elements out of its =/<> draws
+    assert(one("ROW(NULL, 1) <> ROW('a', 2)") == true)
+    assert(one("ROW(NULL, 1) = ROW('a', 2)") == false)
   }
 }
