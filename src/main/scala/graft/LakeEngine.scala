@@ -291,9 +291,22 @@ final class LakeEngine(val spark: SparkSession) {
           merged
         case None => stagedList
       }
+      // spec-required snapshot fields, resolved from the state this
+      // attempt read: sequence-number monotone past the table's
+      // last-sequence-number, schema-id = the current schema
+      val seqNum = curMeta
+        .flatMap(m => Option(m.get("last-sequence-number")))
+        .map(_.asLong()).getOrElse(0L) + 1L
+      val schemaId = curMeta
+        .flatMap(m => Option(m.get("current-schema-id")))
+        .map(_.asInt()).getOrElse(0)
       try {
+        // curSnapId = None means the table has NO current snapshot —
+        // the requirement is still sent (null snapshot-id asserts the
+        // ref has none) so two racing FIRST appends conflict instead
+        // of the later one silently dropping the earlier one's rows
         client.commitAddSnapshot(namespace, table, listPath, snapId,
-          curSnapId)
+          curSnapId, sequenceNumber = seqNum, schemaId = schemaId)
         committed = true
       } catch {
         case e: java.io.IOException
@@ -355,9 +368,19 @@ final class LakeEngine(val spark: SparkSession) {
         val p = lake.LakeFs.child(root, n)
         try if (now - lake.LakeFs.mtime(p) > grace)
           lake.LakeFs.deleteRecursive(p)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // never fail the sweep, but never go silent either: a
+            // persistently undeletable orphan must surface in logs
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"staging sweep: could not reclaim $p", e)
+        }
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn("staging sweep failed", e)
+    }
     tables.keys.toSeq.sorted.flatMap { name =>
     tables.get(name).flatMap { t =>
       try {
@@ -594,6 +617,13 @@ final class LakeEngine(val spark: SparkSession) {
         "_filename text"))
     require(f.dataType == org.apache.spark.sql.types.StringType,
       "_filename column must have type text")
+    // position matters, not just presence (reference
+    // ErrorIfInvalidFilenameColumn): position-mapped formats (CSV)
+    // read the remaining columns by file order — a mid-list
+    // _filename would silently shift every column after it
+    require(s.fields.last.name == "_filename",
+      "when using the filename option, the last column must be " +
+        "_filename text")
     StructType(s.fields.filterNot(_.name == "_filename"))
   }
 

@@ -78,9 +78,26 @@ case class JsonArrow(left: Expression, right: Expression, asText: Boolean)
       val keys = m.keyArray()
       val key = kt match {
         // a literal key may arrive under a different-but-castable
-        // type spelling; normalize strings, leave others as-is
+        // type spelling; normalize to the MAP's key type so a probe
+        // whose Spark type differs only in width (Integer literal vs
+        // bigint key) still matches instead of boxed-== returning
+        // false on every entry
         case StringType => org.apache.spark.unsafe.types.UTF8String
           .fromString(k.toString)
+        case ByteType => k match { case n: Number => n.byteValue; case _ => k }
+        case ShortType => k match { case n: Number => n.shortValue; case _ => k }
+        case IntegerType => k match { case n: Number => n.intValue; case _ => k }
+        case LongType => k match { case n: Number => n.longValue; case _ => k }
+        case FloatType => k match { case n: Number => n.floatValue; case _ => k }
+        case DoubleType => k match { case n: Number => n.doubleValue; case _ => k }
+        case dt: DecimalType => k match {
+          case n: org.apache.spark.sql.types.Decimal =>
+            org.apache.spark.sql.types.Decimal(
+              n.toBigDecimal.setScale(dt.scale), dt.precision, dt.scale)
+          case n: Number => org.apache.spark.sql.types.Decimal(
+            BigDecimal(n.toString).setScale(dt.scale), dt.precision, dt.scale)
+          case _ => k
+        }
         case _ => k
       }
       var i = 0

@@ -1047,17 +1047,12 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def importSnapshot(entries: Seq[FileEntry],
       op: String = "rest-commit",
-      requireSnapshotId: Option[Long] = None): LakeTable = {
+      requireSnapshotId: Option[Option[Long]] = None): LakeTable = {
     // the requirement (assert-ref-snapshot-id) must hold INSIDE the
     // CAS: a local commit landing between a pre-check and the CAS
     // retry would otherwise be silently erased by the replace
     commitOp(op) { cur =>
-      requireSnapshotId.foreach { req =>
-        if (cur.currentSnapshotId != req)
-          throw new java.util.ConcurrentModificationException(
-            s"$op requirement failed: table is at snapshot " +
-              s"${cur.currentSnapshotId}, not $req")
-      }
+      requireSnapshotId.foreach(LakeTable.checkSnapshotRequirement(cur, _, op))
       entries
     }
     this
@@ -1087,17 +1082,13 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   def commitExternal(
       incomingSchema: Option[Seq[FieldDef]],
       buildEntries: Option[TableMetadata => Seq[FileEntry]],
-      requireSnapshotId: Option[Long],
+      requireSnapshotId: Option[Option[Long]],
       op: String = "rest-commit"): TableMetadata = {
     val committed = TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.getOrElse(
         throw new IllegalStateException(s"table vanished at $location"))
-      requireSnapshotId.foreach { req =>
-        if (cur.currentSnapshotId != req)
-          throw new java.util.ConcurrentModificationException(
-            s"$op requirement failed: table is at snapshot " +
-              s"${cur.currentSnapshotId}, not $req")
-      }
+      requireSnapshotId.foreach(
+        LakeTable.checkSnapshotRequirement(cur, _, op))
       val evolved = incomingSchema.fold(cur)(evolveSchemaByFieldId(cur, _))
       buildEntries match {
         case None => evolved
@@ -1714,6 +1705,30 @@ object LakeTable {
     * (pg_lake_iceberg/include/pg_lake/iceberg/api/table_metadata.h:26).
     */
   val DefaultMaxSnapshotAgeSecs = 1800L
+
+  /** assert-ref-snapshot-id, evaluated inside the commit CAS.
+    * `Some(id)` = the table must still be at snapshot `id`.
+    * `None` = the spec's null snapshot-id: "the ref must have no
+    * current snapshot" — a managed table is born with a create
+    * snapshot, so the equivalent state here is "still at the create
+    * snapshot, no data commit has landed". Without enforcing this,
+    * two concurrent FIRST appends would both pass and the later
+    * full-state snapshot would silently drop the earlier one's rows.
+    */
+  private[lake] def checkSnapshotRequirement(cur: TableMetadata,
+      req: Option[Long], op: String): Unit = req match {
+    case Some(id) =>
+      if (cur.currentSnapshotId != id)
+        throw new java.util.ConcurrentModificationException(
+          s"$op requirement failed: table is at snapshot " +
+            s"${cur.currentSnapshotId}, not $id")
+    case None =>
+      if (!cur.currentSnapshot.forall(_.operation == "create"))
+        throw new java.util.ConcurrentModificationException(
+          s"$op requirement failed: ref main expected to have no " +
+            s"current snapshot, but table is at snapshot " +
+            s"${cur.currentSnapshotId}")
+  }
 
   /** `compatibility_mode` table option (reference
     * test_compatibility_mode.py): 'auto' or 'snowflake', validated at

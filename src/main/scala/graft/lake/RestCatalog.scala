@@ -274,16 +274,24 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
             // would otherwise be silently dropped). Enforced INSIDE
             // the commit CAS (commitExternal's closure) — a pre-check
             // here would race a local commit landing before the CAS.
-            val requiredSnap = Option(body.get("requirements")).toSeq
-              .flatMap(_.elements().asScala)
-              .filter(r => r.get("type").asText() == "assert-ref-snapshot-id")
-              .map(r => r.get("snapshot-id").asLong())
-              .headOption
+            // outer None = no requirement sent (legacy client);
+            // Some(None) = snapshot-id null, spec: "the ref must have
+            // no current snapshot" — required so two racing FIRST
+            // appends conflict; Some(Some(id)) = ref must be at id
+            val requiredSnap: Option[Option[Long]] =
+              Option(body.get("requirements")).toSeq
+                .flatMap(_.elements().asScala)
+                .filter(r =>
+                  r.get("type").asText() == "assert-ref-snapshot-id")
+                .map(r => Option(r.get("snapshot-id"))
+                  .filterNot(_.isNull).map(_.asLong()))
+                .headOption
             val updates = Option(body.get("updates")).toSeq
               .flatMap(_.elements().asScala).toSeq
             val actions = updates.map(_.get("action").asText())
             val unsupported = actions.filterNot(Set(
-              "add-snapshot", "add-schema", "set-current-schema"))
+              "add-snapshot", "add-schema", "set-current-schema",
+              "set-snapshot-ref"))
             if (updates.isEmpty)
               error(ex, 400, "BadRequestException", "no updates in commit")
             else if (unsupported.nonEmpty)
@@ -301,6 +309,20 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
                 .map(u => graft.sources.IcebergSnapshot
                   .fieldDefsOf(u.get("schema")))
                 .lastOption
+              val addSnapId = updates
+                .find(_.get("action").asText() == "add-snapshot")
+                .map(_.get("snapshot").get("snapshot-id").asLong())
+              // set-snapshot-ref: our add-snapshot advances main
+              // implicitly, so the update is honored by VALIDATION —
+              // it must name the branch main and the snapshot this
+              // same commit adds (spec: a commit's updates apply as a
+              // unit; pointing main anywhere else is unsupported)
+              val badRef = updates
+                .filter(_.get("action").asText() == "set-snapshot-ref")
+                .find { u =>
+                  u.get("ref-name").asText() != "main" ||
+                    !addSnapId.contains(u.get("snapshot-id").asLong())
+                }
               val buildEntries = updates
                 .find(_.get("action").asText() == "add-snapshot")
                 .map { u =>
@@ -324,6 +346,10 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
                   }
                 }
               try {
+                if (badRef.isDefined)
+                  throw new IllegalArgumentException(
+                    "set-snapshot-ref must advance branch main to the " +
+                      "snapshot added by this same commit")
                 lt.commitExternal(incomingSchema, buildEntries, requiredSnap)
                 engine.refresh(engineKey(ns, t))
                 loadResult(ex, lt)

@@ -200,26 +200,51 @@ final class RestCatalogClient(
       Some(mapper.writeValueAsString(root)))
   }
 
-  /** CommitTable with one add-snapshot update (spec UpdateTable):
-    * `requiredSnapshot` becomes an assert-ref-snapshot-id requirement
-    * so a commit racing another writer 409s instead of clobbering.
+  /** CommitTable with an add-snapshot update plus the set-snapshot-ref
+    * advancing `main` (spec UpdateTable; the reference's
+    * GetAddSnapshotCatalogRequest in rest_catalog_ops.c sends exactly
+    * this pair). The assert-ref-snapshot-id requirement is ALWAYS
+    * emitted: `requiredSnapshot = None` means the writer read a table
+    * with NO current snapshot, and per the spec a null snapshot-id
+    * asserts the ref still has none — two concurrent FIRST appends must
+    * conflict just like two concurrent re-appends, or the loser's rows
+    * are silently dropped from the winner's full-state manifest list.
+    * The snapshot object carries the spec-required fields
+    * (timestamp-ms, summary.operation, sequence-number, schema-id,
+    * parent-snapshot-id) so a spec-strict external catalog (Polaris)
+    * accepts the commit instead of 400ing on a bare snapshot.
     */
   def commitAddSnapshot(ns: String, table: String,
       manifestList: String, snapshotId: Long,
-      requiredSnapshot: Option[Long]): JsonNode = {
+      requiredSnapshot: Option[Long],
+      sequenceNumber: Long = 1L,
+      schemaId: Int = 0,
+      timestampMs: Long = System.currentTimeMillis()): JsonNode = {
     val root = mapper.createObjectNode()
     val reqs = root.putArray("requirements")
-    requiredSnapshot.foreach { s =>
-      val r = reqs.addObject()
-      r.put("type", "assert-ref-snapshot-id")
-      r.put("ref", "main")
-      r.put("snapshot-id", s)
+    val r = reqs.addObject()
+    r.put("type", "assert-ref-snapshot-id")
+    r.put("ref", "main")
+    requiredSnapshot match {
+      case Some(s) => r.put("snapshot-id", s)
+      case None => r.putNull("snapshot-id")
     }
-    val upd = root.putArray("updates").addObject()
+    val upds = root.putArray("updates")
+    val upd = upds.addObject()
     upd.put("action", "add-snapshot")
     val snap = upd.putObject("snapshot")
     snap.put("snapshot-id", snapshotId)
+    requiredSnapshot.foreach(p => snap.put("parent-snapshot-id", p))
+    snap.put("sequence-number", sequenceNumber)
+    snap.put("timestamp-ms", timestampMs)
     snap.put("manifest-list", manifestList)
+    snap.putObject("summary").put("operation", "append")
+    snap.put("schema-id", schemaId)
+    val ref = upds.addObject()
+    ref.put("action", "set-snapshot-ref")
+    ref.put("ref-name", "main")
+    ref.put("type", "branch")
+    ref.put("snapshot-id", snapshotId)
     request("POST", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}",
       Some(mapper.writeValueAsString(root)))
   }

@@ -174,15 +174,20 @@ object FileCache {
     * recorded its URL. Backs `lake_file_cache.list()`.
     */
   def list(): Seq[(String, Long)] = {
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".meta"))
-      .flatMap { metaPath =>
-        val entry = metaPath.resolveSibling(
-          metaPath.getFileName.toString.stripSuffix(".meta"))
-        val url = Option(readMeta(metaPath).getProperty("url"))
-        url.filter(_ => Files.exists(entry))
-          .map(u => (u, Files.size(entry)))
-      }.toSeq.sortBy(_._1)
+    // Files.list holds a directory handle until closed — materialize
+    // inside try/finally or every list() leaks one descriptor
+    val stream = Files.list(dir)
+    try {
+      stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".meta"))
+        .flatMap { metaPath =>
+          val entry = metaPath.resolveSibling(
+            metaPath.getFileName.toString.stripSuffix(".meta"))
+          val url = Option(readMeta(metaPath).getProperty("url"))
+          url.filter(_ => Files.exists(entry))
+            .map(u => (u, Files.size(entry)))
+        }.toSeq.sortBy(_._1)
+    } finally stream.close()
   }
 
   private implicit class JIter[T](it: java.util.Iterator[T]) {

@@ -114,5 +114,18 @@ class FilenameSpec extends AnyFunSuite {
         filenameColumn = true)
     }
     assert(badType.getMessage.contains("_filename column must have type text"))
+
+    // position matters (reference ErrorIfInvalidFilenameColumn):
+    // a mid-list _filename would shift CSV's position-mapped columns
+    val midList = intercept[IllegalArgumentException] {
+      e.createLakeTable("fn_bad3", f.toString, format = Some("csv"),
+        schema = Some(StructType(Seq(
+          StructField("id", IntegerType),
+          StructField("_filename", StringType),
+          StructField("v", StringType)))),
+        filenameColumn = true)
+    }
+    assert(midList.getMessage.contains(
+      "the last column must be _filename text"))
   }
 }

@@ -42,4 +42,22 @@ class MapTypeRewriteSpec extends AnyFunSuite {
       """SELECT ('{"a": {"b": 7}}' -> 'a') ->> 'b' AS v""").first()
     assert(j.getString(0) == "7")
   }
+
+  test("numeric keys match across widths (int literal vs bigint key)") {
+    val e = LakeEngine(spark)
+    // the literal 5 is an INT; the map key type is BIGINT — the probe
+    // must normalize to the map's key type or boxed == never matches
+    val r = e.sql(
+      """SELECT (m -> 5) AS v, (m -> 99) AS miss
+        |FROM (SELECT map(cast(5 AS bigint), 'five') AS m)""".stripMargin)
+      .first()
+    assert(r.getString(0) == "five", s"int-vs-long key lookup: $r")
+    assert(r.isNullAt(1))
+    // decimal-keyed map probed with an int literal
+    val r3 = e.sql(
+      """SELECT (m -> 3) AS v
+        |FROM (SELECT map(cast(3.0 AS decimal(5,1)), 'three') AS m)"""
+        .stripMargin).first()
+    assert(r3.getString(0) == "three")
+  }
 }

@@ -65,6 +65,145 @@ class WritableRestSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  /** The advisor's lost-first-append window: a table with NO current
+    * snapshot must still get an assert-ref-snapshot-id requirement
+    * (spec: null snapshot-id = "the ref must have no current
+    * snapshot"), or two racing FIRST appends both succeed and the
+    * later full-state snapshot silently drops the earlier one's rows.
+    * A mock external catalog (Polaris shape: fresh table reports no
+    * current-snapshot-id) captures the commit bodies; also pins the
+    * spec-required snapshot fields (timestamp-ms, summary.operation,
+    * sequence-number, schema-id, parent-snapshot-id) and the
+    * set-snapshot-ref update the reference client sends
+    * (rest_catalog_ops.c GetAddSnapshotCatalogRequest).
+    */
+  test("empty-table append sends a null-snapshot requirement; payload is spec-complete") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("extcat").toString
+    val bodies =
+      new java.util.concurrent.CopyOnWriteArrayList[
+        com.fasterxml.jackson.databind.JsonNode]()
+    // catalog state: (snapshot-id, manifest-list, sequence-number)
+    @volatile var state: Option[(Long, String, Long)] = None
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      def reply(code: Int, body: String): Unit = {
+        val b = body.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+        ex.close()
+      }
+      def loadResult(): String = {
+        val snapPart = state.fold("") { case (sid, ml, seq) =>
+          s""""current-snapshot-id": $sid,
+             |"snapshots": [{"snapshot-id": $sid, "manifest-list": "$ml",
+             |  "sequence-number": $seq}],""".stripMargin
+        }
+        val lastSeq = state.fold(0L)(_._3)
+        s"""{"metadata-location": "file://$dir/fake.metadata.json",
+           |  "metadata": {
+           |    "location": "file://$dir",
+           |    $snapPart
+           |    "last-sequence-number": $lastSeq,
+           |    "schemas": [{"schema-id": 0, "type": "struct", "fields":
+           |      [{"id": 1, "name": "id", "type": "long",
+           |        "required": false}]}],
+           |    "current-schema-id": 0
+           |  }, "config": {}}""".stripMargin
+      }
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", p) if p.endsWith("/tables/ext_t") =>
+          reply(200, loadResult())
+        case ("POST", p) if p.endsWith("/tables/ext_t") =>
+          val body = mapper.readTree(ex.getRequestBody)
+          bodies.add(body)
+          val snap = body.get("updates").get(0).get("snapshot")
+          state = Some((snap.get("snapshot-id").asLong(),
+            snap.get("manifest-list").asText(),
+            snap.get("sequence-number").asLong()))
+          reply(200, loadResult())
+        case _ => reply(404, """{"error":{"message":"nope"}}""")
+      }
+    })
+    server.start()
+    try {
+      val e = LakeEngine(spark)
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val n1 = e.insertIntoRestTable(uri, "ns", "ext_t",
+        Seq(1L, 2L).toDF("id"))
+      val n2 = e.insertIntoRestTable(uri, "ns", "ext_t",
+        Seq(3L).toDF("id"))
+      assert(n1 == 2 && n2 == 1)
+      assert(bodies.size == 2)
+      val (b1, b2) = (bodies.get(0), bodies.get(1))
+      // FIRST append: the requirement is present and null — without
+      // it the catalog cannot reject a racing first append
+      val req1 = b1.get("requirements").get(0)
+      assert(req1.get("type").asText() == "assert-ref-snapshot-id")
+      assert(req1.get("ref").asText() == "main")
+      assert(req1.get("snapshot-id").isNull,
+        s"empty-table commit must assert a null snapshot-id: $req1")
+      val s1 = b1.get("updates").get(0).get("snapshot")
+      assert(s1.has("timestamp-ms") && s1.has("manifest-list"))
+      assert(s1.get("sequence-number").asLong() == 1L)
+      assert(s1.get("schema-id").asInt() == 0)
+      assert(s1.get("summary").get("operation").asText() == "append")
+      assert(!s1.has("parent-snapshot-id"))
+      val ref1 = b1.get("updates").get(1)
+      assert(ref1.get("action").asText() == "set-snapshot-ref")
+      assert(ref1.get("ref-name").asText() == "main")
+      assert(ref1.get("type").asText() == "branch")
+      assert(ref1.get("snapshot-id").asLong() ==
+        s1.get("snapshot-id").asLong())
+      // SECOND append: requirement = the first snapshot, sequence
+      // number advances, parent chains
+      val req2 = b2.get("requirements").get(0)
+      assert(req2.get("snapshot-id").asLong() ==
+        s1.get("snapshot-id").asLong())
+      val s2 = b2.get("updates").get(0).get("snapshot")
+      assert(s2.get("sequence-number").asLong() == 2L)
+      assert(s2.get("parent-snapshot-id").asLong() ==
+        s1.get("snapshot-id").asLong())
+      // the committed manifest list is full state: 3 rows total
+      val types = Map(1 -> (org.apache.spark.sql.types.LongType:
+        org.apache.spark.sql.types.DataType))
+      val files = graft.sources.IcebergSnapshot
+        .dataFilesFromManifestList(state.get._2, types)
+      assert(files.map(_.records).sum == 3L)
+    } finally server.stop(0)
+  }
+
+  test("null-snapshot requirement 409s once a data commit landed") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      e.createRestTable(srv.address, "default", "wrn",
+        StructType(Seq(StructField("id", LongType))))
+      // fresh table (create snapshot only): "ref has no current
+      // snapshot" holds — a schema-only commit under the null
+      // requirement passes
+      e.table("wrn").commitExternal(None, None, Some(None))
+      e.insertIntoRestTable(srv.address, "default", "wrn",
+        Seq(1L).toDF("id"))
+      // after a data commit the null requirement must fail — this is
+      // the losing side of two racing FIRST appends
+      val err = intercept[java.util.ConcurrentModificationException] {
+        e.table("wrn").commitExternal(None, None, Some(None))
+      }
+      assert(err.getMessage.contains("no current snapshot"))
+      // and over HTTP it surfaces as 409
+      val client = new graft.lake.RestCatalogClient(srv.address)
+      val http409 = intercept[java.io.IOException] {
+        client.commitAddSnapshot("default", "wrn",
+          "/nonexistent/list.avro", 777L, requiredSnapshot = None)
+      }
+      assert(http409.getMessage.contains("409"), http409.getMessage)
+    } finally srv.stop()
+  }
+
   test("stale requirement refuses with 409; commit protocol is enforced") {
     val e = LakeEngine(spark)
     val srv = e.serveRestCatalog()
