@@ -21,6 +21,204 @@ final class LakeEngine(val spark: SparkSession) {
 
   private val tables = TrieMap.empty[String, LakeTable]
 
+  // ---- multi-statement transactions ------------------------------------
+  //
+  // The reference inherits PG ACID: Iceberg metadata operations
+  // accumulate across a transaction and apply at pre-commit
+  // (pg_lake_iceberg/src/iceberg/metadata_operations.c:159-418;
+  // test_iceberg_in_tx.py / test_iceberg_xacts.py pin the observable
+  // semantics). Here: BEGIN installs a [[graft.lake.TxOverlay]] on
+  // every managed table — DML writes data files eagerly but stages
+  // metadata in memory; in-transaction reads see staged state (the
+  // engine's views refresh from the overlay-aware `meta`); external
+  // readers of the same storage see nothing until COMMIT installs each
+  // dirty table's staged metadata as ONE new metadata version under
+  // the usual CAS, pinned to the snapshot the transaction started
+  // from (a concurrent writer moving the table ⇒ serialization
+  // failure, never a lost update). ROLLBACK discards staged metadata
+  // and reaps the staged data files. SAVEPOINT marks the per-table
+  // staged state; ROLLBACK TO restores it and reaps files staged
+  // after the mark. Atomicity boundary: a SINGLE table commits in one
+  // CAS (fully atomic); a multi-table transaction commits per-table
+  // CASes sequentially — a serialization failure midway leaves
+  // earlier tables committed and rolls back the remainder (documented
+  // in SURVEY §8; the reference has the same per-catalog-commit
+  // boundary for its object-store catalogs).
+  private final class EngineTx {
+    val overlays =
+      scala.collection.mutable.LinkedHashMap.empty[String, lake.TxOverlay]
+    // tables created during the transaction: ROLLBACK drops them
+    val created = scala.collection.mutable.ListBuffer.empty[String]
+    // (name, per-table staged snapshot, created-count) marks
+    val savepoints = scala.collection.mutable.ListBuffer.empty[
+      (String,
+        Map[String, Option[(lake.TableMetadata, lake.TableMetadata)]],
+        Int)]
+  }
+  @volatile private var activeTx: Option[EngineTx] = None
+
+  def inTransaction: Boolean = activeTx.isDefined
+
+  private def txLog = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def begin(): Unit = activeTx match {
+    case Some(_) =>
+      // PG: WARNING, and the transaction continues
+      txLog.warn("there is already a transaction in progress")
+    case None =>
+      val tx = new EngineTx
+      tables.foreach { case (n, t) =>
+        val ov = new lake.TxOverlay
+        t.txOverlay = Some(ov)
+        tx.overlays.put(n, ov)
+      }
+      activeTx = Some(tx)
+  }
+
+  /** Staged data files beyond `base` — parquet the transaction wrote
+    * eagerly that no committed snapshot will ever reference.
+    */
+  private def reapStaged(base: lake.TableMetadata,
+      cur: lake.TableMetadata): Unit = {
+    val keep = base.snapshots.flatMap(_.files.map(_.path)).toSet
+    cur.snapshots.flatMap(_.files.map(_.path)).distinct
+      .filterNot(keep).foreach { p =>
+        try lake.LakeFs.deleteIfExists(p)
+        catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"rollback: could not reap staged file $p", e)
+        }
+      }
+  }
+
+  private def endTx(tx: EngineTx): Unit = {
+    tx.overlays.keys.foreach(n =>
+      tables.get(n).foreach(_.txOverlay = None))
+    activeTx = None
+    tx.overlays.keys.foreach(n =>
+      if (tables.contains(n) || partParents.contains(n)) refresh(n))
+  }
+
+  def commitTx(): Unit = activeTx match {
+    case None =>
+      txLog.warn("there is no transaction in progress") // PG warns too
+    case Some(tx) =>
+      val dirty = tx.overlays.toSeq.flatMap { case (n, ov) =>
+        ov.staged.map { case (base, cur) => (n, base, cur) }
+      }
+      var installed = 0
+      try {
+        dirty.foreach { case (n, base, cur) =>
+          val t = tables.getOrElse(n, throw new IllegalStateException(
+            s"table $n vanished during the transaction"))
+          // ONE new metadata version for everything the transaction
+          // did to this table (reference: a single metadata.json push
+          // per table at commit), CAS-pinned to the transaction's base
+          lake.TableMetadata.commit(t.location) { curOpt =>
+            val disk = curOpt.getOrElse(throw new IllegalStateException(
+              s"table $n vanished at ${t.location}"))
+            if (disk.currentSnapshotId != base.currentSnapshotId)
+              throw new java.util.ConcurrentModificationException(
+                s"could not serialize access: table $n moved to " +
+                  s"snapshot ${disk.currentSnapshotId} during the " +
+                  s"transaction (began at ${base.currentSnapshotId})")
+            cur
+          }
+          installed += 1
+          // deferred from every staged commitOp: export only now that
+          // the state is committed — never uncommitted metadata
+          if (cur.properties.get("iceberg.export").contains("true"))
+            lake.IcebergExport.export(t)
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // roll back the uninstalled remainder (files + created
+          // tables past the boundary); already-installed tables stay
+          val remaining = dirty.drop(installed)
+          remaining.foreach { case (_, base, cur) => reapStaged(base, cur) }
+          val remainingNames = remaining.map(_._1).toSet
+          endTx(tx)
+          tx.created.filter(remainingNames).foreach { n =>
+            try dropTable(n, purge = true)
+            catch { case scala.util.control.NonFatal(e2) =>
+              txLog.warn(s"abort: could not drop created table $n", e2) }
+          }
+          throw e
+      }
+      endTx(tx)
+  }
+
+  def rollbackTx(): Unit = activeTx match {
+    case None =>
+      txLog.warn("there is no transaction in progress") // PG warns too
+    case Some(tx) =>
+      tx.overlays.values.foreach(_.staged.foreach {
+        case (base, cur) => reapStaged(base, cur)
+      })
+      endTx(tx)
+      tx.created.foreach { n =>
+        try dropTable(n, purge = true)
+        catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"rollback: could not drop created table $n", e) }
+      }
+  }
+
+  def savepoint(name: String): Unit = {
+    val tx = activeTx.getOrElse(throw new IllegalStateException(
+      "SAVEPOINT can only be used in transaction blocks"))
+    tx.savepoints += ((name.toLowerCase,
+      tx.overlays.map { case (n, ov) => n -> ov.staged }.toMap,
+      tx.created.size))
+  }
+
+  def rollbackToSavepoint(name: String): Unit = {
+    val tx = activeTx.getOrElse(throw new IllegalStateException(
+      "ROLLBACK TO SAVEPOINT can only be used in transaction blocks"))
+    val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    require(i >= 0, s"""savepoint "$name" does not exist""")
+    val (_, marks, createdCount) = tx.savepoints(i)
+    tx.overlays.foreach { case (n, ov) =>
+      val target = marks.getOrElse(n, None)
+      ov.staged.foreach { case (base, curNow) =>
+        // reap parquet staged after the mark: referenced now, not by
+        // the restored state (target's current contains every base
+        // snapshot, so base files always survive)
+        val keep = target.map(_._2).getOrElse(base)
+          .snapshots.flatMap(_.files.map(_.path)).toSet
+        curNow.snapshots.flatMap(_.files.map(_.path)).distinct
+          .filterNot(keep).foreach { p =>
+            try lake.LakeFs.deleteIfExists(p)
+            catch { case scala.util.control.NonFatal(e) =>
+              txLog.warn(s"savepoint rollback: could not reap $p", e) }
+          }
+      }
+      ov.staged = target
+    }
+    // tables created after the mark roll back entirely
+    val undone = tx.created.drop(createdCount).toList
+    tx.created.remove(createdCount, tx.created.size - createdCount)
+    undone.foreach { n =>
+      tx.overlays.remove(n)
+      tables.get(n).foreach(_.txOverlay = None)
+      try dropTable(n, purge = true)
+      catch { case scala.util.control.NonFatal(e) =>
+        txLog.warn(s"savepoint rollback: could not drop $n", e) }
+    }
+    // PG keeps the savepoint itself usable after ROLLBACK TO; later
+    // savepoints are destroyed
+    tx.savepoints.remove(i + 1, tx.savepoints.size - (i + 1))
+    tx.overlays.keys.foreach(n => if (tables.contains(n)) refresh(n))
+  }
+
+  def releaseSavepoint(name: String): Unit = {
+    val tx = activeTx.getOrElse(throw new IllegalStateException(
+      "RELEASE SAVEPOINT can only be used in transaction blocks"))
+    val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    require(i >= 0, s"""savepoint "$name" does not exist""")
+    // PG: destroys the named savepoint and everything after it; state
+    // is untouched
+    tx.savepoints.remove(i, tx.savepoints.size - i)
+  }
+
   // PREPARE name (types) AS stmt → (statement text, declared types).
   // The reference exercises this surface over the wire protocol
   // (test_prepared.py); here EXECUTE splices argument expressions into
@@ -320,6 +518,16 @@ final class LakeEngine(val spark: SparkSession) {
 
   private[graft] def register(name: String, t: LakeTable): LakeTable = {
     tables.put(name, t)
+    // a table created inside a transaction joins the transaction: its
+    // writes stage like everyone else's, and ROLLBACK drops it
+    activeTx.foreach { tx =>
+      if (!tx.overlays.contains(name)) {
+        val ov = new lake.TxOverlay
+        t.txOverlay = Some(ov)
+        tx.overlays.put(name, ov)
+        tx.created += name
+      }
+    }
     refreshFamilyViews(name)
     reapplyViews()
     t
@@ -1437,6 +1645,19 @@ final class LakeEngine(val spark: SparkSession) {
       case _ => (plans.OnlyRewrite.rewrite(dmlText0), false)
     }
     dmlText match {
+      case beginRe() =>
+        begin(); Seq("BEGIN").toDF("status")
+      case commitTxRe() =>
+        commitTx(); Seq("COMMIT").toDF("status")
+      // ROLLBACK TO must match before the bare ROLLBACK
+      case rollbackToRe(name) =>
+        rollbackToSavepoint(name); Seq(name).toDF("rollback_to")
+      case rollbackTxRe() =>
+        rollbackTx(); Seq("ROLLBACK").toDF("status")
+      case savepointRe(name) =>
+        savepoint(name); Seq(name).toDF("savepoint")
+      case releaseRe(name) =>
+        releaseSavepoint(name); Seq(name).toDF("released")
       case explainRe(optsOrNull, rest) =>
         val opts = Option(optsOrNull).map(_.toLowerCase).getOrElse("")
         var body = rest.trim
@@ -1876,6 +2097,8 @@ final class LakeEngine(val spark: SparkSession) {
       case vacuumAllRe() =>
         // bare VACUUM sweeps every managed table per its autovacuum
         // policy (PG's table-less VACUUM; the reference's worker loop)
+        require(activeTx.isEmpty,
+          "VACUUM cannot run inside a transaction block")
         Seq(maintain().mkString(",")).toDF("maintained")
       case vacuumRe(name) if tables.contains(name) =>
         table(name).vacuum(); refresh(name)
@@ -1886,6 +2109,20 @@ final class LakeEngine(val spark: SparkSession) {
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
           .toDF("data_files")
       case dropTableRe(ifExists, name) =>
+        // DROP of a pre-existing table cannot be undone here (purge
+        // deletes data) — refuse inside a transaction rather than
+        // break ROLLBACK's promise. A table CREATED in this
+        // transaction has nothing committed to lose: dropping it is
+        // exactly its rollback.
+        require(activeTx.isEmpty ||
+            activeTx.exists(_.created.contains(name)),
+          "DROP TABLE of a pre-existing table inside a transaction " +
+            "block is not supported (ROLLBACK could not restore it)")
+        activeTx.foreach { tx =>
+          tx.created -= name
+          tx.overlays.remove(name)
+          tables.get(name).foreach(_.txOverlay = None)
+        }
         if (tables.contains(name) || partParents.contains(name)) {
           dropTable(name); Seq(name).toDF("dropped")
         }
@@ -2580,6 +2817,22 @@ final class LakeEngine(val spark: SparkSession) {
   private val vacuumRe =
     "(?is)^VACUUM\\s+(?:\\(\\s*ICEBERG\\s*\\)\\s+|FULL\\s+)?(\\w+)\\s*;?\\s*$".r
   private val vacuumAllRe = "(?is)^VACUUM\\s*;?\\s*$".r
+  // transaction control (PG §SQL-BEGIN et al.): optional WORK /
+  // TRANSACTION noise words; BEGIN accepts-and-ignores an isolation
+  // clause (snapshot isolation is what the storage model gives)
+  private val beginRe = ("(?is)^(?:BEGIN|START\\s+TRANSACTION)" +
+    "(?:\\s+(?:WORK|TRANSACTION))?" +
+    "(?:\\s+ISOLATION\\s+LEVEL\\s+[\\w ]+?)?(?:\\s+READ\\s+WRITE)?" +
+    "\\s*;?\\s*$").r
+  private val commitTxRe =
+    "(?is)^(?:COMMIT|END)(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+  private val rollbackTxRe =
+    "(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+  private val savepointRe = "(?is)^SAVEPOINT\\s+(\\w+)\\s*;?\\s*$".r
+  private val rollbackToRe = ("(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?" +
+    "\\s+TO\\s+(?:SAVEPOINT\\s+)?(\\w+)\\s*;?\\s*$").r
+  private val releaseRe =
+    "(?is)^RELEASE\\s+(?:SAVEPOINT\\s+)?(\\w+)\\s*;?\\s*$".r
   // matched AFTER the dialect rewrites, so both the PG spelling
   // ('t'::regclass, ARRAY['p']) and the rewritten form
   // (CAST('t' AS regclass), array('p')) must parse

@@ -28,7 +28,19 @@ import scala.jdk.CollectionConverters._
   */
 final class LakeTable(val spark: SparkSession, val location: String) {
 
-  def meta: TableMetadata = TableMetadata.load(location)
+  /** Engine-transaction overlay ([[TxOverlay]]): when installed and
+    * dirty, [[meta]] serves the STAGED metadata (in-transaction reads
+    * see the transaction's own writes) and [[commitOp]] advances it in
+    * memory — the storage CAS happens once, at the engine's COMMIT.
+    * Other LakeTable instances over the same location (external
+    * readers) keep reading committed storage and see nothing until
+    * then.
+    */
+  @volatile private[graft] var txOverlay: Option[TxOverlay] = None
+
+  def meta: TableMetadata =
+    txOverlay.flatMap(_.staged.map(_._2))
+      .getOrElse(TableMetadata.load(location))
 
   // ---------------------------------------------------------------- read
 
@@ -410,6 +422,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     * compacts, mirroring the heap-level storage parameter.
     */
   def maintainIfDue(): LakeTable = {
+    // inside an engine transaction maintenance never fires: compaction
+    // and expiry rewrite COMMITTED state, which a staged transaction
+    // must not touch (the reference's autovacuum worker likewise never
+    // sees uncommitted metadata ops)
+    if (txOverlay.exists(_.dirty)) return this
     val m = meta
     val p = m.properties
     // manifest merge-on-write (reference
@@ -896,6 +913,10 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   def expireSnapshots(keepLast: Int = 3,
       graceMs: Long = 10L * 60 * 1000): LakeTable = {
+    // PG's rule, same reason: expiry deletes files from COMMITTED
+    // state, which a staged transaction cannot reason about
+    require(txOverlay.isEmpty,
+      "VACUUM cannot run inside a transaction block")
     TableMetadata.commit(location) { curOpt =>
       val cur = curOpt.get
       val keepIds = cur.snapshots.sortBy(-_.id).take(keepLast).map(_.id).toSet +
@@ -985,6 +1006,8 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   def vacuum(smallBytes: Long = 32L << 20, keepLast: Int = 3,
       graceMs: Long = 10L * 60 * 1000): LakeTable = {
+    require(txOverlay.isEmpty,
+      "VACUUM cannot run inside a transaction block")
     compact(smallBytes)
     expireSnapshots(keepLast, graceMs)
     // the reference's VACUUM also applies the age-based retention
@@ -1241,8 +1264,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     default.foreach(d => expr(d)) // validate the expression parses
     if (meta.properties.get("compatibility_mode").contains("snowflake"))
       LakeTable.rejectMaps(name, DataType.fromDDL(ddlType))
-    TableMetadata.commit(location) { curOpt =>
-      val cur = curOpt.get
+    metaCommit { cur =>
       val sv = cur.currentSchema
       val next = SchemaVersion(sv.version + 1,
         sv.fields :+ FieldDef(cur.nextFieldId, name, ddlType,
@@ -1255,8 +1277,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   /** Metadata-only rename — field ids keep old files readable. */
   def renameColumn(from: String, to: String): LakeTable = {
-    TableMetadata.commit(location) { curOpt =>
-      val cur = curOpt.get
+    metaCommit { cur =>
       val sv = cur.currentSchema
       val next = SchemaVersion(sv.version + 1,
         sv.fields.map(f => if (f.name == from) f.copy(name = to) else f))
@@ -1268,8 +1289,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
 
   /** Metadata-only drop. */
   def dropColumn(name: String): LakeTable = {
-    TableMetadata.commit(location) { curOpt =>
-      val cur = curOpt.get
+    metaCommit { cur =>
       val sv = cur.currentSchema
       val next = SchemaVersion(sv.version + 1,
         sv.fields.filterNot(_.name == name))
@@ -1307,9 +1327,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       require(names.contains(t.column),
         s"partition transform '$s' references unknown column '${t.column}'")
     }
-    TableMetadata.commit(location) { curOpt =>
-      curOpt.get.copy(partitionSpec = spec)
-    }
+    metaCommit(_.copy(partitionSpec = spec))
     this
   }
 
@@ -1349,6 +1367,27 @@ final class LakeTable(val spark: SparkSession, val location: String) {
       curFiles.filterNot(f => removedPaths.contains(f.path)) ++ added
     }
 
+  /** Metadata-only change (schema evolution, partition-spec swap):
+    * CAS-committed immediately, or staged when an engine transaction
+    * is active — the reference stages ALTER TABLE ops across a
+    * transaction the same way (test_iceberg_in_tx.py mixes ADD COLUMN
+    * and partition_by changes between in-transaction INSERTs).
+    */
+  private def metaCommit(f: TableMetadata => TableMetadata): TableMetadata =
+    txOverlay match {
+      case Some(ov) =>
+        val (base, cur) = ov.staged.getOrElse {
+          val m = TableMetadata.load(location)
+          (m, m)
+        }
+        val next = f(cur)
+        ov.staged = Some((base, next))
+        next
+      case None =>
+        TableMetadata.commit(location)(curOpt => f(curOpt.getOrElse(
+          throw new IllegalStateException(s"table vanished at $location"))))
+    }
+
   private def retryOnConflict[A](op: String, attempts: Int = 5)(
       body: => A): A = {
     var last: java.util.ConcurrentModificationException = null
@@ -1365,9 +1404,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   private def commitOp(op: String, props: Map[String, String] = Map.empty,
       mergeProps: Map[String, String] => Map[String, String] = identity)(
       nextFiles: TableMetadata => Seq[FileEntry]): TableMetadata = {
-    val committed = TableMetadata.commit(location) { curOpt =>
-      val cur = curOpt.getOrElse(
-        throw new IllegalStateException(s"table vanished at $location"))
+    def advance(cur: TableMetadata): TableMetadata = {
       val snapId = cur.snapshots.map(_.id).max + 1
       val files0 = nextFiles(cur)
       // mergeProps runs INSIDE the CAS loop on the freshest
@@ -1392,13 +1429,33 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         currentSnapshotId = snapId,
         properties = merged)
     }
-    // object-store catalog mode (reference object_store_catalog.c):
-    // every commit re-exports current Iceberg metadata under the stable
-    // version-hint path, so external engines always attach to the
-    // newest snapshot
-    if (committed.properties.get("iceberg.export").contains("true"))
-      IcebergExport.export(this)
-    committed
+    txOverlay match {
+      case Some(ov) =>
+        // engine transaction: advance the STAGED metadata in memory.
+        // Data files were already written (eagerly, like the
+        // reference); the storage CAS — and the Iceberg re-export,
+        // which must never publish uncommitted state — are deferred
+        // to the engine's COMMIT.
+        val (base, cur) = ov.staged.getOrElse {
+          val m = TableMetadata.load(location)
+          (m, m)
+        }
+        val next = advance(cur)
+        ov.staged = Some((base, next))
+        next
+      case None =>
+        val committed = TableMetadata.commit(location) { curOpt =>
+          advance(curOpt.getOrElse(throw new IllegalStateException(
+            s"table vanished at $location")))
+        }
+        // object-store catalog mode (reference object_store_catalog.c):
+        // every commit re-exports current Iceberg metadata under the
+        // stable version-hint path, so external engines always attach
+        // to the newest snapshot
+        if (committed.properties.get("iceberg.export").contains("true"))
+          IcebergExport.export(this)
+        committed
+    }
   }
 
   /** Write `df` (current-schema rows) as parquet + collect per-file

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Multi-statement transactions (reference: PG ACID over staged
+  * Iceberg metadata ops — metadata_operations.c:159-418;
+  * test_iceberg_in_tx.py pins the observable semantics: data files
+  * push eagerly during the transaction, metadata publishes as ONE new
+  * version at COMMIT, ROLLBACK TO SAVEPOINT restores mid-transaction
+  * state).
+  */
+class TxSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("tx").toString
+
+  private def metaVersions(loc: String): Int =
+    graft.lake.LakeFs.listNames(graft.lake.LakeFs.child(loc, "_meta"))
+      .count(n => n.matches("v\\d+\\.json"))
+
+  private def dataFiles(t: graft.lake.LakeTable): Seq[String] = {
+    val d = java.nio.file.Paths.get(t.location, "data")
+    if (!java.nio.file.Files.isDirectory(d)) return Nil
+    val s = java.nio.file.Files.walk(d)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    finally s.close()
+  }
+
+  test("in-tx visibility: reads see staged state, outsiders see nothing, " +
+      "COMMIT publishes ONE metadata version") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_vis", loc, Seq((1L, "a")).toDF("id", "v"))
+    val vBefore = metaVersions(loc)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_vis VALUES (2, 'b')")
+    e.sql("INSERT INTO tx_vis VALUES (3, 'c')")
+    e.sql("UPDATE tx_vis SET v = 'z' WHERE id = 1")
+    // the transaction sees its own writes
+    assert(e.sql("SELECT count(*) FROM tx_vis").first().getLong(0) == 3)
+    assert(e.sql("SELECT v FROM tx_vis WHERE id = 1").first()
+      .getString(0) == "z")
+    // an external reader over the same storage sees NOTHING staged
+    val outside = new graft.lake.LakeTable(spark, loc)
+    assert(outside.read().count() == 1)
+    assert(metaVersions(loc) == vBefore, "metadata leaked before COMMIT")
+    e.sql("COMMIT")
+    // one metadata version for the whole transaction (reference: a
+    // single metadata.json push per table)
+    assert(metaVersions(loc) == vBefore + 1)
+    assert(outside.read().count() == 3)
+    assert(e.sql("SELECT v FROM tx_vis WHERE id = 1").first()
+      .getString(0) == "z")
+  }
+
+  test("ROLLBACK restores pre-transaction state and reaps staged files") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_rb", loc, Seq(1L, 2L).toDF("id"))
+    val t = e.table("tx_rb")
+    val filesBefore = dataFiles(t).toSet
+    val vBefore = metaVersions(loc)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_rb VALUES (3)")
+    e.sql("DELETE FROM tx_rb WHERE id = 1")
+    assert(e.sql("SELECT count(*) FROM tx_rb").first().getLong(0) == 2)
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT id FROM tx_rb ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    assert(metaVersions(loc) == vBefore)
+    // the eagerly-written parquet of the discarded statements is gone
+    assert(dataFiles(t).toSet == filesBefore,
+      s"staged files not reaped: ${dataFiles(t).toSet -- filesBefore}")
+  }
+
+  test("SAVEPOINT partial rollback (reference in-subtx shapes incl. " +
+      "TRUNCATE) and RELEASE") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_sp", loc, Seq(1L, 2L).toDF("a"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_sp VALUES (3)")
+    e.sql("SAVEPOINT sp1")
+    // the reference's test_in_subtx_fail_with_truncate shape:
+    // insert + update + truncate, all undone by ROLLBACK TO
+    e.sql("INSERT INTO tx_sp SELECT id + 100 FROM range(3)")
+    e.sql("UPDATE tx_sp SET a = 999 WHERE a = 102")
+    e.sql("TRUNCATE TABLE tx_sp")
+    assert(e.sql("SELECT count(*) FROM tx_sp").first().getLong(0) == 0)
+    e.sql("ROLLBACK TO SAVEPOINT sp1")
+    // state is exactly the pre-savepoint staged state
+    assert(e.sql("SELECT a FROM tx_sp ORDER BY a").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 3L))
+    // the savepoint survives a rollback-to (PG) — reusable
+    e.sql("INSERT INTO tx_sp VALUES (4)")
+    e.sql("ROLLBACK TO sp1")
+    assert(e.sql("SELECT count(*) FROM tx_sp").first().getLong(0) == 3)
+    e.sql("RELEASE SAVEPOINT sp1")
+    val gone = intercept[IllegalArgumentException](e.sql("ROLLBACK TO sp1"))
+    assert(gone.getMessage.contains("does not exist"))
+    e.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 3)
+  }
+
+  test("savepoint rollback reaps files staged after the mark, keeps " +
+      "files staged before it") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_spf", loc, Seq(1L).toDF("a"))
+    val t = e.table("tx_spf")
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_spf VALUES (2)")
+    val atMark = dataFiles(t).toSet
+    e.sql("SAVEPOINT m")
+    e.sql("INSERT INTO tx_spf VALUES (3)")
+    assert(dataFiles(t).size > atMark.size)
+    e.sql("ROLLBACK TO SAVEPOINT m")
+    assert(dataFiles(t).toSet == atMark)
+    e.sql("COMMIT")
+    assert(e.sql("SELECT a FROM tx_spf ORDER BY a").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("crash leaves nothing: an abandoned transaction never surfaces " +
+      "to storage readers") {
+    val loc = s"${tmp()}/t"
+    val e1 = LakeEngine(spark)
+    e1.createTableAsSelect("tx_crash", loc, Seq(1L).toDF("a"))
+    val vBefore = metaVersions(loc)
+    e1.sql("BEGIN")
+    e1.sql("INSERT INTO tx_crash VALUES (2)")
+    // the engine dies here (no COMMIT) — a fresh process attaching to
+    // the same storage sees only committed state
+    assert(metaVersions(loc) == vBefore)
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 1)
+  }
+
+  test("a concurrent writer moving the table fails the COMMIT loudly " +
+      "(serialization failure), staged rows reaped") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_conc", loc, Seq(1L).toDF("a"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_conc VALUES (2)")
+    // another engine commits directly while our transaction is open
+    new graft.lake.LakeTable(spark, loc).append(Seq(50L).toDF("a"))
+    val err = intercept[java.util.ConcurrentModificationException](
+      e.sql("COMMIT"))
+    assert(err.getMessage.contains("could not serialize access"),
+      err.getMessage)
+    // the concurrent writer's commit survives; our staged row is gone
+    assert(e.sql("SELECT a FROM tx_conc ORDER BY a").as[Long]
+      .collect().toSeq == Seq(1L, 50L))
+  }
+
+  test("DDL in tx: ADD COLUMN stages with the DML (reference " +
+      "test_in_tx_with_partition_by shape); CTAS rolls back") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_ddl", loc, Seq(1L).toDF("a"))
+    e.sql("BEGIN")
+    e.sql("ALTER TABLE tx_ddl ADD COLUMN b BIGINT")
+    e.sql("INSERT INTO tx_ddl VALUES (2, 20)")
+    assert(e.sql("SELECT b FROM tx_ddl WHERE a = 2").first().getLong(0)
+      == 20L)
+    // outsiders still see the OLD schema
+    assert(new graft.lake.LakeTable(spark, loc).read().columns.toSeq
+      == Seq("a"))
+    // a table created inside the transaction vanishes on ROLLBACK
+    val ctasLoc = s"${tmp()}/c"
+    e.sql(s"CREATE TABLE tx_ctas LOCATION '$ctasLoc' AS SELECT 7 AS x")
+    assert(e.sql("SELECT x FROM tx_ctas").first().getInt(0) == 7)
+    e.sql("ROLLBACK")
+    assert(new graft.lake.LakeTable(spark, loc).read().columns.toSeq
+      == Seq("a"))
+    assert(e.tableOption("tx_ctas").isEmpty)
+    assert(!graft.lake.LakeFs.exists(
+      graft.lake.LakeFs.child(ctasLoc, "_meta")))
+    // and the survivor is intact
+    assert(e.sql("SELECT a FROM tx_ddl").as[Long].collect().toSeq
+      == Seq(1L))
+  }
+
+  test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
+      "SAVEPOINT outside one") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("tx_ref", s"${tmp()}/t", Seq(1L).toDF("a"))
+    val sp = intercept[IllegalStateException](e.sql("SAVEPOINT s1"))
+    assert(sp.getMessage.contains("transaction block"))
+    e.sql("BEGIN")
+    val vac = intercept[IllegalArgumentException](e.sql("VACUUM tx_ref"))
+    assert(vac.getMessage.contains(
+      "VACUUM cannot run inside a transaction block"))
+    val drop = intercept[IllegalArgumentException](
+      e.sql("DROP TABLE tx_ref"))
+    assert(drop.getMessage.contains("not supported"))
+    e.sql("ROLLBACK")
+    // autocommit untouched after the transaction ends
+    e.sql("INSERT INTO tx_ref VALUES (2)")
+    assert(e.sql("SELECT count(*) FROM tx_ref").first().getLong(0) == 2)
+  }
+}
