@@ -130,12 +130,31 @@ object LakeFs {
       Files.move(tmp, lp, StandardCopyOption.ATOMIC_MOVE)
     }
 
+  /** Object-store schemes whose commit CAS goes through the store's
+    * own conditional write ([[graft.sources.HttpSource.putIfAbsent]])
+    * instead of a Hadoop connector: on these stores exists→rename has
+    * a race window (rename is copy+delete and OVERWRITES), so the
+    * SERVER must arbitrate — `If-None-Match: *` on S3/R2/Azure,
+    * `x-goog-if-generation-match: 0` on GCS. `s3a://` (the Hadoop
+    * connector spelling) maps onto the same `s3://` request path.
+    */
+  private val conditionalPutSchemes =
+    Set("s3", "s3a", "gs", "r2", "az", "azure", "abfs", "abfss")
+
   /** Put-if-absent of a fully-written file — the commit point of the
     * metadata CAS. Local: hard link from a temp file (POSIX link(2)
-    * is atomic and fails on an existing target). Remote:
-    * `create(overwrite=false)`, atomic on HDFS.
+    * is atomic and fails on an existing target). Object stores: the
+    * store's conditional PUT — the server rejects the loser with 412,
+    * no exists→rename window. Other remote schemes:
+    * `create(overwrite=false)` + rename, atomic on HDFS.
     */
-  def createExclusive(p: String, bytes: Array[Byte]): Boolean =
+  def createExclusive(p: String, bytes: Array[Byte]): Boolean = {
+    val scheme = Option(new HPath(p).toUri.getScheme)
+      .map(_.toLowerCase).getOrElse("")
+    if (conditionalPutSchemes.contains(scheme)) {
+      val url = if (scheme == "s3a") "s3" + p.stripPrefix("s3a") else p
+      return graft.sources.HttpSource.putIfAbsent(url, bytes)
+    }
     if (remote(p)) {
       val (fs, hp) = fsOf(p)
       fs match {
@@ -150,8 +169,9 @@ object LakeFs {
           // rename is content-atomic (a reader never sees
           // half-written commit bytes), and on HDFS rename onto an
           // existing destination FAILS — exactly the put-if-absent
-          // CAS. On eventual-consistency object stores a catalog CAS
-          // should arbitrate instead ([[RestCatalog]] CommitTable).
+          // CAS. Object-store schemes never reach here (conditional
+          // PUT above); an exotic connector without atomic rename
+          // should front a catalog CAS ([[RestCatalog]] CommitTable).
           if (fs.exists(hp)) return false
           val tmp = new HPath(hp.getParent,
             s".tmp-${java.util.UUID.randomUUID()}")
@@ -164,6 +184,7 @@ object LakeFs {
           true
       }
     } else localExclusive(local(p), bytes)
+  }
 
   /** POSIX hard-link put-if-absent (link(2) is atomic and fails on an
     * existing target — rename would silently replace).

@@ -380,6 +380,45 @@ object HttpSource {
     MessageDigest.getInstance("SHA-256").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** Conditional put-if-absent of a small, fully-materialized object —
+    * the metadata-commit CAS on object stores. The SERVER arbitrates:
+    * S3 and R2 honor `If-None-Match: *` on PUT (AWS "conditional
+    * writes", publicly documented), GCS's XML API spells the same
+    * precondition `x-goog-if-generation-match: 0`, Azure Put Blob
+    * honors `If-None-Match: *`. Returns false when the object already
+    * exists — HTTP 412 Precondition Failed, or 409 while a concurrent
+    * conditional write settles (S3 documents both for racing
+    * conditional PUTs). Unlike exists→rename there is NO window: two
+    * racing commits produce exactly one 200.
+    */
+  def putIfAbsent(url: String, bytes: Array[Byte]): Boolean = {
+    val hash = sha256HexBytes(bytes)
+    val cond: Map[String, String] = S3Source.parse(url) match {
+      case Some(ref) if ref.scheme == "gs" =>
+        Map("x-goog-if-generation-match" -> "0")
+      case _ => Map("If-None-Match" -> "*")
+    }
+    val r = S3Source.parse(url) match {
+      case Some(ref) =>
+        S3Source.withRegionRouting(ref) { u =>
+          request("PUT", u,
+            S3Source.signingHeaders(ref, u, "PUT", hash) ++ cond +
+              ("x-amz-content-sha256" -> hash), bytes)
+        }
+      case None => AzSource.parse(url) match {
+        case Some(az) =>
+          request("PUT", AzSource.urlFor(az),
+            cond + ("x-ms-blob-type" -> "BlockBlob"), bytes)
+        case None => throw new IllegalArgumentException(
+          s"cannot conditionally put to $url (not an object-store URL)")
+      }
+    }
+    if (r.code / 100 == 2) { cacheRemove(url); true }
+    else if (r.code == 412 || r.code == 409) false
+    else throw new java.io.IOException(
+      s"conditional PUT $url -> HTTP ${r.code}")
+  }
+
   /** Read up to `n` bytes (exactly `n` unless the stream ends). */
   private def readChunk(in: InputStream, n: Long): Array[Byte] = {
     val buf = new Array[Byte](n.toInt)

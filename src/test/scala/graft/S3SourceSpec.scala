@@ -155,11 +155,15 @@ class S3SourceSpec extends AnyFunSuite {
       } else if (ex.getRequestMethod == "PUT") {
         // store the object; verify the signed payload hash against the
         // REAL body bytes (a client signing anything other than what it
-        // streams fails here)
+        // streams fails here). If-None-Match: * = AWS conditional
+        // write — atomically refuse when the key exists (412)
         bodyChecked() match {
           case None => respond(ex, 400, Array.empty)
           case Some(body) =>
-            store.put(key, body); respond(ex, 200, Array.empty)
+            if (Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+                .contains("*") && store.putIfAbsent(key, body).isDefined)
+              respond(ex, 412, Array.empty)
+            else { store.put(key, body); respond(ex, 200, Array.empty) }
         }
       } else if (q.contains("list-type=2")) {
         val params = q.split("&").map(_.split("=", 2))
