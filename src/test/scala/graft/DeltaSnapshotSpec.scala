@@ -36,7 +36,7 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     Files.write(logDir.resolve("0" * 20 + ".json"),
       (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
           |{"metaData":{"id":"t1","format":{"provider":"parquet"},"schemaString":"$schemaString","partitionColumns":[],"configuration":{}}}
-          |{"add":{"path":"$p1","size":1,"modificationTime":0,"dataChange":true}}
+          |{"add":{"path":"$p1","size":${Files.size(Paths.get(dir, p1))},"modificationTime":0,"dataChange":true}}
           |""".stripMargin).getBytes)
 
     // commit 1: full table = f1 only
@@ -46,7 +46,7 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     // commit 2: remove f1, add f2
     Files.write(logDir.resolve("0" * 19 + "1.json"),
       (s"""{"remove":{"path":"$p1","dataChange":true}}
-          |{"add":{"path":"$p2","size":1,"modificationTime":0,"dataChange":true}}
+          |{"add":{"path":"$p2","size":${Files.size(Paths.get(dir, p2))},"modificationTime":0,"dataChange":true}}
           |""".stripMargin).getBytes)
 
     val back = DeltaSnapshot.read(spark, dir)
@@ -295,8 +295,8 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     Files.write(logDir.resolve("0" * 20 + ".json"),
       (s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
           |{"metaData":{"id":"t2","format":{"provider":"parquet"},"schemaString":"$schemaString","partitionColumns":[],"configuration":{}}}
-          |{"add":{"path":"$p1","size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uPath","offset":${offs(0)},"sizeInBytes":${dv1data.length},"cardinality":2}}}
-          |{"add":{"path":"$p2","size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uPath","offset":${offs(1)},"sizeInBytes":${dv2data.length},"cardinality":5011}}}
+          |{"add":{"path":"$p1","size":${Files.size(Paths.get(dir, p1))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uPath","offset":${offs(0)},"sizeInBytes":${dv1data.length},"cardinality":2}}}
+          |{"add":{"path":"$p2","size":${Files.size(Paths.get(dir, p2))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$uPath","offset":${offs(1)},"sizeInBytes":${dv2data.length},"cardinality":5011}}}
           |""".stripMargin).getBytes)
 
     val back = DeltaSnapshot.read(spark, dir)
@@ -317,7 +317,7 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     }
     Files.write(logDir.resolve("0" * 19 + "1.json"),
       (s"""{"remove":{"path":"$p1","dataChange":true}}
-          |{"add":{"path":"$p1","size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","offset":null,"sizeInBytes":${roaringArray(Seq(0L, 1L, 2L), runKeys = Set(0)).length},"cardinality":3}}}
+          |{"add":{"path":"$p1","size":${Files.size(Paths.get(dir, p1))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"$inline","offset":null,"sizeInBytes":${roaringArray(Seq(0L, 1L, 2L), runKeys = Set(0)).length},"cardinality":3}}}
           |""".stripMargin).getBytes)
     val back2 = DeltaSnapshot.read(spark, dir)
     assert(back2.filter(col("id") < 100).select("id").collect()
@@ -394,5 +394,77 @@ class DeltaSnapshotSpec extends AnyFunSuite {
     val back = DeltaSnapshot.read(spark, dir)
     assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(0L, 3L, 4L))
+  }
+
+  /** The many-file scale probe (VERDICT r12 next-round #4, SCALE.md
+    * convention): a 10k-add checkpoint must never materialize the
+    * add-set on the driver — resolve() keeps it a DataFrame, the
+    * FileIndex collects (a) the DISTINCT partition tuples (bounded by
+    * partition count) and (b) only the file entries partition pruning
+    * keeps. A one-partition query over 10,000 files collects 100
+    * entries, not 10,000.
+    */
+  test("10k-add checkpoint: pruned listing materializes only the " +
+      "surviving partition") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("delta-10k").toString
+    val logDir = Paths.get(dir, "_delta_log")
+    Files.createDirectories(logDir)
+    val schemaString =
+      StructType(Seq(StructField("id", LongType),
+        StructField("p", StringType))).json
+    // checkpoint rows: one metaData + 10,000 adds (100 partitions ×
+    // 100 files), written as the real compacted-state parquet
+    val mdDf = spark.sql(
+      s"""SELECT named_struct(
+         |  'schemaString', '${schemaString.replace("'", "\\'")}',
+         |  'partitionColumns', array('p'),
+         |  'configuration', map('x', 'y')) AS metaData,
+         |  CAST(NULL AS STRUCT<path: STRING, size: BIGINT,
+         |    partitionValues: MAP<STRING, STRING>>) AS add""".stripMargin)
+    val addsDf = spark.range(10000).selectExpr(
+      "CAST(NULL AS STRUCT<schemaString: STRING, " +
+        "partitionColumns: ARRAY<STRING>, " +
+        "configuration: MAP<STRING, STRING>>) AS metaData",
+      "named_struct('path', concat('part-', id, '.parquet'), " +
+        "'size', 10L, " +
+        "'partitionValues', map('p', CAST(id % 100 AS STRING))) AS add")
+    mdDf.unionByName(addsDf).coalesce(1)
+      .write.parquet(s"$logDir/cp_tmp")
+    val cpFile = {
+      val s = Files.list(Paths.get(s"$logDir/cp_tmp"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).next()
+      finally s.close()
+    }
+    Files.move(Paths.get(s"$logDir/cp_tmp/$cpFile"),
+      logDir.resolve("0" * 20 + ".checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"),
+      """{"version":0,"size":10001}""".getBytes)
+
+    val st = DeltaSnapshot.resolve(spark, dir)
+    assert(st.partitionColumns == Seq("p"))
+    val partSchema = StructType(Seq(StructField("p", StringType)))
+    val idx = new graft.sources.DeltaFileIndex(dir, partSchema, st)
+    assert(idx.lastMaterialized == 0,
+      "index construction must not materialize file entries")
+
+    // a pruned listing: one partition survives → 100 entries, not 10k
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.unsafe.types.UTF8String
+    val p = AttributeReference("p", StringType)()
+    val dirs = idx.listFiles(
+      Seq(EqualTo(p, Literal(UTF8String.fromString("7"), StringType))), Nil)
+    assert(dirs.size == 1)
+    assert(dirs.head.files.size == 100)
+    assert(idx.lastMaterialized == 100,
+      s"pruned listing materialized ${idx.lastMaterialized} entries " +
+        "(expected 100 — the surviving partition only)")
+
+    // the unpruned listing is the documented O(files)-at-plan-time
+    // path (Spark's FileIndex contract) — and it still lists all 10k
+    val all = idx.listFiles(Nil, Nil)
+    assert(all.map(_.files.size).sum == 10000)
+    assert(all.size == 100, "one PartitionDirectory per tuple")
   }
 }

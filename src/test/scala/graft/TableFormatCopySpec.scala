@@ -81,7 +81,7 @@ class TableFormatCopySpec extends AnyFunSuite {
     val log =
       s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
          |{"metaData":{"id":"m1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1}}
-         |{"add":{"path":"$part","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+         |{"add":{"path":"$part","partitionValues":{},"size":${Files.size(java.nio.file.Paths.get(dir, part))},"modificationTime":1,"dataChange":true}}
          |""".stripMargin
     Files.write(logDir.resolve("00000000000000000000.json"),
       log.getBytes("UTF-8"))
