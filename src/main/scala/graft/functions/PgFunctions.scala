@@ -33,18 +33,28 @@ object PgFunctions {
     "MI" -> "mm",
     "SS" -> "ss", "MS" -> "SSS", "US" -> "SSSSSS",
     "YYYY" -> "yyyy", "YYY" -> "yyy", "YY" -> "yy", "Y" -> "y",
-    "IYYY" -> "YYYY", "IW" -> "ww",
     "MONTH" -> "MMMM", "Month" -> "MMMM", "month" -> "MMMM",
     "MON" -> "MMM", "Mon" -> "MMM", "mon" -> "MMM",
     "MM" -> "MM",
     "DAY" -> "EEEE", "Day" -> "EEEE", "day" -> "EEEE",
     "DY" -> "EEE", "Dy" -> "EEE", "dy" -> "EEE",
-    "DDD" -> "DDD", "DD" -> "dd", "ID" -> "e", "D" -> "F",
-    "WW" -> "ww", "W" -> "W",
+    "DDD" -> "DDD", "DD" -> "dd",
     "Q" -> "Q",
     "AM" -> "a", "PM" -> "a", "A.M." -> "a", "P.M." -> "a",
     "am" -> "a", "pm" -> "a",
     "TZ" -> "zz", "OF" -> "x")
+
+  /** PG specifiers with NO working Java-pattern spelling (Spark ≥3
+    * rejects the week letters `w`/`W` outright, Java's `e`/`F` are
+    * locale-/convention-divergent from PG's definitions): these render
+    * as COMPUTED expressions spliced between the pattern spans —
+    * ISO-8601 fields (IYYY = year of the week's Thursday, IW =
+    * zero-padded ISO week, ID = Monday-1 dow), PG's day-of-year-based
+    * weeks (WW = (ddd−1)/7+1 zero-padded, W = (dd−1)/7+1), and D
+    * (Sunday-1 dow).
+    */
+  private val toCharComputed: Seq[String] =
+    Seq("IYYY", "IW", "ID", "WW", "W", "D")
 
   /** PG specifiers that exist but have no faithful Java-pattern
     * translation. The reference refuses these instead of formatting
@@ -62,8 +72,20 @@ object PgFunctions {
     "B.C.", "A.D.", "b.c.", "a.d.", "BC", "AD", "bc", "ad",
     "TM", "FX") // translation mode / fixed format modifiers
 
-  def translateToChar(pgFmt: String): String = {
+  private[graft] sealed trait ToCharSeg
+  private[graft] final case class PatSeg(pattern: String) extends ToCharSeg
+  private[graft] final case class FieldSeg(name: String) extends ToCharSeg
+
+  /** Walk a PG format string into Java-pattern spans interleaved with
+    * computed-field markers. Longest match wins at every position
+    * across BOTH sets (IYYY beats IY beats nothing; DD beats D; IW
+    * beats nothing; WW beats W).
+    */
+  private[graft] def toCharSegments(pgFmt: String): Seq[ToCharSeg] = {
+    val segs = Seq.newBuilder[ToCharSeg]
     val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { segs += PatSeg(sb.toString); sb.clear() }
     var i = 0
     while (i < pgFmt.length) {
       val c = pgFmt.charAt(i)
@@ -79,9 +101,13 @@ object PgFunctions {
         // convertibility gate: a KNOWN-but-untranslatable specifier must
         // error loudly, unless a longer supported match wins at this
         // position (e.g. IYYY beats IY)
-        val supported = toCharTable.collect {
-          case (pg, j) if pgFmt.startsWith(pg, i) => (pg, j)
-        }.sortBy(-_._1.length).headOption
+        val supported: Option[(String, Option[String])] =
+          (toCharTable.collect {
+            case (pg, j) if pgFmt.startsWith(pg, i) => (pg, Some(j))
+          } ++ toCharComputed.collect {
+            case pg if pgFmt.startsWith(pg, i) =>
+              (pg, None: Option[String])
+          }).sortBy(-_._1.length).headOption
         val blocked = toCharUnsupported.filter(pgFmt.startsWith(_, i))
           .sortBy(-_.length).headOption
         (supported, blocked) match {
@@ -89,7 +115,9 @@ object PgFunctions {
             throw new IllegalArgumentException(
               s"to_char: pattern '$b' is not supported (position $i of " +
                 s"'$pgFmt')")
-          case (Some((pg, java)), _) => sb.append(java); i += pg.length
+          case (Some((pg, Some(java))), _) => sb.append(java); i += pg.length
+          case (Some((pg, None)), _) =>
+            flush(); segs += FieldSeg(pg); i += pg.length
           case (None, None) =>
             // non-pattern chars pass through; quote letters so Java
             // doesn't interpret them
@@ -99,8 +127,48 @@ object PgFunctions {
         }
       }
     }
-    sb.toString
+    flush()
+    segs.result()
   }
+
+  /** `to_char(ts, fmt)` as one expression: DateFormatClass over the
+    * pattern spans, computed date arithmetic for the fields Java
+    * patterns can't render faithfully, concatenated in order.
+    */
+  private def toCharExpr(ts0: Expression, fmt: String): Expression = {
+    val ts = Cast(ts0, TimestampType)
+    val d = Cast(ts, DateType)
+    // Monday-1 ISO day of week (Spark WeekDay is Monday-0)
+    def isoDow = Add(WeekDay(d), Literal(1))
+    val parts: Seq[Expression] = toCharSegments(fmt).map {
+      case PatSeg(p) => DateFormatClass(ts, Literal(p))
+      case FieldSeg("IW") => StringLPad(
+        Cast(WeekOfYear(d), StringType), Literal(2), Literal("0"))
+      case FieldSeg("ID") => Cast(isoDow, StringType)
+      case FieldSeg("IYYY") =>
+        // ISO year = calendar year of this week's THURSDAY
+        Cast(Year(DateAdd(d, Subtract(Literal(4), isoDow))), StringType)
+      case FieldSeg("WW") => StringLPad(
+        Cast(Add(Divide2(Subtract(DayOfYear(d), Literal(1)), Literal(7)),
+          Literal(1)), StringType), Literal(2), Literal("0"))
+      case FieldSeg("W") =>
+        Cast(Add(Divide2(Subtract(DayOfMonth(d), Literal(1)), Literal(7)),
+          Literal(1)), StringType)
+      case FieldSeg("D") =>
+        Cast(DayOfWeek(d), StringType) // PG D: Sunday = 1
+      case FieldSeg(other) => throw new IllegalStateException(
+        s"unhandled computed to_char field $other")
+    }
+    parts match {
+      case Seq() => Literal("")
+      case Seq(one) => one
+      case many => Concat(many)
+    }
+  }
+
+  /** Integer division as an expression (Divide is fractional). */
+  private def Divide2(a: Expression, b: Expression): Expression =
+    IntegralDivide(Cast(a, LongType), Cast(b, LongType))
 
   /** Sessions already registered — registration is called from every
     * LakeEngine constructor and every SQL-text QueryDef, so without this
@@ -331,8 +399,7 @@ object PgFunctions {
     //     IsConvertibleToChar, to_char.c:262). ---
     f("to_char") {
       case Seq(ts, Literal(fmt, StringType)) =>
-        DateFormatClass(Cast(ts, TimestampType),
-          Literal(translateToChar(fmt.toString)))
+        toCharExpr(ts, fmt.toString)
       case args =>
         throw new IllegalArgumentException(
           "to_char requires (timestamp, literal format string), got: " + args)

@@ -962,6 +962,9 @@ object Fuzz {
         // convention-divergent (WW/W/IW/Y/YYY — week-numbering and
         // minimum-digit-year rules differ) stay out of the pool, the
         // same posture as the timestamp grammar's no-months rule.
+        // The ISO-8601 family (IW/ID/IYYY, r13) IS in the pool: both
+        // engines agree on ISO week numbering, spelled piecewise via
+        // DuckDB's EXTRACT(WEEK/ISODOW/ISOYEAR).
         val rndF = new Random(Seed + 21)
         val toks: Seq[(String, String)] = Seq(
           "YYYY" -> "%Y", "YY" -> "%y", "MM" -> "%m",
@@ -969,11 +972,18 @@ object Fuzz {
           "HH12" -> "%I", "MI" -> "%M", "SS" -> "%S",
           "Mon" -> "%b", "Month" -> "%B", "Day" -> "%A",
           "Dy" -> "%a", "AM" -> "%p",
-          // non-strftime pieces: quarter + a quoted-literal span
-          "Q" -> "", "\"wk\"" -> "")
+          // non-strftime pieces: quarter, ISO-8601 fields, and a
+          // quoted-literal span
+          "Q" -> "", "IW" -> "", "ID" -> "", "IYYY" -> "",
+          "\"wk\"" -> "")
         val seps = Seq("-", "/", " ", ":", ".", ", ")
         def duckPiece(tok: String): String = tok match {
           case "Q" => "CAST(EXTRACT(QUARTER FROM ts) AS VARCHAR)"
+          // DuckDB's WEEK is the ISO week number; PG's IW zero-pads
+          case "IW" =>
+            "LPAD(CAST(EXTRACT(WEEK FROM ts) AS VARCHAR), 2, '0')"
+          case "ID" => "CAST(EXTRACT(ISODOW FROM ts) AS VARCHAR)"
+          case "IYYY" => "CAST(EXTRACT(ISOYEAR FROM ts) AS VARCHAR)"
           case "\"wk\"" => "'wk'"
           case t => s"STRFTIME(ts, '${toks.toMap.apply(t)}')"
         }

@@ -320,6 +320,46 @@ object Relational {
         .orderBy("n_regionkey")
     },
 
+    // ---- multi-statement transactions (§2.8 r13, reference
+    // test_iceberg_in_tx.py / test_iceberg_xacts.py): the judged path
+    // drives a REAL transaction over a managed table — staged INSERT +
+    // UPDATE, a savepoint whose DELETE is rolled back, a real DELETE,
+    // COMMIT, then a second transaction fully ROLLED BACK — and
+    // returns the final table state; the oracle reproduces the NET
+    // effect as pure SQL over the fixture, so staging, savepoint
+    // restore, and rollback visibility are all differentially judged
+    QueryDef(
+      "q_tx_dml",
+      """SELECT n.n_nationkey, n.n_name,
+        |  CASE WHEN n.n_nationkey < 3 THEN 99
+        |       ELSE n.n_regionkey END AS n_regionkey
+        |FROM nation n WHERE n.n_nationkey <> 24
+        |UNION ALL
+        |SELECT n_nationkey + 100, 'N' || CAST(n_nationkey AS VARCHAR),
+        |  n_regionkey
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val e = graft.LakeEngine(s)
+      e.createTableFrom("q_tx_nation",
+        graft.LakeEngine.tempLocation("q_tx"), s"$dir/nation.parquet")
+      e.sql("BEGIN")
+      e.sql("INSERT INTO q_tx_nation SELECT n_nationkey + 100, " +
+        "concat('N', CAST(n_nationkey AS STRING)), n_regionkey " +
+        "FROM q_tx_nation WHERE n_nationkey < 5")
+      e.sql("UPDATE q_tx_nation SET n_regionkey = 99 WHERE n_nationkey < 3")
+      e.sql("SAVEPOINT sp1")
+      e.sql("DELETE FROM q_tx_nation " +
+        "WHERE n_nationkey >= 20 AND n_nationkey < 100")
+      e.sql("ROLLBACK TO SAVEPOINT sp1")
+      e.sql("DELETE FROM q_tx_nation WHERE n_nationkey = 24")
+      e.sql("COMMIT")
+      e.sql("BEGIN")
+      e.sql("UPDATE q_tx_nation SET n_regionkey = -1")
+      e.sql("ROLLBACK")
+      e.sql("SELECT n_nationkey, n_name, n_regionkey FROM q_tx_nation " +
+        "ORDER BY n_nationkey")
+    },
+
     // ---- sniffed CSV lake table (§2.1 CSV matrix): rows round-trip
     // through the PG-convention CSV writer, then back through the
     // dialect-sniffing reader with no options given — delimiter, quote,

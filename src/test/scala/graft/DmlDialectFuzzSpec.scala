@@ -25,7 +25,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
   // ---- paired (sql text, Column) predicate generator -----------------
   private final case class P(text: String, col: Column)
 
-  private val rnd = new Random(20260815)
+  private var rnd = new Random(20260815)
 
   private val rePats = Seq("a.*a", "[0-9]$", "x-", "msg", "v[12]")
   // (PG SIMILAR TO pattern, full-match regex twin)
@@ -119,15 +119,25 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     d.select("id", "msg").collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
 
-  test("generated dialect DML matches the independent Column path") {
+  /** One full fuzz run over a fresh table; returns the final state.
+    * `props` selects the WRITE PATH under test: default = CoW
+    * classification for most steps; `copy_on_write_threshold = 100`
+    * (fuzz dimension 24) = every partial-file DELETE/UPDATE takes
+    * merge-on-read position deletes instead of rewriting — the same
+    * statements must produce the same states either way.
+    */
+  private def runFuzz(table: String, seed: Long,
+      props: Map[String, String]): Seq[(Long, String)] = {
+    rnd = new Random(seed)
     val e = LakeEngine(spark)
     val init: Seq[(Long, String)] = (0L until 60L).map { i =>
       val tag = Seq("alpha", "x-9", "Msg", "v1", "v2", "row-7", "data")(
         (i % 7).toInt)
       (i, s"$tag-$i")
     }
-    e.createTableAsSelect("fz_dml", LakeEngine.tempLocation("fzdml"),
-      df(init))
+    e.register(table, graft.lake.LakeTable.createAsSelect(spark,
+      LakeEngine.tempLocation(table), table, df(init),
+      properties = props))
     var expected = init
 
     var updates = 0
@@ -140,7 +150,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       if (step % 2 == 0) {
         // UPDATE ... SET msg (dialect expr) ... RETURNING id
         val ret = e.sql(
-          s"""UPDATE fz_dml SET msg = concat('u', "msg")
+          s"""UPDATE $table SET msg = concat('u', "msg")
              |WHERE ${p.text} RETURNING id""".stripMargin)
           .collect().map(_.getLong(0)).sorted.toSeq
         val expHit = collectRows(df(expected).filter(gate)).map(_._1)
@@ -153,7 +163,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       } else {
         // DELETE ... WHERE (dialect) RETURNING id
         val ret = e.sql(
-          s"DELETE FROM fz_dml WHERE ${p.text} RETURNING id")
+          s"DELETE FROM $table WHERE ${p.text} RETURNING id")
           .collect().map(_.getLong(0)).sorted.toSeq
         val expHit = collectRows(df(expected).filter(gate)).map(_._1)
         assert(ret == expHit,
@@ -164,7 +174,7 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       }
       // full-state check every step: the table equals the
       // independently-evolved expected rows
-      val actual = collectRows(e.sql("SELECT id, msg FROM fz_dml"))
+      val actual = collectRows(e.sql(s"SELECT id, msg FROM $table"))
       assert(actual == expected,
         s"step $step state diverged after ${p.text}")
     }
@@ -172,6 +182,49 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     assert(updates > 10 && deletes > 5,
       s"degenerate fuzz run: $updates updates, $deletes deletes — " +
         "tune the seed so predicates hit rows")
-    e.dropTable("fz_dml")
+    val fin = expected
+    e.dropTable(table)
+    fin
+  }
+
+  test("generated dialect DML matches the independent Column path") {
+    runFuzz("fz_dml", 20260815L, Map.empty)
+  }
+
+  /** Fuzz dimension 24 (VERDICT r12 next-round #5): the SAME
+    * alternating UPDATE/DELETE state fuzz with
+    * `copy_on_write_threshold = 100` — every partial-file write takes
+    * the merge-on-read position-delete path — must hold the per-step
+    * state equality too, and the final state must equal the CoW run's
+    * (same seed ⇒ same statements ⇒ same rows, regardless of the
+    * write-path classification).
+    */
+  test("fuzz under merge-on-read (threshold 100) ≡ copy-on-write") {
+    val cow = runFuzz("fz_dml_cow", 20260816L, Map.empty)
+    val mor = runFuzz("fz_dml_mor", 20260816L,
+      Map("copy_on_write_threshold" -> "100",
+        "autovacuum_enabled" -> "false"))
+    assert(cow == mor,
+      s"CoW and MoR final states diverged: cow=${cow.size} rows, " +
+        s"mor=${mor.size} rows")
+  }
+
+  test("merge-on-read fuzz really writes position deletes") {
+    // a one-shot probe of the classification under threshold 100:
+    // a partial DELETE must land as position deletes, not a rewrite
+    val e = LakeEngine(spark)
+    val t = graft.lake.LakeTable.createAsSelect(spark,
+      LakeEngine.tempLocation("fzmorp"), "fz_mor_probe",
+      df((0L until 60L).map(i => (i, s"m-$i"))),
+      properties = Map("copy_on_write_threshold" -> "100",
+        "autovacuum_enabled" -> "false"))
+    e.register("fz_mor_probe", t)
+    e.sql("DELETE FROM fz_mor_probe WHERE id < 5")
+    val snap = t.meta.currentSnapshot.get
+    assert(snap.deleteFiles.nonEmpty,
+      "threshold 100 must classify a partial delete as merge-on-read")
+    assert(e.sql("SELECT count(*) FROM fz_mor_probe").first().getLong(0)
+      == 55)
+    e.dropTable("fz_mor_probe")
   }
 }

@@ -135,4 +135,30 @@ class PgCompatSpec extends AnyFunSuite {
     assert(r.getString(2) == "1")
     e.dropTable("conv_t")
   }
+
+  /** to_char's computed fields (no working Java pattern in Spark ≥3):
+    * ISO-8601 year/week/dow boundary pins straight from the PG docs,
+    * plus PG's day-of-year-based WW/W and Sunday-1 D.
+    */
+  test("to_char ISO and week fields: boundary pins") {
+    val e = LakeEngine(spark)
+    def tc(date: String, fmt: String): String =
+      e.sql(s"SELECT to_char('$date'::date::timestamp, '$fmt') AS v")
+        .head.getString(0)
+    // 2023-01-01 is a SUNDAY: ISO week 52 of ISO year 2022
+    assert(tc("2023-01-01", "IYYY-IW-ID") == "2022-52-7")
+    // 2024-01-01 is a MONDAY: ISO week 1 of 2024
+    assert(tc("2024-01-01", "IYYY-IW-ID") == "2024-01-1")
+    // 2024-12-30 (Monday) already belongs to ISO 2025 week 1
+    assert(tc("2024-12-30", "IYYY-IW") == "2025-01")
+    // PG WW/W are day-of-year arithmetic, not calendar weeks
+    assert(tc("2024-01-01", "WW") == "01")
+    assert(tc("2024-12-31", "WW") == "53") // (366-1)/7+1
+    assert(tc("2024-01-08", "W") == "2")   // (8-1)/7+1
+    // D is Sunday=1 (2023-01-01 Sunday, 2024-01-01 Monday)
+    assert(tc("2023-01-01", "D") == "1")
+    assert(tc("2024-01-01", "D") == "2")
+    // composed with pattern spans and literals on both sides
+    assert(tc("2024-01-01", "YYYY\"w\"IW-DD") == "2024w01-01")
+  }
 }

@@ -187,6 +187,92 @@ class TxSpec extends AnyFunSuite {
       == Seq(1L))
   }
 
+  /** The reference's test_iceberg_xacts.py shape: CREATE + mixed DML
+    * over TWO tables inside one transaction, committed together; a
+    * second engine over the same storage sees both-or-neither.
+    */
+  test("multi-table transaction: create + insert two tables, " +
+      "commit together, second engine sees both") {
+    val e = LakeEngine(spark)
+    val (l1, l2) = (s"${tmp()}/t1", s"${tmp()}/t2")
+    e.sql("BEGIN")
+    e.sql(s"CREATE TABLE txm_t1 LOCATION '$l1' AS " +
+      "SELECT id, concat('Item ', id) AS name FROM range(100)")
+    e.sql(s"CREATE TABLE txm_t2 LOCATION '$l2' AS " +
+      "SELECT id, id * 2 AS qty FROM range(50)")
+    e.sql("INSERT INTO txm_t1 SELECT id + 100, concat('X', id) FROM range(10)")
+    e.sql("UPDATE txm_t2 SET qty = qty + 1 WHERE id < 5")
+    e.sql("DELETE FROM txm_t1 WHERE id = 0")
+    // in-tx view is consistent
+    assert(e.sql("SELECT count(*) FROM txm_t1").first().getLong(0) == 109)
+    e.sql("COMMIT")
+    // a SECOND engine attaching to the same storage sees the whole
+    // transaction's outcome
+    val e2 = LakeEngine(spark)
+    assert(e2.loadTable("txm2_t1", l1).read().count() == 109)
+    val q = e2.loadTable("txm2_t2", l2).read()
+      .filter(col("id") < 5).agg(sum("qty")).first().getLong(0)
+    assert(q == (0 until 5).map(_ * 2 + 1).sum)
+  }
+
+  /** Randomized transaction fuzz: a scripted sequence of
+    * BEGIN/DML/SAVEPOINT/ROLLBACK TO/ROLLBACK/COMMIT steps drawn from
+    * a seeded RNG, mirrored against a driver-maintained expected
+    * state (with its own savepoint stack). Any divergence in the
+    * staged-visibility or restore logic lands as a state mismatch.
+    */
+  test("transaction fuzz: random begin/savepoint/rollback/commit " +
+      "sequences track the model") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_fz", loc, (0L until 20L).toDF("id"))
+    val rnd = new scala.util.Random(20260813L)
+    var committed: Set[Long] = (0L until 20L).toSet
+    var staged: Set[Long] = committed
+    var inTx = false
+    var marks = List.empty[(String, Set[Long])]
+    var nextId = 100L
+    def stateNow: Set[Long] =
+      e.sql("SELECT id FROM tx_fz").as[Long].collect().toSet
+    for (step <- 0 until 120) {
+      rnd.nextInt(10) match {
+        case 0 if !inTx => e.sql("BEGIN"); inTx = true; marks = Nil
+        case 1 if inTx =>
+          e.sql("COMMIT"); committed = staged; inTx = false
+        case 2 if inTx =>
+          e.sql("ROLLBACK"); staged = committed; inTx = false
+        case 3 if inTx =>
+          val n = s"sp${step % 7}"
+          e.sql(s"SAVEPOINT $n"); marks = (n, staged) :: marks
+        case 4 if inTx && marks.nonEmpty =>
+          val (n, snap) = marks(rnd.nextInt(marks.size))
+          e.sql(s"ROLLBACK TO SAVEPOINT $n")
+          staged = snap
+          marks = marks.dropWhile(_._1 != n) // later marks destroyed
+        case k if k >= 5 && k % 2 == 1 =>
+          val v = nextId; nextId += 1
+          e.sql(s"INSERT INTO tx_fz VALUES ($v)")
+          staged += v
+          if (!inTx) committed = staged
+        case _ =>
+          if (staged.nonEmpty) {
+            val v = staged.toSeq(rnd.nextInt(staged.size))
+            e.sql(s"DELETE FROM tx_fz WHERE id = $v")
+            staged -= v
+            if (!inTx) committed = staged
+          }
+      }
+      assert(stateNow == staged, s"step $step: engine state diverged")
+      // committed state stays what the model says it is
+      assert(new graft.lake.LakeTable(spark, loc).read()
+        .as[Long].collect().toSet == committed,
+        s"step $step: COMMITTED state diverged (tx leak)")
+    }
+    if (inTx) e.sql("ROLLBACK")
+    assert(stateNow == committed)
+    e.dropTable("tx_fz")
+  }
+
   test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
