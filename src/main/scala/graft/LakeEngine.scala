@@ -45,6 +45,9 @@ final class LakeEngine(val spark: SparkSession) {
   // in SURVEY §8; the reference has the same per-catalog-commit
   // boundary for its object-store catalogs).
   private final class EngineTx {
+    // the reference's operation_id: one id labels every file a
+    // transaction staged (lake_engine.in_progress_files)
+    val txId: String = java.util.UUID.randomUUID().toString
     val overlays =
       scala.collection.mutable.LinkedHashMap.empty[String, lake.TxOverlay]
     // tables created during the transaction: ROLLBACK drops them
@@ -75,19 +78,49 @@ final class LakeEngine(val spark: SparkSession) {
       activeTx = Some(tx)
   }
 
+  /** Data files `cur` references beyond `base` — parquet the
+    * transaction wrote eagerly that no committed snapshot references
+    * yet.
+    */
+  private def stagedPaths(base: lake.TableMetadata,
+      cur: lake.TableMetadata): Seq[String] = {
+    val keep = base.snapshots.flatMap(_.files.map(_.path)).toSet
+    cur.snapshots.flatMap(_.files.map(_.path)).distinct.filterNot(keep)
+  }
+
   /** Staged data files beyond `base` — parquet the transaction wrote
     * eagerly that no committed snapshot will ever reference.
     */
   private def reapStaged(base: lake.TableMetadata,
-      cur: lake.TableMetadata): Unit = {
-    val keep = base.snapshots.flatMap(_.files.map(_.path)).toSet
-    cur.snapshots.flatMap(_.files.map(_.path)).distinct
-      .filterNot(keep).foreach { p =>
-        try lake.LakeFs.deleteIfExists(p)
-        catch { case scala.util.control.NonFatal(e) =>
-          txLog.warn(s"rollback: could not reap staged file $p", e)
-        }
+      cur: lake.TableMetadata): Unit =
+    stagedPaths(base, cur).foreach { p =>
+      try lake.LakeFs.deleteIfExists(p)
+      catch { case scala.util.control.NonFatal(e) =>
+        txLog.warn(s"rollback: could not reap staged file $p", e)
       }
+    }
+
+  /** The reference's `lake_engine.in_progress_files` view
+    * (test_iceberg_in_progress_files.py): every file the ACTIVE
+    * transaction has written that no committed snapshot references,
+    * labeled by the transaction's operation id. Empty outside a
+    * transaction. Files a CRASHED transaction left behind have no
+    * in-memory record — VACUUM's grace-bounded unreferenced-file
+    * sweep reaps them, same as the reference's vacuum path.
+    */
+  def inProgressFiles: DataFrame = {
+    import spark.implicits._
+    activeTx match {
+      case None =>
+        Seq.empty[(String, String, String)]
+          .toDF("path", "operation_id", "table_name")
+      case Some(tx) =>
+        tx.overlays.toSeq.flatMap { case (n, ov) =>
+          ov.staged.toSeq.flatMap { case (base, cur) =>
+            stagedPaths(base, cur).map(p => (p, tx.txId, n))
+          }
+        }.toDF("path", "operation_id", "table_name")
+    }
   }
 
   private def endTx(tx: EngineTx): Unit = {
@@ -128,6 +161,11 @@ final class LakeEngine(val spark: SparkSession) {
           // the state is committed — never uncommitted metadata
           if (cur.properties.get("iceberg.export").contains("true"))
             lake.IcebergExport.export(t)
+          // autovacuum was suppressed during the transaction; give the
+          // table its usual post-write maintenance pass now that the
+          // overlay is about to clear (same policy as autocommit)
+          t.txOverlay = None
+          t.maintainIfDue()
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -1972,6 +2010,10 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).snapshots
       case filesRe(name) if tables.contains(name) =>
         table(name).files
+      case inProgressRe(proj) =>
+        val df = inProgressFiles
+        if (proj.trim == "*") df
+        else df.select(splitTopLevel(proj).map(c => col(c.trim)): _*)
       case fileListRe(proj, glob) =>
         val all = listFiles(glob)
         if (proj.trim == "*") all
@@ -2829,6 +2871,10 @@ final class LakeEngine(val spark: SparkSession) {
   private val rollbackTxRe =
     "(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
   private val savepointRe = "(?is)^SAVEPOINT\\s+(\\w+)\\s*;?\\s*$".r
+  // the reference's in-progress-files inspection view
+  // (lake_engine.in_progress_files, test_iceberg_in_progress_files.py)
+  private val inProgressRe = ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+" +
+    "lake_engine\\.in_progress_files\\s*;?\\s*$").r
   private val rollbackToRe = ("(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?" +
     "\\s+TO\\s+(?:SAVEPOINT\\s+)?(\\w+)\\s*;?\\s*$").r
   private val releaseRe =

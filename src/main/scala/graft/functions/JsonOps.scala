@@ -90,14 +90,18 @@ case class JsonArrow(left: Expression, right: Expression, asText: Boolean)
         case LongType => k match { case n: Number => n.longValue; case _ => k }
         case FloatType => k match { case n: Number => n.floatValue; case _ => k }
         case DoubleType => k match { case n: Number => n.doubleValue; case _ => k }
-        case dt: DecimalType => k match {
-          case n: org.apache.spark.sql.types.Decimal =>
-            org.apache.spark.sql.types.Decimal(
-              n.toBigDecimal.setScale(dt.scale), dt.precision, dt.scale)
-          case n: Number => org.apache.spark.sql.types.Decimal(
-            BigDecimal(n.toString).setScale(dt.scale), dt.precision, dt.scale)
-          case _ => k
-        }
+        case dt: DecimalType =>
+          // a probe whose scale cannot be represented exactly can never
+          // equal a map key — leave it unnormalized (lookup misses)
+          try k match {
+            case n: org.apache.spark.sql.types.Decimal =>
+              org.apache.spark.sql.types.Decimal(
+                n.toBigDecimal.setScale(dt.scale), dt.precision, dt.scale)
+            case n: Number => org.apache.spark.sql.types.Decimal(
+              BigDecimal(n.toString).setScale(dt.scale),
+              dt.precision, dt.scale)
+            case _ => k
+          } catch { case _: ArithmeticException => k }
         case _ => k
       }
       var i = 0

@@ -320,8 +320,10 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
               val badRef = updates
                 .filter(_.get("action").asText() == "set-snapshot-ref")
                 .find { u =>
-                  u.get("ref-name").asText() != "main" ||
-                    !addSnapId.contains(u.get("snapshot-id").asLong())
+                  !Option(u.get("ref-name")).map(_.asText())
+                    .contains("main") ||
+                    !Option(u.get("snapshot-id")).map(_.asLong())
+                      .exists(addSnapId.contains)
                 }
               val buildEntries = updates
                 .find(_.get("action").asText() == "add-snapshot")

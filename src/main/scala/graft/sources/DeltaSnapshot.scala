@@ -509,6 +509,7 @@ final class DeltaFileIndex(tableDir: String,
     */
   private def materialize(keep: Seq[Seq[Option[String]]])
       : Seq[PartitionDirectory] = {
+    if (keep.isEmpty) { lastMaterialized = 0; return Nil }
     val pruned =
       if (partCols.isEmpty || keep.size == tuples.size) withTuple
       else withTuple.filter(keep.map(t => t.zipWithIndex.map {
@@ -522,7 +523,8 @@ final class DeltaFileIndex(tableDir: String,
       .toSeq.sortBy(_._1.map(_.getOrElse("")).mkString("/"))
       .map { case (tuple, group) =>
         val statuses = group.sortBy(_.getString(0)).map { r =>
-          new FileStatus(r.getLong(1), false, 1, 128L << 20, 0L,
+          val sz = if (r.isNullAt(1)) 0L else r.getLong(1)
+          new FileStatus(sz, false, 1, 128L << 20, 0L,
             new HPath(s"file://$tableDir/${r.getString(0)}"))
         }.toArray
         PartitionDirectory(rowOf(tuple), statuses)

@@ -461,6 +461,13 @@ class DeltaSnapshotSpec extends AnyFunSuite {
       s"pruned listing materialized ${idx.lastMaterialized} entries " +
         "(expected 100 — the surviving partition only)")
 
+    // a filter matching NO partition lists nothing (and must not
+    // blow up on the empty surviving set)
+    val none = idx.listFiles(
+      Seq(EqualTo(p, Literal(UTF8String.fromString("nope"), StringType))),
+      Nil)
+    assert(none.isEmpty && idx.lastMaterialized == 0)
+
     // the unpruned listing is the documented O(files)-at-plan-time
     // path (Spark's FileIndex contract) — and it still lists all 10k
     val all = idx.listFiles(Nil, Nil)

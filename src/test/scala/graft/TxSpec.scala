@@ -273,6 +273,76 @@ class TxSpec extends AnyFunSuite {
     e.dropTable("tx_fz")
   }
 
+  /** The reference's lake_engine.in_progress_files surface
+    * (test_iceberg_in_progress_files.py): files the active transaction
+    * staged list with ONE operation_id; they vanish at
+    * COMMIT/ROLLBACK; a CRASHED transaction's files are reaped by
+    * VACUUM's unreferenced-file sweep.
+    */
+  test("in_progress_files lists staged files; VACUUM reaps a crashed " +
+      "transaction's leftovers") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_ipf", loc, Seq(1L).toDF("id"))
+    assert(e.sql("SELECT * FROM lake_engine.in_progress_files")
+      .count() == 0)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_ipf VALUES (2)")
+    e.sql("INSERT INTO tx_ipf VALUES (3)")
+    e.sql("DELETE FROM tx_ipf WHERE id = 1")
+    val rows = e.sql(
+      "SELECT path, operation_id, table_name " +
+        "FROM lake_engine.in_progress_files").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(2) == "tx_ipf"))
+    assert(rows.map(_.getString(1)).distinct.length == 1,
+      "one operation_id labels the whole transaction")
+    rows.foreach(r => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        r.getString(0))), s"staged file missing: ${r.getString(0)}"))
+    e.sql("COMMIT")
+    assert(e.sql("SELECT * FROM lake_engine.in_progress_files")
+      .count() == 0)
+
+    // crash shape: stage writes, abandon the engine (no COMMIT) — the
+    // files are unreferenced on storage; VACUUM's sweep reclaims them
+    val filesBefore = dataFiles(e.table("tx_ipf")).toSet
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_ipf VALUES (99)")
+    val orphans = e.sql("SELECT path FROM lake_engine.in_progress_files")
+      .collect().map(_.getString(0)).toSet
+    assert(orphans.nonEmpty)
+    // "crash": a fresh LakeTable over the same storage, old engine
+    // forgotten mid-transaction
+    val t2 = new graft.lake.LakeTable(spark, loc)
+    assert(orphans.forall(p =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    t2.vacuum(graceMs = 0)
+    assert(orphans.forall(p =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(p))),
+      "VACUUM must reap a crashed transaction's staged files")
+    assert(t2.read().as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("COPY FROM and DML RETURNING stage inside a transaction") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("tx_copy", loc, Seq((1L, "a")).toDF("id", "v"))
+    val csv = java.nio.file.Files.createTempFile("txcopy", ".csv")
+    java.nio.file.Files.write(csv, "id,v\n2,b\n3,c\n".getBytes)
+    e.sql("BEGIN")
+    assert(e.sql(s"COPY tx_copy FROM '$csv' WITH (format 'csv')")
+      .first().getLong(0) == 2)
+    // RETURNING inside the tx projects the staged rows
+    val ret = e.sql(
+      "UPDATE tx_copy SET v = upper(v) WHERE id >= 2 RETURNING id, v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(ret.toSeq == Seq((2L, "B"), (3L, "C")))
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 1)
+    e.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 3)
+  }
+
   test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
