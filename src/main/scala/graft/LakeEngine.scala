@@ -460,6 +460,13 @@ final class LakeEngine(val spark: SparkSession) {
       clientSecret: Option[String] = None,
       oauthUri: Option[String] = None,
       maxCommitRetries: Int = 3): Long = {
+    // the EXTERNAL catalog owns this commit — it cannot stage in the
+    // engine transaction and ROLLBACK could not undo it; refuse
+    // loudly rather than break the transaction's promise
+    require(activeTx.isEmpty,
+      "insertIntoRestTable cannot run inside a transaction block: " +
+        "the external catalog commits immediately and ROLLBACK could " +
+        "not undo it")
     val client = new lake.RestCatalogClient(catalogUri, clientId,
       clientSecret, oauthUri)
     val load0 = client.loadTable(namespace, table)

@@ -343,6 +343,59 @@ class TxSpec extends AnyFunSuite {
     assert(new graft.lake.LakeTable(spark, loc).read().count() == 3)
   }
 
+  /** Hidden partitioning × transactions: partitioned writes stage,
+    * pruning works on the staged view in-tx and on the committed
+    * state after; a rolled-back partition write leaves nothing.
+    */
+  test("partitioned table DML stages in-tx; pruning holds through COMMIT") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    val t = graft.lake.LakeTable.createAsSelect(spark, loc, "tx_part",
+      spark.range(100).select(col("id"),
+        (col("id") % 4).cast("int").as("bucket_val")),
+      partitionSpec = Seq("identity(bucket_val)"))
+    e.register("tx_part", t)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_part SELECT id + 100, CAST(id % 4 AS INT) " +
+      "FROM range(40)")
+    e.sql("DELETE FROM tx_part WHERE bucket_val = 3")
+    // staged state: 100+40 minus the bucket-3 rows (25 + 10)
+    assert(e.sql("SELECT count(*) FROM tx_part").first().getLong(0) == 105)
+    // partition pruning against the STAGED metadata
+    val (kept, total) = t.pruneStats(col("bucket_val") === 1)
+    assert(kept < total, s"no pruning on staged metadata ($kept/$total)")
+    e.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 105)
+    val (k2, t2) = t.pruneStats(col("bucket_val") === 1)
+    assert(k2 < t2)
+    // a rolled-back partitioned write leaves no trace
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_part SELECT id + 500, CAST(id % 4 AS INT) " +
+      "FROM range(20)")
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT count(*) FROM tx_part").first().getLong(0) == 105)
+  }
+
+  test("REST-catalog append refuses inside a transaction block") {
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      import org.apache.spark.sql.types._
+      e.createRestTable(srv.address, "default", "tx_rest",
+        StructType(Seq(StructField("id", LongType))))
+      e.sql("BEGIN")
+      val err = intercept[IllegalArgumentException] {
+        e.insertIntoRestTable(srv.address, "default", "tx_rest",
+          Seq(1L).toDF("id"))
+      }
+      assert(err.getMessage.contains("cannot run inside a transaction"))
+      e.sql("ROLLBACK")
+      // and works again outside one
+      assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
+        Seq(1L).toDF("id")) == 1)
+    } finally srv.stop()
+  }
+
   test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
