@@ -376,6 +376,41 @@ class TxSpec extends AnyFunSuite {
     assert(e.sql("SELECT count(*) FROM tx_part").first().getLong(0) == 105)
   }
 
+  /** Merge-on-read × transactions: an in-tx DELETE on a threshold-100
+    * table stages position-delete FILES (not a rewrite) alongside the
+    * staged metadata; in-tx reads apply them, ROLLBACK reaps them,
+    * COMMIT publishes them.
+    */
+  test("merge-on-read DELETE stages inside a transaction") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    val t = graft.lake.LakeTable.createAsSelect(spark, loc, "tx_mor",
+      (0L until 50L).toDF("id"),
+      properties = Map("copy_on_write_threshold" -> "100",
+        "autovacuum_enabled" -> "false"))
+    e.register("tx_mor", t)
+    val dataBefore = dataFiles(t).toSet
+    e.sql("BEGIN")
+    e.sql("DELETE FROM tx_mor WHERE id < 5")
+    // staged as position deletes: original data files untouched
+    assert(t.meta.currentSnapshot.get.deleteFiles.nonEmpty,
+      "threshold 100 in-tx must stage position deletes")
+    assert(dataFiles(t).toSet.intersect(dataBefore) == dataBefore,
+      "merge-on-read must not rewrite data files")
+    assert(e.sql("SELECT count(*) FROM tx_mor").first().getLong(0) == 45)
+    assert(new graft.lake.LakeTable(spark, loc).read().count() == 50)
+    e.sql("ROLLBACK")
+    // the staged delete files are reaped, data files intact
+    assert(dataFiles(t).toSet == dataBefore)
+    assert(e.sql("SELECT count(*) FROM tx_mor").first().getLong(0) == 50)
+    e.sql("BEGIN")
+    e.sql("DELETE FROM tx_mor WHERE id < 7")
+    e.sql("COMMIT")
+    val after = new graft.lake.LakeTable(spark, loc)
+    assert(after.read().count() == 43)
+    assert(after.meta.currentSnapshot.get.deleteFiles.nonEmpty)
+  }
+
   test("REST-catalog append refuses inside a transaction block") {
     val e = LakeEngine(spark)
     val srv = e.serveRestCatalog()
