@@ -2875,8 +2875,9 @@ final class LakeEngine(val spark: SparkSession) {
     "\\s*;?\\s*$").r
   private val commitTxRe =
     "(?is)^(?:COMMIT|END)(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+  // ABORT is PG's ROLLBACK synonym (§SQL-ABORT)
   private val rollbackTxRe =
-    "(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+    "(?is)^(?:ROLLBACK|ABORT)(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
   private val savepointRe = "(?is)^SAVEPOINT\\s+(\\w+)\\s*;?\\s*$".r
   // the reference's in-progress-files inspection view
   // (lake_engine.in_progress_files, test_iceberg_in_progress_files.py)

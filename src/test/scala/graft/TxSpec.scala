@@ -73,6 +73,11 @@ class TxSpec extends AnyFunSuite {
     e.sql("ROLLBACK")
     assert(e.sql("SELECT id FROM tx_rb ORDER BY id").as[Long]
       .collect().toSeq == Seq(1L, 2L))
+    // ABORT is PG's ROLLBACK synonym
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_rb VALUES (9)")
+    e.sql("ABORT")
+    assert(e.sql("SELECT count(*) FROM tx_rb").first().getLong(0) == 2)
     assert(metaVersions(loc) == vBefore)
     // the eagerly-written parquet of the discarded statements is gone
     assert(dataFiles(t).toSet == filesBefore,
