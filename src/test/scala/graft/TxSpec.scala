@@ -436,6 +436,55 @@ class TxSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  /** Two ENGINES, two transactions, one table: both stage against the
+    * same base; the first COMMIT wins, the second serialization-fails
+    * and its staged rows never surface (the reference's
+    * multi-process test_iceberg_xacts posture, one JVM here).
+    */
+  test("racing transactions in two engines: first commit wins, " +
+      "second fails serialization") {
+    val loc = s"${tmp()}/t"
+    val e1 = LakeEngine(spark)
+    e1.createTableAsSelect("txr_a", loc, Seq(1L).toDF("id"))
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txr_b", loc)
+    e1.sql("BEGIN"); e2.sql("BEGIN")
+    e1.sql("INSERT INTO txr_a VALUES (10)")
+    e2.sql("INSERT INTO txr_b VALUES (20)")
+    // each engine sees only its own staged write
+    assert(e1.sql("SELECT id FROM txr_a").as[Long].collect().toSet ==
+      Set(1L, 10L))
+    assert(e2.sql("SELECT id FROM txr_b").as[Long].collect().toSet ==
+      Set(1L, 20L))
+    e1.sql("COMMIT")
+    val err = intercept[java.util.ConcurrentModificationException](
+      e2.sql("COMMIT"))
+    assert(err.getMessage.contains("could not serialize access"))
+    // the winner's rows, and only the winner's, are committed
+    assert(new graft.lake.LakeTable(spark, loc).read()
+      .as[Long].collect().toSet == Set(1L, 10L))
+  }
+
+  test("REFRESH MATERIALIZED VIEW stages in a transaction (PG allows it)") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("txmv_src", loc, Seq(1L, 2L).toDF("id"))
+    e.sql("CREATE MATERIALIZED VIEW txmv AS " +
+      "SELECT count(*) AS n FROM txmv_src")
+    assert(e.sql("SELECT n FROM txmv").first().getLong(0) == 2)
+    e.sql("INSERT INTO txmv_src VALUES (3)")
+    e.sql("BEGIN")
+    e.sql("REFRESH MATERIALIZED VIEW txmv")
+    assert(e.sql("SELECT n FROM txmv").first().getLong(0) == 3)
+    e.sql("ROLLBACK")
+    // the refresh rolled back with the transaction
+    assert(e.sql("SELECT n FROM txmv").first().getLong(0) == 2)
+    e.sql("BEGIN")
+    e.sql("REFRESH MATERIALIZED VIEW txmv")
+    e.sql("COMMIT")
+    assert(e.sql("SELECT n FROM txmv").first().getLong(0) == 3)
+  }
+
   test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
