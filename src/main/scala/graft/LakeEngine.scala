@@ -140,6 +140,21 @@ final class LakeEngine(val spark: SparkSession) {
       }
       var installed = 0
       try {
+        // pre-flight: check every dirty table's base BEFORE installing
+        // any. Not a guarantee (a writer can still land between the
+        // check and a later install — that race hits the CAS below),
+        // but it makes the common multi-table conflict abort with
+        // ZERO tables committed instead of a partial boundary.
+        dirty.foreach { case (n, base, _) =>
+          val t = tables.getOrElse(n, throw new IllegalStateException(
+            s"table $n vanished during the transaction"))
+          val disk = lake.TableMetadata.load(t.location)
+          if (disk.currentSnapshotId != base.currentSnapshotId)
+            throw new java.util.ConcurrentModificationException(
+              s"could not serialize access: table $n moved to " +
+                s"snapshot ${disk.currentSnapshotId} during the " +
+                s"transaction (began at ${base.currentSnapshotId})")
+        }
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
@@ -2017,8 +2032,9 @@ final class LakeEngine(val spark: SparkSession) {
         table(name).snapshots
       case filesRe(name) if tables.contains(name) =>
         table(name).files
-      case inProgressRe(proj) =>
-        val df = inProgressFiles
+      case inProgressRe(proj, whereOrNull) =>
+        val df0 = inProgressFiles
+        val df = Option(whereOrNull).fold(df0)(w => df0.filter(expr(w)))
         if (proj.trim == "*") df
         else df.select(splitTopLevel(proj).map(c => col(c.trim)): _*)
       case fileListRe(proj, glob) =>
@@ -2882,7 +2898,7 @@ final class LakeEngine(val spark: SparkSession) {
   // the reference's in-progress-files inspection view
   // (lake_engine.in_progress_files, test_iceberg_in_progress_files.py)
   private val inProgressRe = ("(?is)^SELECT\\s+(.+?)\\s+FROM\\s+" +
-    "lake_engine\\.in_progress_files\\s*;?\\s*$").r
+    "lake_engine\\.in_progress_files(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*$").r
   private val rollbackToRe = ("(?is)^ROLLBACK(?:\\s+(?:WORK|TRANSACTION))?" +
     "\\s+TO\\s+(?:SAVEPOINT\\s+)?(\\w+)\\s*;?\\s*$").r
   private val releaseRe =

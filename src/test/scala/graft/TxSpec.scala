@@ -300,6 +300,11 @@ class TxSpec extends AnyFunSuite {
         "FROM lake_engine.in_progress_files").collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getString(2) == "tx_ipf"))
+    // the reference's test queries filter the view (WHERE path ilike)
+    assert(e.sql("SELECT path FROM lake_engine.in_progress_files " +
+      "WHERE path LIKE '%.parquet'").count() == rows.length)
+    assert(e.sql("SELECT path FROM lake_engine.in_progress_files " +
+      "WHERE path LIKE '%nope%'").count() == 0)
     assert(rows.map(_.getString(1)).distinct.length == 1,
       "one operation_id labels the whole transaction")
     rows.foreach(r => assert(
