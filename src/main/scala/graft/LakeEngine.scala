@@ -50,6 +50,10 @@ final class LakeEngine(val spark: SparkSession) {
     val txId: String = java.util.UUID.randomUUID().toString
     val overlays =
       scala.collection.mutable.LinkedHashMap.empty[String, lake.TxOverlay]
+    // SET LOCAL: key -> the pre-transaction value to restore at END
+    // (first SET LOCAL per key wins, PG semantics)
+    val localSets =
+      scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     // tables created during the transaction: ROLLBACK drops them
     val created = scala.collection.mutable.ListBuffer.empty[String]
     // (name, per-table staged snapshot, created-count) marks
@@ -124,12 +128,46 @@ final class LakeEngine(val spark: SparkSession) {
   }
 
   private def endTx(tx: EngineTx): Unit = {
+    // SET LOCAL reverts at transaction end — COMMIT and ROLLBACK alike
+    tx.localSets.foreach { case (key, prior) =>
+      (key, prior) match {
+        case ("timezone", Some(v)) =>
+          spark.conf.set("spark.sql.session.timeZone", v)
+          settings.put("timezone", v); ()
+        case (k, Some(v)) if k.startsWith("spark.") => spark.conf.set(k, v)
+        case (k, None) if k.startsWith("spark.") =>
+          try spark.conf.unset(k)
+          catch { case _: Exception => () } // non-removable SQLConf
+        case (k, Some(v)) => settings.put(k, v); ()
+        case (k, None) => settings.remove(k); ()
+      }
+    }
     tx.overlays.keys.foreach(n =>
       tables.get(n).foreach(_.txOverlay = None))
     activeTx = None
     tx.overlays.keys.foreach(n =>
       if (tables.contains(n) || partParents.contains(n)) refresh(n))
   }
+
+  /** The live value of a setting for SET LOCAL's restore record. */
+  private def settingSnapshot(key: String): Option[String] = key match {
+    case "timezone" => Some(spark.conf.get("spark.sql.session.timeZone"))
+    case k if k.startsWith("spark.") => spark.conf.getOption(k)
+    case k => settings.get(k)
+  }
+
+  /** PG SET LOCAL: applies for the rest of the transaction, reverts at
+    * its end; outside a transaction PG warns and does nothing.
+    */
+  private def setLocal(key: String, value: String): Unit =
+    activeTx match {
+      case None =>
+        txLog.warn("SET LOCAL can only be used in transaction blocks")
+      case Some(tx) =>
+        if (!tx.localSets.contains(key))
+          tx.localSets.put(key, settingSnapshot(key))
+        setSetting(key, value)
+    }
 
   def commitTx(): Unit = activeTx match {
     case None =>
@@ -1707,13 +1745,17 @@ final class LakeEngine(val spark: SparkSession) {
     dmlText match {
       case beginRe() =>
         begin(); Seq("BEGIN").toDF("status")
-      case commitTxRe() =>
-        commitTx(); Seq("COMMIT").toDF("status")
+      case commitTxRe(chainOrNull) =>
+        commitTx()
+        if (chainOrNull != null) begin() // COMMIT AND CHAIN
+        Seq("COMMIT").toDF("status")
       // ROLLBACK TO must match before the bare ROLLBACK
       case rollbackToRe(name) =>
         rollbackToSavepoint(name); Seq(name).toDF("rollback_to")
-      case rollbackTxRe() =>
-        rollbackTx(); Seq("ROLLBACK").toDF("status")
+      case rollbackTxRe(chainOrNull) =>
+        rollbackTx()
+        if (chainOrNull != null) begin() // ROLLBACK AND CHAIN
+        Seq("ROLLBACK").toDF("status")
       case savepointRe(name) =>
         savepoint(name); Seq(name).toDF("savepoint")
       case releaseRe(name) =>
@@ -1734,11 +1776,13 @@ final class LakeEngine(val spark: SparkSession) {
           } else stripping = false
         }
         explainStatement(body, analyze, verbose)
-      case setTzRe(v) =>
-        setSetting("timezone", stripQuotes(v))
+      case setTzRe(localOrNull, v) =>
+        if (localOrNull != null) setLocal("timezone", stripQuotes(v))
+        else setSetting("timezone", stripQuotes(v))
         Seq(stripQuotes(v)).toDF("timezone")
-      case setRe(k, v) =>
-        setSetting(k.toLowerCase, stripQuotes(v))
+      case setRe(localOrNull, k, v) =>
+        if (localOrNull != null) setLocal(k.toLowerCase, stripQuotes(v))
+        else setSetting(k.toLowerCase, stripQuotes(v))
         Seq(stripQuotes(v)).toDF(k.toLowerCase)
       case showTzRe() =>
         Seq(spark.conf.get("spark.sql.session.timeZone")).toDF("timezone")
@@ -2849,10 +2893,10 @@ final class LakeEngine(val spark: SparkSession) {
   // EXPLAIN [(opts)] stmt / SET / SHOW / RESET / CREATE VIEW surfaces
   private val explainRe =
     "(?is)^EXPLAIN\\s+(?:\\(([^)]*)\\)\\s+)?(.+)$".r
-  private val setTzRe =
-    "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?TIME\\s+ZONE\\s+(.+?)\\s*;?\\s*$".r
-  private val setRe =
-    "(?is)^SET\\s+(?:SESSION\\s+|LOCAL\\s+)?([\\w.]+)\\s*(?:TO|=)\\s*(.+?)\\s*;?\\s*$".r
+  private val setTzRe = ("(?is)^SET\\s+(?:SESSION\\s+|(LOCAL)\\s+)?" +
+    "TIME\\s+ZONE\\s+(.+?)\\s*;?\\s*$").r
+  private val setRe = ("(?is)^SET\\s+(?:SESSION\\s+|(LOCAL)\\s+)?" +
+    "([\\w.]+)\\s*(?:TO|=)\\s*(.+?)\\s*;?\\s*$").r
   private val showTzRe = "(?is)^SHOW\\s+TIME\\s+ZONE\\s*;?\\s*$".r
   private val showRe = "(?is)^SHOW\\s+([\\w.]+)\\s*;?\\s*$".r
   private val resetRe = "(?is)^RESET\\s+([\\w.]+|ALL)\\s*;?\\s*$".r
@@ -2889,11 +2933,11 @@ final class LakeEngine(val spark: SparkSession) {
     "(?:\\s+(?:WORK|TRANSACTION))?" +
     "(?:\\s+ISOLATION\\s+LEVEL\\s+[\\w ]+?)?(?:\\s+READ\\s+WRITE)?" +
     "\\s*;?\\s*$").r
-  private val commitTxRe =
-    "(?is)^(?:COMMIT|END)(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+  private val commitTxRe = ("(?is)^(?:COMMIT|END)" +
+    "(?:\\s+(?:WORK|TRANSACTION))?(\\s+AND\\s+CHAIN)?\\s*;?\\s*$").r
   // ABORT is PG's ROLLBACK synonym (§SQL-ABORT)
-  private val rollbackTxRe =
-    "(?is)^(?:ROLLBACK|ABORT)(?:\\s+(?:WORK|TRANSACTION))?\\s*;?\\s*$".r
+  private val rollbackTxRe = ("(?is)^(?:ROLLBACK|ABORT)" +
+    "(?:\\s+(?:WORK|TRANSACTION))?(\\s+AND\\s+CHAIN)?\\s*;?\\s*$").r
   private val savepointRe = "(?is)^SAVEPOINT\\s+(\\w+)\\s*;?\\s*$".r
   // the reference's in-progress-files inspection view
   // (lake_engine.in_progress_files, test_iceberg_in_progress_files.py)

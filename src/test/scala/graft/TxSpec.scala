@@ -490,6 +490,40 @@ class TxSpec extends AnyFunSuite {
     assert(e.sql("SELECT n FROM txmv").first().getLong(0) == 3)
   }
 
+  test("SET LOCAL reverts at transaction end; AND CHAIN opens the next") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("tx_setl", s"${tmp()}/t", Seq(1L).toDF("id"))
+    e.sql("SET app.tag TO 'outside'")
+    e.sql("BEGIN")
+    e.sql("SET LOCAL app.tag TO 'inside'")
+    assert(e.sql("SHOW app.tag").first().getString(0) == "inside")
+    e.sql("COMMIT")
+    // reverted at COMMIT (PG semantics)
+    assert(e.sql("SHOW app.tag").first().getString(0) == "outside")
+    e.sql("BEGIN")
+    e.sql("SET LOCAL app.tag TO 'aborted'")
+    e.sql("ROLLBACK")
+    assert(e.sql("SHOW app.tag").first().getString(0) == "outside")
+    // a never-set key SET LOCAL'd inside reverts to unset
+    e.sql("BEGIN")
+    e.sql("SET LOCAL app.fresh TO 'x'")
+    assert(e.sql("SHOW app.fresh").first().getString(0) == "x")
+    e.sql("ROLLBACK")
+    // reverted to UNSET: SHOW refuses like PG's unrecognized-parameter
+    val unset = intercept[IllegalArgumentException](e.sql("SHOW app.fresh"))
+    assert(unset.getMessage.contains("unrecognized configuration"))
+
+    // COMMIT AND CHAIN: the next statement is already in a transaction
+    e.sql("BEGIN")
+    e.sql("INSERT INTO tx_setl VALUES (2)")
+    e.sql("COMMIT AND CHAIN")
+    e.sql("INSERT INTO tx_setl VALUES (3)")
+    assert(e.inTransaction)
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT id FROM tx_setl ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+  }
+
   test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
