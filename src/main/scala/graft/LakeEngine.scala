@@ -54,6 +54,8 @@ final class LakeEngine(val spark: SparkSession) {
     // (first SET LOCAL per key wins, PG semantics)
     val localSets =
       scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
+    // BEGIN READ ONLY: write statements refuse with PG's message
+    var readOnly: Boolean = false
     // tables created during the transaction: ROLLBACK drops them
     val created = scala.collection.mutable.ListBuffer.empty[String]
     // (name, per-table staged snapshot, created-count) marks
@@ -68,12 +70,13 @@ final class LakeEngine(val spark: SparkSession) {
 
   private def txLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  def begin(): Unit = activeTx match {
+  def begin(readOnly: Boolean = false): Unit = activeTx match {
     case Some(_) =>
       // PG: WARNING, and the transaction continues
       txLog.warn("there is already a transaction in progress")
     case None =>
       val tx = new EngineTx
+      tx.readOnly = readOnly
       tables.foreach { case (n, t) =>
         val ov = new lake.TxOverlay
         t.txOverlay = Some(ov)
@@ -1742,9 +1745,21 @@ final class LakeEngine(val spark: SparkSession) {
           plans.OnlyRewrite.rewrite(rest), true)
       case _ => (plans.OnlyRewrite.rewrite(dmlText0), false)
     }
+    // BEGIN READ ONLY: PG refuses write statements with this message
+    // (transaction-control statements themselves stay allowed)
+    if (activeTx.exists(_.readOnly)) {
+      val writeRe = ("(?is)^(INSERT|UPDATE|DELETE|TRUNCATE|CREATE|DROP|" +
+        "ALTER|REFRESH|VACUUM)\\b.*|(?is)^COPY\\s+\\w+\\s+FROM\\b.*").r
+      if (writeRe.pattern.matcher(dmlText).matches()) {
+        val verb = dmlText.split("\\s+", 2)(0).toUpperCase
+        throw new IllegalStateException(
+          s"cannot execute $verb in a read-only transaction")
+      }
+    }
     dmlText match {
-      case beginRe() =>
-        begin(); Seq("BEGIN").toDF("status")
+      case beginRe(rwOrNull) =>
+        begin(readOnly = Option(rwOrNull).exists(_.equalsIgnoreCase("ONLY")))
+        Seq("BEGIN").toDF("status")
       case commitTxRe(chainOrNull) =>
         commitTx()
         if (chainOrNull != null) begin() // COMMIT AND CHAIN
@@ -2931,7 +2946,8 @@ final class LakeEngine(val spark: SparkSession) {
   // clause (snapshot isolation is what the storage model gives)
   private val beginRe = ("(?is)^(?:BEGIN|START\\s+TRANSACTION)" +
     "(?:\\s+(?:WORK|TRANSACTION))?" +
-    "(?:\\s+ISOLATION\\s+LEVEL\\s+[\\w ]+?)?(?:\\s+READ\\s+WRITE)?" +
+    "(?:\\s+ISOLATION\\s+LEVEL\\s+[\\w ]+?)?" +
+    "(?:\\s+READ\\s+(WRITE|ONLY))?" +
     "\\s*;?\\s*$").r
   private val commitTxRe = ("(?is)^(?:COMMIT|END)" +
     "(?:\\s+(?:WORK|TRANSACTION))?(\\s+AND\\s+CHAIN)?\\s*;?\\s*$").r

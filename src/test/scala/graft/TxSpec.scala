@@ -513,6 +513,15 @@ class TxSpec extends AnyFunSuite {
     val unset = intercept[IllegalArgumentException](e.sql("SHOW app.fresh"))
     assert(unset.getMessage.contains("unrecognized configuration"))
 
+    // BEGIN READ ONLY: writes refuse with PG's message, reads work
+    e.sql("BEGIN READ ONLY")
+    assert(e.sql("SELECT count(*) FROM tx_setl").first().getLong(0) >= 1)
+    val ro = intercept[IllegalStateException](
+      e.sql("INSERT INTO tx_setl VALUES (7)"))
+    assert(ro.getMessage.contains(
+      "cannot execute INSERT in a read-only transaction"))
+    e.sql("COMMIT")
+
     // COMMIT AND CHAIN: the next statement is already in a transaction
     e.sql("BEGIN")
     e.sql("INSERT INTO tx_setl VALUES (2)")
