@@ -126,8 +126,16 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     * merge-on-read position deletes instead of rewriting — the same
     * statements must produce the same states either way.
     */
+  /** `txEvery > 0` wraps each group of that many steps in
+    * BEGIN … COMMIT/ROLLBACK (coin flip): the dialect DML runs against
+    * STAGED metadata, RETURNING and the per-step state checks read the
+    * staged view, and a ROLLBACK reverts the model to its BEGIN
+    * snapshot — composing the dialect chain with the transaction
+    * overlay differentially.
+    */
   private def runFuzz(table: String, seed: Long,
-      props: Map[String, String]): Seq[(Long, String)] = {
+      props: Map[String, String],
+      txEvery: Int = 0): Seq[(Long, String)] = {
     rnd = new Random(seed)
     val e = LakeEngine(spark)
     val init: Seq[(Long, String)] = (0L until 60L).map { i =>
@@ -139,10 +147,15 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       LakeEngine.tempLocation(table), table, df(init),
       properties = props))
     var expected = init
+    var expectedAtBegin = init
 
     var updates = 0
     var deletes = 0
     for (step <- 0 until 14) {
+      if (txEvery > 0 && step % txEvery == 0) {
+        e.sql("BEGIN")
+        expectedAtBegin = expected
+      }
       val p = pred(0)
       // the WHERE gate in DML keeps only TRUE rows (UNKNOWN stays /
       // is not affected) — same as filter(coalesce(p, false))
@@ -177,7 +190,14 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
       val actual = collectRows(e.sql(s"SELECT id, msg FROM $table"))
       assert(actual == expected,
         s"step $step state diverged after ${p.text}")
+      if (txEvery > 0 && step % txEvery == txEvery - 1) {
+        if (rnd.nextBoolean()) e.sql("COMMIT")
+        else { e.sql("ROLLBACK"); expected = expectedAtBegin }
+        val post = collectRows(e.sql(s"SELECT id, msg FROM $table"))
+        assert(post == expected, s"step $step state diverged at tx end")
+      }
     }
+    if (txEvery > 0 && e.inTransaction) e.sql("COMMIT")
     // the run must have really exercised both paths
     assert(updates > 10 && deletes > 5,
       s"degenerate fuzz run: $updates updates, $deletes deletes — " +
@@ -207,6 +227,17 @@ class DmlDialectFuzzSpec extends AnyFunSuite {
     assert(cow == mor,
       s"CoW and MoR final states diverged: cow=${cow.size} rows, " +
         s"mor=${mor.size} rows")
+  }
+
+  /** Fuzz dimension 24b: the same dialect DML staged in TRANSACTIONS —
+    * every 3 steps wrapped in BEGIN … COMMIT/ROLLBACK (coin flip), the
+    * model reverting on rollback. Composes the 10-pass dialect chain,
+    * the DML machinery, RETURNING, and the transaction overlay in one
+    * differential.
+    */
+  test("dialect DML fuzz inside transactions tracks the model " +
+      "through commits and rollbacks") {
+    runFuzz("fz_dml_tx", 20260817L, Map.empty, txEvery = 3)
   }
 
   test("merge-on-read fuzz really writes position deletes") {
