@@ -968,13 +968,24 @@ final class LakeTable(val spark: SparkSession, val location: String) {
   private def sweepUnreferencedFiles(graceMs: Long): Unit = {
     val onDisk = TableMetadata.load(location)
     val now = System.currentTimeMillis()
+    // TOCTOU guard: a listed candidate can vanish before the stat — a
+    // concurrent Spark task commit renames its attempt file away, a
+    // racing sweep already deleted it. A vanished (or unstat-able)
+    // file is nothing to reclaim: treat it as in-grace and move on.
     def inGrace(p: String): Boolean =
-      graceMs > 0 && now - LakeFs.mtime(p) < graceMs
+      graceMs > 0 && {
+        try now - LakeFs.mtime(p) < graceMs
+        catch { case scala.util.control.NonFatal(_) => true }
+      }
     val referenced = onDisk.snapshots.flatMap(_.files)
       .map(f => LakeFs.pathKey(f.path)).toSet
     val dataDir = LakeFs.child(location, "data")
     LakeFs.listFilesRecursive(dataDir, ".parquet")
       .map(_._1)
+      // an in-flight Spark write stages under _temporary until its job
+      // commit; those are never committed-then-orphaned files, and
+      // deleting one corrupts the writer — out of scope by name
+      .filterNot(_.contains("/_temporary/"))
       .filterNot(p => referenced.contains(LakeFs.pathKey(p)))
       .filterNot(inGrace)
       .foreach(LakeFs.deleteIfExists)
