@@ -80,6 +80,14 @@ object Bench {
     // The median of three back-to-back runs is immune to a single burst
     // and still cheap (~3x one pass). SPARK_GRAFT_REPEATS overrides.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
+    // Run the first timed query once untimed: the generic warmup above
+    // JITs the common scan/agg/join/window paths, but the alphabetically
+    // first query (q1_agg) still absorbed residual codegen/classload cost
+    // in r12/r13 tails. One throwaway execution pins it.
+    picked.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = picked.map { case (name, fn) =>
       val samples = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()

@@ -38,12 +38,18 @@ final class LakeEngine(val spark: SparkSession) {
   // failure, never a lost update). ROLLBACK discards staged metadata
   // and reaps the staged data files. SAVEPOINT marks the per-table
   // staged state; ROLLBACK TO restores it and reaps files staged
-  // after the mark. Atomicity boundary: a SINGLE table commits in one
-  // CAS (fully atomic); a multi-table transaction commits per-table
-  // CASes sequentially — a serialization failure midway leaves
-  // earlier tables committed and rolls back the remainder (documented
-  // in SURVEY §8; the reference has the same per-catalog-commit
-  // boundary for its object-store catalogs).
+  // after the mark. Atomicity: a SINGLE table commits in one CAS; a
+  // multi-table COMMIT is made all-or-nothing by the
+  // [[graft.lake.TxMarker]] protocol — per-table presumed-abort
+  // markers, sequential CASes, and a COMPENSATING un-commit that
+  // re-CASes every already-installed table back to its pre-tx base
+  // when a later table's CAS loses to a concurrent writer (the
+  // un-commit is pinned to the state THIS transaction installed, so a
+  // writer that already built on top is never clobbered — that table
+  // is left as a logged, unrecoverable boundary, the documented ABA
+  // residue). A crash mid-protocol is finished by maintain(), which
+  // reads the surviving markers (matching the reference's
+  // test_iceberg_xacts.py cross-table atomicity).
   private final class EngineTx {
     // the reference's operation_id: one id labels every file a
     // transaction staged (lake_engine.in_progress_files)
@@ -56,33 +62,73 @@ final class LakeEngine(val spark: SparkSession) {
       scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     // BEGIN READ ONLY: write statements refuse with PG's message
     var readOnly: Boolean = false
-    // tables created during the transaction: ROLLBACK drops them
+    // BEGIN ISOLATION LEVEL REPEATABLE READ / SERIALIZABLE: reads of
+    // untouched tables pin the committed snapshot at first access
+    var repeatableRead: Boolean = false
+    // tables whose STORAGE was created during the transaction:
+    // ROLLBACK drops them (an attached pre-existing table never lands
+    // here — rollback must not purge data it did not create)
     val created = scala.collection.mutable.ListBuffer.empty[String]
-    // (name, per-table staged snapshot, created-count) marks
+    // DROP TABLE staged during the transaction (PG DDL is
+    // transactional): the registry entry is detached immediately so
+    // in-tx reads stop resolving, the record restores it on ROLLBACK
+    val dropped = scala.collection.mutable.ListBuffer.empty[StagedDrop]
+    // (name, per-table staged snapshot, created-count, dropped-count)
     val savepoints = scala.collection.mutable.ListBuffer.empty[
       (String,
         Map[String, Option[(lake.TableMetadata, lake.TableMetadata)]],
-        Int)]
+        Int, Int)]
   }
+
+  /** One DROP TABLE staged inside a transaction: everything needed to
+    * restore the table on ROLLBACK (the reference rolls in-tx drops
+    * back untouched — test_iceberg_in_tx.py drop shapes, incl.
+    * test_in_subtx_fail_with_drop's savepoint variant), and the staged
+    * overlay state at drop time so COMMIT can account the
+    * never-to-be-referenced data files to the vacuum queue.
+    */
+  private final case class StagedDrop(
+      name: String,
+      table: lake.LakeTable,
+      stagedAtDrop: Option[(lake.TableMetadata, lake.TableMetadata)],
+      domainColsSaved: Option[Seq[(String, String)]],
+      colDefaultsSaved: Option[Seq[(String, String)]])
   @volatile private var activeTx: Option[EngineTx] = None
 
   def inTransaction: Boolean = activeTx.isDefined
 
   private def txLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  def begin(readOnly: Boolean = false): Unit = activeTx match {
+  def begin(readOnly: Boolean = false,
+      repeatableRead: Boolean = false): Unit = activeTx match {
     case Some(_) =>
       // PG: WARNING, and the transaction continues
       txLog.warn("there is already a transaction in progress")
     case None =>
       val tx = new EngineTx
       tx.readOnly = readOnly
+      tx.repeatableRead = repeatableRead
       tables.foreach { case (n, t) =>
         val ov = new lake.TxOverlay
+        ov.repeatableRead = repeatableRead
         t.txOverlay = Some(ov)
         tx.overlays.put(n, ov)
       }
       activeTx = Some(tx)
+  }
+
+  /** PG `SET TRANSACTION ISOLATION LEVEL …`: allowed only before the
+    * transaction touched anything (PG: "must be called before any
+    * query").
+    */
+  private def setTxIsolation(repeatableRead: Boolean): Unit = {
+    val tx = activeTx.getOrElse(throw new IllegalStateException(
+      "SET TRANSACTION can only be used in transaction blocks"))
+    require(tx.overlays.values.forall(ov =>
+        ov.staged.isEmpty && ov.pinned.isEmpty) && tx.dropped.isEmpty,
+      "SET TRANSACTION ISOLATION LEVEL must be called before any query")
+    tx.repeatableRead = repeatableRead
+    tx.overlays.values.foreach(_.repeatableRead = repeatableRead)
   }
 
   /** Data files `cur` references beyond `base` — parquet the
@@ -122,11 +168,19 @@ final class LakeEngine(val spark: SparkSession) {
         Seq.empty[(String, String, String)]
           .toDF("path", "operation_id", "table_name")
       case Some(tx) =>
-        tx.overlays.toSeq.flatMap { case (n, ov) =>
+        (tx.overlays.toSeq.flatMap { case (n, ov) =>
           ov.staged.toSeq.flatMap { case (base, cur) =>
             stagedPaths(base, cur).map(p => (p, tx.txId, n))
           }
-        }.toDF("path", "operation_id", "table_name")
+        } ++
+          // files staged for a table whose DROP is itself staged: still
+          // on disk, referenced by no committed snapshot — the
+          // reference's in-progress queue keeps carrying them until
+          // vacuum (test_iceberg_in_tx.py drop shapes)
+          tx.dropped.flatMap(d => d.stagedAtDrop.toSeq.flatMap {
+            case (base, cur) =>
+              stagedPaths(base, cur).map(p => (p, tx.txId, d.name))
+          })).toDF("path", "operation_id", "table_name")
     }
   }
 
@@ -172,6 +226,15 @@ final class LakeEngine(val spark: SparkSession) {
         setSetting(key, value)
     }
 
+  /** Test seam: invoked with the table name immediately before each
+    * dirty table's commit-time CAS. Specs use it to land a concurrent
+    * write between the pre-flight and a LATER table's install (the
+    * all-or-nothing compensation path) and to simulate a crash
+    * mid-protocol (a fatal throw skips compensation, leaving the
+    * markers for maintain() to recover).
+    */
+  private[graft] var txPreInstallHook: String => Unit = _ => ()
+
   def commitTx(): Unit = activeTx match {
     case None =>
       txLog.warn("there is no transaction in progress") // PG warns too
@@ -179,13 +242,26 @@ final class LakeEngine(val spark: SparkSession) {
       val dirty = tx.overlays.toSeq.flatMap { case (n, ov) =>
         ov.staged.map { case (base, cur) => (n, base, cur) }
       }
+      // the TxMarker presumed-abort protocol only matters when MORE
+      // THAN ONE table must change together; a single table commits
+      // in one CAS and is atomic by construction
+      val multi = dirty.size > 1
+      val coordinator = dirty.headOption.map { case (n, _, _) =>
+        lake.TableMetadata.metaDir(tables(n).location)
+      }.getOrElse("")
       var installed = 0
       try {
+        if (multi) dirty.foreach { case (n, base, cur) =>
+          val t = tables.getOrElse(n, throw new IllegalStateException(
+            s"table $n vanished during the transaction"))
+          lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
+            coordinator, lake.TableMetadata.serialize(base),
+            lake.TableMetadata.serialize(cur), stagedPaths(base, cur)))
+        }
         // pre-flight: check every dirty table's base BEFORE installing
-        // any. Not a guarantee (a writer can still land between the
-        // check and a later install — that race hits the CAS below),
-        // but it makes the common multi-table conflict abort with
-        // ZERO tables committed instead of a partial boundary.
+        // any — the common multi-table conflict aborts here with zero
+        // work done; a writer landing AFTER this check hits the CAS
+        // below and the compensation handler
         dirty.foreach { case (n, base, _) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
@@ -199,6 +275,7 @@ final class LakeEngine(val spark: SparkSession) {
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
+          txPreInstallHook(n)
           // ONE new metadata version for everything the transaction
           // did to this table (reference: a single metadata.json push
           // per table at commit), CAS-pinned to the transaction's base
@@ -213,32 +290,137 @@ final class LakeEngine(val spark: SparkSession) {
             cur
           }
           installed += 1
-          // deferred from every staged commitOp: export only now that
-          // the state is committed — never uncommitted metadata
-          if (cur.properties.get("iceberg.export").contains("true"))
-            lake.IcebergExport.export(t)
-          // autovacuum was suppressed during the transaction; give the
-          // table its usual post-write maintenance pass now that the
-          // overlay is about to clear (same policy as autocommit)
-          t.txOverlay = None
-          t.maintainIfDue()
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
-          // roll back the uninstalled remainder (files + created
-          // tables past the boundary); already-installed tables stay
-          val remaining = dirty.drop(installed)
-          remaining.foreach { case (_, base, cur) => reapStaged(base, cur) }
-          val remainingNames = remaining.map(_._1).toSet
+          // COMPENSATING UN-COMMIT (all-or-nothing across tables):
+          // re-CAS every already-installed table back to its pre-tx
+          // base, pinned to the state THIS transaction installed —
+          // then reap staged files, drop the markers, and raise the
+          // serialization failure with zero tables changed
+          dirty.take(installed).reverse.foreach { case (n, base, cur) =>
+            try {
+              tables.get(n).foreach { t =>
+                lake.TableMetadata.commit(t.location) { curOpt =>
+                  val disk = curOpt.getOrElse(
+                    throw new IllegalStateException(
+                      s"table $n vanished at ${t.location}"))
+                  if (!lake.TxMarker.sameState(disk, cur))
+                    throw new IllegalStateException(
+                      s"cannot un-commit $n: a concurrent writer " +
+                        "already built on the aborted state")
+                  base
+                }
+                reapStaged(base, cur)
+              }
+            } catch { case scala.util.control.NonFatal(e2) =>
+              txLog.warn(s"abort: could not un-commit table $n " +
+                "(left committed — unrecoverable multi-table boundary)",
+                e2)
+            }
+          }
+          dirty.drop(installed).foreach { case (_, base, cur) =>
+            reapStaged(base, cur)
+          }
+          if (multi) dirty.foreach { case (n, _, _) =>
+            tables.get(n).foreach(t => try lake.LakeFs.deleteIfExists(
+              lake.TxMarker.markerPath(t.location, tx.txId))
+            catch { case scala.util.control.NonFatal(e2) =>
+              txLog.warn(s"abort: could not drop tx marker of $n", e2) })
+          }
           endTx(tx)
-          tx.created.filter(remainingNames).foreach { n =>
+          // the WHOLE transaction aborted: every table it created goes
+          tx.created.foreach { n =>
             try dropTable(n, purge = true)
             catch { case scala.util.control.NonFatal(e2) =>
               txLog.warn(s"abort: could not drop created table $n", e2) }
           }
+          // staged drops roll back with the abort: restore registration
+          tx.dropped.foreach(d => undropStaged(tx, d, keepStaged = None))
           throw e
       }
-      endTx(tx)
+      // every CAS landed — the transaction is COMMITTED from here on;
+      // nothing below may trigger compensation
+      if (multi) {
+        // decision record, then markers, then the decision: a crash
+        // between any two steps is finished by maintain() (a marker
+        // with the decision present = committed, just clean up)
+        try {
+          lake.LakeFs.writeAtomic(
+            lake.TxMarker.decisionPath(coordinator, tx.txId),
+            Array.emptyByteArray)
+          dirty.foreach { case (n, _, _) =>
+            tables.get(n).foreach(t => lake.LakeFs.deleteIfExists(
+              lake.TxMarker.markerPath(t.location, tx.txId)))
+          }
+          lake.LakeFs.deleteIfExists(
+            lake.TxMarker.decisionPath(coordinator, tx.txId))
+        } catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn("commit: marker cleanup failed (maintain() will " +
+            "finish it)", e)
+        }
+      }
+      // staged DROPs apply now: unregister stays (done at DROP time);
+      // the table's tree — committed metadata, data, and the files the
+      // transaction staged then orphaned by dropping — goes to the
+      // persistent vacuum queue (the reference keeps dropped tables'
+      // files until VACUUM: test_iceberg_in_tx.py:560-586)
+      tx.dropped.foreach { d =>
+        try LakeEngine.queueDroppedTree(spark, d.table.location)
+        catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"commit: could not queue dropped table " +
+            s"${d.name} for vacuum", e)
+        }
+      }
+      try {
+        dirty.foreach { case (n, _, cur) =>
+          tables.get(n).foreach { t =>
+            t.txOverlay = None
+            // deferred from every staged commitOp: export only now
+            // that the state is committed — never uncommitted metadata
+            if (cur.properties.get("iceberg.export").contains("true"))
+              lake.IcebergExport.export(t)
+            // autovacuum was suppressed during the transaction; give
+            // the table its usual post-write maintenance pass (same
+            // policy as autocommit). Runs strictly AFTER the marker
+            // cleanup: compaction advances the table head, which would
+            // otherwise break a crash-recovery state comparison.
+            t.maintainIfDue()
+          }
+        }
+      } finally endTx(tx)
+  }
+
+  /** Restore a table whose DROP was staged in `tx` (the drop is being
+    * rolled back): re-register it, reap the data files the transaction
+    * staged beyond `keepStaged` (None = beyond the pre-tx base — full
+    * rollback), and, when the transaction is still active (savepoint
+    * rollback), re-install an overlay carrying `keepStaged`.
+    */
+  private def undropStaged(tx: EngineTx, d: StagedDrop,
+      keepStaged: Option[(lake.TableMetadata, lake.TableMetadata)],
+      intoActiveTx: Boolean = false): Unit = {
+    d.stagedAtDrop.foreach { case (base, curAtDrop) =>
+      val keep = keepStaged.map(_._2).getOrElse(base)
+        .snapshots.flatMap(_.files.map(_.path)).toSet
+      curAtDrop.snapshots.flatMap(_.files.map(_.path)).distinct
+        .filterNot(keep).foreach { p =>
+          try lake.LakeFs.deleteIfExists(p)
+          catch { case scala.util.control.NonFatal(e) =>
+            txLog.warn(s"undrop: could not reap staged file $p", e) }
+        }
+    }
+    tables.put(d.name, d.table)
+    d.domainColsSaved.foreach(domainCols.put(d.name, _))
+    d.colDefaultsSaved.foreach(colDefaults.put(d.name, _))
+    if (intoActiveTx) {
+      val ov = new lake.TxOverlay
+      ov.repeatableRead = tx.repeatableRead
+      ov.staged = keepStaged
+      d.table.txOverlay = Some(ov)
+      tx.overlays.put(d.name, ov)
+    } else d.table.txOverlay = None
+    refresh(d.name)
   }
 
   def rollbackTx(): Unit = activeTx match {
@@ -254,6 +436,9 @@ final class LakeEngine(val spark: SparkSession) {
         catch { case scala.util.control.NonFatal(e) =>
           txLog.warn(s"rollback: could not drop created table $n", e) }
       }
+      // staged DROPs roll back untouched (PG DDL is transactional;
+      // reference test_iceberg_in_tx.py drop-then-rollback)
+      tx.dropped.foreach(d => undropStaged(tx, d, keepStaged = None))
   }
 
   def savepoint(name: String): Unit = {
@@ -261,7 +446,7 @@ final class LakeEngine(val spark: SparkSession) {
       "SAVEPOINT can only be used in transaction blocks"))
     tx.savepoints += ((name.toLowerCase,
       tx.overlays.map { case (n, ov) => n -> ov.staged }.toMap,
-      tx.created.size))
+      tx.created.size, tx.dropped.size))
   }
 
   def rollbackToSavepoint(name: String): Unit = {
@@ -269,7 +454,17 @@ final class LakeEngine(val spark: SparkSession) {
       "ROLLBACK TO SAVEPOINT can only be used in transaction blocks"))
     val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
     require(i >= 0, s"""savepoint "$name" does not exist""")
-    val (_, marks, createdCount) = tx.savepoints(i)
+    val (_, marks, createdCount, droppedCount) = tx.savepoints(i)
+    // DROPs staged after the mark roll back first: the table returns
+    // to the transaction carrying the staged state it had AT the mark
+    // (reference test_in_subtx_fail_with_drop: INSERTs + DROP inside a
+    // savepoint, ROLLBACK TO restores the pre-savepoint table)
+    val undone0 = tx.dropped.drop(droppedCount).toList
+    tx.dropped.remove(droppedCount, tx.dropped.size - droppedCount)
+    undone0.foreach { d =>
+      undropStaged(tx, d, keepStaged = marks.getOrElse(d.name, None),
+        intoActiveTx = true)
+    }
     tx.overlays.foreach { case (n, ov) =>
       val target = marks.getOrElse(n, None)
       ov.staged.foreach { case (base, curNow) =>
@@ -436,7 +631,7 @@ final class LakeEngine(val spark: SparkSession) {
     register(name, LakeTable.createAsSelect(spark, location, name, df, partitionBy))
 
   def loadTable(name: String, location: String): LakeTable =
-    register(name, LakeTable.load(spark, location))
+    register(name, LakeTable.load(spark, location), createdStorage = false)
 
   def table(name: String): LakeTable = tables.getOrElse(name,
     throw new IllegalArgumentException(s"unknown lake table $name"))
@@ -617,16 +812,26 @@ final class LakeEngine(val spark: SparkSession) {
     rows
   }
 
-  private[graft] def register(name: String, t: LakeTable): LakeTable = {
+  private[graft] def register(name: String, t: LakeTable,
+      createdStorage: Boolean = true): LakeTable = {
     tables.put(name, t)
-    // a table created inside a transaction joins the transaction: its
-    // writes stage like everyone else's, and ROLLBACK drops it
+    // a table registered inside a transaction joins the transaction:
+    // its writes stage like everyone else's. Only a table whose
+    // STORAGE this statement created is rollback-droppable — an
+    // attached pre-existing table (loadTable, rename) must never be
+    // purged by ROLLBACK.
     activeTx.foreach { tx =>
+      // a name whose DROP is staged in this transaction cannot be
+      // reused: COMMIT would queue the OLD tree for deletion while the
+      // new table may share the prefix — refuse rather than corrupt
+      require(!tx.dropped.exists(_.name == name),
+        s"cannot re-create table $name dropped in the same transaction")
       if (!tx.overlays.contains(name)) {
         val ov = new lake.TxOverlay
+        ov.repeatableRead = tx.repeatableRead
         t.txOverlay = Some(ov)
         tx.overlays.put(name, ov)
-        tx.created += name
+        if (createdStorage) tx.created += name
       }
     }
     refreshFamilyViews(name)
@@ -690,6 +895,21 @@ final class LakeEngine(val spark: SparkSession) {
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn("staging sweep failed", e)
     }
+    // finish crashed multi-table COMMIT protocols ([[lake.TxMarker]]):
+    // a marker older than the grace with its decision record present
+    // means the transaction committed (just clean up); with no
+    // decision, presumed abort — restore the pre-tx base wherever that
+    // transaction's install is still the table head
+    tables.toSeq.sortBy(_._1).foreach { case (name, t) =>
+      try recoverTxMarkers(name, t.location)
+      catch { case scala.util.control.NonFatal(e) =>
+        txLog.warn(s"tx-marker recovery of $name failed", e)
+      }
+    }
+    // reap committed transactional DROPs (the persistent vacuum queue:
+    // the reference keeps a dropped table's metadata and data until
+    // VACUUM — test_iceberg_in_tx.py:560-586)
+    processDroppedQueue()
     tables.keys.toSeq.sorted.flatMap { name =>
     tables.get(name).flatMap { t =>
       try {
@@ -730,6 +950,108 @@ final class LakeEngine(val spark: SparkSession) {
     }
   }
 
+  /** Crash-recovery half of the [[lake.TxMarker]] multi-table COMMIT
+    * protocol. Grace-bounded like the staging sweep — a marker younger
+    * than `graft.staging.grace_ms` may belong to a commit in flight.
+    */
+  private def recoverTxMarkers(name: String, location: String): Unit = {
+    val grace = spark.conf.getOption("graft.staging.grace_ms")
+      .map(_.trim.toLong).getOrElse(10L * 60 * 1000)
+    val now = System.currentTimeMillis()
+    lake.TxMarker.list(location).foreach { case (_, path) =>
+      try {
+        if (now - lake.LakeFs.mtime(path) > grace &&
+            activeTx.forall(tx => !path.contains(tx.txId))) {
+          val m = lake.TxMarker.read(path)
+          if (lake.LakeFs.exists(
+              lake.TxMarker.decisionPath(m.coordinator, m.txId))) {
+            // the transaction committed — the marker is leftover
+            lake.LakeFs.deleteIfExists(path)
+          } else {
+            val head = lake.TableMetadata.load(m.location)
+            val staged = m.staged
+            if (lake.TxMarker.sameState(head, staged)) {
+              // presumed abort and the aborted install is still the
+              // head: compensate exactly like the live failure handler
+              lake.TableMetadata.commit(m.location) { curOpt =>
+                val disk = curOpt.getOrElse(
+                  throw new IllegalStateException(
+                    s"table vanished at ${m.location}"))
+                if (!lake.TxMarker.sameState(disk, staged))
+                  throw new IllegalStateException(
+                    s"cannot un-commit $name: a concurrent writer " +
+                      "already built on the aborted state")
+                m.base
+              }
+              m.stagedPaths.foreach(p =>
+                try lake.LakeFs.deleteIfExists(p)
+                catch { case scala.util.control.NonFatal(e) =>
+                  txLog.warn(s"recovery: could not reap $p", e) })
+              lake.LakeFs.deleteIfExists(path)
+              refresh(name)
+              txLog.warn(s"recovered crashed transaction ${m.txId}: " +
+                s"rolled $name back to its pre-transaction state")
+            } else if (lake.TxMarker.sameState(head, m.base)) {
+              // never installed (or already compensated): the staged
+              // files are referenced by nothing
+              m.stagedPaths.foreach(p =>
+                try lake.LakeFs.deleteIfExists(p)
+                catch { case scala.util.control.NonFatal(e) =>
+                  txLog.warn(s"recovery: could not reap $p", e) })
+              lake.LakeFs.deleteIfExists(path)
+            } else {
+              // a writer moved the table past the aborted install —
+              // un-committing would clobber it (the documented ABA
+              // boundary); surface and clear
+              txLog.warn(s"tx marker ${m.txId} on $name: the table " +
+                "moved past the transaction — cannot un-commit")
+              lake.LakeFs.deleteIfExists(path)
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        txLog.warn(s"tx-marker recovery at $path failed", e)
+      }
+    }
+    // orphan decision records (crash between the last marker deletion
+    // and the decision deletion): safe to clear only well after every
+    // sibling marker could have been swept — 10x the marker grace
+    val meta = lake.TableMetadata.metaDir(location)
+    lake.LakeFs.listNames(meta).filter(_.startsWith("txdone-"))
+      .foreach { n =>
+        val p = lake.LakeFs.child(meta, n)
+        try if (now - lake.LakeFs.mtime(p) > 10 * grace)
+          lake.LakeFs.deleteIfExists(p)
+        catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"decision sweep: could not clear $p", e)
+        }
+      }
+  }
+
+  /** Delete the trees committed transactional DROPs queued — see
+    * [[LakeEngine.queueDroppedTree]].
+    */
+  private def processDroppedQueue(): Unit = {
+    val dir = LakeEngine.droppedQueueDir(spark)
+    try {
+      if (!lake.LakeFs.exists(dir)) return
+      lake.LakeFs.listNames(dir).filter(_.startsWith("dropped-"))
+        .foreach { n =>
+          val p = lake.LakeFs.child(dir, n)
+          try {
+            val loc = new String(lake.LakeFs.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).trim
+            if (loc.nonEmpty) lake.LakeFs.deleteRecursive(loc)
+            lake.LakeFs.deleteIfExists(p)
+          } catch { case scala.util.control.NonFatal(e) =>
+            txLog.warn(s"dropped-table sweep: could not reap $p", e)
+          }
+        }
+    } catch { case scala.util.control.NonFatal(e) =>
+      txLog.warn("dropped-table sweep failed", e)
+    }
+  }
+
   /** DROP TABLE: unregister the view + delete per [[LakeTable.drop]]. */
   def dropTable(name: String, purge: Boolean = true): Unit = {
     require(childrenOf(name).isEmpty,
@@ -760,6 +1082,12 @@ final class LakeEngine(val spark: SparkSession) {
     * catalog's /v1/tables/rename lands here).
     */
   def renameTable(oldName: String, newName: String): Unit = {
+    // a transactional rename would need ROLLBACK to restore the old
+    // name across every registry below — refuse loudly rather than
+    // leave rollback half-applied (the staged-DROP machinery covers
+    // the reference's transactional-DDL shapes; rename is not one)
+    require(activeTx.isEmpty,
+      "ALTER TABLE RENAME inside a transaction block is not supported")
     require(!tables.contains(newName), s"table $newName already exists")
     val t = tables.remove(oldName).getOrElse(
       throw new IllegalArgumentException(s"unknown lake table $oldName"))
@@ -781,7 +1109,7 @@ final class LakeEngine(val spark: SparkSession) {
     domainCols.remove(oldName).foreach(domainCols.put(newName, _))
     colDefaults.remove(oldName).foreach(colDefaults.put(newName, _))
     matViews.remove(oldName).foreach(matViews.put(newName, _))
-    register(newName, t)
+    register(newName, t, createdStorage = false)
     // the new name's ancestors (if any) must re-union over it
     inheritsOf.get(newName).foreach(refreshFamilyViews)
     ()
@@ -1757,19 +2085,39 @@ final class LakeEngine(val spark: SparkSession) {
       }
     }
     dmlText match {
-      case beginRe(rwOrNull) =>
-        begin(readOnly = Option(rwOrNull).exists(_.equalsIgnoreCase("ONLY")))
+      case beginRe(isoOrNull, rwOrNull) =>
+        // READ COMMITTED (and PG's READ UNCOMMITTED alias) = the
+        // default staged-overlay behavior; REPEATABLE READ pins each
+        // table's committed snapshot at first access; SERIALIZABLE =
+        // snapshot isolation + the commit-time CAS on written tables
+        val iso = Option(isoOrNull)
+          .map(_.replaceAll("\\s+", " ").toUpperCase)
+        begin(readOnly = Option(rwOrNull).exists(_.equalsIgnoreCase("ONLY")),
+          repeatableRead = iso.exists(i =>
+            i == "REPEATABLE READ" || i == "SERIALIZABLE"))
         Seq("BEGIN").toDF("status")
+      case setTxIsoRe(iso) =>
+        val level = iso.replaceAll("\\s+", " ").toUpperCase
+        setTxIsolation(level == "REPEATABLE READ" ||
+          level == "SERIALIZABLE")
+        Seq(level).toDF("isolation_level")
       case commitTxRe(chainOrNull) =>
+        // AND CHAIN preserves the transaction characteristics (PG
+        // §SQL-COMMIT: "the new transaction is started with the same
+        // transaction characteristics")
+        val chain = activeTx.map(t => (t.readOnly, t.repeatableRead))
         commitTx()
-        if (chainOrNull != null) begin() // COMMIT AND CHAIN
+        if (chainOrNull != null)
+          chain.foreach { case (ro, rr) => begin(ro, rr) }
         Seq("COMMIT").toDF("status")
       // ROLLBACK TO must match before the bare ROLLBACK
       case rollbackToRe(name) =>
         rollbackToSavepoint(name); Seq(name).toDF("rollback_to")
       case rollbackTxRe(chainOrNull) =>
+        val chain = activeTx.map(t => (t.readOnly, t.repeatableRead))
         rollbackTx()
-        if (chainOrNull != null) begin() // ROLLBACK AND CHAIN
+        if (chainOrNull != null)
+          chain.foreach { case (ro, rr) => begin(ro, rr) }
         Seq("ROLLBACK").toDF("status")
       case savepointRe(name) =>
         savepoint(name); Seq(name).toDF("savepoint")
@@ -2233,25 +2581,53 @@ final class LakeEngine(val spark: SparkSession) {
         Seq(table(name).meta.currentSnapshot.map(_.files.size).getOrElse(0))
           .toDF("data_files")
       case dropTableRe(ifExists, name) =>
-        // DROP of a pre-existing table cannot be undone here (purge
-        // deletes data) — refuse inside a transaction rather than
-        // break ROLLBACK's promise. A table CREATED in this
-        // transaction has nothing committed to lose: dropping it is
-        // exactly its rollback.
-        require(activeTx.isEmpty ||
-            activeTx.exists(_.created.contains(name)),
-          "DROP TABLE of a pre-existing table inside a transaction " +
-            "block is not supported (ROLLBACK could not restore it)")
-        activeTx.foreach { tx =>
-          tx.created -= name
-          tx.overlays.remove(name)
-          tables.get(name).foreach(_.txOverlay = None)
+        activeTx match {
+          case Some(tx) if tx.created.contains(name) =>
+            // created in THIS transaction: nothing committed to lose —
+            // dropping it is exactly its rollback
+            tx.created -= name
+            tx.overlays.remove(name)
+            tables.get(name).foreach(_.txOverlay = None)
+            dropTable(name)
+            Seq(name).toDF("dropped")
+          case Some(tx) if tables.contains(name) =>
+            // pre-existing managed table: STAGE the drop (PG DDL is
+            // transactional — reference test_iceberg_in_tx.py drop
+            // shapes). The registry entry detaches now so in-tx reads
+            // stop resolving; ROLLBACK restores it untouched; COMMIT
+            // queues the tree for VACUUM (files stay until vacuumed,
+            // matching the reference's in-progress accounting).
+            require(childrenOf(name).isEmpty,
+              s"cannot drop table $name because other tables inherit " +
+                "from it")
+            require(!inheritsOf.contains(name),
+              s"DROP TABLE of inheritance-family member $name inside " +
+                "a transaction block is not supported")
+            val t = tables(name)
+            tx.dropped += StagedDrop(name, t,
+              t.txOverlay.flatMap(_.staged),
+              domainCols.remove(name), colDefaults.remove(name))
+            tx.overlays.remove(name)
+            tables.remove(name)
+            t.txOverlay = None
+            spark.catalog.dropTempView(name)
+            spark.catalog.dropTempView(s"__only_$name")
+            Seq(name).toDF("dropped")
+          case Some(_) if partParents.contains(name) =>
+            throw new IllegalArgumentException(
+              s"DROP TABLE of partitioned parent $name inside a " +
+                "transaction block is not supported")
+          case Some(_) if ifExists != null =>
+            Seq.empty[String].toDF("dropped")
+          case Some(_) =>
+            throw new IllegalArgumentException(s"no such table: $name")
+          case None =>
+            if (tables.contains(name) || partParents.contains(name)) {
+              dropTable(name); Seq(name).toDF("dropped")
+            }
+            else if (ifExists != null) Seq.empty[String].toDF("dropped")
+            else throw new IllegalArgumentException(s"no such table: $name")
         }
-        if (tables.contains(name) || partParents.contains(name)) {
-          dropTable(name); Seq(name).toDF("dropped")
-        }
-        else if (ifExists != null) Seq.empty[String].toDF("dropped")
-        else throw new IllegalArgumentException(s"no such table: $name")
       case alterAddRe(name, colName, colType, defaultOrNull)
           if tables.contains(name) =>
         table(name).addColumn(colName, pgTypeName(colType.trim),
@@ -2946,9 +3322,16 @@ final class LakeEngine(val spark: SparkSession) {
   // clause (snapshot isolation is what the storage model gives)
   private val beginRe = ("(?is)^(?:BEGIN|START\\s+TRANSACTION)" +
     "(?:\\s+(?:WORK|TRANSACTION))?" +
-    "(?:\\s+ISOLATION\\s+LEVEL\\s+[\\w ]+?)?" +
-    "(?:\\s+READ\\s+(WRITE|ONLY))?" +
+    "(?:\\s+ISOLATION\\s+LEVEL\\s+(READ\\s+UNCOMMITTED|" +
+    "READ\\s+COMMITTED|REPEATABLE\\s+READ|SERIALIZABLE))?" +
+    // PG separates transaction_modes with optional commas
+    "(?:\\s*,?\\s+READ\\s+(WRITE|ONLY))?" +
     "\\s*;?\\s*$").r
+  // PG SET TRANSACTION (§SQL-SET-TRANSACTION): isolation only, and
+  // only before the transaction's first query
+  private val setTxIsoRe = ("(?is)^SET\\s+TRANSACTION\\s+ISOLATION\\s+" +
+    "LEVEL\\s+(READ\\s+UNCOMMITTED|READ\\s+COMMITTED|" +
+    "REPEATABLE\\s+READ|SERIALIZABLE)\\s*;?\\s*$").r
   private val commitTxRe = ("(?is)^(?:COMMIT|END)" +
     "(?:\\s+(?:WORK|TRANSACTION))?(\\s+AND\\s+CHAIN)?\\s*;?\\s*$").r
   // ABORT is PG's ROLLBACK synonym (§SQL-ABORT)
@@ -3077,6 +3460,29 @@ object LakeEngine {
     normalizeDir(spark.conf.getOption("graft.staging.dir").getOrElse(
       spark.conf.get("spark.sql.warehouse.dir")
         .stripSuffix("/") + "/_graft_staging"))
+
+  /** Persistent queue of table trees committed transactional DROPs
+    * left for VACUUM (the reference keeps a dropped table's data and
+    * metadata until vacuum — test_iceberg_in_tx.py:560-586): one
+    * tombstone file per dropped table, written on the COMMIT success
+    * path, processed by any engine's maintain()/VACUUM over the same
+    * warehouse. Lives OUTSIDE [[stagingRoot]] so the grace-bounded
+    * staging sweep never reclaims an unprocessed tombstone.
+    */
+  def droppedQueueDir(spark: SparkSession): String =
+    normalizeDir(spark.conf.getOption("graft.dropped.dir").getOrElse(
+      spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/_graft_dropped"))
+
+  private[graft] def queueDroppedTree(spark: SparkSession,
+      location: String): Unit = {
+    val dir = droppedQueueDir(spark)
+    graft.lake.LakeFs.mkdirs(dir)
+    graft.lake.LakeFs.writeAtomic(
+      graft.lake.LakeFs.child(dir,
+        s"dropped-${java.util.UUID.randomUUID()}.json"),
+      location.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Fresh unique staging directory under [[stagingRoot]]. */
   def stagingLocation(spark: SparkSession, prefix: String): String = {

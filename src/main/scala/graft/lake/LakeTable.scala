@@ -38,9 +38,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     */
   @volatile private[graft] var txOverlay: Option[TxOverlay] = None
 
-  def meta: TableMetadata =
-    txOverlay.flatMap(_.staged.map(_._2))
-      .getOrElse(TableMetadata.load(location))
+  def meta: TableMetadata = txOverlay match {
+    case Some(ov) => ov.staged.map(_._2)
+      .getOrElse(ov.baseMeta(TableMetadata.load(location)))
+    case None => TableMetadata.load(location)
+  }
 
   // ---------------------------------------------------------------- read
 
@@ -1388,7 +1390,7 @@ final class LakeTable(val spark: SparkSession, val location: String) {
     txOverlay match {
       case Some(ov) =>
         val (base, cur) = ov.staged.getOrElse {
-          val m = TableMetadata.load(location)
+          val m = ov.baseMeta(TableMetadata.load(location))
           (m, m)
         }
         val next = f(cur)
@@ -1446,9 +1448,11 @@ final class LakeTable(val spark: SparkSession, val location: String) {
         // Data files were already written (eagerly, like the
         // reference); the storage CAS — and the Iceberg re-export,
         // which must never publish uncommitted state — are deferred
-        // to the engine's COMMIT.
+        // to the engine's COMMIT. Under REPEATABLE READ the first
+        // write's base is the pinned snapshot, so the commit-time CAS
+        // detects any writer that landed since the pin.
         val (base, cur) = ov.staged.getOrElse {
-          val m = TableMetadata.load(location)
+          val m = ov.baseMeta(TableMetadata.load(location))
           (m, m)
         }
         val next = advance(cur)

@@ -15,10 +15,33 @@ package graft.lake
   * concurrent writer), `current` is the result of replaying every
   * staged operation. An overlay with `staged = None` marks a table as
   * transaction-scoped but untouched — reads fall through to live
-  * storage (READ COMMITTED for tables this transaction never wrote).
+  * storage (READ COMMITTED for tables this transaction never wrote),
+  * unless the transaction runs REPEATABLE READ / SERIALIZABLE, in
+  * which case the first access pins the committed snapshot for the
+  * rest of the transaction (PG's snapshot semantics for those levels;
+  * our SERIALIZABLE is snapshot isolation + the commit-time CAS on
+  * every written table — write-write conflicts serialize-fail, SSI's
+  * read-write-antidependency detection is out of scope and
+  * documented).
   */
 final class TxOverlay {
   @volatile var staged: Option[(TableMetadata, TableMetadata)] = None
 
+  /** REPEATABLE READ / SERIALIZABLE: pin the committed state at first
+    * access and serve every later read (and the first write's base)
+    * from the pin.
+    */
+  @volatile var repeatableRead: Boolean = false
+  @volatile var pinned: Option[TableMetadata] = None
+
   def dirty: Boolean = staged.isDefined
+
+  /** Committed-state base for reads and for the FIRST staged write:
+    * under REPEATABLE READ the snapshot pinned at first access,
+    * otherwise the live committed load (READ COMMITTED).
+    */
+  def baseMeta(load: => TableMetadata): TableMetadata =
+    if (repeatableRead)
+      pinned.getOrElse { val m = load; pinned = Some(m); m }
+    else load
 }

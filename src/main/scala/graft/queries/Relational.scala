@@ -360,6 +360,56 @@ object Relational {
         "ORDER BY n_nationkey")
     },
 
+    // ---- multi-TABLE transaction (§2.8 r14, reference
+    // test_iceberg_xacts.py all-or-nothing cross-table semantics): one
+    // transaction writes TWO managed tables with a savepoint straddling
+    // both — the rolled-back leg touches both tables, the committed leg
+    // touches both tables — then a second two-table transaction is
+    // fully rolled back; the oracle reproduces the net state of BOTH
+    // tables as pure SQL (UNION ALL with a table tag), so cross-table
+    // staging, cross-table savepoint restore, and cross-table rollback
+    // are differentially judged, not just spec-pinned
+    QueryDef(
+      "q_tx_multi",
+      """SELECT 'n' AS src, n_nationkey AS k, n_name AS label
+        |FROM nation WHERE n_nationkey <> 24
+        |UNION ALL
+        |SELECT 'n', n_nationkey + 100, 'N' || CAST(n_nationkey AS VARCHAR)
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT 'r', r_regionkey,
+        |  CASE WHEN r_regionkey < 2 THEN r_name || '_v2'
+        |       WHEN r_regionkey = 4 THEN 'five' ELSE r_name END
+        |FROM region
+        |ORDER BY src, k""".stripMargin) { (s, dir) =>
+      val e = graft.LakeEngine(s)
+      e.createTableFrom("q_txm_n",
+        graft.LakeEngine.tempLocation("q_txm_n"), s"$dir/nation.parquet")
+      e.createTableFrom("q_txm_r",
+        graft.LakeEngine.tempLocation("q_txm_r"), s"$dir/region.parquet")
+      e.sql("BEGIN")
+      e.sql("INSERT INTO q_txm_n SELECT n_nationkey + 100, " +
+        "concat('N', CAST(n_nationkey AS STRING)), n_regionkey " +
+        "FROM q_txm_n WHERE n_nationkey < 5")
+      e.sql("UPDATE q_txm_r SET r_name = concat(r_name, '_v2') " +
+        "WHERE r_regionkey < 2")
+      e.sql("SAVEPOINT sp1")
+      e.sql("DELETE FROM q_txm_n WHERE n_nationkey >= 10")
+      e.sql("UPDATE q_txm_r SET r_name = 'gone'")
+      e.sql("ROLLBACK TO SAVEPOINT sp1")
+      e.sql("DELETE FROM q_txm_n WHERE n_nationkey = 24")
+      e.sql("UPDATE q_txm_r SET r_name = 'five' WHERE r_regionkey = 4")
+      e.sql("COMMIT")
+      e.sql("BEGIN")
+      e.sql("DELETE FROM q_txm_n WHERE n_nationkey < 1000")
+      e.sql("UPDATE q_txm_r SET r_name = 'x'")
+      e.sql("ROLLBACK")
+      e.sql("SELECT 'n' AS src, n_nationkey AS k, n_name AS label " +
+        "FROM q_txm_n " +
+        "UNION ALL SELECT 'r', r_regionkey, r_name FROM q_txm_r " +
+        "ORDER BY src, k")
+    },
+
     // ---- sniffed CSV lake table (§2.1 CSV matrix): rows round-trip
     // through the PG-convention CSV writer, then back through the
     // dialect-sniffing reader with no options given — delimiter, quote,

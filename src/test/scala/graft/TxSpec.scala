@@ -533,7 +533,7 @@ class TxSpec extends AnyFunSuite {
       .collect().toSeq == Seq(1L, 2L))
   }
 
-  test("refusals: VACUUM / DROP of pre-existing tables inside a tx; " +
+  test("refusals: VACUUM / RENAME / re-create-after-drop inside a tx; " +
       "SAVEPOINT outside one") {
     val e = LakeEngine(spark)
     e.createTableAsSelect("tx_ref", s"${tmp()}/t", Seq(1L).toDF("a"))
@@ -543,12 +543,237 @@ class TxSpec extends AnyFunSuite {
     val vac = intercept[IllegalArgumentException](e.sql("VACUUM tx_ref"))
     assert(vac.getMessage.contains(
       "VACUUM cannot run inside a transaction block"))
-    val drop = intercept[IllegalArgumentException](
-      e.sql("DROP TABLE tx_ref"))
-    assert(drop.getMessage.contains("not supported"))
+    // a transactional rename would need ROLLBACK to restore the old
+    // name across every registry — refused loudly
+    val ren = intercept[IllegalArgumentException](
+      e.renameTable("tx_ref", "tx_ref2"))
+    assert(ren.getMessage.contains("not supported"))
+    // a name dropped in this transaction cannot be reused: COMMIT will
+    // queue the old tree for deletion
+    e.sql("DROP TABLE tx_ref")
+    val rec = intercept[IllegalArgumentException](
+      e.createTableAsSelect("tx_ref", s"${tmp()}/t2", Seq(9L).toDF("a")))
+    assert(rec.getMessage.contains("dropped in the same transaction"))
     e.sql("ROLLBACK")
-    // autocommit untouched after the transaction ends
+    // autocommit untouched after the transaction ends (and the staged
+    // drop rolled back)
     e.sql("INSERT INTO tx_ref VALUES (2)")
     assert(e.sql("SELECT count(*) FROM tx_ref").first().getLong(0) == 2)
+  }
+
+  test("multi-table COMMIT is all-or-nothing: a writer landing between " +
+      "the pre-flight and the second table's CAS leaves ZERO tables " +
+      "changed (compensating un-commit)") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txaon_a", l1, Seq(1L).toDF("id"),
+      partitionBy = Nil)
+    e.createTableAsSelect("txaon_b", l2, Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txaon_a VALUES (10)")
+    e.sql("INSERT INTO txaon_b VALUES (10)")
+    // a concurrent engine writes the SECOND-to-install table after the
+    // pre-flight passed and the first table already installed — the
+    // exact window that used to leave a partial commit
+    var calls = 0
+    e.txPreInstallHook = n => {
+      calls += 1
+      if (calls == 2)
+        new graft.lake.LakeTable(spark, e.table(n).location)
+          .append(Seq(99L).toDF("id"))
+    }
+    val err = intercept[java.util.ConcurrentModificationException](
+      e.sql("COMMIT"))
+    e.txPreInstallHook = _ => ()
+    assert(err.getMessage.contains("could not serialize access"))
+    // ALL-OR-NOTHING: the first-installed table must be BACK at its
+    // pre-transaction state; the concurrent writer's row survives
+    val s1 = new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet
+    val s2 = new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet
+    assert(!s1.contains(10L) && !s2.contains(10L),
+      s"transaction rows leaked: $s1 / $s2")
+    assert(Set(s1, s2) == Set(Set(1L), Set(1L, 99L)),
+      s"unexpected states: $s1 / $s2")
+    // the protocol cleaned its markers
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty)
+    // no staged parquet survives the abort
+    val e2 = LakeEngine(spark)
+    assert(e2.loadTable("txaon_a2", l1).read().count() ==
+      s1.size.toLong)
+    // the engine stays usable after the failed COMMIT
+    e.sql("INSERT INTO txaon_a VALUES (7)")
+    assert(new graft.lake.LakeTable(spark, l1).read().count() ==
+      s1.size + 1L)
+  }
+
+  test("crash between the first and second table's CAS: maintain() in " +
+      "a fresh engine finishes the presumed-abort protocol") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txcr_a", l1, Seq(1L).toDF("id"))
+    e.createTableAsSelect("txcr_b", l2, Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txcr_a VALUES (10)")
+    e.sql("INSERT INTO txcr_b VALUES (10)")
+    // a FATAL throw (InterruptedException is not NonFatal) skips both
+    // the compensation handler and the marker cleanup — the closest
+    // in-process stand-in for a driver crash mid-protocol
+    var calls = 0
+    e.txPreInstallHook = _ => {
+      calls += 1
+      if (calls == 2) throw new InterruptedException("simulated crash")
+    }
+    intercept[InterruptedException](e.sql("COMMIT"))
+    // both markers survived the crash
+    assert(graft.lake.TxMarker.list(l1).nonEmpty &&
+      graft.lake.TxMarker.list(l2).nonEmpty)
+    // one table carries the installed-but-undecided commit
+    val heads = Seq(l1, l2).map(l =>
+      new graft.lake.LakeTable(spark, l).read().as[Long].collect().toSet)
+    assert(heads.contains(Set(1L, 10L)) && heads.contains(Set(1L)))
+    // the restarted process: a fresh engine attaches and maintains
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txcr_a2", l1)
+    e2.loadTable("txcr_b2", l2)
+    spark.conf.set("graft.staging.grace_ms", "-1")
+    try e2.maintain()
+    finally spark.conf.unset("graft.staging.grace_ms")
+    // presumed abort: BOTH tables back at their pre-transaction state
+    assert(new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet == Set(1L))
+    assert(new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet == Set(1L))
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty)
+  }
+
+  test("transactional DROP TABLE: ROLLBACK restores the table " +
+      "untouched; COMMIT unregisters and the tree stays until VACUUM") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("txd_t", loc, Seq(1L, 2L).toDF("id"))
+    val filesBefore = dataFiles(e.table("txd_t")).size
+    // ---- rollback leg
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txd_t VALUES (3)")
+    e.sql("DROP TABLE txd_t")
+    // in-tx reads stop resolving the dropped table
+    intercept[Exception](e.sql("SELECT count(*) FROM txd_t"))
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT id FROM txd_t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    // the staged insert's parquet was reaped with the rollback
+    assert(dataFiles(e.table("txd_t")).size == filesBefore)
+    // ---- commit leg (reference test_iceberg_in_tx.py:560-586: the
+    // dropped table's metadata AND data stay until VACUUM)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txd_t VALUES (4)")
+    e.sql("DROP TABLE txd_t")
+    e.sql("COMMIT")
+    intercept[Exception](e.sql("SELECT count(*) FROM txd_t"))
+    assert(graft.lake.LakeFs.exists(loc),
+      "COMMIT must leave the dropped tree for VACUUM")
+    e.sql("VACUUM")
+    assert(!graft.lake.LakeFs.exists(loc),
+      "VACUUM must reap the committed-drop tree")
+  }
+
+  test("DROP inside a savepoint rolls back with ROLLBACK TO, restoring " +
+      "the pre-savepoint staged state (reference " +
+      "test_in_subtx_fail_with_drop)") {
+    val e = LakeEngine(spark)
+    val loc = s"${tmp()}/t"
+    e.createTableAsSelect("txds_t", loc, Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txds_t VALUES (2)")
+    e.sql("SAVEPOINT sp1")
+    e.sql("INSERT INTO txds_t VALUES (3)")
+    e.sql("DROP TABLE txds_t")
+    e.sql("ROLLBACK TO SAVEPOINT sp1")
+    // the table is back, carrying the pre-savepoint staged INSERT (2)
+    // but not the rolled-back one (3)
+    assert(e.sql("SELECT id FROM txds_t ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+    e.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark, loc).read()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // a drop staged BEFORE the savepoint stays dropped through
+    // ROLLBACK TO a LATER mark
+    e.sql("BEGIN")
+    e.sql("DROP TABLE txds_t")
+    e.sql("SAVEPOINT sp2")
+    e.sql("ROLLBACK TO SAVEPOINT sp2")
+    intercept[Exception](e.sql("SELECT count(*) FROM txds_t"))
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT count(*) FROM txds_t").first().getLong(0) == 2)
+  }
+
+  test("REPEATABLE READ pins reads at first access; SERIALIZABLE " +
+      "write on a moved pin serialization-fails; SET TRANSACTION " +
+      "guards after first query") {
+    val loc = s"${tmp()}/t"
+    val e1 = LakeEngine(spark)
+    e1.createTableAsSelect("txi_a", loc, Seq(1L).toDF("id"))
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txi_b", loc)
+    e1.sql("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    assert(e1.table("txi_a").read().count() == 1) // pin at first access
+    e2.sql("INSERT INTO txi_b VALUES (2)") // concurrent committed write
+    assert(e1.table("txi_a").read().count() == 1,
+      "REPEATABLE READ must not see a concurrent commit")
+    e1.sql("COMMIT")
+    assert(e1.table("txi_a").read().count() == 2, "pin must release")
+    // READ COMMITTED (the default) sees concurrent commits mid-tx
+    e1.sql("BEGIN")
+    assert(e1.table("txi_a").read().count() == 2)
+    e2.sql("INSERT INTO txi_b VALUES (3)")
+    assert(e1.table("txi_a").read().count() == 3,
+      "READ COMMITTED reads the live committed state")
+    e1.sql("ROLLBACK")
+    // SERIALIZABLE: the first write bases on the pin, so a writer
+    // landing after the pin fails the COMMIT CAS
+    e1.sql("BEGIN ISOLATION LEVEL SERIALIZABLE")
+    assert(e1.table("txi_a").read().count() == 3) // pin
+    e2.sql("INSERT INTO txi_b VALUES (4)")
+    e1.sql("INSERT INTO txi_a VALUES (99)")
+    val err = intercept[java.util.ConcurrentModificationException](
+      e1.sql("COMMIT"))
+    assert(err.getMessage.contains("could not serialize access"))
+    assert(new graft.lake.LakeTable(spark, loc).read()
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // SET TRANSACTION ISOLATION LEVEL: applies before any query...
+    e1.sql("BEGIN")
+    e1.sql("SET TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    assert(e1.table("txi_a").read().count() == 4)
+    e2.sql("INSERT INTO txi_b VALUES (5)")
+    assert(e1.table("txi_a").read().count() == 4)
+    // ...and refuses after one
+    val late = intercept[IllegalArgumentException](e1.sql(
+      "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"))
+    assert(late.getMessage.contains("before any query"))
+    e1.sql("ROLLBACK")
+  }
+
+  test("loadTable inside a transaction: ROLLBACK must not purge the " +
+      "attached pre-existing table") {
+    val loc = s"${tmp()}/t"
+    val e0 = LakeEngine(spark)
+    e0.createTableAsSelect("txl_src", loc, Seq(1L).toDF("id"))
+    val e = LakeEngine(spark)
+    e.sql("BEGIN")
+    e.loadTable("txl_t", loc)
+    e.sql("INSERT INTO txl_t VALUES (2)")
+    assert(e.sql("SELECT count(*) FROM txl_t").first().getLong(0) == 2)
+    e.sql("ROLLBACK")
+    // the attached table's storage survives (only the staged insert
+    // rolled back) and it stays registered
+    assert(graft.lake.LakeFs.exists(loc),
+      "ROLLBACK purged an attached pre-existing table")
+    assert(new graft.lake.LakeTable(spark, loc).read()
+      .as[Long].collect().toSet == Set(1L))
+    assert(e.tableOption("txl_t").isDefined)
   }
 }
