@@ -246,22 +246,15 @@ final class LakeEngine(val spark: SparkSession) {
       // THAN ONE table must change together; a single table commits
       // in one CAS and is atomic by construction
       val multi = dirty.size > 1
-      val coordinator = dirty.headOption.map { case (n, _, _) =>
-        lake.TableMetadata.metaDir(tables(n).location)
+      val coordinator = dirty.headOption.flatMap { case (n, _, _) =>
+        tables.get(n).map(t => lake.TableMetadata.metaDir(t.location))
       }.getOrElse("")
       var installed = 0
       try {
-        if (multi) dirty.foreach { case (n, base, cur) =>
-          val t = tables.getOrElse(n, throw new IllegalStateException(
-            s"table $n vanished during the transaction"))
-          lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
-            coordinator, lake.TableMetadata.serialize(base),
-            lake.TableMetadata.serialize(cur), stagedPaths(base, cur)))
-        }
         // pre-flight: check every dirty table's base BEFORE installing
         // any — the common multi-table conflict aborts here with zero
-        // work done; a writer landing AFTER this check hits the CAS
-        // below and the compensation handler
+        // work done (no marker IO either); a writer landing AFTER this
+        // check hits the CAS below and the compensation handler
         dirty.foreach { case (n, base, _) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
@@ -271,6 +264,18 @@ final class LakeEngine(val spark: SparkSession) {
               s"could not serialize access: table $n moved to " +
                 s"snapshot ${disk.currentSnapshotId} during the " +
                 s"transaction (began at ${base.currentSnapshotId})")
+        }
+        // markers go down after the pre-flight but before ANY install —
+        // the protocol only has to cover the install window
+        if (multi) dirty.foreach { case (n, base, cur) =>
+          val t = tables.getOrElse(n, throw new IllegalStateException(
+            s"table $n vanished during the transaction"))
+          val baseV = lake.TableMetadata.currentVersion(t.location)
+            .getOrElse(throw new IllegalStateException(
+              s"table $n vanished at ${t.location}"))
+          lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
+            coordinator, baseV, lake.TxMarker.stateHash(base),
+            lake.TxMarker.stateHash(cur), stagedPaths(base, cur)))
         }
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
@@ -968,20 +973,25 @@ final class LakeEngine(val spark: SparkSession) {
             // the transaction committed — the marker is leftover
             lake.LakeFs.deleteIfExists(path)
           } else {
-            val head = lake.TableMetadata.load(m.location)
-            val staged = m.staged
-            if (lake.TxMarker.sameState(head, staged)) {
+            val headHash = lake.TxMarker.stateHash(
+              lake.TableMetadata.load(m.location))
+            if (headHash == m.stagedStateHash) {
               // presumed abort and the aborted install is still the
               // head: compensate exactly like the live failure handler
+              val base = lake.TxMarker.baseOf(m)
+              if (lake.TxMarker.stateHash(base) != m.baseStateHash)
+                throw new IllegalStateException(
+                  s"marker base v${m.baseVersion} does not match its " +
+                    "recorded state hash — refusing to restore")
               lake.TableMetadata.commit(m.location) { curOpt =>
                 val disk = curOpt.getOrElse(
                   throw new IllegalStateException(
                     s"table vanished at ${m.location}"))
-                if (!lake.TxMarker.sameState(disk, staged))
+                if (lake.TxMarker.stateHash(disk) != m.stagedStateHash)
                   throw new IllegalStateException(
                     s"cannot un-commit $name: a concurrent writer " +
                       "already built on the aborted state")
-                m.base
+                base
               }
               m.stagedPaths.foreach(p =>
                 try lake.LakeFs.deleteIfExists(p)
@@ -991,7 +1001,7 @@ final class LakeEngine(val spark: SparkSession) {
               refresh(name)
               txLog.warn(s"recovered crashed transaction ${m.txId}: " +
                 s"rolled $name back to its pre-transaction state")
-            } else if (lake.TxMarker.sameState(head, m.base)) {
+            } else if (headHash == m.baseStateHash) {
               // never installed (or already compensated): the staged
               // files are referenced by nothing
               m.stagedPaths.foreach(p =>

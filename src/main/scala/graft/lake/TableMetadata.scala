@@ -239,7 +239,11 @@ object TableMetadata {
     loadVersion(location, currentVersion(location).getOrElse(
       throw new IllegalStateException(s"no lake table at $location")))
 
-  private def loadVersion(location: String, v: Int): TableMetadata =
+  /** package-visible for [[TxMarker]] crash recovery: the marker
+    * points at the pre-tx base by version number instead of embedding
+    * the (potentially huge) serialized metadata.
+    */
+  private[lake] def loadVersion(location: String, v: Int): TableMetadata =
     hydrate(location, deserialize(new String(LakeFs.readAllBytes(
       LakeFs.child(metaDir(location), s"v$v.json")))))
 

@@ -14,9 +14,15 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * Protocol (presumed abort, per-table markers + one decision file):
   *
   *  1. Before installing ANY table, COMMIT writes one marker per dirty
-  *     table into that table's `_meta` dir: the serialized pre-tx base,
-  *     the serialized staged state it is about to install, and the
-  *     coordinator `_meta` dir (the first dirty table's).
+  *     table into that table's `_meta` dir: a POINTER to the pre-tx
+  *     base (its on-disk metadata version — old versions are never
+  *     swept, and the base's manifests stay referenced while the
+  *     staged install is head) plus state hashes of the base and of
+  *     the staged content about to install, and the coordinator
+  *     `_meta` dir (the first dirty table's). Markers are O(1)-sized:
+  *     at 100 TB a table's metadata inlines very large file lists, so
+  *     embedding serialized metadata in a per-commit marker would make
+  *     every multi-table COMMIT O(table size).
   *  2. Tables install sequentially under the usual CAS.
   *  3. On full success the engine writes `txdone-<txId>` at the
   *     coordinator (the atomic commit decision), deletes the markers,
@@ -35,32 +41,27 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   *     restore the base wherever the transaction's install is still
   *     the table head.
   *
-  * State identity uses [[TxMarker.sameState]] — a semantic comparison
-  * (snapshot ids + per-snapshot file-path sets + schemas + properties)
-  * rather than raw JSON equality, because the dehydrate/hydrate round
-  * trip through manifest files does not preserve byte-level layout.
+  * State identity uses [[TxMarker.stateHash]] — a digest of the
+  * semantic state (snapshot ids + operations + per-snapshot file-path
+  * sets + schema history + properties) rather than raw JSON equality,
+  * because the dehydrate/hydrate round trip through manifest files
+  * does not preserve byte-level layout, and recovery runs in a
+  * DIFFERENT process than the one that wrote the marker.
   */
 final case class TxMarker(
     txId: String,
     table: String,
     location: String,
     coordinator: String, // _meta dir holding the decision file
-    baseJson: String, // serialized pre-tx metadata (restore target)
-    stagedJson: String, // serialized staged metadata (install content)
-    stagedPaths: Seq[String]) { // data files only this tx references
-
-  def base: TableMetadata = TxMarker.meta(baseJson)
-
-  def staged: TableMetadata = TxMarker.meta(stagedJson)
-}
+    baseVersion: Int, // on-disk metadata version of the pre-tx state
+    baseStateHash: String, // stateHash of the pre-tx base
+    stagedStateHash: String, // stateHash of the install content
+    stagedPaths: Seq[String]) // data files only this tx references
 
 object TxMarker {
   private val mapper = new ObjectMapper()
     .registerModule(DefaultScalaModule)
     .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
-
-  private def meta(json: String): TableMetadata =
-    TableMetadata.deserialize(json)
 
   def markerName(txId: String): String = s"txmarker-$txId.json"
 
@@ -77,6 +78,13 @@ object TxMarker {
   def read(path: String): TxMarker =
     mapper.readValue(LakeFs.readAllBytes(path), classOf[TxMarker])
 
+  /** The marker's pre-tx base, loaded from its on-disk version file
+    * (old versions are never swept; see the class doc for why the
+    * base's manifests stay live through the recovery window).
+    */
+  def baseOf(m: TxMarker): TableMetadata =
+    TableMetadata.loadVersion(m.location, m.baseVersion)
+
   /** Marker files present in a table's `_meta` dir: (file name, path). */
   def list(location: String): Seq[(String, String)] = {
     val dir = TableMetadata.metaDir(location)
@@ -92,12 +100,31 @@ object TxMarker {
     * dehydrate/hydrate round trip may legitimately reshape.
     */
   def sameState(a: TableMetadata, b: TableMetadata): Boolean =
-    stateKey(a) == stateKey(b)
+    canonicalState(a) == canonicalState(b)
 
-  private def stateKey(m: TableMetadata) =
-    (m.currentSnapshotId,
-      m.snapshots.map(s =>
-        (s.id, s.operation, s.files.map(_.path).toSet)).toSet,
-      m.currentSchemaVersion, m.schemas, m.partitionSpec,
-      m.properties, m.nextFieldId)
+  /** SHA-256 of the canonical state — stable ACROSS processes (crash
+    * recovery reads markers a dead JVM wrote), unlike case-class
+    * hashCodes.
+    */
+  def stateHash(m: TableMetadata): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(canonicalState(m)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def canonicalState(m: TableMetadata): String = {
+    val snaps = m.snapshots.sortBy(_.id).map { s =>
+      s"${s.id}|${s.operation}|" + s.files.map(_.path).sorted.mkString(",")
+    }.mkString(";")
+    val schemas = m.schemas.sortBy(_.version).map { sv =>
+      s"${sv.version}:" + sv.fields.map(f =>
+        s"${f.id},${f.name},${f.dataType},${f.nullable}," +
+          f.initialDefault.getOrElse("")).mkString("|")
+    }.mkString(";")
+    val props = m.properties.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString(";")
+    Seq(m.currentSnapshotId, snaps, m.currentSchemaVersion, schemas,
+      m.partitionSpec.mkString(","), props, m.nextFieldId).mkString("\n")
+  }
 }

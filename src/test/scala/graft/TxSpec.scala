@@ -278,6 +278,93 @@ class TxSpec extends AnyFunSuite {
     e.dropTable("tx_fz")
   }
 
+  /** The drop-aware twin of the transaction fuzz: DROP TABLE joins the
+    * random step pool, the model tracks a staged-drop flag through
+    * savepoints, COMMIT of a dropped table must leave the tree for
+    * VACUUM, and ROLLBACK (full or to a pre-drop mark) must restore
+    * the table exactly.
+    */
+  test("transaction fuzz with staged DROP tracks the model " +
+      "(drop/savepoint/rollback interleavings)") {
+    val e = LakeEngine(spark)
+    var loc = s"${tmp()}/t"
+    val seed: Set[Long] = (0L until 10L).toSet
+    e.createTableAsSelect("tx_fzd", loc, seed.toSeq.toDF("id"))
+    val rnd = new scala.util.Random(20260816L)
+    var committed = seed
+    var staged = committed
+    var inTx = false
+    var dropped = false // a DROP TABLE is staged in the open tx
+    var marks = List.empty[(String, Set[Long], Boolean)]
+    var nextId = 100L
+    def liveState: Set[Long] =
+      e.sql("SELECT id FROM tx_fzd").as[Long].collect().toSet
+    for (step <- 0 until 120) {
+      rnd.nextInt(12) match {
+        case 0 if !inTx => e.sql("BEGIN"); inTx = true; marks = Nil
+        case 1 if inTx =>
+          e.sql("COMMIT"); inTx = false
+          if (dropped) {
+            // committed drop: unresolvable, tree queued until VACUUM
+            intercept[Exception](e.sql("SELECT count(*) FROM tx_fzd"))
+            assert(graft.lake.LakeFs.exists(loc),
+              s"step $step: committed-drop tree reaped before VACUUM")
+            e.sql("VACUUM")
+            assert(!graft.lake.LakeFs.exists(loc),
+              s"step $step: VACUUM left the committed-drop tree")
+            // recreate so the fuzz keeps running
+            loc = s"${tmp()}/t"
+            committed = seed
+            e.createTableAsSelect("tx_fzd", loc, seed.toSeq.toDF("id"))
+            staged = committed; dropped = false
+          } else committed = staged
+        case 2 if inTx =>
+          e.sql("ROLLBACK"); staged = committed; dropped = false
+          inTx = false
+        case 3 if inTx =>
+          val n = s"sp${step % 7}"
+          e.sql(s"SAVEPOINT $n"); marks = (n, staged, dropped) :: marks
+        case 4 if inTx && marks.nonEmpty =>
+          val (n, snap, wasDropped) = marks(rnd.nextInt(marks.size))
+          e.sql(s"ROLLBACK TO SAVEPOINT $n")
+          staged = snap; dropped = wasDropped
+          marks = marks.dropWhile(_._1 != n)
+        case 5 if inTx && !dropped =>
+          e.sql("DROP TABLE tx_fzd"); dropped = true
+        case k if k >= 6 && k % 2 == 0 =>
+          if (!dropped) {
+            val v = nextId; nextId += 1
+            e.sql(s"INSERT INTO tx_fzd VALUES ($v)")
+            staged += v
+            if (!inTx) committed = staged
+          }
+        case _ =>
+          if (!dropped && staged.nonEmpty) {
+            val v = staged.toSeq(rnd.nextInt(staged.size))
+            e.sql(s"DELETE FROM tx_fzd WHERE id = $v")
+            staged -= v
+            if (!inTx) committed = staged
+          }
+      }
+      if (dropped) {
+        // in-tx reads stop resolving the dropped table
+        assert(e.tableOption("tx_fzd").isEmpty, s"step $step: dropped " +
+          "table still registered")
+        intercept[Exception](e.sql("SELECT count(*) FROM tx_fzd"))
+      } else {
+        assert(liveState == staged, s"step $step: engine state diverged")
+      }
+      // external readers always see the committed state — a staged
+      // drop (like any staged write) is invisible until COMMIT
+      assert(new graft.lake.LakeTable(spark, loc).read()
+        .as[Long].collect().toSet == committed,
+        s"step $step: COMMITTED state diverged (tx leak)")
+    }
+    if (inTx) e.sql("ROLLBACK")
+    assert(liveState == committed)
+    e.dropTable("tx_fzd")
+  }
+
   /** The reference's lake_engine.in_progress_files surface
     * (test_iceberg_in_progress_files.py): files the active transaction
     * staged list with ONE operation_id; they vanish at
