@@ -2111,6 +2111,20 @@ final class LakeEngine(val spark: SparkSession) {
         setTxIsolation(level == "REPEATABLE READ" ||
           level == "SERIALIZABLE")
         Seq(level).toDF("isolation_level")
+      case setTxAccessRe(mode) =>
+        // PG allows tightening/loosening the access mode mid-block;
+        // loosening READ ONLY → READ WRITE only before the first query
+        // (we mirror the isolation guard for that direction)
+        val tx = activeTx.getOrElse(throw new IllegalStateException(
+          "SET TRANSACTION can only be used in transaction blocks"))
+        val ro = mode.equalsIgnoreCase("ONLY")
+        if (!ro && tx.readOnly)
+          require(tx.overlays.values.forall(ov =>
+              ov.staged.isEmpty && ov.pinned.isEmpty) &&
+              tx.dropped.isEmpty,
+            "SET TRANSACTION READ WRITE must be called before any query")
+        tx.readOnly = ro
+        Seq(if (ro) "READ ONLY" else "READ WRITE").toDF("access_mode")
       case commitTxRe(chainOrNull) =>
         // AND CHAIN preserves the transaction characteristics (PG
         // §SQL-COMMIT: "the new transaction is started with the same
@@ -3337,11 +3351,13 @@ final class LakeEngine(val spark: SparkSession) {
     // PG separates transaction_modes with optional commas
     "(?:\\s*,?\\s+READ\\s+(WRITE|ONLY))?" +
     "\\s*;?\\s*$").r
-  // PG SET TRANSACTION (§SQL-SET-TRANSACTION): isolation only, and
-  // only before the transaction's first query
+  // PG SET TRANSACTION (§SQL-SET-TRANSACTION): isolation (only before
+  // the transaction's first query) and access mode
   private val setTxIsoRe = ("(?is)^SET\\s+TRANSACTION\\s+ISOLATION\\s+" +
     "LEVEL\\s+(READ\\s+UNCOMMITTED|READ\\s+COMMITTED|" +
     "REPEATABLE\\s+READ|SERIALIZABLE)\\s*;?\\s*$").r
+  private val setTxAccessRe =
+    "(?is)^SET\\s+TRANSACTION\\s+READ\\s+(ONLY|WRITE)\\s*;?\\s*$".r
   private val commitTxRe = ("(?is)^(?:COMMIT|END)" +
     "(?:\\s+(?:WORK|TRANSACTION))?(\\s+AND\\s+CHAIN)?\\s*;?\\s*$").r
   // ABORT is PG's ROLLBACK synonym (§SQL-ABORT)

@@ -737,6 +737,159 @@ class TxSpec extends AnyFunSuite {
       graft.lake.TxMarker.list(l2).isEmpty)
   }
 
+  /** Randomized all-or-nothing: four dirty tables, a conflicting
+    * writer injected at a RANDOM install index, repeated across seeds —
+    * whatever prefix had installed must be compensated back, the
+    * outcome is always zero-tables-changed plus the interloper's row.
+    */
+  test("multi-table all-or-nothing fuzz: conflict at a random install " +
+      "index always compensates to zero tables changed") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(20260816L + seed)
+      val names = (1 to 4).map(i => s"txmf${seed}_$i")
+      val locs = names.map(_ => s"${tmp()}/t")
+      val e = LakeEngine(spark)
+      names.zip(locs).foreach { case (n, l) =>
+        e.createTableAsSelect(n, l, Seq(1L).toDF("id"))
+      }
+      e.sql("BEGIN")
+      names.foreach(n => e.sql(s"INSERT INTO $n VALUES (10)"))
+      val conflictAt = 1 + rnd.nextInt(4) // 1-based install index
+      var calls = 0
+      e.txPreInstallHook = n => {
+        calls += 1
+        if (calls == conflictAt)
+          new graft.lake.LakeTable(spark, e.table(n).location)
+            .append(Seq(99L).toDF("id"))
+      }
+      val err = intercept[java.util.ConcurrentModificationException](
+        e.sql("COMMIT"))
+      e.txPreInstallHook = _ => ()
+      assert(err.getMessage.contains("could not serialize access"))
+      val states = locs.map(l => new graft.lake.LakeTable(spark, l)
+        .read().as[Long].collect().toSet)
+      assert(states.forall(!_.contains(10L)),
+        s"seed $seed (conflict at $conflictAt): tx rows leaked: $states")
+      assert(states.count(_ == Set(1L, 99L)) == 1 &&
+        states.count(_ == Set(1L)) == 3,
+        s"seed $seed (conflict at $conflictAt): $states")
+      assert(locs.forall(graft.lake.TxMarker.list(_).isEmpty),
+        s"seed $seed: markers left behind")
+    }
+  }
+
+  /** Real concurrency (no injected hooks): four engines race two-table
+    * transactions over the SAME two tables, retrying on serialization
+    * failure. Every commit must be all-or-nothing — at the end both
+    * tables carry exactly the same tag set, and every transaction's
+    * tags are present (no lost updates, no half-applied transaction).
+    */
+  test("racing multi-table transactions across engines: all-or-nothing " +
+      "outcomes, no lost updates") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e0 = LakeEngine(spark)
+    e0.createTableAsSelect("txrm0_a", l1, Seq(0L).toDF("id"),
+      partitionBy = Nil)
+    e0.createTableAsSelect("txrm0_b", l2, Seq(0L).toDF("id"))
+    val threads = 4
+    val txPerThread = 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to threads).foreach { w =>
+      pool.execute { () =>
+        try {
+          val e = LakeEngine(spark)
+          e.loadTable(s"txrm${w}_a", l1)
+          e.loadTable(s"txrm${w}_b", l2)
+          latch.await()
+          (1 to txPerThread).foreach { i =>
+            val tag = w * 100L + i
+            var attempts = 0
+            var done = false
+            while (!done) {
+              try {
+                e.sql("BEGIN")
+                e.sql(s"INSERT INTO txrm${w}_a VALUES ($tag)")
+                e.sql(s"INSERT INTO txrm${w}_b VALUES ($tag)")
+                e.sql("COMMIT")
+                done = true
+              } catch {
+                case _: java.util.ConcurrentModificationException =>
+                  attempts += 1
+                  if (attempts > 25) throw new IllegalStateException(
+                    s"tx $tag starved after $attempts serialization " +
+                      "failures")
+                  Thread.sleep(5L + scala.util.Random.nextInt(20))
+              }
+            }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      }
+    }
+    latch.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300,
+      java.util.concurrent.TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing tx failed: ${errs.peek()}")
+    val sa = new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet
+    val sb = new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet
+    val want = (for (w <- 1 to threads; i <- 1 to txPerThread)
+      yield w * 100L + i).toSet + 0L
+    assert(sa == want, s"table A lost/heaped updates: ${sa.diff(want)} " +
+      s"missing ${want.diff(sa)}")
+    assert(sb == want, s"table B lost/heaped updates: ${sb.diff(want)} " +
+      s"missing ${want.diff(sb)}")
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty, "markers left behind")
+  }
+
+  test("multi-table commit + crash recovery over a mockfs:// scheme " +
+      "(markers and decisions route through LakeFs, not java.nio)") {
+    val spark2 = spark
+    spark2.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockClusterFs].getName)
+    def freshLoc() = "mockfs:" +
+      java.nio.file.Files.createTempDirectory("txmock").toString + "/t"
+    val (l1, l2) = (freshLoc(), freshLoc())
+    val e = LakeEngine(spark2)
+    e.createTableAsSelect("txmk_a", l1, Seq(1L).toDF("id"))
+    e.createTableAsSelect("txmk_b", l2, Seq(1L).toDF("id"))
+    // happy path: both commit atomically behind the marker protocol
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txmk_a VALUES (2)")
+    e.sql("INSERT INTO txmk_b VALUES (2)")
+    e.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark2, l1).read().count() == 2)
+    assert(new graft.lake.LakeTable(spark2, l2).read().count() == 2)
+    assert(graft.lake.TxMarker.list(l1).isEmpty)
+    // crash path: markers survive on the remote scheme and a fresh
+    // engine's maintain() recovers both tables
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txmk_a VALUES (3)")
+    e.sql("INSERT INTO txmk_b VALUES (3)")
+    var calls = 0
+    e.txPreInstallHook = _ => {
+      calls += 1
+      if (calls == 2) throw new InterruptedException("simulated crash")
+    }
+    intercept[InterruptedException](e.sql("COMMIT"))
+    val e2 = LakeEngine(spark2)
+    e2.loadTable("txmk_a2", l1)
+    e2.loadTable("txmk_b2", l2)
+    spark2.conf.set("graft.staging.grace_ms", "-1")
+    try e2.maintain()
+    finally spark2.conf.unset("graft.staging.grace_ms")
+    assert(new graft.lake.LakeTable(spark2, l1).read()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(new graft.lake.LakeTable(spark2, l2).read()
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty)
+  }
+
   test("transactional DROP TABLE: ROLLBACK restores the table " +
       "untouched; COMMIT unregisters and the tree stays until VACUUM") {
     val e = LakeEngine(spark)
@@ -841,6 +994,13 @@ class TxSpec extends AnyFunSuite {
     val late = intercept[IllegalArgumentException](e1.sql(
       "SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"))
     assert(late.getMessage.contains("before any query"))
+    e1.sql("ROLLBACK")
+    // SET TRANSACTION READ ONLY tightens mid-block; writes then refuse
+    e1.sql("BEGIN")
+    e1.sql("SET TRANSACTION READ ONLY")
+    val ro = intercept[IllegalStateException](
+      e1.sql("INSERT INTO txi_a VALUES (7)"))
+    assert(ro.getMessage.contains("read-only transaction"))
     e1.sql("ROLLBACK")
   }
 
