@@ -1004,6 +1004,114 @@ class TxSpec extends AnyFunSuite {
     e1.sql("ROLLBACK")
   }
 
+  /** Deterministic isolation fuzz: a transaction runner interleaves
+    * reads/writes on TWO tables with EXTERNAL commits from a second
+    * engine, under a random isolation level per transaction. The model
+    * tracks per-table pin moments — REPEATABLE READ pins at first
+    * ACCESS, READ COMMITTED bases at first WRITE — and predicts both
+    * every read and the COMMIT outcome: serialization failure iff an
+    * external commit landed on a WRITTEN table after its base moment,
+    * and a failed multi-table COMMIT changes NOTHING (all-or-nothing).
+    */
+  test("isolation fuzz: RR/RC pin and commit-CAS outcomes track a " +
+      "model under interleaved external commits") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(20260814L + seed)
+      val locs = Seq(s"${tmp()}/a", s"${tmp()}/b")
+      val e1 = LakeEngine(spark)
+      val e2 = LakeEngine(spark)
+      val n1 = locs.indices.map(i => s"txif${seed}_${i}_r")
+      val n2 = locs.indices.map(i => s"txif${seed}_${i}_x")
+      locs.indices.foreach { i =>
+        e1.createTableAsSelect(n1(i), locs(i), Seq(i * 1000L).toDF("id"))
+        e2.loadTable(n2(i), locs(i))
+      }
+      // model state per table
+      val committed = Array(Set(0L), Set(1000L))
+      var inTx = false
+      var rr = false
+      // base the tx's view/CAS uses, Some = pinned/base taken
+      val base = Array[Option[Set[Long]]](None, None)
+      val written = Array(false, false)
+      val staged = Array(Set.empty[Long], Set.empty[Long])
+      val conflicted = Array(false, false)
+      var nextId = 1L
+      def txView(i: Int): Set[Long] =
+        if (!inTx) committed(i)
+        else if (written(i)) staged(i)
+        else if (rr) base(i).getOrElse(committed(i))
+        else committed(i) // RC reads live
+      def readAccess(i: Int): Unit =
+        if (inTx && rr && base(i).isEmpty) base(i) = Some(committed(i))
+      for (step <- 0 until 80) {
+        rnd.nextInt(10) match {
+          case 0 if !inTx =>
+            rr = rnd.nextBoolean()
+            e1.sql(if (rr) "BEGIN ISOLATION LEVEL REPEATABLE READ"
+            else "BEGIN")
+            inTx = true
+            locs.indices.foreach { i =>
+              base(i) = None; written(i) = false
+              staged(i) = committed(i); conflicted(i) = false
+            }
+          case 1 | 2 if inTx => // read one table, model-checked below
+            val i = rnd.nextInt(2)
+            readAccess(i)
+            val got = e1.table(n1(i)).read().as[Long].collect().toSet
+            assert(got == txView(i),
+              s"seed $seed step $step: in-tx read of table $i got " +
+                s"$got want ${txView(i)} (rr=$rr)")
+          case 3 | 4 | 5 if inTx => // stage a write
+            val i = rnd.nextInt(2)
+            readAccess(i) // RR: writing is an access too
+            if (!written(i)) {
+              // RC takes its CAS base at the FIRST write
+              if (!rr) base(i) = Some(committed(i))
+              staged(i) = txView(i)
+              written(i) = true
+            }
+            val v = nextId; nextId += 1
+            e1.sql(s"INSERT INTO ${n1(i)} VALUES ($v)")
+            staged(i) += v
+          case 6 => // EXTERNAL commit (any time)
+            val i = rnd.nextInt(2)
+            val v = 100000L + nextId; nextId += 1
+            e2.sql(s"INSERT INTO ${n2(i)} VALUES ($v)")
+            committed(i) += v
+            if (inTx && base(i).isDefined) conflicted(i) = true
+          case 7 if inTx => // COMMIT: model predicts the outcome
+            val mustFail =
+              locs.indices.exists(i => written(i) && conflicted(i))
+            if (mustFail) {
+              intercept[java.util.ConcurrentModificationException](
+                e1.sql("COMMIT"))
+            } else {
+              e1.sql("COMMIT")
+              locs.indices.foreach(i =>
+                if (written(i)) committed(i) = staged(i))
+            }
+            inTx = false
+          case 8 if inTx =>
+            e1.sql("ROLLBACK"); inTx = false
+          case _ => ()
+        }
+        // external readers always see exactly the committed state
+        locs.indices.foreach { i =>
+          val got = new graft.lake.LakeTable(spark, locs(i)).read()
+            .as[Long].collect().toSet
+          assert(got == committed(i),
+            s"seed $seed step $step: committed state of table $i " +
+              s"diverged: $got want ${committed(i)}")
+        }
+      }
+      if (inTx) e1.sql("ROLLBACK")
+      locs.indices.foreach { i =>
+        assert(e1.table(n1(i)).read().as[Long].collect().toSet ==
+          committed(i), s"seed $seed: final state of table $i diverged")
+      }
+    }
+  }
+
   test("loadTable inside a transaction: ROLLBACK must not purge the " +
       "attached pre-existing table") {
     val loc = s"${tmp()}/t"
