@@ -349,11 +349,19 @@ final class LakeEngine(val spark: SparkSession) {
       if (multi) {
         // decision record, then markers, then the decision: a crash
         // between any two steps is finished by maintain() (a marker
-        // with the decision present = committed, just clean up)
+        // with the decision present = committed, just clean up). The
+        // decision CONTENT lists every dirty table's location so the
+        // orphan-decision sweep can finish any surviving sibling
+        // markers itself — without this, a marker processed only
+        // after the decision was swept would presumed-abort a
+        // COMMITTED transaction
         try {
           lake.LakeFs.writeAtomic(
             lake.TxMarker.decisionPath(coordinator, tx.txId),
-            Array.emptyByteArray)
+            dirty.flatMap { case (n, _, _) =>
+              tables.get(n).map(_.location)
+            }.mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
           dirty.foreach { case (n, _, _) =>
             tables.get(n).foreach(t => lake.LakeFs.deleteIfExists(
               lake.TxMarker.markerPath(t.location, tx.txId)))
@@ -1023,16 +1031,32 @@ final class LakeEngine(val spark: SparkSession) {
         txLog.warn(s"tx-marker recovery at $path failed", e)
       }
     }
-    // orphan decision records (crash between the last marker deletion
-    // and the decision deletion): safe to clear only well after every
-    // sibling marker could have been swept — 10x the marker grace
+    // orphan decision records (crash between the decision write and
+    // the decision deletion): the decision lists every participating
+    // table location, so the sweep FINISHES the cleanup — any
+    // surviving sibling marker of this committed transaction is
+    // removed first, THEN the decision goes. Without that order a
+    // marker processed after its decision vanished would presumed-
+    // abort a COMMITTED transaction. Swept at 10x the marker grace.
     val meta = lake.TableMetadata.metaDir(location)
     lake.LakeFs.listNames(meta).filter(_.startsWith("txdone-"))
       .foreach { n =>
         val p = lake.LakeFs.child(meta, n)
-        try if (now - lake.LakeFs.mtime(p) > 10 * grace)
+        try if (now - lake.LakeFs.mtime(p) > 10 * grace) {
+          val txId = n.stripPrefix("txdone-")
+          new String(lake.LakeFs.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").map(_.trim).filter(_.nonEmpty)
+            .foreach { loc =>
+              try lake.LakeFs.deleteIfExists(
+                lake.TxMarker.markerPath(loc, txId))
+              catch { case scala.util.control.NonFatal(e) =>
+                txLog.warn(
+                  s"decision sweep: could not clear marker at $loc", e)
+              }
+            }
           lake.LakeFs.deleteIfExists(p)
-        catch { case scala.util.control.NonFatal(e) =>
+        } catch { case scala.util.control.NonFatal(e) =>
           txLog.warn(s"decision sweep: could not clear $p", e)
         }
       }

@@ -890,6 +890,44 @@ class TxSpec extends AnyFunSuite {
       graft.lake.TxMarker.list(l2).isEmpty)
   }
 
+  /** The committed-crash branch of the marker protocol: a crash AFTER
+    * the decision record but BEFORE marker cleanup must be finished by
+    * maintain() as a COMMIT — markers cleared, state kept; the orphan
+    * decision record itself is swept at 10x the marker grace.
+    */
+  test("crash after the decision record: maintain() keeps the " +
+      "committed state, clears markers, then sweeps the orphan " +
+      "decision") {
+    import graft.lake.{LakeFs, LakeTable, TableMetadata, TxMarker}
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txdc_a", l1, Seq(1L, 2L).toDF("id"))
+    e.createTableAsSelect("txdc_b", l2, Seq(1L).toDF("id"))
+    // hand-build the crash scene: the tx installed BOTH tables and
+    // wrote its decision, then died before deleting the markers
+    val txId = "deadbeef-0000-4000-8000-000000000001"
+    val coord = TableMetadata.metaDir(l1)
+    Seq(("txdc_a", l1), ("txdc_b", l2)).foreach { case (n, l) =>
+      val head = TableMetadata.load(l)
+      TxMarker.write(TxMarker(txId, n, l, coord,
+        TableMetadata.currentVersion(l).get - 1 max 1,
+        "not-the-head-hash", TxMarker.stateHash(head), Nil))
+    }
+    LakeFs.writeAtomic(TxMarker.decisionPath(coord, txId),
+      s"$l1\n$l2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val before1 = new LakeTable(spark, l1).read().as[Long].collect().toSet
+    spark.conf.set("graft.staging.grace_ms", "-1")
+    try e.maintain()
+    finally spark.conf.unset("graft.staging.grace_ms")
+    // decision present => committed: markers gone, state untouched
+    assert(TxMarker.list(l1).isEmpty && TxMarker.list(l2).isEmpty)
+    assert(new LakeTable(spark, l1).read().as[Long].collect().toSet ==
+      before1)
+    // the orphan decision is swept at 10x grace (grace -1 => any age)
+    assert(!LakeFs.exists(TxMarker.decisionPath(coord, txId)),
+      "orphan decision record not swept")
+  }
+
   test("transactional DROP TABLE: ROLLBACK restores the table " +
       "untouched; COMMIT unregisters and the tree stays until VACUUM") {
     val e = LakeEngine(spark)
