@@ -846,6 +846,53 @@ class TxSpec extends AnyFunSuite {
       graft.lake.TxMarker.list(l2).isEmpty, "markers left behind")
   }
 
+  /** Width scaling: one transaction dirtying 20 tables commits 20
+    * CASes behind 20 O(1)-sized markers — all land, nothing lingers,
+    * and in_progress_files carries every staged file (incl. a staged
+    * drop's) mid-transaction.
+    */
+  test("wide transaction: 20 tables commit together; markers are " +
+      "O(1)-sized and all cleaned up") {
+    val e = LakeEngine(spark)
+    val locs = (1 to 20).map(i => s"${tmp()}/t$i")
+    locs.zipWithIndex.foreach { case (l, i) =>
+      e.createTableAsSelect(s"txw_$i", l, Seq(i.toLong).toDF("id"))
+    }
+    e.sql("BEGIN")
+    locs.indices.foreach(i => e.sql(s"INSERT INTO txw_$i VALUES (100)"))
+    e.sql("DROP TABLE txw_19")
+    // every staged file is visible in the in-progress view, labeled by
+    // ONE operation id — including the dropped table's staged file
+    val prog = e.sql(
+      "SELECT path, operation_id, table_name FROM " +
+        "lake_engine.in_progress_files").collect()
+    assert(prog.length == 20, s"in_progress_files rows: ${prog.length}")
+    assert(prog.map(_.getString(1)).distinct.length == 1)
+    assert(prog.map(_.getString(2)).contains("txw_19"))
+    e.sql("COMMIT")
+    locs.indices.dropRight(1).foreach { i =>
+      assert(new graft.lake.LakeTable(spark, locs(i)).read()
+        .as[Long].collect().toSet == Set(i.toLong, 100L),
+        s"table $i missing the transaction's row")
+      assert(graft.lake.TxMarker.list(locs(i)).isEmpty,
+        s"table $i kept its marker")
+    }
+    // the dropped table's tree waits for VACUUM, then goes
+    assert(graft.lake.LakeFs.exists(locs(19)))
+    e.sql("VACUUM")
+    assert(!graft.lake.LakeFs.exists(locs(19)))
+    // markers stayed O(1): tiny fixed-size records, not metadata dumps
+    val m = graft.lake.TxMarker(
+      "t", "n", locs(0), "c", 1, "h" * 64, "h" * 64,
+      Seq(s"${locs(0)}/data/x.parquet"))
+    graft.lake.TxMarker.write(m)
+    val bytes = graft.lake.LakeFs.readAllBytes(
+      graft.lake.TxMarker.markerPath(locs(0), "t")).length
+    assert(bytes < 1024, s"marker is $bytes bytes — not O(1)")
+    graft.lake.LakeFs.deleteIfExists(
+      graft.lake.TxMarker.markerPath(locs(0), "t"))
+  }
+
   test("multi-table commit + crash recovery over a mockfs:// scheme " +
       "(markers and decisions route through LakeFs, not java.nio)") {
     val spark2 = spark
