@@ -937,6 +937,50 @@ class TxSpec extends AnyFunSuite {
       graft.lake.TxMarker.list(l2).isEmpty)
   }
 
+  /** The grace guard: a FRESH marker (a commit possibly in flight)
+    * must survive a concurrent maintain() untouched — recovery only
+    * acts past the staging grace.
+    */
+  test("maintain() leaves young tx markers alone (grace guards a " +
+      "commit in flight)") {
+    import graft.lake.{LakeFs, LakeTable, TableMetadata, TxMarker}
+    val loc = s"${tmp()}/t"
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txg_t", loc, Seq(1L).toDF("id"))
+    val head = TableMetadata.load(loc)
+    // a marker as a mid-install commit would leave it: staged == head
+    TxMarker.write(TxMarker("young-tx", "txg_t", loc,
+      TableMetadata.metaDir(loc), 1, "base-hash-x",
+      TxMarker.stateHash(head), Nil))
+    e.maintain() // default grace (10 min) — must not touch it
+    assert(TxMarker.list(loc).nonEmpty,
+      "maintain() swept a young marker — it could abort a live commit")
+    assert(TxMarker.stateHash(TableMetadata.load(loc)) ==
+      TxMarker.stateHash(head), "maintain() moved the table state")
+    LakeFs.deleteIfExists(TxMarker.markerPath(loc, "young-tx"))
+  }
+
+  test("in_progress_files drains to empty at COMMIT and ROLLBACK, " +
+      "drop-containing transactions included") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txip_t", s"${tmp()}/t", Seq(1L).toDF("id"))
+    def progRows: Long = e.sql(
+      "SELECT path FROM lake_engine.in_progress_files").count()
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txip_t VALUES (2)")
+    assert(progRows == 1)
+    e.sql("DROP TABLE txip_t")
+    assert(progRows == 1) // the dropped table's staged file still shows
+    e.sql("ROLLBACK")
+    assert(progRows == 0)
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txip_t VALUES (3)")
+    e.sql("DROP TABLE txip_t")
+    e.sql("COMMIT")
+    assert(progRows == 0)
+    e.sql("VACUUM") // reap the committed-drop tree
+  }
+
   /** The committed-crash branch of the marker protocol: a crash AFTER
     * the decision record but BEFORE marker cleanup must be finished by
     * maintain() as a COMMIT — markers cleared, state kept; the orphan
