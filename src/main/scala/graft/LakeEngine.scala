@@ -62,9 +62,22 @@ final class LakeEngine(val spark: SparkSession) {
       scala.collection.mutable.LinkedHashMap.empty[String, Option[String]]
     // BEGIN READ ONLY: write statements refuse with PG's message
     var readOnly: Boolean = false
-    // BEGIN ISOLATION LEVEL REPEATABLE READ / SERIALIZABLE: reads of
-    // untouched tables pin the committed snapshot at first access
+    // BEGIN ISOLATION LEVEL REPEATABLE READ / SERIALIZABLE: reads pin
+    // committed snapshots at the transaction's ONE snapshot moment
+    // (PG RR semantics — the first query's snapshot covers every
+    // table; the first access to ANY table triggers the pin of ALL)
     var repeatableRead: Boolean = false
+    // SERIALIZABLE adds approximate SSI at COMMIT: every READ-pinned
+    // table must still be at its pin, else serialization failure —
+    // catching write skew (two transactions each reading the other's
+    // table and writing their own). PG's full SSI (tracking predicate
+    // reads inside a table) stays documented out of scope.
+    var serializable: Boolean = false
+    // true once any query/DML statement ran in the block — gates PG's
+    // "SET TRANSACTION ... must be called before any query"
+    var queryRun: Boolean = false
+    // the RR snapshot moment was taken (pinAllTables ran)
+    @volatile var pinMomentTaken: Boolean = false
     // tables whose STORAGE was created during the transaction:
     // ROLLBACK drops them (an attached pre-existing table never lands
     // here — rollback must not purge data it did not create)
@@ -100,35 +113,66 @@ final class LakeEngine(val spark: SparkSession) {
   private def txLog = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def begin(readOnly: Boolean = false,
-      repeatableRead: Boolean = false): Unit = activeTx match {
+      repeatableRead: Boolean = false,
+      serializable: Boolean = false): Unit = activeTx match {
     case Some(_) =>
       // PG: WARNING, and the transaction continues
       txLog.warn("there is already a transaction in progress")
     case None =>
       val tx = new EngineTx
       tx.readOnly = readOnly
-      tx.repeatableRead = repeatableRead
+      tx.repeatableRead = repeatableRead || serializable
+      tx.serializable = serializable
       tables.foreach { case (n, t) =>
         val ov = new lake.TxOverlay
-        ov.repeatableRead = repeatableRead
+        ov.repeatableRead = tx.repeatableRead
+        ov.pinAll = () => pinAllTables(tx)
         t.txOverlay = Some(ov)
         tx.overlays.put(n, ov)
       }
       activeTx = Some(tx)
   }
 
+  /** The transaction's ONE snapshot moment (PG REPEATABLE READ /
+    * SERIALIZABLE semantics: the snapshot taken at the first query
+    * covers EVERY table). Triggered by the first access to ANY table
+    * (via [[graft.lake.TxOverlay.pinAll]]): pins every registered
+    * table's committed state at the same instant, so a concurrent
+    * engine's two-table commit landing between this transaction's
+    * reads of table A and table B can never be seen half-applied
+    * (old A + new B — cross-table read skew PG's RR forbids).
+    */
+  private def pinAllTables(tx: EngineTx): Unit = tx.synchronized {
+    if (!tx.pinMomentTaken) {
+      tx.pinMomentTaken = true
+      tx.overlays.foreach { case (n, ov) =>
+        if (ov.pinned.isEmpty && ov.staged.isEmpty)
+          tables.get(n).foreach { t =>
+            try ov.pinned = Some(lake.TableMetadata.load(t.location))
+            catch { case scala.util.control.NonFatal(e) =>
+              // a table that cannot be loaded pins lazily at its own
+              // first access instead (and likely errors there too)
+              txLog.warn(s"snapshot moment: could not pin $n", e)
+            }
+          }
+      }
+    }
+  }
+
   /** PG `SET TRANSACTION ISOLATION LEVEL …`: allowed only before the
     * transaction touched anything (PG: "must be called before any
     * query").
     */
-  private def setTxIsolation(repeatableRead: Boolean): Unit = {
+  private def setTxIsolation(repeatableRead: Boolean,
+      serializable: Boolean): Unit = {
     val tx = activeTx.getOrElse(throw new IllegalStateException(
       "SET TRANSACTION can only be used in transaction blocks"))
-    require(tx.overlays.values.forall(ov =>
+    require(!tx.queryRun && tx.overlays.values.forall(ov =>
         ov.staged.isEmpty && ov.pinned.isEmpty) && tx.dropped.isEmpty,
       "SET TRANSACTION ISOLATION LEVEL must be called before any query")
-    tx.repeatableRead = repeatableRead
-    tx.overlays.values.foreach(_.repeatableRead = repeatableRead)
+    tx.repeatableRead = repeatableRead || serializable
+    tx.serializable = serializable
+    tx.overlays.values.foreach(_.repeatableRead = tx.repeatableRead)
   }
 
   /** Data files `cur` references beyond `base` — parquet the
@@ -251,47 +295,92 @@ final class LakeEngine(val spark: SparkSession) {
       }.getOrElse("")
       var installed = 0
       try {
+        // SERIALIZABLE: approximate SSI — every table this transaction
+        // READ (pinned) but did not write must still be at its pin, or
+        // the commit serialization-fails. Catches write skew: two
+        // transactions each reading the other's table and writing
+        // their own can no longer both commit. (Dirty tables' reads
+        // are covered below — their CAS base IS the pin.) PG's full
+        // in-table predicate-read SSI stays documented out of scope.
+        if (tx.serializable) tx.overlays.foreach { case (n, ov) =>
+          ov.pinned.foreach { pin =>
+            if (ov.staged.isEmpty) tables.get(n).foreach { t =>
+              val disk = lake.TableMetadata.load(t.location)
+              if (!lake.TxMarker.sameState(disk, pin))
+                throw new java.util.ConcurrentModificationException(
+                  s"could not serialize access due to read/write " +
+                    s"dependencies among transactions: table $n " +
+                    "changed after this transaction read it")
+            }
+          }
+        }
         // pre-flight: check every dirty table's base BEFORE installing
         // any — the common multi-table conflict aborts here with zero
         // work done (no marker IO either); a writer landing AFTER this
-        // check hits the CAS below and the compensation handler
+        // check hits the CAS below and the compensation handler.
+        // FULL-state comparison, not snapshot-id: metadata-only
+        // operations (ALTER TABLE ADD/RENAME/DROP COLUMN, SET
+        // properties, partition-spec changes) advance the schema
+        // version or properties WITHOUT moving the snapshot id — an
+        // id-only check would let this COMMIT silently erase a
+        // concurrent engine's schema change (PG serializes DDL vs DML
+        // via the table lock; the CAS must too).
         dirty.foreach { case (n, base, _) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
           val disk = lake.TableMetadata.load(t.location)
-          if (disk.currentSnapshotId != base.currentSnapshotId)
+          if (!lake.TxMarker.sameState(disk, base))
             throw new java.util.ConcurrentModificationException(
-              s"could not serialize access: table $n moved to " +
-                s"snapshot ${disk.currentSnapshotId} during the " +
-                s"transaction (began at ${base.currentSnapshotId})")
+              s"could not serialize access: table $n changed during " +
+                s"the transaction (snapshot ${base.currentSnapshotId}" +
+                s" -> ${disk.currentSnapshotId}, schema v" +
+                s"${base.currentSchemaVersion} -> v" +
+                s"${disk.currentSchemaVersion})")
         }
         // markers go down after the pre-flight but before ANY install —
-        // the protocol only has to cover the install window
-        if (multi) dirty.foreach { case (n, base, cur) =>
-          val t = tables.getOrElse(n, throw new IllegalStateException(
-            s"table $n vanished during the transaction"))
-          val baseV = lake.TableMetadata.currentVersion(t.location)
-            .getOrElse(throw new IllegalStateException(
-              s"table $n vanished at ${t.location}"))
-          lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
-            coordinator, baseV, lake.TxMarker.stateHash(base),
-            lake.TxMarker.stateHash(cur), stagedPaths(base, cur)))
+        // the protocol only has to cover the install window. While the
+        // install loop runs, markers are re-written (heartbeat) so a
+        // SLOW commit's markers never age past another engine's
+        // recovery grace: without the heartbeat, a concurrent
+        // maintain() could presumed-abort early tables of a commit
+        // still in flight.
+        var markersAt = 0L
+        def writeMarkers(): Unit = {
+          dirty.foreach { case (n, base, cur) =>
+            val t = tables.getOrElse(n, throw new IllegalStateException(
+              s"table $n vanished during the transaction"))
+            val baseV = lake.TableMetadata.currentVersion(t.location)
+              .getOrElse(throw new IllegalStateException(
+                s"table $n vanished at ${t.location}"))
+            lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
+              coordinator, baseV, lake.TxMarker.stateHash(base),
+              lake.TxMarker.stateHash(cur), stagedPaths(base, cur)))
+          }
+          markersAt = System.currentTimeMillis()
         }
+        val heartbeatMs = spark.conf.getOption("graft.staging.grace_ms")
+          .map(_.trim.toLong).getOrElse(10L * 60 * 1000) / 4
+        if (multi) writeMarkers()
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
           txPreInstallHook(n)
+          if (multi &&
+              System.currentTimeMillis() - markersAt > heartbeatMs)
+            writeMarkers()
           // ONE new metadata version for everything the transaction
           // did to this table (reference: a single metadata.json push
           // per table at commit), CAS-pinned to the transaction's base
+          // (full-state comparison — same reasoning as the pre-flight)
           lake.TableMetadata.commit(t.location) { curOpt =>
             val disk = curOpt.getOrElse(throw new IllegalStateException(
               s"table $n vanished at ${t.location}"))
-            if (disk.currentSnapshotId != base.currentSnapshotId)
+            if (!lake.TxMarker.sameState(disk, base))
               throw new java.util.ConcurrentModificationException(
-                s"could not serialize access: table $n moved to " +
-                  s"snapshot ${disk.currentSnapshotId} during the " +
-                  s"transaction (began at ${base.currentSnapshotId})")
+                s"could not serialize access: table $n changed " +
+                  s"during the transaction (snapshot " +
+                  s"${base.currentSnapshotId} -> " +
+                  s"${disk.currentSnapshotId})")
             cur
           }
           installed += 1
@@ -355,23 +444,53 @@ final class LakeEngine(val spark: SparkSession) {
         // markers itself — without this, a marker processed only
         // after the decision was swept would presumed-abort a
         // COMMITTED transaction
-        try {
-          lake.LakeFs.writeAtomic(
-            lake.TxMarker.decisionPath(coordinator, tx.txId),
-            dirty.flatMap { case (n, _, _) =>
-              tables.get(n).map(_.location)
-            }.mkString("\n").getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-          dirty.foreach { case (n, _, _) =>
-            tables.get(n).foreach(t => lake.LakeFs.deleteIfExists(
-              lake.TxMarker.markerPath(t.location, tx.txId)))
+        // The transaction is COMMITTED; the surviving markers are now
+        // pure hazard (recovery would presumed-abort them without a
+        // decision). So the decision write gets a retry, and on double
+        // failure the fallback is deleting the markers DIRECTLY —
+        // removing the hazard IS the completion; the decision only
+        // exists to guide recovery. A commitTx() that returned success
+        // must never leave markers that can roll the commit back.
+        val decision = lake.TxMarker.decisionPath(coordinator, tx.txId)
+        val payload = dirty.flatMap { case (n, _, _) =>
+          tables.get(n).map(_.location)
+        }.mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8)
+        val wroteDecision =
+          try { lake.LakeFs.writeAtomic(decision, payload); true }
+          catch { case scala.util.control.NonFatal(_) =>
+            try { lake.LakeFs.writeAtomic(decision, payload); true }
+            catch { case scala.util.control.NonFatal(e) =>
+              txLog.warn("commit: decision record write failed twice; " +
+                "falling back to direct marker removal", e)
+              false
+            }
           }
-          lake.LakeFs.deleteIfExists(
-            lake.TxMarker.decisionPath(coordinator, tx.txId))
-        } catch { case scala.util.control.NonFatal(e) =>
-          txLog.warn("commit: marker cleanup failed (maintain() will " +
-            "finish it)", e)
+        var markerLeft = false
+        dirty.foreach { case (n, _, _) =>
+          tables.get(n).foreach(t =>
+            try lake.LakeFs.deleteIfExists(
+              lake.TxMarker.markerPath(t.location, tx.txId))
+            catch { case scala.util.control.NonFatal(e) =>
+              markerLeft = true
+              if (wroteDecision)
+                txLog.warn(s"commit: marker cleanup of $n failed " +
+                  "(decision present — maintain() will finish it)", e)
+              else
+                txLog.error(s"commit: marker of $n could not be " +
+                  "removed AND the decision record could not be " +
+                  "written — recovery may presumed-abort this " +
+                  "COMMITTED transaction; clear the marker manually", e)
+            })
         }
+        // keep the decision while any marker survives: it is what
+        // stops recovery from presumed-aborting the committed tx
+        if (wroteDecision && !markerLeft)
+          try lake.LakeFs.deleteIfExists(decision)
+          catch { case scala.util.control.NonFatal(e) =>
+            txLog.warn("commit: decision cleanup failed (maintain() " +
+              "will finish it)", e)
+          }
       }
       // staged DROPs apply now: unregister stays (done at DROP time);
       // the table's tree — committed metadata, data, and the files the
@@ -635,13 +754,27 @@ final class LakeEngine(val spark: SparkSession) {
 
   // ------------------------------------------------------ managed tables
 
+  /** A name whose DROP is staged in the active transaction cannot be
+    * reused (COMMIT would queue the OLD tree for deletion while the new
+    * table may share the prefix). Refused HERE, before any storage is
+    * created — register()'s backstop fires after the tree exists and
+    * would leak an orphaned directory.
+    */
+  private def refuseDroppedName(name: String): Unit =
+    activeTx.foreach(tx => require(!tx.dropped.exists(_.name == name),
+      s"cannot re-create table $name dropped in the same transaction"))
+
   def createTable(name: String, location: String, schema: StructType,
-      partitionBy: Seq[String] = Nil): LakeTable =
+      partitionBy: Seq[String] = Nil): LakeTable = {
+    refuseDroppedName(name)
     register(name, LakeTable.create(spark, location, name, schema, partitionBy))
+  }
 
   def createTableAsSelect(name: String, location: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): LakeTable =
+      partitionBy: Seq[String] = Nil): LakeTable = {
+    refuseDroppedName(name)
     register(name, LakeTable.createAsSelect(spark, location, name, df, partitionBy))
+  }
 
   def loadTable(name: String, location: String): LakeTable =
     register(name, LakeTable.load(spark, location), createdStorage = false)
@@ -842,6 +975,15 @@ final class LakeEngine(val spark: SparkSession) {
       if (!tx.overlays.contains(name)) {
         val ov = new lake.TxOverlay
         ov.repeatableRead = tx.repeatableRead
+        ov.pinAll = () => pinAllTables(tx)
+        // a table attached AFTER the transaction's snapshot moment
+        // joins at its committed state as of registration — the
+        // closest available approximation of the moment (the snapshot
+        // log does not retain arbitrary as-of states)
+        if (tx.repeatableRead && tx.pinMomentTaken)
+          try ov.pinned = Some(lake.TableMetadata.load(t.location))
+          catch { case scala.util.control.NonFatal(e) =>
+            txLog.warn(s"snapshot moment: could not pin $name", e) }
         t.txOverlay = Some(ov)
         tx.overlays.put(name, ov)
         if (createdStorage) tx.created += name
@@ -991,6 +1133,7 @@ final class LakeEngine(val spark: SparkSession) {
                 throw new IllegalStateException(
                   s"marker base v${m.baseVersion} does not match its " +
                     "recorded state hash — refusing to restore")
+              var stagedDisk: lake.TableMetadata = null
               lake.TableMetadata.commit(m.location) { curOpt =>
                 val disk = curOpt.getOrElse(
                   throw new IllegalStateException(
@@ -999,16 +1142,43 @@ final class LakeEngine(val spark: SparkSession) {
                   throw new IllegalStateException(
                     s"cannot un-commit $name: a concurrent writer " +
                       "already built on the aborted state")
+                stagedDisk = disk
                 base
               }
-              m.stagedPaths.foreach(p =>
-                try lake.LakeFs.deleteIfExists(p)
-                catch { case scala.util.control.NonFatal(e) =>
-                  txLog.warn(s"recovery: could not reap $p", e) })
-              lake.LakeFs.deleteIfExists(path)
-              refresh(name)
-              txLog.warn(s"recovered crashed transaction ${m.txId}: " +
-                s"rolled $name back to its pre-transaction state")
+              // cross-engine race: the committer may be ALIVE (slow,
+              // not crashed — its marker heartbeats narrow this
+              // window but cannot close it) and write its decision
+              // right after the absence check above. A decision
+              // appearing now means the transaction COMMITTED:
+              // re-apply the install this sweep just un-did instead
+              // of reaping its files.
+              if (lake.LakeFs.exists(
+                  lake.TxMarker.decisionPath(m.coordinator, m.txId))) {
+                lake.TableMetadata.commit(m.location) { curOpt =>
+                  val disk = curOpt.getOrElse(
+                    throw new IllegalStateException(
+                      s"table vanished at ${m.location}"))
+                  if (!lake.TxMarker.sameState(disk,
+                      lake.TxMarker.baseOf(m)))
+                    throw new IllegalStateException(
+                      s"cannot re-apply committed tx ${m.txId} on " +
+                        s"$name: the table moved past the un-commit")
+                  stagedDisk
+                }
+                lake.LakeFs.deleteIfExists(path)
+                refresh(name)
+                txLog.warn(s"tx ${m.txId} committed concurrently " +
+                  s"with recovery: re-applied its install on $name")
+              } else {
+                m.stagedPaths.foreach(p =>
+                  try lake.LakeFs.deleteIfExists(p)
+                  catch { case scala.util.control.NonFatal(e) =>
+                    txLog.warn(s"recovery: could not reap $p", e) })
+                lake.LakeFs.deleteIfExists(path)
+                refresh(name)
+                txLog.warn(s"recovered crashed transaction ${m.txId}: " +
+                  s"rolled $name back to its pre-transaction state")
+              }
             } else if (headHash == m.baseStateHash) {
               // never installed (or already compensated): the staged
               // files are referenced by nothing
@@ -2118,21 +2288,32 @@ final class LakeEngine(val spark: SparkSession) {
           s"cannot execute $verb in a read-only transaction")
       }
     }
+    // PG's "before any query" guard counts query/data-modification
+    // statements (SELECT, INSERT, UPDATE, DELETE, COPY, and EXECUTE of
+    // those) — transaction control and SET/SHOW do not. Flag set
+    // BEFORE execution: PG's guard trips even when the first query
+    // errors.
+    activeTx.foreach { tx =>
+      if (("(?is)^(SELECT|WITH|TABLE|VALUES|INSERT|UPDATE|DELETE|" +
+          "COPY|EXECUTE)\\b.*").r.pattern.matcher(dmlText).matches())
+        tx.queryRun = true
+    }
     dmlText match {
       case beginRe(isoOrNull, rwOrNull) =>
         // READ COMMITTED (and PG's READ UNCOMMITTED alias) = the
-        // default staged-overlay behavior; REPEATABLE READ pins each
-        // table's committed snapshot at first access; SERIALIZABLE =
-        // snapshot isolation + the commit-time CAS on written tables
+        // default staged-overlay behavior; REPEATABLE READ pins every
+        // table's committed snapshot at the transaction's ONE snapshot
+        // moment; SERIALIZABLE = that + the commit-time CAS on written
+        // tables + the read-pin re-check at COMMIT (write skew)
         val iso = Option(isoOrNull)
           .map(_.replaceAll("\\s+", " ").toUpperCase)
         begin(readOnly = Option(rwOrNull).exists(_.equalsIgnoreCase("ONLY")),
-          repeatableRead = iso.exists(i =>
-            i == "REPEATABLE READ" || i == "SERIALIZABLE"))
+          repeatableRead = iso.contains("REPEATABLE READ"),
+          serializable = iso.contains("SERIALIZABLE"))
         Seq("BEGIN").toDF("status")
       case setTxIsoRe(iso) =>
         val level = iso.replaceAll("\\s+", " ").toUpperCase
-        setTxIsolation(level == "REPEATABLE READ" ||
+        setTxIsolation(level == "REPEATABLE READ",
           level == "SERIALIZABLE")
         Seq(level).toDF("isolation_level")
       case setTxAccessRe(mode) =>
@@ -2143,7 +2324,7 @@ final class LakeEngine(val spark: SparkSession) {
           "SET TRANSACTION can only be used in transaction blocks"))
         val ro = mode.equalsIgnoreCase("ONLY")
         if (!ro && tx.readOnly)
-          require(tx.overlays.values.forall(ov =>
+          require(!tx.queryRun && tx.overlays.values.forall(ov =>
               ov.staged.isEmpty && ov.pinned.isEmpty) &&
               tx.dropped.isEmpty,
             "SET TRANSACTION READ WRITE must be called before any query")
@@ -2153,19 +2334,23 @@ final class LakeEngine(val spark: SparkSession) {
         // AND CHAIN preserves the transaction characteristics (PG
         // §SQL-COMMIT: "the new transaction is started with the same
         // transaction characteristics")
-        val chain = activeTx.map(t => (t.readOnly, t.repeatableRead))
+        val chain = activeTx.map(t =>
+          (t.readOnly, t.repeatableRead && !t.serializable,
+            t.serializable))
         commitTx()
         if (chainOrNull != null)
-          chain.foreach { case (ro, rr) => begin(ro, rr) }
+          chain.foreach { case (ro, rr, ser) => begin(ro, rr, ser) }
         Seq("COMMIT").toDF("status")
       // ROLLBACK TO must match before the bare ROLLBACK
       case rollbackToRe(name) =>
         rollbackToSavepoint(name); Seq(name).toDF("rollback_to")
       case rollbackTxRe(chainOrNull) =>
-        val chain = activeTx.map(t => (t.readOnly, t.repeatableRead))
+        val chain = activeTx.map(t =>
+          (t.readOnly, t.repeatableRead && !t.serializable,
+            t.serializable))
         rollbackTx()
         if (chainOrNull != null)
-          chain.foreach { case (ro, rr) => begin(ro, rr) }
+          chain.foreach { case (ro, rr, ser) => begin(ro, rr, ser) }
         Seq("ROLLBACK").toDF("status")
       case savepointRe(name) =>
         savepoint(name); Seq(name).toDF("savepoint")

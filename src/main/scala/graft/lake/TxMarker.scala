@@ -42,8 +42,9 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   *     the table head.
   *
   * State identity uses [[TxMarker.stateHash]] — a digest of the
-  * semantic state (snapshot ids + operations + per-snapshot file-path
-  * sets + schema history + properties) rather than raw JSON equality,
+  * semantic state (snapshot id+operation chain + the TIP snapshot's
+  * file-path set + schema history + properties) rather than raw JSON
+  * equality,
   * because the dehydrate/hydrate round trip through manifest files
   * does not preserve byte-level layout, and recovery runs in a
   * DIFFERENT process than the one that wrote the marker.
@@ -94,10 +95,10 @@ object TxMarker {
   }
 
   /** Semantic state identity: two metadata documents describe the same
-    * table state iff the snapshot graph (ids, operations, file-path
-    * sets), current pointers, schema history, partition spec and
-    * properties all agree. Ignores manifest-file layout, which the
-    * dehydrate/hydrate round trip may legitimately reshape.
+    * table state iff the snapshot id+operation chain, the tip
+    * snapshot's file set, current pointers, schema history, partition
+    * spec and properties all agree. Ignores manifest-file layout,
+    * which the dehydrate/hydrate round trip may legitimately reshape.
     */
   def sameState(a: TableMetadata, b: TableMetadata): Boolean =
     canonicalState(a) == canonicalState(b)
@@ -114,9 +115,18 @@ object TxMarker {
   }
 
   private def canonicalState(m: TableMetadata): String = {
-    val snaps = m.snapshots.sortBy(_.id).map { s =>
-      s"${s.id}|${s.operation}|" + s.files.map(_.path).sorted.mkString(",")
-    }.mkString(";")
+    // Bounded to the TIP: snapshot ids are engine-generated and unique,
+    // so the sorted id+operation chain alone pins the retained history;
+    // only the CURRENT snapshot's file set is spelled out. The
+    // protocol's equality checks ask "is the disk state exactly the
+    // base / exactly this install?" — id chain + tip content + schema
+    // history + properties answer that, and hashing stays O(current
+    // metadata) instead of O(retained snapshots × files) per marker
+    // even on tables with long retained history at 100 TB.
+    val snaps = m.snapshots.sortBy(_.id)
+      .map(s => s"${s.id}|${s.operation}").mkString(";")
+    val tip = m.snapshots.find(_.id == m.currentSnapshotId)
+      .map(_.files.map(_.path).sorted.mkString(",")).getOrElse("")
     val schemas = m.schemas.sortBy(_.version).map { sv =>
       s"${sv.version}:" + sv.fields.map(f =>
         s"${f.id},${f.name},${f.dataType},${f.nullable}," +
@@ -124,7 +134,7 @@ object TxMarker {
     }.mkString(";")
     val props = m.properties.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString(";")
-    Seq(m.currentSnapshotId, snaps, m.currentSchemaVersion, schemas,
+    Seq(m.currentSnapshotId, snaps, tip, m.currentSchemaVersion, schemas,
       m.partitionSpec.mkString(","), props, m.nextFieldId).mkString("\n")
   }
 }

@@ -34,14 +34,28 @@ final class TxOverlay {
   @volatile var repeatableRead: Boolean = false
   @volatile var pinned: Option[TableMetadata] = None
 
+  /** ONE transaction-wide snapshot moment (PG RR semantics: the
+    * snapshot is taken at the transaction's first query and covers
+    * EVERY table). Installed by the engine at BEGIN: the first access
+    * to ANY table under REPEATABLE READ pins every registered table's
+    * committed state at that same instant, so a concurrent two-table
+    * commit landing between the transaction's reads of table A and
+    * table B can never produce cross-table skew (old A + new B).
+    */
+  @volatile var pinAll: () => Unit = () => ()
+
   def dirty: Boolean = staged.isDefined
 
   /** Committed-state base for reads and for the FIRST staged write:
-    * under REPEATABLE READ the snapshot pinned at first access,
+    * under REPEATABLE READ the snapshot pinned at the transaction's
+    * snapshot moment (triggered by the first access to any table),
     * otherwise the live committed load (READ COMMITTED).
     */
   def baseMeta(load: => TableMetadata): TableMetadata =
     if (repeatableRead)
-      pinned.getOrElse { val m = load; pinned = Some(m); m }
+      pinned.getOrElse {
+        pinAll()
+        pinned.getOrElse { val m = load; pinned = Some(m); m }
+      }
     else load
 }

@@ -1136,8 +1136,9 @@ class TxSpec extends AnyFunSuite {
   /** Deterministic isolation fuzz: a transaction runner interleaves
     * reads/writes on TWO tables with EXTERNAL commits from a second
     * engine, under a random isolation level per transaction. The model
-    * tracks per-table pin moments — REPEATABLE READ pins at first
-    * ACCESS, READ COMMITTED bases at first WRITE — and predicts both
+    * tracks pin moments — REPEATABLE READ pins EVERY table at the
+    * transaction's first access to ANY table (the one snapshot
+    * moment), READ COMMITTED bases at first WRITE — and predicts both
     * every read and the COMMIT outcome: serialization failure iff an
     * external commit landed on a WRITTEN table after its base moment,
     * and a failed multi-table COMMIT changes NOTHING (all-or-nothing).
@@ -1170,8 +1171,11 @@ class TxSpec extends AnyFunSuite {
         else if (written(i)) staged(i)
         else if (rr) base(i).getOrElse(committed(i))
         else committed(i) // RC reads live
+      // ONE snapshot moment (PG RR, r15): the first access to ANY
+      // table pins EVERY table's committed state at that instant
       def readAccess(i: Int): Unit =
-        if (inTx && rr && base(i).isEmpty) base(i) = Some(committed(i))
+        if (inTx && rr && base.forall(_.isEmpty))
+          locs.indices.foreach(j => base(j) = Some(committed(j)))
       for (step <- 0 until 80) {
         rnd.nextInt(10) match {
           case 0 if !inTx =>
@@ -1241,6 +1245,242 @@ class TxSpec extends AnyFunSuite {
     }
   }
 
+  /** PG serializes DDL vs DML via the table lock: a concurrent ALTER
+    * landing mid-transaction can never be silently erased by the
+    * transaction's COMMIT. Metadata-only operations advance only the
+    * schema version (not the snapshot id), so the COMMIT's
+    * serialization checks must compare FULL state, not snapshot ids.
+    */
+  test("concurrent metadata-only ALTER serialization-fails the COMMIT " +
+      "(single- and multi-table) instead of being clobbered") {
+    import graft.lake.TableMetadata
+    // single-table path
+    val l1 = s"${tmp()}/a"
+    val e1 = LakeEngine(spark)
+    e1.createTableAsSelect("txalt_a", l1, Seq((1L, "x")).toDF("id", "v"))
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txalt_a2", l1)
+    e1.sql("BEGIN")
+    e1.sql("INSERT INTO txalt_a VALUES (2, 'y')")
+    e2.sql("ALTER TABLE txalt_a2 ADD COLUMN note text")
+    val err = intercept[java.util.ConcurrentModificationException](
+      e1.sql("COMMIT"))
+    assert(err.getMessage.contains("could not serialize access"))
+    // B's column survives; A's insert did NOT land
+    val m1 = TableMetadata.load(l1)
+    assert(m1.schemas.maxBy(_.version).fields.exists(_.name == "note"),
+      "the concurrent ALTER was clobbered")
+    assert(new graft.lake.LakeTable(spark, l1).read().count() == 1)
+    // multi-table path: ALTER on the SECOND table aborts the whole tx
+    val (l2, l3) = (s"${tmp()}/b", s"${tmp()}/c")
+    e1.createTableAsSelect("txalt_b", l2, Seq(1L).toDF("id"))
+    e1.createTableAsSelect("txalt_c", l3, Seq(1L).toDF("id"))
+    e2.loadTable("txalt_c2", l3)
+    e1.sql("BEGIN")
+    e1.sql("INSERT INTO txalt_b VALUES (2)")
+    e1.sql("INSERT INTO txalt_c VALUES (2)")
+    e2.sql("ALTER TABLE txalt_c2 ADD COLUMN tag text")
+    val err2 = intercept[java.util.ConcurrentModificationException](
+      e1.sql("COMMIT"))
+    assert(err2.getMessage.contains("could not serialize access"))
+    // all-or-nothing: NEITHER table changed, B's column survives
+    assert(new graft.lake.LakeTable(spark, l2).read().count() == 1)
+    assert(new graft.lake.LakeTable(spark, l3).read().count() == 1)
+    assert(TableMetadata.load(l3).schemas.maxBy(_.version)
+      .fields.exists(_.name == "tag"))
+    assert(graft.lake.TxMarker.list(l2).isEmpty &&
+      graft.lake.TxMarker.list(l3).isEmpty, "markers not cleaned")
+  }
+
+  /** PG REPEATABLE READ takes ONE snapshot at the first query covering
+    * every table — never per-table pins at different instants. A
+    * concurrent TWO-table commit landing between the transaction's
+    * first reads of table A and table B must be invisible to BOTH
+    * (no cross-table read skew: old A + new B).
+    */
+  test("REPEATABLE READ pins ONE snapshot moment across tables: no " +
+      "cross-table read skew from a concurrent two-table commit") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e1 = LakeEngine(spark)
+    e1.createTableAsSelect("txrr_a", l1, Seq(1L).toDF("id"))
+    e1.createTableAsSelect("txrr_b", l2, Seq(1L).toDF("id"))
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txrr_a2", l1)
+    e2.loadTable("txrr_b2", l2)
+    e1.sql("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    // first access to ANY table takes the transaction-wide snapshot
+    assert(e1.table("txrr_a").read().count() == 1)
+    // a two-table commit lands BEFORE the tx ever touches table b
+    e2.sql("BEGIN")
+    e2.sql("INSERT INTO txrr_a2 VALUES (2)")
+    e2.sql("INSERT INTO txrr_b2 VALUES (2)")
+    e2.sql("COMMIT")
+    // the RR tx must see the PRE-change state of BOTH tables
+    assert(e1.table("txrr_a").read().count() == 1)
+    assert(e1.table("txrr_b").read().count() == 1,
+      "cross-table read skew: table b read past the snapshot moment")
+    e1.sql("COMMIT")
+    assert(e1.table("txrr_a").read().count() == 2)
+    assert(e1.table("txrr_b").read().count() == 2)
+  }
+
+  /** Approximate SSI: SERIALIZABLE re-checks every READ-pinned table
+    * at COMMIT, so write skew (two transactions each reading the
+    * other's table and writing their own) cannot commit on both sides.
+    * REPEATABLE READ permits it — PG's documented difference between
+    * the two levels.
+    */
+  test("SERIALIZABLE detects write skew (at least one side fails); " +
+      "REPEATABLE READ allows it") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val eA = LakeEngine(spark)
+    eA.createTableAsSelect("txws_a1", l1, Seq(1L).toDF("id"))
+    eA.createTableAsSelect("txws_b1", l2, Seq(1L).toDF("id"))
+    val eB = LakeEngine(spark)
+    eB.loadTable("txws_a2", l1)
+    eB.loadTable("txws_b2", l2)
+    eA.sql("BEGIN ISOLATION LEVEL SERIALIZABLE")
+    eB.sql("BEGIN ISOLATION LEVEL SERIALIZABLE")
+    // each reads the OTHER's table, then writes its own
+    assert(eA.table("txws_b1").read().count() == 1)
+    assert(eB.table("txws_a2").read().count() == 1)
+    eA.sql("INSERT INTO txws_a1 VALUES (10)")
+    eB.sql("INSERT INTO txws_b2 VALUES (20)")
+    eA.sql("COMMIT") // first committer wins
+    val err = intercept[java.util.ConcurrentModificationException](
+      eB.sql("COMMIT"))
+    assert(err.getMessage.contains("could not serialize access"))
+    // B aborted whole: its write is absent, A's is present
+    assert(new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet == Set(1L, 10L))
+    assert(new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet == Set(1L))
+    // the SAME interleaving under REPEATABLE READ commits on both
+    // sides (write skew is legal at RR)
+    eA.sql("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    eB.sql("BEGIN ISOLATION LEVEL REPEATABLE READ")
+    assert(eA.table("txws_b1").read().count() == 1)
+    assert(eB.table("txws_a2").read().count() == 2)
+    eA.sql("INSERT INTO txws_a1 VALUES (11)")
+    eB.sql("INSERT INTO txws_b2 VALUES (21)")
+    eA.sql("COMMIT")
+    eB.sql("COMMIT")
+    assert(new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet == Set(1L, 21L))
+  }
+
+  /** A commitTx() that returned success must never leave markers that
+    * can roll the commit back: when the decision-record write fails
+    * (twice), the fallback deletes the markers DIRECTLY — removing the
+    * presumed-abort hazard is the completion.
+    */
+  test("decision-record write failure falls back to direct marker " +
+      "removal: the COMMIT survives a later maintain()") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.decfailfs.impl", classOf[DecisionFailFs].getName)
+    def freshLoc() = "decfailfs:" +
+      java.nio.file.Files.createTempDirectory("txdf").toString + "/t"
+    val (l1, l2) = (freshLoc(), freshLoc())
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txdf_a", l1, Seq(1L).toDF("id"))
+    e.createTableAsSelect("txdf_b", l2, Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txdf_a VALUES (2)")
+    e.sql("INSERT INTO txdf_b VALUES (2)")
+    DecisionFailFs.failDecisions = true
+    try e.sql("COMMIT") // must SUCCEED despite the decision failure
+    finally DecisionFailFs.failDecisions = false
+    // both tables committed, markers removed by the fallback
+    assert(new graft.lake.LakeTable(spark, l1).read().count() == 2)
+    assert(new graft.lake.LakeTable(spark, l2).read().count() == 2)
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty,
+      "markers survived a successful COMMIT with no decision record")
+    // a later maintain() (fresh engine, zero grace) must not roll the
+    // committed transaction back
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txdf_a2", l1)
+    e2.loadTable("txdf_b2", l2)
+    spark.conf.set("graft.staging.grace_ms", "-1")
+    try e2.maintain()
+    finally spark.conf.unset("graft.staging.grace_ms")
+    assert(new graft.lake.LakeTable(spark, l1).read().count() == 2)
+    assert(new graft.lake.LakeTable(spark, l2).read().count() == 2)
+  }
+
+  test("refused re-create of an in-tx-dropped name leaves no orphaned " +
+      "storage tree") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txrc_t", s"${tmp()}/t", Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("DROP TABLE txrc_t")
+    val newLoc = s"${tmp()}/t2"
+    val err = intercept[IllegalArgumentException](
+      e.createTableAsSelect("txrc_t", newLoc, Seq(2L).toDF("id")))
+    assert(err.getMessage.contains("dropped in the same transaction"))
+    // refused BEFORE storage creation: no orphaned directory
+    assert(!graft.lake.LakeFs.exists(newLoc),
+      "refused CTAS leaked an orphaned storage tree")
+    e.sql("ROLLBACK")
+    assert(e.sql("SELECT count(*) FROM txrc_t").first().getLong(0) == 1)
+  }
+
+  test("SET TRANSACTION ISOLATION LEVEL refuses after a plain read " +
+      "(PG: before any query)") {
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txsi_t", s"${tmp()}/t", Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    // a plain READ COMMITTED select stages and pins nothing — only the
+    // queryRun flag can catch it
+    assert(e.sql("SELECT count(*) FROM txsi_t").first().getLong(0) == 1)
+    val err = intercept[IllegalArgumentException](e.sql(
+      "SET TRANSACTION ISOLATION LEVEL REPEATABLE READ"))
+    assert(err.getMessage.contains("before any query"))
+    e.sql("ROLLBACK")
+    // transaction control itself does NOT trip the guard
+    e.sql("BEGIN")
+    e.sql("SAVEPOINT s1")
+    e.sql("SET TRANSACTION ISOLATION LEVEL SERIALIZABLE")
+    e.sql("ROLLBACK")
+  }
+
+  /** Tip-bounded state hash: marker hashing is O(current metadata) —
+    * it must stay STABLE across dehydrate/hydrate round trips (reload
+    * from disk) and still CHANGE whenever the retained history, tip
+    * content, schema, or properties change.
+    */
+  test("TxMarker.stateHash is reload-stable and history-sensitive") {
+    import graft.lake.{TableMetadata, TxMarker}
+    val loc = s"${tmp()}/t"
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txsh_t", loc, Seq(1L).toDF("id"))
+    e.sql("INSERT INTO txsh_t VALUES (2)")
+    e.sql("INSERT INTO txsh_t VALUES (3)")
+    val h1 = TxMarker.stateHash(TableMetadata.load(loc))
+    // reload round trip: same state, same hash (recovery runs in a
+    // DIFFERENT process than the writer)
+    assert(TxMarker.stateHash(TableMetadata.load(loc)) == h1)
+    // a new snapshot changes the hash
+    e.sql("INSERT INTO txsh_t VALUES (4)")
+    val h2 = TxMarker.stateHash(TableMetadata.load(loc))
+    assert(h2 != h1)
+    // a retained-history change (snapshot expiry keeps the tip but
+    // drops old snapshots) changes the hash even with the tip intact
+    val tipBefore = TableMetadata.load(loc).currentSnapshotId
+    e.table("txsh_t").expireSnapshots(keepLast = 1, graceMs = -1)
+    val m3 = TableMetadata.load(loc)
+    assert(m3.currentSnapshotId == tipBefore, "expiry moved the tip")
+    assert(TxMarker.stateHash(m3) != h2,
+      "history change not reflected in the state hash")
+    // a metadata-only schema change (no snapshot movement) changes it
+    val before = TxMarker.stateHash(TableMetadata.load(loc))
+    e.sql("ALTER TABLE txsh_t ADD COLUMN note text")
+    val m4 = TableMetadata.load(loc)
+    assert(m4.currentSnapshotId == tipBefore)
+    assert(TxMarker.stateHash(m4) != before,
+      "schema-only change not reflected in the state hash")
+  }
+
   test("loadTable inside a transaction: ROLLBACK must not purge the " +
       "attached pre-existing table") {
     val loc = s"${tmp()}/t"
@@ -1260,4 +1500,23 @@ class TxSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L))
     assert(e.tableOption("txl_t").isDefined)
   }
+}
+
+/** Failure-injecting wrapper scheme: renames onto a `txdone-` decision
+  * record fail while [[DecisionFailFs.failDecisions]] is set —
+  * simulating a transient store error ONLY on the decision write (the
+  * CASes already landed). Everything else behaves like local disk.
+  */
+class DecisionFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "decfailfs"
+  override def getUri: java.net.URI = java.net.URI.create("decfailfs:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (DecisionFailFs.failDecisions && dst.getName.startsWith("txdone-"))
+      false
+    else super.rename(src, dst)
+}
+
+object DecisionFailFs {
+  @volatile var failDecisions = false
 }
