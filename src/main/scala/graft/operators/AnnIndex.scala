@@ -115,7 +115,7 @@ object AnnIndex {
     val probes = probeLists(engine, name, queries, idCol, vecCol, nprobe)
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0))
-    val posts = engine.table(postingsTable(name)).read()
+    val posts = engine.table(postingsTable(name)).readIndexed()
       .filter(col("cid").isin(cids: _*))
     val candidates = probes.join(posts, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -231,7 +231,7 @@ object AnnIndex {
     val probes = probeLists(engine, name, queries, idCol, vecCol, nprobe)
     val cids = probes.select("cid").distinct()
       .collect().map(_.getLong(0))
-    val posts = engine.table(postingsTable(name)).read()
+    val posts = engine.table(postingsTable(name)).readIndexed()
       .filter(col("cid").isin(cids: _*))
     val candidates = probes.join(posts, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -144,6 +144,43 @@ object Pipeline {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.df(s, dir, "embeddings")
 
+  /** The stride-rule IVF rebuild — oracle of BOTH q_sim_ivf (fresh
+    * build) and q_sim_ivf_persisted (persisted index + incremental
+    * append): the persisted path must produce identical rows.
+    */
+  private def ivfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id % $IvfCentroidStride = 0
+       |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
+       |                 c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${duckCos("q.embedding", "c.cv")}, 6) DESC,
+       |                 c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cent c
+       |    WHERE q.vec_id < $NumQueryVectors) t WHERE rn <= $IvfNProbe)
+       |SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    round(${duckCos("q.embedding", "n.embedding")}, 6) AS cos,
+       |    row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(${duckCos("q.embedding", "n.embedding")}, 6) DESC,
+       |               a.neighbor_id) AS rank
+       |  FROM probe p
+       |  JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN embeddings n ON n.vec_id = a.neighbor_id) t
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text quality / stats ----------------------------------------
@@ -911,40 +948,37 @@ object Pipeline {
     // re-ranking are all differentially proven, not just row counts.
     QueryDef(
       "q_sim_ivf",
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-         |  WHERE vec_id % $IvfCentroidStride = 0
-         |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
-         |assign AS (
-         |  SELECT vec_id AS neighbor_id, cid FROM (
-         |    SELECT e.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
-         |                 c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, cid FROM (
-         |    SELECT q.vec_id, c.cid,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${duckCos("q.embedding", "c.cv")}, 6) DESC,
-         |                 c.cid) AS rn
-         |    FROM embeddings q CROSS JOIN cent c
-         |    WHERE q.vec_id < $NumQueryVectors) t WHERE rn <= $IvfNProbe)
-         |SELECT query_id, neighbor_id, rank, cos FROM (
-         |  SELECT p.query_id, a.neighbor_id,
-         |    round(${duckCos("q.embedding", "n.embedding")}, 6) AS cos,
-         |    row_number() OVER (PARTITION BY p.query_id
-         |      ORDER BY round(${duckCos("q.embedding", "n.embedding")}, 6) DESC,
-         |               a.neighbor_id) AS rank
-         |  FROM probe p
-         |  JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
-         |  JOIN embeddings q ON q.vec_id = p.query_id
-         |  JOIN embeddings n ON n.vec_id = a.neighbor_id) t
-         |WHERE rank <= $TopK
-         |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+      ivfOracle) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.ivfTopK(
           e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- persisted IVF index lifecycle ([[AnnIndex]]): TRAIN+BUILD on
+    // the id prefix (which contains every stride-rule centroid id),
+    // APPEND the remainder against the persisted centroids WITHOUT
+    // re-training, then answer top-k from the PERSISTED tables alone.
+    // The oracle is q_sim_ivf's from-scratch rebuild — identical rows
+    // prove the persisted artifacts and the incremental append change
+    // nothing about the answer.
+    QueryDef(
+      "q_sim_ivf_persisted",
+      ivfOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      val eng = graft.LakeEngine(s)
+      val base = java.nio.file.Files
+        .createTempDirectory("annidx").toString
+      // the prefix covers every candidate centroid id (vec_id < 496),
+      // so building on it trains the same quantizer the oracle derives
+      // from the full corpus; everything after is pure append
+      val split = IvfCentroidStride.toLong * IvfCentroids
+      AnnIndex.buildIvf(eng, "annp", base,
+        e.filter(col("vec_id") < split), "vec_id", "embedding")
+      AnnIndex.appendIvf(eng, "annp",
+        e.filter(col("vec_id") >= split), "vec_id", "embedding")
+      AnnIndex.ivfTopK(eng, "annp",
+          e.filter(col("vec_id") < NumQueryVectors), "vec_id", "embedding")
         .orderBy("query_id", "rank")
     },
 
