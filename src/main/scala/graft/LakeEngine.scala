@@ -279,6 +279,29 @@ final class LakeEngine(val spark: SparkSession) {
     */
   private[graft] var txPreInstallHook: String => Unit = _ => ()
 
+  /** Pre-transaction state of every multi-table COMMIT participant
+    * while its install loop runs — the CATALOG-visibility analogue of
+    * the reference's single PG commit instant: external readers going
+    * through this engine's REST catalog keep seeing the pre-tx state
+    * of EVERY participant until the whole commit lands, then all flip
+    * together (one volatile write). Raw storage readers still observe
+    * the per-table CAS order — visibility atomicity is a catalog
+    * property, exactly as it is a PG property in the reference
+    * (test_iceberg_xacts.py reads through PG).
+    */
+  @volatile private[graft] var txVisibilityPin:
+      Map[String, lake.TableMetadata] = Map.empty
+
+  /** The table state an EXTERNAL reader (the REST catalog surface) may
+    * see: never in-transaction staged metadata (PG: other sessions see
+    * nothing until COMMIT), and during a multi-table COMMIT's install
+    * window the pinned pre-tx state, so cross-table visibility is
+    * all-or-nothing.
+    */
+  private[graft] def committedView(t: LakeTable): lake.TableMetadata =
+    txVisibilityPin.getOrElse(t.location,
+      lake.TableMetadata.load(t.location))
+
   def commitTx(): Unit = activeTx match {
     case None =>
       txLog.warn("there is no transaction in progress") // PG warns too
@@ -360,7 +383,15 @@ final class LakeEngine(val spark: SparkSession) {
         }
         val heartbeatMs = spark.conf.getOption("graft.staging.grace_ms")
           .map(_.trim.toLong).getOrElse(10L * 60 * 1000) / 4
-        if (multi) writeMarkers()
+        if (multi) {
+          writeMarkers()
+          // catalog readers keep seeing every participant's pre-tx
+          // state until ALL CASes land — one commit instant, like the
+          // reference's PG commit
+          txVisibilityPin = dirty.flatMap { case (n, base, _) =>
+            tables.get(n).map(_.location -> base)
+          }.toMap
+        }
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
@@ -385,6 +416,9 @@ final class LakeEngine(val spark: SparkSession) {
           }
           installed += 1
         }
+        // every CAS landed: the commit instant — all participants
+        // become catalog-visible TOGETHER (one volatile write)
+        txVisibilityPin = Map.empty
       } catch {
         case scala.util.control.NonFatal(e) =>
           // COMPENSATING UN-COMMIT (all-or-nothing across tables):
@@ -422,6 +456,9 @@ final class LakeEngine(val spark: SparkSession) {
             catch { case scala.util.control.NonFatal(e2) =>
               txLog.warn(s"abort: could not drop tx marker of $n", e2) })
           }
+          // compensation restored every base: catalog readers resume
+          // live loads (which now read the restored pre-tx state)
+          txVisibilityPin = Map.empty
           endTx(tx)
           // the WHOLE transaction aborted: every table it created goes
           tx.created.foreach { n =>

@@ -261,7 +261,15 @@ object IcebergExport {
     * Iceberg tooling. `version-hint.text` always names the newest
     * export.
     */
-  def export(table: LakeTable): String = {
+  def export(table: LakeTable): String = export(table, table.meta)
+
+  /** Export a SPECIFIC metadata state of the table — the REST catalog
+    * passes the engine's committed view here, so external readers
+    * never see in-transaction staged metadata and a multi-table
+    * COMMIT's participants stay at their pre-transaction state until
+    * the whole commit lands ([[graft.LakeEngine.committedView]]).
+    */
+  def export(table: LakeTable, m0: TableMetadata): String = {
     // the exported metadata embeds file:// URIs (what external readers
     // string-match), so export is defined for local / POSIX-shared
     // locations; a remote-scheme table refuses loudly rather than
@@ -272,7 +280,7 @@ object IcebergExport {
         "iceberg export of a table at a remote-scheme location is not " +
           s"supported (location: ${table.location}); use the REST " +
           "catalog export or a shared POSIX mount")
-    val m = table.meta
+    val m = m0
     val snap = m.currentSnapshot.getOrElse(
       throw new IllegalStateException("no snapshot to export"))
     // outstanding merge-on-read state exports as a real v2 delete

@@ -268,100 +268,100 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
         resolve(ns, t) match {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
           case Some(lt) =>
-            val body = mapper.readTree(ex.getRequestBody)
-            // spec requirement: a client that read snapshot S must not
-            // clobber a table that moved past S (a racing local append
-            // would otherwise be silently dropped). Enforced INSIDE
-            // the commit CAS (commitExternal's closure) — a pre-check
-            // here would race a local commit landing before the CAS.
-            // outer None = no requirement sent (legacy client);
-            // Some(None) = snapshot-id null, spec: "the ref must have
-            // no current snapshot" — required so two racing FIRST
-            // appends conflict; Some(Some(id)) = ref must be at id
-            val requiredSnap: Option[Option[Long]] =
-              Option(body.get("requirements")).toSeq
-                .flatMap(_.elements().asScala)
-                .filter(r =>
-                  r.get("type").asText() == "assert-ref-snapshot-id")
-                .map(r => Option(r.get("snapshot-id"))
-                  .filterNot(_.isNull).map(_.asLong()))
-                .headOption
-            val updates = Option(body.get("updates")).toSeq
-              .flatMap(_.elements().asScala).toSeq
-            val actions = updates.map(_.get("action").asText())
-            val unsupported = actions.filterNot(Set(
-              "add-snapshot", "add-schema", "set-current-schema",
-              "set-snapshot-ref"))
-            if (updates.isEmpty)
-              error(ex, 400, "BadRequestException", "no updates in commit")
-            else if (unsupported.nonEmpty)
-              error(ex, 400, "BadRequestException",
-                s"unsupported update action(s): ${unsupported.mkString(", ")}")
-            else {
-              // ONE atomic commit: requirement + schema evolution +
-              // snapshot swap all inside the same metadata CAS (spec:
-              // updates and requirements succeed or fail as a unit) —
-              // a 409 can never leave a schema change half-applied,
-              // and schema-only commits honor assert-ref-snapshot-id.
-              // set-current-schema is implicit (-1 = latest).
-              val incomingSchema = updates
-                .filter(_.get("action").asText() == "add-schema")
-                .map(u => graft.sources.IcebergSnapshot
-                  .fieldDefsOf(u.get("schema")))
-                .lastOption
-              val addSnapId = updates
-                .find(_.get("action").asText() == "add-snapshot")
-                .map(_.get("snapshot").get("snapshot-id").asLong())
-              // set-snapshot-ref: our add-snapshot advances main
-              // implicitly, so the update is honored by VALIDATION —
-              // it must name the branch main and the snapshot this
-              // same commit adds (spec: a commit's updates apply as a
-              // unit; pointing main anywhere else is unsupported)
-              val badRef = updates
-                .filter(_.get("action").asText() == "set-snapshot-ref")
-                .find { u =>
-                  !Option(u.get("ref-name")).map(_.asText())
-                    .contains("main") ||
-                    !Option(u.get("snapshot-id")).map(_.asLong())
-                      .exists(addSnapId.contains)
-                }
-              val buildEntries = updates
-                .find(_.get("action").asText() == "add-snapshot")
-                .map { u =>
-                  val listPath =
-                    u.get("snapshot").get("manifest-list").asText()
-                  (m: TableMetadata) => {
-                    // resolve against the POST-evolution schema the new
-                    // snapshot is tagged with
-                    val typesById = m.currentSchema.fields.map(f =>
-                      f.id -> org.apache.spark.sql.types.DataType
-                        .fromDDL(f.dataType)).toMap
-                    graft.sources.IcebergSnapshot
-                      .dataFilesFromManifestList(listPath, typesById)
-                      .map(r => FileEntry(
-                        r.path.stripPrefix("file://"), r.records, r.bytes,
-                        m.currentSchemaVersion, r.stats,
-                        // conservative: imported files carry no transform
-                        // stats, so partition pruning skips them
-                        // (field-stat pruning still applies)
-                        Map.empty))
-                  }
-                }
-              try {
-                if (badRef.isDefined)
-                  throw new IllegalArgumentException(
-                    "set-snapshot-ref must advance branch main to the " +
-                      "snapshot added by this same commit")
-                lt.commitExternal(incomingSchema, buildEntries, requiredSnap)
-                engine.refresh(engineKey(ns, t))
-                loadResult(ex, lt)
-              } catch {
-                case e: java.util.ConcurrentModificationException =>
-                  error(ex, 409, "CommitFailedException", e.getMessage)
-                case e: IllegalArgumentException =>
-                  error(ex, 400, "BadRequestException", e.getMessage)
-              }
+            try {
+              applyTableCommit(lt, mapper.readTree(ex.getRequestBody))
+              engine.refresh(engineKey(ns, t))
+              loadResult(ex, lt)
+            } catch {
+              case e: java.util.ConcurrentModificationException =>
+                error(ex, 409, "CommitFailedException", e.getMessage)
+              case e: IllegalArgumentException =>
+                error(ex, 400, "BadRequestException", e.getMessage)
             }
+        }
+
+      // CommitTransaction (spec: POST /v1/transactions/commit with
+      // `table-changes`, each a CommitTableRequest with identifier +
+      // requirements + updates): EVERY change applies or none does,
+      // and catalog visibility flips at ONE instant — the external
+      // writer's multi-table commit point, matching the engine's own
+      // multi-table COMMIT and the reference's PG commit
+      // (test_iceberg_xacts.py). Failure atomicity: requirements
+      // pre-validate inside each table's CAS; a mid-batch failure
+      // COMPENSATES every installed change back to its pre-state
+      // (refused, loudly, if a concurrent writer already built on
+      // top). Visibility: the engine's txVisibilityPin covers every
+      // participant for the whole window, so catalog readers never
+      // see a torn batch. A server crash mid-batch is the documented
+      // residual (the engine's own commitTx carries crash markers;
+      // a catalog client can re-drive the batch — its requirements
+      // detect the partial state).
+      case ("POST", List("v1", "transactions", "commit")) =>
+        val body = mapper.readTree(ex.getRequestBody)
+        val changes = Option(body.get("table-changes")).toSeq
+          .flatMap(_.elements().asScala).toSeq
+        val resolved = changes.map { ch =>
+          val id = ch.get("identifier")
+          val cns = Option(id.get("namespace")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText())
+            .headOption.getOrElse(DefaultNs)
+          val name = id.get("name").asText()
+          (cns, name, resolve(cns, name), ch)
+        }
+        if (changes.isEmpty)
+          error(ex, 400, "BadRequestException", "no table-changes")
+        else resolved.find(_._3.isEmpty) match {
+          case Some((cns, name, _, _)) =>
+            error(ex, 404, "NoSuchTableException", s"table $cns.$name")
+          case _ => txBatchLock.synchronized {
+            val parts = resolved.map { case (cns, n, lt0, ch) =>
+              (cns, n, lt0.get, ch) }
+            val pre = parts.map { case (_, _, lt, _) =>
+              lt.location -> TableMetadata.load(lt.location) }.toMap
+            engine.txVisibilityPin = pre
+            val installedStates =
+              scala.collection.mutable.ListBuffer.empty[
+                (LakeTable, TableMetadata)]
+            try {
+              parts.foreach { case (_, _, lt, ch) =>
+                applyTableCommit(lt, ch)
+                installedStates += ((lt, TableMetadata.load(lt.location)))
+              }
+              engine.txVisibilityPin = Map.empty
+              parts.foreach { case (cns, n, _, _) =>
+                engine.refresh(engineKey(cns, n)) }
+              head(ex, 204)
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                installedStates.toList.reverse.foreach {
+                  case (lt, installed) =>
+                    try TableMetadata.commit(lt.location) { curOpt =>
+                      val disk = curOpt.getOrElse(
+                        throw new IllegalStateException(
+                          s"table vanished at ${lt.location}"))
+                      if (!TxMarker.sameState(disk, installed))
+                        throw new IllegalStateException(
+                          "a concurrent writer already built on the " +
+                            "aborted batch change")
+                      pre(lt.location)
+                    } catch {
+                      case scala.util.control.NonFatal(e2) =>
+                        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                          s"transactions/commit: could not compensate " +
+                            s"${lt.location}", e2)
+                    }
+                }
+                engine.txVisibilityPin = Map.empty
+                e match {
+                  case c: java.util.ConcurrentModificationException =>
+                    error(ex, 409, "CommitFailedException", c.getMessage)
+                  case i: IllegalArgumentException =>
+                    error(ex, 400, "BadRequestException", i.getMessage)
+                  case o => error(ex, 500, "InternalServerError",
+                    s"${o.getClass.getSimpleName}: ${o.getMessage}")
+                }
+            }
+          }
         }
 
       case ("GET" | "HEAD", List("v1", "namespaces", ns, "tables", t)) =>
@@ -426,14 +426,126 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
     }
   }
 
+  /** Serializes concurrent /v1/transactions/commit batches: the batch
+    * is all-or-nothing, so two interleaved batches compensating each
+    * other would livelock; per-table CASes still protect against
+    * engine-local writers landing inside the window.
+    */
+  private val txBatchLock = new Object
+
+  /** Apply ONE CommitTableRequest (requirements + updates) to a table
+    * under a single metadata CAS — shared by CommitTable and the
+    * multi-table CommitTransaction route.
+    *
+    * Spec requirement: a client that read snapshot S must not clobber
+    * a table that moved past S (a racing local append would otherwise
+    * be silently dropped). Enforced INSIDE the commit CAS
+    * (commitExternal's closure) — a pre-check would race a local
+    * commit landing before the CAS. outer None = no requirement sent
+    * (legacy client); Some(None) = snapshot-id null, spec: "the ref
+    * must have no current snapshot" — required so two racing FIRST
+    * appends conflict; Some(Some(id)) = ref must be at id.
+    *
+    * Supported updates: add-snapshot (staged manifest-list walked,
+    * file set swapped under the commit CAS) and schema evolution via
+    * add-schema/set-current-schema — the actions standard clients
+    * send for ALTER TABLE ADD/RENAME/DROP COLUMN — mapped onto the
+    * metadata-only column ops by field-id diff (reference
+    * rest_catalog_ops.c handles the same UpdateTable surface). ONE
+    * atomic commit: requirement + schema evolution + snapshot swap
+    * all inside the same metadata CAS (spec: updates and requirements
+    * succeed or fail as a unit) — a 409 can never leave a schema
+    * change half-applied, and schema-only commits honor
+    * assert-ref-snapshot-id. set-current-schema is implicit
+    * (-1 = latest).
+    *
+    * Throws ConcurrentModificationException (→409) or
+    * IllegalArgumentException (→400).
+    */
+  private def applyTableCommit(lt: LakeTable,
+      body: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val requiredSnap: Option[Option[Long]] =
+      Option(body.get("requirements")).toSeq
+        .flatMap(_.elements().asScala)
+        .filter(r =>
+          r.get("type").asText() == "assert-ref-snapshot-id")
+        .map(r => Option(r.get("snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong()))
+        .headOption
+    val updates = Option(body.get("updates")).toSeq
+      .flatMap(_.elements().asScala).toSeq
+    val actions = updates.map(_.get("action").asText())
+    val unsupported = actions.filterNot(Set(
+      "add-snapshot", "add-schema", "set-current-schema",
+      "set-snapshot-ref"))
+    if (updates.isEmpty)
+      throw new IllegalArgumentException("no updates in commit")
+    if (unsupported.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported update action(s): ${unsupported.mkString(", ")}")
+    val incomingSchema = updates
+      .filter(_.get("action").asText() == "add-schema")
+      .map(u => graft.sources.IcebergSnapshot
+        .fieldDefsOf(u.get("schema")))
+      .lastOption
+    val addSnapId = updates
+      .find(_.get("action").asText() == "add-snapshot")
+      .map(_.get("snapshot").get("snapshot-id").asLong())
+    // set-snapshot-ref: our add-snapshot advances main implicitly, so
+    // the update is honored by VALIDATION — it must name the branch
+    // main and the snapshot this same commit adds (spec: a commit's
+    // updates apply as a unit; pointing main anywhere else is
+    // unsupported)
+    val badRef = updates
+      .filter(_.get("action").asText() == "set-snapshot-ref")
+      .find { u =>
+        !Option(u.get("ref-name")).map(_.asText())
+          .contains("main") ||
+          !Option(u.get("snapshot-id")).map(_.asLong())
+            .exists(addSnapId.contains)
+      }
+    val buildEntries = updates
+      .find(_.get("action").asText() == "add-snapshot")
+      .map { u =>
+        val listPath =
+          u.get("snapshot").get("manifest-list").asText()
+        (m: TableMetadata) => {
+          // resolve against the POST-evolution schema the new
+          // snapshot is tagged with
+          val typesById = m.currentSchema.fields.map(f =>
+            f.id -> org.apache.spark.sql.types.DataType
+              .fromDDL(f.dataType)).toMap
+          graft.sources.IcebergSnapshot
+            .dataFilesFromManifestList(listPath, typesById)
+            .map(r => FileEntry(
+              r.path.stripPrefix("file://"), r.records, r.bytes,
+              m.currentSchemaVersion, r.stats,
+              // conservative: imported files carry no transform
+              // stats, so partition pruning skips them
+              // (field-stat pruning still applies)
+              Map.empty))
+        }
+      }
+    if (badRef.isDefined)
+      throw new IllegalArgumentException(
+        "set-snapshot-ref must advance branch main to the " +
+          "snapshot added by this same commit")
+    lt.commitExternal(incomingSchema, buildEntries, requiredSnap)
+  }
+
   private def propsJson(props: Map[String, String]): String =
     mapper.writeValueAsString(mapper.valueToTree(props.asJava))
 
   /** LoadTableResult: re-export the current snapshot, answer with the
-    * metadata location + inline metadata.
+    * metadata location + inline metadata. The exported state is the
+    * engine's COMMITTED VIEW — never in-transaction staged metadata,
+    * and during a multi-table COMMIT's install window the pre-tx state
+    * of every participant, so a catalog reader polling two tables can
+    * never observe one table's new version with the other's old one
+    * (the reference's PG-commit visibility, test_iceberg_xacts.py).
     */
   private def loadResult(ex: HttpExchange, lt: LakeTable): Unit = {
-    val metaLoc = IcebergExport.export(lt)
+    val metaLoc = IcebergExport.export(lt, engine.committedView(lt))
     val root = mapper.createObjectNode()
     root.put("metadata-location", metaLoc)
     root.set[com.fasterxml.jackson.databind.node.ObjectNode](

@@ -181,6 +181,71 @@ object Pipeline {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** The stride-rule IVF-PQ rebuild — oracle of BOTH q_sim_ivfpq
+    * (fresh build) and q_sim_ivfpq_persisted (persisted quantizers +
+    * incremental append): codebooks re-derived, every argmin code
+    * re-assigned, every ADC distance recomputed as the exact
+    * DECIMAL(28,6) sum of round-6 slice distances.
+    */
+  private def ivfPqOracle: String = {
+    val sub = EmbeddingDim / PqM
+    def sliceL2(x: String, y: String, j: String): String =
+      s"""list_reduce(list_transform(range(1, $sub + 1),
+         |  i -> (($x)[$j * $sub + i]::DOUBLE - ($y)[$j * $sub + i]::DOUBLE)
+         |     * (($x)[$j * $sub + i]::DOUBLE - ($y)[$j * $sub + i]::DOUBLE)),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |  WHERE vec_id % $IvfCentroidStride = 0
+       |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
+       |cb AS (
+       |  SELECT CAST(vec_id // $PqStride AS INT) AS c, embedding AS cbv
+       |  FROM embeddings
+       |  WHERE vec_id % $PqStride = 0
+       |    AND vec_id < ${PqStride.toLong * PqK}),
+       |js AS (SELECT unnest(range(0, $PqM)) AS j),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, j, c FROM (
+       |    SELECT e.vec_id, js.j, cb.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, js.j
+       |        ORDER BY round(${sliceL2("e.embedding", "cb.cbv", "js.j")}, 6)
+       |          ASC, cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN js CROSS JOIN cb) t
+       |  WHERE rn = 1),
+       |assign AS (
+       |  SELECT vec_id AS neighbor_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
+       |                 c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT q.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${duckCos("q.embedding", "c.cv")}, 6) DESC,
+       |                 c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cent c
+       |    WHERE q.vec_id < $NumQueryVectors) t WHERE rn <= $IvfNProbe),
+       |dists AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    CAST(SUM(CAST(round(${sliceL2("q.embedding", "cb.cbv", "k.j")}, 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) AS dist
+       |  FROM probe p
+       |  JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
+       |  JOIN codes k ON k.neighbor_id = a.neighbor_id
+       |  JOIN cb ON cb.c = k.c
+       |  JOIN embeddings q ON q.vec_id = p.query_id
+       |  GROUP BY p.query_id, a.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, dist FROM (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist ASC, neighbor_id) AS rank
+       |  FROM dists) t
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- text quality / stats ----------------------------------------
@@ -989,69 +1054,40 @@ object Pipeline {
     // sum of round-6 slice distances — the full index replayed from
     // scratch in SQL. -------------------------------------------------
     QueryDef(
-      "q_sim_ivfpq", {
-        val sub = EmbeddingDim / PqM
-        def sliceL2(x: String, y: String, j: String): String =
-          s"""list_reduce(list_transform(range(1, $sub + 1),
-             |  i -> (($x)[$j * $sub + i]::DOUBLE - ($y)[$j * $sub + i]::DOUBLE)
-             |     * (($x)[$j * $sub + i]::DOUBLE - ($y)[$j * $sub + i]::DOUBLE)),
-             |  (x, y) -> x + y)""".stripMargin
-        s"""WITH cent AS (
-           |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-           |  WHERE vec_id % $IvfCentroidStride = 0
-           |    AND vec_id < ${IvfCentroidStride.toLong * IvfCentroids}),
-           |cb AS (
-           |  SELECT CAST(vec_id // $PqStride AS INT) AS c, embedding AS cbv
-           |  FROM embeddings
-           |  WHERE vec_id % $PqStride = 0
-           |    AND vec_id < ${PqStride.toLong * PqK}),
-           |js AS (SELECT unnest(range(0, $PqM)) AS j),
-           |codes AS (
-           |  SELECT vec_id AS neighbor_id, j, c FROM (
-           |    SELECT e.vec_id, js.j, cb.c,
-           |      row_number() OVER (PARTITION BY e.vec_id, js.j
-           |        ORDER BY round(${sliceL2("e.embedding", "cb.cbv", "js.j")}, 6)
-           |          ASC, cb.c) AS rn
-           |    FROM embeddings e CROSS JOIN js CROSS JOIN cb) t
-           |  WHERE rn = 1),
-           |assign AS (
-           |  SELECT vec_id AS neighbor_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY round(${duckCos("e.embedding", "c.cv")}, 6) DESC,
-           |                 c.cid) AS rn
-           |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
-           |probe AS (
-           |  SELECT vec_id AS query_id, cid FROM (
-           |    SELECT q.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY round(${duckCos("q.embedding", "c.cv")}, 6) DESC,
-           |                 c.cid) AS rn
-           |    FROM embeddings q CROSS JOIN cent c
-           |    WHERE q.vec_id < $NumQueryVectors) t WHERE rn <= $IvfNProbe),
-           |dists AS (
-           |  SELECT p.query_id, a.neighbor_id,
-           |    CAST(SUM(CAST(round(${sliceL2("q.embedding", "cb.cbv", "k.j")}, 6)
-           |      AS DECIMAL(28,6))) AS DOUBLE) AS dist
-           |  FROM probe p
-           |  JOIN assign a ON a.cid = p.cid AND a.neighbor_id <> p.query_id
-           |  JOIN codes k ON k.neighbor_id = a.neighbor_id
-           |  JOIN cb ON cb.c = k.c
-           |  JOIN embeddings q ON q.vec_id = p.query_id
-           |  GROUP BY p.query_id, a.neighbor_id)
-           |SELECT query_id, neighbor_id, rank, dist FROM (
-           |  SELECT query_id, neighbor_id, dist,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY dist ASC, neighbor_id) AS rank
-           |  FROM dists) t
-           |WHERE rank <= $TopK
-           |ORDER BY query_id, rank""".stripMargin
-      }) { (s, dir) =>
+      "q_sim_ivfpq",
+      ivfPqOracle) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.ivfPqTopK(
           e.filter(col("vec_id") < NumQueryVectors), e, "vec_id", "embedding")
         .orderBy("query_id", "rank")
     },
+
+    // ---- persisted IVF-PQ lifecycle: centroids, sub-quantizer
+    // codebooks and PQ-coded postings persist as lake tables; the
+    // remainder appends its CODES against the persisted codebooks (no
+    // re-training); query = ADC over the probed persisted lists. Same
+    // from-scratch oracle as q_sim_ivfpq — identical rows prove the
+    // persisted artifacts round-trip the quantizers exactly.
+    QueryDef(
+      "q_sim_ivfpq_persisted",
+      ivfPqOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      val eng = graft.LakeEngine(s)
+      val base = java.nio.file.Files
+        .createTempDirectory("annidxpq").toString
+      // the prefix covers every centroid id (< 496) AND every codebook
+      // id (< PqStride*PqK = 448), so training on it equals the
+      // oracle's full-corpus stride rule
+      val split = IvfCentroidStride.toLong * IvfCentroids
+      AnnIndex.buildIvfPq(eng, "annpq", base,
+        e.filter(col("vec_id") < split), "vec_id", "embedding")
+      AnnIndex.appendIvfPq(eng, "annpq",
+        e.filter(col("vec_id") >= split), "vec_id", "embedding")
+      AnnIndex.ivfPqTopK(eng, "annpq",
+          e.filter(col("vec_id") < NumQueryVectors), "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    },
+
 
     // ---- distributed Lloyd's k-means, differentially proven: the
     // oracle replays both iterations — stride seed, round-6 cosine

@@ -519,4 +519,142 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(send("DELETE", s"$base/v1/namespaces/default")._1 == 400)
     } finally srv.stop()
   }
+
+  /** The Iceberg REST spec's multi-table transaction endpoint
+    * (POST /v1/transactions/commit): every table-change applies or
+    * none does — an external engine's multi-table commit is
+    * all-or-nothing through the catalog, like the engine's own
+    * multi-table COMMIT.
+    */
+  test("CommitTransaction: multi-table batch is all-or-nothing") {
+    import spark.implicits._
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txc_a", LakeEngine.tempLocation("txca"),
+      Seq((1L, "a")).toDF("id", "label"))
+    e.createTableAsSelect("txc_b", LakeEngine.tempLocation("txcb"),
+      Seq((1L, "a")).toDF("id", "label"))
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      // the "external engine" stages each table's new snapshot as real
+      // Avro manifests; only manifest-list paths go over the wire
+      def stagedList(tag: String, rows: Seq[(Long, String)]): String = {
+        val scratch = graft.lake.LakeTable.createAsSelect(spark,
+          LakeEngine.tempLocation(tag), tag, rows.toDF("id", "label"))
+        val meta = graft.lake.IcebergExport.export(scratch)
+        IcebergSnapshot.metadata(meta).get("snapshots").elements()
+          .asScala.toSeq.last.get("manifest-list").asText()
+      }
+      val (l1, l2) = (stagedList("txc_s1", Seq((1L, "a"), (2L, "b"))),
+        stagedList("txc_s2", Seq((1L, "a"), (2L, "b"), (3L, "c"))))
+      def change(t: String, list: String, snapId: Long,
+          require: Option[Long] = None): String = {
+        val req = require.map(r =>
+          s"""{"type":"assert-ref-snapshot-id","ref":"main",
+             |"snapshot-id":$r}""".stripMargin).getOrElse("")
+        s"""{"identifier":{"namespace":["default"],"name":"$t"},
+           |"requirements":[$req],
+           |"updates":[{"action":"add-snapshot","snapshot":{
+           |  "snapshot-id":$snapId,"manifest-list":"$list"}}]}"""
+          .stripMargin
+      }
+      // happy path: both tables change in one batch → 204
+      val (hc, hb) = post(s"$base/v1/transactions/commit",
+        s"""{"table-changes":[${change("txc_a", l1, 501)},
+           |${change("txc_b", l2, 502)}]}""".stripMargin)
+      assert(hc == 204, hb)
+      assert(e.table("txc_a").read().count() == 2)
+      assert(e.table("txc_b").read().count() == 3)
+      val (a1, b1) = (e.table("txc_a").meta.currentSnapshotId,
+        e.table("txc_b").meta.currentSnapshotId)
+      // all-or-nothing: the SECOND change carries a STALE requirement
+      // → 409, and the FIRST change is compensated back out
+      val (fc, fb) = post(s"$base/v1/transactions/commit",
+        s"""{"table-changes":[${change("txc_a", l1, 601)},
+           |${change("txc_b", l2, 602, require = Some(b1 - 1))}]}"""
+          .stripMargin)
+      assert(fc == 409, fb)
+      assert(e.table("txc_a").meta.currentSnapshotId == a1,
+        "failed batch left the first table changed")
+      assert(e.table("txc_b").meta.currentSnapshotId == b1)
+      assert(e.table("txc_a").read().count() == 2)
+      // unknown identifier → 404, nothing applied
+      val (nc, _) = post(s"$base/v1/transactions/commit",
+        s"""{"table-changes":[${change("txc_a", l1, 701)},
+           |{"identifier":{"namespace":["default"],"name":"nope"},
+           |"requirements":[],"updates":[]}]}""".stripMargin)
+      assert(nc == 404)
+      assert(e.table("txc_a").meta.currentSnapshotId == a1)
+      // empty batch → 400
+      assert(post(s"$base/v1/transactions/commit",
+        """{"table-changes":[]}""")._1 == 400)
+    } finally srv.stop()
+  }
+
+  /** The reference's cross-table visibility (test_iceberg_xacts.py):
+    * both tables of a multi-table transaction become visible at ONE
+    * commit instant. A catalog reader polling both tables during a
+    * deliberately slow COMMIT must never observe the first table's new
+    * snapshot together with the second's old one — and an OPEN
+    * transaction's staged state must never leak through the catalog at
+    * all (PG: other sessions see nothing until COMMIT).
+    */
+  test("multi-table COMMIT is atomic through the catalog: no torn " +
+      "visibility, no staged-state leak") {
+    import org.apache.spark.sql.SparkSession
+    val s2 = spark
+    import s2.implicits._
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("xv_a", LakeEngine.tempLocation("xva"),
+      Seq(1L).toDF("id"))
+    e.createTableAsSelect("xv_b", LakeEngine.tempLocation("xvb"),
+      Seq(1L).toDF("id"))
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      def snapOf(t: String): Long = {
+        val (c, b) = get(s"$base/v1/namespaces/default/tables/$t")
+        assert(c == 200)
+        mapper.readTree(b).get("metadata")
+          .get("current-snapshot-id").asLong()
+      }
+      val (oldA, oldB) = (snapOf("xv_a"), snapOf("xv_b"))
+      e.sql("BEGIN")
+      e.sql("INSERT INTO xv_a VALUES (2)")
+      e.sql("INSERT INTO xv_b VALUES (2)")
+      // an open transaction leaks NOTHING through the catalog
+      assert(snapOf("xv_a") == oldA && snapOf("xv_b") == oldB,
+        "staged in-tx state leaked through the REST catalog")
+      // slow the install loop so the reader races the commit window
+      e.txPreInstallHook = _ => Thread.sleep(250)
+      val committer = new Thread(() => e.sql("COMMIT"))
+      committer.start()
+      // two sequential loads can straddle even an ATOMIC flip (old
+      // first read, new second read), so the tear-witness is a
+      // SANDWICH: one table provably old on BOTH sides of the other
+      // table's new read — impossible under one commit instant, and
+      // exactly what the per-table install order would show without
+      // the visibility pin (xv_a installs first, xv_b ~250 ms later).
+      var torn: Option[String] = None
+      while (committer.isAlive) {
+        val b1 = snapOf("xv_b"); val a1 = snapOf("xv_a")
+        val b2 = snapOf("xv_b")
+        if (a1 != oldA && b1 == oldB && b2 == oldB)
+          torn = torn.orElse(Some(s"xv_a new ($a1) while xv_b old"))
+        val a2 = snapOf("xv_a"); val b3 = snapOf("xv_b")
+        val a3 = snapOf("xv_a")
+        if (b3 != oldB && a2 == oldA && a3 == oldA)
+          torn = torn.orElse(Some(s"xv_b new ($b3) while xv_a old"))
+        Thread.sleep(10)
+      }
+      committer.join()
+      e.txPreInstallHook = _ => ()
+      assert(torn.isEmpty,
+        s"torn cross-table visibility through the catalog: " +
+          s"${torn.getOrElse("")} (pre-tx: $oldA/$oldB)")
+      // after COMMIT both flipped together
+      assert(snapOf("xv_a") != oldA && snapOf("xv_b") != oldB)
+      assert(e.sql("SELECT count(*) FROM xv_a").first().getLong(0) == 2)
+    } finally srv.stop()
+  }
 }

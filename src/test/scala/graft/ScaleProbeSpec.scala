@@ -392,4 +392,47 @@ class ScaleProbeSpec extends AnyFunSuite {
       mor.drop(); cow.drop()
     }
   }
+
+  test("time persisted ANN index vs fresh-build IVF at sf1",
+      org.scalatest.Tag("probe")) {
+    assume(sys.env.contains("GRAFT_SCALE_PROBE"))
+    val dir = sys.env.getOrElse("GRAFT_SCALE_PROBE", "/tmp/testdata-sf1")
+    import org.apache.spark.sql.functions._
+    val e = Tables.df(spark, dir, "embeddings")
+    val queries =
+      e.filter(col("vec_id") < PipelineParams.NumQueryVectors)
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = body
+      println(f"PROBE $label rows=$c " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // fresh build re-encodes the whole corpus EVERY query run
+    time("ivf-fresh") {
+      Similarity.ivfTopK(queries, e, "vec_id", "embedding").count()
+    }
+    val eng = LakeEngine(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("annprobe").toString
+    val split = PipelineParams.IvfCentroidStride.toLong *
+      PipelineParams.IvfCentroids
+    time("ann-build(once)") {
+      AnnIndex.buildIvf(eng, "annprobe", base,
+        e.filter(col("vec_id") < split), "vec_id", "embedding"); 0L
+    }
+    time("ann-append(batch)") {
+      AnnIndex.appendIvf(eng, "annprobe",
+        e.filter(col("vec_id") >= split), "vec_id", "embedding"); 0L
+    }
+    // the claim under probe: query cost is independent of corpus
+    // re-encoding — the persisted path reads postings + centroids only
+    time("ann-query") {
+      AnnIndex.ivfTopK(eng, "annprobe", queries,
+        "vec_id", "embedding").count()
+    }
+    time("ann-query(repeat)") {
+      AnnIndex.ivfTopK(eng, "annprobe", queries,
+        "vec_id", "embedding").count()
+    }
+  }
 }
