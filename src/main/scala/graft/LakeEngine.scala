@@ -292,6 +292,21 @@ final class LakeEngine(val spark: SparkSession) {
   @volatile private[graft] var txVisibilityPin:
       Map[String, lake.TableMetadata] = Map.empty
 
+  /** Key-scoped pin/unpin: the engine's own multi-table COMMIT and a
+    * concurrent REST `transactions/commit` batch may overlap — each
+    * must add/remove only ITS participants (a wholesale assignment
+    * would wipe the other's pins mid-window). Each update is still
+    * one volatile write, so a batch's participants always flip
+    * together.
+    */
+  private[graft] def pinVisibility(
+      pins: Map[String, lake.TableMetadata]): Unit = synchronized {
+    txVisibilityPin = txVisibilityPin ++ pins
+  }
+
+  private[graft] def unpinVisibility(keys: Iterable[String]): Unit =
+    synchronized { txVisibilityPin = txVisibilityPin -- keys }
+
   /** The table state an EXTERNAL reader (the REST catalog surface) may
     * see: never in-transaction staged metadata (PG: other sessions see
     * nothing until COMMIT), and during a multi-table COMMIT's install
@@ -327,7 +342,10 @@ final class LakeEngine(val spark: SparkSession) {
         // in-table predicate-read SSI stays documented out of scope.
         if (tx.serializable) tx.overlays.foreach { case (n, ov) =>
           ov.pinned.foreach { pin =>
-            if (ov.staged.isEmpty) tables.get(n).foreach { t =>
+            // only tables the tx actually READ (touched): the snapshot
+            // moment pins every table, but a concurrent write to a
+            // never-accessed table is no antidependency
+            if (ov.touched && ov.staged.isEmpty) tables.get(n).foreach { t =>
               val disk = lake.TableMetadata.load(t.location)
               if (!lake.TxMarker.sameState(disk, pin))
                 throw new java.util.ConcurrentModificationException(
@@ -368,17 +386,25 @@ final class LakeEngine(val spark: SparkSession) {
         // maintain() could presumed-abort early tables of a commit
         // still in flight.
         var markersAt = 0L
-        def writeMarkers(): Unit = {
-          dirty.foreach { case (n, base, cur) =>
+        // marker records are built ONCE, before any install — a
+        // heartbeat re-write must repeat the SAME records: recomputing
+        // baseVersion mid-loop would point an already-installed
+        // table's marker at its OWN install, and a crash after that
+        // heartbeat would make recovery refuse the restore (base-hash
+        // mismatch)
+        val markerRecs = if (!multi) Nil else dirty.map {
+          case (n, base, cur) =>
             val t = tables.getOrElse(n, throw new IllegalStateException(
               s"table $n vanished during the transaction"))
             val baseV = lake.TableMetadata.currentVersion(t.location)
               .getOrElse(throw new IllegalStateException(
                 s"table $n vanished at ${t.location}"))
-            lake.TxMarker.write(lake.TxMarker(tx.txId, n, t.location,
+            lake.TxMarker(tx.txId, n, t.location,
               coordinator, baseV, lake.TxMarker.stateHash(base),
-              lake.TxMarker.stateHash(cur), stagedPaths(base, cur)))
-          }
+              lake.TxMarker.stateHash(cur), stagedPaths(base, cur))
+        }
+        def writeMarkers(): Unit = {
+          markerRecs.foreach(lake.TxMarker.write)
           markersAt = System.currentTimeMillis()
         }
         val heartbeatMs = spark.conf.getOption("graft.staging.grace_ms")
@@ -388,17 +414,17 @@ final class LakeEngine(val spark: SparkSession) {
           // catalog readers keep seeing every participant's pre-tx
           // state until ALL CASes land — one commit instant, like the
           // reference's PG commit
-          txVisibilityPin = dirty.flatMap { case (n, base, _) =>
+          pinVisibility(dirty.flatMap { case (n, base, _) =>
             tables.get(n).map(_.location -> base)
-          }.toMap
+          }.toMap)
         }
         dirty.foreach { case (n, base, cur) =>
           val t = tables.getOrElse(n, throw new IllegalStateException(
             s"table $n vanished during the transaction"))
-          txPreInstallHook(n)
           if (multi &&
               System.currentTimeMillis() - markersAt > heartbeatMs)
             writeMarkers()
+          txPreInstallHook(n)
           // ONE new metadata version for everything the transaction
           // did to this table (reference: a single metadata.json push
           // per table at commit), CAS-pinned to the transaction's base
@@ -418,7 +444,8 @@ final class LakeEngine(val spark: SparkSession) {
         }
         // every CAS landed: the commit instant — all participants
         // become catalog-visible TOGETHER (one volatile write)
-        txVisibilityPin = Map.empty
+        if (multi) unpinVisibility(dirty.flatMap { case (n, _, _) =>
+          tables.get(n).map(_.location) })
       } catch {
         case scala.util.control.NonFatal(e) =>
           // COMPENSATING UN-COMMIT (all-or-nothing across tables):
@@ -458,7 +485,8 @@ final class LakeEngine(val spark: SparkSession) {
           }
           // compensation restored every base: catalog readers resume
           // live loads (which now read the restored pre-tx state)
-          txVisibilityPin = Map.empty
+          if (multi) unpinVisibility(dirty.flatMap { case (n, _, _) =>
+            tables.get(n).map(_.location) })
           endTx(tx)
           // the WHOLE transaction aborted: every table it created goes
           tx.created.foreach { n =>
@@ -469,6 +497,16 @@ final class LakeEngine(val spark: SparkSession) {
           // staged drops roll back with the abort: restore registration
           tx.dropped.foreach(d => undropStaged(tx, d, keepStaged = None))
           throw e
+        case t: Throwable =>
+          // FATAL (thread interrupt / simulated crash): compensation
+          // is skipped — the markers drive recovery — but the catalog
+          // visibility pin must not outlive the attempt in a process
+          // that SURVIVES the throw: readers fall back to live storage
+          // (possibly torn until maintain() finishes the protocol)
+          // instead of a stale pre-tx pin forever
+          if (multi) unpinVisibility(dirty.flatMap { case (n, _, _) =>
+            tables.get(n).map(_.location) })
+          throw t
       }
       // every CAS landed — the transaction is COMMITTED from here on;
       // nothing below may trigger compensation

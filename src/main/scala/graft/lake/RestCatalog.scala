@@ -318,7 +318,7 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
               (cns, n, lt0.get, ch) }
             val pre = parts.map { case (_, _, lt, _) =>
               lt.location -> TableMetadata.load(lt.location) }.toMap
-            engine.txVisibilityPin = pre
+            engine.pinVisibility(pre)
             val installedStates =
               scala.collection.mutable.ListBuffer.empty[
                 (LakeTable, TableMetadata)]
@@ -327,7 +327,7 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
                 applyTableCommit(lt, ch)
                 installedStates += ((lt, TableMetadata.load(lt.location)))
               }
-              engine.txVisibilityPin = Map.empty
+              engine.unpinVisibility(pre.keys)
               parts.foreach { case (cns, n, _, _) =>
                 engine.refresh(engineKey(cns, n)) }
               head(ex, 204)
@@ -351,7 +351,7 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
                             s"${lt.location}", e2)
                     }
                 }
-                engine.txVisibilityPin = Map.empty
+                engine.unpinVisibility(pre.keys)
                 e match {
                   case c: java.util.ConcurrentModificationException =>
                     error(ex, 409, "CommitFailedException", c.getMessage)

@@ -44,6 +44,15 @@ final class TxOverlay {
     */
   @volatile var pinAll: () => Unit = () => ()
 
+  /** THIS table was actually accessed (read or written) by the
+    * transaction — distinct from `pinned`, which the snapshot moment
+    * sets on EVERY table: SERIALIZABLE's commit-time read-pin re-check
+    * must only cover tables the transaction really read (PG's SSI
+    * tracks actual reads; failing on concurrent writes to NEVER-read
+    * tables would be a gratuitous false positive).
+    */
+  @volatile var touched: Boolean = false
+
   def dirty: Boolean = staged.isDefined
 
   /** Committed-state base for reads and for the FIRST staged write:
@@ -51,11 +60,13 @@ final class TxOverlay {
     * snapshot moment (triggered by the first access to any table),
     * otherwise the live committed load (READ COMMITTED).
     */
-  def baseMeta(load: => TableMetadata): TableMetadata =
+  def baseMeta(load: => TableMetadata): TableMetadata = {
+    touched = true
     if (repeatableRead)
       pinned.getOrElse {
         pinAll()
         pinned.getOrElse { val m = load; pinned = Some(m); m }
       }
     else load
+  }
 }

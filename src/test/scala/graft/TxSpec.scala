@@ -1367,6 +1367,16 @@ class TxSpec extends AnyFunSuite {
     eB.sql("COMMIT")
     assert(new graft.lake.LakeTable(spark, l2).read()
       .as[Long].collect().toSet == Set(1L, 21L))
+    // no false positives: a concurrent write to a table the
+    // SERIALIZABLE tx NEVER touched is no antidependency — the
+    // snapshot moment pins every table, but only actually-read tables
+    // count at COMMIT (PG's SSI tracks reads)
+    eA.sql("BEGIN ISOLATION LEVEL SERIALIZABLE")
+    eA.sql("INSERT INTO txws_a1 VALUES (12)")
+    eB.sql("INSERT INTO txws_b2 VALUES (22)") // autocommit; A never read b
+    eA.sql("COMMIT") // must succeed
+    assert(new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet == Set(1L, 10L, 11L, 12L))
   }
 
   /** A commitTx() that returned success must never leave markers that
@@ -1479,6 +1489,50 @@ class TxSpec extends AnyFunSuite {
     assert(m4.currentSnapshotId == tipBefore)
     assert(TxMarker.stateHash(m4) != before,
       "schema-only change not reflected in the state hash")
+  }
+
+  /** Heartbeat correctness: a heartbeat re-write after the FIRST
+    * table's install must repeat the ORIGINAL marker records — a
+    * naive rewrite would recompute baseVersion from the (now
+    * installed) head, and a crash after that heartbeat would make
+    * recovery refuse the restore (base-hash mismatch against the
+    * recorded pre-tx hash).
+    */
+  test("crash after a marker heartbeat: maintain() still restores " +
+      "every table to its pre-tx base") {
+    val (l1, l2) = (s"${tmp()}/a", s"${tmp()}/b")
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("txhb_a", l1, Seq(1L).toDF("id"))
+    e.createTableAsSelect("txhb_b", l2, Seq(1L).toDF("id"))
+    e.sql("BEGIN")
+    e.sql("INSERT INTO txhb_a VALUES (2)")
+    e.sql("INSERT INTO txhb_b VALUES (2)")
+    // negative heartbeat interval => markers re-write before EVERY
+    // install; the crash lands after the post-install heartbeat
+    spark.conf.set("graft.staging.grace_ms", "-4")
+    var calls = 0
+    e.txPreInstallHook = _ => {
+      calls += 1
+      if (calls == 2) throw new InterruptedException("simulated crash")
+    }
+    try intercept[InterruptedException](e.sql("COMMIT"))
+    finally {
+      e.txPreInstallHook = _ => ()
+      spark.conf.unset("graft.staging.grace_ms")
+    }
+    val e2 = LakeEngine(spark)
+    e2.loadTable("txhb_a2", l1)
+    e2.loadTable("txhb_b2", l2)
+    spark.conf.set("graft.staging.grace_ms", "-1")
+    try e2.maintain()
+    finally spark.conf.unset("graft.staging.grace_ms")
+    assert(new graft.lake.LakeTable(spark, l1).read()
+      .as[Long].collect().toSet == Set(1L),
+      "heartbeat-corrupted marker: first table not restored")
+    assert(new graft.lake.LakeTable(spark, l2).read()
+      .as[Long].collect().toSet == Set(1L))
+    assert(graft.lake.TxMarker.list(l1).isEmpty &&
+      graft.lake.TxMarker.list(l2).isEmpty)
   }
 
   test("loadTable inside a transaction: ROLLBACK must not purge the " +
