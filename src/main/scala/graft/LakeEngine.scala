@@ -818,6 +818,10 @@ final class LakeEngine(val spark: SparkSession) {
         // table's LAST-built one (scanReport reads the latest index)
         ownRows(n).createOrReplaceTempView(s"__only_$n")
         familyFrame(n).createOrReplaceTempView(n)
+        tables.get(n).foreach(t =>
+          try lake.TableMetadata.currentVersion(t.location)
+            .foreach(v => viewVersions.put(n, v))
+          catch { case scala.util.control.NonFatal(_) => () })
       }
     }
   }
@@ -826,6 +830,72 @@ final class LakeEngine(val spark: SparkSession) {
     viewDefs.forEach((n, sel) =>
       QueryDef.pgSql(spark, sel).createOrReplaceTempView(n))
   }
+
+  // The on-disk metadata version each table's registered views were
+  // built from. A registered view pins the file list of the snapshot
+  // it was planned against, so ANOTHER engine's/process's commit is
+  // invisible to sql() until the view re-registers — but PG READ
+  // COMMITTED sees other sessions' commits on the NEXT statement
+  // (foreign scans re-read Iceberg metadata per statement). sql()
+  // therefore compares the version POINTER of every table the
+  // statement references (one tiny metadata read per referenced
+  // table — the same per-statement cost the reference pays) and
+  // re-registers views that moved. In-transaction semantics are
+  // preserved: refresh() rebuilds from the overlay-aware meta, so
+  // staged state stays visible and REPEATABLE READ pins stay pinned.
+  private val viewVersions = TrieMap.empty[String, Int]
+
+  /** Table/parent names `stmt` references, expanded through view
+    * definitions (a statement naming view v reads v's underlying
+    * tables) and inheritance/partition families. Substring match is
+    * deliberate: a false positive only costs one version-pointer
+    * read.
+    */
+  private def referencedTables(stmt: String): Set[String] = {
+    val lower = stmt.toLowerCase
+    var texts = List(lower)
+    var seenViews = Set.empty[String]
+    var grew = true
+    while (grew) {
+      grew = false
+      viewDefs.synchronized {
+        viewDefs.forEach { (v, sel) =>
+          if (!seenViews.contains(v) &&
+              texts.exists(_.contains(v.toLowerCase))) {
+            seenViews += v
+            texts ::= sel.toLowerCase
+            grew = true
+          }
+        }
+      }
+      matViews.foreach { case (v, sel) =>
+        if (!seenViews.contains(v) &&
+            texts.exists(_.contains(v.toLowerCase))) {
+          seenViews += v
+          texts ::= sel.toLowerCase
+          grew = true
+        }
+      }
+    }
+    val named = (tables.keys ++ partParents.keys).filter(n =>
+      texts.exists(_.contains(n.toLowerCase))).toSet
+    named.flatMap(familyOf).filter(tables.contains)
+  }
+
+  /** PG READ COMMITTED cross-process freshness: re-register the views
+    * of referenced tables whose on-disk metadata version moved since
+    * their views were built (another engine/process committed).
+    */
+  private def refreshStaleViews(stmt: String): Unit =
+    if (tables.nonEmpty) referencedTables(stmt).foreach { n =>
+      tables.get(n).foreach { t =>
+        try lake.TableMetadata.currentVersion(t.location).foreach { v =>
+          if (!viewVersions.get(n).contains(v)) refresh(n)
+        } catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"freshness check of $n failed", e)
+        }
+      }
+    }
 
   // ------------------------------------------------------ managed tables
 
@@ -2370,9 +2440,27 @@ final class LakeEngine(val spark: SparkSession) {
     // errors.
     activeTx.foreach { tx =>
       if (("(?is)^(SELECT|WITH|TABLE|VALUES|INSERT|UPDATE|DELETE|" +
-          "COPY|EXECUTE)\\b.*").r.pattern.matcher(dmlText).matches())
+          "COPY|EXECUTE)\\b.*").r.pattern.matcher(dmlText).matches()) {
+        // the RR/SERIALIZABLE snapshot moment is the transaction's
+        // FIRST query statement (PG semantics) — taken HERE, because
+        // a read served by a registered view never touches the
+        // overlay, so an sql-only transaction would otherwise pin
+        // lazily at some later table access
+        if (tx.repeatableRead) pinAllTables(tx)
+        // SERIALIZABLE read tracking: a view-served read never calls
+        // baseMeta, so the tables this statement references are
+        // marked touched here — the commit-time write-skew check
+        // covers sql reads too
+        if (tx.serializable) referencedTables(dmlText).foreach(n =>
+          tx.overlays.get(n).foreach(_.touched = true))
         tx.queryRun = true
+      }
     }
+    // cross-process READ COMMITTED freshness: views of referenced
+    // tables re-register when another engine moved them (PG foreign
+    // scans re-read metadata per statement). AFTER the pin: an RR
+    // refresh rebuilds the view from the pinned snapshot.
+    refreshStaleViews(dmlText)
     dmlText match {
       case beginRe(isoOrNull, rwOrNull) =>
         // READ COMMITTED (and PG's READ UNCOMMITTED alias) = the
