@@ -317,6 +317,29 @@ final class LakeEngine(val spark: SparkSession) {
     txVisibilityPin.getOrElse(t.location,
       lake.TableMetadata.load(t.location))
 
+  /** Catalog-visible table resolution for EXTERNAL readers: PG shows
+    * other sessions the PRE-transaction catalog until COMMIT — a
+    * table CREATED inside a still-open transaction is invisible, and
+    * a table whose DROP is staged still resolves (its committed
+    * storage is untouched until the drop commits).
+    */
+  private[graft] def catalogTable(name: String): Option[LakeTable] =
+    activeTx match {
+      case Some(tx) if tx.created.contains(name) => None
+      case Some(tx) =>
+        tables.get(name).orElse(
+          tx.dropped.find(_.name == name).map(_.table))
+      case None => tables.get(name)
+    }
+
+  /** Catalog-visible listing, same pre-transaction rules. */
+  private[graft] def catalogTableNames: Seq[String] = activeTx match {
+    case Some(tx) =>
+      (tables.keys.toSet -- tx.created ++ tx.dropped.map(_.name))
+        .toSeq.sorted
+    case None => tableNames
+  }
+
   def commitTx(): Unit = activeTx match {
     case None =>
       txLog.warn("there is no transaction in progress") // PG warns too

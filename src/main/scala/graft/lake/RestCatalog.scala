@@ -138,14 +138,26 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
   /** Engine keys owned by non-default namespaces (hidden from default). */
   private def claimed: Set[String] = nsTables.values.toSet
 
+  // resolution and listings go through the engine's CATALOG view: a
+  // table created inside a still-open engine transaction is invisible
+  // to external readers, a staged-dropped one still resolves — PG
+  // shows other sessions the pre-transaction catalog until COMMIT
   private def resolve(ns: String, table: String): Option[LakeTable] =
     if (ns == DefaultNs)
-      engine.tableOption(table).filterNot(_ => claimed.contains(table))
-    else nsTables.get((ns, table)).flatMap(engine.tableOption)
+      engine.catalogTable(table).filterNot(_ => claimed.contains(table))
+    else nsTables.get((ns, table)).flatMap(engine.catalogTable)
 
   private def tablesIn(ns: String): Seq[String] =
-    if (ns == DefaultNs) engine.tableNames.filterNot(claimed)
+    if (ns == DefaultNs) engine.catalogTableNames.filterNot(claimed)
     else nsTables.keys.collect { case (n, t) if n == ns => t }.toSeq.sorted
+
+  /** A staged-dropped table resolves for READS (pre-tx catalog) but
+    * refuses external WRITES — an external commit would land in a
+    * tree the local transaction is about to queue for deletion.
+    */
+  private def writable(ns: String, table: String): Option[LakeTable] =
+    resolve(ns, table).filter(_ =>
+      engine.tableOption(engineKey(ns, table)).isDefined)
 
   // -------------------------------------------------------------- routes
 
@@ -267,6 +279,9 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
       case ("POST", List("v1", "namespaces", ns, "tables", t)) =>
         resolve(ns, t) match {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
+          case Some(_) if writable(ns, t).isEmpty =>
+            error(ex, 409, "CommitFailedException",
+              s"table $t is being dropped by an in-progress transaction")
           case Some(lt) =>
             try {
               applyTableCommit(lt, mapper.readTree(ex.getRequestBody))
@@ -313,6 +328,11 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
         else resolved.find(_._3.isEmpty) match {
           case Some((cns, name, _, _)) =>
             error(ex, 404, "NoSuchTableException", s"table $cns.$name")
+          case _ if resolved.exists { case (cns, n, _, _) =>
+              writable(cns, n).isEmpty } =>
+            error(ex, 409, "CommitFailedException",
+              "a batch table is being dropped by an in-progress " +
+                "transaction")
           case _ => txBatchLock.synchronized {
             val parts = resolved.map { case (cns, n, lt0, ch) =>
               (cns, n, lt0.get, ch) }
@@ -377,6 +397,9 @@ final class RestCatalog(engine: graft.LakeEngine, port: Int = 0,
       case ("DELETE", List("v1", "namespaces", ns, "tables", t)) =>
         resolve(ns, t) match {
           case None => error(ex, 404, "NoSuchTableException", s"table $t")
+          case Some(_) if writable(ns, t).isEmpty =>
+            error(ex, 409, "CommitFailedException",
+              s"table $t is being dropped by an in-progress transaction")
           case Some(_) =>
             val purge = Option(ex.getRequestURI.getQuery)
               .exists(_.split("&").contains("purgeRequested=true"))

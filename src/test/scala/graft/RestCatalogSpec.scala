@@ -591,6 +591,56 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  /** PG shows other sessions the PRE-transaction catalog until COMMIT:
+    * a table CREATED inside a still-open engine transaction must be
+    * invisible to catalog readers, and a table whose DROP is staged
+    * must still resolve for reads (its committed storage is untouched)
+    * while refusing external writes.
+    */
+  test("catalog serves the pre-transaction catalog during an open tx") {
+    import spark.implicits._
+    val e = LakeEngine(spark)
+    e.createTableAsSelect("cat_keep", LakeEngine.tempLocation("catk"),
+      Seq(1L).toDF("id"))
+    e.createTableAsSelect("cat_drop", LakeEngine.tempLocation("catd"),
+      Seq(1L, 2L).toDF("id"))
+    val srv = e.serveRestCatalog()
+    try {
+      val base = srv.address
+      def names: Set[String] = {
+        val (c, b) = get(s"$base/v1/namespaces/default/tables")
+        assert(c == 200)
+        mapper.readTree(b).get("identifiers").elements().asScala
+          .map(_.get("name").asText()).toSet
+      }
+      e.sql("BEGIN")
+      e.sql("CREATE TABLE cat_new AS SELECT 9 AS id")
+      e.sql("DROP TABLE cat_drop")
+      // created-in-tx: invisible; staged-dropped: still listed + loads
+      assert(!names.contains("cat_new"),
+        "in-tx created table leaked into the catalog")
+      assert(names.contains("cat_drop"),
+        "staged-dropped table vanished from the catalog before COMMIT")
+      assert(get(s"$base/v1/namespaces/default/tables/cat_new")._1 == 404)
+      val (dc, db) = get(s"$base/v1/namespaces/default/tables/cat_drop")
+      assert(dc == 200)
+      assert(mapper.readTree(db).get("metadata")
+        .get("current-snapshot-id").asLong() > 0)
+      // external WRITE to the staged-dropped table refuses
+      assert(post(s"$base/v1/namespaces/default/tables/cat_drop",
+        """{"updates":[{"action":"add-snapshot","snapshot":{
+          |"snapshot-id":5,"manifest-list":"/nope"}}]}""".stripMargin)._1
+        == 409)
+      e.sql("COMMIT")
+      // the commit instant flips the catalog: created appears, dropped
+      // disappears
+      assert(names.contains("cat_new") && !names.contains("cat_drop"))
+      assert(get(s"$base/v1/namespaces/default/tables/cat_new")._1 == 200)
+      assert(get(s"$base/v1/namespaces/default/tables/cat_drop")._1 == 404)
+      e.sql("VACUUM") // reap the committed drop
+    } finally srv.stop()
+  }
+
   /** The reference's cross-table visibility (test_iceberg_xacts.py):
     * both tables of a multi-table transaction become visible at ONE
     * commit instant. A catalog reader polling both tables during a
