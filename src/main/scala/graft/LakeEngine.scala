@@ -86,12 +86,28 @@ final class LakeEngine(val spark: SparkSession) {
     // transactional): the registry entry is detached immediately so
     // in-tx reads stop resolving, the record restores it on ROLLBACK
     val dropped = scala.collection.mutable.ListBuffer.empty[StagedDrop]
-    // (name, per-table staged snapshot, created-count, dropped-count)
+    // appends to EXTERNAL REST-catalog tables staged in this
+    // transaction: committed as ONE spec CommitTransaction batch
+    // (all-or-nothing server-side) — see commitRestStaged
+    val restStaged =
+      scala.collection.mutable.ListBuffer.empty[RestStaged]
+    // (name, per-table staged snapshot, created-count, dropped-count,
+    // rest-staged-count)
     val savepoints = scala.collection.mutable.ListBuffer.empty[
       (String,
         Map[String, Option[(lake.TableMetadata, lake.TableMetadata)]],
-        Int, Int)]
+        Int, Int, Int)]
   }
+
+  /** One staged append to an external REST-catalog table: the parquet
+    * and Avro manifest list are already written under the TABLE's own
+    * location; only the CommitTransaction entry is deferred to COMMIT.
+    */
+  private final case class RestStaged(
+      catalogUri: String, clientId: Option[String],
+      clientSecret: Option[String], oauthUri: Option[String],
+      namespace: String, table: String, stagedList: String,
+      stageLoc: String, rows: Long, snapId: Long)
 
   /** One DROP TABLE staged inside a transaction: everything needed to
     * restore the table on ROLLBACK (the reference rolls in-tx drops
@@ -343,6 +359,11 @@ final class LakeEngine(val spark: SparkSession) {
   def commitTx(): Unit = activeTx match {
     case None =>
       txLog.warn("there is no transaction in progress") // PG warns too
+    case Some(tx) if tx.restStaged.nonEmpty =>
+      // appends to EXTERNAL REST-catalog tables: the whole batch goes
+      // through ONE spec CommitTransaction (all-or-nothing, one
+      // visibility instant, server-side)
+      commitRestStaged(tx)
     case Some(tx) =>
       val dirty = tx.overlays.toSeq.flatMap { case (n, ov) =>
         ov.staged.map { case (base, cur) => (n, base, cur) }
@@ -621,6 +642,118 @@ final class LakeEngine(val spark: SparkSession) {
       } finally endTx(tx)
   }
 
+  /** COMMIT of a transaction whose writes are appends to EXTERNAL
+    * REST-catalog tables: every staged append lands in ONE spec
+    * CommitTransaction batch — the server applies all changes or none
+    * behind one catalog visibility instant (the multi-table commit
+    * point the reference gets from its PG commit). On a requirement
+    * conflict the batch retries with FRESH requirements and manifest
+    * merges (the staged parquet is untouched — a retry is metadata
+    * round trips, never a data rewrite); retries exhausted ⇒
+    * serialization failure with every staged tree reaped and NOTHING
+    * committed. Multiple appends to the SAME table merge into one
+    * change (two changes for one table would self-conflict inside the
+    * batch). Mixing engine-managed writes in the same transaction is
+    * refused at write time (two commit points cannot be made atomic)
+    * and, as a backstop, aborts here.
+    */
+  private def commitRestStaged(tx: EngineTx): Unit = {
+    try {
+      if (tx.overlays.values.exists(_.staged.isDefined) ||
+          tx.dropped.nonEmpty || tx.created.nonEmpty)
+        throw new IllegalStateException(
+          "cannot COMMIT a transaction mixing engine-managed writes " +
+            "and external REST-catalog appends: the two commit points " +
+            "cannot be made atomic — use separate transactions")
+      val head = tx.restStaged.head
+      val client = new lake.RestCatalogClient(head.catalogUri,
+        head.clientId, head.clientSecret, head.oauthUri)
+      // appends to one table merge into ONE change, preserving order
+      val grouped = tx.restStaged.toList
+        .groupBy(rs => (rs.namespace, rs.table)).toSeq
+        .sortBy { case ((ns, t), _) => (ns, t) }
+      var attempt = 0
+      var done = false
+      while (!done) {
+        var mergeIdx = 0
+        val changes = grouped.map { case ((ns, tbl), entries) =>
+          val ownList = entries.map(_.stagedList).reduceLeft { (a, b) =>
+            mergeIdx += 1
+            val merged = lake.LakeFs.child(entries.head.stageLoc,
+              s"own-merged-$attempt-$mergeIdx.avro")
+            lake.IcebergExport.concatManifestLists(a, b, merged)
+            merged
+          }
+          val cur = client.loadTable(ns, tbl)
+          val curMeta = Option(cur.get("metadata"))
+          val curSnapId = curMeta
+            .flatMap(m => Option(m.get("current-snapshot-id")))
+            .map(_.asLong()).filter(_ >= 0)
+          val curList = for {
+            m <- curMeta
+            sid <- curSnapId
+            snaps = m.get("snapshots").elements().asScala.toSeq
+            s <- snaps.find(_.get("snapshot-id").asLong() == sid)
+            ml <- Option(s.get("manifest-list"))
+          } yield ml.asText()
+          val listPath = curList match {
+            case Some(base) =>
+              val merged = lake.LakeFs.child(entries.head.stageLoc,
+                s"merged-list-$attempt.avro")
+              lake.IcebergExport.concatManifestLists(base, ownList,
+                merged)
+              merged
+            case None => ownList
+          }
+          val seqNum = curMeta
+            .flatMap(m => Option(m.get("last-sequence-number")))
+            .map(_.asLong()).getOrElse(0L) + 1L
+          val schemaId = curMeta
+            .flatMap(m => Option(m.get("current-schema-id")))
+            .map(_.asInt()).getOrElse(0)
+          lake.RestCatalogClient.TableChange(ns, tbl, listPath,
+            entries.last.snapId, curSnapId, seqNum, schemaId)
+        }
+        try {
+          client.commitTransaction(changes)
+          done = true
+        } catch {
+          case e: java.io.IOException if e.getMessage.contains("409") =>
+            attempt += 1
+            if (attempt > 3)
+              throw new java.util.ConcurrentModificationException(
+                "could not serialize access: the REST " +
+                  "CommitTransaction batch kept conflicting: " +
+                  e.getMessage)
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the batch is all-or-nothing: nothing committed — reap every
+        // staged tree and abort the WHOLE transaction (including any
+        // mixed local staging that tripped the backstop)
+        tx.restStaged.foreach(rs =>
+          try lake.LakeFs.deleteRecursive(rs.stageLoc)
+          catch { case scala.util.control.NonFatal(e2) =>
+            txLog.warn(s"rest-batch abort: could not reap " +
+              s"${rs.stageLoc}", e2)
+          })
+        tx.overlays.values.foreach(_.staged.foreach {
+          case (base, cur) => reapStaged(base, cur)
+        })
+        endTx(tx)
+        tx.created.foreach { n =>
+          try dropTable(n, purge = true)
+          catch { case scala.util.control.NonFatal(e2) =>
+            txLog.warn(s"rest-batch abort: could not drop created " +
+              s"table $n", e2) }
+        }
+        tx.dropped.foreach(d => undropStaged(tx, d, keepStaged = None))
+        throw e
+    }
+    endTx(tx)
+  }
+
   /** Restore a table whose DROP was staged in `tx` (the drop is being
     * rolled back): re-register it, reap the data files the transaction
     * staged beyond `keepStaged` (None = beyond the pre-tx base — full
@@ -660,6 +793,12 @@ final class LakeEngine(val spark: SparkSession) {
       tx.overlays.values.foreach(_.staged.foreach {
         case (base, cur) => reapStaged(base, cur)
       })
+      // REST appends staged in the transaction: nothing was committed
+      // (the CommitTransaction entry only exists at COMMIT) — reap
+      tx.restStaged.foreach(rs =>
+        try lake.LakeFs.deleteRecursive(rs.stageLoc)
+        catch { case scala.util.control.NonFatal(e) =>
+          txLog.warn(s"rollback: could not reap ${rs.stageLoc}", e) })
       endTx(tx)
       tx.created.foreach { n =>
         try dropTable(n, purge = true)
@@ -676,7 +815,7 @@ final class LakeEngine(val spark: SparkSession) {
       "SAVEPOINT can only be used in transaction blocks"))
     tx.savepoints += ((name.toLowerCase,
       tx.overlays.map { case (n, ov) => n -> ov.staged }.toMap,
-      tx.created.size, tx.dropped.size))
+      tx.created.size, tx.dropped.size, tx.restStaged.size))
   }
 
   def rollbackToSavepoint(name: String): Unit = {
@@ -684,7 +823,17 @@ final class LakeEngine(val spark: SparkSession) {
       "ROLLBACK TO SAVEPOINT can only be used in transaction blocks"))
     val i = tx.savepoints.lastIndexWhere(_._1 == name.toLowerCase)
     require(i >= 0, s"""savepoint "$name" does not exist""")
-    val (_, marks, createdCount, droppedCount) = tx.savepoints(i)
+    val (_, marks, createdCount, droppedCount, restCount) =
+      tx.savepoints(i)
+    // REST appends staged after the mark roll back: their staged
+    // trees reap (nothing was committed — the CommitTransaction entry
+    // only exists at COMMIT)
+    tx.restStaged.drop(restCount).foreach { rs =>
+      try lake.LakeFs.deleteRecursive(rs.stageLoc)
+      catch { case scala.util.control.NonFatal(e) =>
+        txLog.warn(s"savepoint rollback: could not reap ${rs.stageLoc}", e) }
+    }
+    tx.restStaged.remove(restCount, tx.restStaged.size - restCount)
     // DROPs staged after the mark roll back first: the table returns
     // to the transaction carrying the staged state it had AT the mark
     // (reference test_in_subtx_fail_with_drop: INSERTs + DROP inside a
@@ -1025,15 +1174,44 @@ final class LakeEngine(val spark: SparkSession) {
       clientSecret: Option[String] = None,
       oauthUri: Option[String] = None,
       maxCommitRetries: Int = 3): Long = {
-    // the EXTERNAL catalog owns this commit — it cannot stage in the
-    // engine transaction and ROLLBACK could not undo it; refuse
-    // loudly rather than break the transaction's promise
-    require(activeTx.isEmpty,
-      "insertIntoRestTable cannot run inside a transaction block: " +
-        "the external catalog commits immediately and ROLLBACK could " +
-        "not undo it")
     val client = new lake.RestCatalogClient(catalogUri, clientId,
       clientSecret, oauthUri)
+    activeTx match {
+      case Some(tx) =>
+        // inside a transaction the append STAGES (parquet + manifest
+        // list written now, like every engine write) and the catalog
+        // commit defers to COMMIT, where every staged append lands in
+        // ONE spec CommitTransaction batch — all-or-nothing
+        // server-side with one visibility instant. Atomicity holds
+        // only WITHIN one catalog and cannot span the engine's own
+        // tables (two commit points), so both mixes refuse loudly.
+        require(tx.restStaged.forall(_.catalogUri == catalogUri),
+          "REST appends in one transaction must share one catalog " +
+            "(a single CommitTransaction batch is the atomicity unit)")
+        require(!tx.overlays.values.exists(_.staged.isDefined) &&
+            tx.dropped.isEmpty && tx.created.isEmpty,
+          "cannot mix engine-managed writes and external REST-catalog " +
+            "appends in one transaction: the two commit points cannot " +
+            "be made atomic — use separate transactions")
+        val (stagedList, stageLoc, rows, snapId) =
+          stageRestAppend(client, namespace, table, df)
+        tx.restStaged += RestStaged(catalogUri, clientId, clientSecret,
+          oauthUri, namespace, table, stagedList, stageLoc, rows, snapId)
+        rows
+      case None =>
+        autocommitRestAppend(client, namespace, table, df,
+          maxCommitRetries)
+    }
+  }
+
+  /** Stage one REST append: align the frame to the table's schema,
+    * write parquet under the table's own location, export a real Avro
+    * manifest list. Returns (manifest list, staging dir, rows,
+    * snapshot id) — the catalog commit is the caller's.
+    */
+  private def stageRestAppend(client: lake.RestCatalogClient,
+      namespace: String, table: String,
+      df: DataFrame): (String, String, Long, Long) = {
     val load0 = client.loadTable(namespace, table)
     val metaLoc0 = load0.get("metadata-location").asText()
     val localMeta = metaLoc0.stripPrefix("file://")
@@ -1072,6 +1250,19 @@ final class LakeEngine(val spark: SparkSession) {
       .map(_.files.map(_.rows).sum).getOrElse(0L)
     val snapId = java.util.UUID.randomUUID()
       .getMostSignificantBits & Long.MaxValue
+    (stagedList, stageLoc, rows, snapId)
+  }
+
+  /** Autocommit REST append: stage, then CommitTable with retry — a
+    * 409 (another writer landed first) re-resolves the requirement
+    * and current manifest list; the staged files are untouched, so a
+    * retry is one metadata round trip, never a data rewrite.
+    */
+  private def autocommitRestAppend(client: lake.RestCatalogClient,
+      namespace: String, table: String, df: DataFrame,
+      maxCommitRetries: Int): Long = {
+    val (stagedList, stageLoc, rows, snapId) =
+      stageRestAppend(client, namespace, table, df)
     var attempt = 0
     var committed = false
     while (!committed) {

@@ -219,7 +219,20 @@ final class RestCatalogClient(
       requiredSnapshot: Option[Long],
       sequenceNumber: Long = 1L,
       schemaId: Int = 0,
-      timestampMs: Long = System.currentTimeMillis()): JsonNode = {
+      timestampMs: Long = System.currentTimeMillis()): JsonNode =
+    request("POST", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}",
+      Some(mapper.writeValueAsString(addSnapshotBody(manifestList,
+        snapshotId, requiredSnapshot, sequenceNumber, schemaId,
+        timestampMs))))
+
+  /** The {requirements, updates} payload of ONE add-snapshot commit —
+    * shared by the single-table CommitTable POST and the multi-table
+    * CommitTransaction batch.
+    */
+  private def addSnapshotBody(manifestList: String, snapshotId: Long,
+      requiredSnapshot: Option[Long], sequenceNumber: Long,
+      schemaId: Int, timestampMs: Long)
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
     val root = mapper.createObjectNode()
     val reqs = root.putArray("requirements")
     val r = reqs.addObject()
@@ -245,12 +258,46 @@ final class RestCatalogClient(
     ref.put("ref-name", "main")
     ref.put("type", "branch")
     ref.put("snapshot-id", snapshotId)
-    request("POST", s"/v1/namespaces/${seg(ns)}/tables/${seg(table)}",
+    root
+  }
+
+  /** One spec CommitTransaction batch (POST /v1/transactions/commit):
+    * every change applies or NONE does — the server installs the
+    * batch all-or-nothing behind one catalog visibility instant.
+    * Throws IOException on any non-2xx (a "409" message = some
+    * change's requirement failed; staged files are untouched, so the
+    * caller retries with fresh requirements).
+    */
+  def commitTransaction(
+      changes: Seq[RestCatalogClient.TableChange]): Unit = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("table-changes")
+    changes.foreach { c =>
+      val body = addSnapshotBody(c.manifestList, c.snapshotId,
+        c.requiredSnapshot, c.sequenceNumber, c.schemaId,
+        System.currentTimeMillis())
+      val node = arr.addObject()
+      val id = node.putObject("identifier")
+      id.putArray("namespace").add(c.ns)
+      id.put("name", c.table)
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "requirements", body.get("requirements"))
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "updates", body.get("updates"))
+    }
+    request("POST", "/v1/transactions/commit",
       Some(mapper.writeValueAsString(root)))
+    ()
   }
 }
 
 object RestCatalogClient {
+
+  /** One table's change inside a CommitTransaction batch. */
+  final case class TableChange(ns: String, table: String,
+      manifestList: String, snapshotId: Long,
+      requiredSnapshot: Option[Long], sequenceNumber: Long,
+      schemaId: Int)
 
   /** Spark → Iceberg primitive type names (spec §primitive-types);
     * nested/unmappable types refuse loudly — the writable path must

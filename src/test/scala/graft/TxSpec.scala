@@ -508,7 +508,13 @@ class TxSpec extends AnyFunSuite {
     assert(after.meta.currentSnapshot.get.deleteFiles.nonEmpty)
   }
 
-  test("REST-catalog append refuses inside a transaction block") {
+  /** REST appends inside a transaction STAGE (r15) and commit as one
+    * CommitTransaction batch — the full surface is pinned in
+    * WritableRestSpec; here the transaction-control edges: ROLLBACK
+    * commits nothing and reaps, savepoint rollback drops the appends
+    * staged after the mark, and autocommit still works.
+    */
+  test("REST-catalog append stages inside a transaction block") {
     val e = LakeEngine(spark)
     val srv = e.serveRestCatalog()
     try {
@@ -516,15 +522,24 @@ class TxSpec extends AnyFunSuite {
       e.createRestTable(srv.address, "default", "tx_rest",
         StructType(Seq(StructField("id", LongType))))
       e.sql("BEGIN")
-      val err = intercept[IllegalArgumentException] {
-        e.insertIntoRestTable(srv.address, "default", "tx_rest",
-          Seq(1L).toDF("id"))
-      }
-      assert(err.getMessage.contains("cannot run inside a transaction"))
-      e.sql("ROLLBACK")
-      // and works again outside one
       assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
         Seq(1L).toDF("id")) == 1)
+      e.sql("SAVEPOINT s1")
+      assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
+        Seq(2L).toDF("id")) == 1)
+      e.sql("ROLLBACK TO s1") // drops the post-mark append
+      e.sql("COMMIT")
+      assert(e.table("tx_rest").read().as[Long].collect().toSet ==
+        Set(1L))
+      e.sql("BEGIN")
+      e.insertIntoRestTable(srv.address, "default", "tx_rest",
+        Seq(9L).toDF("id"))
+      e.sql("ROLLBACK")
+      assert(e.table("tx_rest").read().count() == 1)
+      // and autocommit still works outside a block
+      assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
+        Seq(3L).toDF("id")) == 1)
+      assert(e.table("tx_rest").read().count() == 2)
     } finally srv.stop()
   }
 

@@ -221,4 +221,85 @@ class WritableRestSpec extends AnyFunSuite {
       assert(err.getMessage.contains("409"), err.getMessage)
     } finally srv.stop()
   }
+
+  /** Multi-table transactional appends through the catalog: inside an
+    * engine transaction, REST appends STAGE (parquet + manifest list
+    * written eagerly, like every engine write) and COMMIT sends the
+    * whole batch as ONE spec CommitTransaction — all-or-nothing
+    * server-side with one visibility instant. ROLLBACK reaps the
+    * staged trees; a concurrent autocommit writer landing between
+    * staging and COMMIT is merged, never lost; appends to the same
+    * table fold into one change; mixing engine-managed writes
+    * refuses.
+    */
+  test("REST appends in a transaction commit as ONE " +
+      "CommitTransaction batch") {
+    import org.apache.spark.sql.types._
+    val e = LakeEngine(spark)
+    val srv = e.serveRestCatalog()
+    try {
+      val uri = srv.address
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false)))
+      e.createRestTable(uri, "default", "bt1", schema)
+      e.createRestTable(uri, "default", "bt2", schema)
+      e.sql("BEGIN")
+      assert(e.insertIntoRestTable(uri, "default", "bt1",
+        Seq(1L, 2L).toDF("id")) == 2)
+      assert(e.insertIntoRestTable(uri, "default", "bt2",
+        Seq(3L).toDF("id")) == 1)
+      // nothing committed before COMMIT
+      assert(e.table("bt1").read().count() == 0)
+      assert(e.table("bt2").read().count() == 0)
+      e.sql("COMMIT")
+      assert(e.table("bt1").read().as[Long].collect().toSet ==
+        Set(1L, 2L))
+      assert(e.table("bt2").read().as[Long].collect().toSet == Set(3L))
+      // ROLLBACK reaps the staged trees, commits nothing
+      e.sql("BEGIN")
+      e.insertIntoRestTable(uri, "default", "bt1", Seq(9L).toDF("id"))
+      e.sql("ROLLBACK")
+      assert(e.table("bt1").read().count() == 2)
+      // a concurrent autocommit writer between staging and COMMIT is
+      // MERGED by the batch's fresh-requirement retry logic — neither
+      // side's rows are lost
+      e.sql("BEGIN")
+      e.insertIntoRestTable(uri, "default", "bt1", Seq(10L).toDF("id"))
+      e.insertIntoRestTable(uri, "default", "bt2", Seq(11L).toDF("id"))
+      val e2 = LakeEngine(spark)
+      e2.insertIntoRestTable(uri, "default", "bt2",
+        Seq(100L).toDF("id"))
+      e.sql("COMMIT")
+      assert(e.table("bt1").read().as[Long].collect().toSet ==
+        Set(1L, 2L, 10L))
+      assert(e.table("bt2").read().as[Long].collect().toSet ==
+        Set(3L, 11L, 100L))
+      // two appends to the SAME table fold into one change
+      e.sql("BEGIN")
+      e.insertIntoRestTable(uri, "default", "bt1", Seq(20L).toDF("id"))
+      e.insertIntoRestTable(uri, "default", "bt1", Seq(21L).toDF("id"))
+      e.sql("COMMIT")
+      assert(e.table("bt1").read().as[Long].collect().toSet ==
+        Set(1L, 2L, 10L, 20L, 21L))
+      // mixing engine-managed writes refuses at write time...
+      e.createTableAsSelect("btl", LakeEngine.tempLocation("btl"),
+        Seq(1L).toDF("id"))
+      e.sql("BEGIN")
+      e.sql("INSERT INTO btl VALUES (2)")
+      val mix = intercept[IllegalArgumentException](
+        e.insertIntoRestTable(uri, "default", "bt1",
+          Seq(30L).toDF("id")))
+      assert(mix.getMessage.contains("cannot mix"))
+      e.sql("ROLLBACK")
+      // ...and in the rest-then-local order the COMMIT backstop aborts
+      // the whole transaction (nothing lands anywhere)
+      e.sql("BEGIN")
+      e.insertIntoRestTable(uri, "default", "bt1", Seq(31L).toDF("id"))
+      e.sql("INSERT INTO btl VALUES (3)")
+      val mix2 = intercept[IllegalStateException](e.sql("COMMIT"))
+      assert(mix2.getMessage.contains("mixing"))
+      assert(e.table("bt1").read().count() == 5)
+      assert(e.table("btl").read().as[Long].collect().toSet == Set(1L))
+    } finally srv.stop()
+  }
 }
