@@ -184,7 +184,8 @@ final class LakeEngine(val spark: SparkSession) {
     val tx = activeTx.getOrElse(throw new IllegalStateException(
       "SET TRANSACTION can only be used in transaction blocks"))
     require(!tx.queryRun && tx.overlays.values.forall(ov =>
-        ov.staged.isEmpty && ov.pinned.isEmpty) && tx.dropped.isEmpty,
+        ov.staged.isEmpty && ov.pinned.isEmpty) && tx.dropped.isEmpty &&
+        tx.restStaged.isEmpty,
       "SET TRANSACTION ISOLATION LEVEL must be called before any query")
     tx.repeatableRead = repeatableRead || serializable
     tx.serializable = serializable
@@ -1178,6 +1179,10 @@ final class LakeEngine(val spark: SparkSession) {
       clientSecret, oauthUri)
     activeTx match {
       case Some(tx) =>
+        // BEGIN READ ONLY covers API writes too (sql()'s regex guard
+        // never sees this path)
+        if (tx.readOnly) throw new IllegalStateException(
+          "cannot execute INSERT in a read-only transaction")
         // inside a transaction the append STAGES (parquet + manifest
         // list written now, like every engine write) and the catalog
         // commit defers to COMMIT, where every staged append lands in
@@ -2703,7 +2708,7 @@ final class LakeEngine(val spark: SparkSession) {
         if (!ro && tx.readOnly)
           require(!tx.queryRun && tx.overlays.values.forall(ov =>
               ov.staged.isEmpty && ov.pinned.isEmpty) &&
-              tx.dropped.isEmpty,
+              tx.dropped.isEmpty && tx.restStaged.isEmpty,
             "SET TRANSACTION READ WRITE must be called before any query")
         tx.readOnly = ro
         Seq(if (ro) "READ ONLY" else "READ WRITE").toDF("access_mode")
