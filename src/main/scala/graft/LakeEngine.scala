@@ -107,7 +107,8 @@ final class LakeEngine(val spark: SparkSession) {
       catalogUri: String, clientId: Option[String],
       clientSecret: Option[String], oauthUri: Option[String],
       namespace: String, table: String, stagedList: String,
-      stageLoc: String, rows: Long, snapId: Long)
+      stageLoc: String, rows: Long, snapId: Long,
+      stagedPaths: Seq[String])
 
   /** One DROP TABLE staged inside a transaction: everything needed to
     * restore the table on ROLLBACK (the reference rolls in-tx drops
@@ -241,7 +242,13 @@ final class LakeEngine(val spark: SparkSession) {
           tx.dropped.flatMap(d => d.stagedAtDrop.toSeq.flatMap {
             case (base, cur) =>
               stagedPaths(base, cur).map(p => (p, tx.txId, d.name))
-          })).toDF("path", "operation_id", "table_name")
+          }) ++
+          // appends to EXTERNAL REST-catalog tables staged in this
+          // transaction: their parquet is on disk, referenced by no
+          // committed snapshot until the CommitTransaction batch lands
+          tx.restStaged.flatMap(rs => rs.stagedPaths.map(p =>
+            (p, tx.txId, s"${rs.namespace}.${rs.table}")))
+        ).toDF("path", "operation_id", "table_name")
     }
   }
 
@@ -1198,10 +1205,11 @@ final class LakeEngine(val spark: SparkSession) {
           "cannot mix engine-managed writes and external REST-catalog " +
             "appends in one transaction: the two commit points cannot " +
             "be made atomic — use separate transactions")
-        val (stagedList, stageLoc, rows, snapId) =
+        val (stagedList, stageLoc, rows, snapId, paths) =
           stageRestAppend(client, namespace, table, df)
         tx.restStaged += RestStaged(catalogUri, clientId, clientSecret,
-          oauthUri, namespace, table, stagedList, stageLoc, rows, snapId)
+          oauthUri, namespace, table, stagedList, stageLoc, rows, snapId,
+          paths)
         rows
       case None =>
         autocommitRestAppend(client, namespace, table, df,
@@ -1216,7 +1224,7 @@ final class LakeEngine(val spark: SparkSession) {
     */
   private def stageRestAppend(client: lake.RestCatalogClient,
       namespace: String, table: String,
-      df: DataFrame): (String, String, Long, Long) = {
+      df: DataFrame): (String, String, Long, Long, Seq[String]) = {
     val load0 = client.loadTable(namespace, table)
     val metaLoc0 = load0.get("metadata-location").asText()
     val localMeta = metaLoc0.stripPrefix("file://")
@@ -1255,7 +1263,8 @@ final class LakeEngine(val spark: SparkSession) {
       .map(_.files.map(_.rows).sum).getOrElse(0L)
     val snapId = java.util.UUID.randomUUID()
       .getMostSignificantBits & Long.MaxValue
-    (stagedList, stageLoc, rows, snapId)
+    (stagedList, stageLoc, rows, snapId,
+      scratch.meta.currentSnapshot.toSeq.flatMap(_.files.map(_.path)))
   }
 
   /** Autocommit REST append: stage, then CommitTable with retry — a
@@ -1266,7 +1275,7 @@ final class LakeEngine(val spark: SparkSession) {
   private def autocommitRestAppend(client: lake.RestCatalogClient,
       namespace: String, table: String, df: DataFrame,
       maxCommitRetries: Int): Long = {
-    val (stagedList, stageLoc, rows, snapId) =
+    val (stagedList, stageLoc, rows, snapId, _) =
       stageRestAppend(client, namespace, table, df)
     var attempt = 0
     var committed = false

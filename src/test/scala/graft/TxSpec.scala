@@ -524,11 +524,19 @@ class TxSpec extends AnyFunSuite {
       e.sql("BEGIN")
       assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
         Seq(1L).toDF("id")) == 1)
+      // the staged parquet shows in in_progress_files until COMMIT
+      val prog = e.sql(
+        "SELECT table_name FROM lake_engine.in_progress_files")
+        .collect().map(_.getString(0)).toSeq
+      assert(prog.contains("default.tx_rest"),
+        s"staged REST append missing from in_progress_files: $prog")
       e.sql("SAVEPOINT s1")
       assert(e.insertIntoRestTable(srv.address, "default", "tx_rest",
         Seq(2L).toDF("id")) == 1)
       e.sql("ROLLBACK TO s1") // drops the post-mark append
       e.sql("COMMIT")
+      assert(e.sql("SELECT * FROM lake_engine.in_progress_files")
+        .count() == 0)
       assert(e.table("tx_rest").read().as[Long].collect().toSet ==
         Set(1L))
       e.sql("BEGIN")
@@ -1151,15 +1159,18 @@ class TxSpec extends AnyFunSuite {
   /** Deterministic isolation fuzz: a transaction runner interleaves
     * reads/writes on TWO tables with EXTERNAL commits from a second
     * engine, under a random isolation level per transaction. The model
-    * tracks pin moments — REPEATABLE READ pins EVERY table at the
-    * transaction's first access to ANY table (the one snapshot
-    * moment), READ COMMITTED bases at first WRITE — and predicts both
-    * every read and the COMMIT outcome: serialization failure iff an
-    * external commit landed on a WRITTEN table after its base moment,
-    * and a failed multi-table COMMIT changes NOTHING (all-or-nothing).
+    * tracks pin moments — REPEATABLE READ / SERIALIZABLE pin EVERY
+    * table at the transaction's first access to ANY table (the one
+    * snapshot moment), READ COMMITTED bases at first WRITE — and
+    * predicts both every read and the COMMIT outcome: serialization
+    * failure iff an external commit landed on a WRITTEN table after
+    * its base moment, OR (SERIALIZABLE only) on a table the
+    * transaction READ but did not write (approximate SSI — write
+    * skew); a failed multi-table COMMIT changes NOTHING
+    * (all-or-nothing).
     */
-  test("isolation fuzz: RR/RC pin and commit-CAS outcomes track a " +
-      "model under interleaved external commits") {
+  test("isolation fuzz: RC/RR/SERIALIZABLE pin, commit-CAS and " +
+      "write-skew outcomes track a model under external commits") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(20260814L + seed)
       val locs = Seq(s"${tmp()}/a", s"${tmp()}/b")
@@ -1174,10 +1185,14 @@ class TxSpec extends AnyFunSuite {
       // model state per table
       val committed = Array(Set(0L), Set(1000L))
       var inTx = false
-      var rr = false
+      var rr = false // pinned levels: REPEATABLE READ or SERIALIZABLE
+      var ser = false
       // base the tx's view/CAS uses, Some = pinned/base taken
       val base = Array[Option[Set[Long]]](None, None)
       val written = Array(false, false)
+      // the tx actually read/wrote this table (engine: TxOverlay
+      // .touched) — SERIALIZABLE's read-pin re-check only covers these
+      val accessed = Array(false, false)
       val staged = Array(Set.empty[Long], Set.empty[Long])
       val conflicted = Array(false, false)
       var nextId = 1L
@@ -1194,16 +1209,22 @@ class TxSpec extends AnyFunSuite {
       for (step <- 0 until 80) {
         rnd.nextInt(10) match {
           case 0 if !inTx =>
-            rr = rnd.nextBoolean()
-            e1.sql(if (rr) "BEGIN ISOLATION LEVEL REPEATABLE READ"
-            else "BEGIN")
+            val lvl = rnd.nextInt(3)
+            rr = lvl >= 1; ser = lvl == 2
+            e1.sql(lvl match {
+              case 0 => "BEGIN"
+              case 1 => "BEGIN ISOLATION LEVEL REPEATABLE READ"
+              case _ => "BEGIN ISOLATION LEVEL SERIALIZABLE"
+            })
             inTx = true
             locs.indices.foreach { i =>
               base(i) = None; written(i) = false
               staged(i) = committed(i); conflicted(i) = false
+              accessed(i) = false
             }
           case 1 | 2 if inTx => // read one table, model-checked below
             val i = rnd.nextInt(2)
+            accessed(i) = true
             readAccess(i)
             val got = e1.table(n1(i)).read().as[Long].collect().toSet
             assert(got == txView(i),
@@ -1211,6 +1232,7 @@ class TxSpec extends AnyFunSuite {
                 s"$got want ${txView(i)} (rr=$rr)")
           case 3 | 4 | 5 if inTx => // stage a write
             val i = rnd.nextInt(2)
+            accessed(i) = true
             readAccess(i) // RR: writing is an access too
             if (!written(i)) {
               // RC takes its CAS base at the FIRST write
@@ -1229,7 +1251,9 @@ class TxSpec extends AnyFunSuite {
             if (inTx && base(i).isDefined) conflicted(i) = true
           case 7 if inTx => // COMMIT: model predicts the outcome
             val mustFail =
-              locs.indices.exists(i => written(i) && conflicted(i))
+              locs.indices.exists(i => written(i) && conflicted(i)) ||
+                (ser && locs.indices.exists(i =>
+                  accessed(i) && !written(i) && conflicted(i)))
             if (mustFail) {
               intercept[java.util.ConcurrentModificationException](
                 e1.sql("COMMIT"))
