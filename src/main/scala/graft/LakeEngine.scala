@@ -673,6 +673,22 @@ final class LakeEngine(val spark: SparkSession) {
           "cannot COMMIT a transaction mixing engine-managed writes " +
             "and external REST-catalog appends: the two commit points " +
             "cannot be made atomic — use separate transactions")
+      // SERIALIZABLE: local tables this tx READ must still be at
+      // their pins — the rest-batch commit path needs the same
+      // write-skew protection as the engine commit path
+      if (tx.serializable) tx.overlays.foreach { case (n, ov) =>
+        ov.pinned.foreach { pin =>
+          if (ov.touched && ov.staged.isEmpty)
+            tables.get(n).foreach { t =>
+              val disk = lake.TableMetadata.load(t.location)
+              if (!lake.TxMarker.sameState(disk, pin))
+                throw new java.util.ConcurrentModificationException(
+                  s"could not serialize access due to read/write " +
+                    s"dependencies among transactions: table $n " +
+                    "changed after this transaction read it")
+            }
+        }
+      }
       val head = tx.restStaged.head
       val client = new lake.RestCatalogClient(head.catalogUri,
         head.clientId, head.clientSecret, head.oauthUri)

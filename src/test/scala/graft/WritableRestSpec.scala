@@ -300,6 +300,21 @@ class WritableRestSpec extends AnyFunSuite {
       assert(mix2.getMessage.contains("mixing"))
       assert(e.table("bt1").read().count() == 5)
       assert(e.table("btl").read().as[Long].collect().toSet == Set(1L))
+      // SERIALIZABLE + rest-only writes: a LOCAL table this tx READ
+      // moving underneath still fails the commit (the rest-batch
+      // commit path carries the same write-skew protection)
+      val eX = LakeEngine(spark)
+      eX.loadTable("btl_x", e.table("btl").location)
+      e.sql("BEGIN ISOLATION LEVEL SERIALIZABLE")
+      assert(e.table("btl").read().count() == 1) // read pin
+      e.insertIntoRestTable(uri, "default", "bt2", Seq(40L).toDF("id"))
+      eX.sql("INSERT INTO btl_x VALUES (7)") // concurrent local commit
+      val skew = intercept[java.util.ConcurrentModificationException](
+        e.sql("COMMIT"))
+      assert(skew.getMessage.contains("could not serialize access"))
+      // nothing committed: the rest append is gone too
+      assert(e.table("bt2").read().as[Long].collect().toSet ==
+        Set(3L, 11L, 100L))
     } finally srv.stop()
   }
 }
