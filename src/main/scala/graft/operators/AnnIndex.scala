@@ -74,19 +74,33 @@ object AnnIndex {
         any_value(col("nv")).as("nv"), any_value(col("nn")).as("nn"))
 
   /** Train (stride-rule coarse quantizer) and persist the IVF index,
-    * encoding `corpus` as its initial postings.
+    * encoding `corpus` as its initial postings. The stride rule keeps
+    * the index oracle-reproducible; production deployments pass
+    * [[Similarity.kmeans]] centroids to [[buildIvfFrom]] instead —
+    * the persisted layout and query path are identical.
     */
   def buildIvf(engine: LakeEngine, name: String, baseDir: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       stride: Int = IvfCentroidStride,
-      numCentroids: Int = IvfCentroids): Unit = {
-    val cent = corpus
-      .filter(col(idCol) % stride === 0 &&
-        col(idCol) < stride.toLong * numCentroids)
-      .select(col(idCol).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("cv"))
+      numCentroids: Int = IvfCentroids): Unit =
+    buildIvfFrom(engine, name, baseDir, corpus, idCol, vecCol,
+      corpus.filter(col(idCol) % stride === 0 &&
+          col(idCol) < stride.toLong * numCentroids)
+        .select(col(idCol).cast("long").as("cid"),
+          col(vecCol).cast("array<double>").as("cv")))
+
+  /** Persist the IVF index from an EXPLICIT coarse quantizer — e.g.
+    * [[Similarity.kmeans]] output `(cid, cv)` — and encode `corpus`
+    * as its initial postings. Same layout, append path and query path
+    * as the stride-rule build.
+    */
+  def buildIvfFrom(engine: LakeEngine, name: String, baseDir: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): Unit = {
     engine.createTableAsSelect(centroidsTable(name),
-      s"$baseDir/${centroidsTable(name)}", cent)
+      s"$baseDir/${centroidsTable(name)}",
+      centroids.select(col("cid").cast("long").as("cid"),
+        col("cv").cast("array<double>").as("cv")))
     engine.createTableAsSelect(postingsTable(name),
       s"$baseDir/${postingsTable(name)}",
       assign(engine, name, corpus, idCol, vecCol)

@@ -83,6 +83,35 @@ class AnnIndexSpec extends AnyFunSuite {
       "persisted IVF-PQ top-k diverged from the fresh build")
   }
 
+  /** Production-centroid build: the persisted index accepts an
+    * EXPLICIT coarse quantizer (Similarity.kmeans output) instead of
+    * the stride rule. Correctness invariant regardless of the
+    * quantizer: probing EVERY list makes IVF exact — the full-probe
+    * persisted query must equal the brute-force top-k.
+    */
+  test("k-means-trained persisted index: full-probe query equals the " +
+      "exact brute-force top-k; append still needs no retraining") {
+    val e = Tables.df(spark, sf, "embeddings")
+    val eng = LakeEngine(spark)
+    val cents = Similarity.kmeans(e, "vec_id", "embedding",
+      k = IvfCentroids, iters = 2)
+    AnnIndex.buildIvfFrom(eng, "ivfkm", tmp(),
+      e.filter(col("vec_id") < split), "vec_id", "embedding", cents)
+    AnnIndex.appendIvf(eng, "ivfkm",
+      e.filter(col("vec_id") >= split), "vec_id", "embedding")
+    assert(eng.table(AnnIndex.postingsTable("ivfkm")).read().count() ==
+      e.count())
+    val queries = e.filter(col("vec_id") < NumQueryVectors)
+    val persisted = AnnIndex.ivfTopK(eng, "ivfkm", queries,
+        "vec_id", "embedding", nprobe = IvfCentroids)
+      .orderBy("query_id", "rank").collect()
+    val exact = Similarity.bruteForceTopK(queries, e,
+        "vec_id", "embedding")
+      .orderBy("query_id", "rank").collect()
+    assert(persisted.toSeq == exact.toSeq,
+      "full-probe IVF over k-means centroids diverged from exact top-k")
+  }
+
   test("postings are partitioned by cid and the query scan prunes to " +
       "the probed lists") {
     val e = Tables.df(spark, sf, "embeddings")
