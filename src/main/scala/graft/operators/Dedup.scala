@@ -34,7 +34,7 @@ object Dedup {
   /** Per-doc distinct word-shingle sets (id, shingles). */
   private def shingleSets(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.withColumn("__ws", TextOps.words(col(textCol)))
+    Par.spread(df).withColumn("__ws", TextOps.words(col(textCol)))
       .select(col(idCol).as("id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.WordShingles(
           org.apache.spark.sql.GraftBridge.expression(col("__ws")),
@@ -60,22 +60,16 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = MinhashJaccard): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol)
-    // native single-pass signature (graft.functions.MinHashSig):
-    // identical values to TextOps.minhashSig, ~10x faster
-    val sig = sets
-      .withColumn("__hs", TextOps.hashAll("shingles"))
-      .withColumn("sig", org.apache.spark.sql.GraftBridge.column(
-        graft.functions.MinHashSig(
-          org.apache.spark.sql.GraftBridge.expression(col("__hs")))))
-
-    // band key = the R signature values of the band packed into one long
-    val bands = sig.select(col("id"), posexplode(
-      expr(s"""transform(sequence(0, ${MinhashBands - 1}), j ->
-               |  element_at(sig, ${MinhashR}*j + 1) * $P +
-               |  element_at(sig, ${MinhashR}*j + 2))""".stripMargin)))
-      .toDF("id", "band", "key")
-      .filter(col("key").isNotNull)
+    // One signature frame feeds the band join AND both verification
+    // joins. The previous shape planned TWO DIFFERENT heavy subtrees
+    // (sig for bands, raw shingle sets for verify), so the corpus was
+    // re-shingled four ways; now all four consumers share one
+    // canonical subtree, and its repartition exchange is reused at
+    // runtime instead of re-scanned (guide §2.4). Docs with no
+    // shingles can never appear in a candidate pair, so the
+    // minhashSignatures filter does not change the output.
+    val sigs = minhashSignatures(df, idCol, textCol)
+    val bands = bandedKeys(sigs, isNew = false).drop("is_new")
 
     val candidates = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -83,13 +77,17 @@ object Dedup {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
 
+    // verification on the 60-bit hashed shingle sets (the incremental
+    // path's rule): hashing is injective on a doc pair's shingles up to
+    // a ~8e-16 collision, so the jaccard VALUE equals the raw-set
+    // jaccard the oracle brute-forces
     candidates
-      .join(sets.select(col("id"), col("shingles").as("sa")), col("a_id") === col("id"))
+      .join(sigs.select(col("id"), col("hs").as("ha")), col("a_id") === col("id"))
       .drop("id")
-      .join(sets.select(col("id"), col("shingles").as("sb")), col("b_id") === col("id"))
+      .join(sigs.select(col("id"), col("hs").as("hb")), col("b_id") === col("id"))
       .drop("id")
       .select(col("a_id"), col("b_id"),
-        jaccard(col("sa"), col("sb")).as("jaccard"))
+        jaccard(col("ha"), col("hb")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -164,7 +162,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val sim = df.withColumn("__ws", TextOps.words(col(textCol)))
+    val sim = Par.spread(df).withColumn("__ws", TextOps.words(col(textCol)))
       .withColumn("__whs", TextOps.hashAll("__ws"))
       .select(col(idCol).as("id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.SimHash60(
@@ -193,9 +191,12 @@ object Dedup {
     * (id, representative) for every id that appears in a pair.
     */
   def dedupGroups(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    // materialize the edge list once: it is joined EVERY round, and
+    // without this the full upstream pair pipeline (band join + verify)
+    // replays per iteration
     val edges = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("src", "dst").distinct()
+      .toDF("src", "dst").distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
     var round = 0

@@ -39,12 +39,15 @@ object TextOps {
     * `('0x' || substring(md5(x),1,15))::BIGINT`.
     */
   def hash60(e: Column): Column =
-    conv(substring(md5(e.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Md5Hash60(
+        org.apache.spark.sql.GraftBridge.expression(e.cast("string"))))
 
   /** Hash every element of a string array (for shingle/word sets). */
-  def hashAll(a: String): Column = {
-    expr(s"transform($a, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint))")
-  }
+  def hashAll(a: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Md5Hash60All(
+        org.apache.spark.sql.GraftBridge.expression(expr(a))))
 
   /** MinHash signature (length [[PipelineParams.MinhashK]]) over a
     * hashed-shingle array: sig[i] = min over shingles of the i-th
