@@ -40,7 +40,7 @@ object CorpusOverlap {
     */
   private def slicedShingles(df: DataFrame, sliceCol: String,
       textCol: String, n: Int): DataFrame =
-    df.select(col(sliceCol).cast("string").as("slice"),
+    Par.spread(df).select(col(sliceCol).cast("string").as("slice"),
         explode(shinglesOf(col(textCol), n)).as("g"))
 
   /** Exact pairwise overlap report:

@@ -164,17 +164,20 @@ object Similarity {
     */
   def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       minCos: Double = CosineNearDup): DataFrame = {
-    val bandKeys = (0 until LshBands).map(j =>
-      s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
     val base = withNorm(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", "n")
     // band rows are (id, band, key) ONLY — the banded self-join and the
     // candidate distinct never shuffle the embedding arrays; vectors
     // join back per candidate id below, where ReuseExchange computes the
-    // norm'd projection once for both sides
-    val bands = base.withColumn("sig", signature("v"))
-      .select(col("id"), posexplode(
-        expr(bandKeys.mkString("array(", ",", ")"))).as(Seq("band", "key")))
+    // norm'd projection once for both sides. Keys come from the native
+    // [[graft.functions.LshBandKeys]] kernel — bit-identical to the
+    // packed [[signature]]/shiftright formulation (same planes, same
+    // >= 0 rule, same 2^i weights; spec-pinned), without the
+    // interpreted aggregate/zip_with lambda per plane per row.
+    val bands = base.select(col("id"), posexplode(
+        GraftBridge.column(graft.functions.LshBandKeys(
+          GraftBridge.expression(col("v")), hyperplanes, LshRowsPerBand)))
+        .as(Seq("band", "key")))
     verifyCandidates(base, bands, minCos)
   }
 
@@ -484,13 +487,13 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = TopK): DataFrame = {
-    val bandKeys = (0 until LshBands).map(j =>
-      s"(shiftright(sig, ${j * LshRowsPerBand}) & ${(1L << LshRowsPerBand) - 1})")
+    // native band keys (see [[lshCosinePairs]]): bit-identical to the
+    // packed signature + shiftright extraction, no interpreted lambdas
     def bandRows(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as("__v"))
-        .withColumn("sig", signature("__v"))
         .select(col(id), posexplode(
-          expr(bandKeys.mkString("array(", ",", ")")))
+          GraftBridge.column(graft.functions.LshBandKeys(
+            GraftBridge.expression(col("__v")), hyperplanes, LshRowsPerBand)))
           .as(Seq("band", "key")))
 
     // candidate ids from narrow (id, band, key) rows; embeddings join

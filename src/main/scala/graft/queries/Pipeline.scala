@@ -260,7 +260,7 @@ object Pipeline {
          |  list_reduce(list_transform($W, x -> length(x)), (a, b) -> a + b)::DOUBLE
          |    / len($W) AS avg_word_len
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      docs(s, dir)
+      graft.operators.Par.spread(docs(s, dir))
         .withColumn("ws", TextOps.words(col("text")))
         .select(col("doc_id"),
           TextOps.nChars(col("text")).as("n_chars_m"),

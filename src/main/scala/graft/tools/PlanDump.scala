@@ -52,6 +52,10 @@ object PlanDump {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val taskNanos = new java.util.concurrent.atomic.AtomicLong
     val gcMillis = new java.util.concurrent.atomic.AtomicLong
+    // per-stage accounting for the CURRENT query (reset per query):
+    // stageId -> (name, numTasks, taskMs, gcMs, shuffleReadMs)
+    val stageAcc = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long, Long, Long, Long)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
@@ -66,6 +70,11 @@ object PlanDump {
           if (t.taskMetrics != null) {
             taskNanos.addAndGet(t.taskMetrics.executorRunTime * 1000000L)
             gcMillis.addAndGet(t.taskMetrics.jvmGCTime)
+            stageAcc.merge(t.stageId,
+              ("", 1L, t.taskMetrics.executorRunTime, t.taskMetrics.jvmGCTime,
+                t.taskMetrics.shuffleReadMetrics.fetchWaitTime),
+              (a, b) => (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
+                a._5 + b._5))
           }
         }
       })
@@ -80,7 +89,8 @@ object PlanDump {
       spark.sparkContext.setJobDescription(name)
       // repeat 3x like Bench; keep min build / median exec
       var lastStats = (0L, 0L, 0L, 0.0, 0L)
-      val samples = (1 to 3).map { _ =>
+      val samples = (1 to 3).map { i =>
+        if (i == 3) stageAcc.clear() // per-stage stats for the last repeat
         val j0 = jobs.get; val s0 = stages.get; val t0n = tasks.get
         val tt0 = taskNanos.get; val gc0 = gcMillis.get
         val t0 = System.nanoTime()
@@ -91,6 +101,15 @@ object PlanDump {
         lastStats = (jobs.get - j0, stages.get - s0, tasks.get - t0n,
           (taskNanos.get - tt0) / 1e9, gcMillis.get - gc0)
         (df, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      }
+      // top stages of the final repeat by task time
+      locally {
+        import scala.jdk.CollectionConverters._
+        val top = stageAcc.asScala.toSeq.sortBy(-_._2._3).take(8)
+        println(s"-- $name stages (last repeat): " + top.map {
+          case (id, (_, n, ms, gc, fw)) =>
+            s"s$id[n=$n ${ms}ms gc=${gc}ms fw=${fw}ms]"
+        }.mkString(" "))
       }
       val df = samples.last._1
       val build = samples.map(_._2).min
