@@ -37,7 +37,8 @@ object TpcDs {
     QueryDef.sql(
       "q_tpcds_channels",
       s"""WITH sales AS (
-         |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |  SELECT /*+ SHUFFLE_HASH(orders) */
+         |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
          |           THEN 'express' ELSE 'standard' END AS channel,
          |    year(o_orderdate) AS yr,
          |    SUM(CASE WHEN l_returnflag <> 'R' THEN $rev
