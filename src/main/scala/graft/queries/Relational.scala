@@ -96,7 +96,11 @@ object Relational {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin) { (s, dir) =>
       val l = li(s, dir)
-      val o = ord(s, dir)
+      // shuffle-hash for the fact-fact join (same finding as
+      // q_tpcds_channels r15): broadcasting 150k orders made the probe
+      // + partial agg one task, and each added task would re-deserialize
+      // the broadcast; SHJ shuffles both sides and parallelizes the probe
+      val o = ord(s, dir).hint("shuffle_hash")
       val c = broadcast(Tables.df(s, dir, "customer"))
       val n = broadcast(Tables.df(s, dir, "nation"))
       val r = broadcast(Tables.df(s, dir, "region"))
