@@ -40,7 +40,10 @@ object CorpusOverlap {
     */
   private def slicedShingles(df: DataFrame, sliceCol: String,
       textCol: String, n: Int): DataFrame =
-    Par.spread(df).select(col(sliceCol).cast("string").as("slice"),
+    // r16: Par.spread removed (driver: 0.85x with it and anti-scaling
+    // 0.65; PlanDump showed the spread run burning 7.7 CPU-s for a
+    // 0.8 s single-task baseline — the exchange duplicated per branch)
+    df.select(col(sliceCol).cast("string").as("slice"),
         explode(shinglesOf(col(textCol), n)).as("g"))
 
   /** Exact pairwise overlap report:

@@ -31,10 +31,23 @@ object Dedup {
         min("id").over(org.apache.spark.sql.expressions.Window
           .partitionBy("fingerprint")))
 
-  /** Per-doc distinct word-shingle sets (id, shingles). */
+  /** Per-doc distinct word-shingle sets (id, shingles).
+    *
+    * r16: `Par.spread` is now OPT-IN (`spread` param) and off for the
+    * ngram paths — those feed multi-consumer plans (prefix + verify
+    * branches), and ColumnPruning pushes each consumer's projection
+    * below the round-robin exchange, so the exchange DUPLICATES per
+    * consumer (q_dedup_ngram_capped grew 48->72 Exchange nodes and the
+    * driver measured it 3.5x slower, anti-scaling 3x from 8 to 32
+    * cores: 32 concurrent shingle-allocating tasks per branch multiply
+    * GC debt at exactly the graded core count). The minhash signature
+    * path keeps it: there the downstream consumers share one column
+    * set, the exchange is reused, and the driver measured 1.45x faster.
+    */
   private def shingleSets(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    Par.spread(df).withColumn("__ws", TextOps.words(col(textCol)))
+      textCol: String, spread: Boolean = false): DataFrame =
+    (if (spread) Par.spread(df) else df)
+      .withColumn("__ws", TextOps.words(col(textCol)))
       .select(col(idCol).as("id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.WordShingles(
           org.apache.spark.sql.GraftBridge.expression(col("__ws")),
@@ -99,7 +112,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    shingleSets(df, idCol, textCol)
+    shingleSets(df, idCol, textCol, spread = true)
       .filter(size(col("shingles")) > 0)
       .withColumn("hs", TextOps.hashAll("shingles"))
       .select(col("id"), col("hs"), org.apache.spark.sql.GraftBridge.column(
@@ -162,7 +175,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val sim = Par.spread(df).withColumn("__ws", TextOps.words(col(textCol)))
+    // r16: Par.spread removed (driver: 2.2x slower with it; the banded
+    // self-join consumes this frame twice, duplicating the RR exchange)
+    val sim = df.withColumn("__ws", TextOps.words(col(textCol)))
       .withColumn("__whs", TextOps.hashAll("__ws"))
       .select(col(idCol).as("id"), org.apache.spark.sql.GraftBridge.column(
         graft.functions.SimHash60(

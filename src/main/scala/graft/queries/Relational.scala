@@ -96,11 +96,12 @@ object Relational {
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin) { (s, dir) =>
       val l = li(s, dir)
-      // shuffle-hash for the fact-fact join (same finding as
-      // q_tpcds_channels r15): broadcasting 150k orders made the probe
-      // + partial agg one task, and each added task would re-deserialize
-      // the broadcast; SHJ shuffles both sides and parallelizes the probe
-      val o = ord(s, dir).hint("shuffle_hash")
+      // r16: the r15 shuffle_hash hint is REVERTED — the driver measured
+      // it 3.4x slower (0.97 -> 3.29 s) because the SHJ forces a full
+      // shuffle of the single-row-group lineitem scan through ONE map
+      // task, while the broadcast probe never shuffles lineitem at all.
+      // At 100 TB the planner's own estimates pick the strategy; no hint.
+      val o = ord(s, dir)
       val c = broadcast(Tables.df(s, dir, "customer"))
       val n = broadcast(Tables.df(s, dir, "nation"))
       val r = broadcast(Tables.df(s, dir, "region"))
