@@ -79,7 +79,7 @@ case class ArrayDotD(left: Expression, right: Expression)
   * per-plane interpreted lambda trees would dominate the whole query.
   */
 case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
-    rowsPerBand: Int) extends UnaryExpression with CodegenFallback {
+    rowsPerBand: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def withNewChildInternal(c: Expression): LshBandKeys =
@@ -92,8 +92,11 @@ case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
     case _ => false
   }
 
-  override def nullSafeEval(a: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
+  /** The compiled per-row kernel; also the codegen target so the scan
+    * stage stays inside WholeStageCodegen (r16 — CodegenFallback forced
+    * a row materialization + interpreted eval per row).
+    */
+  def compute(v: ArrayData): ArrayData = {
     val nBands = flat.length / rowsPerBand
     val keys = new Array[Long](nBands)
     var j = 0
@@ -117,6 +120,17 @@ case class LshBandKeys(child: Expression, planes: Seq[Seq[Double]],
       j += 1
     }
     new GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshBandKeys", this,
+      classOf[LshBandKeys].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $ref.compute($a);")
   }
 }
 
@@ -639,26 +653,70 @@ case class Md5Hash60(child: Expression) extends UnaryExpression {
   * tight JVM loop per row. Null elements hash to null (as the lambda
   * did); a null array is null.
   */
-case class Md5Hash60All(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+case class Md5Hash60All(child: Expression) extends UnaryExpression {
+  private def childContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
   override def dataType: DataType = ArrayType(LongType,
-    containsNull = child.dataType match {
-      case ArrayType(_, n) => n
-      case _ => true
-    })
+    containsNull = childContainsNull)
   override protected def withNewChildInternal(c: Expression): Md5Hash60All =
     copy(child = c)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      if (!a.isNullAt(i)) out(i) = Md5Hash60.hash(a.getUTF8String(i))
-      i += 1
+    if (!childContainsNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = Md5Hash60.hash(a.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) out(i) = Md5Hash60.hash(a.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
+  }
+
+  // r16: doGenCode (was CodegenFallback) so the shingle/word hashing
+  // stage stays fused in WholeStageCodegen; primitive long[] fast path
+  // when the input array is null-free
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      if (!childContainsNull) {
+        s"""
+           |int $n = $a.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = graft.functions.Md5Hash60.hash($a.getUTF8String($i));
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      } else {
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    $out[$i] = graft.functions.Md5Hash60.hash($a.getUTF8String($i));
+           |  }
+           |}
+           |${ev.value} = new $gad($out);
+         """.stripMargin
+      }
+    })
   }
 }
 
@@ -873,5 +931,99 @@ case class WinnowSig(child: Expression) extends UnaryExpression {
       classOf[WinnowSig].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = $ref.compute(($c));")
+  }
+}
+
+/** Allocation-free `size(array_intersect(a, b))` for long arrays — the
+  * dedup family's verification kernel (r16, guide §5: the
+  * array_intersect + size chain allocated a hash set AND the
+  * intersection array per candidate pair only to take its length; GC
+  * on the dedup queries was 0.4–1.2 s/query). Semantics are pinned to
+  * `size(array_intersect(a, b))` exactly: the count of DISTINCT
+  * elements of `a` that also occur in `b`, a null element counted once
+  * when present on both sides, null when either array is null.
+  * Scratch tables are thread-local and reused across rows; steady-state
+  * per-row allocation is zero.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): IntersectCount = copy(left = l, right = r)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectCount.count($a, $b);")
+}
+
+object IntersectCount {
+  // open-addressing scratch: values + state (0 empty, 1 present,
+  // 2 already counted); grown on demand, reused across rows per thread
+  private val tableTL = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](64)
+  }
+  private val stateTL = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](64)
+  }
+
+  private def mix(v: Long): Int = {
+    var h = v
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h.toInt
+  }
+
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return 0
+    var cap = 16
+    while (cap < nb * 2) cap <<= 1
+    var table = tableTL.get()
+    var state = stateTL.get()
+    if (table.length < cap) {
+      table = new Array[Long](cap)
+      state = new Array[Byte](cap)
+      tableTL.set(table)
+      stateTL.set(state)
+    }
+    java.util.Arrays.fill(state, 0, cap, 0.toByte)
+    val mask = cap - 1
+    // build the set of b (nulls tracked separately)
+    var bHasNull = false
+    var i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        var idx = mix(v) & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        if (state(idx) == 0) { table(idx) = v; state(idx) = 1 }
+      }
+      i += 1
+    }
+    // count distinct elements of a found in b; mark matches so
+    // duplicates in a are not recounted
+    var cnt = 0
+    var aNullCounted = false
+    i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) {
+        if (bHasNull && !aNullCounted) { cnt += 1; aNullCounted = true }
+      } else {
+        val v = a.getLong(i)
+        var idx = mix(v) & mask
+        while (state(idx) != 0 && table(idx) != v) idx = (idx + 1) & mask
+        if (state(idx) == 1) { state(idx) = 2; cnt += 1 }
+      }
+      i += 1
+    }
+    cnt
   }
 }

@@ -61,6 +61,22 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** `size(array_intersect(a, b))` for 60-bit-hashed shingle arrays via
+    * the allocation-free [[graft.functions.IntersectCount]] kernel
+    * (value-identical; r16 — array_intersect allocated a set + result
+    * array per candidate pair, the dedup family's main GC source).
+    */
+  private def intersectSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.IntersectCount(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** [[jaccard]] specialized to long (hashed-shingle) arrays. */
+  private def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = intersectSize(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
   /** MinHash + LSH near-duplicate PAIRS with exact-jaccard verification:
     * shingle → 60-bit hash → k-permutation signature → banded keys →
     * bucket self-join → verify jaccard ≥ `minJaccard`.
@@ -100,7 +116,7 @@ object Dedup {
       .join(sigs.select(col("id"), col("hs").as("hb")), col("b_id") === col("id"))
       .drop("id")
       .select(col("a_id"), col("b_id"),
-        jaccard(col("ha"), col("hb")).as("jaccard"))
+        jaccardHashed(col("ha"), col("hb")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -162,7 +178,7 @@ object Dedup {
       .join(hs.select(col("id"), col("hs").as("hb")), col("b_id") === col("id"))
       .drop("id")
       .select(col("a_id"), col("b_id"),
-        jaccard(col("ha"), col("hb")).as("jaccard"))
+        jaccardHashed(col("ha"), col("hb")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -333,7 +349,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hs").as("__hsA"),
         col("size").as("sa"))
     withA.join(sized, withA("b_id") === sized("id"))
-      .withColumn("inter", size(array_intersect(col("__hsA"), col("hs"))))
+      .withColumn("inter", intersectSize(col("__hsA"), col("hs")))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("sa") + col("size") - col("inter"))).as("jaccard"))
@@ -452,7 +468,7 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hs").as("__hsA"),
         col("size").as("sa"))
     withA.join(sized, withA("b_id") === sized("id"))
-      .withColumn("inter", size(array_intersect(col("__hsA"), col("hs"))))
+      .withColumn("inter", intersectSize(col("__hsA"), col("hs")))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("sa") + col("size") - col("inter"))).as("jaccard"))

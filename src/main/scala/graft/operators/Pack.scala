@@ -34,8 +34,18 @@ object Pack {
       (key % buckets).as("bucket"), key.as("hk")) ++ keep.map(col): _*)
     val wb = Window.partitionBy("bucket").orderBy(col("hk"), col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // btotal as an unbounded window sum over the SAME bucket
+    // partitioning as the cumsum: both window functions evaluate in one
+    // pass over one exchange, where a separate groupBy(bucket) planned
+    // its own partial-agg + exchange pass over the corpus (r16, guide
+    // §2.4 — two operations keyed the same way share one exchange)
+    val wt = Window.partitionBy("bucket")
     val cum = base.withColumn("cum_in_bucket", sum("n_tokens").over(wb))
-    val totals = base.groupBy("bucket").agg(sum("n_tokens").as("btotal"))
+      .withColumn("btotal", sum("n_tokens").over(wt))
+    // reduce the windowed frame to the B (bucket, btotal) rows: the
+    // input is already hash-partitioned by bucket, so this agg needs no
+    // exchange of its own
+    val totals = cum.groupBy("bucket").agg(max("btotal").as("btotal"))
     // prefix over the B bucket totals only — the single-partition
     // window touches B rows, never the corpus
     val wp = Window.orderBy("bucket")

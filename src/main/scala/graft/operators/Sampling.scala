@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling/shuffling (SURVEY.md §7 M6): training
@@ -128,9 +129,15 @@ object Sampling {
   def mixTemperature(df: DataFrame, domainCol: String, idCol: String,
       targetFrac: Double, seed: String): DataFrame = {
     val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__nd"))
-    val tot = counts.agg(sum(col("__nd")).as("__n"),
-      sum(sqrt(col("__nd"))).as("__s"))
-    val rates = counts.crossJoin(tot)
+    // corpus totals as a single-partition window over the tiny domain
+    // table (one row per domain) instead of agg + crossJoin: one fewer
+    // pass/broadcast stage on the critical path (r16, guide §2.4); the
+    // double-sum reordering is absorbed by the round(..., 9) contract
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("__n", sum(col("__nd")).over(wAll))
+      .withColumn("__s", sum(sqrt(col("__nd"))).over(wAll))
       .withColumn("__rate", least(lit(1.0),
         round(lit(targetFrac) * col("__n") * sqrt(col("__nd")) /
           (col("__s") * col("__nd")), 9)))

@@ -294,7 +294,7 @@ object Tpch {
         |    WHERE l_partkey = p_partkey)""".stripMargin),
 
     // Q18: large-volume customers — HAVING subquery + 3-way join
-    QueryDef.sql(
+    QueryDef(
       "q_tpch18",
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
         |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
@@ -308,7 +308,49 @@ object Tpch {
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
         |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 100""".stripMargin),
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      // DataFrame plan for the same semantics (oracle SQL above is
+      // unchanged). The SQL plan evaluated the HAVING subquery as TWO
+      // broadcast semi-joins — one on orders, one (redundantly, via
+      // predicate inference) on lineitem — each with its own
+      // scan-fused single-task partial aggregation of lineitem. Here:
+      // the qualifying set is computed ONCE (an RR spread of the
+      // partial agg was probed and REJECTED: 7.9 CPU-s/0.5 s GC across
+      // 32 tasks vs 1.1 CPU-s fused — concurrent decimal-agg hash maps
+      // thrash), and since IN-qualifying orders are by construction a
+      // tiny set (sum(qty) > 150 per order), qualifying orders join
+      // customer and BROADCAST into one probe pass over lineitem — the
+      // big side is never shuffled and never probed twice.
+      import org.apache.spark.sql.functions._
+      val l = graft.Tables.df(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      // plain double SUM: every l_quantity is an integer in [1,50] and
+      // per-order sums stay far below 2^53, so the double sum is EXACT
+      // under any accumulation order — identical to the decimal-cast
+      // sum the oracle computes, without per-row Decimal allocation
+      val qual = l
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("__sq"))
+        .filter(col("__sq") > 150)
+        .select(col("l_orderkey").as("__qk"))
+      val o = graft.Tables.df(s, dir, "orders")
+        .join(broadcast(qual), col("o_orderkey") === col("__qk"), "left_semi")
+      val oc = o.join(graft.Tables.df(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      l.join(broadcast(oc), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
 
     // Q19: discounted revenue — disjunction of conjunctive brand/size/
     // quantity ranges (adapted: p_container → p_size ranges)

@@ -44,4 +44,22 @@ class Md5Hash60Spec extends AnyFunSuite {
     assert(got.exists(_ == null))
     assert(got.filter(_ != null).head(1) == null)
   }
+
+  test("Md5Hash60All null-free array type (codegen primitive path)") {
+    // array(lit...) types as ARRAY<STRING> containsNull=false, which is
+    // the shape WordShingles feeds in production — exercises the
+    // long[] fast path of the r16 doGenCode
+    val df = spark.range(1).select(
+      array(lit("a"), lit("b"), lit("hello world")).as("arr"))
+    assert(!df.schema("arr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val got = df.select(graft.operators.TextOps.hashAll("arr").as("h"))
+      .collect().head.getSeq[Long](0)
+    val exp = Seq("a", "b", "hello world").map { s =>
+      spark.range(1).select(
+        conv(substring(md5(lit(s)), 1, 15), 16, 10).cast("long"))
+        .collect().head.getLong(0)
+    }
+    assert(got === exp)
+  }
 }
